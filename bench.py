@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a count() action (full plan execution, no
+driver materialization of rows). A warmup pass on sf0.001 JIT-warms the
+JVM before timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from forklift_spark import queries as Q  # noqa: E402
+from forklift_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARMUP_DIR = "/root/testdata/sf0.001"
+
+# Headline set: scan/agg, join-heavy, window, dedup, similarity, text.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_topk_per_group",
+    "q_rollup",
+    "q_distinct_exact",
+    "q_pivot",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark(app_name="forklift_spark_bench")
+    catalog = Q.catalog()
+    names = [n for n in HEADLINE if n in catalog]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if extra:
+        names = [n for n in extra.split(",") if n in catalog]
+
+    for name in names:  # warmup at tiny SF
+        try:
+            catalog[name](spark, WARMUP_DIR).count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        catalog[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""Query catalog: every operator from SURVEY.md §2 (plus the large-scale
+training-data operators) declared as a named (spark, sf_dir) -> DataFrame
+callable with a matching DuckDB oracle SQL string.
+
+The driver contract (__spark_entry__.py) re-exports this catalog; the
+correctness gate runs each Spark query against its oracle at sf0.01 and
+hash-compares values, so every query here is written for engine-exact
+reproducibility (see functions.exact / functions.hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query; oracle=None -> driver runs a rows-only check."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def catalog() -> dict[str, QueryFn]:
+    _load_all()
+    return dict(_REGISTRY)
+
+
+def oracles() -> dict[str, str]:
+    _load_all()
+    return dict(_ORACLES)
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    # import for registration side effects
+    from forklift_spark.queries import analytics  # noqa: F401
+    from forklift_spark.queries import etl  # noqa: F401
+    from forklift_spark.queries import dedup  # noqa: F401
+    from forklift_spark.queries import similarity  # noqa: F401
+    from forklift_spark.queries import text  # noqa: F401
+    from forklift_spark.queries import timeseries  # noqa: F401
+    _LOADED = True

@@ -1,0 +1,300 @@
+"""Relational analytics queries (SURVEY.md §2.3 + §7 capability goals).
+
+The reference delegates SELECT/WHERE/GROUP BY/ORDER BY to its backing
+stores as raw SQL (`transports/mysql.rb:28`, README "SQL transformations
+are done exactly as they are written"); the new engine answers them
+natively. Joins/windows/rollup are absent from the reference and listed
+in SURVEY §2.3 as capability goals — implemented here Spark-first.
+
+Scale notes (100 TB):
+- fact-to-fact joins (lineitem⋈orders) shuffle on the join key; dimension
+  joins (nation/region/customer at low SF) are explicitly broadcast.
+- aggregations use partial (map-side) aggregation automatically; we never
+  collect() — every query returns a lazy DataFrame.
+- all money arithmetic is DECIMAL-exact (functions.exact) so results are
+  reproducible at any parallelism and verifiable against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from forklift_spark import tables
+from forklift_spark.functions.exact import MONEY, QTY, RATE, dec
+from forklift_spark.queries import query
+
+def _one():
+    return F.lit(1).cast(RATE)
+
+
+def _dsum(c, name):
+    return F.sum(c).cast("double").alias(name)
+
+
+# --------------------------------------------------------------------------
+# q1_pricing_summary — TPC-H Q1 shape: scan-heavy groupBy with 8 aggregates.
+# Flagship scan/agg benchmark; maps the reference's aggregate pass-through
+# (SURVEY §2.3 "aggregations") onto a single wide partial-agg plan.
+# --------------------------------------------------------------------------
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    qty = dec("l_quantity", QTY)
+    price = dec("l_extendedprice", MONEY)
+    disc = dec("l_discount", RATE)
+    disc_price = price * (_one() - disc)
+    charge = disc_price * (_one() + dec("l_tax", RATE))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(qty, "sum_qty"),
+            _dsum(price, "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            (F.sum(qty).cast("double") / n.cast("double")).alias("avg_qty"),
+            (F.sum(price).cast("double") / n.cast("double")).alias("avg_price"),
+            (F.sum(disc).cast("double") / n.cast("double")).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q3_shipping_priority — TPC-H Q3 shape: selective dim filter, two joins,
+# revenue agg, top-10. customer side is small per-SF -> broadcast; the
+# lineitem⋈orders join shuffles on orderkey (the natural co-partition key).
+# --------------------------------------------------------------------------
+Q3_ORACLE = """
+SELECT l_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    revenue = dec("l_extendedprice", MONEY) * (_one() - dec("l_discount", RATE))
+    # customer (filtered, one segment) broadcasts into orders; the
+    # lineitem⋈orders fact join shuffles on orderkey — the only strategy
+    # that survives 1000 executors × 100 TB (AQE handles skew).
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(revenue, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q5_region_revenue — TPC-H Q5 shape: 5-way join through the dimension
+# snowflake. region/nation are tiny constants -> broadcast; supplier and
+# customer broadcast at test SF (would bucket on nationkey at 100 TB).
+# --------------------------------------------------------------------------
+Q5_ORACLE = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY n_name
+"""
+
+
+@query("q5_region_revenue", Q5_ORACLE)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li = tables.load(spark, sf_dir, "lineitem")
+    supp = tables.load(spark, sf_dir, "supplier")
+    nation = tables.load(spark, sf_dir, "nation")
+    region = tables.load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = dec("l_extendedprice", MONEY) * (_one() - dec("l_discount", RATE))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_dsum(revenue, "revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q_topk_per_group — top-3 highest-value orders per priority class.
+# Window row_number, the scalable top-K idiom (no global sort).
+# --------------------------------------------------------------------------
+TOPK_ORACLE = """
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t WHERE rn <= 3
+"""
+
+
+@query("q_topk_per_group", TOPK_ORACLE)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_rollup — hierarchical totals (year × priority) with ROLLUP.
+# --------------------------------------------------------------------------
+ROLLUP_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (CAST(year(o_orderdate) AS INT), o_orderpriority)
+"""
+
+
+@query("q_rollup", ROLLUP_ORACLE)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    return orders.rollup("order_year", "o_orderpriority").agg(
+        _dsum(dec("o_totalprice", MONEY), "total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_distinct_exact / q_distinct_approx — COUNT(DISTINCT) and its HLL
+# approximation (approx has no cross-engine oracle -> rows-only check).
+# --------------------------------------------------------------------------
+DISTINCT_ORACLE = """
+SELECT l_returnflag,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  COUNT(DISTINCT l_suppkey) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("q_distinct_exact", DISTINCT_ORACLE)
+def q_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query("q_distinct_approx")  # HLL sketch: engine-specific -> rows-only check
+def q_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_set_ops — EXCEPT/INTERSECT capability: customers with BUILDING orders
+# that never placed a low-priority order.
+# --------------------------------------------------------------------------
+SETOPS_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
+@query("q_set_ops", SETOPS_ORACLE)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.intersect(low)
+
+
+# --------------------------------------------------------------------------
+# q_pivot — wide histogram: revenue by year pivoted on order priority.
+# Oracle uses portable CASE-WHEN conditional aggregation.
+# --------------------------------------------------------------------------
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PIV_COLS = {p: "p" + p[0] for p in _PRIORITIES}
+PIVOT_ORACLE = "SELECT CAST(year(o_orderdate) AS INT) AS order_year,\n" + ",\n".join(
+    f"  CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN CAST(o_totalprice AS DECIMAL(14,2)) ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE) AS {c}"
+    for p, c in _PIV_COLS.items()
+) + "\nFROM orders GROUP BY 1"
+
+
+@query("q_pivot", PIVOT_ORACLE)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    piv = (
+        orders.groupBy("order_year")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.sum(F.coalesce(dec("o_totalprice", MONEY), F.lit(0).cast(MONEY))).cast("double"))
+    )
+    cols = [F.col("order_year")] + [
+        F.coalesce(F.col(f"`{p}`"), F.lit(0.0)).alias(c) for p, c in _PIV_COLS.items()
+    ]
+    return piv.select(*cols)

