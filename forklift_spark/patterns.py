@@ -1,0 +1,190 @@
+"""Table-level dataflow patterns (reference §2.2, `patterns/mysql_patterns.rb`).
+
+The reference's real relational operators — whole-table copy/sync
+pipelines — re-expressed as single DataFrame jobs:
+
+- ``pipe``              full copy with atomic publish (P1, `:28-43`)
+- ``incremental_pipe``  high-water-mark sync on a matcher column
+                        (P2, `:60-99`)
+- ``optimistic_pipe``   try incremental, fall back to full (P3, `:110-124`)
+- ``import_table`` / ``incremental_import`` / ``optimistic_import``
+                        cross-connection variants (P4-P6, `:134-184`) —
+                        in Spark a cross-endpoint copy is the same plan
+                        as a same-endpoint one, so these delegate.
+- eligibility checks (P8, `:224-249`), HWM store (P9, `:190-217` —
+  modeled as engine state instead of stub rows).
+
+Scale notes:
+- HWM is the only driver-visible scalar (one agg(max) job).
+- The delta read (`matcher > hwm`) pushes its predicate into the scan;
+  at 100 TB this is the difference between reading a day and a decade —
+  partition the physical table by date(matcher) so partition pruning
+  kicks in.
+- The stale-row delete + insert of the reference collapses into one
+  upsert plan (anti-join on pk + union + atomic rewrite); with a
+  MERGE-capable table format the same plan becomes a metadata-only
+  commit.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+from typing import Any
+
+from pyspark.sql import functions as F
+
+EPOCH = datetime.datetime(1970, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# eligibility (P7/P8)
+# ---------------------------------------------------------------------------
+def detect_primary_key_or_default(conn, table: str, default: str = "id") -> str:
+    """`detect_primary_key_or_default` (`mysql_patterns.rb:148-150`):
+    honor an explicit config, else the conventional default."""
+    pk = (conn.config or {}).get("primary_keys", {}).get(table)
+    return pk or default
+
+
+def can_incremental_pipe(source, from_table: str, dest, to_table: str, matcher: str) -> bool:
+    """Both tables exist, identical column sets, both carry the matcher
+    (`mysql_patterns.rb:224-239`)."""
+    try:
+        src_cols = {c for c, _ in source.columns(from_table)}
+        dst_cols = {c for c, _ in dest.columns(to_table)}
+    except Exception:
+        return False
+    return matcher in src_cols and matcher in dst_cols and src_cols == dst_cols
+
+
+def can_incremental_import(source, from_table: str, dest, to_table: str, matcher: str) -> bool:
+    """Import variant only needs the matcher in the destination
+    (`mysql_patterns.rb:246-249`)."""
+    try:
+        dst_cols = {c for c, _ in dest.columns(to_table)}
+    except Exception:
+        return False
+    return matcher in dst_cols
+
+
+# ---------------------------------------------------------------------------
+# P1: pipe — full copy, atomic publish
+# ---------------------------------------------------------------------------
+def pipe(source, from_table: str, dest, to_table: str) -> None:
+    """`DROP tmp; CREATE tmp LIKE src; INSERT; RENAME` collapses to an
+    atomic overwrite — readers never see a half-written table (the
+    writer's staging-dir swap plays the RENAME role)."""
+    df = source.read(from_table)
+    dest.write(df, to_table, mode="overwrite")
+
+
+# ---------------------------------------------------------------------------
+# P2/P5: incremental pipe — high-water-mark sync
+# ---------------------------------------------------------------------------
+def incremental_pipe(
+    source,
+    from_table: str,
+    dest,
+    to_table: str,
+    matcher: str = "updated_at",
+    primary_key: str = "id",
+) -> None:
+    """HWM sync: rows with ``matcher > max(dest.matcher)`` are upserted
+    by primary key. Reproduces `mysql_patterns.rb:60-99`: the stale-row
+    DELETE + set-based INSERT become one upsert plan. Late rows with
+    matcher <= hwm are silently ignored — the reference's semantics
+    (`WHERE matcher > hwm`), equivalent to watermark-dropped late data.
+    """
+    if hasattr(dest, "exists") and not dest.exists(to_table):
+        # CREATE IF NOT EXISTS LIKE (`mysql_patterns.rb:67`) -> first sync
+        # is a full copy
+        pipe(source, from_table, dest, to_table)
+        return
+    try:
+        hwm = dest.max_timestamp(to_table, matcher)
+    except Exception:
+        hwm = EPOCH
+    delta = source.read(from_table).filter(F.col(matcher) > F.lit(hwm))
+    dest.write(delta, to_table, mode="upsert", primary_key=primary_key)
+
+
+# ---------------------------------------------------------------------------
+# P3/P6: optimistic variants — try incremental, fall back to full copy
+# ---------------------------------------------------------------------------
+def optimistic_pipe(
+    source,
+    from_table: str,
+    dest,
+    to_table: str,
+    matcher: str = "updated_at",
+    primary_key: str = "id",
+) -> str:
+    """Returns which path ran ('incremental' | 'full') for observability."""
+    if can_incremental_pipe(source, from_table, dest, to_table, matcher):
+        try:
+            incremental_pipe(source, from_table, dest, to_table, matcher, primary_key)
+            return "incremental"
+        except Exception as exc:  # any failure -> full rebuild (`:116-120`)
+            dest.engine.logger.error(
+                f"incremental_pipe {from_table}->{to_table} failed ({exc}); falling back"
+            )
+    pipe(source, from_table, dest, to_table)
+    return "full"
+
+
+# Cross-connection imports: in Spark a cross-endpoint copy is the same
+# declarative plan, so P4-P6 are the same functions with different conns.
+import_table = pipe
+incremental_import = incremental_pipe
+
+
+def optimistic_import(
+    source, from_table: str, dest, to_table: str,
+    matcher: str = "updated_at", primary_key: str = "id",
+) -> str:
+    if can_incremental_import(source, from_table, dest, to_table, matcher):
+        try:
+            incremental_import(source, from_table, dest, to_table, matcher, primary_key)
+            return "incremental"
+        except Exception as exc:
+            dest.engine.logger.error(
+                f"incremental_import {from_table}->{to_table} failed ({exc}); falling back"
+            )
+    pipe(source, from_table, dest, to_table)
+    return "full"
+
+
+# ---------------------------------------------------------------------------
+# P9: high-water-mark store — engine state instead of stub rows
+# ---------------------------------------------------------------------------
+class HwmStore:
+    """The reference fakes a HWM by inserting a stub row per table
+    (`write_high_water_mark`, `mysql_patterns.rb:190-217`). Engine state
+    (a JSON control file next to the warehouse; a control table on a
+    real deployment) is the honest model: set/get the watermark per
+    (table, matcher) without polluting the data."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _load(self) -> dict[str, Any]:
+        try:
+            with open(self.path) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {}
+
+    def get(self, table: str, matcher: str = "updated_at") -> datetime.datetime:
+        raw = self._load().get(f"{table}.{matcher}")
+        return datetime.datetime.fromisoformat(raw) if raw else EPOCH
+
+    def set(self, table: str, value: datetime.datetime, matcher: str = "updated_at") -> None:
+        data = self._load()
+        data[f"{table}.{matcher}"] = value.isoformat()
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=2)
+        os.replace(tmp, self.path)

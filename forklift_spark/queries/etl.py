@@ -1,1 +1,337 @@
-"""Filled in by later milestone."""
+"""ETL-parity queries: every relational construct the reference's own
+code, plans and tests exercise (SURVEY.md §2.3), plus the write-path
+semantics (upsert, schema evolution, HWM delta) expressed as dataflow
+so the oracle can check them.
+
+Each query cites the reference behavior it covers. All are single
+declarative plans — predicates reach the parquet scan (PushedFilters),
+no driver materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from forklift_spark import tables
+from forklift_spark.functions.exact import MONEY, dec
+from forklift_spark.queries import query
+
+# --------------------------------------------------------------------------
+# S1/§2.3 projection + predicate: `SELECT email FROM users WHERE ...`
+# (`example/transformations/email_suffix.rb:7`, mysql_patterns tests)
+# --------------------------------------------------------------------------
+PROJECTION_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > 1000 AND c_mktsegment = 'AUTOMOBILE'
+"""
+
+
+@query("q_projection_filter", PROJECTION_ORACLE)
+def q_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer")
+    return cust.filter(
+        (F.col("c_acctbal") > 1000) & (F.col("c_mktsegment") == "AUTOMOBILE")
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+# --------------------------------------------------------------------------
+# §2.3 IN-list predicate / semi-join by key list: the reference's
+# `DELETE ... WHERE pk IN (...)` shape (`transports/mysql.rb:83`).
+# --------------------------------------------------------------------------
+SEMI_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+@query("q_semi_join", SEMI_ORACLE)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    urgent = (
+        tables.load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return li.join(urgent, "l_orderkey", "left_semi").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+@query("q_anti_join", ANTI_ORACLE)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer")
+    keys = (
+        tables.load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.join(keys, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# §2.3 LIMIT + ORDER BY (`transports/mysql.rb:35-37` pagination,
+# `ORDER BY matcher ASC` at `:150`). Deterministic via unique-key tiebreak.
+# --------------------------------------------------------------------------
+LIMIT_ORACLE = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@query("q_limit_sort", LIMIT_ORACLE)
+def q_limit_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    # TakeOrderedAndProject: top-K without a global sort — per-partition
+    # heaps + driver merge of K rows, the scalable LIMIT idiom.
+    return orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(20).select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 COUNT/MIN/MAX (`transports/mysql.rb:182-184`, `:160-168`;
+# min/max assertions `spec/integration/multi_transport_spec.rb:43-46`).
+# --------------------------------------------------------------------------
+AGG_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+       MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+FROM orders
+"""
+
+
+@query("q_count_min_max", AGG_ORACLE)
+def q_count_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
+# --------------------------------------------------------------------------
+# U2 analog: the email-suffix histogram (`example/transformations/
+# email_suffix.rb:6-14`) — a client-side Ruby loop in the reference,
+# one distributed groupBy here. events.event_type plays the suffix.
+# --------------------------------------------------------------------------
+HIST_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("q_groupby_histogram", HIST_ORACLE)
+def q_groupby_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value", MONEY)).cast("double").alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 string functions: CONCAT full-name transformation
+# (`example/transformations/combined_name.sql:4-6`) + split
+# (`email_suffix.rb:8`).
+# --------------------------------------------------------------------------
+STRING_ORACLE = """
+SELECT c_custkey,
+       concat(c_name, ' [', c_mktsegment, ']') AS tagged,
+       upper(c_mktsegment) AS seg_upper,
+       substr(c_name, 1, 8) AS name_prefix,
+       string_split(c_name, '#')[1] AS name_stem
+FROM customer
+"""
+
+
+@query("q_string_funcs", STRING_ORACLE)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit(" ["), F.col("c_mktsegment"), F.lit("]")).alias("tagged"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.split(F.col("c_name"), "#").getItem(0).alias("name_stem"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 date functions: `date(created_at) = date(NOW())` shape
+# (`example/plan.rb:87-88`) -> per-day event counts.
+# --------------------------------------------------------------------------
+DATE_ORACLE = """
+SELECT CAST(ts AS DATE) AS event_date,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+"""
+
+
+@query("q_date_funcs", DATE_ORACLE)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S2 read_since — incremental (HWM) scan: `SELECT * WHERE matcher >= since
+# ORDER BY matcher` (`transports/mysql.rb:149-158`). The predicate pushes
+# into the parquet scan (PushedFilters) — at 100 TB with date-partitioned
+# layout this prunes partitions instead of reading history.
+# --------------------------------------------------------------------------
+SINCE_ORACLE = """
+SELECT event_id, ts, user_id, event_type
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-04'
+"""
+
+
+@query("q_read_since", SINCE_ORACLE)
+def q_read_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") >= F.lit("2024-01-04").cast("timestamp"))
+        .orderBy("ts")
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# P10 max_timestamp — HWM scalar with epoch fallback
+# (`transports/mysql.rb:160-168`).
+# --------------------------------------------------------------------------
+HWM_ORACLE = """
+SELECT coalesce(MAX(ts), TIMESTAMP '1970-01-01') AS hwm FROM events
+"""
+
+
+@query("q_hwm", HWM_ORACLE)
+def q_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.agg(
+        F.coalesce(F.max("ts"), F.lit("1970-01-01").cast("timestamp")).alias("hwm")
+    )
+
+
+# --------------------------------------------------------------------------
+# S3 upsert — replace-by-pk dataflow (`transports/mysql.rb:82-87`
+# DELETE IN + INSERT). dest = events with even id (simulated existing
+# table), src = updated versions of id<300 -> src wins on conflict.
+# --------------------------------------------------------------------------
+UPSERT_ORACLE = """
+WITH dest AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0
+), src AS (
+  SELECT event_id, event_type, CAST(CAST(value AS DECIMAL(14,2)) + CAST(1000 AS DECIMAL(14,2)) AS DOUBLE) AS value
+  FROM events WHERE event_id < 300
+)
+SELECT * FROM src
+UNION ALL
+SELECT d.* FROM dest d WHERE d.event_id NOT IN (SELECT event_id FROM src)
+"""
+
+
+@query("q_upsert_merge", UPSERT_ORACLE)
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    dest = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "event_type", "value")
+    src = ev.filter(F.col("event_id") < 300).select(
+        "event_id",
+        "event_type",
+        (dec("value", MONEY) + F.lit(1000).cast(MONEY)).cast("double").alias("value"),
+    )
+    kept = dest.join(src.select("event_id"), "event_id", "left_anti")
+    return src.unionByName(kept)
+
+
+# --------------------------------------------------------------------------
+# S3 schema evolution — unionByName(allowMissingColumns=True): writes
+# carrying new keys NULL-fill old rows (`transports/mysql.rb:64-73`).
+# --------------------------------------------------------------------------
+EVOLVE_ORACLE = """
+SELECT event_id, ts, CAST(NULL AS DOUBLE) AS value FROM events WHERE event_id < 100
+UNION ALL
+SELECT event_id, CAST(NULL AS TIMESTAMP) AS ts, value FROM events WHERE event_id >= 900
+"""
+
+
+@query("q_schema_evolution", EVOLVE_ORACLE)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") < 100).select("event_id", "ts")
+    new = ev.filter(F.col("event_id") >= 900).select("event_id", "value")
+    return old.unionByName(new, allowMissingColumns=True)
+
+
+# --------------------------------------------------------------------------
+# P2 incremental_pipe delta — `WHERE matcher > (SELECT max(matcher) FROM
+# dest)` (`patterns/mysql_patterns.rb:74,95`): the set of rows one HWM
+# sync moves. dest simulated as the first 4 days of events.
+# --------------------------------------------------------------------------
+DELTA_ORACLE = """
+SELECT event_id, ts, event_type
+FROM events
+WHERE ts > (SELECT MAX(ts) FROM events WHERE ts < TIMESTAMP '2024-01-04')
+"""
+
+
+@query("q_incremental_delta", DELTA_ORACLE)
+def q_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    hwm = ev.filter(F.col("ts") < F.lit("2024-01-04").cast("timestamp")).agg(
+        F.max("ts").alias("hwm")
+    )
+    # scalar HWM via broadcast cross-join keeps the plan fully distributed
+    # (no collect between the agg and the filter)
+    return (
+        ev.crossJoin(F.broadcast(hwm))
+        .filter(F.col("ts") > F.col("hwm"))
+        .select("event_id", "ts", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# append-union consolidation (README.md:62-98): multiple sources into one
+# warehouse table = unionByName across sources.
+# --------------------------------------------------------------------------
+UNION_ORACLE = """
+SELECT o_custkey AS custkey, 'orders' AS src FROM orders WHERE o_totalprice > 50000
+UNION ALL
+SELECT c_custkey AS custkey, 'customer' AS src FROM customer WHERE c_acctbal > 5000
+"""
+
+
+@query("q_union_consolidate", UNION_ORACLE)
+def q_union_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer")
+    a = orders.filter(F.col("o_totalprice") > 50000).select(
+        F.col("o_custkey").alias("custkey"), F.lit("orders").alias("src")
+    )
+    b = cust.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey"), F.lit("customer").alias("src")
+    )
+    return a.unionByName(b)

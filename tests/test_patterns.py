@@ -1,0 +1,115 @@
+"""Patterns layer (P1-P10) against a parquet warehouse — mirrors
+`spec/integration/mysql_patterns_spec.rb`: seeded tables, independent
+read-back assertions, incremental re-capture of updated rows."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from forklift_spark import patterns
+from forklift_spark.connections.parquet import ParquetConnection
+from forklift_spark.engine import Engine
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    eng = Engine({"project_root": str(tmp_path)}, spark=spark)
+    conn = ParquetConnection({"path": str(tmp_path / "warehouse")}, eng, name="wh")
+    eng.add_connection("parquet", "wh", conn)
+    return conn
+
+
+@pytest.fixture()
+def seeded(wh, spark):
+    from forklift_spark import tables
+
+    events = tables.load(spark, SF_DIR, "events")
+    wh.write(events, "events_src", mode="overwrite")
+    return wh
+
+
+def test_pipe_full_copy(seeded):
+    patterns.pipe(seeded, "events_src", seeded, "events_dst")
+    assert seeded.count("events_dst") == seeded.count("events_src")
+
+
+def test_incremental_pipe_first_sync_is_full(seeded):
+    patterns.incremental_pipe(
+        seeded, "events_src", seeded, "events_dst", matcher="ts", primary_key="event_id"
+    )
+    assert seeded.count("events_dst") == seeded.count("events_src")
+
+
+def test_incremental_pipe_recaptures_updated_rows(seeded, spark):
+    src = seeded.read("events_src")
+    cutoff = "2024-01-04"
+    # dest has only the first days (simulates an earlier sync)
+    seeded.write(
+        src.filter(F.col("ts") < F.lit(cutoff).cast("timestamp")),
+        "events_dst",
+        mode="overwrite",
+    )
+    before = seeded.count("events_dst")
+    assert before < seeded.count("events_src")
+    # bump one old row's matcher past the HWM (the spec's `updated_at =
+    # NOW()` move, mysql_patterns_spec.rb:38-44) and change its payload
+    bumped = src.withColumn(
+        "ts",
+        F.when(F.col("event_id") == 0, F.lit("2030-01-01").cast("timestamp")).otherwise(
+            F.col("ts")
+        ),
+    ).withColumn(
+        "value",
+        F.when(F.col("event_id") == 0, F.lit(-1.0)).otherwise(F.col("value")),
+    )
+    seeded.write(bumped, "events_src", mode="overwrite")
+    patterns.incremental_pipe(
+        seeded, "events_src", seeded, "events_dst", matcher="ts", primary_key="event_id"
+    )
+    # all rows synced, no duplicate for the updated pk, new payload visible
+    assert seeded.count("events_dst") == seeded.count("events_src")
+    row0 = seeded.read("events_dst").filter(F.col("event_id") == 0).collect()
+    assert len(row0) == 1
+    assert row0[0]["value"] == -1.0
+
+
+def test_optimistic_pipe_falls_back_to_full(seeded):
+    # dest missing -> not eligible -> full pipe path
+    path = patterns.optimistic_pipe(
+        seeded, "events_src", seeded, "events_new", matcher="ts", primary_key="event_id"
+    )
+    assert path == "full"
+    # second run: eligible -> incremental path
+    path = patterns.optimistic_pipe(
+        seeded, "events_src", seeded, "events_new", matcher="ts", primary_key="event_id"
+    )
+    assert path == "incremental"
+
+
+def test_eligibility_checks(seeded):
+    assert not patterns.can_incremental_pipe(seeded, "events_src", seeded, "missing", "ts")
+    patterns.pipe(seeded, "events_src", seeded, "events_dst")
+    assert patterns.can_incremental_pipe(seeded, "events_src", seeded, "events_dst", "ts")
+    assert not patterns.can_incremental_pipe(seeded, "events_src", seeded, "events_dst", "nope")
+
+
+def test_max_timestamp_epoch_fallback(wh):
+    assert wh.max_timestamp("never_written", "ts") == datetime.datetime(1970, 1, 1)
+
+
+def test_hwm_store_roundtrip(tmp_path):
+    store = patterns.HwmStore(str(tmp_path / "hwm.json"))
+    assert store.get("t", "ts") == datetime.datetime(1970, 1, 1)
+    t = datetime.datetime(2024, 5, 1, 12, 30)
+    store.set("t", t, "ts")
+    assert store.get("t", "ts") == t
+
+
+def test_detect_primary_key(seeded):
+    assert patterns.detect_primary_key_or_default(seeded, "events_src") == "id"
+    seeded.config["primary_keys"] = {"events_src": "event_id"}
+    assert patterns.detect_primary_key_or_default(seeded, "events_src") == "event_id"

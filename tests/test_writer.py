@@ -1,0 +1,87 @@
+"""Writer semantics (S3): upsert, schema evolution, null-placeholder
+upgrade, strict mode — the behavioral contracts of
+`spec/integration/mysql_spec.rb:57-251` on parquet storage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from forklift_spark.writer import ParquetTableWriter, SchemaMismatch
+
+
+@pytest.fixture()
+def w(spark, tmp_path):
+    return ParquetTableWriter(spark, str(tmp_path / "wh"))
+
+
+def _users(spark, rows):
+    return spark.createDataFrame(rows)
+
+
+def test_lazy_create_and_append(w, spark):
+    w.write(_users(spark, [Row(id=1, name="a")]), "users")  # lazy create
+    w.write(_users(spark, [Row(id=2, name="b")]), "users", mode="append")
+    assert w.read("users").count() == 2
+
+
+def test_upsert_replaces_by_pk_keeps_count(w, spark):
+    # upsert keeps count and updates the row (mysql_spec.rb:57-74)
+    w.write(_users(spark, [Row(id=i, name=f"u{i}") for i in range(5)]), "users")
+    w.write(_users(spark, [Row(id=2, name="updated")]), "users", mode="upsert")
+    df = w.read("users")
+    assert df.count() == 5
+    assert df.filter(F.col("id") == 2).collect()[0]["name"] == "updated"
+
+
+def test_new_column_added_on_write(w, spark):
+    # rows carrying unseen keys trigger column addition; old rows read NULL
+    # (mysql_spec.rb:145-164)
+    w.write(_users(spark, [Row(id=1, name="a")]), "users")
+    w.write(_users(spark, [Row(id=2, name="b", email="b@x.com")]), "users", mode="upsert")
+    df = w.read("users")
+    assert set(df.columns) == {"id", "name", "email"}
+    assert df.filter(F.col("id") == 1).collect()[0]["email"] is None
+
+
+def test_strict_schema_rejects_extra_columns(w, spark):
+    # crash_on_extral_col=true semantics (mysql.rb:55)
+    w.write(_users(spark, [Row(id=1, name="a")]), "users")
+    with pytest.raises(SchemaMismatch):
+        w.write(
+            _users(spark, [Row(id=2, name="b", extra="x")]),
+            "users",
+            mode="upsert",
+            strict_schema=True,
+        )
+
+
+def test_null_placeholder_upgrade(w, spark):
+    # all-null column -> placeholder type; later typed write upgrades it
+    # ("null rows will be text, and can be updated on subsequent writes",
+    # mysql_spec.rb:198-251)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.NullType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, None)], schema=schema)
+    w.write(df, "t")
+    assert dict(w.read("t").dtypes)["score"] == "string"  # placeholder
+    typed = spark.createDataFrame([Row(id=2, score=3.5)])
+    w.write(typed, "t", mode="upsert")
+    out = w.read("t")
+    assert dict(out.dtypes)["score"] == "double"  # upgraded
+    vals = {r["id"]: r["score"] for r in out.collect()}
+    assert vals == {1: None, 2: 3.5}
+
+
+def test_overwrite_atomic_swap_leaves_no_staging(w, spark, tmp_path):
+    w.write(_users(spark, [Row(id=1, name="a")]), "users")
+    w.write(_users(spark, [Row(id=9, name="z")]), "users", mode="overwrite")
+    assert [r["id"] for r in w.read("users").collect()] == [9]
+    leftovers = [d for d in (tmp_path / "wh").iterdir() if "__" in d.name]
+    assert leftovers == []
