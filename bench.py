@@ -33,6 +33,17 @@ HEADLINE = [
     "q_rollup",
     "q_distinct_exact",
     "q_pivot",
+    "q_semi_join",
+    "q_window_tumbling",
+    "q_sessionize",
+    "q_asof_join",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_ann_bruteforce_topk",
+    "q_ann_lsh_topk",
+    "q_text_quality",
+    "q_lang_id",
 ]
 
 

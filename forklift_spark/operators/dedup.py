@@ -1,0 +1,379 @@
+"""Deduplication operators for document corpora.
+
+No counterpart in the reference (its upsert dedups by primary key only,
+`transports/mysql.rb:82-87`); these are the operators a training-data
+pipeline needs at 100 TB, each expressed as pure built-in-function
+DataFrame plans (no Python UDFs anywhere):
+
+- exact dedup           content fingerprint (md5 of normalized text),
+                        keep the lowest id per group.
+- MinHash + LSH         shingle -> seeded-md5 minhash signature -> band
+                        buckets -> candidate pairs -> exact-Jaccard verify.
+- SimHash               per-token md5 bit votes -> 16-bit signature;
+                        near-dup = Hamming distance <= k, candidates via
+                        band equality (pigeonhole: k diffs over k+1 bands
+                        leave one band intact — no O(n²) scan).
+- n-gram Jaccard        exact set Jaccard within blocking keys (the
+                        small-scale baseline the sketches approximate).
+
+Scale notes: every pair-generating step goes through a bucket/band
+equi-join (shuffle on the band key), never a cross join. Hot buckets
+(constant bands from degenerate docs) are the skew risk — AQE skew-join
+handles moderate cases; beyond that, cap bucket size before the
+self-join. All hashing is engine-portable md5 (functions.hashing), so
+every operator is verifiable against an independent SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from forklift_spark.functions.hashing import md5_long_seeded
+
+# ---------------------------------------------------------------------------
+# normalization + exact dedup
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lowercase, collapse whitespace, trim — the canonical form for
+    content fingerprinting."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep exactly one row per distinct normalized text: the one with
+    the lowest id (deterministic winner). Implemented as a min-id
+    aggregation + semi-join instead of a window so the heavy side never
+    sorts: at 100 TB this is two hash shuffles on the fingerprint."""
+    fp = df.withColumn("__fp", fingerprint(text_col))
+    winners = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(winners, [ "__fp", id_col], "left_semi").drop("__fp")
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def shingles_from_words(words: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a words-array COLUMN. The
+    caller must materialize the split into a real column first: inlining
+    `split(regexp_replace(...))` here would make Catalyst re-evaluate the
+    regex per element access — O(words²) per document. Documents with
+    fewer than n words contribute their joined text as one shingle."""
+    k = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(k >= n, grams).otherwise(F.array(F.array_join(words, " ")))
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Convenience wrapper for small inputs — see shingles_from_words for
+    the two-step form used in hot paths."""
+    return shingles_from_words(F.split(normalize_text(col), " "), n)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+H2_MOD = 1 << 55  # keeps h1 + i*h2 below 2^63 for i < 256 (no overflow
+# wrap, so the same arithmetic is valid in engines that error on overflow)
+
+
+def exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, s) rows of word n-gram shingles — the relational formulation.
+
+    posexplode(split(...)) evaluates the tokenizer ONCE per document
+    (generators materialize their child), then a lead() window builds
+    each n-gram — no nested-array lambdas, which matters because
+    Catalyst's CollapseProject re-inlines expression-defined arrays into
+    every element access inside transform() lambdas (no CSE across
+    lambda boundaries), turning array-based shingling O(words²) in the
+    tokenizer. Rows may contain duplicate shingles; min-hashing is
+    multiset-invariant, and set consumers distinct() first.
+
+    Documents with fewer than n words contribute their whole normalized
+    text as one shingle (parity with the array/oracle formulation).
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(F.col(id_col), F.split(normalize_text(text_col), " ").alias("w"))
+    pos = base.select(
+        F.col(id_col),
+        F.size("w").alias("wc"),
+        F.array_join("w", " ").alias("whole"),
+        F.posexplode("w").alias("pos", "w0"),
+    )
+    win = W.partitionBy(id_col).orderBy("pos")
+    grams = [F.col("w0")] + [F.lead("w0", j).over(win) for j in range(1, n)]
+    shingled = pos.withColumn("s", F.concat_ws(" ", *grams))
+    return shingled.filter(
+        ((F.col("wc") >= n) & (F.col("pos") <= F.col("wc") - n))
+        | ((F.col("wc") < n) & (F.col("pos") == 0))
+    ).select(
+        id_col,
+        F.when(F.col("wc") < n, F.col("whole")).otherwise(F.col("s")).alias("s"),
+    )
+
+
+def minhash_signatures(
+    exploded: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """(id, mh0..mh{n-1}) from exploded (id, s) shingle rows via double
+    hashing: mh_i = min(h1 + i*h2), h1/h2 two md5s per shingle
+    (Kirsch-Mitzenmacher): two md5s instead of num_hashes per shingle,
+    one groupBy — scan-speed at 100 TB."""
+    from forklift_spark.functions.hashing import md5_long
+
+    hashed = exploded.select(
+        id_col,
+        md5_long(F.concat(F.lit("a:"), F.col("s"))).alias("h1"),
+        (md5_long(F.concat(F.lit("b:"), F.col("s"))) % F.lit(H2_MOD)).alias("h2"),
+    )
+    aggs = [
+        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, bands: int, rows: int
+) -> DataFrame:
+    """Band the signature (bands × rows minhashes) and emit distinct
+    candidate pairs (id_a < id_b) that collide in >= 1 band.
+
+    The band key is md5 over the band's minhashes; candidates come from
+    an equi-self-join on (band_index, band_key) — a shuffle join on the
+    bucket, never a cross join.
+    """
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *parts)).alias("key"),
+            )
+        )
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    cands: DataFrame, dist: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact shingle Jaccard for candidate (id_a, id_b) pairs, computed
+    relationally from distinct (id, s) rows: |∩| via a join on the
+    shingle, |∪| = |A| + |B| - |∩|. No array ops, three hash joins; the
+    integer-count division is engine-exact. Pairs with an empty
+    intersection vanish in the count join — correct for threshold > 0."""
+    sizes = dist.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = dist.select(F.col(id_col).alias("id_a"), "s")
+    b = dist.select(F.col(id_col).alias("id_b"), "s")
+    inter = (
+        cands.join(a, "id_a")
+        .join(b, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH candidates verified with
+    exact shingle Jaccard (id_a, id_b, jaccard). rows-per-band =
+    num_hashes // bands; the LSH s-curve threshold is (1/bands)^(1/rows)
+    (~0.35 for 8×2)."""
+    rows = num_hashes // bands
+    # small-file inputs arrive as 1-2 partitions; fan out before the
+    # CPU-heavy shingling/hashing so all cores work (at real scale the
+    # scan already yields many partitions and AQE coalesces as needed)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    expl = exploded_shingles(df, id_col, text_col, shingle_n)
+    dist = expl.distinct()
+    sigs = minhash_signatures(dist, id_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
+    return jaccard_on_pairs(cands, dist, id_col, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """bits-wide frequency-weighted SimHash (Charikar) per document:
+    each token votes ±count(token) on every bit position of its md5
+    hash; the signature takes the sign of each bit's vote sum. Frequency
+    weighting matters: on narrow-vocabulary corpora unweighted token-set
+    simhash degenerates (every doc has nearly the same distinct-token
+    set and hamming<=k matches quadratically many pairs). One explode +
+    two groupBys — still scan-speed + two shuffles at 100 TB."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", md5_long_seeded(F.col("tok"), 0))
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt"))
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**j)
+        sig = bit if sig is None else sig + bit
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Candidates via banding: split the signature into max_hamming+1
+    bands; any pair within the Hamming budget shares at least one exact
+    band (pigeonhole), so an equi-join on (band, band_bits) finds all of
+    them without an all-pairs scan.
+    """
+    nb = max_hamming + 1
+    width = bits // nb + (1 if bits % nb else 0)
+    sig = simhash(df, id_col, text_col, bits)
+    banded = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(nb)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard within blocks
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs within a blocking key (same lang,
+    same domain, ...). The honest quadratic baseline the sketches
+    approximate — candidates are every same-block pair that shares at
+    least one shingle (equivalent to all pairs for threshold > 0), via
+    an inverted-index join on (block, shingle). At 100 TB cap ultra-
+    frequent shingles ("stop-shingles") before the self-join."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    expl = exploded_shingles(df, id_col, text_col, shingle_n)
+    blocks = df.select(F.col(id_col), F.col(block_col).alias("__blk"))
+    dist = expl.distinct().join(blocks, id_col)
+    a = dist.select(F.col(id_col).alias("id_a"), "s", "__blk")
+    b = dist.select(F.col(id_col).alias("id_b"), "s", "__blk")
+    cands = (
+        a.join(b, ["__blk", "s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_on_pairs(cands, dist.drop("__blk"), id_col, threshold)

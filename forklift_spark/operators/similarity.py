@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns (array<float>).
+
+No reference counterpart; the scale-path operators a training-data
+pipeline needs. Everything is built-in higher-order functions
+(zip_with/aggregate/transform) — JVM-side, no Python in the hot path.
+
+Determinism: dot products are computed in DECIMAL (inputs rounded to
+decimal(18,9), exact order-independent sums) then cast to double, so
+scores are bit-identical at any parallelism and against the SQL oracle.
+A float32 embedding carries <8 significant digits, so the 9-digit
+rounding is lossless.
+
+- brute-force top-k: queries × corpus equi-free join. Correct baseline;
+  cost Q×N — fine for small Q (broadcast the queries side), the
+  benchmark for ANN recall.
+- hyperplane-LSH buckets: 1-bit-per-seed random-hyperplane signature
+  (signs derived from md5, not an RNG, so every engine agrees), bucket
+  equi-join, exact cosine within bucket. At 100 TB: signature is one
+  projection pass; the join shuffles on the bucket key; multi-probe =
+  more seeds/tables, still no cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from forklift_spark.functions.hashing import HEX_CHARS
+
+# element cast: embeddings are unit-ish floats (|v| < 10), and float32
+# carries < 8 significant digits, so decimal(10,9) is lossless. The
+# product is decimal(21,18); the accumulator decimal(20,18) (|dot| < 100)
+# is re-cast each step because Spark's decimal '+' would otherwise widen
+# precision past 38 and silently drop scale (breaking oracle exactness).
+VEC_DEC = "decimal(10,9)"
+ACC_DEC = "decimal(20,18)"
+
+
+def dot_exact(a: Column, b: Column) -> Column:
+    """Exact decimal dot product of two float arrays, as double."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast(VEC_DEC) * y.cast(VEC_DEC))
+    acc = F.aggregate(
+        prods, F.lit(0).cast(ACC_DEC), lambda s, p: (s + p).cast(ACC_DEC)
+    )
+    return acc.cast("double")
+
+
+def norm_exact(a: Column) -> Column:
+    """sqrt of the exact self-dot — IEEE-deterministic double."""
+    return F.sqrt(dot_exact(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_exact(a, b) / (norm_exact(a) * norm_exact(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    queries is broadcast (small side by construction); the corpus streams
+    once with its norm computed a single time per vector (not per pair —
+    at Q queries that's a Q× saving on the dominant decimal work).
+    Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_exact(F.col(vec_col)).alias("qn"),
+    )
+    corpus = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_exact(F.col(vec_col)).alias("cn"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        (dot_exact(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            "cos_sim"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        # 9dp output: decimal->double conversion may differ by 1 ulp
+        # between engines; ranking uses the exact value
+        .withColumn("cos_sim", F.round("cos_sim", 9))
+    )
+
+
+def _hyperplane_signs(seed: int, dims: int) -> list[int]:
+    """Deterministic ±1 per (hyperplane seed, dimension) — md5-derived,
+    identical to the SQL oracle's CAST('0x'||substr(md5(...))) & 1.
+    Computed driver-side (hashlib md5 == every engine's md5) and shipped
+    as a literal array: dims×bits hashes once, instead of per row×element."""
+    import hashlib
+
+    out = []
+    for d in range(dims):
+        h = int(hashlib.md5(f"h{seed}:{d}".encode()).hexdigest()[:HEX_CHARS], 16)
+        out.append((h & 1) * 2 - 1)
+    return out
+
+
+def lsh_bucket(vec: Column, bits: int, dims: int = 64) -> Column:
+    """Random-hyperplane signature: bit s = sign(Σ_d ±1·v_d) with the
+    ±1 pattern keyed by (s, d). Exact decimal sums -> portable buckets."""
+    bucket = F.lit(0)
+    for s in range(bits):
+        signs = F.array(*[F.lit(v).cast(VEC_DEC) for v in _hyperplane_signs(s, dims)])
+        prods = F.zip_with(vec, signs, lambda v, g: v.cast(VEC_DEC) * g)
+        tot = F.aggregate(
+            prods, F.lit(0).cast(ACC_DEC), lambda a, p: (a + p).cast(ACC_DEC)
+        )
+        bucket = bucket + F.when(tot >= 0, F.lit(1 << s)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 4,
+) -> DataFrame:
+    """ANN top-k: exact cosine ranking restricted to the query's LSH
+    bucket. Recall < 1 by design; raise `bits` tables/multi-probe for
+    higher recall. The candidate join is an equi-join on the bucket —
+    the plan that survives a 2000-executor corpus scan."""
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_exact(F.col(vec_col)).alias("qn"),
+        lsh_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    corpus = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_exact(F.col(vec_col)).alias("cn"),
+        lsh_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "neighbor_id",
+        (dot_exact(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            "cos_sim"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("cos_sim", F.round("cos_sim", 9))
+    )
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    bits: int = 0,
+) -> DataFrame:
+    """Near-duplicate vector pairs by cosine >= threshold.
+
+    bits=0 -> exact all-pairs (the oracle-checkable baseline; quadratic,
+    keep for samples/audits). bits>0 -> LSH-bucketed candidates (the
+    scale path; misses cross-bucket pairs by design)."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm_exact(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm_exact(F.col(vec_col)).alias("nb"),
+    )
+    if bits:
+        a = a.withColumn("bucket", lsh_bucket(F.col("va"), bits))
+        b = b.withColumn("bucket", lsh_bucket(F.col("vb"), bits))
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cos_sim",
+            dot_exact(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 9).alias("cos_sim"))
+    )

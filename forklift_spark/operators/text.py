@@ -1,0 +1,94 @@
+"""Text-analysis operators for document corpora (no reference
+counterpart; the per-document scoring passes of a training-data
+pipeline). All pure built-in functions — one projection pass per
+operator, no shuffle, no UDFs; at 100 TB these run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from forklift_spark.operators.dedup import normalize_text
+
+# BPE-ish tokenizer: letter runs, digit runs, single other-symbols.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny per-language marker vocabularies for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "nicht", "das"),
+    "es": ("el", "la", "que", "de", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("的", "是", "不", "了", "在"),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def words(col: Column | str) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def word_count(col: Column | str) -> Column:
+    return F.size(words(col))
+
+
+def token_count(col: Column | str) -> Column:
+    """BPE-ish token count via regexp — the cheap len-proxy for LLM
+    budgeting (a real tokenizer would be a pandas UDF; this stays JVM)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(TOKEN_RE))
+
+
+def _count_in(ws: Column, vocab: tuple[str, ...]) -> Column:
+    return F.size(F.filter(ws, lambda w: w.isin(*vocab)))
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    ws = words(col)
+    return _count_in(ws, STOPWORDS).cast("double") / F.size(ws).cast("double")
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"[^\w\s]"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: penalize extreme length,
+    high punctuation density, and stopword-free (keyword-stuffed) text.
+    Integer counts + double arithmetic -> engine-exact."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c).cast("double")
+    wc = word_count(col).cast("double")
+    punct_ratio = punct_count(col).cast("double") / n_chars
+    sw = stopword_ratio(col)
+    len_ok = F.when((wc >= 10) & (wc <= 1000), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (
+        len_ok * (F.lit(1.0) - punct_ratio) * (F.lit(0.5) + F.lit(0.5) * F.least(sw * 5, F.lit(1.0)))
+    )
+
+
+def lang_scores(col: Column | str) -> list[Column]:
+    """Marker-hit count per language, aliased score_<lang>."""
+    ws = words(col)
+    return [
+        _count_in(ws, markers).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+
+
+def predicted_lang() -> Column:
+    """argmax over the score_<lang> columns (ties -> lexicographic lang
+    order), 'unknown' when every score is zero. Use after lang_scores."""
+    langs = sorted(LANG_MARKERS)
+    best = None
+    for lang in langs:
+        s = F.col(f"score_{lang}")
+        if best is None:
+            best = F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+        else:
+            cand = F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+            best = F.when(cand["score"] > best["score"], cand).otherwise(best)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown"))

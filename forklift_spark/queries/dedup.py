@@ -1,1 +1,206 @@
-"""Filled in by later milestone."""
+"""Dedup queries over the documents table, oracle-checked.
+
+Each oracle replicates the operator's algorithm in DuckDB SQL — same
+md5 hash family, same shingling, same banding — so the driver's
+hash-compare verifies the algorithm, not just row counts. The SQL is
+generated programmatically next to the Spark plan to keep the two in
+lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from forklift_spark import tables
+from forklift_spark.operators import dedup as D
+from forklift_spark.queries import query
+
+# shared SQL fragments (DuckDB) ---------------------------------------------
+NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _hash_sql(expr: str, seed: int) -> str:
+    return f"CAST('0x' || substr(md5(concat('s{seed}:', {expr})), 1, 15) AS BIGINT)"
+
+
+_WORDS_CTE = f"SELECT doc_id, lang, {NORM} AS norm, string_split({NORM}, ' ') AS w FROM documents"
+
+
+def _shingle_sql(n: int = 3) -> str:
+    """DuckDB: distinct word n-gram shingles over a `w` words column
+    (1-indexed lists); use after the _WORDS_CTE stage."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct(CASE WHEN len(w) >= {n} "
+        f"THEN list_transform(range(1, len(w) - {n - 2}), i -> {gram}) "
+        f"ELSE [norm] END)"
+    )
+
+
+# --------------------------------------------------------------------------
+# q_dedup_exact — content-fingerprint dedup. The corpus has no exact
+# dups, so the query re-ingests a case-mangled copy (ids offset by 10^6)
+# and dedups the union: every group has 2 candidates, the original id
+# wins. Checks normalization + min-id-wins semantics end to end.
+# --------------------------------------------------------------------------
+EXACT_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) || '  ' FROM documents
+), fp AS (
+  SELECT doc_id, md5({NORM}) AS fingerprint FROM src
+)
+SELECT min(doc_id) AS doc_id, fingerprint, count(*) AS n_copies
+FROM fp GROUP BY fingerprint
+"""
+
+
+@query("q_dedup_exact", EXACT_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    mangled = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    src = docs.unionByName(mangled)
+    fp = src.withColumn("fingerprint", D.fingerprint("text"))
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("doc_id", "fingerprint", "n_copies")
+
+
+# --------------------------------------------------------------------------
+# q_dedup_minhash_lsh — MinHash(16) + LSH(8 bands × 2 rows) candidates,
+# exact-Jaccard >= 0.3 verify. Oracle replays the full sketch pipeline.
+# --------------------------------------------------------------------------
+_NH, _BANDS, _ROWS = 16, 8, 2
+
+
+def _minhash_lsh_oracle() -> str:
+    sh = _shingle_sql()
+    h = "CAST('0x' || substr(md5({p} || s), 1, 15) AS BIGINT)"
+    mh_cols = ",\n    ".join(
+        f"min(h1 + {i} * h2) AS mh{i}" for i in range(_NH)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(concat_ws(',', mh{b * _ROWS}, mh{b * _ROWS + 1})) AS key FROM sig"
+        for b in range(_BANDS)
+    )
+    return f"""
+WITH words AS (
+  {_WORDS_CTE}
+), sh0 AS (
+  SELECT doc_id, {sh} AS sh FROM words
+), sh_exp AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh0
+), hashed AS (
+  SELECT doc_id,
+    {h.format(p="'a:'")} AS h1,
+    {h.format(p="'b:'")} % {1 << 55} AS h2
+  FROM sh_exp
+), sig AS (
+  SELECT doc_id,
+    {mh_cols}
+  FROM hashed GROUP BY doc_id
+), bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+    / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS jaccard
+FROM cand c
+JOIN sh0 x ON c.id_a = x.doc_id
+JOIN sh0 y ON c.id_b = y.doc_id
+WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+    / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.3
+"""
+
+
+@query("q_dedup_minhash_lsh", _minhash_lsh_oracle())
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=_NH, bands=_BANDS, threshold=0.3
+    )
+
+
+# --------------------------------------------------------------------------
+# q_dedup_simhash — 16-bit SimHash, Hamming <= 3. Spark finds candidates
+# via 4-band pigeonhole join (scales); the oracle brute-forces all pairs
+# (exact same result set by the pigeonhole guarantee).
+# --------------------------------------------------------------------------
+# 32-bit signature: with 4 pigeonhole bands the band key is 8 bits —
+# wide enough that buckets stay small (16-bit/4-band collapses to 16
+# 4-bit keys per band and the bucket self-join explodes quadratically).
+_BITS, _MAXHAM = 32, 3
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN cnt ELSE -cnt END) AS v{j}"
+        for j in range(_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(_BITS)
+    )
+    return f"""
+WITH words AS (
+  {_WORDS_CTE}
+), t AS (
+  SELECT doc_id, unnest(w) AS tok FROM words
+), c AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY doc_id, tok
+), h AS (
+  SELECT doc_id, cnt, {_hash_sql('tok', 0)} AS hv FROM c
+), v AS (
+  SELECT doc_id,
+    {{votes}}
+  FROM h GROUP BY doc_id
+), s AS (
+  SELECT doc_id, CAST({{sig}} AS BIGINT) AS simhash FROM v
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_MAXHAM}
+""".replace("{votes}", votes).replace("{sig}", sig)
+
+
+@query("q_dedup_simhash", _simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = D.simhash_dedup_pairs(docs, "doc_id", "text", bits=_BITS, max_hamming=_MAXHAM)
+    return pairs.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+# --------------------------------------------------------------------------
+# q_dedup_ngram_jaccard — exact blocked Jaccard (block = lang), the
+# quadratic baseline the sketches approximate.
+# --------------------------------------------------------------------------
+def _ngram_oracle() -> str:
+    sh = _shingle_sql()
+    return f"""
+WITH words AS (
+  {_WORDS_CTE}
+), s AS (
+  SELECT doc_id, lang, {sh} AS sh FROM words
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.2
+"""
+
+
+@query("q_dedup_ngram_jaccard", _ngram_oracle())
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.2)

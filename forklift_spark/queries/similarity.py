@@ -1,1 +1,167 @@
-"""Filled in by later milestone."""
+"""Similarity-search queries over the embeddings table, oracle-checked.
+
+The oracles replay the exact algorithms (decimal dot products, md5
+hyperplane signs) in DuckDB — parallel unnest zips the two vectors, and
+decimal SUM is order-independent, so scores are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from forklift_spark import tables
+from forklift_spark.operators import similarity as S
+from forklift_spark.queries import query
+
+_NQ = 10  # query vectors: vec_id < 10
+_K = 5
+
+# DuckDB fragments ----------------------------------------------------------
+# pairwise exact decimal dot via zipped unnest, then double cosine.
+# NOTE: floats must go through DOUBLE before the decimal cast — DuckDB's
+# direct FLOAT->DECIMAL scales in float32 and is lossy; FLOAT->DOUBLE is
+# exact and DOUBLE->DECIMAL rounds identically in both engines.
+_PAIR_DOT = """
+  SELECT ia, ib,
+    CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(10,9)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(10,9))) AS DOUBLE) AS dot
+  FROM (
+    SELECT a.vec_id AS ia, b.vec_id AS ib,
+           unnest(a.embedding) AS x, unnest(b.embedding) AS y
+    FROM {A} a, {B} b {COND}
+  ) z GROUP BY ia, ib
+"""
+
+_NORMS = """
+  SELECT vec_id,
+    sqrt(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(10,9)) * CAST(CAST(v AS DOUBLE) AS DECIMAL(10,9))) AS DOUBLE)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) z
+  GROUP BY vec_id
+"""
+
+
+def _brute_oracle() -> str:
+    dots = _PAIR_DOT.format(
+        A="(SELECT * FROM embeddings WHERE vec_id < %d)" % _NQ,
+        B="(SELECT * FROM embeddings WHERE vec_id >= %d)" % _NQ,
+        COND="",
+    )
+    return f"""
+WITH norms AS ({_NORMS}),
+dots AS ({dots}),
+scored AS (
+  SELECT d.ia AS query_id, d.ib AS neighbor_id,
+         d.dot / (na.nrm * nb.nrm) AS cos_sim
+  FROM dots d JOIN norms na ON d.ia = na.vec_id
+              JOIN norms nb ON d.ib = nb.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_sim, 9) AS cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_K}
+"""
+
+
+@query("q_ann_bruteforce_topk", _brute_oracle())
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    out = S.brute_force_topk(
+        emb.filter(F.col("vec_id") < _NQ),
+        emb.filter(F.col("vec_id") >= _NQ),
+        k=_K,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# --------------------------------------------------------------------------
+# q_ann_lsh_topk — hyperplane-LSH bucketed ANN (the scale path). The
+# oracle replays the md5 hyperplane signs + decimal sums, so the bucket
+# assignment — and therefore the candidate set — matches exactly.
+# --------------------------------------------------------------------------
+_BITS = 4
+
+
+def _lsh_oracle() -> str:
+    sign = (
+        "CASE WHEN CAST('0x' || substr(md5('h' || s || ':' || CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) & 1 = 1 "
+        "THEN 1 ELSE -1 END"
+    )
+    return f"""
+WITH ex AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+), sums AS (
+  SELECT e.vec_id, s.s,
+    sum(CAST(CAST(e.v AS DOUBLE) AS DECIMAL(10,9)) * ({sign})) AS tot
+  FROM ex e CROSS JOIN (SELECT unnest(range(0, {_BITS})) AS s) s
+  GROUP BY e.vec_id, s.s
+), sig AS (
+  SELECT vec_id,
+    CAST(sum(CASE WHEN tot >= 0 THEN 1 << s ELSE 0 END) AS INT) AS bucket
+  FROM sums GROUP BY vec_id
+),
+norms AS ({_NORMS}),
+dots AS ({_PAIR_DOT.format(
+    A="(SELECT e.*, g.bucket FROM embeddings e JOIN sig g USING (vec_id) WHERE vec_id < %d)" % _NQ,
+    B="(SELECT e.*, g.bucket FROM embeddings e JOIN sig g USING (vec_id) WHERE vec_id >= %d)" % _NQ,
+    COND="WHERE a.bucket = b.bucket")}),
+scored AS (
+  SELECT d.ia AS query_id, d.ib AS neighbor_id,
+         d.dot / (na.nrm * nb.nrm) AS cos_sim
+  FROM dots d JOIN norms na ON d.ia = na.vec_id
+              JOIN norms nb ON d.ib = nb.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_sim, 9) AS cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_K}
+"""
+
+
+@query("q_ann_lsh_topk", _lsh_oracle())
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    out = S.lsh_topk(
+        emb.filter(F.col("vec_id") < _NQ),
+        emb.filter(F.col("vec_id") >= _NQ),
+        k=_K,
+        bits=_BITS,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# --------------------------------------------------------------------------
+# q_embedding_dedup — cosine near-duplicate pairs (exact baseline on a
+# bounded sample; the LSH-bucketed variant is the scale path and is
+# exercised through q_ann_lsh_topk's identical bucket machinery).
+# --------------------------------------------------------------------------
+_THRESH = 0.40  # top of the corpus's cosine range (max ~0.44); yields real pairs at every SF
+_SAMPLE = 200
+
+
+def _emb_dedup_oracle() -> str:
+    dots = _PAIR_DOT.format(
+        A="(SELECT * FROM embeddings WHERE vec_id < %d)" % _SAMPLE,
+        B="(SELECT * FROM embeddings WHERE vec_id < %d)" % _SAMPLE,
+        COND="WHERE a.vec_id < b.vec_id",
+    )
+    return f"""
+WITH norms AS ({_NORMS}),
+dots AS ({dots})
+SELECT d.ia AS id_a, d.ib AS id_b,
+       round(d.dot / (na.nrm * nb.nrm), 9) AS cos_sim
+FROM dots d JOIN norms na ON d.ia = na.vec_id
+            JOIN norms nb ON d.ib = nb.vec_id
+WHERE d.dot / (na.nrm * nb.nrm) >= {_THRESH}
+"""
+
+
+@query("q_embedding_dedup", _emb_dedup_oracle())
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _SAMPLE)
+    return S.embedding_dedup_pairs(emb, threshold=_THRESH)

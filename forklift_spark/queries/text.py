@@ -1,1 +1,152 @@
-"""Filled in by later milestone."""
+"""Text-analysis queries over documents, oracle-checked: token/word
+counts, quality scoring, language-ID heuristic, content fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from forklift_spark import tables
+from forklift_spark.operators import dedup as D
+from forklift_spark.operators import text as X
+from forklift_spark.queries import query
+from forklift_spark.queries.dedup import NORM
+
+_W = f"string_split({NORM}, ' ')"
+
+
+# --------------------------------------------------------------------------
+# q_text_token_stats — whitespace word count + BPE-ish regexp token count.
+# --------------------------------------------------------------------------
+TOKEN_ORACLE = f"""
+SELECT doc_id,
+  len({_W}) AS n_words,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+  length(text) AS n_chars_actual
+FROM documents
+"""
+
+
+@query("q_text_token_stats", TOKEN_ORACLE)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.word_count("text").alias("n_words"),
+        X.token_count("text").cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_text_quality — length/punctuation/stopword quality heuristic.
+# --------------------------------------------------------------------------
+_SW_LIST = ", ".join(f"'{w}'" for w in X.STOPWORDS)
+QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {_W} AS w,
+    len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    CAST(len(w) AS DOUBLE) AS wc,
+    CAST(n_punct AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+    CAST(len(list_filter(w, x -> x IN ({_SW_LIST}))) AS DOUBLE)
+      / CAST(len(w) AS DOUBLE) AS sw_ratio
+  FROM t
+)
+SELECT doc_id,
+  (CASE WHEN wc >= 10 AND wc <= 1000 THEN 1.0 ELSE 0.5 END)
+    * (1.0 - punct_ratio)
+    * (0.5 + 0.5 * least(sw_ratio * 5, 1.0)) AS quality,
+  sw_ratio, punct_ratio
+FROM r
+"""
+
+
+@query("q_text_quality", QUALITY_ORACLE)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.quality_score("text").alias("quality"),
+        X.stopword_ratio("text").alias("sw_ratio"),
+        (X.punct_count("text").cast("double") / F.length("text").cast("double")).alias(
+            "punct_ratio"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_lang_id — marker-word language heuristic (argmax with lexicographic
+# tiebreak; 'unknown' when no marker hits), compared against the labeled
+# lang column for an agreement flag.
+# --------------------------------------------------------------------------
+def _lang_oracle() -> str:
+    scores = ",\n    ".join(
+        f"len(list_filter(w, x -> x IN ({', '.join(repr(m) for m in ms)}))) AS score_{lang}"
+        for lang, ms in X.LANG_MARKERS.items()
+    )
+    langs = sorted(X.LANG_MARKERS)
+    best = f"struct_pack(score := score_{langs[0]}, lang := '{langs[0]}')"
+    for lang in langs[1:]:
+        cand = f"struct_pack(score := score_{lang}, lang := '{lang}')"
+        best = f"CASE WHEN {cand}.score > ({best}).score THEN {cand} ELSE ({best}) END"
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, {_W} AS w FROM documents
+), s AS (
+  SELECT doc_id, lang,
+    {scores}
+  FROM t
+)
+SELECT doc_id, lang,
+  CASE WHEN ({best}).score > 0 THEN ({best}).lang ELSE 'unknown' END AS predicted,
+  (CASE WHEN ({best}).score > 0 THEN ({best}).lang ELSE 'unknown' END) = lang AS agree
+FROM s
+"""
+
+
+@query("q_lang_id", _lang_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang", *X.lang_scores("text"))
+    return scored.select(
+        "doc_id",
+        "lang",
+        X.predicted_lang().alias("predicted"),
+        (X.predicted_lang() == F.col("lang")).alias("agree"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_doc_fingerprint — md5 content fingerprint + min-shingle-hash
+# ("winnowing-lite") document signature.
+# --------------------------------------------------------------------------
+from forklift_spark.queries.dedup import _WORDS_CTE, _hash_sql, _shingle_sql  # noqa: E402
+
+FP_ORACLE = f"""
+WITH words AS (
+  {_WORDS_CTE}
+)
+SELECT doc_id,
+  md5(norm) AS content_md5,
+  list_min(list_transform({_shingle_sql()}, s -> {_hash_sql('s', 0)})) AS winnow_hash
+FROM words
+"""
+
+
+@query("q_doc_fingerprint", FP_ORACLE)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.functions.hashing import md5_long_seeded
+
+    docs = tables.load(spark, sf_dir, "documents")
+    winnow = (
+        D.exploded_shingles(docs, "doc_id", "text", 3)
+        .groupBy("doc_id")
+        .agg(F.min(md5_long_seeded(F.col("s"), 0)).alias("winnow_hash"))
+    )
+    return docs.select(
+        "doc_id", D.fingerprint("text").alias("content_md5")
+    ).join(winnow, "doc_id")

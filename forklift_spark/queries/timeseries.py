@@ -1,1 +1,176 @@
-"""Filled in by later milestone."""
+"""Time-series / event-stream queries over the events table.
+
+The reference's closest analog is HWM incremental sync (SURVEY §2.4 maps
+it to watermark semantics); these queries add the windowed/stateful
+operators a streaming-ready engine needs, each as a *batch* plan with an
+oracle. The streaming variants (readStream + watermark) reuse the same
+expressions — see forklift_spark/streaming/.
+
+Scale notes: tumbling windows and sessionization shuffle once on the
+grouping key; the as-of join is the union+running-last trick (sort within
+user partitions, no cross join, no pandas); the range join bounds its
+explosion with an equi-key on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from forklift_spark import tables
+from forklift_spark.functions.exact import MONEY, dec
+from forklift_spark.queries import query
+
+# --------------------------------------------------------------------------
+# q_window_tumbling — 1-hour tumbling windows per event_type
+# (F.window == epoch-aligned time_bucket).
+# --------------------------------------------------------------------------
+TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("q_window_tumbling", TUMBLING_ORACLE)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value", MONEY)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "total_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_sessionize — 30-minute-gap sessions per user: lag + cumulative
+# session counter, then per-user session stats. The batch equivalent of
+# streaming session_window(ts, '30 minutes').
+# --------------------------------------------------------------------------
+SESSION_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL '30 minutes'
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+@query("q_sessionize", SESSION_ORACLE)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    wc = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    sess = marked.withColumn("session_id", F.sum("new_session").over(wc))
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_asof_join — for each purchase, the most recent click of the same
+# user at-or-before its timestamp. Spark: union-both-sides + running
+# last_value(ignorenulls) over (user, ts) — scalable as-of (one shuffle
+# on user_id, no pandas merge_asof, no cross join). Oracle: correlated
+# top-1 subquery.
+# --------------------------------------------------------------------------
+ASOF_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts,
+  (SELECT c.event_id FROM events c
+   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
+@query("q_asof_join", ASOF_ORACLE)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_left"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        "event_id",
+        F.lit(1).alias("is_left"),
+    )
+    # same-instant click sorts before the purchase (is_left 0 < 1) so
+    # `<=` semantics hold; click_id in the sort makes ties deterministic.
+    u = clicks.unionByName(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_left", "click_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        u.withColumn("last_click", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("is_left") == 1)
+        .select(
+            "event_id", "user_id", "ts", F.col("last_click").alias("click_id")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_range_join — for each error event, clicks of the same user in the
+# preceding hour: equi-join on user bounds the explosion, the time range
+# is a post-join filter (Catalyst pushes it into the join condition).
+# --------------------------------------------------------------------------
+RANGE_ORACLE = """
+SELECT e.event_id, COUNT(c.event_id) AS clicks_before
+FROM events e
+LEFT JOIN events c
+  ON c.user_id = e.user_id AND c.event_type = 'click'
+  AND c.ts >= e.ts - INTERVAL '1 hour' AND c.ts < e.ts
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+"""
+
+
+@query("q_range_join", RANGE_ORACLE)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("ets")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuser"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("cuser") == F.col("user_id"))
+        & (F.col("cts") >= F.col("ets") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") < F.col("ets")),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(F.count("cid").alias("clicks_before"))
