@@ -1,0 +1,89 @@
+"""Streaming jobs: incremental sync, watermark windows, session windows.
+
+Scale notes: state size is the thing to bound. Watermarks cap window
+state; the upsert sink processes one micro-batch at a time (the batch
+writer's anti-join plan, so a failed batch is retried idempotently —
+foreachBatch gives at-least-once, upsert-by-pk makes it effectively
+exactly-once on the table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_incremental_sync(
+    spark: SparkSession,
+    source_path: str,
+    dest_writer,
+    dest_table: str,
+    schema,
+    primary_key: str = "id",
+    matcher: str = "updated_at",
+    watermark_delay: str = "1 hour",
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Continuous incremental_pipe: stream new files from source_path,
+    watermark on the matcher column (late rows beyond the delay are
+    dropped — the reference's `WHERE matcher > hwm` semantics,
+    `patterns/mysql_patterns.rb:95`), upsert each micro-batch by pk.
+    """
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dest_writer.write(batch_df, dest_table, mode="upsert", primary_key=primary_key)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_path)
+        .withWatermark(matcher, watermark_delay)
+    )
+    writer = stream.writeStream.foreachBatch(merge).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (same expressions as the
+    batch q_window_tumbling). Works on a readStream or batch frame."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("wstart"), key_col, "n", "total_value")
+    )
+
+
+def sessionized(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """session_window-based sessionization — the managed-state streaming
+    form of the batch q_sessionize (lag+cumsum)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sw"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
