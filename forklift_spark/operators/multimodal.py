@@ -1,0 +1,231 @@
+"""Multimodal column operators: opaque binary payloads + typed metadata.
+
+No reference counterpart (taskrabbit/forklift moves flat scalar rows
+only — `lib/forklift/transports/mysql.rb:39-41`); these are the
+media-handling passes a large-scale training-data pipeline needs.
+Design per the engine contract:
+
+- media payloads are opaque ``binary`` columns with typed metadata
+  columns alongside (media_type / byte_len / fingerprint) — never
+  decoded strings;
+- metadata extraction (magic-byte sniffing, length, hashing) stays
+  JVM-side in built-in functions: it runs at scan speed, no UDF;
+- decode / feature-extract / frame-sample run as Arrow-batched
+  ``mapInPandas`` passes — one Python worker per input partition, no
+  shuffle, memory bounded by the Arrow batch size. The *pixel/sample
+  decode itself* is stubbed (image/audio libraries are not available in
+  this environment): ``decode_image`` raises ``NotImplementedError``
+  unless PIL is importable, while ``image_features`` /
+  ``sample_frames`` use a clearly-marked DETERMINISTIC FAKE over the
+  raw bytes so the Spark-side plumbing (schema, batch shape, partition
+  behavior) is real and testable.
+
+At 100 TB: payloads dominate row size, so every pass here projects the
+narrowest column set (Parquet column pruning keeps undecoded media out
+of I/O entirely when only metadata is needed) and nothing shuffles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Magic-byte prefixes for sniffing (hex, uppercase as F.hex emits).
+_MAGIC = {
+    "89504E47": "image/png",  # \x89PNG
+    "FFD8FF": "image/jpeg",
+    "52494646": "audio/wav",  # RIFF container
+    "00000": "video/mp4",  # ....ftyp (loose: size-prefix box)
+}
+
+# Deterministic fake headers used by attach_fake_payload: doc_id % 4
+# picks one, so tests and oracles can predict the sniffed type.
+FAKE_HEADERS: tuple[tuple[str, bytes], ...] = (
+    ("image/png", b"\x89PNG\r\n\x1a\n"),
+    ("image/jpeg", b"\xff\xd8\xff\xe0"),
+    ("audio/wav", b"RIFF\x24\x00\x00\x00WAVE"),
+    ("application/octet-stream", b"\x00\x01\x02\x03"),
+)
+
+
+def attach_fake_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic fake media payload: a real magic-byte header chosen
+    by ``id % 4`` + the UTF-8 bytes of the text column. Stands in for a
+    real binary ingest so every downstream operator exercises true
+    ``binary``-typed columns.
+    """
+    header = F.element_at(
+        F.array(*[F.lit(bytearray(h)) for _, h in FAKE_HEADERS]),
+        (F.col(id_col) % 4 + 1).cast("int"),
+    )
+    return df.withColumn("payload", F.concat(header, F.encode(F.col(text_col), "UTF-8")))
+
+
+def sniff_media_type(payload: Column | str) -> Column:
+    """Magic-byte media-type sniff, JVM-side (hex prefix match on the
+    first 8 bytes — no UDF, no decode)."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    prefix = F.hex(F.substring(c, 1, 8))
+    out = F.lit("application/octet-stream")
+    for magic, mtype in _MAGIC.items():
+        out = F.when(prefix.startswith(magic), F.lit(mtype)).otherwise(out)
+    return out
+
+
+def media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata for an opaque binary column: byte length, sha256
+    fingerprint, sniffed media type. Pure projections — at scale this is
+    a single scan with no shuffle."""
+    return df.withColumns(
+        {
+            "byte_len": F.octet_length(F.col(payload_col)).cast("bigint"),
+            "sha256": F.sha2(F.col(payload_col), 256),
+            "media_type": sniff_media_type(payload_col),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# Arrow-batched decode passes (mapInPandas)
+# --------------------------------------------------------------------------
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("byte_entropy", T.DoubleType()),
+    ]
+)
+
+
+def image_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Per-payload feature vector via ``mapInPandas``.
+
+    DETERMINISTIC FAKE decode: features are computed from the raw bytes
+    (mean byte value, 0-order byte entropy) instead of decoded pixels —
+    the image libraries are not available here. The plumbing is the real
+    thing: Arrow batches in/out, narrow input projection, per-partition
+    execution with no shuffle; swap `_features_of` for a real decoder
+    (PIL/librosa) to productionize.
+    """
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "byte_len": [], "mean_byte": [], "byte_entropy": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                f = _features_of(bytes(payload) if payload is not None else b"")
+                out["doc_id"].append(doc_id)
+                out["byte_len"].append(f[0])
+                out["mean_byte"].append(f[1])
+                out["byte_entropy"].append(f[2])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def _features_of(payload: bytes) -> tuple[int, float, float]:
+    n = len(payload)
+    if n == 0:
+        return 0, 0.0, 0.0
+    counts: dict[int, int] = {}
+    total = 0
+    for b in payload:
+        counts[b] = counts.get(b, 0) + 1
+        total += b
+    entropy = -sum((c / n) * math.log2(c / n) for c in counts.values())
+    return n, total / n, entropy
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frame_chars: int = 200,
+    every: int = 4,
+) -> DataFrame:
+    """Frame-sampling pass via ``mapInPandas``: split each document into
+    fixed-size frames (here ``frame_chars`` characters — the
+    DETERMINISTIC FAKE stand-in for video frame extraction) and keep
+    every ``every``-th frame, fingerprinted with md5.
+
+    One output row per sampled frame; rows explode inside the Python
+    worker so no driver materialization and no shuffle — output
+    partitioning follows input partitioning, which is what a 100 TB
+    frame-sampling pass needs.
+    """
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                text = text or ""
+                n_frames = math.ceil(len(text) / frame_chars)
+                for fi in range(0, n_frames, every):
+                    chunk = text[fi * frame_chars : (fi + 1) * frame_chars]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    hashes.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "frame_index": idxs, "frame_md5": hashes})
+
+    return src.mapInPandas(run, FRAME_SCHEMA)
+
+
+def decode_image(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """REAL image decode (width/height/mode via PIL). STUB: raises
+    ``NotImplementedError`` when PIL is absent (it is in this
+    container); the mapInPandas shape mirrors `image_features`.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "image decode requires PIL, which is not available in this "
+            "environment; use image_features (deterministic byte-level "
+            "fake) for pipeline testing"
+        ) from exc
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mode", T.StringType()),
+        ]
+    )
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "mode": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = Image.open(io.BytesIO(bytes(payload)))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(img.width)
+                rows["height"].append(img.height)
+                rows["mode"].append(img.mode)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(run, schema)
