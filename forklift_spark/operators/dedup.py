@@ -134,20 +134,35 @@ def exploded_shingles(
     )
 
 
-def minhash_signatures(
-    exploded: DataFrame, id_col: str, num_hashes: int
+def hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, mh0..mh{n-1}) from exploded (id, s) shingle rows via double
-    hashing: mh_i = min(h1 + i*h2), h1/h2 two md5s per shingle
-    (Kirsch-Mitzenmacher): two md5s instead of num_hashes per shingle,
-    one groupBy — scan-speed at 100 TB."""
+    """Distinct (id, h1, h2) hashed shingle rows: each shingle string is
+    collapsed to two 60-bit md5 longs immediately after shingling, and
+    the strings are dropped. Everything downstream (signatures, Jaccard
+    verification) shuffles 24-byte rows instead of full shingle text —
+    at 100 TB this is the difference between shuffling ~corpus-size and
+    shuffling a few percent of it. h1 doubles as the shingle's identity
+    for set intersection (both engines hash identically, so even a
+    collision produces the same answer on both sides of the oracle).
+    """
     from forklift_spark.functions.hashing import md5_long
 
-    hashed = exploded.select(
+    expl = exploded_shingles(df, id_col, text_col, n)
+    return expl.select(
         id_col,
         md5_long(F.concat(F.lit("a:"), F.col("s"))).alias("h1"),
         (md5_long(F.concat(F.lit("b:"), F.col("s"))) % F.lit(H2_MOD)).alias("h2"),
-    )
+    ).distinct()
+
+
+def minhash_signatures(
+    hashed: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """(id, mh0..mh{n-1}) from hashed (id, h1, h2) shingle rows via
+    double hashing: mh_i = min(h1 + i*h2) (Kirsch-Mitzenmacher): two
+    md5s per shingle instead of num_hashes, one groupBy with map-side
+    partial min — scan-speed at 100 TB."""
     aggs = [
         F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -194,25 +209,11 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_on_pairs(
-    cands: DataFrame, dist: DataFrame, id_col: str, threshold: float
-) -> DataFrame:
-    """Exact shingle Jaccard for candidate (id_a, id_b) pairs, computed
-    relationally from distinct (id, s) rows: |∩| via a join on the
-    shingle, |∪| = |A| + |B| - |∩|. No array ops, three hash joins; the
-    integer-count division is engine-exact. Pairs with an empty
-    intersection vanish in the count join — correct for threshold > 0."""
-    sizes = dist.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = dist.select(F.col(id_col).alias("id_a"), "s")
-    b = dist.select(F.col(id_col).alias("id_b"), "s")
-    inter = (
-        cands.join(a, "id_a")
-        .join(b, ["id_b", "s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b, jaccard) from intersection counts + per-id set sizes:
+    |∪| = |A| + |B| - |∩|; the integer-count division is engine-exact."""
+    na = sizes.select(F.col(sizes.columns[0]).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(sizes.columns[0]).alias("id_b"), F.col("n").alias("nb"))
     return (
         inter.join(na, "id_a")
         .join(nb, "id_b")
@@ -224,6 +225,25 @@ def jaccard_on_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def jaccard_on_pairs(
+    cands: DataFrame, hashed: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact shingle Jaccard for candidate (id_a, id_b) pairs over
+    hashed (id, h1, ...) shingle rows: |∩| via a join on h1, three hash
+    joins on longs, map-side-combined counts. Pairs with an empty
+    intersection vanish in the count join — correct for threshold > 0."""
+    sizes = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = hashed.select(F.col(id_col).alias("id_a"), "h1")
+    b = hashed.select(F.col(id_col).alias("id_b"), "h1")
+    inter = (
+        cands.join(a, "id_a")
+        .join(b, ["id_b", "h1"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return _jaccard_from_inter(inter, sizes, threshold)
 
 
 def minhash_dedup_pairs(
@@ -238,17 +258,27 @@ def minhash_dedup_pairs(
     """Near-duplicate pairs via MinHash-LSH candidates verified with
     exact shingle Jaccard (id_a, id_b, jaccard). rows-per-band =
     num_hashes // bands; the LSH s-curve threshold is (1/bands)^(1/rows)
-    (~0.35 for 8×2)."""
+    (~0.35 for 8×2).
+
+    The hashed shingle set feeds three consumers (signatures + both
+    sides of the verify join); it is persisted (spill-to-disk) so the
+    tokenize/shingle/window pass runs once, not three times — the
+    persisted form is the narrow (id, h1, h2) long rows, a few percent
+    of corpus size.
+    """
+    from pyspark import StorageLevel
+
     rows = num_hashes // bands
     # small-file inputs arrive as 1-2 partitions; fan out before the
     # CPU-heavy shingling/hashing so all cores work (at real scale the
     # scan already yields many partitions and AQE coalesces as needed)
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    expl = exploded_shingles(df, id_col, text_col, shingle_n)
-    dist = expl.distinct()
-    sigs = minhash_signatures(dist, id_col, num_hashes)
+    hashed = hashed_shingles(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures(hashed, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
-    return jaccard_on_pairs(cands, dist, id_col, threshold)
+    return jaccard_on_pairs(cands, hashed.select(id_col, "h1"), id_col, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -306,7 +336,9 @@ def simhash_dedup_pairs(
     """
     nb = max_hamming + 1
     width = bits // nb + (1 if bits % nb else 0)
-    sig = simhash(df, id_col, text_col, bits)
+    # one long per doc: cache the signatures so the tokenize + 2-shuffle
+    # simhash pass runs once, not once per side of the band self-join
+    sig = simhash(df, id_col, text_col, bits).persist()
     banded = sig.select(
         id_col,
         "simhash",
@@ -364,16 +396,27 @@ def ngram_jaccard_pairs(
     least one shingle (equivalent to all pairs for threshold > 0), via
     an inverted-index join on (block, shingle). At 100 TB cap ultra-
     frequent shingles ("stop-shingles") before the self-join."""
+    from pyspark import StorageLevel
+
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    expl = exploded_shingles(df, id_col, text_col, shingle_n)
     blocks = df.select(F.col(id_col), F.col(block_col).alias("__blk"))
-    dist = expl.distinct().join(blocks, id_col)
-    a = dist.select(F.col(id_col).alias("id_a"), "s", "__blk")
-    b = dist.select(F.col(id_col).alias("id_b"), "s", "__blk")
-    cands = (
-        a.join(b, ["__blk", "s"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    hashed = (
+        hashed_shingles(df, id_col, text_col, shingle_n)
+        .select(id_col, "h1")
+        .join(blocks, id_col)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return jaccard_on_pairs(cands, dist.drop("__blk"), id_col, threshold)
+    # intersection counts straight off the inverted-index self-join on
+    # (block, shingle-hash): groupBy with map-side combine bounds the
+    # shuffle at the number of co-occurring pairs — no candidate
+    # materialization + re-join (which would run the expensive join twice)
+    a = hashed.select(F.col(id_col).alias("id_a"), "h1", "__blk")
+    b = hashed.select(F.col(id_col).alias("id_b"), "h1", "__blk")
+    inter = (
+        a.join(b, ["__blk", "h1"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    return _jaccard_from_inter(inter, sizes, threshold)

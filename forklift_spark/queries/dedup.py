@@ -110,15 +110,21 @@ WITH words AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN hashed x ON x.doc_id = c.id_a
+  JOIN hashed y ON y.doc_id = c.id_b AND y.h1 = x.h1
+  GROUP BY c.id_a, c.id_b
 )
-SELECT c.id_a, c.id_b,
-  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-    / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS jaccard
-FROM cand c
-JOIN sh0 x ON c.id_a = x.doc_id
-JOIN sh0 y ON c.id_b = y.doc_id
-WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-    / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.3
+SELECT i.id_a, i.id_b,
+  CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= 0.3
 """
 
 
@@ -185,18 +191,29 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def _ngram_oracle() -> str:
     sh = _shingle_sql()
+    h1 = "CAST('0x' || substr(md5('a:' || s), 1, 15) AS BIGINT)"
     return f"""
 WITH words AS (
   {_WORDS_CTE}
-), s AS (
+), sh0 AS (
   SELECT doc_id, lang, {sh} AS sh FROM words
+), hs AS (
+  SELECT doc_id, lang, {h1} AS h1
+  FROM (SELECT doc_id, lang, unnest(sh) AS s FROM sh0)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM hs a JOIN hs b
+    ON a.lang = b.lang AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.2
+SELECT i.id_a, i.id_b,
+  CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= 0.2
 """
 
 
