@@ -1,0 +1,110 @@
+"""Console entry points (O5 parity): ``init`` scaffold + ``run`` plan.
+
+Reference: `bin/forklift:12-63` — ``forklift --generate`` scaffolds the
+project tree; ``forklift plan.rb [steps...]`` chdirs to the plan's
+directory and loads it, with the step names consumed by
+`plan.rb:96-117` ARGV selection. Here:
+
+    python -m forklift_spark init [dir]
+    python -m forklift_spark run plan.py [step ...]
+
+``run`` executes the plan file from its own directory (same chdir
+semantics); the plan file builds a ``Plan`` and calls
+``plan.run(steps=cli_steps())`` — ``cli_steps()`` reads the selection
+the CLI stashed in ``FORKLIFT_STEPS`` (empty/unset -> run all steps,
+matching `plan.rb:100-104`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import runpy
+import sys
+
+SCAFFOLD_DIRS = (
+    "config/connections/parquet",
+    "config/connections/csv",
+    "config/connections/jdbc",
+    "transformations",
+    "plans",
+    "pids",
+    "log",
+)
+
+EXAMPLE_PLAN = '''\
+"""Example plan — run with: python -m forklift_spark run plans/plan.py [steps]"""
+from forklift_spark.cli import cli_steps
+from forklift_spark.engine import Engine
+from forklift_spark.plan import Plan
+
+plan = Plan(engine=Engine({"project_root": "."}))
+
+
+@plan.step("hello")
+def hello():
+    plan.logger.log("hello from forklift_spark")
+
+
+plan.run(steps=cli_steps())
+'''
+
+EXAMPLE_CONNECTION = """\
+# connection config for a parquet warehouse; the engine discovers every
+# config/connections/<type>/<name>.yml (see Engine.connect_all)
+path: ./warehouse
+"""
+
+
+def init(root: str = ".") -> None:
+    for d in SCAFFOLD_DIRS:
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+    plan_path = os.path.join(root, "plans", "plan.py")
+    if not os.path.exists(plan_path):
+        with open(plan_path, "w") as f:
+            f.write(EXAMPLE_PLAN)
+    conn_path = os.path.join(root, "config", "connections", "parquet", "warehouse.yml")
+    if not os.path.exists(conn_path):
+        with open(conn_path, "w") as f:
+            f.write(EXAMPLE_CONNECTION)
+
+
+def cli_steps() -> list[str] | None:
+    """Step selection stashed by ``run`` (None -> all steps)."""
+    raw = os.environ.get("FORKLIFT_STEPS", "")
+    return [s for s in raw.split(",") if s] or None
+
+
+def run(plan_file: str, steps: list[str]) -> None:
+    plan_path = os.path.abspath(plan_file)
+    plan_dir = os.path.dirname(plan_path) or "."
+    prev = os.getcwd()
+    os.environ["FORKLIFT_STEPS"] = ",".join(steps)
+    os.chdir(plan_dir)
+    try:
+        sys.path.insert(0, plan_dir)
+        runpy.run_path(plan_path, run_name="__main__")
+    finally:
+        sys.path.remove(plan_dir)
+        os.chdir(prev)
+        os.environ.pop("FORKLIFT_STEPS", None)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="forklift_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    p_init = sub.add_parser("init", help="scaffold a project tree")
+    p_init.add_argument("dir", nargs="?", default=".")
+    p_run = sub.add_parser("run", help="run a plan file")
+    p_run.add_argument("plan")
+    p_run.add_argument("steps", nargs="*")
+    ns = p.parse_args(argv)
+    if ns.cmd == "init":
+        init(ns.dir)
+    else:
+        run(ns.plan, ns.steps)
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -80,6 +80,27 @@ class Connection:
     def columns(self, table: str) -> list[tuple[str, str]]:
         return [(f.name, f.dataType.simpleString()) for f in self.read(table).schema.fields]
 
+    def dump(self, dest_dir: str, tables: list[str] | None = None, fmt: str = "csv") -> list[str]:
+        """Snapshot export of the whole endpoint (S9 parity: the
+        `mysqldump … | gzip` subprocess at `transports/mysql.rb:209-232`).
+        One gzip'd csv (or parquet) directory per table, written by the
+        executors — a distributed job per table instead of a single-node
+        pipe. Returns the dumped table names."""
+        import os
+
+        done = []
+        for t in tables if tables is not None else self.tables():
+            df = self.read(t)
+            out = os.path.join(dest_dir, t)
+            if fmt == "parquet":
+                df.write.mode("overwrite").parquet(out)
+            else:
+                df.write.mode("overwrite").option("header", True).option(
+                    "compression", "gzip"
+                ).csv(out)
+            done.append(t)
+        return done
+
     # -- transformation hooks (U1-U3) -------------------------------------
     def exec(self, path: str, *args, **kwargs) -> bool:
         """Run a .py / .sql transformation; log errors and continue."""

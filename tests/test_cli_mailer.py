@@ -1,0 +1,123 @@
+"""CLI scaffold/run, mailer, and dump-export tests (O5/O7/S9 parity).
+
+Mirrors the reference's unit-spec strategy: email interception instead
+of a live SMTP server (`spec/unit/misc/email_spec.rb`), scaffold checks
+for `--generate` (`bin/forklift:12-32`), step selection via CLI args
+(`spec/unit/misc/step_spec.rb`).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from forklift_spark import cli
+from forklift_spark.logger import EngineLogger
+from forklift_spark.mailer import Mailer
+
+
+def test_init_scaffolds_tree(tmp_path):
+    root = str(tmp_path / "proj")
+    cli.init(root)
+    for d in cli.SCAFFOLD_DIRS:
+        assert os.path.isdir(os.path.join(root, d)), d
+    assert os.path.exists(os.path.join(root, "plans", "plan.py"))
+    assert os.path.exists(
+        os.path.join(root, "config", "connections", "parquet", "warehouse.yml")
+    )
+    # idempotent, never clobbers an edited plan
+    with open(os.path.join(root, "plans", "plan.py"), "w") as f:
+        f.write("# edited\n")
+    cli.init(root)
+    assert open(os.path.join(root, "plans", "plan.py")).read() == "# edited\n"
+
+
+def test_cli_run_executes_plan_with_step_selection(tmp_path):
+    plan = tmp_path / "plan.py"
+    out = tmp_path / "ran.txt"
+    plan.write_text(
+        "import os\n"
+        "from forklift_spark.cli import cli_steps\n"
+        f"open({str(out)!r}, 'a').write(','.join(cli_steps() or ['ALL']) + '\\n')\n"
+    )
+    cli.main(["run", str(plan)])
+    cli.main(["run", str(plan), "load", "report"])
+    assert out.read_text().splitlines() == ["ALL", "load,report"]
+    assert "FORKLIFT_STEPS" not in os.environ
+
+
+def test_cli_run_chdirs_to_plan_dir(tmp_path):
+    sub = tmp_path / "proj"
+    sub.mkdir()
+    plan = sub / "plan.py"
+    plan.write_text("import os\nopen('cwd.txt', 'w').write(os.getcwd())\n")
+    prev = os.getcwd()
+    # relative plan path (the CLI's normal invocation shape)
+    os.chdir(tmp_path)
+    try:
+        cli.main(["run", os.path.join("proj", "plan.py")])
+    finally:
+        os.chdir(prev)
+    assert os.getcwd() == prev
+    assert (sub / "cwd.txt").read_text() == str(sub)
+
+
+def test_mailer_send_with_log_attachment():
+    sent = []
+    logger = EngineLogger(stdout=False)
+    logger.log("step one done")
+    m = Mailer({"from": "etl@example.com"}, logger=logger, transport=sent.append)
+    msg = m.send(
+        {"to": "team@example.com", "subject": "nightly", "body": "all good"},
+        attachment_lines=logger.messages,
+    )
+    assert sent == [msg]
+    assert msg["To"] == "team@example.com"
+    assert msg["From"] == "etl@example.com"
+    assert msg["Subject"] == "nightly"
+    parts = list(msg.iter_attachments())
+    assert len(parts) == 1
+    assert parts[0].get_filename() == "log.txt"
+    assert b"step one done" in parts[0].get_payload(decode=True)
+
+
+def test_mailer_send_template():
+    sent = []
+    m = Mailer(transport=sent.append)
+    msg = m.send_template(
+        {"to": "a@b.c"},
+        "moved $rows rows into $table",
+        {"rows": 42, "table": "users"},
+    )
+    assert msg.get_content().strip() == "moved 42 rows into users"
+    assert msg["Subject"] == "forklift_spark run report"
+    assert len(sent) == 1
+
+
+def test_dump_snapshot_export(spark, tmp_path):
+    from forklift_spark.connections.parquet import ParquetConnection
+    from forklift_spark.engine import Engine
+    from forklift_spark import tables
+    from tests.conftest import SF_DIR
+
+    eng = Engine({"project_root": str(tmp_path)}, spark=spark)
+    wh = ParquetConnection({"path": str(tmp_path / "wh")}, eng)
+    nation = tables.load(spark, SF_DIR, "nation")
+    wh.write(nation, "nation", mode="overwrite")
+    region = tables.load(spark, SF_DIR, "region")
+    wh.write(region, "region", mode="overwrite")
+
+    dest = str(tmp_path / "dump")
+    done = wh.dump(dest)
+    assert sorted(done) == ["nation", "region"]
+    # gzip'd csv with a header row per table
+    part = next(
+        f for f in os.listdir(os.path.join(dest, "nation")) if f.endswith(".csv.gz")
+    )
+    with gzip.open(os.path.join(dest, "nation", part), "rt") as f:
+        header = f.readline().strip().split(",")
+    assert set(nation.columns) <= set(header)
+    # parquet variant round-trips
+    wh.dump(str(tmp_path / "dump_pq"), tables=["nation"], fmt="parquet")
+    back = spark.read.parquet(str(tmp_path / "dump_pq" / "nation"))
+    assert back.count() == nation.count()
