@@ -29,6 +29,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q4_exists_priority",
+    "q17_small_qty",
+    "q_cube",
+    "q_running_window",
     "q_topk_per_group",
     "q_rollup",
     "q_distinct_exact",
@@ -40,10 +44,13 @@ HEADLINE = [
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
     "q_ann_bruteforce_topk",
     "q_ann_lsh_topk",
     "q_text_quality",
     "q_lang_id",
+    "q_media_metadata",
+    "q_frame_sample",
 ]
 
 

@@ -298,3 +298,153 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col(f"`{p}`"), F.lit(0.0)).alias(c) for p, c in _PIV_COLS.items()
     ]
     return piv.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# q4_exists_priority — TPC-H Q4 shape: correlated EXISTS subquery counted
+# per priority. Spark plans EXISTS as a left-semi hash join on orderkey —
+# the fact-to-fact semi join shuffles both sides on the key (no
+# materialized subquery, no driver loop).
+# --------------------------------------------------------------------------
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@query("q4_exists_priority", Q4_ORACLE)
+def q4_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    returned = tables.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q17_small_qty — TPC-H Q17 shape: correlated scalar-aggregate subquery
+# (per-part average) gating a fact scan. Spark: aggregate-then-join; the
+# per-part avg is a groupBy on the filtered fact, broadcast back into the
+# scan side. l_quantity is integer-valued, so plain AVG is order-exact.
+# --------------------------------------------------------------------------
+Q17_ORACLE = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+  count(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (
+  SELECT l_partkey AS ap, 0.2 * avg(l_quantity) AS qlim FROM lineitem GROUP BY l_partkey
+) a ON ap = p_partkey
+WHERE p_brand = 'Brand#11' AND p_size <= 15 AND l_quantity < qlim
+"""
+
+
+@query("q17_small_qty", Q17_ORACLE)
+def q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#11") & (F.col("p_size") <= 15)
+    )
+    avgq = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qlim")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(avgq, F.col("ap") == F.col("p_partkey"))
+        .filter(F.col("l_quantity") < F.col("qlim"))
+        .agg(
+            (F.sum(dec("l_extendedprice", MONEY)).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_cube — CUBE over (order year, status): all 4 grouping combinations in
+# one pass (partial-agg once, expand grouping sets — no re-scan per level).
+# --------------------------------------------------------------------------
+CUBE_ORACLE = """
+SELECT year(o_orderdate) AS yr, o_orderstatus,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+  count(*) AS n
+FROM orders
+GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+"""
+
+
+@query("q_cube", CUBE_ORACLE)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            "o_orderstatus",
+            dec("o_totalprice", MONEY).alias("p"),
+        )
+        .cube("yr", "o_orderstatus")
+        .agg(
+            F.sum("p").cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_running_window — running revenue + 3-order moving average per customer
+# (window frame functions). The (o_custkey) partition ordered by
+# (o_orderdate, o_orderkey) is unique, so frames are deterministic; every
+# sum is decimal-exact before the double cast.
+# --------------------------------------------------------------------------
+RUNNING_ORACLE = """
+SELECT o_orderkey, o_custkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / CAST(COUNT(*)
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_avg3,
+  row_number()
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS seq
+FROM orders
+"""
+
+
+@query("q_running_window", RUNNING_ORACLE)
+def q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    mov = w.rowsBetween(-2, W.currentRow)
+    p = dec("o_totalprice", MONEY)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(p).over(cum).cast("double").alias("running_total"),
+        (
+            F.sum(p).over(mov).cast("double")
+            / F.count(F.lit(1)).over(mov).cast("double")
+        ).alias("moving_avg3"),
+        F.row_number().over(w).alias("seq"),
+    )
