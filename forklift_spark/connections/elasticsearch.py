@@ -68,5 +68,21 @@ class ElasticsearchConnection(Connection):
             )
         w.mode("append").save(index)
 
-    def delete_index(self, index: str) -> None:
-        raise NotImplementedError("requires live ES endpoint")
+    def delete_index(self, index: str, timeout: float = 10.0) -> bool:
+        """Delete the index if it exists (`elasticsearch.rb:61-64`) via
+        the REST API — no connector jar needed. Returns True when the
+        index was deleted, False when it didn't exist."""
+        import urllib.error
+        import urllib.request
+
+        host = self.nodes.split(",")[0]
+        if "://" not in host:
+            host = f"http://{host}"
+        req = urllib.request.Request(f"{host}/{index}", method="DELETE")
+        try:
+            with urllib.request.urlopen(req, timeout=timeout):
+                return True
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return False
+            raise

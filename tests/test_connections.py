@@ -1,0 +1,97 @@
+"""Connection registry + endpoint unit tests (no live servers).
+
+Mirrors the reference's discovery semantics tests: YAML auto-discovery
+with env interpolation (`plan.rb:24-44`), example.yml skipped, bad
+config logged not raised; JDBC/ES option plumbing validated up to the
+point where a live endpoint would be needed.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from forklift_spark.connections import discover, load_config
+from forklift_spark.connections.csvfile import CsvConnection
+from forklift_spark.connections.elasticsearch import ElasticsearchConnection
+from forklift_spark.connections.jdbc import JdbcConnection
+from forklift_spark.connections.parquet import ParquetConnection
+from forklift_spark.engine import Engine
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine({"project_root": str(tmp_path)}, spark=spark)
+
+
+def _write(tmp_path, rel, text):
+    p = tmp_path / rel
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(text)
+    return p
+
+
+def test_discover_builds_typed_connections(engine, tmp_path):
+    _write(tmp_path, "config/connections/parquet/wh.yml", "path: ./warehouse\n")
+    _write(tmp_path, "config/connections/csv/src.yml", f"file: {tmp_path}/csv\n")
+    _write(tmp_path, "config/connections/jdbc/db.yml", "url: jdbc:mysql://h/d\n")
+    _write(tmp_path, "config/connections/parquet/example.yml", "path: ./skipme\n")
+    conns = discover(engine, str(tmp_path))
+    assert isinstance(conns["parquet"]["wh"], ParquetConnection)
+    assert isinstance(conns["csv"]["src"], CsvConnection)
+    assert isinstance(conns["jdbc"]["db"], JdbcConnection)
+    assert "example" not in conns["parquet"]
+
+
+def test_discover_mysql_alias_and_bad_config_logged(engine, tmp_path):
+    _write(tmp_path, "config/connections/mysql/legacy.yml", "url: jdbc:mysql://h/d\n")
+    # jdbc without url -> constructor raises -> logged, not raised
+    _write(tmp_path, "config/connections/jdbc/broken.yml", "user: nobody\n")
+    conns = discover(engine, str(tmp_path))
+    assert isinstance(conns["mysql"]["legacy"], JdbcConnection)
+    assert "broken" not in conns.get("jdbc", {})
+    assert any("broken" in m for m in engine.logger.messages)
+
+
+def test_env_interpolation_with_default(tmp_path, monkeypatch):
+    p = _write(
+        tmp_path,
+        "conn.yml",
+        "url: jdbc:mysql://${TEST_DB_HOST:-fallback}/db\npassword: ${TEST_DB_PW}\n",
+    )
+    monkeypatch.delenv("TEST_DB_HOST", raising=False)
+    monkeypatch.setenv("TEST_DB_PW", "sekret")
+    cfg = load_config(str(p))
+    assert cfg["url"] == "jdbc:mysql://fallback/db"
+    assert cfg["password"] == "sekret"
+    monkeypatch.setenv("TEST_DB_HOST", "db.prod")
+    assert load_config(str(p))["url"] == "jdbc:mysql://db.prod/db"
+
+
+def test_jdbc_requires_url(engine):
+    with pytest.raises(ValueError):
+        JdbcConnection({}, engine)
+
+
+def test_jdbc_write_rejects_unknown_mode(engine, spark):
+    conn = JdbcConnection({"url": "jdbc:mysql://h/d"}, engine)
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        conn.write(df, "t", mode="replace")
+
+
+def test_es_degrades_without_connector_jar(engine, spark):
+    es = ElasticsearchConnection({"nodes": "localhost:9200"}, engine)
+    if es._available():  # pragma: no cover - jar present in some envs
+        pytest.skip("connector jar on classpath")
+    with pytest.raises(NotImplementedError):
+        es.read("idx")
+    with pytest.raises(NotImplementedError):
+        es.write(spark.range(1), "idx")
+
+
+def test_es_delete_index_404_and_unreachable(engine):
+    es = ElasticsearchConnection({"nodes": "localhost:1"}, engine)  # closed port
+    with pytest.raises(OSError):
+        es.delete_index("idx", timeout=0.5)
