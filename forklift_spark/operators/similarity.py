@@ -172,6 +172,112 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max dot product) —
+    the IVF coarse quantizer as one JVM projection. ``centroids`` is a
+    small driver-side list shipped as literals (at scale: a k-means fit
+    on a sample, still < a few thousand cells — broadcast-sized by
+    construction). Ties break to the lowest cell id."""
+    best_score, best_cell = None, None
+    for cid, cvec in centroids:
+        carr = F.array(*[F.lit(float(x)).cast(VEC_DEC) for x in cvec])
+        prods = F.zip_with(F.col(vec_col), carr, lambda v, c: v.cast(VEC_DEC) * c)
+        score = F.aggregate(
+            prods, F.lit(0).cast(ACC_DEC), lambda a, p: (a + p).cast(ACC_DEC)
+        )
+        if best_score is None:
+            best_score, best_cell = score, F.lit(cid)
+        else:
+            better = score > best_score
+            best_cell = F.when(better, F.lit(cid)).otherwise(best_cell)
+            best_score = F.when(better, score).otherwise(best_score)
+    return df.withColumn(out_col, best_cell.cast("int"))
+
+
+def deterministic_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_cells: int
+) -> list[tuple[int, list[float]]]:
+    """Seed centroids deterministically: the n_cells lowest-id vectors
+    (reproducible across engines/runs — no RNG; a production pipeline
+    would run sampled k-means and persist the model)."""
+    rows = corpus.orderBy(id_col).limit(n_cells).collect()
+    return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF ANN: corpus partitioned into centroid cells, each query probes
+    its ``n_probe`` nearest cells, exact cosine ranking within the probed
+    cells. The candidate join is an equi-join on the cell id — at 100 TB
+    the corpus side shuffles once on ``cell`` (or is written bucketed by
+    cell), and each query touches n_probe/n_cells of the data."""
+    from pyspark.sql import Window as W
+
+    cents = deterministic_centroids(corpus, id_col, vec_col, n_cells)
+    c = ivf_assign(
+        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism, id_col),
+        cents,
+        vec_col,
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_exact(F.col(vec_col)).alias("cn"),
+        "cell",
+    )
+    # per-query probe list: rank all cells by dot(query, centroid)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_exact(F.col(vec_col)).alias("qn"),
+    )
+    probes = None
+    for cid, cvec in cents:
+        carr = F.array(*[F.lit(float(x)).cast(VEC_DEC) for x in cvec])
+        prods = F.zip_with(F.col("qv"), carr, lambda v, g: v.cast(VEC_DEC) * g)
+        score = F.aggregate(
+            prods, F.lit(0).cast(ACC_DEC), lambda a, p: (a + p).cast(ACC_DEC)
+        ).cast("double")
+        entry = F.struct(score.alias("s"), F.lit(cid).alias("cell"))
+        probes = F.array(entry) if probes is None else F.concat(probes, F.array(entry))
+    q = q.withColumn(
+        "cell",
+        F.explode(
+            F.slice(
+                F.transform(
+                    F.reverse(F.array_sort(probes)), lambda e: e.getField("cell")
+                ),
+                1,
+                n_probe,
+            )
+        ),
+    )
+    scored = c.join(F.broadcast(q), "cell").select(
+        "query_id",
+        "neighbor_id",
+        (dot_exact(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            "cos_sim"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("cos_sim", F.round("cos_sim", 9))
+    )
+
+
 def embedding_dedup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

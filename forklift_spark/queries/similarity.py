@@ -165,3 +165,22 @@ WHERE d.dot / (na.nrm * nb.nrm) >= {_THRESH}
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _SAMPLE)
     return S.embedding_dedup_pairs(emb, threshold=_THRESH)
+
+
+# --------------------------------------------------------------------------
+# q_ann_ivf_topk — IVF coarse-quantizer ANN (the bucketed scale path:
+# centroid cells + n_probe search). The per-vector argmax over centroid
+# dot products isn't cleanly SQL-expressible, so this entry takes the
+# rows-only check; exactness of the scores and the recall floor are
+# pinned by tests/test_similarity_ivf.py.
+# --------------------------------------------------------------------------
+@query("q_ann_ivf_topk")
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb.filter(F.col("vec_id") < _NQ),
+        emb.filter(F.col("vec_id") >= _NQ),
+        k=_K,
+        n_cells=8,
+        n_probe=2,
+    )

@@ -1,0 +1,58 @@
+"""IVF ANN invariants: probed-cell scores are exact cosines, per-query
+result shape is correct, and recall@k vs brute force clears a floor.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from forklift_spark import tables
+from forklift_spark.operators import similarity as S
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return tables.load(spark, SF_DIR, "embeddings").cache()
+
+
+def test_ivf_assign_covers_all_cells_input(spark, emb):
+    cents = S.deterministic_centroids(emb, "vec_id", "embedding", 4)
+    assigned = S.ivf_assign(emb, cents)
+    got = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert got <= set(range(4)) and got
+    assert assigned.count() == emb.count()
+
+
+def test_ivf_topk_scores_exact_and_shape(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    res = S.ivf_topk(queries, corpus, k=3, n_cells=4, n_probe=2).collect()
+    assert res
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for qid, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        for r in rows:
+            # score equals the exact cosine of the claimed pair
+            pair = spark.createDataFrame(
+                [(vecs[qid], vecs[r["neighbor_id"]])], "a: array<float>, b: array<float>"
+            ).select(F.round(S.cosine(F.col("a"), F.col("b")), 9).alias("cs"))
+            assert pair.collect()[0]["cs"] == r["cos_sim"]
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    exact = S.brute_force_topk(queries, corpus, k=5)
+    approx = S.ivf_topk(queries, corpus, k=5, n_cells=8, n_probe=2)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    # 2/8 probed cells: a recall floor, not a point estimate
+    assert recall >= 0.3, recall
