@@ -10,6 +10,8 @@ provides the streaming-ready equivalents:
 - windowed_counts / sessionized: watermarked event-time aggregations
   reusing the same expressions as the batch queries in
   queries/timeseries.py.
+- streaming_dedup / streaming_running_counts: custom keyed-state
+  operators via applyInPandasWithState (stateful.py).
 """
 
 from forklift_spark.streaming.jobs import (
@@ -17,5 +19,15 @@ from forklift_spark.streaming.jobs import (
     stream_incremental_sync,
     windowed_counts,
 )
+from forklift_spark.streaming.stateful import (
+    streaming_dedup,
+    streaming_running_counts,
+)
 
-__all__ = ["stream_incremental_sync", "windowed_counts", "sessionized"]
+__all__ = [
+    "stream_incremental_sync",
+    "windowed_counts",
+    "sessionized",
+    "streaming_dedup",
+    "streaming_running_counts",
+]
