@@ -1,0 +1,66 @@
+"""Skew and co-location tools: salted joins + bucketed tables.
+
+The reference never joins (SURVEY §2.3), so it has no skew story; at
+100 TB these are the two levers that keep shuffle-bound joins alive:
+
+- ``salted_join``: explode a hot-keyed build side over N salts so one
+  reducer doesn't take the whole key. AQE's skew-join split handles
+  moderate skew automatically; salting is the explicit form for extreme
+  single-key skew (a web-crawl domain, a null-heavy FK) where even one
+  AQE split is larger than an executor.
+- ``write_bucketed`` / co-located reads: persist both sides bucketed by
+  the join key so repeated joins run with NO exchange at all — the
+  parquet/catalog analog of the reference's "do the work where the data
+  lives" stance (`patterns/mysql_patterns.rb:168-177`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join on ``key`` with the left side salted over ``n_salt`` shards.
+
+    left rows get a salt derived from a row hash (uniform, no RNG
+    state); right rows are replicated once per salt value. Result set is
+    identical to ``left.join(right, key, how)`` — only the shuffle
+    distribution changes: each (key, salt) shard is 1/n of the hot key.
+
+    Cost model: replicates the *right* side n_salt×, so use with a
+    small-ish build side that still can't broadcast — the classic
+    mid-size-dimension × skewed-fact shape.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salt))
+    lhs = left.withColumn("__salt", salt)
+    rhs = right.withColumn(
+        "__salt",
+        F.explode(F.transform(F.sequence(F.lit(0), F.lit(n_salt - 1)), lambda i: i.cast("long"))),
+    )
+    out = lhs.join(rhs, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist as a catalog table bucketed (and sorted) by the join key.
+    Two tables bucketed the same way join with zero Exchange — the scan
+    itself is the shuffle, paid once at write time."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
