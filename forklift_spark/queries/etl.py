@@ -335,3 +335,32 @@ def q_union_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("custkey"), F.lit("customer").alias("src")
     )
     return a.unionByName(b)
+
+
+# --------------------------------------------------------------------------
+# q_salted_join — skew-safe salted join; result-identical to the plain
+# join (the oracle), only the shuffle distribution differs. Models the
+# hot-key fact⋈dim shape (lineitem.suppkey is the skewed side at scale).
+# --------------------------------------------------------------------------
+SALTED_ORACLE = """
+SELECT l_orderkey, l_linenumber, s_name,
+  CAST(l_extendedprice AS DOUBLE) AS price
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_quantity >= 45
+"""
+
+
+@query("q_salted_join", SALTED_ORACLE)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.operators.skew import salted_join
+
+    li = tables.load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    supp = tables.load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return salted_join(li, supp, "l_suppkey", n_salt=8).select(
+        "l_orderkey",
+        "l_linenumber",
+        "s_name",
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )
