@@ -448,3 +448,29 @@ def q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("moving_avg3"),
         F.row_number().over(w).alias("seq"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_percentiles — exact interpolated percentiles per group (Spark
+# `percentile` == DuckDB `quantile_cont`: same (1-f)·x_i + f·x_{i+1}
+# IEEE arithmetic, verified bit-identical). At 100 TB exact percentiles
+# sort within groups; approx_percentile is the sketch alternative
+# (engine-specific, so not oracle-checked).
+# --------------------------------------------------------------------------
+PCT_ORACLE = """
+SELECT l_returnflag,
+  quantile_cont(l_quantity, 0.5) AS med_qty,
+  quantile_cont(l_quantity, 0.9) AS p90_qty,
+  quantile_cont(l_extendedprice, 0.5) AS med_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("q_percentiles", PCT_ORACLE)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med_price"),
+    )
