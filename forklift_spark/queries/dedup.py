@@ -80,7 +80,6 @@ _NH, _BANDS, _ROWS = 16, 8, 2
 
 def _minhash_lsh_oracle() -> str:
     sh = _shingle_sql()
-    h = "CAST('0x' || substr(md5({p} || s), 1, 15) AS BIGINT)"
     mh_cols = ",\n    ".join(
         f"min(h1 + {i} * h2) AS mh{i}" for i in range(_NH)
     )
@@ -94,11 +93,11 @@ WITH words AS (
 ), sh0 AS (
   SELECT doc_id, {sh} AS sh FROM words
 ), sh_exp AS (
-  SELECT doc_id, unnest(sh) AS s FROM sh0
+  SELECT doc_id, md5('s:' || unnest(sh)) AS d FROM sh0
 ), hashed AS (
   SELECT doc_id,
-    {h.format(p="'a:'")} AS h1,
-    {h.format(p="'b:'")} % {1 << 55} AS h2
+    CAST('0x' || substr(d, 1, 15) AS BIGINT) AS h1,
+    CAST('0x' || substr(d, 16, 15) AS BIGINT) % {1 << 55} AS h2
   FROM sh_exp
 ), sig AS (
   SELECT doc_id,
@@ -191,7 +190,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def _ngram_oracle() -> str:
     sh = _shingle_sql()
-    h1 = "CAST('0x' || substr(md5('a:' || s), 1, 15) AS BIGINT)"
+    h1 = "CAST('0x' || substr(md5('s:' || s), 1, 15) AS BIGINT)"
     return f"""
 WITH words AS (
   {_WORDS_CTE}
