@@ -58,7 +58,7 @@ class JdbcConnection(Connection):
                 bounds = self._bounds(query_or_table, pc)
                 if bounds:
                     r = (
-                        r.option("partitionColumn", pc)
+                        r.option("partitionColumn", self._quote(pc))
                         .option("lowerBound", str(bounds[0]))
                         .option("upperBound", str(bounds[1]))
                         .option(
@@ -68,16 +68,25 @@ class JdbcConnection(Connection):
                     )
         return r.load()
 
+    def _quote(self, ident: str) -> str:
+        """Dialect identifier quoting for engine-generated SQL (Spark's
+        JDBC writer creates quoted, case-sensitive identifiers)."""
+        q = "`" if self.url.startswith("jdbc:mysql") else '"'
+        return f"{q}{ident}{q}"
+
     def _bounds(self, table: str, col: str):
+        c = self._quote(col)
         row = (
             self._reader()
-            .option("dbtable", f"(SELECT MIN({col}) lo, MAX({col}) hi FROM {table}) AS b")
+            .option("dbtable", f"(SELECT MIN({c}) lo, MAX({c}) hi FROM {table}) AS b")
             .load()
             .collect()[0]
         )
-        if row["lo"] is None:
+        # positional access: backends normalize unquoted alias case
+        # differently (Derby uppercases, MySQL preserves)
+        if row[0] is None:
             return None
-        return row["lo"], row["hi"]
+        return row[0], row[1]
 
     def write(
         self,
@@ -105,13 +114,21 @@ class JdbcConnection(Connection):
             keys = df.select(primary_key).distinct()
             kept = existing.join(keys, primary_key, "left_anti")
             merged = kept.unionByName(df, allowMissingColumns=True)
-            w2 = (
-                merged.write.format("jdbc")
-                .option("url", self.url)
-                .option("dbtable", table)
-                .options(**self._props())
-            )
-            w2.mode("overwrite").save()
+            # materialize BEFORE the overwrite: the overwrite drops the
+            # table the merged plan lazily reads from (self-overwrite
+            # hazard — the JDBC analog of the parquet staging swap)
+            merged = merged.cache()
+            merged.count()
+            try:
+                w2 = (
+                    merged.write.format("jdbc")
+                    .option("url", self.url)
+                    .option("dbtable", table)
+                    .options(**self._props())
+                )
+                w2.mode("overwrite").save()
+            finally:
+                merged.unpersist()
         else:
             raise ValueError(f"unknown mode {mode!r}")
         self.engine.logger.log(f"wrote jdbc {table} ({mode})")

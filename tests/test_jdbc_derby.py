@@ -1,0 +1,84 @@
+"""JDBC connector integration tests against embedded Derby (the jar
+ships with Spark's metastore — no external server).
+
+Exercises the S1-S3 surface for real: overwrite/append writes, table
+and pushdown-subquery reads, partitioned parallel scans, and the
+anti-join upsert (including the self-overwrite hazard the writer must
+survive: the merged plan reads the table the overwrite drops).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from forklift_spark.connections.jdbc import JdbcConnection
+from forklift_spark.engine import Engine
+
+URL = "jdbc:derby:memory:forklift_test;create=true"
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture(scope="module")
+def jdbc(spark):
+    eng = Engine({"project_root": "/tmp"}, spark=spark)
+    conn = JdbcConnection({"url": URL, "driver": DRIVER}, eng)
+    try:
+        conn.read("VALUES 1")  # probe driver availability
+    except Exception as e:  # pragma: no cover - env-dependent
+        if "ClassNotFound" in str(e) or "No suitable driver" in str(e):
+            pytest.skip(f"derby driver unavailable: {e}")
+        # Derby accepts table-less probes oddly; any other error means the
+        # driver loaded — continue
+    return conn
+
+
+def _seed(spark, n=20):
+    return spark.range(n).select(
+        F.col("id").cast("long").alias("id"),
+        F.concat(F.lit("u"), F.col("id")).alias("name"),
+        (F.col("id") * 10).cast("long").alias("score"),
+    )
+
+
+def test_overwrite_append_read_roundtrip(spark, jdbc):
+    df = _seed(spark)
+    jdbc.write(df, "users", mode="overwrite")
+    assert jdbc.read("users").count() == 20
+    jdbc.write(df.filter(F.col("id") >= 18), "users", mode="append")
+    assert jdbc.read("users").count() == 22
+
+
+def test_sql_pushdown_subquery_read(spark, jdbc):
+    jdbc.write(_seed(spark), "push_t", mode="overwrite")
+    # pass-through SQL is written in the SOURCE dialect: Spark's JDBC
+    # writer creates quoted (case-sensitive) identifiers in Derby
+    got = jdbc.read('SELECT "name", "score" FROM push_t WHERE "score" >= 150')
+    rows = sorted((r["name"], r["score"]) for r in got.collect())
+    assert rows == [(f"u{i}", i * 10) for i in range(15, 20)]
+    assert got.columns == ["name", "score"]
+
+
+def test_partitioned_parallel_read(spark, jdbc):
+    jdbc.write(_seed(spark, 50), "part_t", mode="overwrite")
+    df = jdbc.read("part_t", partition_column="id", num_partitions=4)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 50
+    assert df.agg(F.sum("score")).collect()[0][0] == sum(i * 10 for i in range(50))
+
+
+def test_upsert_survives_self_overwrite(spark, jdbc):
+    jdbc.write(_seed(spark), "ups_t", mode="overwrite")
+    delta = spark.range(18, 25).select(
+        F.col("id").cast("long").alias("id"),
+        F.lit("updated").alias("name"),
+        F.lit(-1).cast("long").alias("score"),
+    )
+    jdbc.write(delta, "ups_t", mode="upsert", primary_key="id")
+    # assert on collected rows: a string filter would push down as a
+    # CLOB = CHAR comparison, which Derby rejects (Derby maps Spark
+    # strings to CLOB) — a dialect quirk, not an engine behavior
+    rows = jdbc.read("ups_t").collect()
+    assert len(rows) == 25  # 20 originals, 2 replaced, 5 new
+    assert sum(1 for r in rows if r["name"] == "updated") == 7
+    assert not any(r["score"] < 0 for r in rows if r["id"] < 18)
