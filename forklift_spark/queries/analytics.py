@@ -474,3 +474,30 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("med_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_grouping_sets — explicit GROUPING SETS (distinct from rollup/cube):
+# per-(year,status), per-status, and grand total in one partial-agg pass.
+# --------------------------------------------------------------------------
+GSETS_ORACLE = """
+SELECT year(o_orderdate) AS yr, o_orderstatus,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+  count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate), o_orderstatus), (o_orderstatus), ())
+"""
+
+
+@query("q_grouping_sets", GSETS_ORACLE)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT year(o_orderdate) AS yr, o_orderstatus,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+          count(*) AS n
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((year(o_orderdate), o_orderstatus), (o_orderstatus), ())
+        """
+    )

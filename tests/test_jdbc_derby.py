@@ -82,3 +82,21 @@ def test_upsert_survives_self_overwrite(spark, jdbc):
     assert len(rows) == 25  # 20 originals, 2 replaced, 5 new
     assert sum(1 for r in rows if r["name"] == "updated") == 7
     assert not any(r["score"] < 0 for r in rows if r["id"] < 18)
+
+
+def test_cross_endpoint_import_derby_to_parquet(spark, jdbc, tmp_path):
+    """P4 heterogeneous form: JDBC source -> parquet warehouse in one
+    declarative plan (the reference needs a client-side row loop for
+    cross-server copies; Spark makes it the same pipe)."""
+    from forklift_spark import patterns
+    from forklift_spark.connections.parquet import ParquetConnection
+    from forklift_spark.engine import Engine
+
+    jdbc.write(_seed(spark, 30), "xsrc", mode="overwrite")
+    eng = Engine({"project_root": str(tmp_path)}, spark=spark)
+    wh = ParquetConnection({"path": str(tmp_path / "wh")}, eng)
+    patterns.import_table(jdbc, "xsrc", wh, "xdst")
+    out = wh.read("xdst")
+    assert out.count() == 30
+    assert sorted(out.columns) == ["id", "name", "score"]
+    assert out.agg(F.sum("score")).collect()[0][0] == sum(i * 10 for i in range(30))
