@@ -150,3 +150,44 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", D.fingerprint("text").alias("content_md5")
     ).join(winnow, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# q_zipf_token_freq — global corpus token statistics: frequency, rank
+# (Zipf curve), document frequency. The vocabulary-analysis pass of a
+# training-data pipeline: one explode + one groupBy + one window over
+# the (small) vocabulary, top-100 by count.
+# --------------------------------------------------------------------------
+ZIPF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_W}) AS tok FROM documents
+), stats AS (
+  SELECT tok, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+  FROM toks GROUP BY tok
+)
+SELECT tok, freq, doc_freq,
+  row_number() OVER (ORDER BY freq DESC, tok) AS rank
+FROM stats
+ORDER BY rank
+LIMIT 100
+"""
+
+
+@query("q_zipf_token_freq", ZIPF_ORACLE)
+def q_zipf_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(X.words("text")).alias("tok")
+    )
+    stats = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+    w = W.orderBy(F.col("freq").desc(), "tok")
+    return (
+        stats.withColumn("rank", F.row_number().over(w))
+        .orderBy("rank")
+        .limit(100)
+    )
