@@ -32,7 +32,11 @@ HEADLINE = [
     "q4_exists_priority",
     "q17_small_qty",
     "q_cube",
+    "q_grouping_sets",
     "q_running_window",
+    "q_percentiles",
+    "q_outer_join_reconcile",
+    "q_salted_join",
     "q_topk_per_group",
     "q_rollup",
     "q_distinct_exact",
@@ -49,6 +53,7 @@ HEADLINE = [
     "q_ann_lsh_topk",
     "q_text_quality",
     "q_lang_id",
+    "q_zipf_token_freq",
     "q_media_metadata",
     "q_frame_sample",
 ]

@@ -364,3 +364,86 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         F.col("l_extendedprice").cast("double").alias("price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_outer_join_reconcile — FULL OUTER reconciliation of two partial
+# views (the consolidation-audit shape: which keys exist where, do
+# the values agree). Exercises outer-join null semantics end to end.
+# --------------------------------------------------------------------------
+OUTER_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey AS k, CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderkey
+), b AS (
+  SELECT l_orderkey AS k,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS lined
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT coalesce(a.k, b.k) AS k, a.total, b.lined,
+  CASE WHEN a.k IS NULL THEN 'lineitem_only'
+       WHEN b.k IS NULL THEN 'orders_only'
+       ELSE 'both' END AS presence
+FROM a FULL OUTER JOIN b ON a.k = b.k
+"""
+
+
+@query("q_outer_join_reconcile", OUTER_ORACLE)
+def q_outer_join_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.functions.exact import MONEY, dec
+
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    a = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_orderkey").alias("ka"))
+        .agg(F.sum(dec("o_totalprice", MONEY)).cast("double").alias("total"))
+    )
+    b = li.groupBy(F.col("l_orderkey").alias("kb")).agg(
+        F.sum(dec("l_extendedprice", MONEY)).cast("double").alias("lined")
+    )
+    joined = a.join(b, F.col("ka") == F.col("kb"), "full_outer")
+    return joined.select(
+        F.coalesce("ka", "kb").alias("k"),
+        "total",
+        "lined",
+        F.when(F.col("ka").isNull(), "lineitem_only")
+        .when(F.col("kb").isNull(), "orders_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_array_funcs — array surface over the embeddings table: slicing,
+# element access, size, exact decimal array-sum (the building blocks the
+# similarity operators compose).
+# --------------------------------------------------------------------------
+ARRAY_ORACLE = """
+SELECT vec_id,
+  len(embedding) AS dims,
+  CAST(embedding[1] AS DOUBLE) AS first_val,
+  CAST(embedding[len(embedding)] AS DOUBLE) AS last_val,
+  CAST(list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(10,9)))) AS DOUBLE) AS vec_sum
+FROM embeddings
+WHERE vec_id < 100
+"""
+
+
+@query("q_array_funcs", ARRAY_ORACLE)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.operators.similarity import ACC_DEC, VEC_DEC
+
+    emb = tables.load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    vec_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast(ACC_DEC),
+        lambda s, x: (s + x.cast(VEC_DEC)).cast(ACC_DEC),
+    ).cast("double")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dims"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.element_at("embedding", F.size("embedding")).cast("double").alias("last_val"),
+        vec_sum.alias("vec_sum"),
+    )
