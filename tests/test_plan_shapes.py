@@ -1,0 +1,63 @@
+"""Physical-plan shape regressions: the properties that make these
+queries survive 100 TB, pinned as assertions (not just .explain-by-hand).
+
+- dimension joins broadcast (no shuffled dim exchange)
+- filters reach the parquet scan (PushedFilters)
+- projections prune the scan (ReadSchema)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from forklift_spark.queries.analytics import q3_shipping_priority, q5_region_revenue
+from forklift_spark.queries.etl import q_projection_filter
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_broadcasts_dims_and_pushes_filters(spark):
+    plan = _plan(q3_shipping_priority(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # the selective dim filter executes in the scan, not after it
+    assert "PushedFilters" in plan
+    assert "c_mktsegment" in plan
+
+
+def test_q5_snowflake_is_all_broadcast(spark):
+    plan = _plan(q5_region_revenue(spark, SF_DIR))
+    # 5 joins -> every dim side broadcast at test SF; no sort-merge join
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_projection_prunes_scan_columns(spark):
+    df = q_projection_filter(spark, SF_DIR)
+    plan = _plan(df)
+    scan = plan[plan.index("ReadSchema") :][:400]
+    # only the projected/filtered columns are read, not the whole table
+    assert "c_acctbal" in scan
+    assert "c_nationkey" not in scan
+
+
+def test_no_collect_in_operators():
+    """Grep-level guard: operator modules must not driver-materialize.
+    (Allowed: centroid seeding, which is bounded by n_cells and
+    documented; patterns read scalar HWMs through connections.)"""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "forklift_spark" / "operators"
+    offenders = []
+    for p in root.glob("*.py"):
+        text = p.read_text()
+        for i, line in enumerate(text.splitlines(), 1):
+            if ".collect()" in line and "deterministic_centroids" not in text[: text.index(line)].rsplit("def ", 1)[-1][:40]:
+                # allow only inside deterministic_centroids
+                ctx = text[: text.find(line)]
+                fn = ctx.rsplit("def ", 1)[-1].split("(", 1)[0] if "def " in ctx else ""
+                if fn != "deterministic_centroids":
+                    offenders.append(f"{p.name}:{i}")
+    assert not offenders, offenders
