@@ -114,18 +114,26 @@ def _hyperplane_signs(seed: int, dims: int) -> list[int]:
     return out
 
 
-def lsh_bucket(vec: Column, bits: int, dims: int = 64) -> Column:
-    """Random-hyperplane signature: bit s = sign(Σ_d ±1·v_d) with the
-    ±1 pattern keyed by (s, d). Exact decimal sums -> portable buckets."""
+def _lsh_bucket_seeded(vec: Column, bits: int, seed_offset: int, dims: int = 64) -> Column:
+    """Hyperplane signature over seeds [seed_offset, seed_offset+bits) —
+    disjoint offsets give independent hash tables."""
     bucket = F.lit(0)
     for s in range(bits):
-        signs = F.array(*[F.lit(v).cast(VEC_DEC) for v in _hyperplane_signs(s, dims)])
+        signs = F.array(
+            *[F.lit(v).cast(VEC_DEC) for v in _hyperplane_signs(seed_offset + s, dims)]
+        )
         prods = F.zip_with(vec, signs, lambda v, g: v.cast(VEC_DEC) * g)
         tot = F.aggregate(
             prods, F.lit(0).cast(ACC_DEC), lambda a, p: (a + p).cast(ACC_DEC)
         )
         bucket = bucket + F.when(tot >= 0, F.lit(1 << s)).otherwise(F.lit(0))
     return bucket.cast("int")
+
+
+def lsh_bucket(vec: Column, bits: int, dims: int = 64) -> Column:
+    """Random-hyperplane signature: bit s = sign(Σ_d ±1·v_d) with the
+    ±1 pattern keyed by (s, d). Exact decimal sums -> portable buckets."""
+    return _lsh_bucket_seeded(vec, bits, 0, dims)
 
 
 def lsh_topk(
@@ -135,19 +143,36 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     bits: int = 4,
+    n_tables: int = 1,
 ) -> DataFrame:
     """ANN top-k: exact cosine ranking restricted to the query's LSH
-    bucket. Recall < 1 by design; raise `bits` tables/multi-probe for
-    higher recall. The candidate join is an equi-join on the bucket —
-    the plan that survives a 2000-executor corpus scan."""
+    bucket(s). Recall < 1 by design; ``n_tables`` independent hash
+    tables (disjoint hyperplane seed ranges) union their candidates —
+    the standard recall lever: P(miss) decays exponentially in tables.
+    The candidate join is an equi-join on (table, bucket) — the plan
+    that survives a 2000-executor corpus scan; corpus cost is one extra
+    signature column and candidate-set growth, never a cross join."""
     from pyspark.sql import Window as W
+
+    def buckets(vec: Column) -> Column:
+        # table t uses hyperplane seeds [t*bits, (t+1)*bits) — independent
+        # sign families per table
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    _lsh_bucket_seeded(vec, bits, t * bits).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         norm_exact(F.col(vec_col)).alias("qn"),
-        lsh_bucket(F.col(vec_col), bits).alias("bucket"),
-    )
+        F.explode(buckets(F.col(vec_col))).alias("tb"),
+    ).select("query_id", "qv", "qn", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     corpus = corpus.repartition(
         corpus.sparkSession.sparkContext.defaultParallelism, id_col
     )
@@ -155,9 +180,11 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         norm_exact(F.col(vec_col)).alias("cn"),
-        lsh_bucket(F.col(vec_col), bits).alias("bucket"),
-    )
-    scored = c.join(F.broadcast(q), "bucket").select(
+        F.explode(buckets(F.col(vec_col))).alias("tb"),
+    ).select("neighbor_id", "cv", "cn", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    scored = c.join(F.broadcast(q), ["tbl", "bucket"]).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    ).select(
         "query_id",
         "neighbor_id",
         (dot_exact(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
