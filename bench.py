@@ -30,7 +30,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q4_exists_priority",
+    "q10_returned_items",
+    "q14_promo_revenue",
     "q17_small_qty",
+    "q19_disjunctive",
     "q_cube",
     "q_grouping_sets",
     "q_running_window",

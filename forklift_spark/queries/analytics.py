@@ -501,3 +501,129 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((year(o_orderdate), o_orderstatus), (o_orderstatus), ())
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q10_returned_items — TPC-H Q10 shape: revenue lost to returns per
+# customer, top 20. Fact⋈fact on orderkey + broadcast dims.
+# --------------------------------------------------------------------------
+Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("q10_returned_items", Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer")
+    nation = tables.load(spark, sf_dir, "nation")
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = tables.load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = dec("l_extendedprice", MONEY) * (_one() - dec("l_discount", RATE))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q14_promo_revenue — TPC-H Q14 shape: conditional aggregation ratio
+# (promo revenue share). One join, one scan, exact division.
+# --------------------------------------------------------------------------
+Q14_ORACLE = """
+SELECT
+  100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+    THEN CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+  AS promo_pct,
+  count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+@query("q14_promo_revenue", Q14_ORACLE)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = tables.load(spark, sf_dir, "part")
+    revenue = dec("l_extendedprice", MONEY) * (_one() - dec("l_discount", RATE))
+    promo = F.when(
+        F.col("p_type").like("PROMO%"), revenue
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(revenue).cast("double")
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q19_disjunctive — TPC-H Q19 shape: OR-of-ANDs predicate bundle across
+# the join (brand × size × quantity bands). Catalyst splits the
+# disjunction into scan-level pushdowns where possible.
+# --------------------------------------------------------------------------
+Q19_ORACLE = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 21)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
+
+@query("q19_disjunctive", Q19_ORACLE)
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part")
+    revenue = dec("l_extendedprice", MONEY) * (_one() - dec("l_discount", RATE))
+    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#33")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return joined.filter(cond).agg(
+        _dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
