@@ -48,6 +48,7 @@ HEADLINE = [
     "q_window_tumbling",
     "q_sessionize",
     "q_asof_join",
+    "q_event_funnel",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",

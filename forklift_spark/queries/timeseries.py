@@ -174,3 +174,52 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     return joined.groupBy("event_id").agg(F.count("cid").alias("clicks_before"))
+
+
+# --------------------------------------------------------------------------
+# q_event_funnel — sequential funnel: per user, did view -> click ->
+# purchase happen in ts order? One groupBy with conditional min/max
+# timestamps (no self-joins, no window): the plan a 100 TB event log
+# wants — a single shuffle on user_id with map-side partial agg.
+# --------------------------------------------------------------------------
+FUNNEL_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+    min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id, first_view, first_click, first_purchase,
+  (first_view IS NOT NULL)
+    AND (first_click IS NOT NULL AND first_click > first_view)
+    AND (first_purchase IS NOT NULL AND first_purchase > first_click)
+  AS converted
+FROM per_user
+"""
+
+
+@query("q_event_funnel", FUNNEL_ORACLE)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("first_view"),
+        first_ts("click").alias("first_click"),
+        first_ts("purchase").alias("first_purchase"),
+    )
+    converted = (
+        F.col("first_view").isNotNull()
+        & (F.col("first_click").isNotNull() & (F.col("first_click") > F.col("first_view")))
+        & (
+            F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") > F.col("first_click"))
+        )
+    )
+    return per_user.select(
+        "user_id", "first_view", "first_click", "first_purchase",
+        converted.alias("converted"),
+    )
