@@ -447,3 +447,30 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", F.size("embedding")).cast("double").alias("last_val"),
         vec_sum.alias("vec_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_json_extract — semi-structured column surface: pull typed fields out
+# of a JSON string column and aggregate. JVM-side json path (no UDF);
+# at scale this is a scan-speed projection feeding a one-shuffle agg.
+# --------------------------------------------------------------------------
+JSON_ORACLE = """
+SELECT event_type,
+  SUM(CAST(props->>'k' AS BIGINT)) AS k_sum,
+  count(CAST(props->>'k' AS BIGINT)) AS k_present,
+  min(CAST(props->>'k' AS BIGINT)) AS k_min,
+  max(CAST(props->>'k' AS BIGINT)) AS k_max
+FROM events GROUP BY event_type
+"""
+
+
+@query("q_json_extract", JSON_ORACLE)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"),
+        F.count(k).alias("k_present"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
