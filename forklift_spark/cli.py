@@ -98,9 +98,17 @@ def main(argv: list[str] | None = None) -> int:
     p_run = sub.add_parser("run", help="run a plan file")
     p_run.add_argument("plan")
     p_run.add_argument("steps", nargs="*")
+    sub.add_parser("queries", help="list the query catalog")
     ns = p.parse_args(argv)
     if ns.cmd == "init":
         init(ns.dir)
+    elif ns.cmd == "queries":
+        from forklift_spark import queries as Q
+
+        oracles = Q.oracles()
+        for name in sorted(Q.catalog()):
+            kind = "oracle-checked" if name in oracles else "rows-only"
+            print(f"{name}\t{kind}")
     else:
         run(ns.plan, ns.steps)
     return 0

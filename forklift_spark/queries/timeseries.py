@@ -223,3 +223,44 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "first_view", "first_click", "first_purchase",
         converted.alias("converted"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_trailing_range_window — RANGE frame keyed on event time (trailing
+# 7 days per customer), distinct from the ROWS frames elsewhere. The
+# frame bound is epoch-seconds arithmetic so both engines agree exactly.
+# --------------------------------------------------------------------------
+TRAILING_ORACLE = """
+SELECT o_orderkey, o_custkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+    OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+          RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS trailing_7d,
+  count(*)
+    OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+          RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    AS n_7d
+FROM orders
+"""
+
+
+@query("q_trailing_range_window", TRAILING_ORACLE)
+def q_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from forklift_spark.functions.exact import MONEY, dec
+
+    orders = tables.load(spark, sf_dir, "orders").withColumn(
+        "__epoch", F.unix_timestamp("o_orderdate")
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("__epoch")
+        .rangeBetween(-604800, W.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(dec("o_totalprice", MONEY)).over(w).cast("double").alias("trailing_7d"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )
