@@ -1,0 +1,108 @@
+"""Data-layout operators: Z-order clustering + small-file compaction.
+
+No reference counterpart (forklift's layout story is a MySQL secondary
+index, `transports/mysql.rb:122`); on immutable columnar storage layout
+IS the index. Two operators:
+
+- ``zorder_sort``: sort by an interleaved-bit (Morton) key over N
+  columns so parquet row-groups get tight min/max ranges on EVERY
+  z-dimension — multi-dimensional data skipping without an index. Pure
+  JVM bit arithmetic; the sort is the only shuffle.
+- ``compact``: rewrite a table directory into ~target-size files. At
+  100 TB the small-files problem (per-file open cost, scheduler
+  pressure) dominates incremental-upsert workloads; periodic compaction
+  is the standard fix.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Z_BITS = 16  # bits per dimension; 2 dims -> 32-bit z-value
+
+
+def _to_rank(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Scale a numeric column to an integer rank in [0, 2^bits)."""
+    span = (hi - lo).cast("double")
+    frac = F.when(span > 0, (col.cast("double") - lo.cast("double")) / span).otherwise(
+        F.lit(0.0)
+    )
+    max_rank = (1 << bits) - 1
+    return F.least(
+        F.floor(frac * F.lit(max_rank + 1)).cast("long"), F.lit(max_rank)
+    )
+
+
+def _interleave(ranks: list[Column], bits: int) -> Column:
+    """Morton code: bit j of dimension d lands at position j*D + d."""
+    z = F.lit(0).cast("long")
+    ndims = len(ranks)
+    for j in range(bits):
+        for d, r in enumerate(ranks):
+            bit = F.shiftright(r, j).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, j * ndims + d)
+    return z
+
+
+def zorder_sort(df: DataFrame, cols: list[str], bits: int = Z_BITS) -> DataFrame:
+    """Order rows by the Morton code of ``cols`` (numeric/date/timestamp).
+
+    Write the result with file-per-partition and every z-dimension gets
+    clustered min/max ranges per file — the poor-man's Z-order OPTIMIZE,
+    expressed as one projection + one range sort (a single shuffle).
+    Column ranges are computed in the same job (window-free agg + cross
+    join of one row — broadcast).
+
+    File granularity: control with the writer's ``maxRecordsPerFile``
+    option (AQE coalesces small range partitions, so partition count
+    alone doesn't bound file size; record-split files stay z-contiguous
+    because the sort is total).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"__hi_{c}")]
+    bounds = df.agg(*aggs)
+    with_bounds = df.crossJoin(F.broadcast(bounds))
+    ranks = [
+        _to_rank(F.col(c).cast("double"), F.col(f"__lo_{c}"), F.col(f"__hi_{c}"), bits)
+        for c in cols
+    ]
+    z = _interleave(ranks, bits)
+    return (
+        with_bounds.withColumn("__z", z)
+        .orderBy("__z")
+        .drop("__z", *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols])
+    )
+
+
+def compact(
+    spark,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ceil(size/target) files via an
+    atomic staging swap (same publish idiom as the upsert writer).
+    Returns the new file count. Driver-side work is metadata-only."""
+    import shutil
+    import uuid
+
+    size = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(table_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    df = spark.read.parquet(table_path)
+    staging = f"{table_path}.__compact__{uuid.uuid4().hex[:8]}"
+    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    old = f"{table_path}.__old__{uuid.uuid4().hex[:8]}"
+    os.rename(table_path, old)
+    os.rename(staging, table_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_files

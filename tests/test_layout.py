@@ -1,0 +1,73 @@
+"""Z-order clustering + compaction: measurable layout effects.
+
+The z-order test checks the thing that matters: per-file min/max spans
+on BOTH dimensions shrink vs an unclustered single-dimension sort, so
+parquet data skipping can prune on either predicate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from forklift_spark.operators.layout import compact, zorder_sort
+
+
+@pytest.fixture()
+def grid(spark):
+    # a 100x100 grid: x-sort clusters x perfectly but leaves y spanning
+    # the full range in every file; z-order bounds both
+    return spark.range(10000).select(
+        (F.col("id") % 100).alias("x"),
+        (F.col("id") / 100).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+
+
+def _file_spans(path, col):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT file_name, max({col}) - min({col}) AS span
+        FROM (SELECT {col}, filename AS file_name
+              FROM read_parquet('{path}/*.parquet', filename=true))
+        GROUP BY file_name
+        """
+    ).fetchall()
+    return [r[1] for r in rows]
+
+
+def test_zorder_bounds_both_dimensions(spark, tmp_path, grid):
+    plain = str(tmp_path / "xsort")
+    zed = str(tmp_path / "zorder")
+    grid.orderBy("x").write.option("maxRecordsPerFile", 1250).parquet(plain)
+    zorder_sort(grid, ["x", "y"]).write.option("maxRecordsPerFile", 1250).parquet(zed)
+
+    # same data
+    assert spark.read.parquet(zed).count() == 10000
+    got = spark.read.parquet(zed).agg(F.sum("payload")).collect()[0][0]
+    assert got == sum(range(10000))
+
+    # x-sorted files: y spans ~the full range per file
+    y_span_plain = sum(_file_spans(plain, "y")) / len(_file_spans(plain, "y"))
+    # z-ordered files: BOTH dims bounded well below full range
+    x_span_z = sum(_file_spans(zed, "x")) / len(_file_spans(zed, "x"))
+    y_span_z = sum(_file_spans(zed, "y")) / len(_file_spans(zed, "y"))
+    assert y_span_plain > 90  # control: single-dim sort leaves y unclustered
+    assert y_span_z < y_span_plain / 2
+    assert x_span_z < 90
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    path = str(tmp_path / "fragmented")
+    # simulate incremental-append fragmentation: 40 tiny files
+    spark.range(4000).repartition(40).write.parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before == 40
+    n_target = compact(spark, path, target_file_bytes=1 << 20)
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_after == n_target < n_before
+    assert spark.read.parquet(path).count() == 4000
