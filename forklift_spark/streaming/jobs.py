@@ -50,6 +50,22 @@ def stream_incremental_sync(
     return writer.start()
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich an event stream with a dimension
+    table. The static side is broadcast per micro-batch (re-read each
+    batch, so slowly-changing dims pick up updates); no state store is
+    involved — the streaming analog of the broadcast dim join every
+    batch query here uses."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), key, how)
+
+
 def windowed_counts(
     events: DataFrame,
     window: str = "1 hour",

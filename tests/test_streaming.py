@@ -101,3 +101,27 @@ def test_sessionized_stream_runs(spark, tmp_path, events):
     for r in rows:
         assert r["n_events"] >= 1
         assert r["session_start"] <= r["session_end"]
+
+
+def test_enrich_stream_static_join(spark, tmp_path, events):
+    from forklift_spark.streaming.jobs import enrich_stream
+
+    src_dir = str(tmp_path / "src")
+    events.write.parquet(src_dir)
+    dim = spark.createDataFrame(
+        [(t, f"Type {t.title()}") for t in ("click", "view", "purchase", "signup", "error")],
+        "event_type: string, label: string",
+    )
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    q = (
+        enrich_stream(stream, dim, "event_type")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n, count(label) AS labeled FROM enriched").collect()[0]
+    assert got["n"] == events.count()
+    assert got["labeled"] == got["n"]  # every event type resolved
