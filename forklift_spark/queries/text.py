@@ -191,3 +191,52 @@ def q_zipf_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# q_train_test_split — deterministic hash-based dataset split: bucket =
+# md5(id) % 100, train < 80 <= valid < 90 <= test. Reproducible across
+# engines/runs/repartitioning (no RNG) — the canonical training-data
+# split that survives incremental re-runs without leaking rows between
+# splits.
+# --------------------------------------------------------------------------
+SPLIT_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+    CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT
+  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+  lang, count(*) AS n, min(doc_id) AS min_id
+FROM b GROUP BY 1, 2
+"""
+
+
+@query("q_train_test_split", SPLIT_ORACLE)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.functions.hashing import md5_long
+
+    docs = tables.load(spark, sf_dir, "documents")
+    bucket = md5_long(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return docs.select(split.alias("split"), "lang", "doc_id").groupBy(
+        "split", "lang"
+    ).agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id"))
+
+
+# --------------------------------------------------------------------------
+# q_stratified_sample — per-language stratified sample (seeded Bernoulli
+# per stratum). Sampling RNGs are engine-specific -> rows-only check;
+# the invariants (determinism, per-stratum bounds) are pinned in
+# tests/test_sampling.py.
+# --------------------------------------------------------------------------
+@query("q_stratified_sample")
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
+    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
