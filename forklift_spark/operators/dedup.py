@@ -423,3 +423,48 @@ def ngram_jaccard_pairs(
     )
     sizes = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     return _jaccard_from_inter(inter, sizes, threshold)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination: n-gram containment against an eval set
+# ---------------------------------------------------------------------------
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """(corpus_id, bench_id, containment) where containment =
+    |corpus ∩ bench| / |bench| over distinct shingle sets — the
+    decontamination pass of a training pipeline: a corpus doc containing
+    most of a benchmark item's n-grams leaks the benchmark.
+
+    Same relational shape as the dedup verifiers: hash shingles to
+    longs, inverted-index equi-join on the hash, count-aggregate with
+    map-side combine. The benchmark side is tiny relative to the corpus
+    -> its hashed shingles broadcast; the corpus streams once.
+    """
+    c = hashed_shingles(corpus, id_col, text_col, shingle_n).select(
+        F.col(id_col).alias("corpus_id"), "h1"
+    )
+    b = hashed_shingles(benchmark, id_col, text_col, shingle_n).select(
+        F.col(id_col).alias("bench_id"), "h1"
+    )
+    b_sizes = b.groupBy("bench_id").agg(F.count(F.lit(1)).alias("nb"))
+    inter = (
+        c.join(F.broadcast(b), "h1")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(b_sizes), "bench_id")
+        .withColumn(
+            "containment", F.col("inter").cast("double") / F.col("nb").cast("double")
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("corpus_id", "bench_id", "containment")
+    )

@@ -220,3 +220,44 @@ WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= 0.2
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.2)
+
+
+# --------------------------------------------------------------------------
+# q_decontaminate — benchmark-leak detection: which corpus documents
+# contain >= 50% of a "benchmark" doc's 3-gram shingles. Benchmark =
+# every 50th document (a stand-in eval set); a doc always contains
+# itself (containment 1.0), so the self-hits pin exactness and any
+# other hit is a (near-)duplicate leak.
+# --------------------------------------------------------------------------
+def _decontaminate_oracle() -> str:
+    sh = _shingle_sql()
+    h1 = "CAST('0x' || substr(md5('s:' || s), 1, 15) AS BIGINT)"
+    return f"""
+WITH words AS (
+  {_WORDS_CTE}
+), sh0 AS (
+  SELECT doc_id, {sh} AS sh FROM words
+), hs AS (
+  SELECT doc_id, {h1} AS h1
+  FROM (SELECT doc_id, unnest(sh) AS s FROM sh0)
+), bench AS (
+  SELECT doc_id AS bench_id, h1 FROM hs WHERE doc_id % 50 = 0
+), bsz AS (
+  SELECT bench_id, count(*) AS nb FROM bench GROUP BY bench_id
+), inter AS (
+  SELECT c.doc_id AS corpus_id, b.bench_id, count(*) AS i
+  FROM hs c JOIN bench b ON c.h1 = b.h1
+  GROUP BY 1, 2
+)
+SELECT i.corpus_id, i.bench_id,
+  CAST(i.i AS DOUBLE) / CAST(s.nb AS DOUBLE) AS containment
+FROM inter i JOIN bsz s ON s.bench_id = i.bench_id
+WHERE CAST(i.i AS DOUBLE) / CAST(s.nb AS DOUBLE) >= 0.5
+"""
+
+
+@query("q_decontaminate", _decontaminate_oracle())
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return D.contamination_pairs(docs, bench, "doc_id", "text", min_containment=0.5)
