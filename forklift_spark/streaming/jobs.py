@@ -66,6 +66,37 @@ def enrich_stream(
     return stream.join(F.broadcast(dim), key, how)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    within: str = "1 hour",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: match right events to left
+    events on ``key`` when the right event lands within ``within`` AFTER
+    the left event (click→purchase attribution). Both sides carry
+    watermarks + the time-bound condition, so the state store evicts
+    rows once they can no longer match — bounded state on an infinite
+    stream (without the bound, stream-stream join state grows forever).
+    """
+    from pyspark.sql import functions as F
+
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return l.join(r, cond, "inner")
+
+
 def windowed_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -125,3 +125,55 @@ def test_enrich_stream_static_join(spark, tmp_path, events):
     got = spark.sql("SELECT count(*) AS n, count(label) AS labeled FROM enriched").collect()[0]
     assert got["n"] == events.count()
     assert got["labeled"] == got["n"]  # every event type resolved
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path, events):
+    from forklift_spark.streaming.jobs import stream_stream_join
+
+    clicks_b = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    buys_b = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("buy_ts"), F.col("event_id").alias("buy_id")
+    )
+    want = (
+        clicks_b.join(
+            buys_b,
+            (clicks_b.user_id == buys_b.user_id)
+            & (buys_b.buy_ts >= clicks_b.click_ts)
+            & (buys_b.buy_ts <= clicks_b.click_ts + F.expr("INTERVAL 1 hour")),
+        )
+        .select("click_id", "buy_id")
+        .collect()
+    )
+    want = {(r["click_id"], r["buy_id"]) for r in want}
+
+    src = str(tmp_path / "ss_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    buys = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("buy_ts"), F.col("event_id").alias("buy_id")
+    )
+    joined = stream_stream_join(
+        clicks, buys, "user_id", within="1 hour", left_ts="click_ts", right_ts="buy_ts"
+    ).select("click_id", "buy_id")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["click_id"], r["buy_id"])
+        for r in spark.sql("SELECT * FROM ss_out").collect()
+    }
+    # append-mode emission may hold back rows near the watermark frontier;
+    # everything emitted must be correct and coverage must be substantial
+    assert got <= want
+    assert len(got) >= len(want) * 0.8
+    assert got  # non-trivial join actually matched
