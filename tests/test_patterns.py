@@ -113,3 +113,48 @@ def test_detect_primary_key(seeded):
     assert patterns.detect_primary_key_or_default(seeded, "events_src") == "id"
     seeded.config["primary_keys"] = {"events_src": "event_id"}
     assert patterns.detect_primary_key_or_default(seeded, "events_src") == "event_id"
+
+
+def test_incremental_pipe_with_schema_evolution_mid_sync(spark, tmp_path):
+    """A source that grows a column between syncs must not break the
+    HWM pipe: new column appears in dest, pre-evolution rows read NULL
+    (the reference's ALTER-on-write semantics, `transports/mysql.rb:64-73`,
+    at pattern level)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from forklift_spark import patterns
+    from forklift_spark.connections.parquet import ParquetConnection
+    from forklift_spark.engine import Engine
+
+    eng = Engine({"project_root": str(tmp_path)}, spark=spark)
+    src = ParquetConnection({"path": str(tmp_path / "src")}, eng)
+    dst = ParquetConnection({"path": str(tmp_path / "dst")}, eng)
+
+    t0 = datetime.datetime(2026, 1, 1)
+    schema_v1 = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("updated_at", T.TimestampType()),
+        ]
+    )
+    rows = [(i, f"v1_{i}", t0 + datetime.timedelta(hours=i)) for i in range(8)]
+    src.write(spark.createDataFrame(rows, schema_v1), "t", mode="overwrite")
+    patterns.incremental_pipe(src, "t", dst, "t")
+    assert dst.read("t").count() == 8
+
+    # source evolves: adds a `score` column; only newer rows carry it
+    schema_v2 = T.StructType(list(schema_v1.fields) + [T.StructField("score", T.LongType())])
+    t_new = t0 + datetime.timedelta(days=1)
+    newer = [(100, "v2_100", t_new, 7), (101, "v2_101", t_new, 9)]
+    src.write(spark.createDataFrame(newer, schema_v2), "t", mode="upsert", primary_key="id")
+    patterns.incremental_pipe(src, "t", dst, "t")
+
+    out = dst.read("t")
+    assert out.count() == 10
+    assert "score" in out.columns
+    assert out.filter(F.col("score").isNotNull()).count() == 2
+    assert out.filter((F.col("id") < 100) & F.col("score").isNotNull()).count() == 0
