@@ -163,8 +163,8 @@ def minhash_signatures(
     hashed: DataFrame, id_col: str, num_hashes: int
 ) -> DataFrame:
     """(id, mh0..mh{n-1}) from hashed (id, h1, h2) shingle rows via
-    double hashing: mh_i = min(h1 + i*h2) (Kirsch-Mitzenmacher): two
-    md5s per shingle instead of num_hashes, one groupBy with map-side
+    double hashing: mh_i = min(h1 + i*h2) (Kirsch-Mitzenmacher): one
+    md5 per shingle instead of num_hashes, one groupBy with map-side
     partial min — scan-speed at 100 TB."""
     aggs = [
         F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh{i}")
