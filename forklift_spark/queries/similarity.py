@@ -184,3 +184,21 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=8,
         n_probe=2,
     )
+
+
+# --------------------------------------------------------------------------
+# q_ann_lsh_multitable — 3 independent hash tables union their
+# candidates (the recall lever). Candidate set depends on table count ->
+# rows-only check; recall monotonicity is pinned in
+# tests/test_similarity_ivf.py.
+# --------------------------------------------------------------------------
+@query("q_ann_lsh_multitable")
+def q_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return S.lsh_topk(
+        emb.filter(F.col("vec_id") < _NQ),
+        emb.filter(F.col("vec_id") >= _NQ),
+        k=_K,
+        bits=4,
+        n_tables=3,
+    )

@@ -264,3 +264,34 @@ def q_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("o_totalprice", MONEY)).over(w).cast("double").alias("trailing_7d"),
         F.count(F.lit(1)).over(w).alias("n_7d"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_stream_windowed_counts — the windowed aggregation EXECUTED AS A
+# STREAM (availableNow over staged files -> memory sink). Append-mode
+# watermarking can hold back the trailing window, so this entry takes
+# the rows-only check; exact stream==batch parity is pinned in
+# tests/test_streaming.py.
+# --------------------------------------------------------------------------
+@query("q_stream_windowed_counts")
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from forklift_spark.streaming.jobs import windowed_counts
+
+    events = tables.load(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="fk_stream_src_")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    sink = f"stream_win_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(sink)
