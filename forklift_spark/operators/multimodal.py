@@ -229,3 +229,86 @@ def decode_image(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(run, schema)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("thumb", T.BinaryType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("thumb_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    factor: int = 8,
+) -> DataFrame:
+    """Thumbnail/downsample pass via ``mapInPandas``.
+
+    DETERMINISTIC FAKE resize: keeps every ``factor``-th byte of the
+    payload (a real pipeline decodes + PIL-resamples; see
+    ``resize_image`` for the gated real path). The Spark-side contract
+    is the production one: binary in, smaller binary out, Arrow batches,
+    no shuffle, output partitioning follows input.
+    """
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "thumb": [], "orig_bytes": [], "thumb_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                thumb = raw[::factor]
+                out["doc_id"].append(doc_id)
+                out["thumb"].append(thumb)
+                out["orig_bytes"].append(len(raw))
+                out["thumb_bytes"].append(len(thumb))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def resize_image(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL image resize via PIL. STUB: raises ``NotImplementedError``
+    when PIL is absent (it is in this container); `resize_media` is the
+    deterministic fake with identical Spark-side plumbing."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "image resize requires PIL, which is not available in this "
+            "environment; use resize_media (deterministic byte-level "
+            "fake) for pipeline testing"
+        ) from exc
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            out = {"doc_id": [], "thumb": [], "orig_bytes": [], "thumb_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                img = Image.open(io.BytesIO(raw)).resize((width, height))
+                buf = io.BytesIO()
+                img.save(buf, format=img.format or "PNG")
+                out["doc_id"].append(doc_id)
+                out["thumb"].append(buf.getvalue())
+                out["orig_bytes"].append(len(raw))
+                out["thumb_bytes"].append(len(buf.getvalue()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, RESIZE_SCHEMA)

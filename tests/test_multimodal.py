@@ -136,3 +136,34 @@ def test_media_queries_match_oracle(spark, oracle):
         order = sorted(range(len(names)), key=lambda i: names[i])
         drows = sorted(tuple(repr(r[i]) for i in order) for r in cur.fetchall())
         assert srows == drows, fn.__name__
+
+
+def test_resize_media_deterministic_downsample(with_payload):
+    out = M.resize_media(with_payload, factor=8)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "thumb", "orig_bytes", "thumb_bytes",
+    ]
+    rows = out.limit(10).collect()
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in with_payload.filter(
+            F.col("doc_id").isin([r["doc_id"] for r in rows])
+        ).collect()
+    }
+    for r in rows:
+        raw = payloads[r["doc_id"]]
+        assert bytes(r["thumb"]) == raw[::8]
+        assert r["orig_bytes"] == len(raw)
+        assert r["thumb_bytes"] == len(raw[::8])
+        assert r["thumb_bytes"] <= r["orig_bytes"] // 8 + 1
+
+
+def test_resize_image_stub_raises_without_pil(with_payload):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL available; stub not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        M.resize_image(with_payload, 32, 32)
