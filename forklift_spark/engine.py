@@ -25,7 +25,11 @@ class Engine:
     def __init__(self, config: dict[str, Any] | None = None, spark=None):
         self.config = {**DEFAULTS, **(config or {})}
         log_cfg = {**DEFAULTS["logger"], **(self.config.get("logger") or {})}
-        self.logger = EngineLogger(debug=log_cfg["debug"], stdout=log_cfg["stdout"])
+        self.logger = EngineLogger(
+            debug=log_cfg["debug"],
+            stdout=log_cfg["stdout"],
+            file_path=log_cfg.get("file"),
+        )
         self._spark = spark
         self.connections: dict[str, dict[str, Any]] = {}
 

@@ -13,15 +13,35 @@ import time
 
 
 class EngineLogger:
-    def __init__(self, name: str = "forklift_spark", debug: bool = False, stdout: bool = True):
+    def __init__(
+        self,
+        name: str = "forklift_spark",
+        debug: bool = False,
+        stdout: bool = True,
+        file_path: str | None = None,
+    ):
         self.messages: list[str] = []
         self._debug = debug
         self._log = logging.getLogger(name)
         self._log.setLevel(logging.DEBUG if debug else logging.INFO)
+        fmt = logging.Formatter("[%(asctime)s] %(levelname)s: %(message)s")
         if stdout and not self._log.handlers:
             h = logging.StreamHandler(sys.stdout)
-            h.setFormatter(logging.Formatter("[%(asctime)s] %(levelname)s: %(message)s"))
+            h.setFormatter(fmt)
             self._log.addHandler(h)
+        if file_path:
+            # file log alongside stdout (`base/logger.rb:15-24` Lumberjack
+            # file target); one handler per distinct path
+            import os
+
+            os.makedirs(os.path.dirname(file_path) or ".", exist_ok=True)
+            have = {
+                getattr(h, "baseFilename", None) for h in self._log.handlers
+            }
+            if os.path.abspath(file_path) not in have:
+                fh = logging.FileHandler(file_path)
+                fh.setFormatter(fmt)
+                self._log.addHandler(fh)
 
     def log(self, msg: str) -> None:
         self.messages.append(f"[{time.strftime('%Y-%m-%d %H:%M:%S')}] {msg}")

@@ -121,3 +121,17 @@ def test_dump_snapshot_export(spark, tmp_path):
     wh.dump(str(tmp_path / "dump_pq"), tables=["nation"], fmt="parquet")
     back = spark.read.parquet(str(tmp_path / "dump_pq" / "nation"))
     assert back.count() == nation.count()
+
+
+def test_logger_file_target(tmp_path):
+    from forklift_spark.engine import Engine
+
+    log_file = str(tmp_path / "log" / "run.log")
+    eng = Engine({"project_root": str(tmp_path), "logger": {"file": log_file}})
+    eng.logger.log("file-logged message")
+    eng.logger.error("file-logged error")
+    text = open(log_file).read()
+    assert "file-logged message" in text
+    assert "file-logged error" in text
+    # memory capture unaffected
+    assert any("file-logged message" in m for m in eng.logger.messages)
