@@ -55,6 +55,25 @@ EXAMPLE_CONNECTION = """\
 path: ./warehouse
 """
 
+EXAMPLE_SQL_TRANSFORMATION = """\
+-- Multi-statement SQL transformation (run with connection.exec).
+-- DELIMITER redefinitions are honored, statements run one by one.
+CREATE TABLE IF NOT EXISTS cleaned AS SELECT * FROM source_table;
+DELIMITER //
+SELECT count(*) FROM cleaned//
+DELIMITER ;
+"""
+
+EXAMPLE_PY_TRANSFORMATION = '''\
+"""Code transformation: full PySpark available (run with connection.exec)."""
+
+
+def do(connection, engine, *args):
+    df = connection.read("source_table")
+    connection.write(df, "scored", mode="overwrite")
+    engine.logger.log(f"scored {df.count()} rows")
+'''
+
 
 def init(root: str = ".") -> None:
     for d in SCAFFOLD_DIRS:
@@ -67,6 +86,14 @@ def init(root: str = ".") -> None:
     if not os.path.exists(conn_path):
         with open(conn_path, "w") as f:
             f.write(EXAMPLE_CONNECTION)
+    for rel, content in (
+        (os.path.join("transformations", "example.sql"), EXAMPLE_SQL_TRANSFORMATION),
+        (os.path.join("transformations", "example.py"), EXAMPLE_PY_TRANSFORMATION),
+    ):
+        path = os.path.join(root, rel)
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                f.write(content)
 
 
 def cli_steps() -> list[str] | None:

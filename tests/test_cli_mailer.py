@@ -25,6 +25,9 @@ def test_init_scaffolds_tree(tmp_path):
     assert os.path.exists(
         os.path.join(root, "config", "connections", "parquet", "warehouse.yml")
     )
+    # transformation templates (reference --generate parity)
+    assert os.path.exists(os.path.join(root, "transformations", "example.sql"))
+    assert os.path.exists(os.path.join(root, "transformations", "example.py"))
     # idempotent, never clobbers an edited plan
     with open(os.path.join(root, "plans", "plan.py"), "w") as f:
         f.write("# edited\n")
