@@ -474,3 +474,55 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("k_min"),
         F.max(k).alias("k_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_conditional_agg — FILTER-style conditional aggregation (count_if /
+# sum-where) in one pass over the fact table.
+# --------------------------------------------------------------------------
+CONDAGG_ORACLE = """
+SELECT l_returnflag,
+  count(*) FILTER (WHERE l_quantity >= 25) AS n_large,
+  count(*) FILTER (WHERE l_discount = 0) AS n_no_disc,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) FILTER (WHERE l_tax > 0.05) AS DOUBLE) AS taxed_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("q_conditional_agg", CONDAGG_ORACLE)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.functions.exact import MONEY, dec
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") >= 25).alias("n_large"),
+        F.count_if(F.col("l_discount") == 0).alias("n_no_disc"),
+        F.sum(F.when(F.col("l_tax") > 0.05, dec("l_extendedprice", MONEY)))
+        .cast("double")
+        .alias("taxed_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_string_agg — ordered string aggregation (the report-formatting
+# shape). collect_list has no deterministic order, so sort the array
+# before joining — equivalent to string_agg(... ORDER BY ...).
+# --------------------------------------------------------------------------
+STRAGG_ORACLE = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@query("q_string_agg", STRAGG_ORACLE)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = tables.load(spark, sf_dir, "nation")
+    region = tables.load(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+        )
+    )
