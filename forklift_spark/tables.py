@@ -34,15 +34,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, read as nano-longs
-        # (session sets spark.sql.legacy.parquet.nanosAsLong); truncate to
-        # micros — bit-identical to DuckDB's TIMESTAMP_NS -> TIMESTAMP.
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
+        # default (PARQUET_TYPE_ILLEGAL). nanosAsLong is a runtime-settable
+        # SQLConf, so set it here rather than relying on the caller's session
+        # builder — the driver harness (and any external caller) builds its
+        # own SparkSession without our session.py configs.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        # Guard on the read schema: under nanosAsLong the column arrives as
+        # LongType (nanos) and we truncate to micros — bit-identical to
+        # DuckDB's TIMESTAMP_NS -> TIMESTAMP; if a future session reads it
+        # as a native timestamp already, leave it alone.
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
