@@ -33,8 +33,12 @@ def query(name: str, oracle: str | None = None):
 
 
 def catalog() -> dict[str, QueryFn]:
+    """Oracle-backed queries first (registration order), rows-only last —
+    if a harness checks a prefix of the catalog, the strong checks win."""
     _load_all()
-    return dict(_REGISTRY)
+    strong = {k: v for k, v in _REGISTRY.items() if k in _ORACLES}
+    weak = {k: v for k, v in _REGISTRY.items() if k not in _ORACLES}
+    return {**strong, **weak}
 
 
 def oracles() -> dict[str, str]:

@@ -111,12 +111,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
     )
     revenue = dec("l_extendedprice", MONEY) * (_one() - dec("l_discount", RATE))
-    # customer (filtered, one segment) broadcasts into orders; the
+    # customer scales with SF, so no forced broadcast hint: Spark's size
+    # estimate (autoBroadcastJoinThreshold) + AQE picks broadcast while the
+    # filtered segment is small and degrades to shuffle when it isn't. The
     # lineitem⋈orders fact join shuffles on orderkey — the only strategy
     # that survives 1000 executors × 100 TB (AQE handles skew).
     return (
         li.join(
-            orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
+            orders.join(cust, F.col("o_custkey") == F.col("c_custkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -158,10 +160,13 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = tables.load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     revenue = dec("l_extendedprice", MONEY) * (_one() - dec("l_discount", RATE))
     return (
+        # customer/supplier scale with SF — no forced hint (planner/AQE
+        # broadcasts them while small, sort-merges at 100 TB); region and
+        # nation are fixed-cardinality, hint stays.
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -366,7 +371,7 @@ def q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2) * F.avg("l_quantity")).alias("qlim")
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))  # SF-scaling: planner decides
         .join(avgq, F.col("ap") == F.col("p_partkey"))
         .filter(F.col("l_quantity") < F.col("qlim"))
         .agg(
@@ -535,7 +540,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = dec("l_extendedprice", MONEY) * (_one() - dec("l_discount", RATE))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))  # SF-scaling: planner decides
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(_dsum(revenue, "revenue"))
@@ -573,7 +578,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").like("PROMO%"), revenue
     ).otherwise(F.lit(0).cast("decimal(18,4)"))
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))  # SF-scaling: planner decides
         .agg(
             (
                 F.lit(100.0)
@@ -606,7 +611,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem")
     part = tables.load(spark, sf_dir, "part")
     revenue = dec("l_extendedprice", MONEY) * (_one() - dec("l_discount", RATE))
-    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    joined = li.join(part, F.col("p_partkey") == F.col("l_partkey"))  # SF-scaling: planner decides
     cond = (
         (
             (F.col("p_brand") == "Brand#11")

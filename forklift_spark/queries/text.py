@@ -185,12 +185,15 @@ def q_zipf_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.count_distinct("doc_id").alias("doc_freq"),
     )
-    w = W.orderBy(F.col("freq").desc(), "tok")
-    return (
-        stats.withColumn("rank", F.row_number().over(w))
-        .orderBy("rank")
-        .limit(100)
-    )
+    # Top-100 BEFORE ranking: orderBy+limit compiles to
+    # TakeOrderedAndProject (per-partition heaps), so the full vocabulary
+    # never lands in one task. Ranking then runs over only 100 rows; the
+    # constant partitionBy keeps WindowExec off the unpartitioned-window
+    # path (it would otherwise pull the whole input into one partition —
+    # and warn — even post-limit).
+    top = stats.orderBy(F.col("freq").desc(), "tok").limit(100)
+    w = W.partitionBy(F.lit(0)).orderBy(F.col("freq").desc(), "tok")
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
 
 
 # --------------------------------------------------------------------------

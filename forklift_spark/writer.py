@@ -157,7 +157,14 @@ class ParquetTableWriter:
         incoming = _align(df, merged)
         # replace-on-pk: keep existing rows whose pk is NOT in the batch
         keys = incoming.select(primary_key).distinct()
-        keys = F.broadcast(keys)  # batch pks are small relative to the table
+        # Broadcast the key set only while it is provably small: probe with
+        # a LIMIT threshold+1 count (bounded work — the scan short-circuits)
+        # instead of a full count. A backfill-sized batch above the
+        # threshold falls through to a shuffle anti-join, which Spark/AQE
+        # plans as sort-merge — a forced broadcast there OOMs the driver.
+        probe = keys.limit(self.upsert_broadcast_threshold + 1).count()
+        if probe <= self.upsert_broadcast_threshold:
+            keys = F.broadcast(keys)
         kept = _align(existing, merged).join(keys, primary_key, "left_anti")
         self._publish(kept.unionByName(incoming), table)
 

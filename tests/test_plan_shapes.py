@@ -29,9 +29,25 @@ def test_q3_broadcasts_dims_and_pushes_filters(spark):
 
 def test_q5_snowflake_is_all_broadcast(spark):
     plan = _plan(q5_region_revenue(spark, SF_DIR))
-    # 5 joins -> every dim side broadcast at test SF; no sort-merge join
+    # 5 joins -> every dim side broadcast at test SF (size-estimate for the
+    # SF-scaling dims, hint for region/nation); no sort-merge join
     assert plan.count("BroadcastHashJoin") >= 5
     assert "SortMergeJoin" not in plan
+
+
+def test_q5_sf_scaling_dims_carry_no_forced_hint(spark):
+    # With size-based broadcast disabled, only the fixed-cardinality dims
+    # (region, nation) may still broadcast — via their retained hints.
+    # customer/supplier must fall back to shuffle joins: a forced hint
+    # there would broadcast a 100 TB-scaling table and OOM the driver.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(q5_region_revenue(spark, SF_DIR))
+        assert plan.count("BroadcastHashJoin") == 2  # nation + region only
+        assert "SortMergeJoin" in plan  # facts and scaling dims shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_projection_prunes_scan_columns(spark):

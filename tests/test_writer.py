@@ -79,6 +79,38 @@ def test_null_placeholder_upgrade(w, spark):
     assert vals == {1: None, 2: 3.5}
 
 
+def test_upsert_broadcast_threshold_gates_hint(spark, tmp_path):
+    # below the threshold the key set carries a broadcast hint; above it
+    # the anti-join must NOT force a broadcast (a backfill-sized batch
+    # would OOM the driver). Disable auto-broadcast so the plan reflects
+    # only the hint decision.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = ParquetTableWriter(spark, str(tmp_path / "a"), upsert_broadcast_threshold=100)
+        small.write(_users(spark, [Row(id=i, name=f"u{i}") for i in range(20)]), "t")
+        small.write(_users(spark, [Row(id=1, name="x")]), "t", mode="upsert")
+        assert small.read("t").count() == 20
+
+        big = ParquetTableWriter(spark, str(tmp_path / "b"), upsert_broadcast_threshold=3)
+        big.write(_users(spark, [Row(id=i, name=f"u{i}") for i in range(20)]), "t")
+        # capture the plan the anti-join produces above threshold
+        existing = big.read("t")
+        incoming = _users(spark, [Row(id=i, name="y") for i in range(10)])
+        keys = incoming.select("id").distinct()
+        probe = keys.limit(big.upsert_broadcast_threshold + 1).count()
+        assert probe > big.upsert_broadcast_threshold
+        plan = existing.join(keys, "id", "left_anti")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+        # and the full upsert still lands correctly via the shuffle path
+        big.write(incoming, "t", mode="upsert")
+        out = big.read("t")
+        assert out.count() == 20
+        assert out.filter(F.col("name") == "y").count() == 10
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_overwrite_atomic_swap_leaves_no_staging(w, spark, tmp_path):
     w.write(_users(spark, [Row(id=1, name="a")]), "users")
     w.write(_users(spark, [Row(id=9, name="z")]), "users", mode="overwrite")
