@@ -168,6 +168,59 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q_embedding_dedup_lsh — THE scale path for embedding near-dup pairs:
+# LSH-bucketed candidate generation over the FULL embeddings table (no
+# sample bound), equi-join on the hyperplane bucket, exact cosine within
+# bucket. No CartesianProduct anywhere in the plan; candidate volume is
+# sum of per-bucket squares, never N². The oracle replays the md5
+# hyperplane signs, so the bucket assignment — and thus the candidate
+# pair set — matches exactly.
+# --------------------------------------------------------------------------
+_DEDUP_BITS = 4
+
+
+def _emb_dedup_lsh_oracle() -> str:
+    sign = (
+        "CASE WHEN CAST('0x' || substr(md5('h' || s || ':' || CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) & 1 = 1 "
+        "THEN 1 ELSE -1 END"
+    )
+    dots = _PAIR_DOT.format(
+        A="(SELECT e.*, g.bucket FROM embeddings e JOIN sig g USING (vec_id))",
+        B="(SELECT e.*, g.bucket FROM embeddings e JOIN sig g USING (vec_id))",
+        COND="WHERE a.bucket = b.bucket AND a.vec_id < b.vec_id",
+    )
+    return f"""
+WITH ex AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+), sums AS (
+  SELECT e.vec_id, s.s,
+    sum(CAST(CAST(e.v AS DOUBLE) AS DECIMAL(10,9)) * ({sign})) AS tot
+  FROM ex e CROSS JOIN (SELECT unnest(range(0, {_DEDUP_BITS})) AS s) s
+  GROUP BY e.vec_id, s.s
+), sig AS (
+  SELECT vec_id,
+    CAST(sum(CASE WHEN tot >= 0 THEN 1 << s ELSE 0 END) AS INT) AS bucket
+  FROM sums GROUP BY vec_id
+),
+norms AS ({_NORMS}),
+dots AS ({dots})
+SELECT d.ia AS id_a, d.ib AS id_b,
+       round(d.dot / (na.nrm * nb.nrm), 9) AS cos_sim
+FROM dots d JOIN norms na ON d.ia = na.vec_id
+            JOIN norms nb ON d.ib = nb.vec_id
+WHERE d.dot / (na.nrm * nb.nrm) >= {_THRESH}
+"""
+
+
+@query("q_embedding_dedup_lsh", _emb_dedup_lsh_oracle())
+def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return S.embedding_dedup_pairs(emb, threshold=_THRESH, bits=_DEDUP_BITS)
+
+
+# --------------------------------------------------------------------------
 # q_ann_ivf_topk — IVF coarse-quantizer ANN (the bucketed scale path:
 # centroid cells + n_probe search). The per-vector argmax over centroid
 # dot products isn't cleanly SQL-expressible, so this entry takes the

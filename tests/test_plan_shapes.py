@@ -50,6 +50,16 @@ def test_q5_sf_scaling_dims_carry_no_forced_hint(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_embedding_dedup_lsh_has_no_cartesian_product(spark):
+    # the registered scale-path entry must candidate-generate via the
+    # bucket equi-join — an all-pairs plan is quadratic at 100 TB
+    from forklift_spark.queries.similarity import q_embedding_dedup_lsh
+
+    plan = _plan(q_embedding_dedup_lsh(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_projection_prunes_scan_columns(spark):
     df = q_projection_filter(spark, SF_DIR)
     plan = _plan(df)
