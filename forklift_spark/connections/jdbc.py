@@ -15,11 +15,15 @@ semantics.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 from forklift_spark.connections.base import Connection
 
-_SQL_MARKERS = ("select", "with")
+# word-boundary anchored: a table named "selected_items" is a table, not
+# a SQL statement (same regex as ParquetConnection)
+_SQL_RE = re.compile(r"^\s*(select|with)\b", re.IGNORECASE)
 
 
 class JdbcConnection(Connection):
@@ -47,7 +51,7 @@ class JdbcConnection(Connection):
         """Table name -> partitioned parallel scan; SQL -> pushdown subquery
         (the entire statement executes in the source DB — the reference's
         'SQL transformations run where the data lives' stance)."""
-        is_sql = query_or_table.strip().lower().startswith(_SQL_MARKERS)
+        is_sql = bool(_SQL_RE.match(query_or_table))
         r = self._reader()
         if is_sql:
             r = r.option("dbtable", f"({query_or_table}) AS q")
@@ -116,22 +120,59 @@ class JdbcConnection(Connection):
             merged = kept.unionByName(df, allowMissingColumns=True)
             # materialize BEFORE the overwrite: the overwrite drops the
             # table the merged plan lazily reads from (self-overwrite
-            # hazard — the JDBC analog of the parquet staging swap)
-            merged = merged.cache()
-            merged.count()
-            try:
-                w2 = (
-                    merged.write.format("jdbc")
-                    .option("url", self.url)
-                    .option("dbtable", table)
-                    .options(**self._props())
-                )
-                w2.mode("overwrite").save()
-            finally:
-                merged.unpersist()
+            # hazard — the JDBC analog of the parquet staging swap).
+            # localCheckpoint (eager) truncates lineage so no partition can
+            # recompute against the dropped table; a plain cache() is
+            # evictable and would silently lose rows on recompute.
+            merged = merged.localCheckpoint(eager=True)
+            w2 = (
+                merged.write.format("jdbc")
+                .option("url", self.url)
+                .option("dbtable", table)
+                .options(**self._props())
+            )
+            w2.mode("overwrite").save()
         else:
             raise ValueError(f"unknown mode {mode!r}")
         self.engine.logger.log(f"wrote jdbc {table} ({mode})")
 
     def tables(self) -> list[str]:
-        raise NotImplementedError("requires live JDBC endpoint")
+        """User tables on the endpoint via ``DatabaseMetaData.getTables``
+        (reference `SHOW TABLES`, `transports/mysql.rb:170-176`) — the
+        driver-side metadata call every JDBC driver implements, reached
+        through py4j. Enables whole-endpoint ``dump()`` (the reference's
+        mysqldump use case, `transports/mysql.rb:209-232`)."""
+        jvm = self.engine.spark._jvm
+        gw = self.engine.spark.sparkContext._gateway
+        if "driver" in self.config:
+            jvm.java.lang.Class.forName(self.config["driver"])
+        props = jvm.java.util.Properties()
+        for k in ("user", "password"):
+            if k in self.config:
+                props.setProperty(k, str(self.config[k]))
+        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
+        try:
+            types = gw.new_array(jvm.java.lang.String, 1)
+            types[0] = "TABLE"
+            # catalog/schema scoped to the connection's defaults when the
+            # driver exposes them (MySQL: catalog = database; Derby:
+            # schema = user or APP); fall back to unscoped + system filter
+            try:
+                catalog = conn.getCatalog()
+            except Exception:
+                catalog = None
+            try:
+                schema = conn.getSchema()
+            except Exception:
+                schema = None
+            rs = conn.getMetaData().getTables(catalog, schema, "%", types)
+            out = []
+            while rs.next():
+                sch = rs.getString("TABLE_SCHEM") or ""
+                if sch.upper().startswith("SYS") or sch.upper() == "INFORMATION_SCHEMA":
+                    continue
+                out.append(rs.getString("TABLE_NAME"))
+            rs.close()
+            return sorted(out)
+        finally:
+            conn.close()

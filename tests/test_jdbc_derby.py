@@ -84,6 +84,36 @@ def test_upsert_survives_self_overwrite(spark, jdbc):
     assert not any(r["score"] < 0 for r in rows if r["id"] < 18)
 
 
+def test_tables_lists_user_tables_via_metadata(spark, jdbc):
+    jdbc.write(_seed(spark, 5), "meta_a", mode="overwrite")
+    jdbc.write(_seed(spark, 5), "meta_b", mode="overwrite")
+    got = jdbc.tables()
+    # Derby canonicalizes unquoted identifiers to upper case; what matters
+    # is that the returned names are readable as-is
+    assert {"meta_a", "meta_b"} <= {t.lower() for t in got}
+    assert not any(t.upper().startswith("SYS") for t in got)
+    name = next(t for t in got if t.lower() == "meta_a")
+    assert jdbc.read(name).count() == 5
+
+
+def test_dump_whole_endpoint_roundtrip(spark, jdbc, tmp_path):
+    """S9 headline case: dump() with NO table list snapshots every user
+    table on the endpoint (reference mysqldump, mysql.rb:209-232)."""
+    jdbc.write(_seed(spark, 7), "dump_x", mode="overwrite")
+    dumped = jdbc.dump(str(tmp_path / "snap"), fmt="parquet")
+    assert "DUMP_X" in dumped  # Derby-canonical name
+    back = spark.read.parquet(str(tmp_path / "snap" / "DUMP_X"))
+    assert back.count() == 7
+    assert sorted(back.columns) == ["id", "name", "score"]
+
+
+def test_table_named_like_sql_keyword_reads_as_table(spark, jdbc):
+    # "selected_items" starts with "select" but is a table name; a
+    # prefix-based check would wrap it as a pushdown subquery and break
+    jdbc.write(_seed(spark, 4), "selected_items", mode="overwrite")
+    assert jdbc.read("selected_items").count() == 4
+
+
 def test_cross_endpoint_import_derby_to_parquet(spark, jdbc, tmp_path):
     """P4 heterogeneous form: JDBC source -> parquet warehouse in one
     declarative plan (the reference needs a client-side row loop for
