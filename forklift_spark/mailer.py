@@ -56,9 +56,19 @@ class Mailer:
         variables: dict[str, Any],
         attachment_lines: list[str] | None = None,
     ) -> EmailMessage:
-        """Template is a ``string.Template`` body ($name placeholders) —
-        the ERB-template parity path (`base/mailer.rb:50-55`)."""
-        body = Template(template).safe_substitute({k: str(v) for k, v in variables.items()})
+        """Template is a FILE PATH to a ``string.Template`` body ($name
+        placeholders) — the ERB-template-file parity path
+        (`base/mailer.rb:50-55`, `template/email.erb`). An inline
+        template string still works when the path doesn't resolve
+        (back-compat). A default template ships at
+        ``forklift_spark/templates/email.txt``."""
+        import os
+
+        text = template
+        if os.path.isfile(template):
+            with open(template, encoding="utf-8") as fh:
+                text = fh.read()
+        body = Template(text).safe_substitute({k: str(v) for k, v in variables.items()})
         msg = self._build(args, body=body, attachment_lines=attachment_lines)
         self._deliver(msg)
         return msg

@@ -97,6 +97,43 @@ def test_mailer_send_template():
     assert len(sent) == 1
 
 
+def test_mailer_send_template_from_file(tmp_path):
+    # reference parity: send_template loads the body from a template FILE
+    # (base/mailer.rb:50-66, template/email.erb) and attaches log.txt
+    tpl = tmp_path / "email.txt"
+    tpl.write_text("report for $plan: $n rows moved")
+    sent = []
+    m = Mailer(transport=sent.append)
+    msg = m.send_template(
+        {"to": "a@b.c"},
+        str(tpl),
+        {"plan": "nightly", "n": 7},
+        attachment_lines=["line1", "line2"],
+    )
+    body = msg.get_body(preferencelist=("plain",)).get_content()
+    assert body.strip() == "report for nightly: 7 rows moved"
+    parts = list(msg.iter_attachments())
+    assert [p.get_filename() for p in parts] == ["log.txt"]
+    assert b"line1\nline2" in parts[0].get_payload(decode=True)
+    assert len(sent) == 1
+
+
+def test_mailer_default_template_file_renders():
+    import forklift_spark
+    import os
+
+    tpl = os.path.join(os.path.dirname(forklift_spark.__file__), "templates", "email.txt")
+    sent = []
+    m = Mailer(transport=sent.append)
+    msg = m.send_template(
+        {"to": "a@b.c"},
+        tpl,
+        {"headline": "moved 3 tables", "plan": "daily", "finished": "2026-08-13"},
+    )
+    body = msg.get_content()
+    assert "moved 3 tables" in body and "daily" in body and "$" not in body.replace("$ ", "")
+
+
 def test_dump_snapshot_export(spark, tmp_path):
     from forklift_spark.connections.parquet import ParquetConnection
     from forklift_spark.engine import Engine
