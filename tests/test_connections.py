@@ -81,14 +81,18 @@ def test_jdbc_write_rejects_unknown_mode(engine, spark):
         conn.write(df, "t", mode="replace")
 
 
-def test_es_degrades_without_connector_jar(engine, spark):
-    es = ElasticsearchConnection({"nodes": "localhost:9200"}, engine)
+def test_es_falls_back_to_rest_without_connector_jar(engine, spark):
+    # without the jar the REST shim takes over: the failure mode against
+    # an unreachable endpoint is a connection error from the HTTP probe,
+    # not NotImplementedError (rows really do move — see
+    # tests/test_elasticsearch_rest.py for the live fake-endpoint suite)
+    es = ElasticsearchConnection({"nodes": "localhost:1"}, engine)
     if es._available():  # pragma: no cover - jar present in some envs
         pytest.skip("connector jar on classpath")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(OSError):
         es.read("idx")
-    with pytest.raises(NotImplementedError):
-        es.write(spark.range(1), "idx")
+    with pytest.raises(Exception):  # executor-side bulk fails to connect
+        es.write(spark.range(1), "idx", primary_key="id")
 
 
 def test_es_delete_index_404_and_unreachable(engine):
