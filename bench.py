@@ -55,6 +55,7 @@ HEADLINE = [
     "q_dedup_ngram_jaccard",
     "q_ann_bruteforce_topk",
     "q_ann_lsh_topk",
+    "q_embedding_dedup_lsh",
     "q_text_quality",
     "q_lang_id",
     "q_zipf_token_freq",

@@ -22,12 +22,14 @@ import yaml
 from forklift_spark.connections.base import Connection
 from forklift_spark.connections.csvfile import CsvConnection
 from forklift_spark.connections.jdbc import JdbcConnection
+from forklift_spark.connections.jsonl import JsonlConnection
 from forklift_spark.connections.parquet import ParquetConnection
 from forklift_spark.connections.elasticsearch import ElasticsearchConnection
 
 CONNECTION_TYPES: dict[str, type[Connection]] = {
     "parquet": ParquetConnection,
     "csv": CsvConnection,
+    "jsonl": JsonlConnection,
     "jdbc": JdbcConnection,
     "mysql": JdbcConnection,  # alias: reference's mysql transport -> JDBC
     "elasticsearch": ElasticsearchConnection,
@@ -73,6 +75,7 @@ __all__ = [
     "Connection",
     "ParquetConnection",
     "CsvConnection",
+    "JsonlConnection",
     "JdbcConnection",
     "ElasticsearchConnection",
     "CONNECTION_TYPES",

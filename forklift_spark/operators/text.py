@@ -70,6 +70,35 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+# PII patterns chosen for cross-engine regex portability (Java regex ==
+# RE2 semantics for these constructs: char classes, bounded reps, \b)
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    "phone": (r"\+\d[\d()\- ]{7,}\d", "[PHONE]"),
+}
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """Match count per PII class, aliased n_<class> — the audit pass a
+    corpus runs before redaction (one scan, JVM regex)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    ]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails / IPv4s / phone numbers with typed placeholders.
+    Chained regexp_replace — single projection pass, scan-speed at
+    100 TB; patterns are RE2-compatible so an oracle engine agrees."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _name, (pat, repl) in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def lang_scores(col: Column | str) -> list[Column]:
     """Marker-hit count per language, aliased score_<lang>."""
     ws = words(col)

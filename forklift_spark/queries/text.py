@@ -197,6 +197,80 @@ def q_zipf_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q_lexical_diversity — Gopher-style repetition signals per document:
+# distinct-word ratio (low -> repetitive filler) and top-word dominance
+# (high -> keyword stuffing). One explode + two hash aggregations —
+# scan-shaped, partial-aggregated, no window.
+# --------------------------------------------------------------------------
+DIVERSITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_W}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+)
+SELECT doc_id,
+  CAST(sum(c) AS BIGINT) AS n_words,
+  CAST(count(*) AS BIGINT) AS n_distinct,
+  round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 9) AS distinct_ratio,
+  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 9) AS top_word_share
+FROM tf GROUP BY doc_id
+"""
+
+
+@query("q_lexical_diversity", DIVERSITY_ORACLE)
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(X.words("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("c").cast("double"), 9
+        ).alias("distinct_ratio"),
+        F.round(F.max("c").cast("double") / F.sum("c").cast("double"), 9).alias(
+            "top_word_share"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_pii_redact — PII audit + redaction: per-class match counts and the
+# md5 of the redacted text (so the oracle verifies the actual rewrite,
+# not just the counts). On this synthetic corpus matches are ~0; the
+# operator behavior on PII-bearing text is pinned in
+# tests/test_text_pii.py against the same DuckDB oracle.
+# --------------------------------------------------------------------------
+def _pii_oracle() -> str:
+    from forklift_spark.operators.text import PII_PATTERNS
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, (pat, _) in PII_PATTERNS.items()
+    )
+    redacted = "text"
+    for name, (pat, repl) in PII_PATTERNS.items():
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id, {counts}, md5({redacted}) AS redacted_md5
+FROM documents
+"""
+
+
+@query("q_pii_redact", _pii_oracle())
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        *X.pii_counts("text"),
+        F.md5(X.redact_pii("text")).alias("redacted_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q_train_test_split — deterministic hash-based dataset split: bucket =
 # md5(id) % 100, train < 80 <= valid < 90 <= test. Reproducible across
 # engines/runs/repartitioning (no RNG) — the canonical training-data

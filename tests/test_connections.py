@@ -44,6 +44,52 @@ def test_discover_builds_typed_connections(engine, tmp_path):
     assert "example" not in conns["parquet"]
 
 
+def test_jsonl_roundtrip_append_truncate_gzip(engine, spark, tmp_path):
+    from pyspark.sql import Row
+
+    from forklift_spark.connections.jsonl import JsonlConnection
+
+    path = str(tmp_path / "docs_jsonl")
+    jl = JsonlConnection({"file": path}, engine)
+    df = spark.createDataFrame([Row(doc_id=i, text=f"t{i}", meta={"k": i}) for i in range(10)])
+    jl.write(df, mode="overwrite")
+    back = jl.read()
+    assert back.count() == 10
+    assert sorted(back.columns) == ["doc_id", "meta", "text"]
+    assert back.filter("meta.k = 3").count() == 1
+    jl.write(df.limit(2), mode="append")
+    assert jl.read().count() == 12
+    jl.write(df.limit(5), mode="truncate")
+    assert jl.read().count() == 5
+    # gzip shards read back transparently
+    gz = JsonlConnection({"file": str(tmp_path / "gz"), "compression": "gzip"}, engine)
+    gz.write(df, mode="overwrite")
+    assert any(f.endswith(".json.gz") for f in os.listdir(tmp_path / "gz"))
+    assert gz.read().count() == 10
+
+
+def test_jsonl_explicit_schema_skips_inference(engine, spark, tmp_path):
+    from pyspark.sql import Row, types as T
+
+    from forklift_spark.connections.jsonl import JsonlConnection
+
+    path = str(tmp_path / "typed")
+    jl = JsonlConnection({"file": path}, engine)
+    jl.write(spark.createDataFrame([Row(a=1, b="x")]), mode="overwrite")
+    schema = T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.StringType())])
+    got = jl.read(schema=schema)
+    assert got.schema == schema
+    assert got.collect()[0]["a"] == 1
+
+
+def test_jsonl_discovered_from_yaml(engine, tmp_path):
+    from forklift_spark.connections.jsonl import JsonlConnection
+
+    _write(tmp_path, "config/connections/jsonl/corpus.yml", f"file: {tmp_path}/corpus\n")
+    conns = discover(engine, str(tmp_path))
+    assert isinstance(conns["jsonl"]["corpus"], JsonlConnection)
+
+
 def test_discover_mysql_alias_and_bad_config_logged(engine, tmp_path):
     _write(tmp_path, "config/connections/mysql/legacy.yml", "url: jdbc:mysql://h/d\n")
     # jdbc without url -> constructor raises -> logged, not raised
