@@ -115,8 +115,9 @@ class JdbcConnection(Connection):
             # pks, then overwrite. (With a live server you would instead
             # stage + INSERT ... ON DUPLICATE KEY UPDATE per partition.)
             existing = self.read(table)
-            keys = df.select(primary_key).distinct()
-            kept = existing.join(keys, primary_key, "left_anti")
+            pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+            keys = df.select(*pk).distinct()
+            kept = existing.join(keys, pk, "left_anti")
             merged = kept.unionByName(df, allowMissingColumns=True)
             # materialize BEFORE the overwrite: the overwrite drops the
             # table the merged plan lazily reads from (self-overwrite

@@ -150,13 +150,15 @@ class ParquetTableWriter:
             raise ValueError(f"unknown mode {mode!r}")
 
     def _upsert(
-        self, df: DataFrame, table: str, primary_key: str, strict: bool
+        self, df: DataFrame, table: str, primary_key, strict: bool
     ) -> None:
         existing = self.read(table)
         merged = _merged_schema(existing, df, strict)
         incoming = _align(df, merged)
-        # replace-on-pk: keep existing rows whose pk is NOT in the batch
-        keys = incoming.select(primary_key).distinct()
+        # replace-on-pk: keep existing rows whose pk is NOT in the batch;
+        # primary_key may be a single column or a composite list
+        pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+        keys = incoming.select(*pk).distinct()
         # Broadcast the key set only while it is provably small: probe with
         # a LIMIT threshold+1 count (bounded work — the scan short-circuits)
         # instead of a full count. A backfill-sized batch above the
@@ -165,7 +167,7 @@ class ParquetTableWriter:
         probe = keys.limit(self.upsert_broadcast_threshold + 1).count()
         if probe <= self.upsert_broadcast_threshold:
             keys = F.broadcast(keys)
-        kept = _align(existing, merged).join(keys, primary_key, "left_anti")
+        kept = _align(existing, merged).join(keys, pk, "left_anti")
         self._publish(kept.unionByName(incoming), table)
 
     # -- atomic publish ----------------------------------------------------

@@ -69,6 +69,16 @@ def test_projection_prunes_scan_columns(spark):
     assert "c_nationkey" not in scan
 
 
+def test_zipf_top100_is_take_ordered_not_global_window(spark):
+    # top-100 must compile to TakeOrderedAndProject (per-partition heaps);
+    # ranking the full vocabulary in one unpartitioned window task was the
+    # round-1 scale defect
+    from forklift_spark.queries.text import q_zipf_token_freq
+
+    plan = _plan(q_zipf_token_freq(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_no_collect_in_operators():
     """Grep-level guard: operator modules must not driver-materialize.
     (Allowed: centroid seeding, which is bounded by n_cells and

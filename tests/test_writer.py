@@ -79,6 +79,16 @@ def test_null_placeholder_upgrade(w, spark):
     assert vals == {1: None, 2: 3.5}
 
 
+def test_upsert_composite_primary_key(w, spark):
+    # replace-on-(k1,k2): only the exact key pair is replaced
+    rows = [Row(k1=a, k2=b, v=f"{a}{b}") for a in (1, 2) for b in ("x", "y")]
+    w.write(_users(spark, rows), "ck")
+    w.write(_users(spark, [Row(k1=1, k2="y", v="NEW")]), "ck", mode="upsert",
+            primary_key=["k1", "k2"])
+    got = {(r["k1"], r["k2"]): r["v"] for r in w.read("ck").collect()}
+    assert got == {(1, "x"): "1x", (1, "y"): "NEW", (2, "x"): "2x", (2, "y"): "2y"}
+
+
 def test_upsert_broadcast_threshold_gates_hint(spark, tmp_path):
     # below the threshold the key set carries a broadcast hint; above it
     # the anti-join must NOT force a broadcast (a backfill-sized batch
