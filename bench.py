@@ -59,6 +59,8 @@ HEADLINE = [
     "q_text_quality",
     "q_lang_id",
     "q_zipf_token_freq",
+    "q_lexical_diversity",
+    "q_sequence_pack",
     "q_media_metadata",
     "q_frame_sample",
 ]

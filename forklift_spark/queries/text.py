@@ -307,6 +307,119 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q_sequence_pack — token-budget shard assignment for pretraining: docs
+# are concatenated in deterministic (bucket, doc_id) order and cut into
+# BUDGET-token shards. bucket = md5(doc_id) % 32 is the parallelism
+# unit, so the cumsum window is partitioned (32 independent streams at
+# any corpus size — never a global window); within a bucket the shard
+# id is floor(preceding_tokens / BUDGET): the greedy concat-then-chunk
+# packing every pretraining pipeline runs.
+# --------------------------------------------------------------------------
+_PACK_BUDGET = 2048
+_PACK_BUCKETS = 32
+
+PACK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, len({_W}) AS n_tokens,
+    {{BUCKET}} % {_PACK_BUCKETS} AS bucket
+  FROM documents
+), c AS (
+  SELECT doc_id, bucket, n_tokens,
+    CAST(COALESCE(sum(n_tokens) OVER (
+      PARTITION BY bucket ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
+  FROM d
+)
+SELECT doc_id, bucket, n_tokens, offset_tokens,
+  CAST(offset_tokens // {_PACK_BUDGET} AS BIGINT) AS shard
+FROM c
+""".replace(
+    "{BUCKET}",
+    "CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)",
+)
+
+
+@query("q_sequence_pack", PACK_ORACLE)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from forklift_spark.functions.hashing import md5_long
+
+    docs = tables.load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(X.words("text")).cast("long").alias("n_tokens"),
+        (
+            md5_long(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
+            % _PACK_BUCKETS
+        ).alias("bucket"),
+    )
+    w = W.partitionBy("bucket").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    return d.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long").alias("offset_tokens"),
+    ).withColumn(
+        "shard", (F.col("offset_tokens") / _PACK_BUDGET).cast("long")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_tfidf_top_terms — top-3 distinguishing terms per document. Linear-idf
+# variant scored in scaled INTEGER arithmetic: score_micro =
+# (tf * (N+1) * 1e6) DIV (df+1) — engine-exact (decimal/float division
+# rounds differently across engines in the last digit); (N+1)/(df+1) is
+# monotone in df like ln-idf, so the per-term ranking matches the
+# classic formula. Two hash aggs + one doc-partitioned window.
+# --------------------------------------------------------------------------
+TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_W}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, count(*) AS n_docs FROM tf GROUP BY tok
+), n AS (
+  SELECT count(*) AS total FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.tok,
+    CAST(tf.c * (n.total + 1) * 1000000 // (df.n_docs + 1) AS BIGINT) AS score_micro
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, tok, score_micro,
+    row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, tok) AS rnk
+  FROM scored
+)
+SELECT doc_id, tok, score_micro, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+@query("q_tfidf_top_terms", TFIDF_ORACLE)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = tables.load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(X.words("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = docs.count()  # one scalar; the oracle's CROSS JOIN n
+    score = F.expr(f"CAST(c * {total + 1}L * 1000000L DIV (n_docs + 1) AS BIGINT)")
+    w = W.partitionBy("doc_id").orderBy(F.col("score_micro").desc(), "tok")
+    return (
+        tf.join(dfreq, "tok")
+        .select("doc_id", "tok", score.alias("score_micro"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "score_micro", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+# --------------------------------------------------------------------------
 # q_stratified_sample — per-language stratified sample (seeded Bernoulli
 # per stratum). Sampling RNGs are engine-specific -> rows-only check;
 # the invariants (determinism, per-stratum bounds) are pinned in
