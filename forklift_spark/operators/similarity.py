@@ -4,11 +4,15 @@ No reference counterpart; the scale-path operators a training-data
 pipeline needs. Everything is built-in higher-order functions
 (zip_with/aggregate/transform) — JVM-side, no Python in the hot path.
 
-Determinism: dot products are computed in DECIMAL (inputs rounded to
-decimal(18,9), exact order-independent sums) then cast to double, so
-scores are bit-identical at any parallelism and against the SQL oracle.
+Determinism: reported scores are computed in DECIMAL (inputs rounded to
+decimal(10,9), exact order-independent sums) then cast to double, so
+they are bit-identical at any parallelism and against the SQL oracle.
 A float32 embedding carries <8 significant digits, so the 9-digit
-rounding is lossless.
+rounding is lossless. The exact path costs ~4x a double sum, so every
+operator scores candidates with a cheap double dot first and rescores
+only the rows that reach the output (threshold band for dedup, top
+k+margin for ANN) — the hot loop stays in double, the answer stays
+exact.
 
 - brute-force top-k: queries × corpus equi-free join. Correct baseline;
   cost Q×N — fine for small Q (broadcast the queries side), the
@@ -45,6 +49,21 @@ def dot_exact(a: Column, b: Column) -> Column:
     return acc.cast("double")
 
 
+def dot_fast(a: Column, b: Column) -> Column:
+    """Double dot product — cheap prefilter path, NOT order-deterministic
+    to the last ulp. Relative error is bounded by ~dims*eps (< 1e-13 for
+    64 dims); use with an epsilon band and rescore survivors with
+    ``dot_exact`` when the output value must match the oracle."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda s, p: s + p)
+
+
+# prefilter band: double-dot relative error bound (64 dims * 2^-52 per op,
+# with |cos| <= 1) is < 1e-12; 1e-9 gives a 1000x safety margin while
+# still rejecting essentially every non-matching pair.
+FAST_FILTER_EPS = 1e-9
+
+
 def norm_exact(a: Column) -> Column:
     """sqrt of the exact self-dot — IEEE-deterministic double."""
     return F.sqrt(dot_exact(a, a))
@@ -68,12 +87,10 @@ def brute_force_topk(
     at Q queries that's a Q× saving on the dominant decimal work).
     Returns (query_id, neighbor_id, cos_sim, rank).
     """
-    from pyspark.sql import Window as W
-
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        norm_exact(F.col(vec_col)).alias("qn"),
+        F.sqrt(dot_fast(F.col(vec_col), F.col(vec_col))).alias("qf"),
     )
     corpus = corpus.repartition(
         corpus.sparkSession.sparkContext.defaultParallelism, id_col
@@ -81,18 +98,52 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        norm_exact(F.col(vec_col)).alias("cn"),
+        F.sqrt(dot_fast(F.col(vec_col), F.col(vec_col))).alias("cf"),
     )
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        (dot_exact(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
-            "cos_sim"
+        "qv",
+        "cv",
+        (dot_fast(F.col("qv"), F.col("cv")) / (F.col("qf") * F.col("cf"))).alias(
+            "cos_fast"
         ),
+    )
+    return _exact_rescore_topk(scored, k)
+
+
+# double-prefilter margin for top-k: exact rescoring is restricted to the
+# double-ranked top (k + margin) candidates per query. The double cosine is
+# within ~1e-13 of the exact value, so a pair outside the margin would need
+# >margin distinct cosines packed inside that error band to displace a true
+# top-k row — not a realistic geometry; the oracle hash-check guards it.
+TOPK_RESCORE_MARGIN = 8
+
+
+def _exact_rescore_topk(scored_fast: DataFrame, k: int) -> DataFrame:
+    """Shared tail of the top-k operators: rank candidates by the cheap
+    double cosine, exact-rescore only the top (k + margin) per query, then
+    re-rank on the exact decimal value the output reports."""
+    from pyspark.sql import Window as W
+
+    wf = W.partitionBy("query_id").orderBy(
+        F.col("cos_fast").desc(), F.col("neighbor_id")
+    )
+    short = (
+        scored_fast.withColumn("rf", F.row_number().over(wf))
+        .filter(F.col("rf") <= k + TOPK_RESCORE_MARGIN)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_exact(F.col("qv"), F.col("cv"))
+                / (norm_exact(F.col("qv")) * norm_exact(F.col("cv")))
+            ).alias("cos_sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        short.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         # 9dp output: decimal->double conversion may differ by 1 ulp
         # between engines; ranking uses the exact value
@@ -152,7 +203,6 @@ def lsh_topk(
     The candidate join is an equi-join on (table, bucket) — the plan
     that survives a 2000-executor corpus scan; corpus cost is one extra
     signature column and candidate-set growth, never a cross join."""
-    from pyspark.sql import Window as W
 
     def buckets(vec: Column) -> Column:
         # table t uses hyperplane seeds [t*bits, (t+1)*bits) — independent
@@ -170,33 +220,38 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        norm_exact(F.col(vec_col)).alias("qn"),
+        F.sqrt(dot_fast(F.col(vec_col), F.col(vec_col))).alias("qf"),
         F.explode(buckets(F.col(vec_col))).alias("tb"),
-    ).select("query_id", "qv", "qn", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    ).select("query_id", "qv", "qf", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     corpus = corpus.repartition(
         corpus.sparkSession.sparkContext.defaultParallelism, id_col
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        norm_exact(F.col(vec_col)).alias("cn"),
+        F.sqrt(dot_fast(F.col(vec_col), F.col(vec_col))).alias("cf"),
         F.explode(buckets(F.col(vec_col))).alias("tb"),
-    ).select("neighbor_id", "cv", "cn", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-    scored = c.join(F.broadcast(q), ["tbl", "bucket"]).dropDuplicates(
-        ["query_id", "neighbor_id"]
     ).select(
+        "neighbor_id", "cv", "cf", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    # the decimal signature pass dominates; persist so repeated searches
+    # against the same corpus pay it once (at scale: a signed corpus table)
+    ).persist()
+    joined = c.join(F.broadcast(q), ["tbl", "bucket"])
+    if n_tables > 1:
+        # a (query, neighbor) pair can meet in several tables; with one
+        # table buckets partition the corpus, so the pairs are unique and
+        # the dedup shuffle would be pure overhead
+        joined = joined.dropDuplicates(["query_id", "neighbor_id"])
+    scored = joined.select(
         "query_id",
         "neighbor_id",
-        (dot_exact(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
-            "cos_sim"
+        "qv",
+        "cv",
+        (dot_fast(F.col("qv"), F.col("cv")) / (F.col("qf") * F.col("cf"))).alias(
+            "cos_fast"
         ),
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .withColumn("cos_sim", F.round("cos_sim", 9))
-    )
+    return _exact_rescore_topk(scored, k)
 
 
 def ivf_assign(
@@ -250,8 +305,6 @@ def ivf_topk(
     cells. The candidate join is an equi-join on the cell id — at 100 TB
     the corpus side shuffles once on ``cell`` (or is written bucketed by
     cell), and each query touches n_probe/n_cells of the data."""
-    from pyspark.sql import Window as W
-
     cents = deterministic_centroids(corpus, id_col, vec_col, n_cells)
     c = ivf_assign(
         corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism, id_col),
@@ -260,14 +313,14 @@ def ivf_topk(
     ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        norm_exact(F.col(vec_col)).alias("cn"),
+        F.sqrt(dot_fast(F.col(vec_col), F.col(vec_col))).alias("cf"),
         "cell",
     )
     # per-query probe list: rank all cells by dot(query, centroid)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        norm_exact(F.col(vec_col)).alias("qn"),
+        F.sqrt(dot_fast(F.col(vec_col), F.col(vec_col))).alias("qf"),
     )
     probes = None
     for cid, cvec in cents:
@@ -293,16 +346,13 @@ def ivf_topk(
     scored = c.join(F.broadcast(q), "cell").select(
         "query_id",
         "neighbor_id",
-        (dot_exact(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
-            "cos_sim"
+        "qv",
+        "cv",
+        (dot_fast(F.col("qv"), F.col("cv")) / (F.col("qf") * F.col("cf"))).alias(
+            "cos_fast"
         ),
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .withColumn("cos_sim", F.round("cos_sim", 9))
-    )
+    return _exact_rescore_topk(scored, k)
 
 
 def embedding_dedup_pairs(
@@ -316,28 +366,50 @@ def embedding_dedup_pairs(
 
     bits=0 -> exact all-pairs (the oracle-checkable baseline; quadratic,
     keep for samples/audits). bits>0 -> LSH-bucketed candidates (the
-    scale path; misses cross-bucket pairs by design)."""
+    scale path; misses cross-bucket pairs by design).
+
+    Candidate pairs are scored twice: a cheap double dot prunes (with an
+    epsilon band so no true pair is lost), then the few survivors are
+    rescored with the exact decimal dot that the reported ``cos_sim``
+    requires. The exact path costs ~4x the double path, and survivors
+    are a vanishing fraction of candidates, so the dedup runs at double
+    speed while the output stays bit-identical to the oracle."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        norm_exact(F.col(vec_col)).alias("na"),
-    )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        norm_exact(F.col(vec_col)).alias("nb"),
+    proj = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.sqrt(dot_fast(F.col(vec_col), F.col(vec_col))).alias("_n"),
     )
     if bits:
-        a = a.withColumn("bucket", lsh_bucket(F.col("va"), bits))
-        b = b.withColumn("bucket", lsh_bucket(F.col("vb"), bits))
+        # the decimal signature is the expensive per-row pass; persist it so
+        # the self-join's two branches don't each recompute it (at scale:
+        # write the signed projection to a table once, join from there)
+        proj = proj.withColumn("bucket", lsh_bucket(F.col("_v"), bits)).persist()
+    a = proj.select(
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("va"),
+        F.col("_n").alias("fa"),
+        *(["bucket"] if bits else []),
+    )
+    b = proj.select(
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("vb"),
+        F.col("_n").alias("fb"),
+        *(["bucket"] if bits else []),
+    )
+    if bits:
         pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    survivors = pairs.filter(
+        dot_fast(F.col("va"), F.col("vb")) / (F.col("fa") * F.col("fb"))
+        >= threshold - FAST_FILTER_EPS
+    )
     return (
-        pairs.withColumn(
+        survivors.withColumn(
             "cos_sim",
-            dot_exact(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+            dot_exact(F.col("va"), F.col("vb"))
+            / (norm_exact(F.col("va")) * norm_exact(F.col("vb"))),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 9).alias("cos_sim"))
