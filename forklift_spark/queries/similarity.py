@@ -222,36 +222,148 @@ def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q_ann_ivf_topk — IVF coarse-quantizer ANN (the bucketed scale path:
-# centroid cells + n_probe search). The per-vector argmax over centroid
-# dot products isn't cleanly SQL-expressible, so this entry takes the
-# rows-only check; exactness of the scores and the recall floor are
-# pinned by tests/test_similarity_ivf.py.
+# centroid cells + n_probe search). Everything is deterministic — the
+# centroids are the n_cells lowest-id corpus vectors, cell assignment is
+# an exact-decimal argmax (ties to the lowest cell), query probes rank
+# cells by the double-cast dot (ties to the highest cell, matching
+# reverse(array_sort)) — so the whole pipeline replays in SQL: the
+# argmax is a row_number()=1 over (dot DESC, cell ASC). Recall floor is
+# additionally pinned by tests/test_similarity_ivf.py.
 # --------------------------------------------------------------------------
-@query("q_ann_ivf_topk")
+_IVF_CELLS = 8
+_IVF_PROBE = 2
+
+
+def _ivf_oracle() -> str:
+    cdot = _PAIR_DOT.format(
+        A="(SELECT * FROM embeddings WHERE vec_id >= %d)" % _NQ,
+        B="cents",
+        COND="",
+    ).replace("b.vec_id AS ib", "b.cell AS ib").replace("b.embedding", "b.emb")
+    qdot = _PAIR_DOT.format(
+        A="(SELECT * FROM embeddings WHERE vec_id < %d)" % _NQ,
+        B="cents",
+        COND="",
+    ).replace("b.vec_id AS ib", "b.cell AS ib").replace("b.embedding", "b.emb")
+    pair = _PAIR_DOT.format(
+        A="(SELECT e.*, a.cell FROM embeddings e JOIN assign a USING (vec_id))",
+        B="(SELECT e.*, p.cell FROM embeddings e JOIN probes p USING (vec_id))",
+        COND="WHERE a.cell = b.cell",
+    )
+    return f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         embedding AS emb
+  FROM embeddings WHERE vec_id >= {_NQ}
+  ORDER BY vec_id LIMIT {_IVF_CELLS}
+), cdots AS ({cdot}),
+assign AS (
+  SELECT ia AS vec_id, ib AS cell FROM (
+    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY dot DESC, ib) AS rn
+    FROM cdots
+  ) WHERE rn = 1
+), qdots AS ({qdot}),
+probes AS (
+  SELECT ia AS vec_id, ib AS cell FROM (
+    SELECT ia, ib,
+           row_number() OVER (PARTITION BY ia ORDER BY CAST(dot AS DOUBLE) DESC, ib DESC) AS rn
+    FROM qdots
+  ) WHERE rn <= {_IVF_PROBE}
+),
+norms AS ({_NORMS}),
+dots AS ({pair}),
+scored AS (
+  SELECT DISTINCT d.ib AS query_id, d.ia AS neighbor_id,
+         d.dot / (nb.nrm * na.nrm) AS cos_sim
+  FROM dots d JOIN norms na ON d.ia = na.vec_id
+              JOIN norms nb ON d.ib = nb.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_sim, 9) AS cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_K}
+"""
+
+
+@query("q_ann_ivf_topk", _ivf_oracle())
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
-    return S.ivf_topk(
+    out = S.ivf_topk(
         emb.filter(F.col("vec_id") < _NQ),
         emb.filter(F.col("vec_id") >= _NQ),
         k=_K,
-        n_cells=8,
-        n_probe=2,
+        n_cells=_IVF_CELLS,
+        n_probe=_IVF_PROBE,
     )
+    return out.withColumn("rank", F.col("rank").cast("int"))
 
 
 # --------------------------------------------------------------------------
 # q_ann_lsh_multitable — 3 independent hash tables union their
-# candidates (the recall lever). Candidate set depends on table count ->
-# rows-only check; recall monotonicity is pinned in
-# tests/test_similarity_ivf.py.
+# candidates (the recall lever). Table t draws its hyperplane seeds from
+# [t*bits, (t+1)*bits), so the oracle replays every table's md5 signs
+# and unions the per-table candidate pairs with DISTINCT. Recall
+# monotonicity is additionally pinned in tests/test_similarity_ivf.py.
 # --------------------------------------------------------------------------
-@query("q_ann_lsh_multitable")
+_N_TABLES = 3
+
+
+def _lsh_multitable_oracle() -> str:
+    sign = (
+        "CASE WHEN CAST('0x' || substr(md5('h' || (t.t * {b} + s.s) || ':' || CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) & 1 = 1 "
+        "THEN 1 ELSE -1 END"
+    ).format(b=_BITS)
+    return f"""
+WITH ex AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+), sums AS (
+  SELECT e.vec_id, t.t, s.s,
+    sum(CAST(CAST(e.v AS DOUBLE) AS DECIMAL(10,9)) * ({sign})) AS tot
+  FROM ex e
+  CROSS JOIN (SELECT unnest(range(0, {_N_TABLES})) AS t) t
+  CROSS JOIN (SELECT unnest(range(0, {_BITS})) AS s) s
+  GROUP BY e.vec_id, t.t, s.s
+), sig AS (
+  SELECT vec_id, t,
+    CAST(sum(CASE WHEN tot >= 0 THEN 1 << s ELSE 0 END) AS INT) AS bucket
+  FROM sums GROUP BY vec_id, t
+), cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+  FROM sig q JOIN sig c ON q.t = c.t AND q.bucket = c.bucket
+  WHERE q.vec_id < {_NQ} AND c.vec_id >= {_NQ}
+),
+norms AS ({_NORMS}),
+dots AS ({_PAIR_DOT.format(
+    A="(SELECT e.* FROM embeddings e WHERE vec_id < %d)" % _NQ,
+    B="(SELECT e.* FROM embeddings e WHERE vec_id >= %d)" % _NQ,
+    COND="WHERE EXISTS (SELECT 1 FROM cand WHERE cand.qid = a.vec_id AND cand.nid = b.vec_id)")}),
+scored AS (
+  SELECT d.ia AS query_id, d.ib AS neighbor_id,
+         d.dot / (na.nrm * nb.nrm) AS cos_sim
+  FROM dots d JOIN norms na ON d.ia = na.vec_id
+              JOIN norms nb ON d.ib = nb.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_sim, 9) AS cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_K}
+"""
+
+
+@query("q_ann_lsh_multitable", _lsh_multitable_oracle())
 def q_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
-    return S.lsh_topk(
+    out = S.lsh_topk(
         emb.filter(F.col("vec_id") < _NQ),
         emb.filter(F.col("vec_id") >= _NQ),
         k=_K,
-        bits=4,
-        n_tables=3,
+        bits=_BITS,
+        n_tables=_N_TABLES,
     )
+    return out.withColumn("rank", F.col("rank").cast("int"))

@@ -420,13 +420,36 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q_stratified_sample — per-language stratified sample (seeded Bernoulli
-# per stratum). Sampling RNGs are engine-specific -> rows-only check;
-# the invariants (determinism, per-stratum bounds) are pinned in
-# tests/test_sampling.py.
+# q_stratified_sample — per-language stratified sample via deterministic
+# hash-Bernoulli: keep a row iff md5("samp:"||doc_id) % 10000 falls below
+# its stratum's fraction. No RNG state — the sample is identical across
+# engines, runs, repartitioning, and incremental re-runs (the property
+# Spark's seeded sampleBy lacks: its outcome depends on partitioning).
+# tests/test_sampling.py additionally pins the RNG-based sampleBy path.
 # --------------------------------------------------------------------------
-@query("q_stratified_sample")
+_STRATA = {"en": 0.5, "de": 0.35, "es": 0.35, "fr": 0.35, "zh": 0.2}
+
+
+def _strat_oracle() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN {int(f * 10000)}" for s, f in _STRATA.items()
+    )
+    bucket = "CAST('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000"
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {bucket} < CASE {cases} ELSE 0 END
+"""
+
+
+@query("q_stratified_sample", _strat_oracle())
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.functions.hashing import md5_long
+
     docs = tables.load(spark, sf_dir, "documents")
-    fractions = {"en": 0.5, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
-    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+    bucket = md5_long(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))) % 10000
+    cutoff = None
+    for s, f in _STRATA.items():
+        cond = F.when(F.col("lang") == s, F.lit(int(f * 10000)))
+        cutoff = cond if cutoff is None else cutoff.when(F.col("lang") == s, F.lit(int(f * 10000)))
+    cutoff = cutoff.otherwise(F.lit(0))
+    return docs.filter(bucket < cutoff).select("doc_id", "lang")
