@@ -468,3 +468,85 @@ def contamination_pairs(
         .filter(F.col("containment") >= min_containment)
         .select("corpus_id", "bench_id", "containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components: near-dup pairs -> dedup clusters
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Group a near-duplicate pair list into clusters: returns
+    (id, component) for every id that appears in ``pairs``, where
+    ``component`` is the smallest id reachable through the pair graph —
+    the canonical representative a dedup pass keeps.
+
+    This is the step between "pairs" and "deduped corpus": MinHash/
+    SimHash/embedding dedup all emit pairwise edges, but dropping one
+    side of each pair over-deletes when clusters chain (a~b, b~c: b and
+    c both lose). Component-wise, exactly one doc per cluster survives.
+
+    Algorithm: iterative min-label propagation. Each round every node
+    adopts the minimum label among itself and its neighbors; converges
+    in O(cluster diameter) rounds — near-dup clusters are shallow (text
+    variants of one origin), so 3-5 rounds in practice, bounded by
+    ``max_iter``. Each round is one shuffle (groupBy on node id);
+    lineage is cut with localCheckpoint per round so the plan doesn't
+    grow exponentially across iterations; convergence is detected with
+    a bounded-scalar count (the only driver-visible value). For graphs
+    with deep chains at extreme scale, the alternating large-star/
+    small-star variant (Kiveris et al., "Connected Components in
+    MapReduce") drops rounds to O(log d) — same join shape per round.
+    """
+    edges = (
+        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+        .union(pairs.select(F.col(right).alias("src"), F.col(left).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+                F.col("component").alias("_prev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("component") != F.col("_prev")).count()
+        labels = new_labels.drop("_prev")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_canonical(
+    df: DataFrame, pairs: DataFrame, id_col: str, left: str = "id_a", right: str = "id_b"
+) -> DataFrame:
+    """Apply a pair list to a corpus: keep one doc (the smallest id) per
+    connected component, plus every doc that is in no pair. One anti-join
+    against the non-canonical member set — the corpus streams once."""
+    comp = connected_components(pairs, left, right)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

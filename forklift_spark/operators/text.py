@@ -121,3 +121,62 @@ def predicted_lang() -> Column:
             cand = F.struct(s.alias("score"), F.lit(lang).alias("lang"))
             best = F.when(cand["score"] > best["score"], cand).otherwise(best)
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+
+
+def word_bigrams(col: Column | str) -> Column:
+    """Adjacent-word bigram array, built array-side (no explode/window):
+    zip the word array against itself shifted by one. One projection —
+    at corpus scale this is a scan-speed pass like the other scorers."""
+    ws = words(col)
+    n = F.size(ws)
+    return F.zip_with(
+        F.slice(ws, 1, n - 1),
+        F.slice(ws, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def repetition_stats(df, id_col: str, text_col: str):
+    """Gopher-style repetition quality signals per document:
+
+    - dup_word_ratio    1 - distinct words / total words
+    - top_bigram_ratio  occurrences of the most frequent bigram / total
+      bigrams (boilerplate and spam text repeat a few phrases)
+
+    Both are array aggregations in one projection — no shuffle at all;
+    the repetitious-document filter stays a scan over the corpus.
+    (Gopher rule-of-thumb cutoffs: drop docs with top-2-gram ratio
+    > 0.18; see Rae et al. 2021, "Scaling Language Models", table A1.)
+    """
+    ws = words(F.col(text_col))
+    bg = word_bigrams(F.col(text_col))
+    # most-frequent-element count without a groupBy: sort the array and
+    # count the longest run via aggregate over (run, best, prev)
+    top_run = F.aggregate(
+        F.array_sort(bg),
+        F.struct(
+            F.lit(0).alias("run"), F.lit(0).alias("best"), F.lit(None).cast("string").alias("prev")
+        ),
+        lambda acc, x: F.struct(
+            F.when(acc["prev"].isNull() | (acc["prev"] != x), F.lit(1))
+            .otherwise(acc["run"] + 1)
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].isNull() | (acc["prev"] != x), F.lit(1)).otherwise(
+                    acc["run"] + 1
+                ),
+            ).alias("best"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(ws).cast("bigint").alias("n_words"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(ws)).cast("double") / F.size(ws).cast("double")
+        ).alias("dup_word_ratio"),
+        (top_run.cast("double") / F.size(bg).cast("double")).alias("top_bigram_ratio"),
+    )

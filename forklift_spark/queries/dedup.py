@@ -261,3 +261,48 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     return D.contamination_pairs(docs, bench, "doc_id", "text", min_containment=0.5)
+
+
+# --------------------------------------------------------------------------
+# q_dedup_components — near-dup pairs -> dedup clusters: connected
+# components over the MinHash pair graph, component = min reachable
+# doc_id (the doc a dedup pass keeps), plus the cluster size. The Spark
+# side iterates min-label propagation to a fixpoint; the oracle computes
+# the same fixpoint declaratively with a recursive CTE over the same
+# pair set.
+# --------------------------------------------------------------------------
+def _components_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_lsh_oracle()}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, rr.r FROM reach rr JOIN edges e ON e.dst = rr.id
+), comp AS (
+  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+)
+SELECT c.doc_id, c.component, s.n AS cluster_size
+FROM comp c
+JOIN (SELECT component, count(*) AS n FROM comp GROUP BY component) s
+  ON s.component = c.component
+"""
+
+
+@query("q_dedup_components", _components_oracle())
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=_NH, bands=_BANDS, threshold=0.3
+    )
+    comp = D.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("doc_id"), "component", "cluster_size"
+    )

@@ -453,3 +453,38 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         cutoff = cond if cutoff is None else cutoff.when(F.col("lang") == s, F.lit(int(f * 10000)))
     cutoff = cutoff.otherwise(F.lit(0))
     return docs.filter(bucket < cutoff).select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------------
+# q_repetition_quality — Gopher-style repetition signals: duplicate-word
+# fraction and most-frequent-bigram share per document. The Spark side
+# computes both inside one projection (sorted-array longest-run, no
+# shuffle); the oracle recomputes them relationally (explode + window +
+# group) — two very different plans that must agree exactly.
+# --------------------------------------------------------------------------
+REPETITION_ORACLE = f"""
+WITH w0 AS (
+  SELECT doc_id, {_W} AS w FROM documents
+), exp AS (
+  SELECT doc_id, unnest(w) AS x, unnest(range(1, len(w) + 1)) AS i FROM w0
+), bg AS (
+  SELECT doc_id, x || ' ' || lead(x) OVER (PARTITION BY doc_id ORDER BY i) AS b
+  FROM exp
+), bstats AS (
+  SELECT doc_id, max(c) AS maxc, sum(c) AS nbg FROM (
+    SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY doc_id, b
+  ) GROUP BY doc_id
+), wstats AS (
+  SELECT doc_id, count(*) AS nw, count(DISTINCT x) AS ndw FROM exp GROUP BY doc_id
+)
+SELECT w.doc_id, w.nw AS n_words,
+  1.0 - CAST(w.ndw AS DOUBLE) / CAST(w.nw AS DOUBLE) AS dup_word_ratio,
+  CAST(b.maxc AS DOUBLE) / CAST(b.nbg AS DOUBLE) AS top_bigram_ratio
+FROM wstats w JOIN bstats b USING (doc_id)
+"""
+
+
+@query("q_repetition_quality", REPETITION_ORACLE)
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return X.repetition_stats(docs, "doc_id", "text")

@@ -295,3 +295,49 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(180)
     return spark.table(sink)
+
+
+# --------------------------------------------------------------------------
+# q_gap_fill — resample to an hourly grid per user and forward-fill
+# (LOCF) missing buckets. The grid is generated with sequence()+explode
+# per user (no driver-side calendar), the fill is last(ignorenulls)
+# over an ordered user partition — one shuffle on user_id; at 100 TB the
+# grid explode is proportional to the output, not the input.
+# --------------------------------------------------------------------------
+GAP_FILL_ORACLE = """
+WITH agg AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+         SUM(CAST(value AS DECIMAL(14,2))) AS v
+  FROM events GROUP BY 1, 2
+), rng AS (
+  SELECT user_id, min(b) AS lo, max(b) AS hi FROM agg GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(range(lo, hi + 1)) AS b FROM rng
+), j AS (
+  SELECT g.user_id, g.b, a.v FROM grid g LEFT JOIN agg a USING (user_id, b)
+)
+SELECT user_id, make_timestamp(b * 3600 * 1000000) AS bstart,
+  v IS NULL AS filled,
+  CAST(last_value(v IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY b ROWS UNBOUNDED PRECEDING
+  ) AS DOUBLE) AS value_sum
+FROM j
+"""
+
+
+@query("q_gap_fill", GAP_FILL_ORACLE)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "user_id", (F.unix_timestamp("ts") / 3600).cast("long").alias("b")
+    ).agg(F.sum(dec("value", MONEY)).alias("v"))
+    rng = agg.groupBy("user_id").agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    grid = rng.select("user_id", F.explode(F.sequence("lo", "hi")).alias("b"))
+    j = grid.join(agg, ["user_id", "b"], "left")
+    w = W.partitionBy("user_id").orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    return j.select(
+        "user_id",
+        F.timestamp_seconds(F.col("b") * 3600).alias("bstart"),
+        F.col("v").isNull().alias("filled"),
+        F.last("v", ignorenulls=True).over(w).cast("double").alias("value_sum"),
+    )

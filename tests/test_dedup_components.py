@@ -1,0 +1,56 @@
+"""Connected components over near-dup pair graphs.
+
+Mirrors the reference's unit-test style for custom engine logic
+(SURVEY.md §5): deterministic inputs, independent expected values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from forklift_spark.operators.dedup import connected_components, dedup_keep_canonical
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_chain_and_island_components(spark):
+    # chain 1-2-3 (transitive cluster), island 7-8, pair order reversed
+    pairs = _pairs(spark, [(2, 1), (2, 3), (8, 7)])
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
+
+
+def test_deep_chain_converges(spark):
+    # a 12-hop path exercises multiple propagation rounds
+    pairs = _pairs(spark, [(i, i + 1) for i in range(12)])
+    comp = connected_components(pairs)
+    assert {r["component"] for r in comp.collect()} == {0}
+    assert comp.count() == 13
+
+
+def test_dedup_keep_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(6)], "doc_id long, text string"
+    )
+    # clusters {0,1,2} and {4,5}; doc 3 untouched
+    pairs = _pairs(spark, [(0, 1), (1, 2), (4, 5)])
+    kept = sorted(
+        r["doc_id"] for r in dedup_keep_canonical(docs, pairs, "doc_id").collect()
+    )
+    assert kept == [0, 3, 4]
+
+
+def test_cluster_sizes_match_sql_oracle(spark, oracle):
+    import os
+
+    from conftest import assert_matches_oracle
+    from forklift_spark.queries.dedup import _components_oracle, q_dedup_components
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    got = q_dedup_components(spark, sf_dir)
+    assert_matches_oracle(got, oracle, _components_oracle())
