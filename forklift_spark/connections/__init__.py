@@ -20,6 +20,7 @@ from typing import Any
 import yaml
 
 from forklift_spark.connections.base import Connection
+from forklift_spark.connections.columnar import AvroConnection, OrcConnection
 from forklift_spark.connections.csvfile import CsvConnection
 from forklift_spark.connections.jdbc import JdbcConnection
 from forklift_spark.connections.jsonl import JsonlConnection
@@ -30,6 +31,8 @@ CONNECTION_TYPES: dict[str, type[Connection]] = {
     "parquet": ParquetConnection,
     "csv": CsvConnection,
     "jsonl": JsonlConnection,
+    "orc": OrcConnection,
+    "avro": AvroConnection,
     "jdbc": JdbcConnection,
     "mysql": JdbcConnection,  # alias: reference's mysql transport -> JDBC
     "elasticsearch": ElasticsearchConnection,
@@ -76,6 +79,8 @@ __all__ = [
     "ParquetConnection",
     "CsvConnection",
     "JsonlConnection",
+    "OrcConnection",
+    "AvroConnection",
     "JdbcConnection",
     "ElasticsearchConnection",
     "CONNECTION_TYPES",

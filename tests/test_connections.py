@@ -145,3 +145,43 @@ def test_es_delete_index_404_and_unreachable(engine):
     es = ElasticsearchConnection({"nodes": "localhost:1"}, engine)  # closed port
     with pytest.raises(OSError):
         es.delete_index("idx", timeout=0.5)
+
+
+def test_orc_roundtrip_append_truncate(engine, spark, tmp_path):
+    from forklift_spark.connections.columnar import OrcConnection
+
+    path = str(tmp_path / "orc_data")
+    conn = OrcConnection({"file": path}, engine, name="orc")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    conn.write(df, mode="overwrite")
+    assert conn.read().count() == 2
+    conn.write(df, mode="append")
+    assert conn.read().count() == 4
+    conn.write(df.limit(1), mode="truncate")
+    assert conn.read().count() == 1
+    # explicit schema read path
+    assert conn.read(schema="id long, v string").columns == ["id", "v"]
+    conn.drop()
+    assert not os.path.exists(path)
+
+
+def test_orc_discovered_from_yaml(engine, tmp_path):
+    _write(tmp_path, "config/connections/orc/lake.yml", f"file: {tmp_path}/lake\n")
+    conns = discover(engine, str(tmp_path))
+    from forklift_spark.connections.columnar import OrcConnection
+
+    assert isinstance(conns["orc"]["lake"], OrcConnection)
+
+
+def test_avro_degrades_without_module(engine, spark, tmp_path):
+    from forklift_spark.connections.columnar import AvroConnection
+
+    conn = AvroConnection({"file": str(tmp_path / "avro_data")}, engine, name="av")
+    df = spark.createDataFrame([(1,)], "id long")
+    try:
+        conn.write(df, mode="overwrite")
+    except RuntimeError as exc:
+        assert "spark-avro" in str(exc)
+    else:
+        # jar present: the read path must round-trip
+        assert conn.read().count() == 1
