@@ -414,3 +414,85 @@ def embedding_dedup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 9).alias("cos_sim"))
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Assign each vector to the nearest centroid by squared L2 (ties to
+    the lowest cluster id) — one JVM projection over centroid literals,
+    the same broadcast-free shape as ``ivf_assign``."""
+    vnorm2 = dot_fast(F.col(vec_col), F.col(vec_col))
+    best_d, best_c = None, None
+    for cid, cvec in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in cvec])
+        cn2 = float(sum(x * x for x in cvec))
+        d = vnorm2 - 2.0 * dot_fast(F.col(vec_col), carr) + F.lit(cn2)
+        if best_d is None:
+            best_d, best_c = d, F.lit(cid)
+        else:
+            better = d < best_d
+            best_c = F.when(better, F.lit(cid)).otherwise(best_c)
+            best_d = F.when(better, d).otherwise(best_d)
+    return df.withColumn(out_col, best_c.cast("int")).withColumn(
+        "sq_dist", best_d.cast("double")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means over an embedding column, built for the corpus
+    scale path: each iteration is one assignment projection (centroid
+    literals, no join) plus one (cluster, dim) aggregation; the only
+    driver-side data is the k x dims centroid matrix — bounded and tiny
+    (it plays the role of the model object). Initialization is the
+    ``deterministic_centroids`` seed and centroid updates use exact
+    decimal sums, so the fit is reproducible across runs, partitionings,
+    and engines. A cluster that loses all members keeps its previous
+    centroid (standard empty-cluster handling)."""
+    # each Lloyd iteration re-reads the corpus; persist it once (at real
+    # scale: the embeddings table is already a materialized columnar scan,
+    # and this keeps it in executor memory/disk across iterations)
+    df = df.persist()
+    cents = deterministic_centroids(df, id_col, vec_col, k)
+    dims = len(cents[0][1])
+    for _ in range(iters):
+        a = kmeans_assign(df, cents, id_col, vec_col)
+        rows = (
+            a.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast(VEC_DEC)) / F.count(F.lit(1))
+                ).cast("double").alias("m")
+            )
+            .collect()
+        )
+        upd: dict[int, list[float]] = {}
+        for r in rows:
+            upd.setdefault(r["cluster"], [0.0] * dims)[r["pos"]] = r["m"]
+        cents = [(cid, upd.get(cid, cvec)) for cid, cvec in cents]
+    return cents
+
+
+def kmeans_fit_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Fit + final assignment: (id, cluster, sq_dist)."""
+    cents = kmeans_fit(df, id_col, vec_col, k, iters)
+    return kmeans_assign(df, cents, id_col, vec_col).select(
+        id_col, "cluster", F.round("sq_dist", 6).alias("sq_dist")
+    )

@@ -188,3 +188,36 @@ class HwmStore:
         with open(tmp, "w") as f:
             json.dump(data, f, indent=2)
         os.replace(tmp, self.path)
+
+
+# ---------------------------------------------------------------------------
+# incremental rollup — materialized-aggregate maintenance
+# ---------------------------------------------------------------------------
+def rollup_batch(delta: "F.DataFrame", keys: list[str], value_expr) -> "F.DataFrame":
+    """Partial aggregate of one batch: (keys..., n, total). ``total`` uses
+    an exact (decimal) sum so merged results are independent of how the
+    input was batched."""
+    return delta.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(value_expr).alias("total")
+    )
+
+
+def merge_rollup(existing, delta_agg):
+    """Merge a new batch's partial aggregates into a materialized rollup.
+
+    count and sum are mergeable (avg/stddev derive from them), so
+    maintaining a 100 TB rollup costs one aggregation over the DELTA plus
+    a key-grouped merge with the (far smaller) rollup table — never a
+    recompute over history. The merge itself is union + re-aggregate:
+    the same hash-aggregate plan Spark uses for map-side partial sums,
+    applied one level up. Plays the role the reference delegates to
+    `INSERT .. SELECT` against a server-side summary table.
+    """
+    if existing is None:
+        return delta_agg
+    keys = [c for c in delta_agg.columns if c not in ("n", "total")]
+    return (
+        existing.unionByName(delta_agg)
+        .groupBy(*keys)
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+    )

@@ -526,3 +526,40 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_incremental_rollup — materialized-aggregate maintenance: build a
+# (event_type, day) rollup from history, then merge a later delta
+# batch's partial aggregates instead of recomputing. The oracle is the
+# single-shot aggregate over all data — mergeability (count/sum) makes
+# the two plans provably equal, and the decimal sum makes them
+# hash-identical regardless of batching.
+# --------------------------------------------------------------------------
+_ROLLUP_CUTOFF = "2024-01-20 00:00:00"
+
+INCR_ROLLUP_ORACLE = f"""
+SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+  count(*) AS n,
+  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("q_incremental_rollup", INCR_ROLLUP_ORACLE)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.patterns import merge_rollup, rollup_batch
+
+    ev = tables.load(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.date_trunc("day", "ts"))
+    )
+    cutoff = F.lit(_ROLLUP_CUTOFF).cast("timestamp")
+    history = ev.filter(F.col("ts") < cutoff)
+    delta = ev.filter(F.col("ts") >= cutoff)
+    keys = ["event_type", "day"]
+    value = dec("value", MONEY)
+    rolled = merge_rollup(rollup_batch(history, keys, value), rollup_batch(delta, keys, value))
+    return rolled.select(
+        "event_type", "day", "n", F.col("total").cast("double").alias("total")
+    )

@@ -367,3 +367,16 @@ def q_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tables=_N_TABLES,
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# --------------------------------------------------------------------------
+# q_kmeans_clusters — Lloyd k-means over the embeddings table
+# (deterministic seed + decimal centroid sums -> reproducible fit). An
+# iterative algorithm has no single-statement SQL equivalent -> rows-only
+# check; determinism and inertia descent are pinned in
+# tests/test_similarity_ivf.py.
+# --------------------------------------------------------------------------
+@query("q_kmeans_clusters")
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return S.kmeans_fit_assign(emb, k=8, iters=3)

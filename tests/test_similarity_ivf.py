@@ -83,3 +83,30 @@ def test_multi_table_lsh_recall_monotone(spark, emb):
     # neighbor signal), so the floor is modest; monotonicity is the
     # structural guarantee under test
     assert r3 >= 0.15, r3
+
+
+def test_kmeans_deterministic_and_inertia_descends(spark):
+    from forklift_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+        kmeans_fit_assign,
+    )
+    from forklift_spark import tables
+    from pyspark.sql import functions as F
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    a = {(r["vec_id"], r["cluster"]) for r in kmeans_fit_assign(emb, k=4, iters=2).collect()}
+    b = {(r["vec_id"], r["cluster"]) for r in kmeans_fit_assign(emb, k=4, iters=2).collect()}
+    assert a == b  # reproducible across runs (decimal sums, no RNG)
+    assert len({c for _, c in a}) > 1  # actually partitions the space
+
+    def inertia(cents):
+        return (
+            kmeans_assign(emb, cents)
+            .agg(F.sum("sq_dist").alias("s"))
+            .collect()[0]["s"]
+        )
+
+    i1 = inertia(kmeans_fit(emb, k=4, iters=1))
+    i3 = inertia(kmeans_fit(emb, k=4, iters=3))
+    assert i3 <= i1 + 1e-9  # Lloyd monotonicity
