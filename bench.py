@@ -53,6 +53,7 @@ HEADLINE = [
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
     "q_dedup_ngram_jaccard",
+    "q_dedup_components",
     "q_ann_bruteforce_topk",
     "q_ann_lsh_topk",
     "q_embedding_dedup_lsh",
@@ -60,7 +61,12 @@ HEADLINE = [
     "q_lang_id",
     "q_zipf_token_freq",
     "q_lexical_diversity",
+    "q_repetition_quality",
     "q_sequence_pack",
+    "q_tfidf_top_terms",
+    "q_stratified_sample",
+    "q_gap_fill",
+    "q_incremental_rollup",
     "q_media_metadata",
     "q_frame_sample",
 ]
