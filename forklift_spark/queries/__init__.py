@@ -59,6 +59,7 @@ def _load_all() -> None:
     from forklift_spark.queries import dedup  # noqa: F401
     from forklift_spark.queries import multimodal  # noqa: F401
     from forklift_spark.queries import similarity  # noqa: F401
+    from forklift_spark.queries import stats  # noqa: F401
     from forklift_spark.queries import text  # noqa: F401
     from forklift_spark.queries import timeseries  # noqa: F401
     _LOADED = True
