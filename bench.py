@@ -67,6 +67,10 @@ HEADLINE = [
     "q_stratified_sample",
     "q_gap_fill",
     "q_incremental_rollup",
+    "q_stats_moments",
+    "q_zscore_outliers",
+    "q_time_weighted_avg",
+    "q_equiwidth_histogram",
     "q_media_metadata",
     "q_frame_sample",
 ]

@@ -550,3 +550,62 @@ def dedup_keep_canonical(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def fuzzy_levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    len_col: str,
+    prefix_len: int = 40,
+    bucket_width: int = 20,
+    len_tol: int = 10,
+    max_dist: int = 8,
+) -> DataFrame:
+    """Blocked edit-distance matching (record linkage / near-dup titles).
+
+    Candidate generation is an EQUI-join on (block_col, length-bucket):
+    the left side emits its bucket and both neighbors, so any pair within
+    ``len_tol`` (<= bucket_width/2) characters of each other collides in
+    exactly one bucket — no cross join, no duplicate pairs, and no pair
+    missed at a bucket boundary. Levenshtein runs only inside blocks
+    (honest quadratic-within-block baseline, same contract as
+    blocked n-gram Jaccard above); the reference has no fuzzy matching —
+    this covers the MySQL-user surface of e.g. ``LIKE``-based reconcile
+    scripts with a principled operator.
+
+    Returns (id_a, id_b, dist) with id_a < id_b, dist <= max_dist over
+    the first ``prefix_len`` characters.
+    """
+    head = F.substring(F.col(text_col), 1, prefix_len)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        F.col(len_col).alias("_len"),
+        head.alias("_head"),
+        (F.col(len_col) / F.lit(bucket_width)).cast("long").alias("_b"),
+    )
+    left = base.withColumn(
+        "_probe", F.explode(F.array(F.col("_b") - 1, F.col("_b"), F.col("_b") + 1))
+    )
+    right = (
+        base.withColumnRenamed("_id", "_id_r")
+        .withColumnRenamed("_len", "_len_r")
+        .withColumnRenamed("_head", "_head_r")
+        .withColumnRenamed("_b", "_probe")
+    )
+    dist = F.levenshtein(F.col("_head"), F.col("_head_r"))
+    return (
+        left.join(right, ["_blk", "_probe"])
+        .filter(
+            (F.col("_id") < F.col("_id_r"))
+            & (F.abs(F.col("_len") - F.col("_len_r")) <= len_tol)
+        )
+        .select(
+            F.col("_id").alias("id_a"),
+            F.col("_id_r").alias("id_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -306,3 +306,32 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.join(sizes, "component").select(
         F.col("id").alias("doc_id"), "component", "cluster_size"
     )
+
+
+# --------------------------------------------------------------------------
+# q_fuzzy_match — blocked Levenshtein pairs over document heads. The oracle
+# states the unblocked predicate (same lang, length within tolerance, edit
+# distance over the 40-char head <= 8); the Spark plan produces the same set
+# through the (lang, length-bucket ±1) equi-join blocking — verifying that
+# the blocking loses no pairs is exactly what the oracle check proves.
+# --------------------------------------------------------------------------
+FUZZY_ORACLE = """
+WITH d AS (
+  SELECT doc_id, lang, n_chars, left(text, 40) AS head FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  levenshtein(a.head, b.head) AS dist
+FROM d a JOIN d b
+  ON a.lang = b.lang
+  AND a.doc_id < b.doc_id
+  AND abs(a.n_chars - b.n_chars) <= 10
+WHERE levenshtein(a.head, b.head) <= 8
+"""
+
+
+@query("q_fuzzy_match", FUZZY_ORACLE)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return D.fuzzy_levenshtein_pairs(
+        docs, "doc_id", "text", block_col="lang", len_col="n_chars"
+    )

@@ -54,3 +54,25 @@ def test_cluster_sizes_match_sql_oracle(spark, oracle):
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
     got = q_dedup_components(spark, sf_dir)
     assert_matches_oracle(got, oracle, _components_oracle())
+
+
+def test_fuzzy_blocking_loses_no_boundary_pairs(spark):
+    """A pair whose lengths straddle a bucket boundary (39 vs 41 with
+    bucket_width=20 -> buckets 1 and 2) must still collide, exactly once."""
+    from pyspark.sql import Row
+
+    from forklift_spark.operators.dedup import fuzzy_levenshtein_pairs
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="alpha beta gamma", lang="en", n=39),
+            Row(id=2, text="alpha beta gamme", lang="en", n=41),  # adjacent bucket
+            Row(id=3, text="totally different text here", lang="en", n=40),
+            Row(id=4, text="alpha beta gamma", lang="de", n=40),  # other block
+        ]
+    )
+    out = fuzzy_levenshtein_pairs(
+        df, "id", "text", block_col="lang", len_col="n",
+        prefix_len=40, bucket_width=20, len_tol=10, max_dist=2,
+    ).collect()
+    assert [(r.id_a, r.id_b, r.dist) for r in out] == [(1, 2, 1)]
