@@ -257,3 +257,36 @@ def q_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("l_extendedprice", MONEY)).cast("double").alias("total"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_event_debounce — drop events that repeat within a quiet interval of the
+# previous event for the same (user, type): the batch twin of the stateful
+# streaming dedup (streaming/stateful.py), standard telemetry double-fire
+# cleanup. One window partitioned by the natural key — bounded state, no
+# global ordering anywhere.
+# --------------------------------------------------------------------------
+Q_DEBOUNCE_ORACLE = """
+WITH seq AS (
+  SELECT event_id, user_id, event_type, ts,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id
+    ) AS gap_us
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts
+FROM seq
+WHERE gap_us IS NULL OR gap_us > 300000000
+"""
+
+
+@query("q_event_debounce", Q_DEBOUNCE_ORACLE)
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.withColumn("gap_us", gap)
+        .filter(F.col("gap_us").isNull() | (F.col("gap_us") > 300_000_000))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
