@@ -488,3 +488,58 @@ FROM wstats w JOIN bstats b USING (doc_id)
 def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     return X.repetition_stats(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# q_token_rarity — per-document mean vocabulary rank + out-of-vocab count:
+# the rank-based rarity score a corpus-quality filter uses when a real LM
+# perplexity pass is too expensive (and, unlike log-prob, it is exactly
+# reproducible across engines — integer ranks, no transcendentals).
+# Plan shape: global top-K vocab via TakeOrderedAndProject (per-partition
+# heaps, same pattern as q_zipf), rank over the K-row result, broadcast
+# join back to the token stream, one per-doc aggregation. K is a constant,
+# so at 100 TB this is two scan-shaped passes and a K-row broadcast.
+# --------------------------------------------------------------------------
+_RARITY_K = 20
+
+RARITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_W}) AS tok FROM documents
+), freq AS (
+  SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+), ranked AS (
+  SELECT tok, row_number() OVER (ORDER BY freq DESC, tok) AS rank
+  FROM freq ORDER BY freq DESC, tok LIMIT {_RARITY_K}
+)
+SELECT t.doc_id, count(*) AS n_toks,
+  CAST(SUM(coalesce(r.rank, {_RARITY_K} + 1)) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS mean_rank,
+  SUM(CASE WHEN r.rank IS NULL THEN 1 ELSE 0 END) AS n_oov
+FROM toks t LEFT JOIN ranked r ON t.tok = r.tok
+GROUP BY t.doc_id
+"""
+
+
+@query("q_token_rarity", RARITY_ORACLE)
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.words("text")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    top = freq.orderBy(F.col("freq").desc(), "tok").limit(_RARITY_K)
+    w = W.partitionBy(F.lit(0)).orderBy(F.col("freq").desc(), "tok")
+    ranked = top.withColumn("rank", F.row_number().over(w)).select("tok", "rank")
+    rank_or_oov = F.coalesce(F.col("rank"), F.lit(_RARITY_K + 1))
+    return (
+        toks.join(F.broadcast(ranked), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            (
+                F.sum(rank_or_oov).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_rank"),
+            F.sum(F.when(F.col("rank").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
