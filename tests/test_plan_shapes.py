@@ -100,3 +100,27 @@ def test_no_collect_in_operators():
             if fn not in allowed_fns:
                 offenders.append(f"{p.name}:{i} (in {fn or '<module>'})")
     assert not offenders, offenders
+
+
+def test_fuzzy_match_has_no_cartesian_product(spark):
+    from forklift_spark.queries.dedup import q_fuzzy_match
+
+    plan = _plan(q_fuzzy_match(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_rarity_topk_is_heap_based(spark):
+    # the vocab top-K must compile to per-partition heaps, not a global sort
+    from forklift_spark.queries.text import q_token_rarity
+
+    plan = _plan(q_token_rarity(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zscore_stats_join_is_broadcast(spark):
+    from forklift_spark.queries.stats import q_zscore_outliers
+
+    plan = _plan(q_zscore_outliers(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
