@@ -71,6 +71,11 @@ HEADLINE = [
     "q_zscore_outliers",
     "q_time_weighted_avg",
     "q_equiwidth_histogram",
+    "q_winsorize",
+    "q_rolling_anomaly",
+    "q_event_debounce",
+    "q_fuzzy_match",
+    "q_token_rarity",
     "q_media_metadata",
     "q_frame_sample",
 ]

@@ -290,3 +290,104 @@ def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("gap_us").isNull() | (F.col("gap_us") > 300_000_000))
         .select("event_id", "user_id", "event_type", "ts")
     )
+
+
+# --------------------------------------------------------------------------
+# q_winsorize — robust-statistics cleaning: clamp a heavy-tailed metric to
+# its per-group [p05, p95] band and report how much was clipped. The
+# percentile pass reduces each group to two scalars which join back
+# broadcast; the clamp itself picks one of three already-exact doubles
+# (raw, p05, p95 — Spark `percentile` == DuckDB `quantile_cont` bit-exact,
+# see q_percentiles), so only the final mean needs the decimal treatment.
+# --------------------------------------------------------------------------
+Q_WINSORIZE_ORACLE = """
+WITH pct AS (
+  SELECT l_returnflag,
+    quantile_cont(l_extendedprice, 0.05) AS p05,
+    quantile_cont(l_extendedprice, 0.95) AS p95
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+  COUNT(*) AS n,
+  SUM(CASE WHEN l.l_extendedprice < p.p05 THEN 1 ELSE 0 END) AS n_low,
+  SUM(CASE WHEN l.l_extendedprice > p.p95 THEN 1 ELSE 0 END) AS n_high,
+  CAST(SUM(CAST(greatest(p.p05, least(p.p95, l.l_extendedprice)) AS DECIMAL(18,6))) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS mean_winsorized
+FROM lineitem l JOIN pct p ON l.l_returnflag = p.l_returnflag
+GROUP BY l.l_returnflag
+"""
+
+
+@query("q_winsorize", Q_WINSORIZE_ORACLE)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    pct = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    p = F.col("l_extendedprice")
+    clamped = F.greatest(F.col("p05"), F.least(F.col("p95"), p))
+    return (
+        li.join(F.broadcast(pct), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(p < F.col("p05"), 1).otherwise(0)).alias("n_low"),
+            F.sum(F.when(p > F.col("p95"), 1).otherwise(0)).alias("n_high"),
+            (
+                F.sum(clamped.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_winsorized"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_rolling_anomaly — deviation from each event-type's trailing 1-hour
+# mean (range frame over epoch seconds, current row excluded: "how far is
+# this reading from its own recent history"). Frame sums are decimal ->
+# the rolling mean is exact at any parallelism; the frame is value-based
+# (RANGE), so epoch ties land in the same frame in both engines. Bounded
+# per-type window state — the streaming twin is a watermarked sliding agg.
+# --------------------------------------------------------------------------
+Q_ROLLING_ANOMALY_ORACLE = """
+WITH seq AS (
+  SELECT event_id, event_type, ts,
+    CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS roll_sum,
+    COUNT(*) OVER w AS roll_n
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts) // 1000000
+               RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type, value,
+  value - roll_sum / CAST(roll_n AS DOUBLE) AS deviation
+FROM seq
+WHERE roll_n >= 5
+  AND abs(value - roll_sum / CAST(roll_n AS DOUBLE)) > 150.0
+"""
+
+
+@query("q_rolling_anomaly", Q_ROLLING_ANOMALY_ORACLE)
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, -1)
+    )
+    v = dec("value", VALUE)
+    roll_sum = F.sum(v).over(w).cast("double")
+    roll_n = F.count(F.lit(1)).over(w)
+    dev = v.cast("double") - roll_sum / roll_n.cast("double")
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            v.cast("double").alias("value"),
+            dev.alias("deviation"),
+            roll_n.alias("_n"),
+        )
+        .filter((F.col("_n") >= 5) & (F.abs(F.col("deviation")) > 150.0))
+        .drop("_n")
+    )
