@@ -268,12 +268,13 @@ def q_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q_stream_windowed_counts — the windowed aggregation EXECUTED AS A
-# STREAM (availableNow over staged files -> memory sink). Append-mode
-# watermarking can hold back the trailing window, so this entry takes
-# the rows-only check; exact stream==batch parity is pinned in
-# tests/test_streaming.py.
+# STREAM (availableNow over staged files -> memory sink), oracle-checked
+# against the SAME batch SQL as q_window_tumbling: complete output mode
+# emits every window at termination (append-mode watermarking would hold
+# back the trailing ones), and the stream's sum is decimal-exact, so the
+# streaming execution must reproduce the batch result bit-for-bit.
 # --------------------------------------------------------------------------
-@query("q_stream_windowed_counts")
+@query("q_stream_windowed_counts", TUMBLING_ORACLE)
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
@@ -287,7 +288,7 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"stream_win_{uuid.uuid4().hex[:8]}"
     q = (
         windowed_counts(stream)
-        .writeStream.outputMode("append")
+        .writeStream.outputMode("complete")
         .format("memory")
         .queryName(sink)
         .trigger(availableNow=True)

@@ -105,11 +105,21 @@ def windowed_counts(
     key_col: str = "event_type",
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation (same expressions as the
-    batch q_window_tumbling). Works on a readStream or batch frame."""
+    batch q_window_tumbling). Works on a readStream or batch frame.
+
+    The value sum aggregates in DECIMAL and casts back to double — a
+    raw double sum's result depends on state-merge order, which would
+    break exact stream==batch parity (and the oracle check on the
+    stream-executed catalog entry)."""
+    from forklift_spark.functions.exact import MONEY, dec
+
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), key_col)
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value", MONEY)).cast("double").alias("total_value"),
+        )
         .select(F.col("w.start").alias("wstart"), key_col, "n", "total_value")
     )
 
