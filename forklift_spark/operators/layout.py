@@ -106,3 +106,35 @@ def compact(
     os.rename(staging, table_path)
     shutil.rmtree(old, ignore_errors=True)
     return n_files
+
+
+def distinct_sketch_rollup(
+    df,
+    fine_keys: list[str],
+    coarse_keys: list[str],
+    count_col: str,
+):
+    """Mergeable approximate-distinct rollup (Datasketches HLL).
+
+    The 100 TB pattern for COUNT(DISTINCT) over hierarchies: materialize
+    the fine grain ONCE as sketches, then answer every coarser grain by
+    merging sketches — no rescan of the raw data, and merging is
+    register-wise max so it parallelizes as an ordinary partial
+    aggregate. An exact distinct at the coarse grain would re-shuffle
+    the full key set per query; this ships kilobyte sketches instead.
+
+    Returns (fine_df, coarse_df): the fine grain with its estimate and
+    retained sketch (the persistable intermediate), and the coarse
+    rollup estimated from merged sketches.
+    """
+    from pyspark.sql import functions as F
+
+    fine = df.groupBy(*fine_keys).agg(F.hll_sketch_agg(count_col).alias("sk"))
+    fine_est = fine.withColumn("approx_distinct", F.hll_sketch_estimate("sk"))
+    coarse = (
+        fine.groupBy(*coarse_keys)
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .withColumn("approx_distinct", F.hll_sketch_estimate("sk"))
+        .drop("sk")
+    )
+    return fine_est, coarse

@@ -342,3 +342,23 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNull().alias("filled"),
         F.last("v", ignorenulls=True).over(w).cast("double").alias("value_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_hll_user_rollup — daily distinct users materialized as mergeable HLL
+# sketches, rolled up to (event_type) totals by sketch union. Approximate
+# by design -> rows-only check; the error bound (<5% vs exact) and
+# merge-consistency (union of dailies ~= direct global sketch) are pinned
+# in tests/test_layout.py.
+# --------------------------------------------------------------------------
+@query("q_hll_user_rollup")
+def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.operators.layout import distinct_sketch_rollup
+
+    ev = tables.load(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.date_trunc("day", "ts"))
+    )
+    _fine, coarse = distinct_sketch_rollup(
+        ev, ["event_type", "day"], ["event_type"], "user_id"
+    )
+    return coarse

@@ -71,3 +71,38 @@ def test_compact_reduces_file_count(spark, tmp_path):
     n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     assert n_after == n_target < n_before
     assert spark.read.parquet(path).count() == 4000
+
+
+def test_hll_rollup_error_and_merge_consistency(spark):
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    from forklift_spark import tables
+    from forklift_spark.operators.layout import distinct_sketch_rollup
+
+    ev = tables.load(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date(F.date_trunc("day", "ts"))
+    )
+    fine, coarse = distinct_sketch_rollup(
+        ev, ["event_type", "day"], ["event_type"], "user_id"
+    )
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    direct = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    for r in coarse.collect():
+        et, est = r["event_type"], r["approx_distinct"]
+        # error bound vs exact; merged-vs-direct must agree closely (the
+        # sketches are not byte-identical — sparse->dense promotion paths
+        # differ — but register content is near-identical)
+        assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])
+        assert abs(est - direct[et]) / max(direct[et], 1) < 0.02, (et, est, direct[et])
