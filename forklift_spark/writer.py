@@ -131,23 +131,51 @@ class ParquetTableWriter:
         mode: str = "upsert",
         primary_key: str = "id",
         strict_schema: bool = False,
+        partition_by: list[str] | None = None,
     ) -> None:
         df = _strip_null_types(df)
         if not self.exists(table):  # lazy create (mysql.rb:105-132)
-            self._publish(df, table)
+            self._publish(df, table, partition_by)
             return
         if mode == "overwrite":
-            self._publish(df, table)
+            self._publish(df, table, partition_by)
+        elif mode == "overwrite_partitions":
+            self._overwrite_partitions(df, table, partition_by)
         elif mode == "append":
             existing = self.read(table)
             merged = _merged_schema(existing, df, strict_schema)
             self._publish(
-                _align(existing, merged).unionByName(_align(df, merged)), table
+                _align(existing, merged).unionByName(_align(df, merged)),
+                table,
+                partition_by,
             )
         elif mode == "upsert":
             self._upsert(df, table, primary_key, strict_schema)
         else:
             raise ValueError(f"unknown mode {mode!r}")
+
+    def _overwrite_partitions(
+        self, df: DataFrame, table: str, partition_by: list[str] | None
+    ) -> None:
+        """Dynamic partition overwrite: replace ONLY the hive partitions
+        present in ``df``, leave every other partition untouched. The
+        100 TB incremental pattern for day-partitioned facts — rewriting
+        today's partition costs O(today), not O(table), and readers prune
+        untouched days from scans. In-place (no whole-table staging swap:
+        per-partition atomicity comes from Spark's commit protocol — the
+        swap would defeat the point by rewriting every partition)."""
+        if not partition_by:
+            raise ValueError("overwrite_partitions requires partition_by")
+        conf = self.spark.conf
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = conf.get(key, "static")
+        conf.set(key, "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy(*partition_by).parquet(
+                self.path(table)
+            )
+        finally:
+            conf.set(key, prev)
 
     def _upsert(
         self, df: DataFrame, table: str, primary_key, strict: bool
@@ -171,11 +199,16 @@ class ParquetTableWriter:
         self._publish(kept.unionByName(incoming), table)
 
     # -- atomic publish ----------------------------------------------------
-    def _publish(self, df: DataFrame, table: str) -> None:
+    def _publish(
+        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+    ) -> None:
         final = self.path(table)
         staging = f"{final}.__staging__{uuid.uuid4().hex[:8]}"
         os.makedirs(self.root, exist_ok=True)
-        df.write.mode("overwrite").parquet(staging)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging)
         old = f"{final}.__old__{uuid.uuid4().hex[:8]}"
         if os.path.isdir(final):
             os.rename(final, old)

@@ -127,3 +127,53 @@ def test_overwrite_atomic_swap_leaves_no_staging(w, spark, tmp_path):
     assert [r["id"] for r in w.read("users").collect()] == [9]
     leftovers = [d for d in (tmp_path / "wh").iterdir() if "__" in d.name]
     assert leftovers == []
+
+
+def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from forklift_spark.writer import ParquetTableWriter
+
+    w = ParquetTableWriter(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 30.0), (4, "d3", 40.0)],
+        "id long, day string, v double",
+    )
+    w.write(base, "facts", mode="overwrite", partition_by=["day"])
+    assert os.path.isdir(tmp_path / "facts" / "day=d2")
+
+    # record the untouched partition's files to prove it isn't rewritten
+    d2_files = sorted(os.listdir(tmp_path / "facts" / "day=d2"))
+
+    delta = spark.createDataFrame(
+        [(2, "d1", 99.0), (5, "d1", 50.0)], "id long, day string, v double"
+    )
+    w.write(delta, "facts", mode="overwrite_partitions", partition_by=["day"])
+
+    out = {
+        (r["id"], r["day"]): r["v"]
+        for r in spark.read.parquet(str(tmp_path / "facts")).collect()
+    }
+    # d1 fully replaced by the delta (row 1 gone, 2 updated, 5 new)
+    assert out == {(2, "d1"): 99.0, (5, "d1"): 50.0, (3, "d2"): 30.0, (4, "d3"): 40.0}
+    assert sorted(os.listdir(tmp_path / "facts" / "day=d2")) == d2_files
+
+    # conf restored after the write
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        != "dynamic"
+    )
+
+
+def test_overwrite_partitions_requires_partition_by(spark, tmp_path):
+    import pytest as _pytest
+
+    from forklift_spark.writer import ParquetTableWriter
+
+    w = ParquetTableWriter(spark, str(tmp_path))
+    df = spark.createDataFrame([(1, "d1")], "id long, day string")
+    w.write(df, "t", mode="overwrite", partition_by=["day"])
+    with _pytest.raises(ValueError):
+        w.write(df, "t", mode="overwrite_partitions")
