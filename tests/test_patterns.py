@@ -158,3 +158,53 @@ def test_incremental_pipe_with_schema_evolution_mid_sync(spark, tmp_path):
     assert "score" in out.columns
     assert out.filter(F.col("score").isNotNull()).count() == 2
     assert out.filter((F.col("id") < 100) & F.col("score").isNotNull()).count() == 0
+
+
+def test_partitioned_incremental_pipe_replaces_only_touched_days(spark, tmp_path):
+    import datetime
+    import os
+
+    from forklift_spark.connections.parquet import ParquetConnection
+    from forklift_spark.patterns import partitioned_incremental_pipe
+
+    class _Eng:
+        def __init__(self, s):
+            self.spark = s
+            self.logger = type("L", (), {"log": staticmethod(lambda m: None)})()
+
+    eng = _Eng(spark)
+    src = ParquetConnection({"path": str(tmp_path / "src")}, eng, "src")
+    dst = ParquetConnection({"path": str(tmp_path / "dst")}, eng, "dst")
+
+    t0 = datetime.datetime(2024, 1, 1, 8)
+    t1 = datetime.datetime(2024, 1, 2, 9)
+    rows = [(1, t0, "a"), (2, t0, "b"), (3, t1, "c")]
+    src.write(
+        spark.createDataFrame(rows, "id long, updated_at timestamp, v string"),
+        "ev",
+        mode="overwrite",
+    )
+    partitioned_incremental_pipe(src, "ev", dst, "ev_w", "day")
+    assert os.path.isdir(tmp_path / "dst" / "ev_w" / "day=2024-01-01")
+    day1_files = sorted(os.listdir(tmp_path / "dst" / "ev_w" / "day=2024-01-01"))
+
+    # a later row lands on day 2 plus one correction on day 2; day 1 untouched
+    t2 = datetime.datetime(2024, 1, 2, 15)
+    src.write(
+        spark.createDataFrame(
+            [(3, t2, "c2"), (4, t2, "d")], "id long, updated_at timestamp, v string"
+        ),
+        "ev",
+        mode="upsert",
+        primary_key="id",
+    )
+    partitioned_incremental_pipe(src, "ev", dst, "ev_w", "day")
+
+    got = {
+        (r["id"]): (r["v"])
+        for r in dst.read("SELECT id, v FROM ev_w").collect()
+    }
+    assert got == {1: "a", 2: "b", 3: "c2", 4: "d"}
+    assert (
+        sorted(os.listdir(tmp_path / "dst" / "ev_w" / "day=2024-01-01")) == day1_files
+    )
