@@ -362,3 +362,62 @@ def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["event_type", "day"], ["event_type"], "user_id"
     )
     return coarse
+
+
+# --------------------------------------------------------------------------
+# q_ohlc_bars — resample each event_type to 6-hour OHLC bars: open/close
+# are the first/last reading in the bucket (row_number over (ts, event_id)
+# — ties deterministic), high/low/volume are plain extremes/sums. One
+# window + one aggregation, both partitioned by (type, bucket): bounded
+# state, no global order. The financial-bar shape every time-series
+# store ships (e.g. TimescaleDB ohlc / candlestick_agg).
+# --------------------------------------------------------------------------
+OHLC_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+    time_bucket(INTERVAL '6 hours', ts) AS bar,
+    CAST(value AS DECIMAL(12,2)) AS v,
+    row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL '6 hours', ts)
+                       ORDER BY ts, event_id) AS rn_a,
+    row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL '6 hours', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bar,
+  CAST(MAX(CASE WHEN rn_a = 1 THEN v END) AS DOUBLE) AS open,
+  CAST(MAX(v) AS DOUBLE) AS high,
+  CAST(MIN(v) AS DOUBLE) AS low,
+  CAST(MAX(CASE WHEN rn_d = 1 THEN v END) AS DOUBLE) AS close,
+  COUNT(*) AS n,
+  CAST(SUM(v) AS DOUBLE) AS volume
+FROM seq
+GROUP BY event_type, bar
+"""
+
+
+@query("q_ohlc_bars", OHLC_ORACLE)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    v = dec("value", "decimal(12,2)")
+    seq = ev.select(
+        "event_type",
+        F.window("ts", "6 hours").start.alias("bar"),
+        v.alias("v"),
+        "ts",
+        "event_id",
+    )
+    wa = W.partitionBy("event_type", "bar").orderBy("ts", "event_id")
+    wd = W.partitionBy("event_type", "bar").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    seq = seq.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return seq.groupBy("event_type", "bar").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("v"))).cast("double").alias("open"),
+        F.max("v").cast("double").alias("high"),
+        F.min("v").cast("double").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("v"))).cast("double").alias("close"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("volume"),
+    )
