@@ -60,9 +60,10 @@ SELECT l_returnflag, n,
   sq / CAST(n AS DOUBLE) AS mean_qty,
   (sqq - (sq * sq) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var_qty,
   sqrt((sqq - (sq * sq) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS std_qty,
-  (CAST(n AS DOUBLE) * sqp - sq * sp)
-    / (sqrt(CAST(n AS DOUBLE) * sqq - sq * sq) * sqrt(CAST(n AS DOUBLE) * spp - sp * sp))
-    AS corr_qty_price
+  round(
+    (sqp - (sq * sp) / CAST(n AS DOUBLE))
+      / (sqrt(sqq - (sq * sq) / CAST(n AS DOUBLE)) * sqrt(spp - (sp * sp) / CAST(n AS DOUBLE))),
+    12) AS corr_qty_price
 FROM sums
 """
 
@@ -84,9 +85,24 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_qty = (F.col("sqq") - (F.col("sq") * F.col("sq")) / n_d) / (
         F.col("n") - F.lit(1)
     ).cast("double")
-    corr = (n_d * F.col("sqp") - F.col("sq") * F.col("sp")) / (
-        F.sqrt(n_d * F.col("sqq") - F.col("sq") * F.col("sq"))
-        * F.sqrt(n_d * F.col("spp") - F.col("sp") * F.col("sp"))
+    # Two engine-stability rules, both measured at sf0.001:
+    # 1. every multiply feeds a division — `a*b - c*d` is the fused-
+    #    multiply-add shape and contraction-compiled engines evaluate it
+    #    in one rounding vs the JVM's two;
+    # 2. Σp² exceeds 2^53 decimal UNITS (7e16 at scale 4), so its
+    #    decimal->double cast legitimately rounds differently per engine
+    #    (BigDecimal.doubleValue is correctly rounded; a scaled-hugeint
+    #    conversion is not) — the last ulp of corr is therefore not
+    #    engine-defined, and the output is rounded to 12 dp on both
+    #    sides. mean/var/std touch only sums inside the exact range and
+    #    stay unrounded.
+    corr = F.round(
+        (F.col("sqp") - (F.col("sq") * F.col("sp")) / n_d)
+        / (
+            F.sqrt(F.col("sqq") - (F.col("sq") * F.col("sq")) / n_d)
+            * F.sqrt(F.col("spp") - (F.col("sp") * F.col("sp")) / n_d)
+        ),
+        12,
     )
     return sums.select(
         "l_returnflag",
