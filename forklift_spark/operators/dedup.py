@@ -556,15 +556,43 @@ def connected_components(
 
 
 def dedup_keep_canonical(
-    df: DataFrame, pairs: DataFrame, id_col: str, left: str = "id_a", right: str = "id_b"
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    left: str = "id_a",
+    right: str = "id_b",
+    quality_col: str | None = None,
 ) -> DataFrame:
-    """Apply a pair list to a corpus: keep one doc (the smallest id) per
-    connected component, plus every doc that is in no pair. One anti-join
-    against the non-canonical member set — the corpus streams once."""
+    """Apply a pair list to a corpus: keep one doc per connected
+    component, plus every doc that is in no pair. One anti-join against
+    the non-canonical member set — the corpus streams once.
+
+    Survivor selection: smallest id by default; with ``quality_col``,
+    the highest-quality member wins (ties to smallest id) — the corpus
+    curation policy ("keep the best variant, not the first-crawled") as
+    one extra per-component max_by over the (small) component table."""
     comp = connected_components(pairs, left, right)
-    losers = comp.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
-    )
+    if quality_col is None:
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        scored = comp.join(
+            df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("_q")),
+            "id",
+        )
+        # max_by over a (quality, -id) struct: Spark orders structs
+        # lexicographically, so ties on quality break to the smallest id
+        winners = scored.groupBy("component").agg(
+            F.max_by("id", F.struct(F.col("_q"), (-F.col("id")).alias("_neg"))).alias(
+                "_win"
+            )
+        )
+        losers = (
+            comp.join(winners, "component")
+            .filter(F.col("id") != F.col("_win"))
+            .select(F.col("id").alias(id_col))
+        )
     return df.join(losers, id_col, "left_anti")
 
 

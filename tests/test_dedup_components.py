@@ -76,3 +76,24 @@ def test_fuzzy_blocking_loses_no_boundary_pairs(spark):
         prefix_len=40, bucket_width=20, len_tol=10, max_dist=2,
     ).collect()
     assert [(r.id_a, r.id_b, r.dist) for r in out] == [(1, 2, 1)]
+
+
+def test_dedup_keep_canonical_quality_survivor(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, q=0.2),
+            Row(doc_id=2, q=0.9),  # best of {1,2,3} -> survives
+            Row(doc_id=3, q=0.9),  # tie with 2 -> smaller id 2 wins
+            Row(doc_id=4, q=0.5),  # unpaired -> survives
+        ]
+    )
+    pairs = spark.createDataFrame([Row(id_a=1, id_b=2), Row(id_a=2, id_b=3)])
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_keep_canonical(
+            docs, pairs, "doc_id", quality_col="q"
+        ).collect()
+    )
+    assert kept == [2, 4]
