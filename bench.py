@@ -34,6 +34,8 @@ HEADLINE = [
     "q14_promo_revenue",
     "q17_small_qty",
     "q19_disjunctive",
+    "q7_volume_shipping",
+    "q9_product_profit",
     "q_cube",
     "q_grouping_sets",
     "q_running_window",

@@ -632,3 +632,126 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(cond).agg(
         _dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_lines")
     )
+
+
+# --------------------------------------------------------------------------
+# q7_volume_shipping — TPC-H Q7 shape: revenue flow between two nations by
+# year. Two independent joins to the nation dim (supplier side + customer
+# side) with a disjunctive cross-nation predicate, then a 3-way fact chain.
+# nation is fixed-cardinality -> both sides broadcast (hinted, per the
+# round-2 join policy); the lineitem⋈orders⋈customer chain shuffles on its
+# natural keys.
+# --------------------------------------------------------------------------
+Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    year(l.l_shipdate) AS l_year, l.l_extendedprice, l.l_discount
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q7_volume_shipping", Q7_ORACLE)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1995-01-01").cast("timestamp"), F.lit("1996-12-31").cast("timestamp")
+        )
+    )
+    supp = tables.load(spark, sf_dir, "supplier")
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer")
+    n1 = F.broadcast(
+        tables.load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        tables.load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    revenue = dec("l_extendedprice", MONEY) * (_one() - dec("l_discount", RATE))
+    joined = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            revenue.alias("_rev"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("_rev").cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q9_product_profit — TPC-H Q9 shape: profit by nation and year for parts
+# matching a name pattern. The widest join chain in the catalog (lineitem ⋈
+# part ⋈ supplier ⋈ orders ⋈ nation); part is filtered by a LIKE
+# pattern that pushes into its scan. No forced broadcast on part/supplier
+# (SF-scaling); nation is hinted. (The toy schema has no partsupp, so
+# supplycost is approximated from p_retailprice — same join/agg shape.)
+# --------------------------------------------------------------------------
+Q9_ORACLE = """
+SELECT nation, o_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+         - CAST(p_retailprice AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+    l.l_extendedprice, l.l_discount, l.l_quantity, p.p_retailprice
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@query("q9_product_profit", Q9_ORACLE)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = tables.load(spark, sf_dir, "supplier")
+    orders = tables.load(spark, sf_dir, "orders")
+    nation = F.broadcast(tables.load(spark, sf_dir, "nation"))
+    profit = dec("l_extendedprice", MONEY) * (_one() - dec("l_discount", RATE)) - dec(
+        "p_retailprice", MONEY
+    ) * dec("l_quantity", QTY)
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            profit.alias("_p"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("_p").cast("double").alias("sum_profit"))
+    )
