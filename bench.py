@@ -36,6 +36,8 @@ HEADLINE = [
     "q19_disjunctive",
     "q7_volume_shipping",
     "q9_product_profit",
+    "q13_order_distribution",
+    "q22_global_sales_opp",
     "q_cube",
     "q_grouping_sets",
     "q_running_window",

@@ -755,3 +755,89 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation", "o_year")
         .agg(F.sum("_p").cast("double").alias("sum_profit"))
     )
+
+
+# --------------------------------------------------------------------------
+# q13_order_distribution — TPC-H Q13 shape: how many customers placed k
+# orders, for every k (including zero — left outer). Two chained
+# aggregations: count per customer, then a histogram of those counts.
+# Both shuffle on their natural keys; the second input is one row per
+# customer (already small relative to facts).
+# --------------------------------------------------------------------------
+Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@query("q13_order_distribution", Q13_ORACLE)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# q22_global_sales_opp — TPC-H Q22 shape: positive-balance customers with
+# no RECENT orders, grouped by a derived code, compared against a scalar
+# average
+# (scalar subquery -> one-row broadcast; NOT EXISTS -> left anti join).
+# --------------------------------------------------------------------------
+Q22_ORACLE = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+       / CAST(COUNT(*) AS DOUBLE) AS a
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT cntrycode, COUNT(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT CAST(c.c_nationkey % 10 AS BIGINT) AS cntrycode, c.c_acctbal
+  FROM customer c, avg_bal
+  WHERE c.c_acctbal > avg_bal.a
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1997-06-01')
+) hot
+GROUP BY cntrycode
+"""
+
+
+@query("q22_global_sales_opp", Q22_ORACLE)
+def q22_global_sales_opp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(dec("c_acctbal", MONEY)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("a")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp")
+    )
+    hot = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+    )
+    return hot.groupBy(
+        (F.col("c_nationkey") % 10).cast("long").alias("cntrycode")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(dec("c_acctbal", MONEY)).cast("double").alias("totacctbal"),
+    )
