@@ -841,3 +841,43 @@ def q22_global_sales_opp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.sum(dec("c_acctbal", MONEY)).cast("double").alias("totacctbal"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_rank_functions — the full ranking-function family over a deterministic
+# per-group order (ties broken by the (orderkey, linenumber) natural key,
+# so every engine assigns identical ranks). Partitioned by returnflag —
+# per-group sort, no global window. percent_rank/cume_dist are exact
+# rational values ((rank-1)/(n-1), rank_with_peers/n) -> identical IEEE
+# doubles in both engines.
+# --------------------------------------------------------------------------
+RANKFN_ORACLE = """
+SELECT l_returnflag, l_orderkey, l_linenumber,
+  rank() OVER w AS rnk,
+  dense_rank() OVER w AS drnk,
+  percent_rank() OVER w AS prnk,
+  cume_dist() OVER w AS cdist,
+  ntile(10) OVER w AS decile
+FROM lineitem
+WHERE l_quantity >= 48.0
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+"""
+
+
+@query("q_rank_functions", RANKFN_ORACLE)
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48.0)
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(10).over(w).alias("decile"),
+    )
