@@ -335,3 +335,57 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.fuzzy_levenshtein_pairs(
         docs, "doc_id", "text", block_col="lang", len_col="n_chars"
     )
+
+
+# --------------------------------------------------------------------------
+# q_contamination_matrix — corpus governance: which SOURCES share near-
+# duplicate documents, and how much. Reuses the verified MinHash pair
+# list (same thresholds as q_dedup_minhash_lsh) and aggregates it into an
+# unordered source-pair matrix with a mean-similarity column; the oracle
+# wraps the replayed pair SQL as a CTE. At scale the pair list is tiny
+# next to the corpus, so the matrix costs two broadcast label joins + one
+# aggregation on top of a pipeline that already ran for dedup.
+# --------------------------------------------------------------------------
+CONTAM_ORACLE = f"""
+WITH pairs AS ({_minhash_lsh_oracle()})
+SELECT least(da.source, db.source) AS source_a,
+  greatest(da.source, db.source) AS source_b,
+  COUNT(*) AS n_pairs,
+  round(CAST(SUM(CAST(p.jaccard AS DECIMAL(18,15))) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 9) AS mean_jaccard
+FROM pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+GROUP BY 1, 2
+"""
+
+
+@query("q_contamination_matrix", CONTAM_ORACLE)
+def q_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=_NH, bands=_BANDS, threshold=0.3
+    )
+    labels = docs.select("doc_id", "source")
+    lab_a = labels.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+    )
+    lab_b = labels.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(F.broadcast(lab_a), "id_a")
+        .join(F.broadcast(lab_b), "id_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(18,15)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("mean_jaccard"),
+        )
+    )
