@@ -42,6 +42,7 @@ HEADLINE = [
     "q_grouping_sets",
     "q_running_window",
     "q_percentiles",
+    "q_rank_functions",
     "q_outer_join_reconcile",
     "q_salted_join",
     "q_topk_per_group",
@@ -71,6 +72,7 @@ HEADLINE = [
     "q_stratified_sample",
     "q_gap_fill",
     "q_incremental_rollup",
+    "q_ohlc_bars",
     "q_stats_moments",
     "q_zscore_outliers",
     "q_time_weighted_avg",
