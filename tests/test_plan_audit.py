@@ -1,0 +1,61 @@
+"""Catalog-wide physical-plan audit: every registered query's executed
+plan is checked for the join shapes that do not survive 100 TB.
+
+- `CartesianProduct` is banned outright (the one all-pairs baseline,
+  q_embedding_dedup, runs on a bounded 200-row sample and compiles to a
+  broadcast nested loop, not a cartesian).
+- `BroadcastNestedLoopJoin` is allowed only where the broadcast side is
+  bounded by construction (1-row scalar frames, fixed query sets, the
+  documented audit baselines) — listed explicitly so a new query that
+  accidentally non-equi-joins two fact tables fails this test.
+
+Plan building only analyzes (no job runs) for pure queries; entries that
+execute work at build time (streams, iterative fits) are skipped here —
+their plans are exercised by their own tests.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from forklift_spark import queries as Q
+from tests.conftest import SF_DIR
+
+# execute work at DataFrame-build time (stream run / centroid collect);
+# audited by their dedicated tests instead
+_BUILDS_EXECUTE = {
+    "q_stream_windowed_counts",
+    "q_kmeans_clusters",
+    "q_ann_ivf_topk",
+    "q_dedup_components",
+    "q_contamination_matrix",  # shares the components/minhash machinery
+    "q_incremental_rollup",    # maintains state on disk at build time
+    "q_upsert_merge",
+    "q_schema_evolution",
+    "q_hwm",
+    "q_incremental_delta",
+    "q_read_since",
+}
+
+# bounded-by-construction broadcast nested loops (scalar frames, fixed
+# query sets, documented audit baselines)
+_BNLJ_ALLOWED = {
+    "q_embedding_dedup",       # 200-row sample all-pairs audit baseline
+    "q_ann_bruteforce_topk",   # fixed 10-query broadcast side (recall baseline)
+    "q_equiwidth_histogram",   # 1-row min/max bounds
+    "q22_global_sales_opp",    # 1-row scalar average
+    "q_decontaminate",         # broadcast benchmark side, non-equi containment
+    "q_trailing_range_window", # range-frame self join on scalar bounds
+}
+
+
+@pytest.mark.parametrize("name", sorted(set(Q.catalog()) - _BUILDS_EXECUTE))
+def test_no_unbounded_join_shapes(name, spark):
+    df = Q.catalog()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name} builds a cartesian product"
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in _BNLJ_ALLOWED, (
+            f"{name} uses BroadcastNestedLoopJoin but is not on the bounded "
+            "allowlist — non-equi join between unbounded sides?"
+        )
