@@ -881,3 +881,46 @@ def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cdist"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_value_window_functions — the value-picking window family over a
+# deterministic frame: first/last value in a bounded frame, nth_value,
+# and multi-step lag/lead with defaults. Completes the window surface
+# next to q_rank_functions (ranking) and q_running_window (aggregates).
+# --------------------------------------------------------------------------
+VALWIN_ORACLE = """
+SELECT o_custkey, o_orderkey,
+  first_value(o_totalprice) OVER w AS first_price,
+  last_value(o_totalprice) OVER w AS last_price,
+  nth_value(o_totalprice, 3) OVER w AS third_price,
+  lag(o_totalprice, 2, -1.0) OVER w AS lag2_price,
+  lead(o_totalprice, 2, -1.0) OVER w AS lead2_price
+FROM orders
+WHERE o_orderstatus = 'F'
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@query("q_value_window_functions", VALWIN_ORACLE)
+def q_value_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    # lag/lead ignore the frame; they use the window's order only
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 3).over(w).alias("third_price"),
+        F.lag("o_totalprice", 2, -1.0).over(wo).alias("lag2_price"),
+        F.lead("o_totalprice", 2, -1.0).over(wo).alias("lead2_price"),
+    )
