@@ -563,3 +563,32 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.select(
         "event_type", "day", "n", F.col("total").cast("double").alias("total")
     )
+
+
+# --------------------------------------------------------------------------
+# §2.3 regex functions — the extraction/counting/replacement family over
+# document text (both engines compile the same simple patterns: literal
+# classes and quantifiers only, no dialect-divergent constructs). All
+# scan-side projections.
+# --------------------------------------------------------------------------
+REGEX_ORACLE = """
+SELECT doc_id,
+  regexp_extract(text, '([a-z]+)', 1) AS first_word,
+  len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+  regexp_matches(text, 'table|join') AS mentions_sql,
+  regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled
+FROM documents
+WHERE lang = 'en'
+"""
+
+
+@query("q_regex_funcs", REGEX_ORACLE)
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"))).alias("n_numbers"),
+        F.col("text").rlike("table|join").alias("mentions_sql"),
+        F.regexp_replace("text", r"[aeiou]", "_").alias("devoweled"),
+    )
