@@ -592,3 +592,32 @@ def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").rlike("table|join").alias("mentions_sql"),
         F.regexp_replace("text", r"[aeiou]", "_").alias("devoweled"),
     )
+
+
+# --------------------------------------------------------------------------
+# §2.3 array aggregation — collect per-group values into a SORTED array
+# (sorting makes the aggregation order-independent, hence engine- and
+# partitioning-exact), plus element/slice ops over the result. The
+# list-of-values-per-key shape feeding feature stores and doc metadata.
+# --------------------------------------------------------------------------
+ARRAY_AGG_ORACLE = """
+SELECT o_custkey,
+  list_sort(list(DISTINCT year(o_orderdate))) AS years,
+  len(list_sort(list(DISTINCT year(o_orderdate)))) AS n_years,
+  list_sort(list(DISTINCT year(o_orderdate)))[1] AS first_year,
+  list_contains(list_sort(list(DISTINCT year(o_orderdate))), 1995) AS has_1995
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@query("q_array_agg", ARRAY_AGG_ORACLE)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    years = F.array_sort(F.collect_set(F.year("o_orderdate")))
+    return orders.groupBy("o_custkey").agg(
+        years.alias("years"),
+        F.size(years).alias("n_years"),
+        F.element_at(years, 1).alias("first_year"),
+        F.array_contains(years, 1995).alias("has_1995"),
+    )
