@@ -543,3 +543,62 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("rank").isNull(), 1).otherwise(0)).alias("n_oov"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_top_p_selection — nucleus-style curation: per (lang, source) group,
+# keep the highest-quality documents until their cumulative share of the
+# group's total quality mass reaches p. The budgeted-curation operator
+# ("spend my token budget on the best docs per domain"): one window
+# cumsum over a deterministic order, no global sort. Quality here is the
+# doc's distinct-token count (integer — exact in both engines); the
+# cumulative-share comparison multiplies through by the total to stay in
+# exact integer arithmetic (no division before the comparison).
+# --------------------------------------------------------------------------
+_TOP_P_NUM = 6  # p = 0.6
+_TOP_P_DEN = 10
+
+TOP_P_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, count(DISTINCT tok) AS quality
+  FROM (SELECT doc_id, lang, source, unnest({_W}) AS tok FROM documents) t
+  GROUP BY doc_id, lang, source
+), ranked AS (
+  SELECT doc_id, lang, source, quality,
+    sum(quality) OVER (PARTITION BY lang, source
+                       ORDER BY quality DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_q,
+    sum(quality) OVER (PARTITION BY lang, source) AS tot_q
+  FROM toks
+)
+SELECT doc_id, lang, source, quality
+FROM ranked
+WHERE (cum_q - quality) * {_TOP_P_DEN} < tot_q * {_TOP_P_NUM}
+"""
+
+
+@query("q_top_p_selection", TOP_P_ORACLE)
+def q_top_p_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = tables.load(spark, sf_dir, "documents")
+    quality = (
+        docs.select("doc_id", "lang", "source", F.explode(X.words("text")).alias("tok"))
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.count_distinct("tok").alias("quality"))
+    )
+    wc = (
+        W.partitionBy("lang", "source")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wt = W.partitionBy("lang", "source")
+    ranked = quality.withColumn("cum_q", F.sum("quality").over(wc)).withColumn(
+        "tot_q", F.sum("quality").over(wt)
+    )
+    # a doc is kept if the mass BEFORE it is still under p of the total —
+    # integer cross-multiplication, no floats anywhere
+    return ranked.filter(
+        (F.col("cum_q") - F.col("quality")) * _TOP_P_DEN
+        < F.col("tot_q") * _TOP_P_NUM
+    ).select("doc_id", "lang", "source", "quality")
