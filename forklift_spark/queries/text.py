@@ -602,3 +602,36 @@ def q_top_p_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_q") - F.col("quality")) * _TOP_P_DEN
         < F.col("tot_q") * _TOP_P_NUM
     ).select("doc_id", "lang", "source", "quality")
+
+
+# --------------------------------------------------------------------------
+# q_weighted_sample — deterministic weight-proportional sampling: each doc
+# is kept with probability proportional to its length (token-mass
+# importance sampling — the corpus op for "sample by content volume, not
+# doc count"). Same hash-Bernoulli machinery as the stratified sampler
+# (md5 uniform, no RNG state), with the per-row rate derived from the
+# weight in pure integer arithmetic: rate_i = w_i * 10000 // max_w, so
+# the heaviest doc is kept with certainty and everything scales under
+# repartitioning, re-runs, and engines. The max is a 1-row broadcast.
+# --------------------------------------------------------------------------
+WEIGHTED_SAMPLE_ORACLE = """
+WITH mx AS (SELECT max(n_chars) AS m FROM documents)
+SELECT doc_id, lang, n_chars
+FROM documents, mx
+WHERE CAST('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000
+      < (n_chars * 10000) // m
+"""
+
+
+@query("q_weighted_sample", WEIGHTED_SAMPLE_ORACLE)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.functions.hashing import md5_long
+
+    docs = tables.load(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").alias("m"))
+    u = md5_long(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))) % 10000
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .filter(u < F.expr("(n_chars * 10000) div m"))
+        .select("doc_id", "lang", "n_chars")
+    )
