@@ -44,6 +44,7 @@ _BNLJ_ALLOWED = {
     "q_ann_bruteforce_topk",   # fixed 10-query broadcast side (recall baseline)
     "q_equiwidth_histogram",   # 1-row min/max bounds
     "q22_global_sales_opp",    # 1-row scalar average
+    "q_weighted_sample",       # 1-row max-weight normalizer
     "q_decontaminate",         # broadcast benchmark side, non-equi containment
     "q_trailing_range_window", # range-frame self join on scalar bounds
 }
