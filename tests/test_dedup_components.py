@@ -97,3 +97,47 @@ def test_dedup_keep_canonical_quality_survivor(spark):
         ).collect()
     )
     assert kept == [2, 4]
+
+
+def test_minhash_estimator_tracks_exact_jaccard(spark):
+    """Estimator QA: on every verified near-dup pair, the MinHash
+    estimate (matching signature components / num_hashes) must track the
+    exact shingle Jaccard within the binomial error of n=24 components."""
+    from pyspark.sql import functions as F
+
+    from forklift_spark import tables
+    from forklift_spark.operators.dedup import (
+        hashed_shingles,
+        minhash_dedup_pairs,
+        minhash_signatures,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    nh = 24
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=nh, bands=6, threshold=0.3
+    )
+    sigs = minhash_signatures(
+        hashed_shingles(docs, "doc_id", "text", 3), "doc_id", nh
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(nh)]
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(nh)]
+    )
+    match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(nh)
+    )
+    est = pairs.join(a, "id_a").join(b, "id_b").select(
+        "id_a", "id_b", "jaccard", (match / F.lit(float(nh))).alias("est")
+    )
+    rows = est.collect()
+    assert rows, "no near-dup pairs found at test SF"
+    # 3-sigma binomial band around the exact jaccard per pair
+    for r in rows:
+        sigma = (r["jaccard"] * (1 - r["jaccard"]) / nh) ** 0.5
+        assert abs(r["est"] - r["jaccard"]) <= max(3 * sigma, 0.2), (
+            r["id_a"], r["id_b"], r["jaccard"], r["est"]
+        )
