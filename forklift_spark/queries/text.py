@@ -635,3 +635,59 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(u < F.expr("(n_chars * 10000) div m"))
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# q_doc_chunking — split each document into overlapping token windows
+# (chunk size 40, stride 30): the RAG / embedding-index preprocessing
+# staple. Chunk starts are generated per doc with sequence() (output-
+# proportional, no driver loop), the window is a token-array slice —
+# scan-shaped, one explode, no shuffle at all. Chunks shorter than the
+# overlap tail that a previous chunk already covers are not emitted
+# (start=1 always is).
+# --------------------------------------------------------------------------
+_CHUNK = 40
+_STRIDE = 30
+
+CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_W} AS w FROM documents
+), starts AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w), 1), {_STRIDE})) AS s
+  FROM toks
+)
+SELECT doc_id,
+  CAST((s - 1) / {_STRIDE} AS BIGINT) AS chunk_id,
+  array_to_string(w[s : least(s + {_CHUNK} - 1, len(w))], ' ') AS chunk_text,
+  least(s + {_CHUNK} - 1, len(w)) - s + 1 AS n_tokens
+FROM starts
+WHERE s = 1 OR s + {_CHUNK} - 1 <= len(w) + {_STRIDE} - 1
+"""
+
+
+@query("q_doc_chunking", CHUNK_ORACLE)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.words("text").alias("w"))
+    starts = toks.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("w"), F.lit(1)), F.lit(_STRIDE))
+        ).alias("s"),
+    )
+    n = F.size("w")
+    end = F.least(F.col("s") + F.lit(_CHUNK - 1), n)
+    return (
+        starts.filter(
+            (F.col("s") == 1) | (F.col("s") + F.lit(_CHUNK - 1) <= n + F.lit(_STRIDE - 1))
+        )
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / F.lit(_STRIDE)).cast("long").alias("chunk_id"),
+            F.array_join(F.slice("w", F.col("s"), end - F.col("s") + 1), " ").alias(
+                "chunk_text"
+            ),
+            (end - F.col("s") + 1).alias("n_tokens"),
+        )
+    )
