@@ -215,3 +215,24 @@ class ParquetTableWriter:
         os.rename(staging, final)
         if os.path.isdir(old):
             shutil.rmtree(old, ignore_errors=True)
+
+
+def schema_diff(existing: DataFrame, incoming: DataFrame) -> dict[str, list]:
+    """Describe the drift an upsert/append would reconcile: columns the
+    incoming batch adds, columns it no longer carries (kept, read as
+    NULL for new rows), and type changes (upgraded when the existing
+    column is all-NULL placeholder, else a conflict the caller should
+    review). Pure schema comparison — no jobs run. The inspection
+    counterpart of `_merged_schema` for pipeline preflight checks
+    (reference semantics: lazy mutable schemas, `mysql.rb:105-132`)."""
+    old = {f.name: f.dataType for f in existing.schema.fields}
+    new = {f.name: f.dataType for f in incoming.schema.fields}
+    return {
+        "added": sorted(n for n in new if n not in old),
+        "removed": sorted(n for n in old if n not in new),
+        "type_changed": sorted(
+            (n, old[n].simpleString(), new[n].simpleString())
+            for n in old
+            if n in new and old[n] != new[n]
+        ),
+    }

@@ -177,3 +177,16 @@ def test_overwrite_partitions_requires_partition_by(spark, tmp_path):
     w.write(df, "t", mode="overwrite", partition_by=["day"])
     with _pytest.raises(ValueError):
         w.write(df, "t", mode="overwrite_partitions")
+
+
+def test_schema_diff_reports_drift(spark):
+    from forklift_spark.writer import schema_diff
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "id long, name string, v double")
+    new = spark.createDataFrame([(1, "a", 2)], "id long, name string, v int").withColumn(
+        "flag", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(True)
+    )
+    d = schema_diff(old, new)
+    assert d["added"] == ["flag"]
+    assert d["removed"] == []
+    assert d["type_changed"] == [("v", "double", "int")]
