@@ -380,3 +380,55 @@ def q_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
     return S.kmeans_fit_assign(emb, k=8, iters=3)
+
+
+# --------------------------------------------------------------------------
+# q_embedding_quantize — per-vector int8 scalar quantization audit: the
+# storage/bandwidth operator for a 100 TB embedding store (float32 ->
+# uint8 cuts ANN shuffle and scan volume 4x; dequantization error bounds
+# the recall loss). Reports each vector's quantization range and the max
+# absolute reconstruction error. Pure scan-side array math, no shuffle.
+# Engine-exactness: every multiply feeds a division (no FMA-contractible
+# a+b*c anywhere — see NOTES_r2 lesson 8), round() is ties-away in both
+# engines for the non-negative operand, and min/max over identical
+# element values are order-free.
+# --------------------------------------------------------------------------
+QUANT_ORACLE = """
+WITH pre AS (
+  SELECT vec_id,
+    CAST(list_min(embedding) AS DOUBLE) AS mn,
+    CAST(list_max(embedding) AS DOUBLE) AS mx,
+    embedding
+  FROM embeddings
+)
+SELECT vec_id, mn, mx,
+  list_max(list_transform(embedding, x ->
+    abs(CAST(x AS DOUBLE) - (mn +
+      (round(((CAST(x AS DOUBLE) - mn) * 255.0) / (mx - mn)) * (mx - mn)) / 255.0))
+  )) AS max_abs_err
+FROM pre
+"""
+
+
+@query("q_embedding_quantize", QUANT_ORACLE)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    pre = emb.select(
+        "vec_id",
+        F.array_min("embedding").cast("double").alias("mn"),
+        F.array_max("embedding").cast("double").alias("mx"),
+        "embedding",
+    )
+
+    def err(x):
+        xd = x.cast("double")
+        q = F.round(((xd - F.col("mn")) * F.lit(255.0)) / (F.col("mx") - F.col("mn")))
+        deq = F.col("mn") + (q * (F.col("mx") - F.col("mn"))) / F.lit(255.0)
+        return F.abs(xd - deq)
+
+    return pre.select(
+        "vec_id",
+        "mn",
+        "mx",
+        F.array_max(F.transform("embedding", err)).alias("max_abs_err"),
+    )
