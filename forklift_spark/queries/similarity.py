@@ -432,3 +432,57 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mx",
         F.array_max(F.transform("embedding", err)).alias("max_abs_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_knn_classify — k-NN label prediction: majority vote among the exact
+# top-k neighbors (ties -> smallest label, deterministic), with the vote
+# count as confidence. The "similarity search application" entry: the
+# neighbor list is the verified q_ann_bruteforce_topk result, so this
+# adds one broadcast label join + one per-query majority aggregation.
+# --------------------------------------------------------------------------
+KNN_ORACLE = f"""
+WITH topk AS ({_brute_oracle()}),
+votes AS (
+  SELECT t.query_id, e.label, count(*) AS n_votes
+  FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+  GROUP BY t.query_id, e.label
+), best AS (
+  SELECT query_id, label, n_votes,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY n_votes DESC, label) AS rn
+  FROM votes
+)
+SELECT b.query_id, b.label AS predicted, CAST(b.n_votes AS INT) AS n_votes,
+  q.label AS actual
+FROM best b JOIN embeddings q ON q.vec_id = b.query_id
+WHERE b.rn = 1
+"""
+
+
+@query("q_knn_classify", KNN_ORACLE)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    topk = q_ann_bruteforce_topk(spark, sf_dir)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("n_votes").desc(), "label")
+    best = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    actual = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("actual")
+    )
+    return best.join(F.broadcast(actual), "query_id").select(
+        "query_id",
+        F.col("label").alias("predicted"),
+        F.col("n_votes").cast("int").alias("n_votes"),
+        "actual",
+    )
