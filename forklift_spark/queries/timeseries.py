@@ -421,3 +421,84 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("v").cast("double").alias("volume"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_asof_nearest — nearest-neighbor as-of: for each purchase, the click of
+# the same user closest in time within ±30 min, in EITHER direction (the
+# pandas merge_asof direction='nearest' semantics). Built from two
+# running-extreme passes over the same user-partitioned union — backward
+# (last click at-or-before) and forward (first click at-or-after) — then
+# an arithmetic choice by absolute distance. Tie policy (identical in the
+# oracle's ORDER BY): equal distance prefers the earlier (backward)
+# click; equal timestamp prefers the largest event_id. One shuffle on
+# user_id, no joins at all.
+# --------------------------------------------------------------------------
+ASOF_NEAREST_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts,
+  (SELECT c.event_id FROM events c
+   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+     AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 1800 * 1000000
+   ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), c.ts, c.event_id DESC
+   LIMIT 1) AS click_id
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
+@query("q_asof_nearest", ASOF_NEAREST_ORACLE)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_left"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        "event_id",
+        F.lit(1).alias("is_left"),
+    )
+    u = clicks.unionByName(purchases).withColumn("t_us", F.unix_micros("ts"))
+    # backward: among clicks sorted before the purchase, the running last —
+    # (ts asc, is_left, click_id asc) puts the largest id of a same-ts
+    # group nearest the purchase row, matching the oracle's id DESC pick
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_left", "click_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    # forward: clicks sorted after, first upcoming — click_id DESC within a
+    # same-ts group for the same tie policy; is_left DESC keeps same-
+    # instant clicks (is_left=0) AFTER the purchase row in this ordering
+    # so a zero-distance click is seen by the backward pass, not twice
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.col("is_left").desc(), F.col("click_id").desc())
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    click_t = F.when(F.col("is_left") == 0, F.col("t_us"))
+    click_i = F.when(F.col("is_left") == 0, F.col("click_id"))
+    ann = (
+        u.withColumn("bt", F.last(click_t, ignorenulls=True).over(wb))
+        .withColumn("bi", F.last(click_i, ignorenulls=True).over(wb))
+        .withColumn("ft", F.first(click_t, ignorenulls=True).over(wf))
+        .withColumn("fi", F.first(click_i, ignorenulls=True).over(wf))
+        .filter(F.col("is_left") == 1)
+    )
+    tol = 1800 * 1_000_000
+    db = F.col("t_us") - F.col("bt")  # >= 0
+    df_ = F.col("ft") - F.col("t_us")  # >= 0
+    b_ok = F.col("bt").isNotNull() & (db <= tol)
+    f_ok = F.col("ft").isNotNull() & (df_ <= tol)
+    chosen = (
+        F.when(b_ok & (~f_ok | (db <= df_)), F.col("bi"))
+        .when(f_ok, F.col("fi"))
+        .otherwise(F.lit(None))
+    )
+    return ann.select(
+        "event_id", "user_id", "ts", chosen.alias("click_id")
+    )
