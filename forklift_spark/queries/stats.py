@@ -407,3 +407,42 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("_n") >= 5) & (F.abs(F.col("deviation")) > 150.0))
         .drop("_n")
     )
+
+
+# --------------------------------------------------------------------------
+# q_grouped_ols — per-type linear trend of event value over time, fitted
+# INSIDE a pandas UDF (applyInPandas) yet still oracle-exact: the pandas
+# side accumulates int64 cents/hours (exact, order-free) and applies the
+# same FMA-immune closed form as the SQL. The template for custom Python
+# operators that must pass the correctness gate (see functions/mlfit.py).
+# --------------------------------------------------------------------------
+Q_OLS_ORACLE = """
+WITH prep AS (
+  SELECT event_type AS "group",
+    (epoch_us(ts) - 1704067200000000) // 3600000000 AS x,
+    CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+), sums AS (
+  SELECT "group", COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM prep GROUP BY "group"
+)
+SELECT "group", n,
+  (CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))
+    / (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+    AS slope,
+  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+    - (((CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))
+        / (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)))
+       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+  sx AS sum_x, sy AS sum_y
+FROM sums
+"""
+
+
+@query("q_grouped_ols", Q_OLS_ORACLE)
+def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.functions.mlfit import grouped_ols
+
+    ev = tables.load(spark, sf_dir, "events")
+    return grouped_ols(ev, "event_type", "ts", "value")
