@@ -508,3 +508,132 @@ def kmeans_fit_assign(
     return kmeans_assign(df, cents, id_col, vec_col).select(
         id_col, "cluster", F.round("sq_dist", 6).alias("sq_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the 100 TB embedding-store compression path.
+# A 64-dim float32 vector (256 B) becomes m=8 uint4-ish codes (8 B) — the
+# corpus that ANN scans/shuffles shrinks ~30x, and approximate distances
+# come from per-query lookup tables instead of full dot products
+# (asymmetric distance computation, ADC). Jegou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011.
+# ---------------------------------------------------------------------------
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    dims: int = 64,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: split each vector into m contiguous
+    subvectors and k-means each subspace independently (deterministic
+    seeds + exact decimal centroid updates — reproducible fits). The
+    model is m x k x (dims/m) floats driver-side — ~4 KB at the defaults,
+    the same bounded-model contract as kmeans_fit/ivf centroids."""
+    sub = dims // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sv = df.select(id_col, F.slice(F.col(vec_col), j * sub + 1, sub).alias("sv"))
+        cents = kmeans_fit(sv, id_col, "sv", k=k, iters=iters)
+        books.append([vec for _cid, vec in cents])
+    return books
+
+
+def _sq_dist_double(vec: Column, center: list[float]) -> Column:
+    carr = F.array(*[F.lit(float(x)) for x in center])
+    diffs = F.zip_with(vec, carr, lambda v, c: (v.cast("double") - c) * (v.cast("double") - c))
+    return F.aggregate(diffs, F.lit(0.0), lambda a, d: a + d)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as m nearest-codeword indices (0-based). One
+    projection pass; each subspace's argmin uses the named-array-column
+    pattern (NOTES_r2 lesson 6 — never a when/otherwise fold). Keeps the
+    original vector column for exact rescoring."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    out = df
+    for j, book in enumerate(codebooks):
+        sv = F.slice(F.col(vec_col), j * sub + 1, sub)
+        out = out.withColumn(f"_pqd{j}", F.array(*[_sq_dist_double(sv, c) for c in book]))
+    codes = F.array(
+        *[
+            (
+                F.array_position(F.col(f"_pqd{j}"), F.array_min(f"_pqd{j}")) - 1
+            ).cast("int")
+            for j in range(m)
+        ]
+    )
+    return out.withColumn("codes", codes).drop(*[f"_pqd{j}" for j in range(m)])
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    margin: int = 40,
+) -> DataFrame:
+    """ANN top-k over PQ codes via asymmetric distance: each query
+    precomputes an m x k lookup table of subspace distances (a projection
+    on the tiny broadcast query side), the corpus side sums m table
+    lookups per row — no dot products against the corpus at all. The
+    double-ranked top (k + margin) candidates are exact-rescored with the
+    decimal cosine the output reports (same contract as lsh/brute top-k;
+    recall, not exactness, is the approximation — pinned in tests)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        *[
+            F.array(
+                *[
+                    _sq_dist_double(
+                        F.slice(F.col(vec_col), j * sub + 1, sub), c
+                    )
+                    for c in codebooks[j]
+                ]
+            ).alias(f"_lut{j}")
+            for j in range(m)
+        ],
+    )
+    joined = encoded.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "codes"
+    ).crossJoin(F.broadcast(q))
+    approx = None
+    for j in range(m):
+        term = F.element_at(F.col(f"_lut{j}"), F.element_at("codes", j + 1) + 1)
+        approx = term if approx is None else approx + term
+    from pyspark.sql import Window as W
+
+    wf = W.partitionBy("query_id").orderBy(F.col("_approx").asc(), F.col("neighbor_id"))
+    short = (
+        joined.withColumn("_approx", approx)
+        .withColumn("rf", F.row_number().over(wf))
+        .filter(F.col("rf") <= k + margin)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_exact(F.col("qv"), F.col("cv"))
+                / (norm_exact(F.col("qv")) * norm_exact(F.col("cv")))
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        short.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("cos_sim", F.round("cos_sim", 9))
+        .withColumn("rank", F.col("rank").cast("int"))
+    )

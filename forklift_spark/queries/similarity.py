@@ -486,3 +486,26 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_votes").cast("int").alias("n_votes"),
         "actual",
     )
+
+
+# --------------------------------------------------------------------------
+# q_ann_pq_topk — product-quantization ANN: codebooks k-means-trained per
+# subspace, corpus encoded to m=8 codes (~30x smaller than the float
+# vectors ANN would otherwise shuffle), per-query ADC lookup tables, and
+# exact-cosine rescore of the double-ranked candidates. Iterative
+# training -> rows-only check; determinism and the recall floor vs brute
+# force are pinned in tests/test_similarity_ivf.py.
+# --------------------------------------------------------------------------
+@query("q_ann_pq_topk")
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQ)
+    corpus = emb.filter(F.col("vec_id") >= _NQ)
+    # train on a deterministic ~1/3 subsample: codebook quality needs a
+    # representative sample, not the full corpus (standard PQ practice —
+    # at 100 TB you train on thousands of vectors, encode billions)
+    train = corpus.filter(F.col("vec_id") % 3 == 0)
+    books = S.pq_train(train, m=8, k=16, iters=2)
+    enc = S.pq_encode(corpus, books)
+    out = S.pq_adc_topk(queries, enc, books, k=_K)
+    return out

@@ -110,3 +110,39 @@ def test_kmeans_deterministic_and_inertia_descends(spark):
     i1 = inertia(kmeans_fit(emb, k=4, iters=1))
     i3 = inertia(kmeans_fit(emb, k=4, iters=3))
     assert i3 <= i1 + 1e-9  # Lloyd monotonicity
+
+
+def test_pq_adc_recall_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from forklift_spark import tables
+    from forklift_spark.operators import similarity as S
+    from tests.conftest import SF_DIR
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    books = S.pq_train(corpus, m=8, k=16, iters=2)
+    # bounded model, deterministic across runs
+    books2 = S.pq_train(corpus, m=8, k=16, iters=2)
+    assert books == books2
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+
+    enc = S.pq_encode(corpus, books).persist()
+    codes = enc.select(F.explode("codes").alias("c")).agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi")
+    ).collect()[0]
+    assert 0 <= codes["lo"] and codes["hi"] < 16
+
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.pq_adc_topk(queries, enc, books, k=5).collect()
+    }
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(queries, corpus, k=5).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    # uniform-random embeddings are PQ's worst case; 0.78 measured at
+    # sf0.01 with margin=40 — floor leaves headroom for SF variation
+    assert recall >= 0.5, recall
