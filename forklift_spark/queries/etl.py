@@ -621,3 +621,102 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(years, 1).alias("first_year"),
         F.array_contains(years, 1995).alias("has_1995"),
     )
+
+
+# --------------------------------------------------------------------------
+# §2.3 table profiling — the preflight every pipeline runs before trusting
+# an input: per-column null counts, exact distinct counts, numeric ranges,
+# in ONE scan pass (a single wide aggregate; count_distinct adds its
+# shuffle per column but no second table read). Output is long-form
+# (column, metric, value) so the profile is schema-stable.
+# --------------------------------------------------------------------------
+PROFILE_ORACLE = """
+SELECT 'o_custkey' AS col, 'nulls' AS metric, CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS value FROM orders
+UNION ALL SELECT 'o_custkey', 'distinct', CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) FROM orders
+UNION ALL SELECT 'o_totalprice', 'nulls', CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM orders
+UNION ALL SELECT 'o_totalprice', 'min', MIN(o_totalprice) FROM orders
+UNION ALL SELECT 'o_totalprice', 'max', MAX(o_totalprice) FROM orders
+UNION ALL SELECT 'o_orderstatus', 'distinct', CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) FROM orders
+UNION ALL SELECT '*', 'rows', CAST(COUNT(*) AS DOUBLE) FROM orders
+"""
+
+
+@query("q_profile_table", PROFILE_ORACLE)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("ck_nulls"),
+        F.count_distinct("o_custkey").alias("ck_distinct"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias("tp_nulls"),
+        F.min("o_totalprice").alias("tp_min"),
+        F.max("o_totalprice").alias("tp_max"),
+        F.count_distinct("o_orderstatus").alias("st_distinct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    rows = [
+        ("o_custkey", "nulls", "ck_nulls"),
+        ("o_custkey", "distinct", "ck_distinct"),
+        ("o_totalprice", "nulls", "tp_nulls"),
+        ("o_totalprice", "min", "tp_min"),
+        ("o_totalprice", "max", "tp_max"),
+        ("o_orderstatus", "distinct", "st_distinct"),
+        ("*", "rows", "n_rows"),
+    ]
+    parts = [
+        agg.select(
+            F.lit(c).alias("col"), F.lit(m).alias("metric"),
+            F.col(src).cast("double").alias("value"),
+        )
+        for c, m, src in rows
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# §2.3 referential-integrity audit — orphan detection across the schema's
+# foreign keys in one result: each check is a left-anti join (the scalable
+# orphan plan), aggregated to a count, unioned into a long-form report.
+# --------------------------------------------------------------------------
+INTEGRITY_ORACLE = """
+SELECT 'lineitem_without_order' AS check_name,
+  CAST((SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'order_without_customer',
+  CAST((SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'customer_without_nation',
+  CAST((SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+"""
+
+
+@query("q_integrity_audit", INTEGRITY_ORACLE)
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer")
+    nation = tables.load(spark, sf_dir, "nation")
+
+    def orphan_count(name, child, parent, ck, pk):
+        n = (
+            child.join(parent, child[ck] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return n.select(F.lit(name).alias("check_name"), "n_orphans")
+
+    return (
+        orphan_count("lineitem_without_order", li, orders, "l_orderkey", "o_orderkey")
+        .unionByName(
+            orphan_count("order_without_customer", orders, cust, "o_custkey", "c_custkey")
+        )
+        .unionByName(
+            orphan_count(
+                "customer_without_nation", cust, nation, "c_nationkey", "n_nationkey"
+            )
+        )
+    )
