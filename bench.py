@@ -53,6 +53,7 @@ HEADLINE = [
     "q_window_tumbling",
     "q_sessionize",
     "q_asof_join",
+    "q_asof_nearest",
     "q_event_funnel",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
@@ -73,14 +74,17 @@ HEADLINE = [
     "q_gap_fill",
     "q_incremental_rollup",
     "q_ohlc_bars",
+    "q_grouped_ols",
     "q_stats_moments",
     "q_zscore_outliers",
     "q_time_weighted_avg",
     "q_equiwidth_histogram",
+    "q_embedding_quantize",
     "q_winsorize",
     "q_rolling_anomaly",
     "q_event_debounce",
     "q_fuzzy_match",
+    "q_integrity_audit",
     "q_token_rarity",
     "q_media_metadata",
     "q_frame_sample",
