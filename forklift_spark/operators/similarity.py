@@ -637,3 +637,113 @@ def pq_adc_topk(
         .withColumn("cos_sim", F.round("cos_sim", 9))
         .withColumn("rank", F.col("rank").cast("int"))
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    m: int = 8,
+    codes: int = 16,
+    train_iters: int = 1,
+    margin: int = 40,
+) -> DataFrame:
+    """IVF-PQ: the composed billion-scale ANN architecture (Faiss's
+    default index family). The coarse quantizer (IVF cells) bounds WHICH
+    rows a query touches — n_probe/n_cells of the corpus via a cell
+    equi-join — and product quantization bounds WHAT each touched row
+    costs — m table lookups over 8-byte codes instead of a 256-byte
+    float dot. Residual-free variant (codes quantize the raw vectors):
+    at this dimensionality the recall cost vs residual-PQ is small and
+    the encode pass stays a single projection.
+
+    Candidates are ADC-scored, and the double-ranked top (k + margin)
+    per query are exact-decimal rescored — same output contract as every
+    other top-k here (approximation affects recall only, pinned in
+    tests/test_similarity_ivf.py)."""
+    from pyspark.sql import Window as W
+
+    cents = deterministic_centroids(corpus, id_col, vec_col, n_cells)
+    books = pq_train(corpus, id_col, vec_col, m=m, k=codes, iters=train_iters)
+    enc = pq_encode(
+        ivf_assign(
+            corpus.repartition(
+                corpus.sparkSession.sparkContext.defaultParallelism, id_col
+            ),
+            cents,
+            vec_col,
+        ),
+        books,
+        id_col,
+        vec_col,
+    )
+    sub = len(books[0][0])
+    # per-query probe cells (double centroid scores — probing is a recall
+    # lever, not an exactness contract) + per-subspace ADC lookup tables
+    cell_scores = F.array(
+        *[
+            F.struct(
+                dot_fast(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in cvec]),
+                ).alias("s"),
+                F.lit(cid).alias("cell"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            F.slice(
+                F.transform(
+                    F.reverse(F.array_sort(cell_scores)), lambda e: e.getField("cell")
+                ),
+                1,
+                n_probe,
+            )
+        ).alias("cell"),
+        *[
+            F.array(
+                *[
+                    _sq_dist_double(F.slice(F.col(vec_col), j * sub + 1, sub), c)
+                    for c in books[j]
+                ]
+            ).alias(f"_lut{j}")
+            for j in range(m)
+        ],
+    )
+    joined = enc.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "codes", "cell"
+    ).join(F.broadcast(q), "cell")
+    approx = None
+    for j in range(m):
+        term = F.element_at(F.col(f"_lut{j}"), F.element_at("codes", j + 1) + 1)
+        approx = term if approx is None else approx + term
+    wf = W.partitionBy("query_id").orderBy(F.col("_approx").asc(), F.col("neighbor_id"))
+    short = (
+        joined.withColumn("_approx", approx)
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rf", F.row_number().over(wf))
+        .filter(F.col("rf") <= k + margin)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_exact(F.col("qv"), F.col("cv"))
+                / (norm_exact(F.col("qv")) * norm_exact(F.col("cv")))
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        short.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("cos_sim", F.round("cos_sim", 9))
+        .withColumn("rank", F.col("rank").cast("int"))
+    )

@@ -509,3 +509,21 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = S.pq_encode(corpus, books)
     out = S.pq_adc_topk(queries, enc, books, k=_K)
     return out
+
+
+# --------------------------------------------------------------------------
+# q_ann_ivfpq_topk — the composed billion-scale index: IVF cells bound
+# WHICH rows a query touches (cell equi-join, n_probe/n_cells of the
+# corpus), PQ codes bound WHAT each row costs (m byte-lookups, no float
+# dot). Rows-only (trained codebooks); recall floors pinned in
+# tests/test_similarity_ivf.py. On this synthetic corpus the embeddings
+# are uniform-random — the hostile case for IVF (neighbors spread evenly
+# over cells), so recall here is probe-bounded; clustered real corpora
+# are the design target.
+# --------------------------------------------------------------------------
+@query("q_ann_ivfpq_topk")
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQ)
+    corpus = emb.filter(F.col("vec_id") >= _NQ)
+    return S.ivfpq_topk(queries, corpus, k=_K, n_probe=5)

@@ -146,3 +146,32 @@ def test_pq_adc_recall_and_determinism(spark):
     # uniform-random embeddings are PQ's worst case; 0.78 measured at
     # sf0.01 with margin=40 — floor leaves headroom for SF variation
     assert recall >= 0.5, recall
+
+
+def test_ivfpq_recall_floors(spark):
+    from pyspark.sql import functions as F
+
+    from forklift_spark import tables
+    from forklift_spark.operators import similarity as S
+    from tests.conftest import SF_DIR
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(queries, corpus, k=5).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.ivfpq_topk(queries, corpus, k=5, n_probe=n_probe).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    # uniform-random embeddings: recall is probe-bounded (~n_probe/n_cells
+    # x PQ recall); floors leave noise headroom
+    assert recall(3) >= 0.2
+    # probing every cell degenerates to PQ-alone: the probe bound vanishes
+    assert recall(8) >= 0.5
