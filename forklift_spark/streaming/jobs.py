@@ -144,3 +144,135 @@ def sessionized(
             "n_events",
         )
     )
+
+
+def stream_dedup_minhash(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    out_writer,
+    out_table: str,
+    sig_table: str = "__dedup_signatures",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 24,
+    bands: int = 6,
+    threshold: float = 0.3,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """ONLINE near-dup dedup: as document files arrive, each micro-batch
+    is deduplicated (a) against every previously accepted document and
+    (b) within itself, keep-first-seen; survivors are appended to the
+    output table and their MinHash signatures to a persistent signature
+    store.
+
+    The scale contract: the historical side never re-reads accepted
+    TEXT — only the (id, mh0..mh{n-1}) signature store (a few dozen
+    longs per doc) is scanned per batch, and the candidate check is the
+    same banded equi-join as the batch operator. State grows with the
+    ACCEPTED corpus, not the stream; at 100 TB the store is a bucketed
+    table on the band keys. foreachBatch + upsert-by-id keeps retries
+    idempotent (at-least-once -> effectively exactly-once)."""
+    from forklift_spark.operators.dedup import (
+        hashed_shingles,
+        jaccard_on_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hashed = hashed_shingles(batch_df, id_col, text_col).persist()
+        sigs = minhash_signatures(hashed, id_col, num_hashes).persist()
+        sigs.count()
+
+        # (b) within-batch: banded candidates + exact verify, keep lowest id
+        pairs = jaccard_on_pairs(
+            lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands),
+            hashed.select(id_col, "h1"),
+            id_col,
+            threshold,
+        )
+        batch_losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+
+        # (a) vs history: the same BANDED equi-join as the batch operator,
+        # run over the union of stored + batch signatures — candidates
+        # surface only on band-key collisions, never an all-pairs scan.
+        # Signatures alone can't re-verify exact jaccard vs history (text
+        # is not stored), so historical candidates are confirmed with the
+        # MinHash ESTIMATE (matching components / num_hashes >= threshold)
+        # — the standard online approximation; the loser is always the
+        # new-side doc (first-seen wins).
+        if out_writer.exists(sig_table):
+            hist = out_writer.read(sig_table)
+            union_sigs = hist.unionByName(sigs)
+            cands = lsh_candidate_pairs(
+                union_sigs, id_col, bands, num_hashes // bands
+            )
+            new_ids = sigs.select(F.col(id_col).alias("_nid"))
+            flagged = (
+                cands.join(
+                    F.broadcast(new_ids.withColumnRenamed("_nid", "id_a")),
+                    "id_a",
+                    "left_semi",
+                )
+                .unionByName(
+                    cands.join(
+                        F.broadcast(new_ids.withColumnRenamed("_nid", "id_b")),
+                        "id_b",
+                        "left_semi",
+                    )
+                )
+                .distinct()
+            )
+            a = union_sigs.select(
+                F.col(id_col).alias("id_a"),
+                *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)],
+            )
+            b = union_sigs.select(
+                F.col(id_col).alias("id_b"),
+                *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)],
+            )
+            est = sum(
+                F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+                for i in range(num_hashes)
+            ) / F.lit(float(num_hashes))
+            confirmed = (
+                flagged.join(a, "id_a").join(b, "id_b").withColumn("_est", est)
+                .filter(F.col("_est") >= threshold)
+            )
+            # evict whichever pair side is new (id ordering in the pair is
+            # arbitrary across old/new); pairs where BOTH are new were
+            # already handled exactly by the within-batch pass
+            hist_losers = (
+                confirmed.join(F.broadcast(new_ids), confirmed["id_a"] == F.col("_nid"), "left")
+                .withColumn("_a_new", F.col("_nid").isNotNull())
+                .drop("_nid")
+                .join(F.broadcast(new_ids), confirmed["id_b"] == F.col("_nid"), "left")
+                .withColumn("_b_new", F.col("_nid").isNotNull())
+                .filter(F.col("_a_new") != F.col("_b_new"))
+                .select(
+                    F.when(F.col("_a_new"), F.col("id_a"))
+                    .otherwise(F.col("id_b"))
+                    .alias(id_col)
+                )
+                .distinct()
+            )
+            losers = batch_losers.unionByName(hist_losers).distinct()
+        else:
+            losers = batch_losers
+        losers = losers.localCheckpoint(eager=True)
+
+        kept = batch_df.join(losers, id_col, "left_anti")
+        out_writer.write(kept, out_table, mode="upsert", primary_key=id_col)
+        kept_sigs = sigs.join(losers, id_col, "left_anti")
+        out_writer.write(kept_sigs, sig_table, mode="upsert", primary_key=id_col)
+        hashed.unpersist()
+        sigs.unpersist()
+
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    w = stream.writeStream.foreachBatch(process).trigger(availableNow=True)
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

@@ -177,3 +177,52 @@ def test_stream_stream_join_matches_batch(spark, tmp_path, events):
     assert got <= want
     assert len(got) >= len(want) * 0.8
     assert got  # non-trivial join actually matched
+
+
+def test_stream_dedup_minhash_online(spark, tmp_path):
+    """Online dedup: wave 2 contains a near-dup of an accepted wave-1 doc
+    (evicted via the signature store), an exact internal dup pair (one
+    survives), and a fresh doc (accepted)."""
+    import time
+
+    from forklift_spark.streaming.jobs import stream_dedup_minhash
+    from forklift_spark.writer import ParquetTableWriter
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = ParquetTableWriter(spark, str(tmp_path / "wh"))
+    base = (
+        "spark shuffles data between stages whenever a wide dependency "
+        "requires rows to move across partitions during execution"
+    )
+    fresh = (
+        "completely different content about cooking pasta with garlic "
+        "and olive oil on a tuesday evening for the whole family dinner"
+    )
+    schema = "doc_id long, text string"
+
+    wave1 = spark.createDataFrame([(1, base)], schema)
+    wave1.write.mode("overwrite").parquet(str(src / "wave1"))
+    q = stream_dedup_minhash(
+        spark, str(src / "wave1"), wave1.schema, out, "docs",
+        checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in out.read("docs").collect()} == {1}
+
+    near_dup = base + " extra tail words"
+    wave2 = spark.createDataFrame(
+        [(2, near_dup), (3, fresh), (4, fresh)], schema
+    )
+    wave2.write.mode("overwrite").parquet(str(src / "wave2"))
+    q2 = stream_dedup_minhash(
+        spark, str(src / "wave2"), wave1.schema, out, "docs",
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination(120)
+    time.sleep(1)
+    kept = {r["doc_id"] for r in out.read("docs").collect()}
+    # 2 evicted vs history, 4 evicted within-batch vs 3, 3 accepted
+    assert kept == {1, 3}, kept
+    sigs = {r["doc_id"] for r in out.read("__dedup_signatures").collect()}
+    assert sigs == {1, 3}, sigs
