@@ -505,7 +505,10 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # representative sample, not the full corpus (standard PQ practice —
     # at 100 TB you train on thousands of vectors, encode billions)
     train = corpus.filter(F.col("vec_id") % 3 == 0)
-    books = S.pq_train(train, m=8, k=16, iters=2)
+    # iters=1 keeps the gate entry fast; recall floors are pinned on
+    # the operator itself in tests (iters is a quality knob, not a
+    # correctness one for a rows-only entry)
+    books = S.pq_train(train, m=8, k=16, iters=1)
     enc = S.pq_encode(corpus, books)
     out = S.pq_adc_topk(queries, enc, books, k=_K)
     return out
