@@ -530,3 +530,68 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _NQ)
     corpus = emb.filter(F.col("vec_id") >= _NQ)
     return S.ivfpq_topk(queries, corpus, k=_K, n_probe=5)
+
+
+# --------------------------------------------------------------------------
+# q_hybrid_search — vector + keyword retrieval: exact cosine top-20
+# candidates re-ranked with a keyword boost from the documents table
+# (cos_sim + 0.05 if the doc mentions the term), top-5 per query. The
+# RAG-stack retrieval shape: ANN candidates cheap, lexical features
+# joined only for the candidate set (Q x 20 rows — broadcast), never the
+# corpus. Boost arithmetic is one double add on already-exact values ->
+# engine-identical.
+# --------------------------------------------------------------------------
+_HYBRID_CAND = 20
+_HYBRID_BOOST = 0.05
+
+
+def _hybrid_oracle() -> str:
+    cand = _brute_oracle().replace(f"rank <= {_K}", f"rank <= {_HYBRID_CAND}")
+    return f"""
+WITH topk AS ({cand}),
+hybrid AS (
+  SELECT t.query_id, t.neighbor_id,
+    round(t.cos_sim + CASE WHEN d.text LIKE '%data%' THEN {_HYBRID_BOOST} ELSE 0.0 END, 9) AS score
+  FROM topk t JOIN documents d ON d.doc_id = t.neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM hybrid
+)
+SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_K}
+"""
+
+
+@query("q_hybrid_search", _hybrid_oracle())
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    docs = tables.load(spark, sf_dir, "documents")
+    cand = S.brute_force_topk(
+        emb.filter(F.col("vec_id") < _NQ),
+        emb.filter(F.col("vec_id") >= _NQ),
+        k=_HYBRID_CAND,
+    )
+    boosted = cand.join(
+        docs.select(
+            F.col("doc_id").alias("neighbor_id"),
+            F.col("text").contains("data").alias("_kw"),
+        ),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.col("cos_sim")
+            + F.when(F.col("_kw"), F.lit(_HYBRID_BOOST)).otherwise(F.lit(0.0)),
+            9,
+        ).alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        boosted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
