@@ -45,6 +45,7 @@ _BNLJ_ALLOWED = {
     "q_embedding_dedup",       # 200-row sample all-pairs audit baseline
     "q_ann_bruteforce_topk",   # fixed 10-query broadcast side (recall baseline)
     "q_knn_classify",          # built on the brute-force top-k (same bound)
+    "q_hybrid_search",         # built on the brute-force top-k (same bound)
     "q_equiwidth_histogram",   # 1-row min/max bounds
     "q22_global_sales_opp",    # 1-row scalar average
     "q_weighted_sample",       # 1-row max-weight normalizer
