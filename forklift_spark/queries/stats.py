@@ -446,3 +446,41 @@ def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = tables.load(spark, sf_dir, "events")
     return grouped_ols(ev, "event_type", "ts", "value")
+
+
+# --------------------------------------------------------------------------
+# q_retention_cohorts — weekly cohort retention: users grouped by first-
+# activity week, counted in each subsequent week they return. Two
+# aggregations (first-activity per user; distinct users per cohort-week
+# offset) joined on user — the canonical product-analytics rollup, and a
+# double-aggregation shape distinct from q13's. Weeks are integer
+# epoch-day arithmetic (epoch_us // 86400e6 // 7): no weekofyear/locale
+# ambiguity between engines, and weekly granularity fits the test
+# corpus's one-month span (monthly degenerates to one cell).
+# --------------------------------------------------------------------------
+Q_RETENTION_ORACLE = """
+WITH activity AS (
+  SELECT DISTINCT user_id,
+    (epoch_us(ts) // 86400000000) // 7 AS wk
+  FROM events
+), cohort AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM activity GROUP BY user_id
+)
+SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset,
+  COUNT(DISTINCT a.user_id) AS n_active
+FROM activity a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY c.cohort_wk, week_offset
+"""
+
+
+@query("q_retention_cohorts", Q_RETENTION_ORACLE)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    wk = F.expr("(unix_micros(ts) div 86400000000) div 7")
+    activity = ev.select("user_id", wk.alias("wk")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
