@@ -484,3 +484,115 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+# --------------------------------------------------------------------------
+# q_event_transitions — first-order Markov transition matrix over each
+# user's event sequence: P(next=b | cur=a) as exact integer counts and an
+# exact-division probability. One lag window per user + one aggregation —
+# the n-gram language model over behavioral sequences (session-path
+# mining, anomaly priors for sequences).
+# --------------------------------------------------------------------------
+Q_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS cur,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), pairs AS (
+  SELECT cur, nxt, COUNT(*) AS n FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+), totals AS (
+  SELECT cur, SUM(n) AS tot FROM pairs GROUP BY cur
+)
+SELECT p.cur, p.nxt, p.n,
+  CAST(p.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS prob
+FROM pairs p JOIN totals t ON p.cur = t.cur
+"""
+
+
+@query("q_event_transitions", Q_TRANSITIONS_ORACLE)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    totals = pairs.groupBy("cur").agg(F.sum("n").alias("tot"))
+    return pairs.join(F.broadcast(totals), "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias("prob"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_cooccurrence_lift — association mining without logs: for event-type
+# pairs co-occurring in the same (user, hour) context, lift =
+# P(a,b) / (P(a) P(b)) computed as the exact integer-count expression
+# (nab * nctx) / (na * nb). Integer products stay far under 2^53 and
+# every multiply feeds a division -> engine-identical doubles (the PMI
+# log transform is monotone in lift, so ranking by lift IS ranking by
+# PMI — without the non-reproducible transcendental).
+# --------------------------------------------------------------------------
+Q_LIFT_ORACLE = """
+WITH ctx AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hr, event_type
+  FROM events
+), n_ctx AS (
+  SELECT COUNT(DISTINCT (user_id, hr)) AS nc FROM ctx
+), singles AS (
+  SELECT event_type, COUNT(*) AS n1 FROM ctx GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS nab
+  FROM ctx a JOIN ctx b
+    ON a.user_id = b.user_id AND a.hr = b.hr AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.nab,
+  (CAST(p.nab AS DOUBLE) * CAST(n.nc AS DOUBLE))
+    / (CAST(sa.n1 AS DOUBLE) * CAST(sb.n1 AS DOUBLE)) AS lift
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.type_a
+JOIN singles sb ON sb.event_type = p.type_b
+CROSS JOIN n_ctx n
+"""
+
+
+@query("q_cooccurrence_lift", Q_LIFT_ORACLE)
+def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    ctx = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+        "event_type",
+    ).distinct()
+    n_ctx = ctx.select("user_id", "hr").distinct().agg(
+        F.count(F.lit(1)).alias("nc")
+    )
+    singles = ctx.groupBy("event_type").agg(F.count(F.lit(1)).alias("n1"))
+    a = ctx.select("user_id", "hr", F.col("event_type").alias("type_a"))
+    b = ctx.select("user_id", "hr", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "hr"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("nab"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n1").alias("na"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n1").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_ctx))
+        .select(
+            "type_a",
+            "type_b",
+            "nab",
+            (
+                (F.col("nab").cast("double") * F.col("nc").cast("double"))
+                / (F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("lift"),
+        )
+    )
