@@ -49,6 +49,7 @@ _BNLJ_ALLOWED = {
     "q_equiwidth_histogram",   # 1-row min/max bounds
     "q22_global_sales_opp",    # 1-row scalar average
     "q_weighted_sample",       # 1-row max-weight normalizer
+    "q_cooccurrence_lift",     # 1-row context-count normalizer
     "q_decontaminate",         # broadcast benchmark side, non-equi containment
     "q_trailing_range_window", # range-frame self join on scalar bounds
 }
