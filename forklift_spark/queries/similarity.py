@@ -595,3 +595,39 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _K)
         .withColumn("rank", F.col("rank").cast("int"))
     )
+
+
+# --------------------------------------------------------------------------
+# q_label_centroids — per-label mean embedding (class centroids), long
+# form (label, pos, mean): posexplode -> one (label, dim) aggregation
+# with exact decimal sums -> engine-identical means at any parallelism.
+# The aggregation every embedding-classification / cluster-profiling
+# pass needs; long-form output keeps the oracle a plain GROUP BY.
+# --------------------------------------------------------------------------
+CENTROID_ORACLE = """
+SELECT label, i - 1 AS pos,
+  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(10,9))) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS mean_v,
+  COUNT(*) AS n
+FROM (
+  SELECT label, unnest(embedding) AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+) z
+GROUP BY label, pos
+"""
+
+
+@query("q_label_centroids", CENTROID_ORACLE)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    return exploded.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(10,9)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_v"),
+        F.count(F.lit(1)).alias("n"),
+    )

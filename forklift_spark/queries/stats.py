@@ -596,3 +596,42 @@ def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_mad_robust — median absolute deviation per group: the robust scale
+# estimator that outlier-heavy metrics need (stddev is itself corrupted
+# by the outliers it should flag). Two exact-percentile passes — the
+# median reduces each group to one scalar which joins back broadcast,
+# then the deviation median runs over the same grouping. Spark
+# `percentile` == DuckDB `quantile_cont` bit-exact (q_percentiles).
+# --------------------------------------------------------------------------
+Q_MAD_ORACLE = """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag, m.med_price,
+  quantile_cont(abs(l.l_extendedprice - m.med_price), 0.5) AS mad_price,
+  COUNT(*) AS n
+FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+GROUP BY l.l_returnflag, m.med_price
+"""
+
+
+@query("q_mad_robust", Q_MAD_ORACLE)
+def q_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med_price")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag", "med_price")
+        .agg(
+            F.expr("percentile(abs(l_extendedprice - med_price), 0.5)").alias(
+                "mad_price"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
