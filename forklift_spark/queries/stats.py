@@ -635,3 +635,52 @@ def q_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_null_imputation — mean-imputation of missing metrics: nulls (here
+# synthesized on a deterministic subset, the test tables ship complete)
+# are filled from their group's non-null decimal mean; the output flags
+# which rows were imputed. Group means reduce to a broadcast join-back —
+# scan-shaped, the standard feature-cleaning pass before model training.
+# --------------------------------------------------------------------------
+Q_IMPUTE_ORACLE = """
+WITH holes AS (
+  SELECT event_id, event_type,
+    CASE WHEN event_id % 7 = 0 THEN NULL
+         ELSE CAST(value AS DECIMAL(12,2)) END AS v
+  FROM events
+), means AS (
+  SELECT event_type,
+    CAST(SUM(v) AS DOUBLE) / CAST(COUNT(v) AS DOUBLE) AS mean_v
+  FROM holes GROUP BY event_type
+)
+SELECT h.event_id, h.event_type,
+  coalesce(CAST(h.v AS DOUBLE), m.mean_v) AS value,
+  (h.v IS NULL) AS imputed
+FROM holes h JOIN means m ON h.event_type = m.event_type
+"""
+
+
+@query("q_null_imputation", Q_IMPUTE_ORACLE)
+def q_null_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    holes = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(dec("value", VALUE))
+        .alias("v"),
+    )
+    means = holes.groupBy("event_type").agg(
+        (F.sum("v").cast("double") / F.count("v").cast("double")).alias("mean_v")
+    )
+    return (
+        holes.join(F.broadcast(means), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.coalesce(F.col("v").cast("double"), F.col("mean_v")).alias("value"),
+            F.col("v").isNull().alias("imputed"),
+        )
+    )
