@@ -502,3 +502,41 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.select(
         "event_id", "user_id", "ts", chosen.alias("click_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q_window_hopping — sliding (hopping) windows: 1-hour windows every 30
+# minutes, so each event contributes to two windows. Spark's F.window
+# with a slide duration == the union of slide-offset tumbling bucketings
+# (how the oracle states it). Completes the window-type family next to
+# tumbling (q_window_tumbling) and session (q_sessionize).
+# --------------------------------------------------------------------------
+HOPPING_ORACLE = """
+SELECT wstart, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type, value
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '1 hour', ts - INTERVAL '30 minutes')
+           + INTERVAL '30 minutes' AS wstart,
+         event_type, value
+  FROM events
+) z
+GROUP BY wstart, event_type
+"""
+
+
+@query("q_window_hopping", HOPPING_ORACLE)
+def q_window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value", MONEY)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "total_value")
+    )

@@ -190,3 +190,23 @@ def test_schema_diff_reports_drift(spark):
     assert d["added"] == ["flag"]
     assert d["removed"] == []
     assert d["type_changed"] == [("v", "double", "int")]
+
+
+def test_partitioned_table_prunes_reads(spark, tmp_path):
+    """Reading a day-partitioned table with a day predicate must prune at
+    the source (PartitionFilters), not post-filter — the property that
+    makes partitioned facts O(touched days) to query at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from forklift_spark.writer import ParquetTableWriter
+
+    w = ParquetTableWriter(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}", float(i)) for i in range(30)],
+        "id long, day string, v double",
+    )
+    w.write(df, "facts", mode="overwrite", partition_by=["day"])
+    q = spark.read.parquet(str(tmp_path / "facts")).filter(F.col("day") == "d1")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "d1" in plan
+    assert q.count() == 10
