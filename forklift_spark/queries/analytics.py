@@ -924,3 +924,53 @@ def q_value_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("o_totalprice", 2, -1.0).over(wo).alias("lag2_price"),
         F.lead("o_totalprice", 2, -1.0).over(wo).alias("lead2_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_rfm_segments — recency/frequency/monetary quartile segmentation: one
+# aggregation to per-customer RFM, three ntile(4) windows (each over the
+# customer-level table — thousands of rows per million orders, never the
+# fact table), deterministic ties via custkey. The classic BI rollup on
+# top of the engine's window family.
+# --------------------------------------------------------------------------
+RFM_ORACLE = """
+WITH rfm AS (
+  SELECT o_custkey,
+    max(o_orderdate) AS last_order,
+    COUNT(*) AS freq,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+  ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_quartile,
+  ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f_quartile,
+  ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile,
+  freq, monetary
+FROM rfm
+"""
+
+
+@query("q_rfm_segments", RFM_ORACLE)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(dec("o_totalprice", MONEY)).cast("double").alias("monetary"),
+    )
+    # customer-level ntiles: the windows are global over the (small)
+    # aggregate table, not the fact table — constant partitionBy keeps
+    # WindowExec off the warning path while staying a single partition of
+    # per-customer rows (thousands per million orders; acceptable by the
+    # same bounded-reduction argument as scalar aggregates — if customer
+    # cardinality ever rivaled facts, quartiles would come from
+    # percentile cutpoints instead)
+    w = lambda c: W.partitionBy(F.lit(0)).orderBy(F.col(c).desc(), "o_custkey")  # noqa: E731
+    return rfm.select(
+        "o_custkey",
+        F.ntile(4).over(w("last_order")).alias("r_quartile"),
+        F.ntile(4).over(w("freq")).alias("f_quartile"),
+        F.ntile(4).over(w("monetary")).alias("m_quartile"),
+        "freq",
+        "monetary",
+    )
