@@ -720,3 +720,120 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --------------------------------------------------------------------------
+# §2.3 unpivot (melt) — wide measure columns to long (key, metric, value)
+# form: the inverse of q_pivot and the shape metric stores and plotting
+# layers want. Spark's native unpivot == SQL UNPIVOT; one scan, no
+# shuffle.
+# --------------------------------------------------------------------------
+UNPIVOT_ORACLE = """
+SELECT o_orderkey, metric, value FROM (
+  SELECT o_orderkey,
+    CAST(o_totalprice AS DOUBLE) AS totalprice,
+    CAST(year(o_orderdate) AS DOUBLE) AS order_year
+  FROM orders WHERE o_orderstatus = 'P'
+) UNPIVOT (value FOR metric IN (totalprice, order_year))
+"""
+
+
+@query("q_unpivot", UNPIVOT_ORACLE)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "P"
+    )
+    wide = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.year("o_orderdate").cast("double").alias("order_year"),
+    )
+    return wide.unpivot(
+        "o_orderkey", ["totalprice", "order_year"], "metric", "value"
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 percent-of-total (ratio-to-report) — each nation's share of its
+# region's revenue: one aggregation + one partitioned window over the
+# (tiny) aggregate, exact decimal sums so shares are engine-identical.
+# --------------------------------------------------------------------------
+SHARE_ORACLE = """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+    SUM(CAST(c.c_acctbal AS DECIMAL(14,2))) AS bal_dec
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY region, nation
+)
+SELECT region, nation, CAST(bal_dec AS DOUBLE) AS bal,
+  CAST(bal_dec AS DOUBLE)
+    / CAST(sum(bal_dec) OVER (PARTITION BY region) AS DOUBLE) AS share
+FROM rev
+"""
+
+
+@query("q_percent_of_total", SHARE_ORACLE)
+def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = tables.load(spark, sf_dir, "customer")
+    nation = F.broadcast(tables.load(spark, sf_dir, "nation"))
+    region = F.broadcast(tables.load(spark, sf_dir, "region"))
+    rev = (
+        cust.join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(dec("c_acctbal", MONEY)).alias("bal_dec"))
+    )
+    w = W.partitionBy("region")
+    # the window runs over the 25-row aggregate, not the fact table. The
+    # window total stays DECIMAL (a double window sum is evaluation-order
+    # dependent — measured last-ulp share divergence); only the final
+    # division happens in double.
+    return rev.select(
+        "region",
+        "nation",
+        F.col("bal_dec").cast("double").alias("bal"),
+        (
+            F.col("bal_dec").cast("double")
+            / F.sum("bal_dec").over(w).cast("double")
+        ).alias("share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 lag features — ML feature engineering: each event carries its
+# user's previous three values and the delta to the last one. One window
+# per user (bounded state), the standard autoregressive feature block a
+# training pipeline materializes before model fitting.
+# --------------------------------------------------------------------------
+LAG_FEATURES_ORACLE = """
+SELECT event_id, user_id,
+  CAST(value AS DOUBLE) AS value,
+  CAST(lag(value, 1) OVER w AS DOUBLE) AS lag1,
+  CAST(lag(value, 2) OVER w AS DOUBLE) AS lag2,
+  CAST(lag(value, 3) OVER w AS DOUBLE) AS lag3,
+  CAST(value AS DOUBLE) - CAST(lag(value, 1) OVER w AS DOUBLE) AS delta1
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("q_lag_features", LAG_FEATURES_ORACLE)
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = tables.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value").cast("double")
+    return ev.select(
+        "event_id",
+        "user_id",
+        v.alias("value"),
+        F.lag(v, 1).over(w).alias("lag1"),
+        F.lag(v, 2).over(w).alias("lag2"),
+        F.lag(v, 3).over(w).alias("lag3"),
+        (v - F.lag(v, 1).over(w)).alias("delta1"),
+    )
