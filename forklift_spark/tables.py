@@ -36,24 +36,42 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
-        # default (PARQUET_TYPE_ILLEGAL). nanosAsLong is a runtime-settable
-        # SQLConf, so set it here rather than relying on the caller's session
-        # builder — the driver harness (and any external caller) builds its
-        # own SparkSession without our session.py configs.
+        # Older testdata generations wrote events.ts as TIMESTAMP(NANOS),
+        # which Spark rejects by default (PARQUET_TYPE_ILLEGAL). nanosAsLong
+        # is a runtime-settable SQLConf, so set it here rather than relying
+        # on the caller's session builder — the driver harness (and any
+        # external caller) builds its own SparkSession without our
+        # session.py configs.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
+    df = spark.read.parquet(path)
+    return _normalize_timestamps(df)
 
-        # Guard on the read schema: under nanosAsLong the column arrives as
-        # LongType (nanos) and we truncate to micros — bit-identical to
-        # DuckDB's TIMESTAMP_NS -> TIMESTAMP; if a future session reads it
-        # as a native timestamp already, leave it alone.
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize time columns so every query sees session-tz TIMESTAMP.
+
+    Two generations of driver testdata exist:
+    - TIMESTAMP(NANOS): under nanosAsLong the column arrives as LongType
+      (nanos) and we truncate to micros — bit-identical to DuckDB's
+      TIMESTAMP_NS -> TIMESTAMP.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ,
+      which many chrono builtins (unix_micros, window, ...) reject. Cast to
+      TIMESTAMP — with the UTC session timezone this is value-identical to
+      DuckDB's naive TIMESTAMP read of the same file.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(
+                field.name, F.col(field.name).cast(T.TimestampType())
+            )
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
