@@ -491,17 +491,21 @@ def connected_components(
     side of each pair over-deletes when clusters chain (a~b, b~c: b and
     c both lose). Component-wise, exactly one doc per cluster survives.
 
-    Algorithm: iterative min-label propagation. Each round every node
-    adopts the minimum label among itself and its neighbors; converges
-    in O(cluster diameter) rounds — near-dup clusters are shallow (text
-    variants of one origin), so 3-5 rounds in practice, bounded by
-    ``max_iter``. Each round is one shuffle (groupBy on node id);
-    lineage is cut with localCheckpoint per round so the plan doesn't
-    grow exponentially across iterations; convergence is detected with
-    a bounded-scalar count (the only driver-visible value). For graphs
-    with deep chains at extreme scale, the alternating large-star/
-    small-star variant (Kiveris et al., "Connected Components in
-    MapReduce") drops rounds to O(log d) — same join shape per round.
+    Algorithm: min-label propagation with POINTER DOUBLING. Each round
+    every node adopts the minimum label among itself and its neighbors
+    (one shuffle: groupBy on node id), then labels are shortcut through
+    themselves (component := component-of-component, one more small
+    join) — the path-halving step of Kiveris et al.'s MapReduce
+    connected components. Plain propagation moves the min label one hop
+    per round (a depth-d chain needs d rounds — silently WRONG past
+    ``max_iter``); with the shortcut the label distance roughly halves
+    per round, so convergence is O(log d): a 1M-node chain converges in
+    ~20 rounds. Lineage is cut with localCheckpoint per round so the
+    plan doesn't grow across iterations; convergence is detected with a
+    bounded-scalar count (the only driver-visible value). If the graph
+    still hasn't converged after ``max_iter`` rounds the function
+    RAISES rather than return wrong components — a dedup pass built on
+    partial labels over- and under-deletes unpredictably.
     """
     # materialize the pair list ONCE before symmetrizing: the union reads
     # `pairs` twice, and pairs is typically an expensive lazy plan (the
@@ -537,22 +541,41 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        propagated = labels.join(
+            nbr_min, labels["id"] == nbr_min["src"], "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+            ).alias("component"),
+            F.col("component").alias("_prev"),
+        )
+        # pointer doubling: component := component's component. Labels are
+        # always node ids present in `labels` (the min over a reachable
+        # set), so the lookup hits; the label-to-root distance ~halves.
+        lut = propagated.select(
+            F.col("id").alias("_cid"), F.col("component").alias("_ccomp")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            propagated.join(lut, propagated["component"] == lut["_cid"], "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("_ccomp"), F.col("component"))
                 ).alias("component"),
-                F.col("component").alias("_prev"),
+                "_prev",
             )
             .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("component") != F.col("_prev")).count()
         labels = new_labels.drop("_prev")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "the pair graph has pathological depth — raise max_iter "
+        "(rounds needed ~ log2(component diameter))"
+    )
 
 
 def dedup_keep_canonical(

@@ -12,13 +12,16 @@ Design per the engine contract:
   JVM-side in built-in functions: it runs at scan speed, no UDF;
 - decode / feature-extract / frame-sample run as Arrow-batched
   ``mapInPandas`` passes — one Python worker per input partition, no
-  shuffle, memory bounded by the Arrow batch size. The *pixel/sample
-  decode itself* is stubbed (image/audio libraries are not available in
-  this environment): ``decode_image`` raises ``NotImplementedError``
-  unless PIL is importable, while ``image_features`` /
-  ``sample_frames`` use a clearly-marked DETERMINISTIC FAKE over the
-  raw bytes so the Spark-side plumbing (schema, batch shape, partition
-  behavior) is real and testable.
+  shuffle, memory bounded by the Arrow batch size. ``decode_image`` and
+  ``resize_image`` REALLY decode uncompressed formats (PPM/PGM, 24-bit
+  BMP) via the vendored pure-Python codec
+  (functions/imagecodec.py) — no image library needed; PIL, when
+  importable, is an optional fallback for compressed formats
+  (JPEG/PNG), which otherwise surface per-row decode errors.
+  ``image_features`` / ``sample_frames`` use a clearly-marked
+  DETERMINISTIC FAKE over the raw bytes so the format-independent
+  plumbing (schema, batch shape, partition behavior) is testable on
+  any payload.
 
 At 100 TB: payloads dominate row size, so every pass here projects the
 narrowest column set (Parquet column pruning keeps undecoded media out
@@ -41,6 +44,9 @@ from pyspark.sql import types as T
 _MAGIC = {
     "89504E47": "image/png",  # \x89PNG
     "FFD8FF": "image/jpeg",
+    "5036": "image/x-portable-pixmap",  # P6 binary PPM
+    "5035": "image/x-portable-graymap",  # P5 binary PGM
+    "424D": "image/bmp",  # BM
     "52494646": "audio/wav",  # RIFF container
     "00000": "video/mp4",  # ....ftyp (loose: size-prefix box)
 }
@@ -189,46 +195,70 @@ def sample_frames(
     return src.mapInPandas(run, FRAME_SCHEMA)
 
 
-def decode_image(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
-    """REAL image decode (width/height/mode via PIL). STUB: raises
-    ``NotImplementedError`` when PIL is absent (it is in this
-    container); the mapInPandas shape mirrors `image_features`.
-    """
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "image decode requires PIL, which is not available in this "
-            "environment; use image_features (deterministic byte-level "
-            "fake) for pipeline testing"
-        ) from exc
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("mode", T.StringType()),
-        ]
-    )
+
+def decode_image(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """REAL image decode (width/height/mode/format) via the vendored
+    pure-Python codec for uncompressed formats (PPM/PGM, 24-bit BMP);
+    PIL is used as an optional fallback for compressed payloads when
+    importable. Rows that fail to decode come back with NULL dims and
+    the error message — a 100 TB corpus always contains corrupt
+    payloads, and one bad row must not fail the pass.
+    """
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
-        import io
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from forklift_spark.functions import imagecodec
 
-        from PIL import Image
+        try:  # optional fallback for compressed formats only
+            from PIL import Image  # noqa: F401
+
+            have_pil = True
+        except ImportError:  # pragma: no cover - env-dependent
+            have_pil = False
 
         for pdf in batches:
-            rows = {"doc_id": [], "width": [], "height": [], "mode": []}
+            rows = {"doc_id": [], "width": [], "height": [], "mode": [], "format": [], "error": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = Image.open(io.BytesIO(bytes(payload)))
+                raw = bytes(payload) if payload is not None else b""
+                w = h = None
+                mode = fmt = err = None
+                try:
+                    img = imagecodec.decode_bytes(raw)
+                    w, h, mode, fmt = img.width, img.height, img.mode, img.format
+                except imagecodec.ImageDecodeError as exc:
+                    if have_pil:  # pragma: no cover - env-dependent
+                        import io
+
+                        from PIL import Image
+
+                        try:
+                            pimg = Image.open(io.BytesIO(raw))
+                            w, h = pimg.width, pimg.height
+                            mode, fmt = pimg.mode, pimg.format
+                        except Exception as pexc:
+                            err = str(pexc)
+                    else:
+                        err = str(exc)
                 rows["doc_id"].append(doc_id)
-                rows["width"].append(img.width)
-                rows["height"].append(img.height)
-                rows["mode"].append(img.mode)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mode"].append(mode)
+                rows["format"].append(fmt)
+                rows["error"].append(err)
             yield pd.DataFrame(rows)
 
-    return src.mapInPandas(run, schema)
+    return src.mapInPandas(run, DECODE_SCHEMA)
 
 
 RESIZE_SCHEMA = T.StructType(
@@ -279,36 +309,32 @@ def resize_image(
     id_col: str = "doc_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """REAL image resize via PIL. STUB: raises ``NotImplementedError``
-    when PIL is absent (it is in this container); `resize_media` is the
-    deterministic fake with identical Spark-side plumbing."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "image resize requires PIL, which is not available in this "
-            "environment; use resize_media (deterministic byte-level "
-            "fake) for pipeline testing"
-        ) from exc
-
+    """REAL image resize: decode (pure-Python codec, PPM/PGM/BMP),
+    nearest-neighbor resample, re-encode as binary PPM/PGM. Same
+    Spark-side contract as `resize_media` (binary in, smaller binary
+    out, Arrow batches, no shuffle); undecodable payloads yield a NULL
+    thumb rather than failing the pass."""
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
-        import io
-
-        from PIL import Image
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from forklift_spark.functions import imagecodec
 
         for pdf in batches:
             out = {"doc_id": [], "thumb": [], "orig_bytes": [], "thumb_bytes": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(payload)
-                img = Image.open(io.BytesIO(raw)).resize((width, height))
-                buf = io.BytesIO()
-                img.save(buf, format=img.format or "PNG")
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    img = imagecodec.decode_bytes(raw)
+                    small = imagecodec.resize_nearest(img, width, height)
+                    thumb = imagecodec.encode_ppm(
+                        small.width, small.height, small.mode, small.pixels
+                    )
+                except imagecodec.ImageDecodeError:
+                    thumb = None
                 out["doc_id"].append(doc_id)
-                out["thumb"].append(buf.getvalue())
+                out["thumb"].append(thumb)
                 out["orig_bytes"].append(len(raw))
-                out["thumb_bytes"].append(len(buf.getvalue()))
+                out["thumb_bytes"].append(len(thumb) if thumb is not None else 0)
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, RESIZE_SCHEMA)

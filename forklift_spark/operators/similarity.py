@@ -360,12 +360,43 @@ def ivf_topk(
     return _exact_rescore_topk(scored, k)
 
 
+def signature_table(
+    df: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 4,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Materialize the signed corpus ONCE as a catalog table bucketed by
+    the LSH bucket: (_id, _v, _n, bucket). The decimal signature is the
+    expensive per-row pass of every LSH consumer (dedup, ANN, hybrid
+    search) — at 100 TB it must be paid at write time and REUSED, not
+    recomputed per query or per self-join branch. Because the table is
+    bucketed on ``bucket``, the candidate self-join needs no Exchange:
+    the bucketed scan IS the shuffle, paid once here.
+
+    Returns the table-backed DataFrame (every reference is a plain scan).
+    """
+    from forklift_spark.operators.skew import write_bucketed
+
+    proj = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.sqrt(dot_fast(F.col(vec_col), F.col(vec_col))).alias("_n"),
+        lsh_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    write_bucketed(proj, table, "bucket", n_buckets)
+    return df.sparkSession.table(table)
+
+
 def embedding_dedup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
     bits: int = 0,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs by cosine >= threshold.
 
@@ -378,18 +409,29 @@ def embedding_dedup_pairs(
     rescored with the exact decimal dot that the reported ``cos_sim``
     requires. The exact path costs ~4x the double path, and survivors
     are a vanishing fraction of candidates, so the dedup runs at double
-    speed while the output stays bit-identical to the oracle."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    proj = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        F.sqrt(dot_fast(F.col(vec_col), F.col(vec_col))).alias("_n"),
-    )
-    if bits:
-        # the decimal signature is the expensive per-row pass; persist it so
-        # the self-join's two branches don't each recompute it (at scale:
-        # write the signed projection to a table once, join from there)
-        proj = proj.withColumn("bucket", lsh_bucket(F.col("_v"), bits)).persist()
+    speed while the output stays bit-identical to the oracle.
+
+    ``signatures``: a pre-built signed corpus (from ``signature_table``)
+    with columns (_id, _v, _n, bucket). When given, the signature pass is
+    skipped entirely — both self-join branches scan the bucketed table,
+    which is the 100 TB shape (signatures written once, reused across
+    dedup/ANN/hybrid queries)."""
+    if signatures is not None:
+        if not bits:
+            raise ValueError("signatures imply the LSH path; pass bits>0")
+        proj = signatures
+    else:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+        proj = df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.sqrt(dot_fast(F.col(vec_col), F.col(vec_col))).alias("_n"),
+        )
+        if bits:
+            # one-shot callers: persist so the self-join's two branches
+            # don't each recompute the signature (the table-backed variant
+            # above is the durable form of the same idea)
+            proj = proj.withColumn("bucket", lsh_bucket(F.col("_v"), bits)).persist()
     a = proj.select(
         F.col("_id").alias("id_a"),
         F.col("_v").alias("va"),

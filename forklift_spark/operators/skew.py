@@ -59,7 +59,24 @@ def write_bucketed(
 ) -> None:
     """Persist as a catalog table bucketed (and sorted) by the join key.
     Two tables bucketed the same way join with zero Exchange — the scan
-    itself is the shuffle, paid once at write time."""
+    itself is the shuffle, paid once at write time.
+
+    Overwrite must survive an ORPHANED location: with an in-memory
+    session catalog, a previous process's managed-table directory
+    outlives the catalog entry and saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS — drop the table AND clear a leftover local
+    location first (a persistent metastore deployment only needs the
+    DROP)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    local = wh.removeprefix("file:") if wh.startswith("file:") else (
+        wh if wh.startswith("/") else None
+    )
+    if local:
+        import shutil
+
+        shutil.rmtree(f"{local.rstrip('/')}/{table.lower()}", ignore_errors=True)
     w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
     if sort:
         w = w.sortBy(key)

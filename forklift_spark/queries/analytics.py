@@ -638,9 +638,15 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q7_volume_shipping — TPC-H Q7 shape: revenue flow between two nations by
 # year. Two independent joins to the nation dim (supplier side + customer
 # side) with a disjunctive cross-nation predicate, then a 3-way fact chain.
-# nation is fixed-cardinality -> both sides broadcast (hinted, per the
-# round-2 join policy); the lineitem⋈orders⋈customer chain shuffles on its
-# natural keys.
+#
+# Scale plan: Catalyst cannot split the disjunctive cross-nation OR across
+# the two nation joins, so the 2-nation restriction is applied HERE, before
+# any join — both nation copies are pre-filtered to the two names, which
+# prunes supplier and customer to ~2/25 of their rows before the
+# lineitem⋈orders chain ever sees them (the standard TPC-H Q7 plan). The
+# OR survives only as the final cheap pair predicate that removes the
+# N1->N1 / N2->N2 combinations. nation is fixed-cardinality -> broadcast
+# (hinted); the fact chain shuffles on its natural keys.
 # --------------------------------------------------------------------------
 Q7_ORACLE = """
 SELECT supp_nation, cust_nation, l_year,
@@ -669,26 +675,37 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("1995-01-01").cast("timestamp"), F.lit("1996-12-31").cast("timestamp")
         )
     )
-    supp = tables.load(spark, sf_dir, "supplier")
     orders = tables.load(spark, sf_dir, "orders")
-    cust = tables.load(spark, sf_dir, "customer")
+    pair = tables.load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
     n1 = F.broadcast(
-        tables.load(spark, sf_dir, "nation").select(
+        pair.select(
             F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
         )
     )
     n2 = F.broadcast(
-        tables.load(spark, sf_dir, "nation").select(
+        pair.select(
             F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
         )
+    )
+    # dim-side pre-reduction: only suppliers/customers of the two nations
+    # enter the fact chain (inner join to the filtered nation copy).
+    supp = (
+        tables.load(spark, sf_dir, "supplier")
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        tables.load(spark, sf_dir, "customer")
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .select("c_custkey", "cust_nation")
     )
     revenue = dec("l_extendedprice", MONEY) * (_one() - dec("l_discount", RATE))
     joined = (
         li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
-        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))

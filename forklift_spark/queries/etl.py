@@ -456,7 +456,7 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 JSON_ORACLE = """
 SELECT event_type,
-  SUM(CAST(props->>'k' AS BIGINT)) AS k_sum,
+  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
   count(CAST(props->>'k' AS BIGINT)) AS k_present,
   min(CAST(props->>'k' AS BIGINT)) AS k_min,
   max(CAST(props->>'k' AS BIGINT)) AS k_max
@@ -602,7 +602,7 @@ def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 ARRAY_AGG_ORACLE = """
 SELECT o_custkey,
-  list_sort(list(DISTINCT year(o_orderdate))) AS years,
+  array_to_string(list_sort(list(DISTINCT year(o_orderdate))), ',') AS years,
   len(list_sort(list(DISTINCT year(o_orderdate)))) AS n_years,
   list_sort(list(DISTINCT year(o_orderdate)))[1] AS first_year,
   list_contains(list_sort(list(DISTINCT year(o_orderdate))), 1995) AS has_1995
@@ -613,10 +613,13 @@ GROUP BY o_custkey
 
 @query("q_array_agg", ARRAY_AGG_ORACLE)
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The sorted array is emitted string-joined: the harness canonicalizes
+    # results through a pandas sort, and list-valued cells are unhashable
+    # there (r2 ERR row). Scalar derivatives keep the array semantics pinned.
     orders = tables.load(spark, sf_dir, "orders")
     years = F.array_sort(F.collect_set(F.year("o_orderdate")))
     return orders.groupBy("o_custkey").agg(
-        years.alias("years"),
+        F.array_join(years, ",").alias("years"),
         F.size(years).alias("n_years"),
         F.element_at(years, 1).alias("first_year"),
         F.array_contains(years, 1995).alias("has_1995"),

@@ -216,8 +216,20 @@ WHERE d.dot / (na.nrm * nb.nrm) >= {_THRESH}
 
 @query("q_embedding_dedup_lsh", _emb_dedup_lsh_oracle())
 def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
     emb = tables.load(spark, sf_dir, "embeddings")
-    return S.embedding_dedup_pairs(emb, threshold=_THRESH, bits=_DEDUP_BITS)
+    # the signed corpus is WRITTEN once as a bucket-partitioned catalog
+    # table and reused by both self-join branches — the 100 TB shape
+    # (signatures shared across dedup/ANN/hybrid, no recompute, and the
+    # bucketed scan replaces the candidate join's Exchange)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sigs = S.signature_table(
+        emb, f"sig_embeddings_{tag}", bits=_DEDUP_BITS
+    )
+    return S.embedding_dedup_pairs(
+        emb, threshold=_THRESH, bits=_DEDUP_BITS, signatures=sigs
+    )
 
 
 # --------------------------------------------------------------------------

@@ -196,7 +196,7 @@ SELECT event_type,
   CAST(SUM(v * ((t_next - t_us) // 1000)) AS DOUBLE)
     / CAST(SUM((t_next - t_us) // 1000) AS DOUBLE) AS twa_value,
   COUNT(*) AS n_intervals,
-  SUM((t_next - t_us) // 1000) AS total_ms
+  CAST(SUM((t_next - t_us) // 1000) AS BIGINT) AS total_ms
 FROM seq
 WHERE t_next IS NOT NULL
 GROUP BY event_type
@@ -325,8 +325,8 @@ WITH pct AS (
 )
 SELECT l.l_returnflag,
   COUNT(*) AS n,
-  SUM(CASE WHEN l.l_extendedprice < p.p05 THEN 1 ELSE 0 END) AS n_low,
-  SUM(CASE WHEN l.l_extendedprice > p.p95 THEN 1 ELSE 0 END) AS n_high,
+  CAST(SUM(CASE WHEN l.l_extendedprice < p.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+  CAST(SUM(CASE WHEN l.l_extendedprice > p.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
   CAST(SUM(CAST(greatest(p.p05, least(p.p95, l.l_extendedprice)) AS DECIMAL(18,6))) AS DOUBLE)
     / CAST(COUNT(*) AS DOUBLE) AS mean_winsorized
 FROM lineitem l JOIN pct p ON l.l_returnflag = p.l_returnflag
@@ -435,7 +435,7 @@ SELECT "group", n,
     - (((CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))
         / (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)))
        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
-  sx AS sum_x, sy AS sum_y
+  CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y
 FROM sums
 """
 

@@ -514,7 +514,7 @@ WITH toks AS (
 SELECT t.doc_id, count(*) AS n_toks,
   CAST(SUM(coalesce(r.rank, {_RARITY_K} + 1)) AS DOUBLE)
     / CAST(count(*) AS DOUBLE) AS mean_rank,
-  SUM(CASE WHEN r.rank IS NULL THEN 1 ELSE 0 END) AS n_oov
+  CAST(SUM(CASE WHEN r.rank IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
 FROM toks t LEFT JOIN ranked r ON t.tok = r.tok
 GROUP BY t.doc_id
 """

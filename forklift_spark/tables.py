@@ -43,11 +43,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # external caller) builds its own SparkSession without our
         # session.py configs.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ->TIMESTAMP cast below is value-identical to the DuckDB oracle
+    # only under a UTC session timezone. Enforce it here (runtime-settable)
+    # instead of assuming the caller's session was built by session.py —
+    # on a non-UTC host every unix_micros/window query would silently
+    # shift by the tz offset vs. the oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
-    return _normalize_timestamps(df)
+    return _normalize_timestamps(df, name)
 
 
-def _normalize_timestamps(df: DataFrame) -> DataFrame:
+def _normalize_timestamps(df: DataFrame, name: str) -> DataFrame:
     """Normalize time columns so every query sees session-tz TIMESTAMP.
 
     Two generations of driver testdata exist:
@@ -63,7 +69,10 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
     from pyspark.sql import types as T
 
     for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+        # LongType-ts reinterpretation is an events-only data-generation
+        # quirk — any other table with a legitimate BIGINT 'ts' column must
+        # NOT be silently reinterpreted as nano-timestamps.
+        if name == "events" and field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )

@@ -132,8 +132,28 @@ class ParquetTableWriter:
         primary_key: str = "id",
         strict_schema: bool = False,
         partition_by: list[str] | None = None,
+        auto_key: str | None = None,
+        auto_key_mode: str = "dense",
     ) -> None:
         df = _strip_null_types(df)
+        if auto_key and auto_key not in df.columns:
+            # AUTO_INCREMENT parity for the lazy-create path: the
+            # reference's lazy CREATE defaults an `id bigint AUTO_INCREMENT`
+            # PK (transports/mysql.rb:112-121). Spark has no sequence, so
+            # the surrogate is assigned per-batch (functions/keys.py):
+            # `dense` = contiguous like AUTO_INCREMENT (one counting pass);
+            # `monotonic` = O(1) unique-but-gapped, the default at scale.
+            # Batches appended to an existing keyed table continue past the
+            # current MAX(key) — a bounded-scalar read, same class as HWM.
+            from forklift_spark.functions.keys import with_surrogate_key
+
+            start = 1
+            if self.exists(table):
+                existing_cols = self.read(table)
+                if auto_key in existing_cols.columns:
+                    prev = existing_cols.agg(F.max(auto_key)).first()[0]
+                    start = (prev if prev is not None else 0) + 1
+            df = with_surrogate_key(df, auto_key, auto_key_mode, start)
         if not self.exists(table):  # lazy create (mysql.rb:105-132)
             self._publish(df, table, partition_by)
             return

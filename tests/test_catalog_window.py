@@ -1,0 +1,49 @@
+"""Catalog-ordering policy: the correctness harness checks a prefix of
+``catalog()``, so the order IS the coverage guarantee. Pin it."""
+
+from __future__ import annotations
+
+import forklift_spark.queries as q
+
+FAMILIES = {
+    "analytics", "etl", "dedup", "similarity", "text", "stats",
+    "timeseries", "multimodal",
+}
+
+
+def _families(names):
+    cat = q.catalog()
+    return {cat[n].__module__.rsplit(".", 1)[-1] for n in names}
+
+
+def test_window_is_curated_and_oracle_backed():
+    cat = list(q.catalog())
+    window = [n for fam in q._WINDOW_FAMILIES.values() for n in fam]
+    assert len(window) == 50
+    assert set(cat[:50]) == set(window)
+    ors = q.oracles()
+    assert all(n in ors for n in cat[:50])
+
+
+def test_every_prefix_has_family_spread():
+    """Round-robin emission: the first cycle touches every family, so any
+    prefix of >= 8 entries checks all 8 families."""
+    cat = list(q.catalog())
+    assert _families(cat[:8]) == FAMILIES
+    assert _families(cat[:50]) == FAMILIES
+
+
+def test_rows_only_queries_sort_last():
+    cat = list(q.catalog())
+    ors = q.oracles()
+    strengths = [n in ors for n in cat]
+    first_weak = strengths.index(False) if False in strengths else len(cat)
+    assert all(not s for s in strengths[first_weak:]), (
+        "rows-only queries must all trail oracle-backed ones"
+    )
+
+
+def test_catalog_is_complete_and_unique():
+    cat = list(q.catalog())
+    assert len(cat) == len(set(cat))
+    assert set(cat) == set(q._REGISTRY)

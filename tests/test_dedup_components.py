@@ -33,6 +33,27 @@ def test_deep_chain_converges(spark):
     assert comp.count() == 13
 
 
+def test_very_deep_chain_needs_only_log_rounds(spark):
+    # A 200-node path has diameter 199: plain one-hop propagation would
+    # need ~199 rounds and silently return WRONG labels at max_iter=20.
+    # Pointer doubling must converge within the default bound (O(log d)).
+    pairs = _pairs(spark, [(i, i + 1) for i in range(199)])
+    comp = connected_components(pairs)  # default max_iter=20
+    rows = comp.collect()
+    assert len(rows) == 200
+    assert {r["component"] for r in rows} == {0}
+
+
+def test_nonconvergence_raises_not_silent(spark):
+    # the fail-safe: with an impossible round budget the function must
+    # raise, never hand back partial labels
+    import pytest
+
+    pairs = _pairs(spark, [(i, i + 1) for i in range(30)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+
+
 def test_dedup_keep_canonical(spark):
     docs = spark.createDataFrame(
         [(i, f"doc{i}") for i in range(6)], "doc_id long, text string"

@@ -124,3 +124,35 @@ def test_zscore_stats_join_is_broadcast(spark):
     plan = _plan(q_zscore_outliers(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q7_two_nation_filter_reaches_nation_scans(spark):
+    # Catalyst can't split Q7's disjunctive cross-nation OR across the two
+    # nation joins, so the query pre-filters both nation copies itself; the
+    # IN(n_name...) predicate must appear as a pushed scan filter, which is
+    # what keeps the supplier/customer sides 2/25-sized before the fact
+    # chain at 100x scale.
+    from forklift_spark.queries.analytics import q7_volume_shipping
+
+    plan = _plan(q7_volume_shipping(spark, SF_DIR))
+    assert "In(n_name" in plan
+
+
+def test_embedding_dedup_lsh_signature_table_reuse(spark):
+    # The signed corpus is WRITTEN once (bucketed by bucket) and both
+    # self-join branches must SCAN it — no per-branch signature
+    # recompute (the decimal signature is the expensive pass), and with
+    # broadcast disabled the bucketed scans join with ZERO shuffle
+    # Exchange: the 100 TB shape.
+    from forklift_spark.queries.similarity import q_embedding_dedup_lsh
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(q_embedding_dedup_lsh(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("sig_embeddings") >= 2  # both branches read the table
+    assert plan.count("Bucketed: true") == 2
+    assert "Exchange hashpartitioning" not in plan  # bucketed scan IS the shuffle
+    assert "CartesianProduct" not in plan

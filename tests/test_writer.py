@@ -210,3 +210,27 @@ def test_partitioned_table_prunes_reads(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "d1" in plan
     assert q.count() == 10
+
+
+def test_auto_key_lazy_create_and_append_continue(spark, tmp_path):
+    """AUTO_INCREMENT parity (transports/mysql.rb:112-121): lazy create
+    assigns a contiguous dense surrogate key when the incoming frame has
+    none; a later keyless append continues past the current MAX(key)."""
+    from forklift_spark.writer import ParquetTableWriter
+
+    w = ParquetTableWriter(spark, str(tmp_path))
+    first = spark.createDataFrame([("a",), ("b",), ("c",)], "name string")
+    w.write(first, "people", mode="append", auto_key="id")
+    got = {r["id"] for r in w.read("people").collect()}
+    assert got == {1, 2, 3}
+
+    second = spark.createDataFrame([("d",), ("e",)], "name string")
+    w.write(second, "people", mode="append", auto_key="id")
+    rows = {r["name"]: r["id"] for r in w.read("people").collect()}
+    assert sorted(rows.values()) == [1, 2, 3, 4, 5]
+    assert {rows["d"], rows["e"]} == {4, 5}
+
+    # frames that already carry the key column are left untouched
+    third = spark.createDataFrame([(100, "z")], "id long, name string")
+    w.write(third, "people", mode="append", auto_key="id")
+    assert max(r["id"] for r in w.read("people").collect()) == 100
