@@ -60,13 +60,16 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
     "etl": [
         "q_read_since", "q_upsert_merge", "q_schema_evolution",
         "q_incremental_delta", "q_hwm", "q_count_min_max",
-        "q_projection_filter", "q_semi_join", "q_json_extract",
-        "q_array_agg", "q_salted_join",
+        "q_json_extract", "q_array_agg", "q_salted_join",
     ],
     "analytics": [
         "q1_pricing_summary", "q5_region_revenue", "q7_volume_shipping",
         "q13_order_distribution", "q22_global_sales_opp", "q_topk_per_group",
-        "q_grouping_sets", "q_pivot", "q_percentiles",
+        "q_grouping_sets",
+    ],
+    "connectors": [
+        "q_csv_roundtrip", "q_jdbc_roundtrip", "q_dump_pipe_roundtrip",
+        "q_optimistic_sync",
     ],
     "stats": ["q_stats_moments", "q_grouped_ols", "q_retention_cohorts"],
     "timeseries": ["q_asof_join", "q_sessionize", "q_stream_windowed_counts"],
@@ -120,6 +123,7 @@ def _load_all() -> None:
         return
     # import for registration side effects
     from forklift_spark.queries import analytics  # noqa: F401
+    from forklift_spark.queries import connectors  # noqa: F401
     from forklift_spark.queries import etl  # noqa: F401
     from forklift_spark.queries import dedup  # noqa: F401
     from forklift_spark.queries import multimodal  # noqa: F401
