@@ -64,15 +64,17 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
     ],
     "analytics": [
         "q1_pricing_summary", "q5_region_revenue", "q7_volume_shipping",
-        "q13_order_distribution", "q22_global_sales_opp", "q_topk_per_group",
-        "q_grouping_sets",
+        "q13_order_distribution", "q22_global_sales_opp", "q_grouping_sets",
     ],
     "connectors": [
         "q_csv_roundtrip", "q_jdbc_roundtrip", "q_dump_pipe_roundtrip",
         "q_optimistic_sync",
     ],
     "stats": ["q_stats_moments", "q_grouped_ols", "q_retention_cohorts"],
-    "timeseries": ["q_asof_join", "q_sessionize", "q_stream_windowed_counts"],
+    "timeseries": [
+        "q_asof_join", "q_sessionize", "q_stream_windowed_counts",
+        "q_stream_stateful_counts",
+    ],
     "multimodal": ["q_media_metadata"],
 }
 

@@ -299,6 +299,56 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q_stream_stateful_counts — custom keyed state via applyInPandasWithState
+# EXECUTED ACROSS REAL MICRO-BATCH BOUNDARIES: the source is staged as 8
+# parquet files read 2-per-trigger (availableNow honors
+# maxFilesPerTrigger as batch boundaries), so per-key state genuinely
+# persists and accumulates across ~4 batches — the cross-batch property
+# a single-batch availableNow run would not exercise. Each batch emits
+# the cumulative per-key total so far (append mode); the final total per
+# key is MAX(total), which must equal the batch COUNT(*) regardless of
+# file/batch arrival order — counts are order-independent, making this
+# custom stateful operator oracle-checkable.
+# --------------------------------------------------------------------------
+STATEFUL_COUNT_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS total
+FROM events GROUP BY event_type
+"""
+
+
+@query("q_stream_stateful_counts", STATEFUL_COUNT_ORACLE)
+def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from forklift_spark.streaming.stateful import streaming_running_counts
+
+    events = tables.load(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="fk_stream_state_")
+    events.repartition(8).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    sink = f"stream_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_running_counts(stream.groupBy("event_type"), "event_type")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.max("total").alias("total"))
+    )
+
+
+# --------------------------------------------------------------------------
 # q_gap_fill — resample to an hourly grid per user and forward-fill
 # (LOCF) missing buckets. The grid is generated with sequence()+explode
 # per user (no driver-side calendar), the fill is last(ignorenulls)
