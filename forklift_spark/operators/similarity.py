@@ -367,6 +367,7 @@ def signature_table(
     vec_col: str = "embedding",
     bits: int = 4,
     n_buckets: int = 8,
+    reuse: bool = True,
 ) -> DataFrame:
     """Materialize the signed corpus ONCE as a catalog table bucketed by
     the LSH bucket: (_id, _v, _n, bucket). The decimal signature is the
@@ -376,10 +377,18 @@ def signature_table(
     bucketed on ``bucket``, the candidate self-join needs no Exchange:
     the bucketed scan IS the shuffle, paid once here.
 
+    ``reuse=True`` (default) returns the existing table when this
+    session already built it — callers derive the table name from their
+    source identity, so an existing table IS the signature of the same
+    corpus. Pass ``reuse=False`` to force a rebuild after the source
+    mutated under the same name.
+
     Returns the table-backed DataFrame (every reference is a plain scan).
     """
     from forklift_spark.operators.skew import write_bucketed
 
+    if reuse and df.sparkSession.catalog.tableExists(table):
+        return df.sparkSession.table(table)
     proj = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),

@@ -81,12 +81,16 @@ def test_zipf_top100_is_take_ordered_not_global_window(spark):
 
 def test_no_collect_in_operators():
     """Grep-level guard: operator modules must not driver-materialize.
-    (Allowed: centroid seeding and k-means centroid updates — both are
-    bounded k x dims model pulls, documented in their docstrings;
-    patterns read scalar HWMs through connections.)"""
+    (Allowed: centroid seeding / k-means & PQ codebook training — all
+    bounded model pulls (k x dims centroids, m*k*sub codebook cells),
+    documented in their docstrings; _query_luts collects the bounded
+    query side that was already broadcast by contract; patterns read
+    scalar HWMs through connections.)"""
     import pathlib
 
-    allowed_fns = {"deterministic_centroids", "kmeans_fit"}
+    allowed_fns = {
+        "deterministic_centroids", "kmeans_fit", "pq_train", "_query_luts",
+    }
     root = pathlib.Path(__file__).resolve().parents[1] / "forklift_spark" / "operators"
     offenders = []
     for p in root.glob("*.py"):
