@@ -349,6 +349,67 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q_stream_stream_join — watermarked stream-stream inner join EXECUTED IN
+# THE STREAMING ENGINE (click->purchase attribution within 1 hour, same
+# user). Inner-join output is emitted on match (the watermark bounds
+# state retention, not result emission), so an availableNow run over the
+# staged source yields exactly the batch join — oracle-checkable. The
+# batch twin of this plan is a plain time-bounded self-join; what the
+# streaming execution adds at scale is bounded state: rows evict once
+# the watermark passes their match window, so the join runs on infinite
+# streams in finite memory.
+# --------------------------------------------------------------------------
+SS_JOIN_ORACLE = """
+SELECT l.event_id AS click_id, r.event_id AS purchase_id,
+       l.user_id AS user_id, l.ts AS click_ts, r.ts AS purchase_ts
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+"""
+
+
+@query("q_stream_stream_join", SS_JOIN_ORACLE)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from forklift_spark.streaming.jobs import stream_stream_join
+
+    events = tables.load(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="fk_stream_ssj_")
+    events.write.mode("overwrite").parquet(src)
+
+    def side(event_type: str) -> DataFrame:
+        return (
+            spark.readStream.schema(events.schema)
+            .parquet(src)
+            .filter(F.col("event_type") == event_type)
+            .select("event_id", "user_id", "ts")
+        )
+
+    joined = stream_stream_join(
+        side("click"), side("purchase"), key="user_id", within="1 hour"
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("click_ts"),
+        F.col("r.ts").alias("purchase_ts"),
+    )
+    sink = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(sink)
+
+
+# --------------------------------------------------------------------------
 # q_gap_fill — resample to an hourly grid per user and forward-fill
 # (LOCF) missing buckets. The grid is generated with sequence()+explode
 # per user (no driver-side calendar), the fill is last(ignorenulls)
