@@ -410,6 +410,62 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q_stream_incremental_sync — the reference's incremental_pipe run as a
+# CONTINUOUS stream (streaming/jobs.py stream_incremental_sync): the
+# source backlog arrives 2-files-per-micro-batch and each batch upserts
+# into a parquet warehouse by pk through the real writer (anti-join +
+# atomic staging swap per batch). The destination is pre-seeded with
+# STALE versions (value = -1) of part of the data; the stream must
+# replace every stale row and insert everything else, so the final
+# warehouse state equals the source exactly — an append-only sink or a
+# broken pk-merge would leave -1 rows or duplicates. Upsert is
+# last-writer-wins per pk and every pk arrives exactly once, so the
+# result is independent of batch/file arrival order.
+# --------------------------------------------------------------------------
+STREAM_SYNC_ORACLE = """
+SELECT event_id, ts, value FROM events WHERE event_id < 3000
+"""
+
+
+@query("q_stream_incremental_sync", STREAM_SYNC_ORACLE)
+def q_stream_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from forklift_spark.streaming.jobs import stream_incremental_sync
+    from forklift_spark.writer import ParquetTableWriter
+
+    ev = (
+        tables.load(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", "ts", "value")
+    )
+    root = tempfile.mkdtemp(prefix="fk_stream_sync_")
+    src = os.path.join(root, "src")
+    ev.repartition(6).write.mode("overwrite").parquet(src)
+
+    writer = ParquetTableWriter(spark, os.path.join(root, "wh"))
+    stale = ev.filter(F.col("event_id") % 2 == 0).withColumn(
+        "value", F.lit(-1.0)
+    )
+    writer.write(stale, "events_sync", mode="overwrite")
+
+    q = stream_incremental_sync(
+        spark,
+        src,
+        writer,
+        "events_sync",
+        ev.schema,
+        primary_key="event_id",
+        matcher="ts",
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(180)
+    return writer.read("events_sync")
+
+
+# --------------------------------------------------------------------------
 # q_gap_fill — resample to an hourly grid per user and forward-fill
 # (LOCF) missing buckets. The grid is generated with sequence()+explode
 # per user (no driver-side calendar), the fill is last(ignorenulls)

@@ -25,11 +25,15 @@ def stream_incremental_sync(
     watermark_delay: str = "1 hour",
     checkpoint_dir: str | None = None,
     trigger_once: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Continuous incremental_pipe: stream new files from source_path,
     watermark on the matcher column (late rows beyond the delay are
     dropped — the reference's `WHERE matcher > hwm` semantics,
     `patterns/mysql_patterns.rb:95`), upsert each micro-batch by pk.
+    ``max_files_per_trigger`` bounds each micro-batch (availableNow
+    honors it), forcing repeated merge invocations over a backlog — the
+    steady-state shape of the continuous sync.
     """
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
@@ -37,11 +41,10 @@ def stream_incremental_sync(
             return
         dest_writer.write(batch_df, dest_table, mode="upsert", primary_key=primary_key)
 
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(source_path)
-        .withWatermark(matcher, watermark_delay)
-    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path).withWatermark(matcher, watermark_delay)
     writer = stream.writeStream.foreachBatch(merge).outputMode("update")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
