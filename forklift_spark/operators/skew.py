@@ -81,3 +81,26 @@ def write_bucketed(
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
+
+
+def detect_skew(
+    df: DataFrame,
+    key: str,
+    min_share: float = 0.01,
+) -> DataFrame:
+    """Hot-key audit for a prospective join/aggregation key: per-key row
+    count and share of the table, keeping keys whose share exceeds
+    ``min_share``. The operational preflight for choosing between a
+    plain join, AQE skew splitting, and ``salted_join`` — at 100 TB you
+    run this ONCE on a sample or the previous day's partition, not per
+    query. One aggregation + one scalar subquery (broadcast total); the
+    share division is a single IEEE double op, so the report is
+    engine-reproducible."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    total = df.select(F.count(F.lit(1)).alias("_t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n").cast("double") / F.col("_t").cast("double"))
+        .filter(F.col("share") >= min_share)
+        .select(key, "n", "share")
+    )

@@ -262,3 +262,46 @@ def q_optimistic_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dst.read("events_dest").select(
         F.lit(ran).alias("sync_path"), "event_id", "ts", "value"
     )
+
+
+# --------------------------------------------------------------------------
+# U1 + U3: multi-statement SQL script transformation through the
+# connection exec surface (`base/connection.rb:35-51`, script splitter
+# `transports/mysql.rb:234-249`): DELIMITER redefinition honored,
+# statements run one spark.sql at a time, unsupported DDL (CREATE
+# INDEX) warn-and-skips instead of failing. The oracle recomputes the
+# script's final view from the base table.
+# --------------------------------------------------------------------------
+SCRIPT_ORACLE = """
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_big,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+FROM orders WHERE o_totalprice > 100000 GROUP BY o_custkey
+"""
+
+_SCRIPT = """
+CREATE OR REPLACE TEMPORARY VIEW fk_script_big_orders AS
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM __fk_script_orders WHERE o_totalprice > 100000;
+DELIMITER //
+CREATE OR REPLACE TEMPORARY VIEW fk_script_big_by_cust AS
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_big,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+FROM fk_script_big_orders GROUP BY o_custkey//
+CREATE INDEX fk_script_idx ON fk_script_big_by_cust (o_custkey)//
+"""
+
+
+@query("q_sql_script", SCRIPT_ORACLE)
+def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.connections.parquet import ParquetConnection
+
+    root = _scratch("script")
+    conn = ParquetConnection({"path": root}, _engine(spark, root))
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "__fk_script_orders"
+    )
+    path = os.path.join(root, "transform.sql")
+    with open(path, "w") as f:
+        f.write(_SCRIPT)
+    conn.exec_strict(path)  # U1 strict exec -> U3 script runner
+    return spark.table("fk_script_big_by_cust")

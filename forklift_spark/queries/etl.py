@@ -840,3 +840,28 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag(v, 3).over(w).alias("lag3"),
         (v - F.lag(v, 1).over(w)).alias("delta1"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_skew_audit — hot-key preflight (operators/skew.py detect_skew): per-
+# key count + share of table for keys above a share threshold. The
+# operational step BEFORE choosing plain join vs AQE skew split vs
+# salted_join; one aggregation + broadcast scalar total, and the share
+# is a single IEEE double division so the report replays in any engine.
+# --------------------------------------------------------------------------
+SKEW_AUDIT_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS DOUBLE)
+         / (SELECT CAST(COUNT(*) AS DOUBLE) FROM events) AS share
+FROM events GROUP BY event_type
+HAVING CAST(COUNT(*) AS DOUBLE)
+         / (SELECT CAST(COUNT(*) AS DOUBLE) FROM events) >= 0.2
+"""
+
+
+@query("q_skew_audit", SKEW_AUDIT_ORACLE)
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.operators.skew import detect_skew
+
+    ev = tables.load(spark, sf_dir, "events")
+    return detect_skew(ev, "event_type", min_share=0.2)
