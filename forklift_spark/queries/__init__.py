@@ -59,7 +59,7 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
     ],
     "etl": [
         "q_read_since", "q_upsert_merge", "q_schema_evolution",
-        "q_incremental_delta", "q_hwm", "q_count_min_max",
+        "q_incremental_delta", "q_hwm",
         "q_json_extract", "q_array_agg", "q_salted_join",
     ],
     "analytics": [
@@ -68,7 +68,7 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
     ],
     "connectors": [
         "q_csv_roundtrip", "q_jdbc_roundtrip", "q_dump_pipe_roundtrip",
-        "q_optimistic_sync",
+        "q_optimistic_sync", "q_es_roundtrip",
     ],
     "stats": ["q_stats_moments", "q_grouped_ols", "q_retention_cohorts"],
     "timeseries": [

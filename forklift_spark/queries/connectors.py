@@ -305,3 +305,66 @@ def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.write(_SCRIPT)
     conn.exec_strict(path)  # U1 strict exec -> U3 script runner
     return spark.table("fk_script_big_by_cust")
+
+
+# --------------------------------------------------------------------------
+# S4 + S5: Elasticsearch round trip through the REST shim against the
+# in-process fake ES (forklift_spark/testing.py) — the jar-less path the
+# integration tests exercise, here driven as a catalog query: docs leave
+# Spark via per-partition _bulk upsert-by-id over real sockets, a second
+# write REPLACES part of them (upsert semantics — the oracle encodes the
+# replacement), and the read back is a distributed sliced-scroll scan
+# (4 slices, 50-doc pages => real paging). The result is materialized
+# (localCheckpoint) before the endpoint shuts down, mirroring a consumer
+# that persists what it read.
+# --------------------------------------------------------------------------
+ES_ORACLE = """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id < 100 THEN n_chars + 1000000
+                     ELSE n_chars END) AS BIGINT) AS sum_chars
+FROM documents
+WHERE doc_id < 400
+GROUP BY lang, source
+"""
+
+
+@query("q_es_roundtrip", ES_ORACLE)
+def q_es_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.connections.elasticsearch import ElasticsearchConnection
+    from forklift_spark.testing import start_fake_es
+
+    srv, port = start_fake_es()
+    try:
+        conn = ElasticsearchConnection(
+            {"nodes": f"127.0.0.1:{port}"}, _engine(spark, _scratch("es"))
+        )
+        docs = (
+            tables.load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 400)
+            .select("doc_id", "lang", "source", "n_chars")
+        )
+        conn.write(docs, "docs_rt", primary_key="doc_id")
+        # second write must UPSERT (replace by _id), not duplicate
+        conn.write(
+            docs.filter(F.col("doc_id") < 100).withColumn(
+                "n_chars", F.col("n_chars") + 1000000
+            ),
+            "docs_rt",
+            primary_key="doc_id",
+        )
+        back = conn.read("docs_rt", query={"match_all": {}}, slices=4, page_size=50)
+        out = (
+            back.groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)  # materialize before shutdown
+        )
+        # S6: index drop — first delete succeeds, second reports missing
+        assert conn.delete_index("docs_rt") is True
+        assert conn.delete_index("docs_rt") is False
+        return out
+    finally:
+        srv.shutdown()
