@@ -368,3 +368,44 @@ def q_es_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         srv.shutdown()
+
+
+# --------------------------------------------------------------------------
+# S3 lazy-create AUTO_INCREMENT parity: the writer's auto_key path
+# (`writer.py write(auto_key=...)`, reference `transports/mysql.rb:
+# 112-121`) assigns a dense surrogate on first (lazy-create) write and
+# CONTINUES past MAX(key) on append. zipWithIndex numbers rows in
+# partition order, so the input is range-partitioned + sorted on
+# event_id, making rid == ROW_NUMBER() OVER (ORDER BY event_id) across
+# both batches — the second batch's ids must start at count(batch1)+1
+# or the oracle breaks.
+# --------------------------------------------------------------------------
+AUTOKEY_ORACLE = """
+SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) AS rid
+FROM events WHERE event_id < 1500
+"""
+
+
+@query("q_auto_increment_key", AUTOKEY_ORACLE)
+def q_auto_increment_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.writer import ParquetTableWriter
+
+    root = _scratch("autokey")
+    writer = ParquetTableWriter(spark, os.path.join(root, "wh"))
+
+    def ordered(lo: int, hi: int) -> DataFrame:
+        return (
+            tables.load(spark, sf_dir, "events")
+            .filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+            .select("event_id")
+            .repartitionByRange(4, "event_id")
+            .sortWithinPartitions("event_id")
+        )
+
+    # lazy create assigns 1..N; append continues at MAX(rid)+1
+    writer.write(ordered(0, 1000), "events_keyed", auto_key="rid", auto_key_mode="dense")
+    writer.write(
+        ordered(1000, 1500), "events_keyed", mode="append",
+        auto_key="rid", auto_key_mode="dense",
+    )
+    return writer.read("events_keyed").select("event_id", "rid")
