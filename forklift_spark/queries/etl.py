@@ -865,3 +865,46 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = tables.load(spark, sf_dir, "events")
     return detect_skew(ev, "event_type", min_share=0.2)
+
+
+# --------------------------------------------------------------------------
+# q_bucketed_join — co-located join over two tables written bucketed by
+# the join key (operators/skew.py write_bucketed): with both sides
+# bucketed the same way, the join needs NO Exchange — the bucketed scan
+# IS the shuffle, paid once at write time (pinned by tests/test_skew.py).
+# At 100 TB this is how repeated fact-dim joins amortize their shuffle.
+# The oracle is the plain join over the source parquet.
+# --------------------------------------------------------------------------
+BUCKETED_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+"""
+
+
+@query("q_bucketed_join", BUCKETED_ORACLE)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from forklift_spark.operators.skew import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer")
+    write_bucketed(orders.select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"),
+                   f"orders_bkt_{tag}", "o_custkey", 8)
+    write_bucketed(cust.select("c_custkey", "c_mktsegment"),
+                   f"customer_bkt_{tag}", "c_custkey", 8)
+    o = spark.table(f"orders_bkt_{tag}")
+    c = spark.table(f"customer_bkt_{tag}").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice", MONEY)).cast("double").alias("total"),
+        )
+    )
