@@ -409,3 +409,72 @@ def q_auto_increment_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         auto_key="rid", auto_key_mode="dense",
     )
     return writer.read("events_keyed").select("event_id", "rid")
+
+
+# --------------------------------------------------------------------------
+# JSONL round trip (beyond reference — the canonical LLM corpus exchange
+# format): documents written as gzip JSONL shards, read back with an
+# explicit schema (the production path: no inference pass, malformed
+# lines -> _corrupt_record instead of poisoned types), re-aggregated.
+# Gzip shards parallelize at file granularity, so the write shards the
+# corpus (repartition) before sinking.
+# --------------------------------------------------------------------------
+JSONL_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_len
+FROM documents GROUP BY lang
+"""
+
+
+@query("q_jsonl_roundtrip", JSONL_ORACLE)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.connections.jsonl import JsonlConnection
+
+    root = _scratch("jsonl")
+    path = os.path.join(root, "docs.jsonl")
+    conn = JsonlConnection(
+        {"file": path, "compression": "gzip"}, _engine(spark, root)
+    )
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    conn.write(docs.repartition(4), mode="truncate")  # 4 gzip shards
+    back = conn.read(schema=docs.schema)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ORC round trip (beyond reference): same surface over the other
+# columnar format — vectorized scan with predicate pushdown. The oracle
+# certifies value fidelity through the ORC write/read.
+# --------------------------------------------------------------------------
+ORC_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM lineitem WHERE l_quantity >= 25 GROUP BY l_returnflag
+"""
+
+
+@query("q_orc_roundtrip", ORC_ORACLE)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.connections.columnar import OrcConnection
+
+    root = _scratch("orc")
+    path = os.path.join(root, "lineitem_orc")
+    conn = OrcConnection({"file": path}, _engine(spark, root))
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    conn.write(li, mode="truncate")
+    back = conn.read().filter(F.col("l_quantity") >= 25)  # pushed to ORC scan
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("l_extendedprice", MONEY)).cast("double").alias("revenue"),
+    )
