@@ -52,6 +52,7 @@ _BNLJ_ALLOWED = {
     "q_cooccurrence_lift",     # 1-row context-count normalizer
     "q_decontaminate",         # broadcast benchmark side, non-equi containment
     "q_trailing_range_window", # range-frame self join on scalar bounds
+    "q_skew_audit",            # 1-row scalar table total
 }
 
 
