@@ -478,3 +478,51 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(dec("l_extendedprice", MONEY)).cast("double").alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hive-partitioned layout + dynamic partition overwrite (the 100 TB
+# incremental pattern): the table is written partitioned by event_date,
+# then ONE day is rewritten via overwrite_partitions (dynamic mode —
+# only the touched partition is replaced, O(today) not O(table)), and
+# the read back filters a date range so the scan prunes untouched days.
+# The oracle encodes exactly one day's rows modified — an overwrite that
+# clobbered other partitions, or a failed rewrite, breaks the hash.
+# --------------------------------------------------------------------------
+PARTITION_ORACLE = """
+SELECT CAST(ts AS DATE) AS event_date,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-03'
+                          THEN value + 500000 ELSE value END
+                     AS DECIMAL(14,2))) AS DOUBLE) AS total
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-02' AND DATE '2024-01-05'
+GROUP BY 1
+"""
+
+
+@query("q_partitioned_overwrite", PARTITION_ORACLE)
+def q_partitioned_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.writer import ParquetTableWriter
+
+    root = _scratch("hivepart")
+    writer = ParquetTableWriter(spark, os.path.join(root, "wh"))
+    ev = tables.load(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    writer.write(ev, "events_part", mode="overwrite", partition_by=["event_date"])
+    day = ev.filter(
+        F.col("event_date") == F.lit("2024-01-03").cast("date")
+    ).withColumn("value", F.col("value") + 500000)
+    writer.write(
+        day, "events_part", mode="overwrite_partitions", partition_by=["event_date"]
+    )
+    back = writer.read("events_part").filter(
+        F.col("event_date").between(
+            F.lit("2024-01-02").cast("date"), F.lit("2024-01-05").cast("date")
+        )
+    )
+    return back.groupBy("event_date").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value", MONEY)).cast("double").alias("total"),
+    )
