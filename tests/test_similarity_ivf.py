@@ -175,3 +175,22 @@ def test_ivfpq_recall_floors(spark):
     assert recall(3) >= 0.2
     # probing every cell degenerates to PQ-alone: the probe bound vanishes
     assert recall(8) >= 0.5
+
+
+def test_signature_table_reuse_skips_rewrite(spark, emb, monkeypatch):
+    import forklift_spark.operators.skew as skew_mod
+    from forklift_spark.operators import similarity as S
+
+    calls = []
+    real = skew_mod.write_bucketed
+    monkeypatch.setattr(
+        skew_mod, "write_bucketed", lambda *a, **k: (calls.append(1), real(*a, **k))[1]
+    )
+    try:
+        S.signature_table(emb, "sig_reuse_probe", bits=4)
+        S.signature_table(emb, "sig_reuse_probe", bits=4)
+        assert len(calls) == 1  # second call reused the catalog table
+        S.signature_table(emb, "sig_reuse_probe", bits=4, reuse=False)
+        assert len(calls) == 2  # explicit rebuild still possible
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sig_reuse_probe")

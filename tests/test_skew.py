@@ -62,3 +62,18 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_detect_skew_flags_hot_keys_only(spark):
+    from forklift_spark.operators.skew import detect_skew
+
+    # 100 rows of key "hot", 10 each of 5 cold keys
+    df = spark.range(150).select(
+        F.when(F.col("id") < 100, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold"), (F.col("id") % 5).cast("string")))
+        .alias("k")
+    )
+    got = {r["k"]: (r["n"], r["share"]) for r in detect_skew(df, "k", 0.5).collect()}
+    assert got == {"hot": (100, 100 / 150)}
+    # lower threshold surfaces the cold keys too
+    assert len(detect_skew(df, "k", 0.01).collect()) == 6
