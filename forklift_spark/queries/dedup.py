@@ -389,3 +389,113 @@ def q_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_corpus_curation — the END-TO-END curation pipeline a training-data
+# user actually runs, composed from the verified operators: ingest two
+# sources (the second a case/whitespace-mangled copy) -> exact
+# fingerprint dedup (min-id survivor) -> quality filter (>= 0.6 on the
+# length/punct/stopword score) -> benchmark decontamination (drop any
+# doc containing >= 50% of an eval doc's shingles) -> deterministic
+# hash split -> per-(split, lang) corpus stats. The oracle replays the
+# whole chain in one CTE pipeline, so the hash certifies the COMPOSITION
+# (stage order, survivor identity, filter interactions), not just each
+# stage alone. Every stage is a shuffle-on-key plan already audited for
+# scale in its standalone query.
+# --------------------------------------------------------------------------
+def _curation_oracle() -> str:
+    from forklift_spark.operators.text import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    w_expr = f"string_split({NORM}, ' ')"
+    return f"""
+WITH src AS (
+  SELECT doc_id, text, lang, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) || '  ', lang, n_chars FROM documents
+), fp AS (
+  SELECT doc_id, text, lang, n_chars, md5({NORM}) AS fingerprint FROM src
+), surv AS (
+  SELECT f.doc_id, f.text, f.lang, f.n_chars
+  FROM fp f
+  JOIN (SELECT fingerprint, min(doc_id) AS keep FROM fp GROUP BY fingerprint) m
+    ON f.fingerprint = m.fingerprint AND f.doc_id = m.keep
+), q0 AS (
+  SELECT doc_id, lang, n_chars, {w_expr} AS w,
+    len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+    length(text) AS tl
+  FROM surv
+), q1 AS (
+  SELECT doc_id, lang, n_chars,
+    (CASE WHEN CAST(len(w) AS DOUBLE) >= 10 AND CAST(len(w) AS DOUBLE) <= 1000
+          THEN 1.0 ELSE 0.5 END)
+      * (1.0 - CAST(n_punct AS DOUBLE) / CAST(tl AS DOUBLE))
+      * (0.5 + 0.5 * least(
+            CAST(len(list_filter(w, x -> x IN ({sw}))) AS DOUBLE)
+              / CAST(len(w) AS DOUBLE) * 5, 1.0)) AS quality
+  FROM q0
+), contaminated AS (
+  SELECT DISTINCT corpus_id FROM ({_decontaminate_oracle()}) dd
+), clean AS (
+  SELECT * FROM q1
+  WHERE quality >= 0.6
+    AND doc_id NOT IN (SELECT corpus_id FROM contaminated)
+), b AS (
+  SELECT *,
+    CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      % 100 AS bucket
+  FROM clean
+)
+SELECT
+  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid'
+       ELSE 'test' END AS split,
+  lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  min(doc_id) AS min_id
+FROM b GROUP BY 1, 2
+"""
+
+
+@query("q_corpus_curation", _curation_oracle())
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.functions.hashing import md5_long
+    from forklift_spark.operators import text as X
+
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    mangled = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+        "lang",
+        "n_chars",
+    )
+    src = docs.unionByName(mangled)
+    fp = src.withColumn("fingerprint", D.fingerprint("text"))
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    surv = fp.join(keep, ["fingerprint", "doc_id"]).drop("fingerprint")
+    quality = surv.withColumn("quality", X.quality_score("text")).filter(
+        F.col("quality") >= 0.6
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    contaminated = (
+        D.contamination_pairs(docs, bench, "doc_id", "text", min_containment=0.5)
+        .select(F.col("corpus_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = quality.join(contaminated, "doc_id", "left_anti")
+    bucket = md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        clean.select(split.alias("split"), "lang", "doc_id", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+        )
+    )
