@@ -88,6 +88,8 @@ HEADLINE = [
     "q_token_rarity",
     "q_media_metadata",
     "q_frame_sample",
+    "q_corpus_curation",
+    "q_skew_audit",
 ]
 
 
