@@ -480,8 +480,14 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality") >= 0.6
     )
     bench = docs.filter(F.col("doc_id") % 50 == 0)
+    # contamination is only USED to drop quality survivors, so the corpus
+    # side shingles the survivors, not all docs — ~25% less shingle work
+    # here, and at 100 TB the quality gate typically drops far more. The
+    # final clean set is provably identical to contaminating everything
+    # (docs already dropped by quality can't re-enter), which is why the
+    # oracle's full-corpus contaminated CTE still matches.
     contaminated = (
-        D.contamination_pairs(docs, bench, "doc_id", "text", min_containment=0.5)
+        D.contamination_pairs(quality, bench, "doc_id", "text", min_containment=0.5)
         .select(F.col("corpus_id").alias("doc_id"))
         .distinct()
     )
