@@ -90,6 +90,11 @@ HEADLINE = [
     "q_frame_sample",
     "q_corpus_curation",
     "q_skew_audit",
+    "q_substring_dedup",
+    "q_semantic_dedup",
+    "q_gopher_quality",
+    "q_inverted_index",
+    "q_temperature_mix",
 ]
 
 

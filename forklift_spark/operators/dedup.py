@@ -679,3 +679,53 @@ def fuzzy_levenshtein_pairs(
         )
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
+
+
+def duplicated_ngram_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """Per-document duplicated-span audit — the exact-substring-dedup
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (suffix-array substring dedup), re-expressed as the
+    relational postings formulation Spark executes well: a token n-gram
+    OCCURRENCE (multiset, not distinct — positions matter) is
+    "duplicated" when its gram appears in >= ``min_docs`` distinct
+    documents. Output: (id, n_grams, n_dup, dup_fraction) where
+    dup_fraction is the fraction of the doc's gram occurrences covered
+    by corpus-shared grams — the score a curation pass thresholds to
+    drop boilerplate-heavy documents.
+
+    Shape at scale: one (id, gram) partial-count aggregation, one gram
+    aggregation for the document frequency, one equi-join back, two
+    per-doc aggregations — every stage is key-partitioned, no
+    broadcast of unbounded sides, no window over the whole corpus. The
+    gram identity is the shingle md5 (h1) so grams shuffle as 8-byte
+    keys, never strings.
+    """
+    occ = exploded_shingles(df, id_col, text_col, n)
+    digest = F.md5(F.concat(F.lit("s:"), F.col("s")))
+    h = occ.select(
+        id_col, F.conv(F.substring(digest, 1, 15), 16, 10).cast("long").alias("h1")
+    )
+    # per-(doc, gram) occurrence counts: one shuffle, and the map-side
+    # partial agg collapses repeated grams within a doc before it
+    per_gram = h.groupBy(id_col, "h1").agg(F.count(F.lit(1)).alias("occ"))
+    # document frequency per gram over the already-collapsed rows
+    df_gram = per_gram.groupBy("h1").agg(F.count(F.lit(1)).alias("nd"))
+    shared = df_gram.filter(F.col("nd") >= min_docs).select("h1")
+    dup = (
+        per_gram.join(shared, "h1", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sum("occ").alias("n_dup"))
+    )
+    tot = per_gram.groupBy(id_col).agg(F.sum("occ").alias("n_grams"))
+    return tot.join(dup, id_col, "left").select(
+        id_col,
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_dup"),
+        F.round(
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double"),
+            9,
+        ).alias("dup_fraction"),
+    )

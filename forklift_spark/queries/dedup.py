@@ -505,3 +505,54 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_substring_dedup — duplicated-span audit (the exact-substring-dedup
+# signal of Lee et al. 2022): per document, the fraction of its 5-gram
+# OCCURRENCES (multiset — positions count, unlike the Jaccard queries'
+# distinct shingle sets) whose gram appears in >= 2 distinct documents.
+# The oracle replays the multiset gram expansion and the same md5 gram
+# identity, so the hash certifies the postings pipeline end to end.
+# --------------------------------------------------------------------------
+_SPAN_N = 5
+
+
+def _substring_oracle() -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(_SPAN_N))
+    h1 = "CAST('0x' || substr(md5('s:' || s), 1, 15) AS BIGINT)"
+    return f"""
+WITH words AS (
+  {_WORDS_CTE}
+), g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= {_SPAN_N}
+      THEN list_transform(range(1, len(w) - {_SPAN_N - 2}), i -> {gram})
+      ELSE [norm] END) AS s
+  FROM words
+), h AS (
+  SELECT doc_id, {h1} AS h1 FROM g
+), per_gram AS (
+  SELECT doc_id, h1, count(*) AS occ FROM h GROUP BY doc_id, h1
+), shared AS (
+  SELECT h1 FROM per_gram GROUP BY h1 HAVING count(*) >= 2
+), tot AS (
+  SELECT doc_id, sum(occ) AS n_grams FROM per_gram GROUP BY doc_id
+), dup AS (
+  SELECT p.doc_id, sum(p.occ) AS n_dup
+  FROM per_gram p JOIN shared s ON s.h1 = p.h1
+  GROUP BY p.doc_id
+)
+SELECT t.doc_id,
+  CAST(t.n_grams AS BIGINT) AS n_grams,
+  CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup,
+  round(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE), 9)
+    AS dup_fraction
+FROM tot t LEFT JOIN dup d ON d.doc_id = t.doc_id
+"""
+
+
+@query("q_substring_dedup", _substring_oracle())
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return D.duplicated_ngram_stats(docs, "doc_id", "text", n=_SPAN_N)

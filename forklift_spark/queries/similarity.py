@@ -643,3 +643,64 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_v"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_semantic_dedup — SemDeDup (Abbas et al. 2023): prune semantically
+# redundant documents by embedding similarity, composed entirely from
+# verified operators: LSH-bucketed cosine pairs over the FULL table
+# (reusing the persisted signature table — zero recompute) -> connected
+# components over the pair graph (pointer-doubling min-label) -> one
+# survivor per semantic cluster (min id). Output: every clustered
+# vector with its cluster representative, cluster size, and whether a
+# dedup pass keeps it. The oracle replays the pairs SQL and computes
+# the same fixpoint with a recursive CTE, so the hash certifies the
+# full prune decision, not just the pair list.
+# --------------------------------------------------------------------------
+def _semantic_dedup_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_emb_dedup_lsh_oracle()}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, rr.r FROM reach rr JOIN edges e ON e.dst = rr.id
+), comp AS (
+  SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id
+)
+SELECT c.vec_id, c.component, s.n AS cluster_size,
+  c.vec_id = c.component AS is_survivor
+FROM comp c
+JOIN (SELECT component, count(*) AS n FROM comp GROUP BY component) s
+  ON s.component = c.component
+"""
+
+
+@query("q_semantic_dedup", _semantic_dedup_oracle())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from forklift_spark.operators import dedup as DD
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    # same signature table q_embedding_dedup_lsh builds — when both run
+    # in one session the sign pass is paid once (write-once, reuse)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sigs = S.signature_table(emb, f"sig_embeddings_{tag}", bits=_DEDUP_BITS)
+    pairs = S.embedding_dedup_pairs(
+        emb, threshold=_THRESH, bits=_DEDUP_BITS, signatures=sigs
+    )
+    comp = DD.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("vec_id"),
+        "component",
+        "cluster_size",
+        (F.col("id") == F.col("component")).alias("is_survivor"),
+    )

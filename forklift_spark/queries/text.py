@@ -691,3 +691,204 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             (end - F.col("s") + 1).alias("n_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_gopher_quality — composite rule-based document filter in the style
+# of Gopher (Rae et al. 2021, Table A1): word-count bounds, mean word
+# length bounds, symbol ratio, stopword floor, short-word ceiling.
+# Emits per-rule booleans, the combined verdict, and the FIRST failing
+# rule (fixed evaluation order) as the reject reason — the audit shape
+# a curation run reports per document. All signals are integer counts
+# and single double divisions, so both engines agree bit-exactly;
+# thresholds are corpus-calibrated so every rule genuinely splits.
+# One projection pass + no shuffle: at 100 TB this runs at scan speed.
+# --------------------------------------------------------------------------
+GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {NORM} AS norm FROM documents
+), r AS (
+  SELECT doc_id, string_split(norm, ' ') AS w, norm, text,
+    len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+  FROM t
+), s AS (
+  SELECT doc_id,
+    len(w) AS wc,
+    CAST(length(norm) - (len(w) - 1) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS mwl,
+    CAST(n_punct AS DOUBLE) / CAST(length(text) AS DOUBLE) AS sym_ratio,
+    CAST(len(list_filter(w, x -> x IN ({_SW_LIST}))) AS DOUBLE)
+      / CAST(len(w) AS DOUBLE) AS sw_ratio,
+    CAST(len(list_filter(w, x -> length(x) <= 3)) AS DOUBLE)
+      / CAST(len(w) AS DOUBLE) AS short_frac
+  FROM r
+), f AS (
+  SELECT *,
+    wc BETWEEN 20 AND 80 AS ok_wc,
+    mwl >= 4.3 AND mwl <= 4.7 AS ok_mwl,
+    sym_ratio <= 0.001 AS ok_sym,
+    sw_ratio >= 0.02 AS ok_sw,
+    short_frac <= 0.25 AS ok_short
+  FROM s
+)
+SELECT doc_id, CAST(wc AS BIGINT) AS wc, round(mwl, 9) AS mwl,
+  round(sym_ratio, 9) AS sym_ratio, round(sw_ratio, 9) AS sw_ratio,
+  round(short_frac, 9) AS short_frac,
+  ok_wc, ok_mwl, ok_sym, ok_sw, ok_short,
+  (ok_wc AND ok_mwl AND ok_sym AND ok_sw AND ok_short) AS passes,
+  CASE WHEN NOT ok_wc THEN 'word_count'
+       WHEN NOT ok_mwl THEN 'mean_word_length'
+       WHEN NOT ok_sym THEN 'symbol_ratio'
+       WHEN NOT ok_sw THEN 'stopword_ratio'
+       WHEN NOT ok_short THEN 'short_words'
+       ELSE 'pass' END AS reject_reason
+FROM f
+"""
+
+
+@query("q_gopher_quality", GOPHER_ORACLE)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.operators.dedup import normalize_text
+
+    docs = tables.load(spark, sf_dir, "documents")
+    norm = normalize_text("text")
+    w = F.split(norm, " ")
+    wc = F.size(w)
+    mwl = (F.length(norm) - (wc - F.lit(1))).cast("double") / wc.cast("double")
+    sym = X.punct_count("text").cast("double") / F.length("text").cast("double")
+    sw = X.stopword_ratio("text")
+    short = (
+        F.size(F.filter(w, lambda x: F.length(x) <= 3)).cast("double")
+        / wc.cast("double")
+    )
+    s = docs.select(
+        "doc_id",
+        wc.cast("bigint").alias("wc"),
+        mwl.alias("mwl"),
+        sym.alias("sym_ratio"),
+        sw.alias("sw_ratio"),
+        short.alias("short_frac"),
+    )
+    f = s.select(
+        "*",
+        F.col("wc").between(20, 80).alias("ok_wc"),
+        ((F.col("mwl") >= 4.3) & (F.col("mwl") <= 4.7)).alias("ok_mwl"),
+        (F.col("sym_ratio") <= 0.001).alias("ok_sym"),
+        (F.col("sw_ratio") >= 0.02).alias("ok_sw"),
+        (F.col("short_frac") <= 0.25).alias("ok_short"),
+    )
+    passes = (
+        F.col("ok_wc") & F.col("ok_mwl") & F.col("ok_sym") & F.col("ok_sw")
+        & F.col("ok_short")
+    )
+    reason = (
+        F.when(~F.col("ok_wc"), "word_count")
+        .when(~F.col("ok_mwl"), "mean_word_length")
+        .when(~F.col("ok_sym"), "symbol_ratio")
+        .when(~F.col("ok_sw"), "stopword_ratio")
+        .when(~F.col("ok_short"), "short_words")
+        .otherwise("pass")
+    )
+    return f.select(
+        "doc_id", "wc",
+        F.round("mwl", 9).alias("mwl"),
+        F.round("sym_ratio", 9).alias("sym_ratio"),
+        F.round("sw_ratio", 9).alias("sw_ratio"),
+        F.round("short_frac", 9).alias("short_frac"),
+        "ok_wc", "ok_mwl", "ok_sym", "ok_sw", "ok_short",
+        passes.alias("passes"),
+        reason.alias("reject_reason"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_inverted_index — keyword-search postings build: term -> document
+# frequency, total occurrences, and the sorted posting head (first 20
+# doc ids, string-joined so the harness can hash it). The full posting
+# list is what a search sink would store; the head keeps the verified
+# row bounded. explode -> two-level aggregation, key-partitioned on the
+# term — the classic index build, one shuffle wide at any scale.
+# --------------------------------------------------------------------------
+INVIDX_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest({_W}) AS term FROM documents
+), per_doc AS (
+  SELECT term, doc_id, count(*) AS occ FROM w GROUP BY term, doc_id
+)
+SELECT term,
+  CAST(count(*) AS BIGINT) AS df,
+  CAST(sum(occ) AS BIGINT) AS n_occ,
+  array_to_string(list_sort(list(doc_id))[1:20], ',') AS posting_head,
+  min(doc_id) AS first_doc
+FROM per_doc
+GROUP BY term
+"""
+
+
+@query("q_inverted_index", INVIDX_ORACLE)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(X.words("text")).alias("term"))
+    per_doc = w.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("occ"))
+    return per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("occ").cast("bigint").alias("n_occ"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
+        ).alias("posting_head"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_temperature_mix — data-mixture weighting: per (source, lang) domain,
+# token mass and a temperature-flattened sampling weight
+# w_d = mass_d^(1/T) with T=2 (the sqrt flattening of multilingual /
+# multi-domain sampling a la mBERT/XLM-R and pretraining mixture specs),
+# normalized to a share and an integer per-epoch token budget. sqrt is
+# correctly-rounded in IEEE754 (identical in both engines); the
+# normalizing total is summed as DECIMAL via a window (a double window
+# sum is evaluation-order dependent), and only the final division runs
+# in double. The groupBy collapses the corpus to a handful of domain
+# rows, so everything after the first aggregation is driver-trivial at
+# any scale.
+# --------------------------------------------------------------------------
+_EPOCH_TOKENS = 1_000_000
+
+TEMPERATURE_ORACLE = f"""
+WITH d AS (
+  SELECT source, lang,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len({_W})) AS BIGINT) AS tok_mass
+  FROM documents GROUP BY source, lang
+), w AS (
+  SELECT *, CAST(sqrt(CAST(tok_mass AS DOUBLE)) AS DECIMAL(28,9)) AS w_dec
+  FROM d
+)
+SELECT source, lang, n_docs, tok_mass,
+  round(CAST(w_dec AS DOUBLE), 9) AS weight,
+  round(CAST(w_dec AS DOUBLE) / CAST(sum(w_dec) OVER () AS DOUBLE), 9) AS share,
+  CAST(floor(CAST(w_dec AS DOUBLE) / CAST(sum(w_dec) OVER () AS DOUBLE)
+             * {_EPOCH_TOKENS}) AS BIGINT) AS epoch_tokens
+FROM w
+"""
+
+
+@query("q_temperature_mix", TEMPERATURE_ORACLE)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = tables.load(spark, sf_dir, "documents")
+    d = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(X.word_count("text")).cast("bigint").alias("tok_mass"),
+    )
+    w_dec = F.sqrt(F.col("tok_mass").cast("double")).cast("decimal(28,9)")
+    w = d.withColumn("w_dec", w_dec)
+    total = F.sum("w_dec").over(W.partitionBy())
+    share = F.col("w_dec").cast("double") / total.cast("double")
+    return w.select(
+        "source", "lang", "n_docs", "tok_mass",
+        F.round(F.col("w_dec").cast("double"), 9).alias("weight"),
+        F.round(share, 9).alias("share"),
+        F.floor(share * _EPOCH_TOKENS).cast("bigint").alias("epoch_tokens"),
+    )
