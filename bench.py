@@ -38,6 +38,16 @@ HEADLINE = [
     "q9_product_profit",
     "q13_order_distribution",
     "q22_global_sales_opp",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q11_important_stock",
+    "q12_late_shipping",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q18_large_orders",
+    "q20_excess_stock",
+    "q21_waiting_supplier",
     "q_cube",
     "q_grouping_sets",
     "q_running_window",

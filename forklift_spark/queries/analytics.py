@@ -991,3 +991,535 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         "monetary",
     )
+
+
+# --------------------------------------------------------------------------
+# q6_forecast_revenue — TPC-H Q6: the pure scan-filter-aggregate probe.
+# Every predicate pushes to the parquet scan (shipdate range, discount
+# band, quantity cap); the plan is one WholeStageCodegen scan + partial
+# agg + single-row final agg — the cheapest possible shape at 100 TB.
+# --------------------------------------------------------------------------
+Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+"""
+
+
+@query("q6_forecast_revenue", Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            _dsum(dec("l_extendedprice", MONEY) * dec("l_discount", RATE), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q2_min_cost_supplier — TPC-H Q2 shape adapted to the trimmed schema
+# (no partsupp table): the supply relation is derived from lineitem —
+# a (part, supplier)'s offer price is its minimum extended price. For
+# STANDARD parts of size 15, find the EUROPE supplier(s) offering the
+# part at the region-wide minimum (correlated-min -> groupBy + join
+# back on decimal equality; ties keep all suppliers, per spec). Dims
+# broadcast; the supply aggregation shuffles on (partkey, suppkey).
+# --------------------------------------------------------------------------
+Q2_ORACLE = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+    MIN(CAST(l_extendedprice AS DECIMAL(14,2))) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eligible AS (
+  SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+         n.n_name, sp.cost
+  FROM supply sp
+  JOIN part p ON p.p_partkey = sp.l_partkey
+    AND p.p_size = 15 AND p.p_type = 'STANDARD'
+  JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+), best AS (
+  SELECT p_partkey, MIN(cost) AS min_cost FROM eligible GROUP BY p_partkey
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, e.p_partkey, e.p_name,
+  e.s_suppkey, CAST(e.cost AS DOUBLE) AS cost
+FROM eligible e JOIN best b
+  ON b.p_partkey = e.p_partkey AND e.cost = b.min_cost
+ORDER BY e.s_acctbal DESC, e.s_suppkey, e.p_partkey
+LIMIT 20
+"""
+
+
+@query("q2_min_cost_supplier", Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    supp = tables.load(spark, sf_dir, "supplier")
+    nation = F.broadcast(tables.load(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        tables.load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(dec("l_extendedprice", MONEY)).alias("cost")
+    )
+    eligible = (
+        supply.join(part, supply["l_partkey"] == part["p_partkey"])
+        .join(supp, supply["l_suppkey"] == supp["s_suppkey"])
+        .join(nation, supp["s_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal",
+                "n_name", "cost")
+    )
+    best = eligible.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        eligible.join(
+            best,
+            (eligible["p_partkey"] == best["_pk"])
+            & (eligible["cost"] == best["min_cost"]),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "s_suppkey",
+            F.col("cost").cast("double").alias("cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "s_suppkey", "p_partkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q8_market_share — TPC-H Q8: national market share. Among sales to
+# ASIA customers of ECONOMY parts in 1996-1997, the share of revenue
+# supplied by NATION_7, per order year. Five-table join: both nation
+# roles + region broadcast; the fact chain shuffles on its natural keys.
+# Numerator/denominator stay DECIMAL to the end; one double division.
+# --------------------------------------------------------------------------
+Q8_ORACLE = """
+SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+  CAST(SUM(CASE WHEN ns.n_name = 'NATION_7'
+    THEN CAST(l.l_extendedprice AS DECIMAL(14,2))
+         * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+    ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+  / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+         * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+  AS mkt_share
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = nc.n_regionkey AND r.r_name = 'ASIA'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+GROUP BY o_year
+"""
+
+
+@query("q8_market_share", Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = tables.load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    cust = tables.load(spark, sf_dir, "customer")
+    supp = tables.load(spark, sf_dir, "supplier")
+    nation = tables.load(spark, sf_dir, "nation")
+    region = F.broadcast(
+        tables.load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    nc = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    ))
+    ns = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    ))
+    rev = dec("l_extendedprice", MONEY) * (_one() - dec("l_discount", RATE))
+    zero = F.lit(0).cast(MONEY)
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nc, F.col("c_nationkey") == F.col("nc_key"))
+        .join(region, F.col("nc_region") == F.col("r_regionkey"))
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(ns, F.col("s_nationkey") == F.col("ns_key"))
+    )
+    return (
+        joined.select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev.alias("rev"),
+            F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(zero).alias("nrev"),
+        )
+        .groupBy("o_year")
+        .agg(
+            (F.sum("nrev").cast("double") / F.sum("rev").cast("double")).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q11_important_stock — TPC-H Q11 shape adapted (no partsupp): a part's
+# stock value for NATION_1 suppliers is its summed extended price from
+# lineitem. Report parts whose value exceeds 0.2% of the nation-wide
+# total — the scalar-subquery-threshold shape: the total is a one-row
+# broadcast, never a driver round trip. Values stay DECIMAL; the
+# threshold compare is one double multiply.
+# --------------------------------------------------------------------------
+Q11_ORACLE = """
+WITH natsupp AS (
+  SELECT s_suppkey FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_1'
+), value_by_part AS (
+  SELECT l.l_partkey, SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS val
+  FROM lineitem l JOIN natsupp ns ON ns.s_suppkey = l.l_suppkey
+  GROUP BY l.l_partkey
+), total AS (
+  SELECT SUM(val) AS tot FROM value_by_part
+)
+SELECT v.l_partkey AS p_partkey, CAST(v.val AS DOUBLE) AS value
+FROM value_by_part v, total t
+WHERE CAST(v.val AS DOUBLE) > CAST(t.tot AS DOUBLE) * 0.002
+"""
+
+
+@query("q11_important_stock", Q11_ORACLE)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    supp = tables.load(spark, sf_dir, "supplier")
+    nation = F.broadcast(
+        tables.load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    )
+    natsupp = F.broadcast(
+        supp.join(nation, supp["s_nationkey"] == nation["n_nationkey"]).select(
+            "s_suppkey"
+        )
+    )
+    value_by_part = (
+        li.join(natsupp, li["l_suppkey"] == natsupp["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice", MONEY)).alias("val"))
+    )
+    total = F.broadcast(value_by_part.agg(F.sum("val").alias("tot")))
+    return (
+        value_by_part.crossJoin(total)
+        .filter(F.col("val").cast("double") > F.col("tot").cast("double") * 0.002)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("val").cast("double").alias("value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q12_late_shipping — TPC-H Q12 shape adapted (no shipmode/receiptdate):
+# lines shipped >= 60 days after the order date during 1997, bucketed by
+# line status, counting urgent vs non-urgent orders — the conditional-
+# aggregation-over-join probe. The date predicate is a timestamp
+# interval, identical in both engines.
+# --------------------------------------------------------------------------
+Q12_ORACLE = """
+SELECT l.l_linestatus,
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l.l_linestatus
+"""
+
+
+@query("q12_late_shipping", Q12_ORACLE)
+def q12_late_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = tables.load(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q15_top_supplier — TPC-H Q15: supplier(s) with the maximum revenue
+# over 1996 Q1. The revenue view aggregates decimal-exact per supplier;
+# the max is a one-row broadcast and the tie-keeping equality compares
+# DECIMALS (a double equality would be summation-order roulette).
+# --------------------------------------------------------------------------
+Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+), best AS (SELECT MAX(total_rev) AS m FROM revenue)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+FROM revenue r JOIN supplier s ON s.s_suppkey = r.supplier_no, best b
+WHERE r.total_rev = b.m
+"""
+
+
+@query("q15_top_supplier", Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = tables.load(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                dec("l_extendedprice", MONEY) * (_one() - dec("l_discount", RATE))
+            ).alias("total_rev")
+        )
+    )
+    best = F.broadcast(rev.agg(F.max("total_rev").alias("m")))
+    return (
+        rev.crossJoin(best)
+        .filter(F.col("total_rev") == F.col("m"))
+        .join(supp, F.col("supplier_no") == supp["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q16_supplier_part_count — TPC-H Q16 shape adapted (no partsupp): how
+# many distinct suppliers have shipped each (brand, type, size) combo,
+# for size IN (1,5,9,13,17,21,25,29), brand <> Brand#13 — excluding
+# "complaint" suppliers (negative balance), the NOT-IN anti-join. The
+# supplier exclusion list is broadcast; the distinct count shuffles on
+# the grouping key.
+# --------------------------------------------------------------------------
+Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+  CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@query("q16_supplier_part_count", Q16_ORACLE)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    )
+    bad = tables.load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("bigint").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q18_large_orders — TPC-H Q18: customers with orders whose total
+# quantity exceeds 300 — the IN-subquery-with-HAVING probe. The
+# qualifying-order set is computed once by a decimal agg and re-joined;
+# at scale the heavy agg shuffles on orderkey (the fact's natural key)
+# and the survivors are a vanishing fraction (left-semi join).
+# --------------------------------------------------------------------------
+Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(14,2))) > 300.0
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+  CAST(SUM(CAST(l.l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+"""
+
+
+@query("q18_large_orders", Q18_ORACLE)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity", QTY)).alias("q"))
+        .filter(F.col("q") > 300.0)
+        .select(F.col("l_orderkey").alias("_big_key"))
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["_big_key"], "left_semi")
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dsum(dec("l_quantity", QTY), "sum_qty"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q20_excess_stock — TPC-H Q20 shape adapted (no partsupp): NATION_5
+# suppliers who shipped more than 45 units of any 'small%'-named part
+# during 1997 — the nested-semi-join chain (part name filter -> heavy
+# per-(supp,part) agg -> threshold -> distinct suppliers -> dim join).
+# The part filter is broadcast into the fact scan; only qualifying
+# (supp, part) groups survive the agg.
+# --------------------------------------------------------------------------
+Q20_ORACLE = """
+WITH small_parts AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+), shipped AS (
+  SELECT l_suppkey, l_partkey,
+    SUM(CAST(l_quantity AS DECIMAL(14,2))) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM small_parts)
+  GROUP BY l_suppkey, l_partkey
+), excess AS (
+  SELECT DISTINCT l_suppkey FROM shipped WHERE qty > 45.0
+)
+SELECT s.s_suppkey, s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_5'
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM excess)
+"""
+
+
+@query("q20_excess_stock", Q20_ORACLE)
+def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    small = tables.load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    supp = tables.load(spark, sf_dir, "supplier")
+    nation = F.broadcast(
+        tables.load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    )
+    excess = (
+        li.join(F.broadcast(small), li["l_partkey"] == small["p_partkey"], "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec("l_quantity", QTY)).alias("qty"))
+        .filter(F.col("qty") > 45.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(nation, supp["s_nationkey"] == nation["n_nationkey"])
+        .join(excess, supp["s_suppkey"] == excess["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+# --------------------------------------------------------------------------
+# q21_waiting_supplier — TPC-H Q21 shape adapted (no receipt/commit
+# dates): suppliers who were the SOLE late shipper (>= 45 days after
+# the order date) on a multi-supplier order. The exists/not-exists pair
+# of the spec is expressed as one per-(order, supplier) aggregation
+# with late flags, then an order-level count — two key-partitioned
+# shuffles instead of two correlated scans of the fact.
+# --------------------------------------------------------------------------
+Q21_ORACLE = """
+WITH per_supp AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+    MAX(CASE WHEN l.l_shipdate >= o.o_orderdate + INTERVAL 45 DAY
+        THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY l.l_orderkey, l.l_suppkey
+), per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+  FROM per_supp GROUP BY l_orderkey
+), blamed AS (
+  SELECT ps.l_suppkey
+  FROM per_supp ps JOIN per_order po ON po.l_orderkey = ps.l_orderkey
+  WHERE po.n_supp >= 2 AND po.n_late = 1 AND ps.is_late = 1
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM blamed b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+
+@query("q21_waiting_supplier", Q21_ORACLE)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders")
+    supp = tables.load(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"), 1
+    ).otherwise(0)
+    per_supp = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    blamed = (
+        per_supp.join(per_order, per_supp["l_orderkey"] == per_order["_ok"])
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1) & (F.col("is_late") == 1))
+        .select("l_suppkey")
+    )
+    return (
+        blamed.join(F.broadcast(supp), blamed["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
