@@ -53,6 +53,8 @@ _BNLJ_ALLOWED = {
     "q_decontaminate",         # broadcast benchmark side, non-equi containment
     "q_trailing_range_window", # range-frame self join on scalar bounds
     "q_skew_audit",            # 1-row scalar table total
+    "q11_important_stock",     # 1-row scalar total-value threshold
+    "q15_top_supplier",        # 1-row scalar max-revenue frame
 }
 
 
