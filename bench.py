@@ -98,6 +98,7 @@ HEADLINE = [
     "q_token_rarity",
     "q_media_metadata",
     "q_frame_sample",
+    "q_audio_features",
     "q_corpus_curation",
     "q_skew_audit",
     "q_substring_dedup",

@@ -82,3 +82,47 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     return M.image_features(M.attach_fake_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# q_audio_features — REAL audio decode: every row carries a genuine
+# PCM16 WAV payload (RIFF container built by attach_fake_wav); the
+# operator parses the container with the vendored pure-Python codec and
+# extracts exact-integer PCM features. The samples are a closed-form
+# sequence of (doc_id, i), so the oracle replays the decoded features
+# independently — the hash certifies parser + feature math end to end.
+# --------------------------------------------------------------------------
+AUDIO_ORACLE = """
+WITH d AS (
+  SELECT doc_id, greatest(2, least(n_chars, 400)) AS n FROM documents
+), s AS (
+  SELECT doc_id, n,
+    list_transform(range(0, n), i -> ((doc_id * 37 + i * 9973) % 65536) - 32768) AS smp
+  FROM d
+), agg AS (
+  SELECT doc_id, n,
+    list_sum(list_transform(smp, x -> x * x)) AS sumsq,
+    list_max(list_transform(smp, x -> abs(x))) AS peak,
+    len(list_filter(range(1, n), i -> smp[i] * smp[i + 1] < 0)) AS zc
+  FROM s
+)
+SELECT doc_id,
+  CAST(16000 AS BIGINT) AS sample_rate,
+  CAST(n AS BIGINT) AS n_samples,
+  CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+  CAST(sumsq AS BIGINT) AS sum_sq,
+  CAST(peak AS BIGINT) AS peak,
+  CAST(zc AS BIGINT) AS zero_crossings,
+  round(sqrt(CAST(sumsq AS DOUBLE) / n), 9) AS rms
+FROM agg
+"""
+
+
+@query("q_audio_features", AUDIO_ORACLE)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    feats = M.audio_features(M.attach_fake_wav(docs))
+    return feats.select(
+        "doc_id", "sample_rate", "n_samples", "duration_ms", "sum_sq", "peak",
+        "zero_crossings", F.round("rms", 9).alias("rms"),
+    )

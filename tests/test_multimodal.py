@@ -228,3 +228,64 @@ def test_resize_image_undecodable_payload_yields_null_thumb(with_payload):
     rows = M.resize_image(with_payload.limit(5), 8, 8).collect()
     assert len(rows) == 5
     assert all(r["thumb"] is None and r["thumb_bytes"] == 0 for r in rows)
+
+
+# -- audio: vendored WAV codec + real decode pass ---------------------------
+
+
+def test_wav_codec_roundtrip_mono_and_stereo():
+    from forklift_spark.functions import audiocodec as A
+
+    mono = [0, 100, -100, 32767, -32768, 7]
+    assert A.parse_wav(A.write_wav(mono, 8000)) == (8000, 1, mono)
+    stereo = [1, -1, 2, -2, 3, -3]
+    assert A.parse_wav(A.write_wav(stereo, 44100, channels=2)) == (44100, 2, stereo)
+
+
+def test_wav_codec_walks_extra_chunks_and_rejects_corrupt():
+    import struct
+
+    import pytest as _pytest
+
+    from forklift_spark.functions import audiocodec as A
+
+    base = A.write_wav([1, 2, 3], 16000)
+    # splice an unknown LIST chunk between fmt and data — parser must skip it
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = base[:fmt_end] + extra + base[fmt_end:]
+    assert A.parse_wav(spliced)[2] == [1, 2, 3]
+    for bad in (b"", b"RIFFxxxx", base[:-3], base.replace(b"fmt ", b"fmtX")):
+        with _pytest.raises(A.AudioDecodeError):
+            A.parse_wav(bad)
+
+
+def test_audio_features_real_decode_and_corrupt_degradation(spark):
+    import math
+
+    from forklift_spark.functions import audiocodec as A
+
+    good = A.write_wav([1000, -1000, 1000, -1000], 8000)
+    rows = [(1, bytearray(good)), (2, bytearray(b"not a wav"))]
+    df = spark.createDataFrame(rows, "doc_id: long, payload: binary")
+    out = {r["doc_id"]: r for r in M.audio_features(df).collect()}
+    g = out[1]
+    assert g["sample_rate"] == 8000 and g["n_samples"] == 4
+    assert g["sum_sq"] == 4 * 1000 * 1000 and g["peak"] == 1000
+    assert g["zero_crossings"] == 3
+    assert g["rms"] == math.sqrt(g["sum_sq"] / 4)
+    assert g["decode_error"] is None
+    b = out[2]
+    assert b["decode_error"] is not None and b["n_samples"] is None
+
+
+def test_attach_fake_wav_payloads_are_real_wavs(docs):
+    from forklift_spark.functions import audiocodec as A
+
+    rows = M.attach_fake_wav(docs.limit(4)).collect()
+    assert len(rows) == 4
+    for r in rows:
+        rate, ch, samples = A.parse_wav(bytes(r["payload"]))
+        assert rate == M.AUDIO_RATE and ch == 1
+        assert 2 <= len(samples) <= M.AUDIO_MAX_SAMPLES
+        assert samples[1] == ((r["doc_id"] * 37 + 9973) % 65536) - 32768
