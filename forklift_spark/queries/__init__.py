@@ -44,17 +44,17 @@ def query(name: str, oracle: str | None = None):
 _WINDOW_FAMILIES: dict[str, list[str]] = {
     "dedup": [
         "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
-        "q_dedup_ngram_jaccard", "q_decontaminate", "q_dedup_components",
+        "q_substring_dedup", "q_decontaminate", "q_dedup_components",
         "q_fuzzy_match", "q_contamination_matrix",
     ],
     "similarity": [
         "q_ann_bruteforce_topk", "q_ann_lsh_topk", "q_embedding_dedup",
         "q_embedding_dedup_lsh", "q_ann_ivf_topk", "q_ann_lsh_multitable",
-        "q_knn_classify", "q_hybrid_search",
+        "q_semantic_dedup", "q_hybrid_search",
     ],
     "text": [
         "q_text_token_stats", "q_text_quality", "q_lang_id",
-        "q_doc_fingerprint", "q_sequence_pack", "q_train_test_split",
+        "q_gopher_quality", "q_sequence_pack", "q_train_test_split",
         "q_tfidf_top_terms",
     ],
     "etl": [
@@ -75,7 +75,7 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
         "q_asof_join", "q_sessionize", "q_stream_windowed_counts",
         "q_stream_stateful_counts",
     ],
-    "multimodal": ["q_media_metadata"],
+    "multimodal": ["q_audio_features"],
 }
 
 
