@@ -443,3 +443,247 @@ def audio_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "pa
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Image: real PPM decode with a closed-form pixel field (oracle-checkable)
+# --------------------------------------------------------------------------
+
+
+def attach_fake_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL binary P6 PPM payload per row (parseable by any
+    PNM reader). Dimensions and pixels are a closed form of the row id —
+    ``w = 4 + id%5``, ``h = 3 + id%4``, byte ``j`` of the RGB raster is
+    ``(id*31 + j*7) % 256`` — so an independent engine can replay the
+    decoded features without parsing the container. Arrow
+    ``mapInPandas``, pure-python struct packing, no shuffle."""
+    from forklift_spark.functions.imagecodec import encode_ppm
+
+    src = df.select(F.col(id_col).alias("doc_id"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 4 + i % 5, 3 + i % 4
+                px = bytes((i * 31 + j * 7) % 256 for j in range(w * h * 3))
+                out["doc_id"].append(doc_id)
+                out["payload"].append(encode_ppm(w, h, "RGB", px))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema)
+
+
+IMAGE_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_rgb", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("n_bright", T.LongType()),
+        T.StructField("mean_rgb", T.DoubleType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def image_pixel_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """REAL image decode + pixel statistics over a binary image column:
+    the container is parsed by the vendored codec (PPM/PGM/BMP header +
+    raster) and every feature derives from the decoded pixel bytes —
+    exact-integer channel sum, peak channel value, bright-byte count
+    (>=128); mean as one division. Corrupt payloads degrade to a
+    per-row ``decode_error`` (null features) so one bad object can't
+    kill a 100 TB scan. Arrow-batched ``mapInPandas``, no shuffle."""
+    from forklift_spark.functions.imagecodec import ImageDecodeError, decode_bytes
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    cols = [f.name for f in IMAGE_PIXEL_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    img = decode_bytes(bytes(payload) if payload is not None else b"")
+                    px = img.pixels
+                    row = {
+                        "width": img.width,
+                        "height": img.height,
+                        "n_pixels": img.width * img.height,
+                        "sum_rgb": sum(px),
+                        "peak": max(px) if px else 0,
+                        "n_bright": sum(1 for b in px if b >= 128),
+                        "mean_rgb": (sum(px) / len(px)) if px else 0.0,
+                        "decode_error": None,
+                    }
+                except ImageDecodeError as e:
+                    row = {c: None for c in cols if c != "doc_id"}
+                    row["decode_error"] = str(e)
+                out["doc_id"].append(doc_id)
+                for c, v in row.items():
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, IMAGE_PIXEL_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Video: real AVI decode via the vendored pure-Python codec
+# --------------------------------------------------------------------------
+
+VIDEO_FPS = 10
+
+
+def attach_fake_avi(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL raw-DIB AVI payload per row (RIFF container with
+    avih/strh/strf headers and ``00db`` frame chunks, parseable by any
+    AVI reader). Geometry and pixels are a closed form of the row id —
+    ``w = 3 + id%4``, ``h = 2 + id%3``, ``n_frames = 2 + id%4``, byte
+    ``j`` of frame ``f``'s top-down RGB raster is
+    ``(id*17 + f*251 + j*13) % 256`` — so an independent engine can
+    replay the decoded per-frame features without parsing the
+    container. Widths 3..6 exercise every DIB row-padding remainder.
+    Arrow ``mapInPandas``, pure-python struct packing, no shuffle."""
+    from forklift_spark.functions.videocodec import write_avi
+
+    src = df.select(F.col(id_col).alias("doc_id"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h, nf = 3 + i % 4, 2 + i % 3, 2 + i % 4
+                frames = [
+                    bytes((i * 17 + f * 251 + j * 13) % 256 for j in range(w * h * 3))
+                    for f in range(nf)
+                ]
+                out["doc_id"].append(doc_id)
+                out["payload"].append(write_avi(w, h, VIDEO_FPS, frames))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema)
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("frame_sum", T.LongType()),
+        T.StructField("frame_peak", T.LongType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def video_frame_features(
+    df: DataFrame, every: int = 2, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL video decode + strided frame sampling over a binary AVI
+    column: the RIFF container is parsed (header walk, DIB raster
+    unpadding/flip), every ``every``-th frame is kept, and each kept
+    frame yields exact-integer pixel statistics (channel-byte sum,
+    peak). This is the video-modality frame-sample pass of a training
+    pipeline: decode happens once per payload, sampling happens before
+    any downstream work, and the fan-out (≤ frames/every rows per
+    payload) is bounded. Corrupt payloads degrade to one per-row
+    ``decode_error`` row (null features). Arrow ``mapInPandas``, no
+    shuffle."""
+    from forklift_spark.functions.videocodec import VideoDecodeError, parse_avi
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    cols = [f.name for f in VIDEO_FRAME_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    vid = parse_avi(bytes(payload) if payload is not None else b"")
+                    for fi in range(0, len(vid.frames), every):
+                        px = vid.frames[fi]
+                        out["doc_id"].append(doc_id)
+                        out["frame_index"].append(fi)
+                        out["width"].append(vid.width)
+                        out["height"].append(vid.height)
+                        out["frame_sum"].append(sum(px))
+                        out["frame_peak"].append(max(px) if px else 0)
+                        out["decode_error"].append(None)
+                except VideoDecodeError as e:
+                    out["doc_id"].append(doc_id)
+                    for c in cols[1:-1]:
+                        out[c].append(None)
+                    out["decode_error"].append(str(e))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, VIDEO_FRAME_SCHEMA)
+
+
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("fps", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("total_sum", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def video_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Clip-level features from a REAL AVI decode: geometry, frame
+    count, duration, and exact-integer whole-clip pixel statistics.
+    Same degradation and execution shape as ``video_frame_features``."""
+    from forklift_spark.functions.videocodec import VideoDecodeError, parse_avi
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    cols = [f.name for f in VIDEO_FEATURES_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    vid = parse_avi(bytes(payload) if payload is not None else b"")
+                    fps = int(vid.fps)
+                    row = {
+                        "width": vid.width,
+                        "height": vid.height,
+                        "n_frames": len(vid.frames),
+                        "fps": fps,
+                        "duration_ms": len(vid.frames) * 1000 // fps if fps else None,
+                        "total_sum": sum(sum(f) for f in vid.frames),
+                        "peak": max((max(f) for f in vid.frames if f), default=0),
+                        "decode_error": None,
+                    }
+                except VideoDecodeError as e:
+                    row = {c: None for c in cols if c != "doc_id"}
+                    row["decode_error"] = str(e)
+                out["doc_id"].append(doc_id)
+                for c, v in row.items():
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, VIDEO_FEATURES_SCHEMA)

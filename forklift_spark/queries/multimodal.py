@@ -126,3 +126,119 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "sample_rate", "n_samples", "duration_ms", "sum_sq", "peak",
         "zero_crossings", F.round("rms", 9).alias("rms"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_image_decode — REAL image decode: every row carries a genuine binary
+# P6 PPM (header + RGB raster built by attach_fake_ppm); the operator
+# parses the container with the vendored codec and extracts
+# exact-integer pixel statistics. The raster is a closed form of
+# (doc_id, j), so the oracle replays the decoded features independently
+# — the hash certifies header parse + raster math end to end.
+# --------------------------------------------------------------------------
+IMAGE_DECODE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+), b AS (
+  SELECT doc_id, w, h,
+    list_transform(range(0, w * h * 3), j -> (doc_id * 31 + j * 7) % 256) AS px
+  FROM d
+)
+SELECT doc_id,
+  CAST(w AS BIGINT) AS width,
+  CAST(h AS BIGINT) AS height,
+  CAST(w * h AS BIGINT) AS n_pixels,
+  CAST(list_sum(px) AS BIGINT) AS sum_rgb,
+  CAST(list_max(px) AS BIGINT) AS peak,
+  CAST(len(list_filter(px, x -> x >= 128)) AS BIGINT) AS n_bright,
+  round(CAST(list_sum(px) AS DOUBLE) / (w * h * 3), 9) AS mean_rgb
+FROM b
+"""
+
+
+@query("q_image_decode", IMAGE_DECODE_ORACLE)
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    feats = M.image_pixel_features(M.attach_fake_ppm(docs))
+    return feats.select(
+        "doc_id", "width", "height", "n_pixels", "sum_rgb", "peak", "n_bright",
+        F.round("mean_rgb", 9).alias("mean_rgb"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_video_frames — REAL video decode + strided frame sampling: every row
+# carries a genuine raw-DIB AVI (RIFF container built by
+# attach_fake_avi); the operator walks the container, unpads/flips each
+# sampled DIB frame, and emits exact-integer per-frame statistics.
+# Frame pixels are a closed form of (doc_id, frame, j), so the oracle
+# replays the sampled-frame features without a container parser.
+# --------------------------------------------------------------------------
+VIDEO_FRAMES_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 4 AS w, 2 + doc_id % 3 AS h,
+         2 + doc_id % 4 AS nf
+  FROM documents
+), f AS (
+  SELECT doc_id, w, h, unnest(range(0, nf)) AS fi FROM d
+), s AS (
+  SELECT doc_id, w, h, fi,
+    list_transform(range(0, w * h * 3), j -> (doc_id * 17 + fi * 251 + j * 13) % 256) AS px
+  FROM f WHERE fi % 2 = 0
+)
+SELECT doc_id,
+  CAST(fi AS BIGINT) AS frame_index,
+  CAST(w AS BIGINT) AS width,
+  CAST(h AS BIGINT) AS height,
+  CAST(list_sum(px) AS BIGINT) AS frame_sum,
+  CAST(list_max(px) AS BIGINT) AS frame_peak
+FROM s
+"""
+
+
+@query("q_video_frames", VIDEO_FRAMES_ORACLE)
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    frames = M.video_frame_features(M.attach_fake_avi(docs), every=2)
+    return frames.select(
+        "doc_id", "frame_index", "width", "height", "frame_sum", "frame_peak"
+    )
+
+
+# --------------------------------------------------------------------------
+# q_video_features — clip-level statistics from the same REAL AVI
+# decode: geometry, frame count, duration, whole-clip integer sums.
+# --------------------------------------------------------------------------
+VIDEO_FEATURES_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 4 AS w, 2 + doc_id % 3 AS h,
+         2 + doc_id % 4 AS nf
+  FROM documents
+), f AS (
+  SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS fi FROM d
+), s AS (
+  SELECT doc_id, w, h, nf, fi,
+    list_transform(range(0, w * h * 3), j -> (doc_id * 17 + fi * 251 + j * 13) % 256) AS px
+  FROM f
+)
+SELECT doc_id,
+  CAST(any_value(w) AS BIGINT) AS width,
+  CAST(any_value(h) AS BIGINT) AS height,
+  CAST(any_value(nf) AS BIGINT) AS n_frames,
+  CAST(10 AS BIGINT) AS fps,
+  CAST(any_value(nf) * 1000 // 10 AS BIGINT) AS duration_ms,
+  CAST(sum(list_sum(px)) AS BIGINT) AS total_sum,
+  CAST(max(list_max(px)) AS BIGINT) AS peak
+FROM s
+GROUP BY doc_id
+"""
+
+
+@query("q_video_features", VIDEO_FEATURES_ORACLE)
+def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    feats = M.video_features(M.attach_fake_avi(docs))
+    return feats.select(
+        "doc_id", "width", "height", "n_frames", "fps", "duration_ms",
+        "total_sum", "peak",
+    )

@@ -289,3 +289,75 @@ def test_attach_fake_wav_payloads_are_real_wavs(docs):
         assert rate == M.AUDIO_RATE and ch == 1
         assert 2 <= len(samples) <= M.AUDIO_MAX_SAMPLES
         assert samples[1] == ((r["doc_id"] * 37 + 9973) % 65536) - 32768
+
+
+# ---------------------------------------------------------------------------
+# Real video decode: vendored AVI codec + Spark-side frame features
+# ---------------------------------------------------------------------------
+
+
+def test_videocodec_roundtrip_all_padding_remainders():
+    from forklift_spark.functions import videocodec as V
+
+    # widths 3..6 cover every DIB row-padding remainder (9,12,15,18 bytes)
+    for w, h, nf in [(3, 2, 2), (4, 3, 4), (5, 4, 5), (6, 2, 3)]:
+        frames = [
+            bytes((7 * f + 13 * j) % 256 for j in range(w * h * 3))
+            for f in range(nf)
+        ]
+        vid = V.parse_avi(V.write_avi(w, h, 10, frames))
+        assert (vid.width, vid.height, vid.fps) == (w, h, 10.0)
+        assert vid.frames == frames  # bottom-up/BGR/unpad round-trips exactly
+
+
+def test_videocodec_rejects_corrupt_and_unsupported():
+    import struct
+
+    from forklift_spark.functions import videocodec as V
+
+    good = V.write_avi(3, 2, 10, [bytes(18)])
+    for bad in [b"", b"RIFF\x04\x00\x00\x00WAVE", good[:40]]:
+        with pytest.raises(V.VideoDecodeError):
+            V.parse_avi(bad)
+    # compressed handler must be refused, not mis-parsed
+    mjpg = good.replace(b"DIB ", b"MJPG", 1)
+    with pytest.raises(V.VideoDecodeError):
+        V.parse_avi(mjpg)
+
+
+def test_video_frame_features_matches_closed_form(spark, docs):
+    sample = M.video_frame_features(M.attach_fake_avi(docs.limit(20)), every=2)
+    rows = sample.collect()
+    assert rows and all(r.decode_error is None for r in rows)
+    for r in rows:
+        i, fi = r.doc_id, r.frame_index
+        w, h, nf = 3 + i % 4, 2 + i % 3, 2 + i % 4
+        assert fi % 2 == 0 and fi < nf
+        px = [(i * 17 + fi * 251 + j * 13) % 256 for j in range(w * h * 3)]
+        assert (r.width, r.height, r.frame_sum, r.frame_peak) == (
+            w, h, sum(px), max(px),
+        )
+
+
+def test_video_corrupt_payload_degrades_per_row(spark):
+    from forklift_spark.functions.videocodec import write_avi
+
+    df = spark.createDataFrame(
+        [(1, write_avi(3, 2, 10, [bytes(18)])), (2, b"not a video")],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in M.video_frame_features(df, every=1).collect()}
+    assert out[1].decode_error is None and out[1].frame_sum == 0
+    assert out[2].decode_error is not None and out[2].frame_sum is None
+
+
+def test_image_pixel_features_matches_closed_form(spark, docs):
+    feats = M.image_pixel_features(M.attach_fake_ppm(docs.limit(20))).collect()
+    assert feats and all(r.decode_error is None for r in feats)
+    for r in feats:
+        i = r.doc_id
+        w, h = 4 + i % 5, 3 + i % 4
+        px = [(i * 31 + j * 7) % 256 for j in range(w * h * 3)]
+        assert (r.width, r.height, r.n_pixels, r.sum_rgb, r.peak, r.n_bright) == (
+            w, h, w * h, sum(px), max(px), sum(1 for b in px if b >= 128),
+        )
