@@ -133,4 +133,5 @@ def _load_all() -> None:
     from forklift_spark.queries import stats  # noqa: F401
     from forklift_spark.queries import text  # noqa: F401
     from forklift_spark.queries import timeseries  # noqa: F401
+    from forklift_spark.queries import web  # noqa: F401
     _LOADED = True
