@@ -1,0 +1,82 @@
+"""Count-Min Sketch: bounded-memory frequency estimation (Cormode &
+Muthukrishnan 2005).
+
+No reference counterpart (taskrabbit/forklift delegates aggregation to
+MySQL); this is the frequency-sketch half of the sketch toolbox next to
+the HLL distinct-count rollups in operators/layout.py. Use it when the
+key universe is too large to materialize exact counts per consumer —
+the sketch is a fixed ``depth x width`` grid of counters (kilobytes)
+that any number of downstream heavy-hitter / point-query passes can
+share, and two sketches of disjoint corpus shards merge by cell-wise
+addition (the same mergeability story as HLL).
+
+Determinism: hashing is the engine-portable seeded-md5 family
+(functions/hashing.py), so an independent engine can replay the entire
+sketch cell-for-cell — the catalog oracle does exactly that.
+
+Scale design (100 TB):
+- build is two aggregations: exact per-key partial counts first (the
+  map-side combine collapses within-partition repetition before
+  anything shuffles), then ``depth`` rows per *distinct* key into the
+  (row, bucket) grid — the wide shuffle moves distinct keys, not
+  occurrences.
+- the finished sketch is ``depth * width`` rows regardless of corpus
+  size; lookups broadcast it, so probing N keys is a map-side join.
+- estimates are upper bounds: est >= true count always; overestimate
+  is bounded by (2N / width) per row with probability 1 - 2^-depth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from forklift_spark.functions.hashing import md5_long_seeded
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def _bucket_array(key: str, depth: int, width: int):
+    """Array of the key's bucket per hash row; posexplode yields
+    (row, bucket) pairs."""
+    return F.array(*[md5_long_seeded(key, i) % width for i in range(depth)])
+
+
+def cms_build(
+    counts: DataFrame,
+    key_col: str,
+    weight_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build the sketch from pre-aggregated (key, count) rows ->
+    DataFrame(row, bucket, cell). Callers aggregate occurrences to
+    per-key counts first so the grid aggregation shuffles distinct
+    keys, not raw occurrences."""
+    pairs = counts.select(
+        F.col(weight_col).alias("_w"),
+        F.posexplode(_bucket_array(key_col, depth, width)).alias("row", "bucket"),
+    )
+    return pairs.groupBy("row", "bucket").agg(F.sum("_w").alias("cell"))
+
+
+def cms_lookup(
+    cms: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate each probe key against the sketch: the estimate is
+    the MIN over hash rows of the addressed cells. The sketch is
+    broadcast (depth*width rows by construction), so probing never
+    shuffles the probe side."""
+    addressed = probes.select(
+        key_col,
+        F.posexplode(_bucket_array(key_col, depth, width)).alias("row", "bucket"),
+    )
+    joined = addressed.join(F.broadcast(cms), ["row", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce("cell", F.lit(0))).alias("cms_est")
+    )

@@ -684,3 +684,63 @@ def q_null_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").isNull().alias("imputed"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_heavy_hitters_cms — Count-Min Sketch heavy hitters over the corpus
+# vocabulary: build the 4x512 seeded-md5 sketch from exact per-token
+# counts (operators/sketch.py), then point-estimate the exact top-20
+# tokens against it. Output pairs the exact count with the sketch
+# estimate (est >= exact always; equality means no collision in some
+# hash row). The oracle replays the ENTIRE sketch cell-for-cell in
+# DuckDB — same tokenization, same seeded-md5 bucket addressing, same
+# min-over-rows estimate — so the hash certifies the full sketch
+# pipeline, not just the output shape.
+# --------------------------------------------------------------------------
+from forklift_spark.queries.dedup import NORM as _NORM  # noqa: E402
+
+_CMS_H = (
+    "CAST('0x' || substr(md5(concat('s', CAST({i} AS VARCHAR), ':', {t})), 1, 15) AS BIGINT) % 512"
+)
+
+CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS t FROM documents
+), cnt AS (
+  SELECT t, count(*) AS c FROM tok WHERE t <> '' GROUP BY t
+), hrows AS (
+  SELECT unnest(range(0, 4)) AS i
+), cms AS (
+  SELECT i, {_CMS_H.format(i='i', t='t')} AS b, sum(c) AS cell
+  FROM cnt CROSS JOIN hrows GROUP BY 1, 2
+), top AS (
+  SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 20
+), est AS (
+  SELECT top.t, top.c, min(cms.cell) AS est
+  FROM top CROSS JOIN hrows
+  JOIN cms ON cms.i = hrows.i AND cms.b = {_CMS_H.format(i='hrows.i', t='top.t')}
+  GROUP BY 1, 2
+)
+SELECT t AS token, CAST(c AS BIGINT) AS exact_cnt, CAST(est AS BIGINT) AS cms_est
+FROM est
+"""
+
+
+@query("q_heavy_hitters_cms", CMS_ORACLE)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.operators import sketch as K
+    from forklift_spark.operators.text import words
+
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(words("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    cms = K.cms_build(counts, "token", "cnt", depth=4, width=512)
+    probes = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(20)
+    est = K.cms_lookup(cms, probes.select("token"), "token", depth=4, width=512)
+    return probes.join(est, "token").select(
+        "token",
+        F.col("cnt").cast("long").alias("exact_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+    )

@@ -1,0 +1,55 @@
+"""Count-Min Sketch (operators/sketch.py): estimate bounds and shard
+mergeability — the properties the catalog oracle doesn't state
+explicitly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from forklift_spark.operators import sketch as K
+
+
+def _counts(spark, rows):
+    return spark.createDataFrame(rows, "k string, c long")
+
+
+def test_cms_estimate_is_upper_bound_for_every_key(spark):
+    # skewed vocabulary: a few hot keys + a long tail forcing collisions
+    rows = [(f"hot{i}", 1000 - i) for i in range(5)]
+    rows += [(f"tail{i}", 1 + i % 3) for i in range(300)]
+    counts = _counts(spark, rows)
+    cms = K.cms_build(counts, "k", "c", depth=4, width=64)  # narrow -> collisions
+    est = K.cms_lookup(cms, counts.select("k"), "k", depth=4, width=64)
+    joined = {r.k: (r.c, r.cms_est) for r in counts.join(est, "k").collect()}
+    assert len(joined) == 305
+    assert all(est >= exact for exact, est in joined.values())
+    # hot keys stay well-separated from the tail even with collisions
+    assert all(joined[f"hot{i}"][1] >= 900 for i in range(5))
+
+
+def test_cms_grid_is_bounded_and_cells_conserve_mass(spark):
+    counts = _counts(spark, [(f"k{i}", i + 1) for i in range(100)])
+    cms = K.cms_build(counts, "k", "c", depth=4, width=32).collect()
+    assert len(cms) <= 4 * 32
+    total = sum(r.c for r in counts.collect())
+    per_row = {}
+    for r in cms:
+        per_row[r.row] = per_row.get(r.row, 0) + r.cell
+    # every hash row sees the full mass exactly once
+    assert set(per_row) == {0, 1, 2, 3}
+    assert all(v == total for v in per_row.values())
+
+
+def test_cms_shards_merge_by_cellwise_addition(spark):
+    a = _counts(spark, [("x", 5), ("y", 7), ("z", 1)])
+    b = _counts(spark, [("x", 3), ("w", 9)])
+    merged_input = _counts(spark, [("x", 8), ("y", 7), ("z", 1), ("w", 9)])
+    cms_a = K.cms_build(a, "k", "c", depth=4, width=32)
+    cms_b = K.cms_build(b, "k", "c", depth=4, width=32)
+    merged = (
+        cms_a.unionByName(cms_b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cell").alias("cell"))
+    )
+    direct = K.cms_build(merged_input, "k", "c", depth=4, width=32)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
