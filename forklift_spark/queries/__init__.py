@@ -45,11 +45,11 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
     "dedup": [
         "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
         "q_substring_dedup", "q_decontaminate", "q_dedup_components",
-        "q_fuzzy_match", "q_contamination_matrix",
+        "q_fuzzy_match",
     ],
     "similarity": [
-        "q_ann_bruteforce_topk", "q_ann_lsh_topk", "q_embedding_dedup",
-        "q_embedding_dedup_lsh", "q_ann_ivf_topk", "q_ann_lsh_multitable",
+        "q_ann_bruteforce_topk", "q_ann_lsh_topk",
+        "q_embedding_dedup_lsh", "q_ann_ivf_topk",
         "q_semantic_dedup", "q_hybrid_search",
     ],
     "text": [
@@ -59,23 +59,27 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
     ],
     "etl": [
         "q_read_since", "q_upsert_merge", "q_schema_evolution",
-        "q_incremental_delta", "q_hwm",
+        "q_hwm",
         "q_json_extract", "q_array_agg", "q_salted_join",
     ],
     "analytics": [
         "q1_pricing_summary", "q5_region_revenue", "q7_volume_shipping",
-        "q13_order_distribution", "q22_global_sales_opp", "q_grouping_sets",
+        "q13_order_distribution", "q_grouping_sets",
     ],
     "connectors": [
         "q_csv_roundtrip", "q_jdbc_roundtrip", "q_dump_pipe_roundtrip",
         "q_optimistic_sync", "q_es_roundtrip",
     ],
-    "stats": ["q_stats_moments", "q_grouped_ols", "q_retention_cohorts"],
+    "stats": [
+        "q_stats_moments", "q_grouped_ols", "q_retention_cohorts",
+        "q_heavy_hitters_cms",
+    ],
     "timeseries": [
         "q_asof_join", "q_sessionize", "q_stream_windowed_counts",
         "q_stream_stateful_counts",
     ],
-    "multimodal": ["q_audio_features"],
+    "multimodal": ["q_audio_features", "q_image_decode", "q_video_frames"],
+    "web": ["q_url_dedup", "q_html_strip"],
 }
 
 

@@ -7,7 +7,7 @@ import forklift_spark.queries as q
 
 FAMILIES = {
     "analytics", "etl", "dedup", "similarity", "text", "stats",
-    "timeseries", "multimodal", "connectors",
+    "timeseries", "multimodal", "connectors", "web",
 }
 
 
@@ -27,9 +27,9 @@ def test_window_is_curated_and_oracle_backed():
 
 def test_every_prefix_has_family_spread():
     """Round-robin emission: the first cycle touches every family, so any
-    prefix of >= 9 entries checks all 9 families."""
+    prefix of >= 10 entries checks all 10 families."""
     cat = list(q.catalog())
-    assert _families(cat[:9]) == FAMILIES
+    assert _families(cat[:10]) == FAMILIES
     assert _families(cat[:50]) == FAMILIES
 
 
