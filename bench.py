@@ -106,6 +106,13 @@ HEADLINE = [
     "q_gopher_quality",
     "q_inverted_index",
     "q_temperature_mix",
+    "q_image_decode",
+    "q_video_frames",
+    "q_url_dedup",
+    "q_domain_stats",
+    "q_html_strip",
+    "q_heavy_hitters_cms",
+    "q_pagerank",
 ]
 
 

@@ -132,6 +132,7 @@ def _load_all() -> None:
     from forklift_spark.queries import connectors  # noqa: F401
     from forklift_spark.queries import etl  # noqa: F401
     from forklift_spark.queries import dedup  # noqa: F401
+    from forklift_spark.queries import graph  # noqa: F401
     from forklift_spark.queries import multimodal  # noqa: F401
     from forklift_spark.queries import similarity  # noqa: F401
     from forklift_spark.queries import stats  # noqa: F401
