@@ -80,3 +80,61 @@ def cms_lookup(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce("cell", F.lit(0))).alias("cms_est")
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom filter: broadcastable set-membership prefilter
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 4096
+BLOOM_HASHES = 5
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    n_hashes: int = BLOOM_HASHES,
+    n_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """Build a Bloom filter over a bounded key set -> DataFrame(pos) of
+    DISTINCT set bit positions (<= n_hashes * |keys| rows, kilobytes —
+    the broadcastable representation; a bitmask packs it further but
+    the position set joins directly). Seeded-md5 addressing, so an
+    independent engine replays the filter bit-for-bit."""
+    return (
+        keys.select(
+            F.explode(_bloom_positions(key_col, n_hashes, n_bits)).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def _bloom_positions(key: str, n_hashes: int, n_bits: int):
+    return F.array(*[md5_long_seeded(key, i) % n_bits for i in range(n_hashes)])
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    n_hashes: int = BLOOM_HASHES,
+    n_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """Probe every row's key against the filter: candidate iff ALL
+    n_hashes addressed bits are set (count of matched positions ==
+    n_hashes). The filter side is broadcast; the probe side never
+    shuffles — this is the scan-side prefilter that lets a 100 TB
+    corpus skip the expensive exact-membership join for the ~100% of
+    rows the filter rejects. No false negatives ever; false positives
+    at the standard (1 - e^(-kn/m))^k rate. Probe keys are deduplicated
+    (membership is per key, not per row)."""
+    addressed = probes.select(key_col).distinct().select(
+        key_col,
+        F.explode(_bloom_positions(key_col, n_hashes, n_bits)).alias("pos"),
+    )
+    hits = (
+        addressed.join(F.broadcast(bloom.withColumn("_set", F.lit(1))), "pos", "left")
+        .groupBy(key_col)
+        .agg((F.count("_set") == n_hashes).alias("bloom_candidate"))
+    )
+    return hits

@@ -563,3 +563,65 @@ FROM tot t LEFT JOIN dup d ON d.doc_id = t.doc_id
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     return D.duplicated_ngram_stats(docs, "doc_id", "text", n=_SPAN_N)
+
+
+# --------------------------------------------------------------------------
+# q_bloom_decontaminate — Bloom-prefiltered exact decontamination: a
+# seeded-md5 Bloom filter (operators/sketch.py) built over the
+# benchmark fingerprints (every 31st doc) is probed by every corpus
+# fingerprint scan-side; the exact membership join runs conceptually
+# only on candidates. Output pairs the filter verdict with exact
+# membership per doc, so the hash certifies the no-false-negative
+# guarantee (every exact member IS a candidate) and pins the exact
+# false-positive set. Oracle replays the filter bit-for-bit.
+# --------------------------------------------------------------------------
+_BLOOM_H = (
+    "CAST('0x' || substr(md5(concat('s', CAST({i} AS VARCHAR), ':', {t})), 1, 15) AS BIGINT) % 4096"
+)
+
+BLOOM_DECON_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, md5({NORM}) AS fp FROM documents
+), bench AS (
+  SELECT DISTINCT fp FROM keyed WHERE doc_id % 31 = 0
+), hrows AS (
+  SELECT unnest(range(0, 5)) AS i
+), bloom AS (
+  SELECT DISTINCT {_BLOOM_H.format(i='i', t='fp')} AS pos
+  FROM bench CROSS JOIN hrows
+), probes AS (
+  SELECT DISTINCT fp FROM keyed
+), addressed AS (
+  SELECT fp, {_BLOOM_H.format(i='i', t='fp')} AS pos
+  FROM probes CROSS JOIN hrows
+), hits AS (
+  SELECT a.fp, count(b.pos) = 5 AS bloom_candidate
+  FROM addressed a LEFT JOIN bloom b ON b.pos = a.pos
+  GROUP BY a.fp
+)
+SELECT k.doc_id,
+  h.bloom_candidate,
+  (k.fp IN (SELECT fp FROM bench)) AS exact_member
+FROM keyed k JOIN hits h ON h.fp = k.fp
+"""
+
+
+@query("q_bloom_decontaminate", BLOOM_DECON_ORACLE)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.operators import sketch as K
+
+    docs = tables.load(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", D.fingerprint("text").alias("fp"))
+    bench = keyed.filter(F.col("doc_id") % 31 == 0)
+    bloom = K.bloom_build(bench.select("fp"), "fp", n_hashes=5, n_bits=4096)
+    probed = K.bloom_probe(bloom, keyed.select("fp"), "fp", n_hashes=5, n_bits=4096)
+    exact = bench.select("fp").distinct().withColumn("_m", F.lit(True))
+    return (
+        keyed.join(probed, "fp", "left")
+        .join(F.broadcast(exact), "fp", "left")
+        .select(
+            "doc_id",
+            F.coalesce("bloom_candidate", F.lit(False)).alias("bloom_candidate"),
+            F.coalesce("_m", F.lit(False)).alias("exact_member"),
+        )
+    )

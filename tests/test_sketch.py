@@ -53,3 +53,38 @@ def test_cms_shards_merge_by_cellwise_addition(spark):
     )
     direct = K.cms_build(merged_input, "k", "c", depth=4, width=32)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_never_false_negative_and_fp_rate_sane(spark):
+    members = spark.createDataFrame([(f"m{i}",) for i in range(50)], "k string")
+    others = spark.createDataFrame([(f"x{i}",) for i in range(500)], "k string")
+    bloom = K.bloom_build(members, "k", n_hashes=5, n_bits=4096)
+    hit = {
+        r.k: r.bloom_candidate
+        for r in K.bloom_probe(
+            bloom, members.unionByName(others), "k", n_hashes=5, n_bits=4096
+        ).collect()
+    }
+    assert all(hit[f"m{i}"] for i in range(50))  # no false negatives, ever
+    fps = sum(hit[f"x{i}"] for i in range(500))
+    # m=4096, n=50, k=5 -> theoretical fp ~ 1e-6; allow generous slack
+    assert fps <= 2
+
+
+def test_bloom_position_set_is_bounded(spark):
+    members = spark.createDataFrame([(f"m{i}",) for i in range(50)], "k string")
+    n_pos = K.bloom_build(members, "k", n_hashes=5, n_bits=4096).count()
+    assert n_pos <= 5 * 50
+
+
+def test_bloom_probe_dedupes_repeated_keys(spark):
+    members = spark.createDataFrame([("a",)], "k string")
+    probes = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    bloom = K.bloom_build(members, "k")
+    out = {r.k: r.bloom_candidate for r in K.bloom_probe(bloom, probes, "k").collect()}
+    assert out == {"a": True, "b": False}
