@@ -45,8 +45,8 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
     "dedup": [
         "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
         "q_substring_dedup", "q_decontaminate", "q_dedup_components",
-        "q_fuzzy_match",
     ],
+    "graph": ["q_pagerank"],
     "similarity": [
         "q_ann_bruteforce_topk", "q_ann_lsh_topk",
         "q_embedding_dedup_lsh", "q_ann_ivf_topk",

@@ -7,7 +7,7 @@ import forklift_spark.queries as q
 
 FAMILIES = {
     "analytics", "etl", "dedup", "similarity", "text", "stats",
-    "timeseries", "multimodal", "connectors", "web",
+    "timeseries", "multimodal", "connectors", "web", "graph",
 }
 
 
@@ -27,9 +27,9 @@ def test_window_is_curated_and_oracle_backed():
 
 def test_every_prefix_has_family_spread():
     """Round-robin emission: the first cycle touches every family, so any
-    prefix of >= 10 entries checks all 10 families."""
+    prefix of >= 11 entries checks all 11 families."""
     cat = list(q.catalog())
-    assert _families(cat[:10]) == FAMILIES
+    assert _families(cat[:11]) == FAMILIES
     assert _families(cat[:50]) == FAMILIES
 
 
