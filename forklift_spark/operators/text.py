@@ -180,3 +180,73 @@ def repetition_stats(df, id_col: str, text_col: str):
         ).alias("dup_word_ratio"),
         (top_run.cast("double") / F.size(bg).cast("double")).alias("top_bigram_ratio"),
     )
+
+
+def winnow_fingerprints(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003): hash every k-char gram of the normalized text, slide a
+    w-gram window, keep each window's minimum hash. Guarantees that any
+    shared substring of length >= k + w - 1 between two documents yields
+    at least one shared fingerprint — the local-fingerprint property
+    the single-global-min "winnowing-lite" signature lacks.
+
+    Engine-exactness: the (hash, position) pair is encoded as a
+    fixed-width string ``%015x:%08d`` so the window MIN is a plain
+    lexicographic string min in every engine (struct-valued window
+    aggregates are not portable). Ties break to the LEFTMOST position
+    (lexicographic on position after equal hashes) — a consistent
+    deterministic variant of the paper's rightmost rule, applied
+    identically on both sides of the oracle.
+
+    Returns DataFrame(doc_id, pos, fp) of DISTINCT selected
+    fingerprints. Scale: the gram explode is ~|text| rows per doc, the
+    window is per-doc ordered (partition-parallel across docs, no
+    global sort), and the output is the winnowed ~2/(w+1) density
+    subset — the thing that ships to a dedup join, not the grams.
+    """
+    from forklift_spark.functions.hashing import md5_long
+
+    norm = normalize_text(F.col(text_col))
+    g = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            norm.alias("_norm"),
+        )
+        .filter(F.length("_norm") >= k)  # Spark sequence(1,0) counts DOWN
+        .select(
+            "doc_id",
+            F.expr(f"explode(sequence(1, length(_norm) - {k} + 1))").alias("pos"),
+            F.col("_norm"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.format_string(
+                "%015x:%08d",
+                md5_long(F.concat(F.lit("w:"), F.col("_norm").substr(F.col("pos"), F.lit(k)))),
+                F.col("pos"),
+            ).alias("key"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    n_grams = W.partitionBy("doc_id")
+    frame = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        g.withColumn("_ng", F.max("pos").over(n_grams))
+        .withColumn("_sel", F.min("key").over(frame))
+        .filter(F.col("pos") <= F.col("_ng") - w + 1)  # full windows only
+        .select("doc_id", F.col("_sel").alias("key"))
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        F.substring("key", 17, 8).cast("long").alias("pos"),
+        F.col("key").substr(F.lit(1), F.lit(15)).alias("fp"),
+    )

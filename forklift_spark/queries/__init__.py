@@ -54,7 +54,7 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
     ],
     "text": [
         "q_text_token_stats", "q_text_quality", "q_lang_id",
-        "q_gopher_quality", "q_sequence_pack", "q_train_test_split",
+        "q_gopher_quality", "q_sequence_pack", "q_winnow_fingerprint",
         "q_tfidf_top_terms",
     ],
     "etl": [

@@ -892,3 +892,66 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 9).alias("share"),
         F.floor(share * _EPOCH_TOKENS).cast("bigint").alias("epoch_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_winnow_fingerprint — full winnowing (Schleimer et al., SIGMOD 2003):
+# k-gram hashes -> sliding w-window minima -> distinct local
+# fingerprints per doc. Unlike q_doc_fingerprint's single global min,
+# winnowing guarantees any shared substring of length >= k+w-1 yields a
+# shared fingerprint. The (hash,pos) pair rides a fixed-width string so
+# the window MIN is a portable lexicographic min; ties break leftmost
+# on both sides. Oracle replays grams, window minima, full-window
+# filter, and the sorted digest.
+# --------------------------------------------------------------------------
+_WKEY = (
+    "printf('%015x:%08d', "
+    "CAST('0x' || substr(md5('w:' || substring(norm, CAST(i AS INT), 8)), 1, 15) AS BIGINT), i)"
+)
+
+WINNOW_ORACLE = f"""
+WITH words AS (
+  {_WORDS_CTE}
+), g AS (
+  SELECT doc_id, i AS pos, {_WKEY} AS key
+  FROM (
+    SELECT doc_id, norm, unnest(range(1, length(norm) - 8 + 2)) AS i
+    FROM words WHERE length(norm) >= 8
+  )
+), ng AS (
+  SELECT doc_id, max(pos) AS n FROM g GROUP BY doc_id
+), sel AS (
+  SELECT DISTINCT d.doc_id, d.skey
+  FROM (
+    SELECT g.doc_id, g.pos, ng.n,
+      min(g.key) OVER (
+        PARTITION BY g.doc_id ORDER BY g.pos
+        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+      ) AS skey
+    FROM g JOIN ng USING (doc_id)
+  ) d
+  WHERE d.pos <= d.n - 4 + 1
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_fingerprints,
+  md5(string_agg(skey, ',' ORDER BY skey)) AS fp_digest
+FROM sel
+GROUP BY doc_id
+"""
+
+
+@query("q_winnow_fingerprint", WINNOW_ORACLE)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    fps = X.winnow_fingerprints(docs, k=8, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(F.format_string("%s:%08d", "fp", "pos"))
+                ),
+            )
+        ).alias("fp_digest"),
+    )

@@ -58,3 +58,41 @@ def test_duplicated_ngram_stats_min_docs_threshold(spark):
     assert all(r["n_dup"] == 0 for r in strict.collect())
     loose = D.duplicated_ngram_stats(df, "doc_id", "text", n=5, min_docs=3)
     assert all(r["n_dup"] == 1 for r in loose.collect())
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (operators/text.py) — guarantee + density
+# ---------------------------------------------------------------------------
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    from forklift_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"zeta eta theta {shared} iota"),
+            (3, "completely different content with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=8, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # docs 1 and 2 share a >= k+w-1 char substring -> >= 1 shared fingerprint
+    assert by_doc[1] & by_doc[2]
+    # doc 3 shares nothing that long with either
+    assert not (by_doc[3] & by_doc[1]) and not (by_doc[3] & by_doc[2])
+    # winnowing density: ~2/(w+1) of gram positions, never more than all
+    n_grams = len(df.collect()[0].text) - 8 + 1
+    assert 0 < len(by_doc[1]) < n_grams
+
+
+def test_winnowing_short_text_yields_no_fingerprints(spark):
+    from forklift_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
+    assert winnow_fingerprints(df, k=8, w=4).count() == 0
+

@@ -59,3 +59,4 @@ def test_strip_html_and_markup_accounting(spark):
 
 def test_strip_html_leaves_plain_text_alone(spark):
     assert _one(spark, W.strip_html("h"), h="no tags here") == "no tags here"
+
