@@ -196,57 +196,38 @@ def winnow_fingerprints(
     at least one shared fingerprint — the local-fingerprint property
     the single-global-min "winnowing-lite" signature lacks.
 
-    Engine-exactness: the (hash, position) pair is encoded as a
-    fixed-width string ``%015x:%08d`` so the window MIN is a plain
-    lexicographic string min in every engine (struct-valued window
-    aggregates are not portable). Ties break to the LEFTMOST position
-    (lexicographic on position after equal hashes) — a consistent
-    deterministic variant of the paper's rightmost rule, applied
-    identically on both sides of the oracle.
+    Engine-exactness: gram hashes are fixed-width md5 hex slices, so the
+    window MIN is a plain lexicographic string min in every engine. The
+    output is the SET of selected hashes (the paper's positions are a
+    match-localization extra; dedup joins need only the hashes, and
+    dropping them halves the per-gram expression work).
 
-    Returns DataFrame(doc_id, pos, fp) of DISTINCT selected
-    fingerprints. Scale: the gram explode is ~|text| rows per doc, the
-    window is per-doc ordered (partition-parallel across docs, no
-    global sort), and the output is the winnowed ~2/(w+1) density
-    subset — the thing that ships to a dedup join, not the grams.
+    Returns DataFrame(doc_id, fp) of DISTINCT selected fingerprints.
     """
     from forklift_spark.functions.hashing import md5_long
 
-    norm = normalize_text(F.col(text_col))
-    g = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            norm.alias("_norm"),
-        )
-        .filter(F.length("_norm") >= k)  # Spark sequence(1,0) counts DOWN
-        .select(
-            "doc_id",
-            F.expr(f"explode(sequence(1, length(_norm) - {k} + 1))").alias("pos"),
-            F.col("_norm"),
-        )
-        .select(
-            "doc_id",
-            "pos",
-            F.format_string(
-                "%015x:%08d",
-                md5_long(F.concat(F.lit("w:"), F.col("_norm").substr(F.col("pos"), F.lit(k)))),
-                F.col("pos"),
-            ).alias("key"),
-        )
+    # Winnowing is per-document, so the whole selection runs as array
+    # expressions inside the scan projection — ZERO shuffle, no window
+    # exchange, and the parent text is never replicated per gram (an
+    # exploded-gram + window formulation measured slower at sf0.1: every
+    # exploded row carries the full document string to the window
+    # shuffle, and WindowExec re-sorts what is already per-row local).
+    # The sliding min is array_min over a w-slice; array_distinct
+    # collapses windows that picked the same gram.
+    keyarr = (
+        f"transform(sequence(1, length(_norm) - {k} + 1), i -> "
+        f"substring(md5(concat('w:', substring(_norm, i, {k}))), 1, 15))"
     )
-    from pyspark.sql import Window as W
-
-    n_grams = W.partitionBy("doc_id")
-    frame = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    sel = (
-        g.withColumn("_ng", F.max("pos").over(n_grams))
-        .withColumn("_sel", F.min("key").over(frame))
-        .filter(F.col("pos") <= F.col("_ng") - w + 1)  # full windows only
-        .select("doc_id", F.col("_sel").alias("key"))
-        .distinct()
+    selected = (
+        f"array_distinct(transform(sequence(1, length(_norm) - {k} + 1 - {w} + 1), "
+        f"p -> array_min(slice(_keys, p, {w}))))"
     )
-    return sel.select(
-        "doc_id",
-        F.substring("key", 17, 8).cast("long").alias("pos"),
-        F.col("key").substr(F.lit(1), F.lit(15)).alias("fp"),
+    return (
+        df.select(F.col(id_col).alias("doc_id"), normalize_text(F.col(text_col)).alias("_norm"))
+        .filter(F.length("_norm") >= k + w - 1)  # need >= 1 full window
+        # single-element explode = a Generate barrier: CollapseProject would
+        # otherwise inline _keys into the w-slice lambda and recompute the
+        # whole md5 array once per window position
+        .select("doc_id", F.explode(F.array(F.expr(keyarr))).alias("_keys"), F.col("_norm"))
+        .select("doc_id", F.explode(F.expr(selected)).alias("fp"))
     )

@@ -894,49 +894,34 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
 # q_winnow_fingerprint — full winnowing (Schleimer et al., SIGMOD 2003):
-# k-gram hashes -> sliding w-window minima -> distinct local
+# k-gram hashes -> sliding w-window minima -> the distinct set of local
 # fingerprints per doc. Unlike q_doc_fingerprint's single global min,
 # winnowing guarantees any shared substring of length >= k+w-1 yields a
-# shared fingerprint. The (hash,pos) pair rides a fixed-width string so
-# the window MIN is a portable lexicographic min; ties break leftmost
-# on both sides. Oracle replays grams, window minima, full-window
-# filter, and the sorted digest.
+# shared fingerprint. Entirely array expressions in the scan projection
+# (no shuffle, no window exchange); the oracle replays the same list
+# pipeline per row in DuckDB and matches the sorted digest.
 # --------------------------------------------------------------------------
-_WKEY = (
-    "printf('%015x:%08d', "
-    "CAST('0x' || substr(md5('w:' || substring(norm, CAST(i AS INT), 8)), 1, 15) AS BIGINT), i)"
+_WINNOW_SEL = (
+    "list_distinct(list_transform(range(1, length(norm) - 8 + 2 - 4 + 1), "
+    "p -> list_min(list_slice(ks, p, p + 3))))"
+)
+_WINNOW_KS = (
+    "list_transform(range(1, length(norm) - 8 + 2), "
+    "i -> substr(md5('w:' || substring(norm, CAST(i AS INT), 8)), 1, 15))"
 )
 
 WINNOW_ORACLE = f"""
 WITH words AS (
   {_WORDS_CTE}
-), g AS (
-  SELECT doc_id, i AS pos, {_WKEY} AS key
-  FROM (
-    SELECT doc_id, norm, unnest(range(1, length(norm) - 8 + 2)) AS i
-    FROM words WHERE length(norm) >= 8
-  )
-), ng AS (
-  SELECT doc_id, max(pos) AS n FROM g GROUP BY doc_id
 ), sel AS (
-  SELECT DISTINCT d.doc_id, d.skey
-  FROM (
-    SELECT g.doc_id, g.pos, ng.n,
-      min(g.key) OVER (
-        PARTITION BY g.doc_id ORDER BY g.pos
-        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
-      ) AS skey
-    FROM g JOIN ng USING (doc_id)
-  ) d
-  WHERE d.pos <= d.n - 4 + 1
+  SELECT doc_id, {_WINNOW_SEL} AS fps
+  FROM (SELECT doc_id, norm, {_WINNOW_KS} AS ks FROM words WHERE length(norm) >= 11)
 )
 SELECT doc_id,
-  CAST(count(*) AS BIGINT) AS n_fingerprints,
-  md5(string_agg(skey, ',' ORDER BY skey)) AS fp_digest
+  CAST(len(fps) AS BIGINT) AS n_fingerprints,
+  md5(array_to_string(list_sort(fps), ',')) AS fp_digest
 FROM sel
-GROUP BY doc_id
 """
 
 
@@ -946,12 +931,79 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = X.winnow_fingerprints(docs, k=8, w=4)
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.sort_array(
-                    F.collect_list(F.format_string("%s:%08d", "fp", "pos"))
-                ),
-            )
-        ).alias("fp_digest"),
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("fp")))).alias("fp_digest"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_winnow_pairs — MOSS-style near-dup detection on winnowing
+# fingerprints: docs sharing >= 3 RARE selected fingerprints, scored by
+# the overlap coefficient |A∩B| / min(|A|,|B|). The join is a
+# fingerprint equi-join over the winnowed (~2/(w+1) density) sets —
+# never all-pairs — and ubiquitous fingerprints (doc frequency > 8)
+# are dropped before the join, MOSS-style: they carry no dedup signal
+# and are exactly the keys that would fan out quadratically. The
+# oracle replays fingerprints, the stop-fingerprint cut, the
+# self-join, and the scoring.
+# --------------------------------------------------------------------------
+WINNOW_PAIRS_ORACLE = f"""
+WITH words AS (
+  {_WORDS_CTE}
+), sel AS (
+  SELECT doc_id, unnest({_WINNOW_SEL}) AS fp
+  FROM (SELECT doc_id, norm, {_WINNOW_KS} AS ks FROM words WHERE length(norm) >= 11)
+), sizes AS (
+  SELECT doc_id, count(*) AS nfp FROM sel GROUP BY doc_id
+), keep AS (
+  SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 8
+), rare AS (
+  SELECT sel.doc_id, sel.fp FROM sel JOIN keep USING (fp)
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b,
+  CAST(s.n_shared AS BIGINT) AS n_shared,
+  round(CAST(s.n_shared AS DOUBLE) / least(sa.nfp, sb.nfp), 9) AS overlap
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.id_a
+JOIN sizes sb ON sb.doc_id = s.id_b
+WHERE s.n_shared >= 3
+"""
+
+
+@query("q_winnow_pairs", WINNOW_PAIRS_ORACLE)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    # fans out to sizes, the df cut, and both self-join branches ->
+    # materialize once (SCALING.md rule) instead of re-winnowing 4x
+    fps = X.winnow_fingerprints(docs, k=8, w=4).localCheckpoint(eager=True)
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
+    # MOSS-style stop-fingerprints: a fingerprint in >8 docs carries no
+    # dedup signal and would fan the equi-join out quadratically — drop it
+    # BEFORE the self-join (the overlap denominator still uses full sizes).
+    keep = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).filter(F.col("_df") <= 8)
+    rare = fps.join(keep.select("fp"), "fp")
+    a = rare.select(F.col("doc_id").alias("id_a"), "fp")
+    b = rare.select(F.col("doc_id").alias("id_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("nfp").alias("nfp_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("nfp").alias("nfp_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared").cast("double") / F.least("nfp_a", "nfp_b"), 9
+            ).alias("overlap"),
+        )
     )
