@@ -113,6 +113,9 @@ HEADLINE = [
     "q_html_strip",
     "q_heavy_hitters_cms",
     "q_pagerank",
+    "q_winnow_fingerprint",
+    "q_winnow_pairs",
+    "q_bloom_decontaminate",
 ]
 
 

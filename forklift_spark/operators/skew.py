@@ -104,3 +104,43 @@ def detect_skew(
         .filter(F.col("share") >= min_share)
         .select(key, "n", "share")
     )
+
+
+def binned_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    right_ts: str,
+    lo: str,
+    hi: str,
+    bin_seconds: int,
+) -> DataFrame:
+    """Range join as an equi-join: rows of ``right`` whose ``right_ts``
+    (epoch seconds) falls in ``left``'s half-open window [lo, hi),
+    with ``keys`` equality.
+
+    A raw inequality-predicate join sort-merges on the keys alone and
+    re-filters every same-key pair — per-key quadratic, the classic
+    100 TB range-join trap. Binning makes it an equi-join: the left
+    window explodes to its covered time bins (ceil(span/bin)+1 rows,
+    a small constant for bounded windows), the right side computes one
+    bin scan-side, and the join runs on (keys..., bin) — hash-
+    partitioned, AQE-splittable, skew-handled like any other equi-join.
+    The exact [lo, hi) predicate re-applies post-join; each right row
+    has exactly one bin, so no pair can match twice (no dedup pass).
+    """
+    lb = left.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / bin_seconds),
+                F.floor((F.col(hi) - 1) / bin_seconds),
+            )
+        ),
+    )
+    rb = right.withColumn("_bin", F.floor(F.col(right_ts) / bin_seconds))
+    return (
+        lb.join(rb, [*keys, "_bin"])
+        .filter((F.col(right_ts) >= F.col(lo)) & (F.col(right_ts) < F.col(hi)))
+        .drop("_bin")
+    )

@@ -142,8 +142,12 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q_range_join — for each error event, clicks of the same user in the
-# preceding hour: equi-join on user bounds the explosion, the time range
-# is a post-join filter (Catalyst pushes it into the join condition).
+# preceding hour, executed as a BINNED range join (operators/skew.py):
+# the window explodes to its two covered hour-bins, clicks compute one
+# bin scan-side, and the join is a plain (user, bin) equi-join with the
+# exact [lo, hi) predicate re-applied — per-key quadratic behavior of a
+# raw inequality join never materializes. Unmatched errors re-enter via
+# a left join-back so the count-zero semantics match the oracle.
 # --------------------------------------------------------------------------
 RANGE_ORACLE = """
 SELECT e.event_id, COUNT(c.event_id) AS clicks_before
@@ -158,22 +162,31 @@ GROUP BY e.event_id
 
 @query("q_range_join", RANGE_ORACLE)
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.operators.skew import binned_range_join
+
     ev = tables.load(spark, sf_dir, "events")
     errors = ev.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", F.col("ts").alias("ets")
+        "event_id", "user_id",
+        (F.unix_timestamp("ts") - 3600).alias("lo"),
+        F.unix_timestamp("ts").alias("hi"),
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("cuser"), F.col("ts").alias("cts"),
+        "user_id", F.unix_timestamp("ts").alias("cts"),
         F.col("event_id").alias("cid"),
     )
-    joined = errors.join(
-        clicks,
-        (F.col("cuser") == F.col("user_id"))
-        & (F.col("cts") >= F.col("ets") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("cts") < F.col("ets")),
-        "left",
+    matched = binned_range_join(
+        errors, clicks, keys=["user_id"], right_ts="cts",
+        lo="lo", hi="hi", bin_seconds=3600,
     )
-    return joined.groupBy("event_id").agg(F.count("cid").alias("clicks_before"))
+    counts = matched.groupBy("event_id").agg(F.count("cid").alias("n"))
+    return (
+        errors.select("event_id")
+        .join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("clicks_before"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

@@ -77,3 +77,33 @@ def test_detect_skew_flags_hot_keys_only(spark):
     assert got == {"hot": (100, 100 / 150)}
     # lower threshold surfaces the cold keys too
     assert len(detect_skew(df, "k", 0.01).collect()) == 6
+
+
+def test_binned_range_join_equals_predicate_join(spark):
+    from forklift_spark.operators.skew import binned_range_join
+
+    # windows straddling bin boundaries + exact lo (inclusive) / hi
+    # (exclusive) edge hits
+    left = spark.createDataFrame(
+        [(1, "u1", 100, 160), (2, "u1", 3550, 3700), (3, "u2", 0, 60),
+         (4, "u3", 7200, 7260)],
+        "lid long, k string, lo long, hi long",
+    )
+    right = spark.createDataFrame(
+        [("u1", 100), ("u1", 159), ("u1", 160), ("u1", 3599), ("u1", 3600),
+         ("u1", 3699), ("u1", 3700), ("u2", 59), ("u2", 60), ("u9", 100)],
+        "k string, rts long",
+    )
+    binned = binned_range_join(
+        left, right, keys=["k"], right_ts="rts", lo="lo", hi="hi", bin_seconds=3600
+    ).select("lid", "rts")
+    naive = (
+        left.join(right, "k")
+        .filter((F.col("rts") >= F.col("lo")) & (F.col("rts") < F.col("hi")))
+        .select("lid", "rts")
+    )
+    assert sorted(map(tuple, binned.collect())) == sorted(map(tuple, naive.collect()))
+    got = sorted(map(tuple, binned.collect()))
+    # spot-pin the edges: lo inclusive, hi exclusive, cross-bin matches
+    assert (1, 100) in got and (1, 160) not in got
+    assert (2, 3599) in got and (2, 3600) in got and (2, 3700) not in got
