@@ -242,3 +242,41 @@ def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "width", "height", "n_frames", "fps", "duration_ms",
         "total_sum", "peak",
     )
+
+
+# --------------------------------------------------------------------------
+# q_video_thumbnail — decode -> transform -> re-encode across codecs:
+# middle frame of each REAL AVI, nearest-neighbor downsampled to 2x2,
+# re-encoded as a REAL PPM thumbnail. The exact thumbnail pixels are a
+# closed form (nearest-neighbor index arithmetic over the closed-form
+# frame raster), so the oracle replays decode + frame choice + resample
+# byte-for-byte.
+# --------------------------------------------------------------------------
+VIDEO_THUMB_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 4 AS w, 2 + doc_id % 3 AS h,
+         2 + doc_id % 4 AS nf
+  FROM documents
+), t AS (
+  SELECT doc_id, w, h, nf // 2 AS fi,
+    list_transform(range(0, 12), t ->
+      (doc_id * 17 + (nf // 2) * 251
+       + ((((t // 6) * h // 2) * w + (((t // 3) % 2) * w // 2)) * 3 + t % 3) * 13
+      ) % 256
+    ) AS px
+  FROM d
+)
+SELECT doc_id,
+  CAST(fi AS BIGINT) AS frame_index,
+  CAST(2 AS BIGINT) AS thumb_w,
+  CAST(2 AS BIGINT) AS thumb_h,
+  array_to_string(px, ',') AS px_csv
+FROM t
+"""
+
+
+@query("q_video_thumbnail", VIDEO_THUMB_ORACLE)
+def q_video_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    thumbs = M.video_thumbnail(M.attach_fake_avi(docs), thumb_w=2, thumb_h=2)
+    return thumbs.select("doc_id", "frame_index", "thumb_w", "thumb_h", "px_csv")

@@ -361,3 +361,17 @@ def test_image_pixel_features_matches_closed_form(spark, docs):
         assert (r.width, r.height, r.n_pixels, r.sum_rgb, r.peak, r.n_bright) == (
             w, h, w * h, sum(px), max(px), sum(1 for b in px if b >= 128),
         )
+
+
+def test_video_thumbnail_roundtrips_through_image_codec(spark, docs):
+    from forklift_spark.functions import imagecodec as C
+
+    rows = M.video_thumbnail(M.attach_fake_avi(docs.limit(10)), 2, 2).collect()
+    assert rows and all(r.decode_error is None for r in rows)
+    for r in rows:
+        img = C.decode_bytes(bytes(r.thumbnail))  # REAL PPM payload
+        assert (img.width, img.height, img.format) == (2, 2, "PPM")
+        assert ",".join(str(b) for b in img.pixels) == r.px_csv
+        i = r.doc_id
+        nf = 2 + i % 4
+        assert r.frame_index == nf // 2
