@@ -25,7 +25,7 @@ _ITERATIONS = 5
 _SCALE = G.RANK_SCALE
 
 
-def _pagerank_oracle(iterations: int) -> str:
+def _pagerank_ctes(iterations: int) -> str:
     parts = [
         "WITH nn AS (SELECT count(*) AS n FROM documents),",
         "ed AS (",
@@ -53,10 +53,14 @@ def _pagerank_oracle(iterations: int) -> str:
             "),",
         ]
     parts[-1] = parts[-1].rstrip(",")  # close the final CTE without a comma
-    parts.append(
-        f"SELECT node, CAST(rank AS BIGINT) AS rank_e12 FROM r{iterations}"
-    )
     return "\n".join(parts)
+
+
+def _pagerank_oracle(iterations: int) -> str:
+    return (
+        _pagerank_ctes(iterations)
+        + f"\nSELECT node, CAST(rank AS BIGINT) AS rank_e12 FROM r{iterations}"
+    )
 
 
 PAGERANK_ORACLE = _pagerank_oracle(_ITERATIONS)
@@ -87,3 +91,90 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = G.pagerank(nodes, edges, n, iterations=_ITERATIONS)
     return ranks.select("node", F.col("rank").alias("rank_e12"))
+
+
+# --------------------------------------------------------------------------
+# q_domain_authority — cross-family composition: PageRank link authority
+# aggregated to registrable domains (the web family's closed-form
+# domains), temperature-flattened into sampling weights (the same
+# decimal-sqrt mix discipline as q_temperature_mix). "Sample sources by
+# link authority" — graph + web + assembly stitched end to end, and the
+# oracle replays ALL of it: five unrolled PageRank rounds, the domain
+# rollup, and the flattened budget arithmetic.
+# --------------------------------------------------------------------------
+_EPOCH_TOKENS = 1_000_000
+
+DOMAIN_AUTHORITY_ORACLE = _pagerank_ctes(_ITERATIONS) + f""",
+dom AS (
+  SELECT d.doc_id,
+    concat(d.source, '.',
+      CASE d.doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+           WHEN 2 THEN 'co.uk' ELSE 'io' END) AS domain
+  FROM documents d
+), auth AS (
+  SELECT dom.domain,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(r{_ITERATIONS}.rank) AS BIGINT) AS authority
+  FROM r{_ITERATIONS} JOIN dom ON dom.doc_id = r{_ITERATIONS}.node
+  GROUP BY dom.domain
+), w AS (
+  SELECT *, CAST(sqrt(CAST(authority AS DOUBLE)) AS DECIMAL(28,9)) AS w_dec
+  FROM auth
+)
+SELECT domain, n_docs, authority,
+  round(CAST(w_dec AS DOUBLE) / CAST(sum(w_dec) OVER () AS DOUBLE), 9) AS share,
+  CAST(floor(CAST(w_dec AS DOUBLE) / CAST(sum(w_dec) OVER () AS DOUBLE)
+             * {_EPOCH_TOKENS}) AS BIGINT) AS epoch_tokens
+FROM w
+"""
+
+
+@query("q_domain_authority", DOMAIN_AUTHORITY_ORACLE)
+def q_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = tables.load(spark, sf_dir, "documents")
+    n = docs.count()  # bounded scalar (node count)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.sequence(F.lit(1), (F.lit(1) + F.col("doc_id") % 3).cast("int"))
+            ).alias("k"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * (2 * F.col("k") + 5) + F.col("k")) % n).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    ranks = G.pagerank(nodes, edges, n, iterations=_ITERATIONS)
+    dom = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("source"), F.lit("."),
+            F.when(F.col("doc_id") % 4 == 0, "com")
+            .when(F.col("doc_id") % 4 == 1, "org")
+            .when(F.col("doc_id") % 4 == 2, "co.uk")
+            .otherwise("io"),
+        ).alias("domain"),
+    )
+    auth = (
+        ranks.join(dom, ranks.node == dom.doc_id)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("rank").cast("bigint").alias("authority"),
+        )
+    )
+    w = auth.withColumn(
+        "w_dec", F.sqrt(F.col("authority").cast("double")).cast("decimal(28,9)")
+    )
+    total = F.sum("w_dec").over(W.partitionBy())
+    share = F.col("w_dec").cast("double") / total.cast("double")
+    return w.select(
+        "domain", "n_docs", "authority",
+        F.round(share, 9).alias("share"),
+        F.floor(share * _EPOCH_TOKENS).cast("bigint").alias("epoch_tokens"),
+    )
