@@ -41,10 +41,10 @@ def clean_query(query: Column | str) -> Column:
 
 
 def canonicalize_url(url: Column | str) -> Column:
-    """Canonical form for URL-level dedup: scheme lowercased to https
-    form as-is, host lowercased (parse_url HOST already excludes any
-    explicit port), trailing-slash path kept verbatim, tracking params
-    stripped from the query, empty query dropped."""
+    """Canonical form for URL-level dedup: scheme and host lowercased
+    (parse_url HOST already excludes any explicit port), path kept
+    verbatim, tracking params stripped from the query, empty query
+    dropped."""
     u = _col(url)
     scheme = F.lower(url_part(u, "PROTOCOL"))
     host = F.lower(url_part(u, "HOST"))
