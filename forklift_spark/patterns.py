@@ -270,3 +270,68 @@ def partitioned_incremental_pipe(
     dest.write(
         refreshed, to_table, mode="overwrite_partitions", partition_by=[partition_col]
     )
+
+
+def scd2_merge(
+    dim: "F.DataFrame",
+    updates: "F.DataFrame",
+    key: str,
+    attrs: list[str],
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> "F.DataFrame":
+    """Slowly-changing-dimension type 2 merge: history-preserving upsert.
+
+    ``dim`` holds versioned rows (key, attrs..., valid_from, valid_to
+    with NULL marking the current version); ``updates`` holds one new
+    attribute tuple per key stamped ``ts_col``. For keys whose attrs
+    actually changed, the current row closes (valid_to = ts) and a new
+    current row opens (valid_from = ts); identical updates are no-ops
+    (no spurious versions); brand-new keys insert as current rows.
+    History rows pass through untouched.
+
+    Scale: one hash join of current rows against updates on the key +
+    unions — no windows, no global sort; history (the bulk of a 100 TB
+    dimension) is a pass-through branch the join never touches. Null-
+    safe attr comparison via the eqNullSafe conjunction."""
+    from pyspark.sql import functions as F
+
+    current = dim.filter(F.col(valid_to).isNull())
+    history = dim.filter(F.col(valid_to).isNotNull())
+    up = updates.select(
+        F.col(key), *[F.col(a).alias(f"_u_{a}") for a in attrs], F.col(ts_col).alias("_ts")
+    )
+    joined = current.join(up, key, "left")
+    unchanged_pred = None
+    for a in attrs:
+        p = F.col(a).eqNullSafe(F.col(f"_u_{a}"))
+        unchanged_pred = p if unchanged_pred is None else (unchanged_pred & p)
+    # current rows: keep as-is when no update or identical update;
+    # close when the update changes any attribute
+    kept = joined.filter(F.col("_ts").isNull() | unchanged_pred).select(dim.columns)
+    closed = (
+        joined.filter(F.col("_ts").isNotNull() & ~unchanged_pred)
+        .select(
+            *[F.col(c) for c in dim.columns if c != valid_to],
+            F.col("_ts").alias(valid_to),
+        )
+        .select(dim.columns)
+    )
+    # opened versions: changed keys + brand-new keys
+    cur_keys = current.select(key)
+    changed_new = (
+        up.join(
+            joined.filter(F.col("_ts").isNotNull() & ~unchanged_pred).select(key),
+            key,
+            "inner",
+        )
+        .unionByName(up.join(cur_keys, key, "left_anti"))
+    )
+    opened = changed_new.select(
+        F.col(key),
+        *[F.col(f"_u_{a}").alias(a) for a in attrs],
+        F.col("_ts").alias(valid_from),
+        F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+    ).select(dim.columns)
+    return history.unionByName(kept).unionByName(closed).unionByName(opened)

@@ -908,3 +908,108 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("o_totalprice", MONEY)).cast("double").alias("total"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_scd2_merge — slowly-changing-dimension type 2 (history-preserving
+# upsert) via patterns.scd2_merge: a customer dimension with existing
+# history rows receives a deterministic update batch containing changed
+# attributes (balance +100), identical no-op updates, and brand-new
+# keys. Changed keys close their current row (valid_to = ts) and open a
+# new version; no-ops create no spurious versions; history passes
+# through untouched. The oracle replays the whole merge decision table.
+# --------------------------------------------------------------------------
+SCD2_ORACLE = """
+WITH cur AS (
+  SELECT c_custkey AS cust_key, c_acctbal AS acctbal, c_mktsegment AS segment,
+         TIMESTAMP '1995-01-01' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer
+), hist AS (
+  SELECT c_custkey AS cust_key, c_acctbal - 50 AS acctbal,
+         c_mktsegment AS segment,
+         TIMESTAMP '1990-01-01' AS valid_from, TIMESTAMP '1995-01-01' AS valid_to
+  FROM customer WHERE c_custkey % 10 = 0
+), upd AS (
+  SELECT c_custkey AS cust_key, c_acctbal + 100 AS acctbal,
+         c_mktsegment AS segment, TIMESTAMP '1998-01-01' AS ts
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_acctbal, c_mktsegment, TIMESTAMP '1998-01-01'
+  FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, CAST(42.0 AS DOUBLE), 'NEWSEG', TIMESTAMP '1998-01-01'
+  FROM customer WHERE c_custkey % 13 = 0
+), j AS (
+  SELECT cur.*, upd.acctbal AS u_bal, upd.segment AS u_seg, upd.ts
+  FROM cur LEFT JOIN upd USING (cust_key)
+), kept AS (
+  SELECT cust_key, acctbal, segment, valid_from, valid_to FROM j
+  WHERE ts IS NULL OR (acctbal IS NOT DISTINCT FROM u_bal AND segment IS NOT DISTINCT FROM u_seg)
+), closed AS (
+  SELECT cust_key, acctbal, segment, valid_from, ts AS valid_to FROM j
+  WHERE ts IS NOT NULL AND NOT (acctbal IS NOT DISTINCT FROM u_bal AND segment IS NOT DISTINCT FROM u_seg)
+), opened AS (
+  SELECT u.cust_key, u.acctbal, u.segment, u.ts AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM upd u LEFT JOIN cur ON cur.cust_key = u.cust_key
+  WHERE cur.cust_key IS NULL
+     OR NOT (cur.acctbal IS NOT DISTINCT FROM u.acctbal AND cur.segment IS NOT DISTINCT FROM u.segment)
+)
+SELECT * FROM hist
+UNION ALL SELECT * FROM kept
+UNION ALL SELECT * FROM closed
+UNION ALL SELECT * FROM opened
+"""
+
+
+@query("q_scd2_merge", SCD2_ORACLE)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.patterns import scd2_merge
+
+    cust = tables.load(spark, sf_dir, "customer")
+    t95 = F.lit("1995-01-01").cast("timestamp")
+    cur = cust.select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        t95.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    hist = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("cust_key"),
+        (F.col("c_acctbal") - 50).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+        t95.alias("valid_to"),
+    )
+    dim = hist.unionByName(cur)
+    t98 = F.lit("1998-01-01").cast("timestamp")
+    upd = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.col("c_custkey").alias("cust_key"),
+            (F.col("c_acctbal") + 100).alias("acctbal"),
+            F.col("c_mktsegment").alias("segment"),
+            t98.alias("ts"),
+        )
+        .unionByName(
+            cust.filter((F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 7 != 0))
+            .select(
+                F.col("c_custkey").alias("cust_key"),
+                F.col("c_acctbal").alias("acctbal"),
+                F.col("c_mktsegment").alias("segment"),
+                t98.alias("ts"),
+            )
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("cust_key"),
+                F.lit(42.0).cast("double").alias("acctbal"),
+                F.lit("NEWSEG").alias("segment"),
+                t98.alias("ts"),
+            )
+        )
+    )
+    return scd2_merge(
+        dim, upd, key="cust_key", attrs=["acctbal", "segment"], ts_col="ts"
+    )

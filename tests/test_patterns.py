@@ -208,3 +208,37 @@ def test_partitioned_incremental_pipe_replaces_only_touched_days(spark, tmp_path
     assert (
         sorted(os.listdir(tmp_path / "dst" / "ev_w" / "day=2024-01-01")) == day1_files
     )
+
+
+def test_scd2_merge_decision_table(spark):
+    from forklift_spark.patterns import scd2_merge
+    import datetime as dt
+
+    TS = dt.datetime
+    dim = spark.createDataFrame(
+        [
+            # key 1: history row + current row (will change)
+            (1, 10.0, TS(1990, 1, 1), TS(1995, 1, 1)),
+            (1, 20.0, TS(1995, 1, 1), None),
+            # key 2: current row, identical update -> no-op
+            (2, 30.0, TS(1995, 1, 1), None),
+            # key 3: current row, no update at all
+            (3, 40.0, TS(1995, 1, 1), None),
+        ],
+        "k long, bal double, valid_from timestamp, valid_to timestamp",
+    )
+    upd = spark.createDataFrame(
+        [(1, 25.0, TS(1998, 1, 1)), (2, 30.0, TS(1998, 1, 1)), (9, 99.0, TS(1998, 1, 1))],
+        "k long, bal double, ts timestamp",
+    )
+    out = scd2_merge(dim, upd, key="k", attrs=["bal"]).collect()
+    rows = {(r.k, r.bal, r.valid_from, r.valid_to) for r in out}
+    assert rows == {
+        (1, 10.0, TS(1990, 1, 1), TS(1995, 1, 1)),   # history untouched
+        (1, 20.0, TS(1995, 1, 1), TS(1998, 1, 1)),   # closed
+        (1, 25.0, TS(1998, 1, 1), None),             # opened
+        (2, 30.0, TS(1995, 1, 1), None),             # no-op: single version
+        (3, 40.0, TS(1995, 1, 1), None),             # untouched
+        (9, 99.0, TS(1998, 1, 1), None),             # brand-new key
+    }
+    assert len(out) == len(rows)  # no duplicate versions anywhere
