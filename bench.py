@@ -116,6 +116,10 @@ HEADLINE = [
     "q_winnow_fingerprint",
     "q_winnow_pairs",
     "q_bloom_decontaminate",
+    "q_range_join",
+    "q_video_thumbnail",
+    "q_domain_authority",
+    "q_scd2_merge",
 ]
 
 
