@@ -720,3 +720,59 @@ def q_window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("wstart"), "event_type", "n", "total_value")
     )
+
+
+# --------------------------------------------------------------------------
+# q_stream_sessionize — session windows EXECUTED IN THE STREAMING ENGINE
+# (session_window managed state, availableNow -> memory sink, complete
+# mode) oracle-checked against the batch gaps-and-islands SQL. Session
+# semantics follow session_window: a session's window is [first_ts,
+# last_ts + gap), and an event arriving EXACTLY gap after the previous
+# one starts a NEW session (half-open window overlap), hence the >= in
+# the oracle's break condition (the batch q_sessionize keeps lag-based
+# > semantics; both are deterministic, the pair documents the boundary
+# difference).
+# --------------------------------------------------------------------------
+STREAM_SESSION_ORACLE = """
+WITH m AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id, ts,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+  min(ts) AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, sid
+"""
+
+
+@query("q_stream_sessionize", STREAM_SESSION_ORACLE)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from forklift_spark.streaming.jobs import sessionized
+
+    events = tables.load(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="fk_stream_sess_")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    sink = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionized(stream, gap="30 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(sink)
