@@ -1007,3 +1007,52 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_bpe_pair_stats — tokenizer-training prep: corpus-wide adjacent
+# symbol-pair counts (the statistic that picks byte-pair-encoding's
+# next merge). Scale discipline mirrors the CMS build: words collapse
+# to (word, count) FIRST, then pairs explode per DISTINCT word weighted
+# by its count — the wide shuffle moves vocabulary, not occurrences.
+# Top-50 with a total-order tie break (count desc, pair asc) so the
+# LIMIT boundary is deterministic; TakeOrderedAndProject keeps the full
+# pair space out of any single task.
+# --------------------------------------------------------------------------
+BPE_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({_W}) AS w FROM documents
+), wc AS (
+  SELECT w, count(*) AS c FROM toks WHERE length(w) >= 2 GROUP BY w
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substring(w, CAST(i AS INT), 2))) AS pair, c
+  FROM wc
+), agg AS (
+  SELECT pair, sum(c) AS cnt FROM pairs GROUP BY pair
+)
+SELECT pair, CAST(cnt AS BIGINT) AS cnt
+FROM agg ORDER BY cnt DESC, pair LIMIT 50
+"""
+
+
+@query("q_bpe_pair_stats", BPE_ORACLE)
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(X.words("text")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(50)
+    )
