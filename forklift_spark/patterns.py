@@ -335,3 +335,37 @@ def scd2_merge(
         F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
     ).select(dim.columns)
     return history.unionByName(kept).unionByName(closed).unionByName(opened)
+
+
+def cdc_apply(
+    base: "F.DataFrame",
+    changes: "F.DataFrame",
+    key: str,
+    op_col: str = "op",
+    ts_col: str = "ts",
+) -> "F.DataFrame":
+    """Apply a change-data-capture batch (op in I/U/D, possibly many
+    changes per key) to a base table: the LATEST change per key wins
+    (ts order, op as a deterministic tie break), upserts (I/U) replace
+    or insert the row, deletes (D) remove it.
+
+    This is the reference's DELETE-IN + INSERT upsert
+    (`transports/mysql.rb:82-87`) generalized with tombstones. Scale:
+    the change batch reduces to one row per key (partial-aggregated
+    max_by, no window sort), then one hash join against base — base
+    rows without changes stream through the join untouched; nothing
+    but the delta shuffles twice."""
+    from pyspark.sql import functions as F
+
+    attrs = [c for c in changes.columns if c not in (key, op_col, ts_col)]
+    latest = changes.groupBy(key).agg(
+        F.max_by(F.struct(op_col, *attrs), F.struct(ts_col, op_col)).alias("_c")
+    )
+    joined = base.join(latest, key, "full")
+    survivors_base = joined.filter(F.col("_c").isNull()).select(base.columns)
+    replaced = (
+        joined.filter(F.col("_c").isNotNull() & (F.col("_c")[op_col] != "D"))
+        .select(F.col(key), *[F.col("_c")[a].alias(a) for a in attrs])
+        .select(base.columns)
+    )
+    return survivors_base.unionByName(replaced)

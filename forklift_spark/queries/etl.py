@@ -1013,3 +1013,82 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_merge(
         dim, upd, key="cust_key", attrs=["acctbal", "segment"], ts_col="ts"
     )
+
+
+# --------------------------------------------------------------------------
+# q_cdc_apply — change-data-capture apply via patterns.cdc_apply: a
+# change batch with multiple changes per key (updates at different
+# timestamps, deletes, inserts of new keys) collapses to the latest
+# change per key (max_by on (ts, op) — no window sort), then one full
+# join applies upserts and tombstones against the base. The reference's
+# DELETE-IN + INSERT upsert generalized. The oracle replays the
+# latest-change selection (row_number) and the apply decision table.
+# --------------------------------------------------------------------------
+CDC_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS cust_key, c_acctbal AS acctbal, c_mktsegment AS segment
+  FROM customer
+), changes AS (
+  SELECT c_custkey AS cust_key, 'U' AS op, c_acctbal + 100 AS acctbal,
+         c_mktsegment AS segment, 2 AS ts
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, 'U', c_acctbal + 200, c_mktsegment, 3
+  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey, 'D', c_acctbal, c_mktsegment, 1
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'I', CAST(7.5 AS DOUBLE), 'CDCNEW', 1
+  FROM customer WHERE c_custkey % 13 = 0
+), latest AS (
+  SELECT cust_key, op, acctbal, segment FROM (
+    SELECT *, row_number() OVER (PARTITION BY cust_key ORDER BY ts DESC, op DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+), j AS (
+  SELECT coalesce(b.cust_key, l.cust_key) AS cust_key,
+         b.acctbal AS b_bal, b.segment AS b_seg,
+         l.op, l.acctbal AS l_bal, l.segment AS l_seg
+  FROM base b FULL JOIN latest l ON b.cust_key = l.cust_key
+)
+SELECT cust_key,
+  CASE WHEN op IS NULL THEN b_bal ELSE l_bal END AS acctbal,
+  CASE WHEN op IS NULL THEN b_seg ELSE l_seg END AS segment
+FROM j
+WHERE op IS NULL OR op <> 'D'
+"""
+
+
+@query("q_cdc_apply", CDC_ORACLE)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.patterns import cdc_apply
+
+    cust = tables.load(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+    def ch(pred, op, bal, seg, ts):
+        return cust.filter(pred).select(
+            bal[0].alias("cust_key"), F.lit(op).alias("op"),
+            bal[1].alias("acctbal"), seg.alias("segment"),
+            F.lit(ts).alias("ts"),
+        )
+
+    k = F.col("c_custkey")
+    changes = (
+        ch(k % 7 == 0, "U", (k, F.col("c_acctbal") + 100), F.col("c_mktsegment"), 2)
+        .unionByName(
+            ch((k % 7 == 0) & (k % 3 == 0), "U", (k, F.col("c_acctbal") + 200), F.col("c_mktsegment"), 3)
+        )
+        .unionByName(
+            ch(k % 5 == 0, "D", (k, F.col("c_acctbal")), F.col("c_mktsegment"), 1)
+        )
+        .unionByName(
+            ch(k % 13 == 0, "I", (k + 1000000, F.lit(7.5).cast("double")), F.lit("CDCNEW"), 1)
+        )
+    )
+    return cdc_apply(base, changes, key="cust_key")

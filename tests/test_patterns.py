@@ -242,3 +242,22 @@ def test_scd2_merge_decision_table(spark):
         (9, 99.0, TS(1998, 1, 1), None),             # brand-new key
     }
     assert len(out) == len(rows)  # no duplicate versions anywhere
+
+
+def test_cdc_apply_decision_table(spark):
+    from forklift_spark.patterns import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, bal double"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "U", 11.0, 1), (1, "U", 12.0, 2),   # latest update wins
+            (2, "D", 0.0, 5), (2, "U", 21.0, 4),    # delete is latest -> gone
+            (4, "I", 40.0, 1),                      # insert new key
+            (5, "I", 50.0, 1), (5, "D", 0.0, 2),    # insert then delete -> gone
+        ],
+        "k long, op string, bal double, ts long",
+    )
+    out = {r.k: r.bal for r in cdc_apply(base, changes, key="k").collect()}
+    assert out == {1: 12.0, 3: 30.0, 4: 40.0}
