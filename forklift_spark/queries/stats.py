@@ -744,3 +744,45 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("long").alias("exact_cnt"),
         F.col("cms_est").cast("long").alias("cms_est"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_equidepth_histogram — equal-frequency (decile) histogram: exact
+# interpolated decile boundaries reduce the corpus to ONE 9-value row
+# (the same exact-percentile machinery as q_percentiles), broadcast back
+# for scan-side bucket assignment, then one groupBy. The equi-depth
+# companion to q_equiwidth_histogram that avoids the global sort an
+# ntile formulation would need — at 100 TB the only full-data passes
+# are the percentile aggregate and the bucketing scan.
+# --------------------------------------------------------------------------
+_DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
+
+EQUIDEPTH_ORACLE = f"""
+WITH b AS (
+  SELECT quantile_cont(value, {_DECILES}) AS bs FROM events
+), assigned AS (
+  SELECT e.value, 1 + len(list_filter(b.bs, x -> e.value > x)) AS bucket
+  FROM events e CROSS JOIN b
+)
+SELECT bucket,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  min(value) AS lo,
+  max(value) AS hi
+FROM assigned GROUP BY bucket
+"""
+
+
+@query("q_equidepth_histogram", EQUIDEPTH_ORACLE)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events").select("value")
+    frac = ", ".join(str(d) for d in _DECILES)
+    bounds = ev.agg(F.expr(f"percentile(value, array({frac}))").alias("bs"))
+    assigned = ev.crossJoin(F.broadcast(bounds)).select(
+        "value",
+        (1 + F.size(F.filter("bs", lambda x: F.col("value") > x))).alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
