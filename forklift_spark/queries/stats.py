@@ -786,3 +786,64 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_stream_cms_build — the Count-Min grid MAINTAINED BY THE STREAMING
+# ENGINE: the token stream (staged files, availableNow) explodes into
+# (row, bucket) cell increments and the sketch is a streaming groupBy
+# aggregation in complete mode. Because CMS cells are plain sums, the
+# streamed grid must equal the batch-built sketch cell-for-cell — the
+# oracle replays the batch build in DuckDB, certifying that streaming
+# sketch maintenance converges to the batch sketch (the mergeability
+# property live, not just asserted).
+# --------------------------------------------------------------------------
+STREAM_CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS t FROM documents
+), cnt AS (
+  SELECT t, count(*) AS c FROM tok WHERE t <> '' GROUP BY t
+), hrows AS (
+  SELECT unnest(range(0, 4)) AS i
+)
+SELECT i AS row, {_CMS_H.format(i='i', t='t')} AS bucket,
+       CAST(sum(c) AS BIGINT) AS cell
+FROM cnt CROSS JOIN hrows GROUP BY 1, 2
+"""
+
+
+@query("q_stream_cms_build", STREAM_CMS_ORACLE)
+def q_stream_cms_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from forklift_spark.operators.sketch import _bucket_array
+    from forklift_spark.operators.text import words
+
+    docs = tables.load(spark, sf_dir, "documents")
+    src = tempfile.mkdtemp(prefix="fk_stream_cms_")
+    docs.select("doc_id", "text").repartition(8).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    cells = (
+        stream.select(F.explode(words("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .select(F.posexplode(_bucket_array("token", 4, 512)).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    sink = f"stream_cms_{uuid.uuid4().hex[:8]}"
+    q = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(sink).select(
+        "row", "bucket", F.col("cell").cast("long").alias("cell")
+    )
