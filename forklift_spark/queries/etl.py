@@ -1092,3 +1092,58 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cdc_apply(base, changes, key="cust_key")
+
+
+# --------------------------------------------------------------------------
+# q_zorder_keys — the Z-order (Morton) clustering key itself, oracle-
+# certified: min/max bounds reduce to one broadcast row, each dimension
+# scales to a 16-bit rank (identical IEEE double expression in both
+# engines), and the interleave is 32 integer bit-terms the oracle
+# generator unrolls. This pins the math behind zorder_sort/compact
+# (operators/layout.py) — the layout OPTIMIZE pass stops being
+# rows-only trust.
+# --------------------------------------------------------------------------
+def _zorder_oracle(bits: int = 16) -> str:
+    def rank(col: str, lo: str, hi: str) -> str:
+        return (
+            f"least(CAST(floor(CASE WHEN ({hi} - {lo}) > 0 "
+            f"THEN (CAST({col} AS DOUBLE) - {lo}) / ({hi} - {lo}) ELSE 0.0 END "
+            f"* {1 << bits}.0) AS BIGINT), {(1 << bits) - 1})"
+        )
+
+    terms = " + ".join(
+        f"(((r{d} >> {j}) & 1) << {j * 2 + d})" for j in range(bits) for d in (0, 1)
+    )
+    return f"""
+WITH b AS (
+  SELECT min(CAST(user_id AS DOUBLE)) AS lo1, max(CAST(user_id AS DOUBLE)) AS hi1,
+         min(CAST(value AS DOUBLE)) AS lo2, max(CAST(value AS DOUBLE)) AS hi2
+  FROM events
+), r AS (
+  SELECT event_id,
+    {rank('user_id', 'lo1', 'hi1')} AS r0,
+    {rank('value', 'lo2', 'hi2')} AS r1
+  FROM events CROSS JOIN b
+)
+SELECT event_id, CAST({terms} AS BIGINT) AS z
+FROM r
+"""
+
+
+@query("q_zorder_keys", _zorder_oracle())
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.operators.layout import Z_BITS, _interleave, _to_rank
+
+    ev = tables.load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("user_id").cast("double")).alias("lo1"),
+        F.max(F.col("user_id").cast("double")).alias("hi1"),
+        F.min(F.col("value").cast("double")).alias("lo2"),
+        F.max(F.col("value").cast("double")).alias("hi2"),
+    )
+    wb = ev.crossJoin(F.broadcast(bounds))
+    ranks = [
+        _to_rank(F.col("user_id").cast("double"), F.col("lo1"), F.col("hi1"), Z_BITS),
+        _to_rank(F.col("value").cast("double"), F.col("lo2"), F.col("hi2"), Z_BITS),
+    ]
+    return wb.select("event_id", _interleave(ranks, Z_BITS).alias("z"))

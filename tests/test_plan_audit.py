@@ -48,6 +48,7 @@ _BNLJ_ALLOWED = {
     "q_hybrid_search",         # built on the brute-force top-k (same bound)
     "q_equiwidth_histogram",   # 1-row min/max bounds
     "q_equidepth_histogram",   # 1-row decile-boundary frame
+    "q_zorder_keys",           # 1-row min/max bounds frame
     "q22_global_sales_opp",    # 1-row scalar average
     "q_weighted_sample",       # 1-row max-weight normalizer
     "q_cooccurrence_lift",     # 1-row context-count normalizer
