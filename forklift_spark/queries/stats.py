@@ -847,3 +847,99 @@ def q_stream_cms_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         "row", "bucket", F.col("cell").cast("long").alias("cell")
     )
+
+
+# --------------------------------------------------------------------------
+# q_hll_portable — HyperLogLog with every step oracle-replayable: the
+# production rollup (operators/layout.py) rightly uses Spark's native
+# Datasketches HLL (binary sketches, rows-only check); this portable
+# twin certifies the sketch MATH cross-engine. 60-bit md5 hashes split
+# into 256 buckets + a 52-bit field whose leading-zero count (via the
+# engine-portable bin() length) gives rho; registers are max(rho); the
+# '__all__' row is the register-wise-max MERGE of all groups (the
+# mergeability property live); and the harmonic sum is kept EXACT by
+# scaling to integers (sum of 2^(53-M) fits in a BIGINT), so the only
+# double op is one final division. Raw estimate (no small/large-range
+# correction — documented) sits next to the exact distinct count.
+# --------------------------------------------------------------------------
+_HLL_H = "CAST('0x' || substr(md5('h:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)"
+# computed once in Python and embedded as the SAME scientific-notation
+# double literal on both sides: plain decimal literals parse as DECIMAL
+# (not DOUBLE) in both engines, with different division semantics
+_HLL_ALPHA = repr((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0)
+
+HLL_PORTABLE_ORACLE = f"""
+WITH h AS (
+  SELECT event_type, {_HLL_H} % 256 AS bucket, {_HLL_H} // 256 AS rest
+  FROM events
+), rho AS (
+  SELECT event_type, bucket,
+    CASE WHEN rest = 0 THEN 53 ELSE 52 - length(bin(rest)) + 1 END AS r
+  FROM h
+), regs AS (
+  SELECT event_type, bucket, max(r) AS m FROM rho GROUP BY 1, 2
+), merged AS (
+  SELECT '__all__' AS event_type, bucket, max(m) AS m FROM regs GROUP BY 2
+), allregs AS (
+  SELECT * FROM regs UNION ALL SELECT * FROM merged
+), agg AS (
+  SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n_registers_set,
+    (256 - count(*)) * 9007199254740992 + sum(CAST(1 AS BIGINT) << (53 - m)) AS s_scaled
+  FROM allregs GROUP BY 1
+), exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT '__all__', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+)
+SELECT a.event_type, a.n_registers_set,
+  CAST(a.s_scaled AS BIGINT) AS s_scaled,
+  round({_HLL_ALPHA} / a.s_scaled, 6) AS raw_estimate,
+  e.exact_distinct
+FROM agg a JOIN exact e USING (event_type)
+"""
+
+
+@query("q_hll_portable", HLL_PORTABLE_ORACLE)
+def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events").select("event_type", "user_id")
+    # Spark renders md5_long via conv(); the '0x'-cast form is DuckDB-only
+    h_spark = (
+        "CAST(conv(substr(md5('h:' || CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    h = ev.selectExpr(
+        "event_type",
+        f"{h_spark} % 256 AS bucket",
+        f"{h_spark} div 256 AS rest",
+    )
+    rho = h.selectExpr(
+        "event_type", "bucket",
+        "CASE WHEN rest = 0 THEN 53 ELSE 52 - length(bin(rest)) + 1 END AS r",
+    )
+    regs = rho.groupBy("event_type", "bucket").agg(F.max("r").alias("m"))
+    merged = regs.groupBy("bucket").agg(F.max("m").alias("m")).select(
+        F.lit("__all__").alias("event_type"), "bucket", "m"
+    )
+    allregs = regs.select("event_type", "bucket", "m").unionByName(merged)
+    agg = allregs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_registers_set"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m)")).alias("sum_set"),
+    ).selectExpr(
+        "event_type", "n_registers_set",
+        "(256 - n_registers_set) * 9007199254740992 + sum_set AS s_scaled",
+    )
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_distinct"))
+        .unionByName(
+            ev.agg(F.count_distinct("user_id").cast("bigint").alias("exact_distinct"))
+            .select(F.lit("__all__").alias("event_type"), "exact_distinct")
+        )
+    )
+    return agg.join(exact, "event_type").selectExpr(
+        "event_type", "n_registers_set",
+        "CAST(s_scaled AS BIGINT) AS s_scaled",
+        f"round({_HLL_ALPHA} / s_scaled, 6) AS raw_estimate",
+        "exact_distinct",
+    )
