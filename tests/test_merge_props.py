@@ -90,3 +90,35 @@ def test_scd2_merge_matches_model(spark, base, upd):
         if k not in base:
             want.add((k, v, T1, None))        # brand-new key
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    windows=st.lists(
+        st.tuples(keys, st.integers(0, 100), st.integers(0, 80)), max_size=6
+    ),
+    points=st.lists(st.tuples(keys, st.integers(0, 200)), max_size=12),
+    bin_s=st.sampled_from([7, 16, 60]),
+)
+def test_binned_range_join_matches_naive(spark, windows, points, bin_s):
+    from pyspark.sql import functions as F
+
+    from forklift_spark.operators.skew import binned_range_join
+
+    left = spark.createDataFrame(
+        [(i, f"k{k}", lo, lo + span + 1) for i, (k, lo, span) in enumerate(windows)]
+        or [(None, None, None, None)],
+        "lid long, k string, lo long, hi long",
+    ).filter("lid IS NOT NULL")
+    right = spark.createDataFrame(
+        [(f"k{k}", t) for k, t in points] or [(None, None)], "k string, rts long"
+    ).filter("k IS NOT NULL")
+    binned = binned_range_join(
+        left, right, keys=["k"], right_ts="rts", lo="lo", hi="hi", bin_seconds=bin_s
+    ).select("lid", "rts")
+    naive = (
+        left.join(right, "k")
+        .filter((F.col("rts") >= F.col("lo")) & (F.col("rts") < F.col("hi")))
+        .select("lid", "rts")
+    )
+    assert sorted(map(tuple, binned.collect())) == sorted(map(tuple, naive.collect()))
