@@ -120,6 +120,13 @@ HEADLINE = [
     "q_video_thumbnail",
     "q_domain_authority",
     "q_scd2_merge",
+    "q_cdc_apply",
+    "q_stream_sessionize",
+    "q_stream_cms_build",
+    "q_bpe_pair_stats",
+    "q_equidepth_histogram",
+    "q_hll_portable",
+    "q_zorder_keys",
 ]
 
 
