@@ -625,3 +625,66 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("_m", F.lit(False)).alias("exact_member"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_incremental_curation — day-2 of the curation pipeline: a new shard
+# (delta) dedupes against the ALREADY-CURATED corpus without rescanning
+# it. The corpus ships as a persisted fingerprint store (bucketed by
+# fingerprint via write_bucketed, written once and reused across runs —
+# the signature-table discipline), so the corpus side of the dup join
+# never shuffles; within-delta dups resolve by min-id survivor. Status
+# precedence: corpus dup > in-delta dup > kept. The oracle replays the
+# store from the closed-form corpus split and the full decision.
+# --------------------------------------------------------------------------
+INC_CURATION_ORACLE = f"""
+WITH fps AS (
+  SELECT doc_id, md5({NORM}) AS fp FROM documents
+), corpus AS (
+  SELECT DISTINCT fp FROM fps WHERE doc_id % 3 <> 0
+), delta AS (
+  SELECT doc_id, fp FROM fps WHERE doc_id % 3 = 0
+), firsts AS (
+  SELECT fp, min(doc_id) AS first_id FROM delta GROUP BY fp
+)
+SELECT d.doc_id, d.fp,
+  CASE WHEN c.fp IS NOT NULL THEN 'dup_vs_corpus'
+       WHEN d.doc_id <> f.first_id THEN 'dup_in_delta'
+       ELSE 'kept' END AS status
+FROM delta d
+LEFT JOIN corpus c ON c.fp = d.fp
+JOIN firsts f ON f.fp = d.fp
+"""
+
+
+@query("q_incremental_curation", INC_CURATION_ORACLE)
+def q_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from forklift_spark.operators.skew import write_bucketed
+
+    docs = tables.load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", D.fingerprint("text").alias("fp")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    store = f"corpus_fps_{tag}"
+    if not spark.catalog.tableExists(store):
+        write_bucketed(
+            corpus.select(D.fingerprint("text").alias("fp")).distinct(),
+            store, "fp", n_buckets=16,
+        )
+    corpus_fps = spark.table(store).withColumn("_in_corpus", F.lit(True))
+    firsts = delta.groupBy("fp").agg(F.min("doc_id").alias("first_id"))
+    return (
+        delta.join(corpus_fps, "fp", "left")
+        .join(firsts, "fp")
+        .select(
+            "doc_id", "fp",
+            F.when(F.col("_in_corpus"), "dup_vs_corpus")
+            .when(F.col("doc_id") != F.col("first_id"), "dup_in_delta")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
