@@ -127,6 +127,8 @@ HEADLINE = [
     "q_equidepth_histogram",
     "q_hll_portable",
     "q_zorder_keys",
+    "q_dsir_weights",
+    "q_unigram_xent",
 ]
 
 

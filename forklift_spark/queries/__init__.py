@@ -55,8 +55,8 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
     "text": [
         "q_text_token_stats", "q_text_quality", "q_lang_id",
         "q_gopher_quality", "q_sequence_pack", "q_winnow_fingerprint",
-        "q_tfidf_top_terms",
     ],
+    "selection": ["q_dsir_weights", "q_unigram_xent"],
     "etl": [
         "q_read_since", "q_upsert_merge", "q_schema_evolution",
         "q_hwm",
@@ -64,7 +64,7 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
     ],
     "analytics": [
         "q1_pricing_summary", "q5_region_revenue", "q7_volume_shipping",
-        "q13_order_distribution", "q_grouping_sets",
+        "q13_order_distribution",
     ],
     "connectors": [
         "q_csv_roundtrip", "q_jdbc_roundtrip", "q_dump_pipe_roundtrip",
@@ -134,6 +134,7 @@ def _load_all() -> None:
     from forklift_spark.queries import dedup  # noqa: F401
     from forklift_spark.queries import graph  # noqa: F401
     from forklift_spark.queries import multimodal  # noqa: F401
+    from forklift_spark.queries import selection  # noqa: F401
     from forklift_spark.queries import similarity  # noqa: F401
     from forklift_spark.queries import stats  # noqa: F401
     from forklift_spark.queries import text  # noqa: F401

@@ -1,0 +1,264 @@
+"""Data-selection queries: scoring operators that decide WHICH documents
+a training pipeline keeps (importance resampling, model-based quality),
+oracle-checked end to end.
+
+These are the published data-selection methods a 100 TB curation stack
+runs between dedup and assembly:
+
+- DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+  Language Models via Importance Resampling"): hashed n-gram bag-of-words
+  models of a target domain vs the raw pool; each raw doc gets a log
+  importance weight and the top slice is selected.
+- Unigram cross-entropy scoring: the classic CCNet/perplexity-filter
+  proxy — score each doc by its mean negative log-probability under a
+  corpus unigram LM.
+
+Engine-exactness: both scores are sums of logarithms — doubles, whose
+summation order Spark does not define. The trick used throughout:
+quantize each per-FEATURE log value to integer 1e-9 units FIRST
+(``CAST(FLOOR(ln(p) * 1e9) AS BIGINT)``), then aggregate BIGINTs —
+order-independent, hash-stable at any parallelism. The inputs to ``ln``
+are count ratios whose IEEE division is bit-defined, and ``ln`` itself
+was measured bit-identical between Spark (java.lang.Math.log) and DuckDB
+(libm) across the full ratio range used here — see NOTES_r3.md. This is
+the upgrade q_token_rarity's integer-rank proxy explicitly avoided before
+that parity was established.
+
+Scale notes: the bucketed feature models are B rows (constant) —
+broadcast join-backs; the token/feature explode aggregates with map-side
+combine; top-k selection is TakeOrderedAndProject (per-partition heaps),
+never a global sort. The unigram model is a vocabulary table — broadcast
+at test SF, a word-keyed shuffle join at 100 TB (distinct words, not
+occurrences, cross the wire; same discipline as q_bpe_pair_stats).
+
+Reference parity: the reference (taskrabbit/forklift) has no selection
+operators — this family is brief-scope (LLM-data-pipeline surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from forklift_spark import tables
+from forklift_spark.functions.hashing import md5_long, md5_long_sql
+from forklift_spark.operators import text as X
+from forklift_spark.queries import query
+from forklift_spark.queries.dedup import NORM
+
+_W = f"string_split({NORM}, ' ')"
+
+# --------------------------------------------------------------------------
+# q_dsir_weights — hashed n-gram importance resampling.
+#
+# Features: unigrams + word bigrams, hashed into B buckets (portable
+# md5 bucket, functions/hashing.py). Target = a fixed source slice;
+# raw = the rest. Per-bucket add-1-smoothed log-ratio
+# ln(p_target) - ln(p_raw), quantized to 1e-9 units; a raw doc's weight
+# is the BIGINT dot product of its bucket counts with the ratio vector.
+# Selection = top _DSIR_KEEP by (weight desc, doc_id) — deterministic
+# boundary, TakeOrderedAndProject.
+#
+# Plan shape at scale: two aggregations over the feature explode
+# (bucket-keyed, B buckets — tiny shuffle), the model join-back is a
+# B-row broadcast, the scalar totals are 1-row broadcasts (same
+# allowlisted shape as TPC-H q11/q15 thresholds). Nothing quadratic,
+# no global sort.
+# --------------------------------------------------------------------------
+_DSIR_B = 64          # feature buckets (10k+ at real scale; B is a constant)
+_DSIR_KEEP = 100      # selected slice size
+_DSIR_TARGET = ("src0", "src1", "src2", "src3", "src4")
+
+_TGT_IN = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+
+DSIR_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source, {_W} AS w FROM documents
+), feats AS (
+  SELECT doc_id, source IN ({_TGT_IN}) AS is_tgt,
+    unnest(list_concat(
+      w,
+      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+    )) AS feat
+  FROM w
+), bf AS (
+  SELECT doc_id, is_tgt, {md5_long_sql('feat')} % {_DSIR_B} AS bucket
+  FROM feats
+), tb AS (
+  SELECT bucket, count(*) AS ct FROM bf WHERE is_tgt GROUP BY bucket
+), rb AS (
+  SELECT bucket, count(*) AS cr FROM bf WHERE NOT is_tgt GROUP BY bucket
+), tot AS (
+  SELECT count(*) FILTER (WHERE is_tgt) AS t,
+         count(*) FILTER (WHERE NOT is_tgt) AS r
+  FROM bf
+), model AS (
+  SELECT rb.bucket,
+    CAST(FLOOR((
+      ln(CAST(coalesce(tb.ct, 0) + 1 AS DOUBLE) / CAST(tot.t + {_DSIR_B} AS DOUBLE))
+      - ln(CAST(rb.cr + 1 AS DOUBLE) / CAST(tot.r + {_DSIR_B} AS DOUBLE))
+    ) * 1e9) AS BIGINT) AS lr_units
+  FROM rb LEFT JOIN tb USING (bucket) CROSS JOIN tot
+), dcounts AS (
+  SELECT doc_id, bucket, count(*) AS c FROM bf WHERE NOT is_tgt
+  GROUP BY doc_id, bucket
+), weights AS (
+  SELECT d.doc_id,
+    CAST(SUM(d.c) AS BIGINT) AS n_feats,
+    CAST(SUM(d.c * m.lr_units) AS BIGINT) AS weight_units
+  FROM dcounts d JOIN model m USING (bucket)
+  GROUP BY d.doc_id
+), keep AS (
+  SELECT doc_id FROM weights
+  ORDER BY weight_units DESC, doc_id LIMIT {_DSIR_KEEP}
+)
+SELECT w.doc_id, w.n_feats, w.weight_units,
+  (k.doc_id IS NOT NULL) AS selected
+FROM weights w LEFT JOIN keep k USING (doc_id)
+"""
+
+
+@query("q_dsir_weights", DSIR_ORACLE)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.col("source").isin(*_DSIR_TARGET).alias("is_tgt"),
+        X.words("text").alias("w"),
+    )
+    feats = w.select(
+        "doc_id",
+        "is_tgt",
+        F.explode(
+            F.concat(
+                F.col("w"),
+                F.expr(
+                    "CASE WHEN size(w) >= 2 THEN "
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) "
+                    "ELSE array() END"
+                ),
+            )
+        ).alias("feat"),
+    )
+    bf = feats.select(
+        "doc_id", "is_tgt", (md5_long("feat") % _DSIR_B).alias("bucket")
+    )
+    tb = bf.filter("is_tgt").groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    rb = bf.filter(~F.col("is_tgt")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    tot = bf.agg(
+        F.count_if("is_tgt").alias("t"), F.count_if(~F.col("is_tgt")).alias("r")
+    )
+    model = (
+        rb.join(tb, "bucket", "left")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar totals (q11/q15 shape)
+        .select(
+            "bucket",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        / (F.col("t") + F.lit(_DSIR_B)).cast("double")
+                    )
+                    - F.log(
+                        (F.col("cr") + 1).cast("double")
+                        / (F.col("r") + F.lit(_DSIR_B)).cast("double")
+                    )
+                )
+                * F.lit(1e9)
+            ).alias("lr_units"),
+        )
+    )
+    dcounts = (
+        bf.filter(~F.col("is_tgt"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    weights = (
+        dcounts.join(F.broadcast(model), "bucket")  # model is <= B rows
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_feats"),
+            F.sum(F.col("c") * F.col("lr_units")).cast("bigint").alias("weight_units"),
+        )
+    )
+    keep = (
+        weights.orderBy(F.col("weight_units").desc(), "doc_id")
+        .limit(_DSIR_KEEP)
+        .select("doc_id", F.lit(True).alias("_k"))
+    )
+    return (
+        weights.join(F.broadcast(keep), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_feats",
+            "weight_units",
+            F.coalesce(F.col("_k"), F.lit(False)).alias("selected"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_unigram_xent — mean negative log-probability under a corpus unigram
+# LM (the perplexity-filter proxy: CCNet buckets CommonCrawl by exactly
+# this kind of score before training). Per-WORD NLL quantizes to 1e-9
+# units at the vocabulary level (one ln per DISTINCT word); a doc's score
+# is the BIGINT sum over its token occurrences, and the mean uses true
+# integer division (Spark `div` == DuckDB `//` — double `/`+cast diverges
+# past ~2^46, see operators/graph.py).
+#
+# Scale: the model is |vocab| rows — broadcast here; at 100 TB a
+# word-keyed shuffle join (distinct words cross the wire, not the token
+# stream; the token-side aggregation pre-combines map-side).
+# --------------------------------------------------------------------------
+XENT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_W}) AS tok FROM documents
+), wc AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t FROM wc
+), model AS (
+  SELECT tok,
+    CAST(FLOOR(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9) AS BIGINT)
+      AS nll_units
+  FROM wc CROSS JOIN tot
+)
+SELECT toks.doc_id,
+  CAST(count(*) AS BIGINT) AS n_toks,
+  CAST(SUM(m.nll_units) AS BIGINT) AS total_nll_units,
+  CAST(SUM(m.nll_units) AS BIGINT) // CAST(count(*) AS BIGINT) AS xent_units
+FROM toks JOIN model m ON toks.tok = m.tok
+GROUP BY toks.doc_id
+"""
+
+
+@query("q_unigram_xent", XENT_ORACLE)
+def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.words("text")).alias("tok"))
+    wc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = wc.agg(F.sum("c").cast("bigint").alias("t"))
+    model = wc.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            -F.log(F.col("c").cast("double") / F.col("t").cast("double"))
+            * F.lit(1e9)
+        ).alias("nll_units"),
+    )
+    return (
+        toks.join(F.broadcast(model), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.sum("nll_units").cast("bigint").alias("total_nll_units"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "total_nll_units",
+            F.expr("total_nll_units div n_toks").alias("xent_units"),
+        )
+    )

@@ -8,6 +8,7 @@ import forklift_spark.queries as q
 FAMILIES = {
     "analytics", "etl", "dedup", "similarity", "text", "stats",
     "timeseries", "multimodal", "connectors", "web", "graph",
+    "selection",
 }
 
 
@@ -27,9 +28,9 @@ def test_window_is_curated_and_oracle_backed():
 
 def test_every_prefix_has_family_spread():
     """Round-robin emission: the first cycle touches every family, so any
-    prefix of >= 11 entries checks all 11 families."""
+    prefix of >= 12 entries checks all 12 families."""
     cat = list(q.catalog())
-    assert _families(cat[:11]) == FAMILIES
+    assert _families(cat[:12]) == FAMILIES
     assert _families(cat[:50]) == FAMILIES
 
 
