@@ -129,6 +129,7 @@ HEADLINE = [
     "q_zorder_keys",
     "q_dsir_weights",
     "q_unigram_xent",
+    "q_quantile_sketch",
 ]
 
 

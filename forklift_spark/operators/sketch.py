@@ -138,3 +138,91 @@ def bloom_probe(
         .agg((F.count("_set") == n_hashes).alias("bloom_candidate"))
     )
     return hits
+
+
+# --------------------------------------------------------------------------
+# Quantile sketch: mergeable log-binned histogram (the fixed-memory
+# quantile estimator every 100 TB profiling pass needs — an exact
+# percentile is a global sort; percentile_approx is engine-specific and
+# oracle-unverifiable). Buckets are base-2 octaves refined by
+# ``mantissa_bits`` sub-buckets: a positive BIGINT v lands in
+# [lo, hi] where lo keeps the top mantissa_bits+1 significant bits of v
+# and hi fills the truncated low bits with ones. Relative width of every
+# bucket is <= 2^-mantissa_bits, so any rank-r interpolated estimate is
+# within that relative error of the true rank statistic. Bucketing is
+# integer-only (bit length via bin(), shifts via pow-of-2 division) —
+# engine-portable, no floats anywhere.
+#
+# Mergeability: a sketch is (lo, hi, cnt) rows; shard sketches merge by
+# summing cnt per bucket — associative/commutative, so per-executor
+# partials, per-shard sketches, and the global sketch are the same
+# object (test-pinned).
+#
+# Scale: the bucket space is bounded by construction (64 octaves x
+# 2^mantissa_bits), so the groupBy shuffles a few thousand cells at
+# most; quantile extraction runs a window over that bounded table, never
+# over the data.
+# --------------------------------------------------------------------------
+QSKETCH_MANTISSA_BITS = 5
+
+
+def qsketch_build(
+    df: DataFrame, value: str, mantissa_bits: int = QSKETCH_MANTISSA_BITS
+) -> DataFrame:
+    """(lo, hi, cnt) log-histogram of a positive BIGINT column."""
+    bits = F.length(F.bin(F.col(value)))
+    shift = F.greatest(bits - F.lit(mantissa_bits + 1), F.lit(0))
+    # 2^shift as BIGINT: pow() is exact for these exponents (< 2^53).
+    step = F.pow(F.lit(2.0), shift.cast("double")).cast("bigint")
+    return (
+        df.select(
+            (F.col(value).cast("bigint") - F.pmod(F.col(value).cast("bigint"), step))
+            .alias("lo"),
+            step.alias("_step"),
+        )
+        .select("lo", (F.col("lo") + F.col("_step") - 1).alias("hi"))
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def qsketch_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge shard sketches: cell-wise count addition."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("lo", "hi").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+def qsketch_quantiles(sketch: DataFrame, pcts: list[int]) -> DataFrame:
+    """Rank-interpolated quantile estimates from a sketch.
+
+    For each pct, rank r = ceil(n * pct / 100) (integer arithmetic), the
+    owning bucket is the first with cumulative count >= r, and the
+    estimate interpolates integer-exactly inside [lo, hi]. The window
+    runs over the bounded bucket table (see module note), the pct list
+    and the scalar total are broadcast."""
+    from pyspark.sql import Window as W
+
+    spark = sketch.sparkSession
+    cum = sketch.withColumn(
+        "cum", F.sum("cnt").over(W.orderBy("lo").rowsBetween(W.unboundedPreceding, 0))
+    )
+    tot = sketch.agg(F.sum("cnt").cast("bigint").alias("n"))
+    q = spark.createDataFrame([(p,) for p in pcts], "pct int")
+    ranks = q.crossJoin(F.broadcast(tot)).select(
+        "pct", "n", F.expr("(n * pct + 99) div 100").alias("r")
+    )
+    owner = (
+        ranks.join(F.broadcast(cum), F.col("cum") >= F.col("r"))
+        .groupBy("pct", "n", "r")
+        .agg(F.min_by(F.struct("lo", "hi", "cnt", "cum"), "lo").alias("b"))
+    )
+    return owner.select(
+        F.col("pct").cast("bigint").alias("pct"),
+        "n",
+        "r",
+        F.expr(
+            "b.lo + ((b.hi - b.lo) * (r - (b.cum - b.cnt))) div b.cnt"
+        ).alias("est"),
+    )

@@ -943,3 +943,59 @@ def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({_HLL_ALPHA} / s_scaled, 6) AS raw_estimate",
         "exact_distinct",
     )
+
+
+# --------------------------------------------------------------------------
+# q_quantile_sketch — mergeable log-binned quantile estimation
+# (operators/sketch.py:qsketch_build). The bounded-memory alternative to
+# a global-sort exact percentile: integer-only bucketing (bit length +
+# power-of-2 steps, both engine-portable), bounded bucket table, rank
+# interpolation in integer arithmetic. The oracle rebuilds the ENTIRE
+# sketch and replays the rank extraction, certifying bucket boundaries,
+# counts, and the interpolation formula cell-for-cell. Guaranteed
+# relative error <= 2^-5 per estimate (mantissa_bits=5); accuracy vs the
+# true rank statistic is test-pinned (tests/test_sketch.py).
+# --------------------------------------------------------------------------
+_QS_CENTS = "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+_QS_PCTS = (25, 50, 75, 90, 99)
+
+QSKETCH_ORACLE = f"""
+WITH v AS (
+  SELECT {_QS_CENTS} AS v FROM orders
+), b AS (
+  SELECT v,
+    greatest(length(bin(v)) - 6, 0) AS shift
+  FROM v
+), e AS (
+  SELECT v, CAST(pow(2.0, shift) AS BIGINT) AS step FROM b
+), buckets AS (
+  SELECT v - (v % step) AS lo, v - (v % step) + step - 1 AS hi,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM e GROUP BY 1, 2
+), cum AS (
+  SELECT lo, hi, cnt,
+    SUM(cnt) OVER (ORDER BY lo ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM buckets
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM buckets
+), ranks AS (
+  SELECT pct, n, (n * pct + 99) // 100 AS r
+  FROM (VALUES (25), (50), (75), (90), (99)) AS q(pct) CROSS JOIN tot
+), owner AS (
+  SELECT r.pct, r.n, r.r, min(c.lo) AS lo
+  FROM ranks r JOIN cum c ON c.cum >= r.r
+  GROUP BY r.pct, r.n, r.r
+)
+SELECT CAST(o.pct AS BIGINT) AS pct, o.n, CAST(o.r AS BIGINT) AS r,
+  CAST(c.lo + ((c.hi - c.lo) * (o.r - (c.cum - c.cnt))) // c.cnt AS BIGINT) AS est
+FROM owner o JOIN cum c ON o.lo = c.lo
+"""
+
+
+@query("q_quantile_sketch", QSKETCH_ORACLE)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.operators.sketch import qsketch_build, qsketch_quantiles
+
+    orders = tables.load(spark, sf_dir, "orders")
+    vals = orders.select(F.expr(_QS_CENTS).alias("v"))
+    return qsketch_quantiles(qsketch_build(vals, "v"), list(_QS_PCTS))

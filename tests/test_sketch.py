@@ -88,3 +88,44 @@ def test_bloom_probe_dedupes_repeated_keys(spark):
     bloom = K.bloom_build(members, "k")
     out = {r.k: r.bloom_candidate for r in K.bloom_probe(bloom, probes, "k").collect()}
     assert out == {"a": True, "b": False}
+
+
+# -- quantile sketch -------------------------------------------------------
+
+
+def _vals(spark, xs):
+    return spark.createDataFrame([(int(x),) for x in xs], "v long")
+
+
+def test_qsketch_relative_error_bound(spark):
+    # log-spaced + clustered values across 4 octaves
+    xs = [17, 100, 101, 102, 950, 1000, 5000, 50000, 50001] * 40
+    sk = K.qsketch_build(_vals(spark, xs), "v")
+    est = {r.pct: r.est for r in K.qsketch_quantiles(sk, [25, 50, 75, 90, 99]).collect()}
+    xs_sorted = sorted(xs)
+    n = len(xs)
+    for pct, e in est.items():
+        r = (n * pct + 99) // 100
+        true = xs_sorted[r - 1]
+        assert abs(e - true) <= max(true * 2 ** -5, 1), (pct, e, true)
+
+
+def test_qsketch_bucket_width_is_relative(spark):
+    sk = K.qsketch_build(_vals(spark, [1, 2, 3, 63, 64, 65, 2**40, 2**40 + 7]), "v")
+    for r in sk.collect():
+        width = r.hi - r.lo + 1
+        assert r.lo % width == 0  # aligned power-of-2 bucket
+        assert width <= max(r.lo >> 5, 1) or r.lo < 64  # <= 2^-5 relative
+
+
+def test_qsketch_shards_merge_to_global(spark):
+    xs = [(i * 37) % 9973 + 1 for i in range(2000)]
+    whole = K.qsketch_build(_vals(spark, xs), "v")
+    shards = [K.qsketch_build(_vals(spark, xs[i::3]), "v") for i in range(3)]
+    merged = K.qsketch_merge(*shards)
+    a = {(r.lo, r.hi): r.cnt for r in whole.collect()}
+    b = {(r.lo, r.hi): r.cnt for r in merged.collect()}
+    assert a == b
+    qa = {r.pct: r.est for r in K.qsketch_quantiles(whole, [50, 90]).collect()}
+    qb = {r.pct: r.est for r in K.qsketch_quantiles(merged, [50, 90]).collect()}
+    assert qa == qb
