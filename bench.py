@@ -130,6 +130,7 @@ HEADLINE = [
     "q_dsir_weights",
     "q_unigram_xent",
     "q_quantile_sketch",
+    "q_subword_encode",
 ]
 
 

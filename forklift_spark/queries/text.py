@@ -1056,3 +1056,129 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# q_subword_encode — greedy longest-match subword tokenization (the
+# inference side of tokenizer training; q_bpe_pair_stats is the training
+# statistic). Vocabulary = every corpus character + the top-K character
+# n-grams (2..4) by occurrence-weighted frequency with a deterministic
+# tie break; encoding walks each word left-to-right taking the longest
+# vocabulary match (WordPiece-style greedy decode — single-char entries
+# guarantee termination).
+#
+# Scale discipline: everything runs over DISTINCT words (wc collapses
+# occurrences first — the same vocabulary-not-token-stream shuffle rule
+# as q_bpe_pair_stats), the vocab is a K+alphabet-row broadcast array,
+# and the encode itself is ONE JVM `aggregate` HOF fold per distinct
+# word — no Python, no shuffle, no recursion in the engine. The DuckDB
+# oracle replays the greedy walk with a recursive CTE (depth = max word
+# length), certifying every emitted token string, not just counts.
+# --------------------------------------------------------------------------
+_SW_K = 12  # merged n-gram vocabulary entries (constant; 30k+ for a real BPE)
+
+SUBWORD_ORACLE = f"""
+WITH RECURSIVE words AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest({_W}) AS w FROM documents)
+  GROUP BY w
+), chars AS (
+  SELECT DISTINCT unnest(list_transform(range(1, length(w) + 1),
+    i -> substring(w, CAST(i AS INT), 1))) AS v
+  FROM words
+), grams AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, length(w)),
+      i -> substring(w, CAST(i AS INT), 2))) AS g, c FROM words
+    UNION ALL
+    SELECT unnest(list_transform(range(1, length(w) - 1),
+      i -> substring(w, CAST(i AS INT), 3))) AS g, c FROM words WHERE length(w) >= 3
+    UNION ALL
+    SELECT unnest(list_transform(range(1, length(w) - 2),
+      i -> substring(w, CAST(i AS INT), 4))) AS g, c FROM words WHERE length(w) >= 4
+  ) GROUP BY g ORDER BY cnt DESC, g LIMIT {_SW_K}
+), vocab AS (
+  SELECT v FROM chars UNION ALL SELECT g FROM grams
+), enc AS (
+  SELECT w, 1 AS pos, CAST([] AS VARCHAR[]) AS toks FROM words
+  UNION ALL
+  SELECT w, pos + length(ch) AS pos, list_append(toks, ch) AS toks FROM (
+    SELECT w, pos, toks,
+      CASE WHEN substring(w, pos, 4) IN (SELECT v FROM vocab) THEN substring(w, pos, 4)
+           WHEN substring(w, pos, 3) IN (SELECT v FROM vocab) THEN substring(w, pos, 3)
+           WHEN substring(w, pos, 2) IN (SELECT v FROM vocab) THEN substring(w, pos, 2)
+           ELSE substring(w, pos, 1) END AS ch
+    FROM enc WHERE pos <= length(w))
+)
+SELECT e.w, CAST(words.c AS BIGINT) AS c,
+  array_to_string(e.toks, '|') AS enc,
+  CAST(len(e.toks) AS BIGINT) AS n_toks
+FROM enc e JOIN words USING (w) WHERE e.pos > length(e.w)
+"""
+
+_SW_CHOSEN = (
+    "CASE WHEN array_contains(v, substring(w, acc.pos, 4)) THEN substring(w, acc.pos, 4) "
+    "WHEN array_contains(v, substring(w, acc.pos, 3)) THEN substring(w, acc.pos, 3) "
+    "WHEN array_contains(v, substring(w, acc.pos, 2)) THEN substring(w, acc.pos, 2) "
+    "ELSE substring(w, acc.pos, 1) END"
+)
+
+_SW_FOLD = (
+    "aggregate(sequence(1, length(w)), "
+    "named_struct('pos', 1, 'toks', cast(array() as array<string>)), "
+    "(acc, i) -> IF(i != acc.pos, acc, named_struct("
+    f"'pos', acc.pos + length({_SW_CHOSEN}), "
+    f"'toks', concat(acc.toks, array({_SW_CHOSEN})))), "
+    "acc -> acc.toks)"
+)
+
+
+@query("q_subword_encode", SUBWORD_ORACLE)
+def q_subword_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(X.words("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    chars = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        ).alias("g")
+    )
+    grams = chars.limit(0)
+    for l in (2, 3, 4):
+        grams = grams.unionByName(
+            wc.filter(F.length("w") >= l)
+            .select(
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, length(w) - {l - 1}), "
+                        f"i -> substring(w, i, {l}))"
+                    )
+                ).alias("g"),
+                "c",
+            )
+            .groupBy("g")
+            .agg(F.sum("c").alias("cnt")),
+            allowMissingColumns=True,
+        )
+    topk = (
+        grams.groupBy("g").agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "g")
+        .limit(_SW_K)
+        .select("g")
+    )
+    vocab = chars.distinct().select(F.col("g").alias("v")).unionByName(
+        topk.select(F.col("g").alias("v"))
+    )
+    varr = vocab.agg(F.sort_array(F.collect_set("v")).alias("v"))
+    return (
+        wc.crossJoin(F.broadcast(varr))  # bounded: alphabet + K entries
+        .select("w", "c", F.expr(_SW_FOLD).alias("toks"))
+        .select(
+            "w",
+            "c",
+            F.array_join("toks", "|").alias("enc"),
+            F.size("toks").cast("bigint").alias("n_toks"),
+        )
+    )

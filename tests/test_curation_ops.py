@@ -96,3 +96,17 @@ def test_winnowing_short_text_yields_no_fingerprints(spark):
     df = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
     assert winnow_fingerprints(df, k=8, w=4).count() == 0
 
+
+
+def test_subword_encode_greedy_longest_match(spark):
+    from forklift_spark.queries.text import q_subword_encode
+    from tests.conftest import SF_DIR
+
+    rows = {r.w: r for r in q_subword_encode(spark, SF_DIR).collect()}
+    for w, r in rows.items():
+        toks = r.enc.split("|")
+        assert "".join(toks) == w           # lossless round trip
+        assert r.n_toks == len(toks)
+        assert all(1 <= len(t) <= 4 for t in toks)
+    # the n-gram vocabulary must actually compress something
+    assert any(r.n_toks < len(w) for w, r in rows.items() if len(w) >= 3)
