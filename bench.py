@@ -131,6 +131,7 @@ HEADLINE = [
     "q_unigram_xent",
     "q_quantile_sketch",
     "q_subword_encode",
+    "q_grouped_quantiles",
 ]
 
 

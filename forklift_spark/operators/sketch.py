@@ -167,61 +167,84 @@ QSKETCH_MANTISSA_BITS = 5
 
 
 def qsketch_build(
-    df: DataFrame, value: str, mantissa_bits: int = QSKETCH_MANTISSA_BITS
+    df: DataFrame,
+    value: str,
+    mantissa_bits: int = QSKETCH_MANTISSA_BITS,
+    by: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(lo, hi, cnt) log-histogram of a positive BIGINT column."""
+    """(*by, lo, hi, cnt) log-histogram of a positive BIGINT column.
+
+    With ``by`` keys this is the per-group profile: one bounded bucket
+    set per key, aggregated in a single keyed shuffle."""
     bits = F.length(F.bin(F.col(value)))
     shift = F.greatest(bits - F.lit(mantissa_bits + 1), F.lit(0))
     # 2^shift as BIGINT: pow() is exact for these exponents (< 2^53).
     step = F.pow(F.lit(2.0), shift.cast("double")).cast("bigint")
     return (
         df.select(
+            *by,
             (F.col(value).cast("bigint") - F.pmod(F.col(value).cast("bigint"), step))
             .alias("lo"),
             step.alias("_step"),
         )
-        .select("lo", (F.col("lo") + F.col("_step") - 1).alias("hi"))
-        .groupBy("lo", "hi")
+        .select(*by, "lo", (F.col("lo") + F.col("_step") - 1).alias("hi"))
+        .groupBy(*by, "lo", "hi")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
 
 
-def qsketch_merge(*sketches: DataFrame) -> DataFrame:
+def qsketch_merge(*sketches: DataFrame, by: tuple[str, ...] = ()) -> DataFrame:
     """Merge shard sketches: cell-wise count addition."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("lo", "hi").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    return out.groupBy(*by, "lo", "hi").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
 
 
-def qsketch_quantiles(sketch: DataFrame, pcts: list[int]) -> DataFrame:
-    """Rank-interpolated quantile estimates from a sketch.
+def qsketch_quantiles(
+    sketch: DataFrame, pcts: list[int], by: tuple[str, ...] = ()
+) -> DataFrame:
+    """Rank-interpolated quantile estimates from a sketch (per ``by``
+    group when keys are given).
 
     For each pct, rank r = ceil(n * pct / 100) (integer arithmetic), the
     owning bucket is the first with cumulative count >= r, and the
-    estimate interpolates integer-exactly inside [lo, hi]. The window
-    runs over the bounded bucket table (see module note), the pct list
-    and the scalar total are broadcast."""
+    estimate interpolates integer-exactly inside [lo, hi]. The cum
+    window partitions by the group keys (ungrouped: one bounded bucket
+    table, see module note); the pct list and per-group totals are
+    broadcast."""
     from pyspark.sql import Window as W
 
     spark = sketch.sparkSession
+    w = (W.partitionBy(*by) if by else W).orderBy("lo")
     cum = sketch.withColumn(
-        "cum", F.sum("cnt").over(W.orderBy("lo").rowsBetween(W.unboundedPreceding, 0))
+        "cum", F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding, 0))
     )
-    tot = sketch.agg(F.sum("cnt").cast("bigint").alias("n"))
+    tot = sketch.groupBy(*by).agg(F.sum("cnt").cast("bigint").alias("n"))
     q = spark.createDataFrame([(p,) for p in pcts], "pct int")
-    ranks = q.crossJoin(F.broadcast(tot)).select(
-        "pct", "n", F.expr("(n * pct + 99) div 100").alias("r")
+    ranks = tot.crossJoin(F.broadcast(q)).select(
+        *by, "pct", "n", F.expr("(n * pct + 99) div 100").alias("r")
     )
+    cond = F.col("c.cum") >= F.col("r.r")
+    for k in by:
+        cond = cond & (F.col(f"c.{k}") == F.col(f"r.{k}"))
+    # ungrouped: bounded bucket table -> broadcast. Grouped: the key
+    # equality carries the join (hash-partitioned, range as post-filter),
+    # so high-cardinality key spaces never broadcast.
+    cum_side = cum.alias("c") if by else F.broadcast(cum.alias("c"))
     owner = (
-        ranks.join(F.broadcast(cum), F.col("cum") >= F.col("r"))
-        .groupBy("pct", "n", "r")
-        .agg(F.min_by(F.struct("lo", "hi", "cnt", "cum"), "lo").alias("b"))
+        ranks.alias("r")
+        .join(cum_side, cond)
+        .groupBy(*[F.col(f"r.{k}") for k in by], "r.pct", "r.n", "r.r")
+        .agg(F.min_by(F.struct("c.lo", "c.hi", "c.cnt", "c.cum"), "c.lo").alias("b"))
     )
     return owner.select(
+        *by,
         F.col("pct").cast("bigint").alias("pct"),
         "n",
-        "r",
+        F.col("r").cast("bigint").alias("r"),
         F.expr(
             "b.lo + ((b.hi - b.lo) * (r - (b.cum - b.cnt))) div b.cnt"
         ).alias("est"),

@@ -999,3 +999,57 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = tables.load(spark, sf_dir, "orders")
     vals = orders.select(F.expr(_QS_CENTS).alias("v"))
     return qsketch_quantiles(qsketch_build(vals, "v"), list(_QS_PCTS))
+
+
+# --------------------------------------------------------------------------
+# q_grouped_quantiles — per-key quantile estimation from the same
+# mergeable log-binned sketch, the properly-partitioned 100 TB shape:
+# one keyed shuffle builds every group's bounded bucket set, the cum
+# window partitions BY KEY (never a global window), and the owner join
+# rides the key equality (hash join; the rank range is a post-filter) so
+# high-cardinality key spaces never broadcast. Oracle replays per-key
+# buckets, windowed cumulative counts, and rank interpolation.
+# --------------------------------------------------------------------------
+GROUPED_Q_ORACLE = f"""
+WITH v AS (
+  SELECT o_orderpriority AS grp, {_QS_CENTS} AS v FROM orders
+), e AS (
+  SELECT grp, v,
+    CAST(pow(2.0, greatest(length(bin(v)) - 6, 0)) AS BIGINT) AS step
+  FROM v
+), buckets AS (
+  SELECT grp, v - (v % step) AS lo, v - (v % step) + step - 1 AS hi,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM e GROUP BY 1, 2, 3
+), cum AS (
+  SELECT grp, lo, hi, cnt,
+    SUM(cnt) OVER (PARTITION BY grp ORDER BY lo
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM buckets
+), tot AS (
+  SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM buckets GROUP BY grp
+), ranks AS (
+  SELECT grp, pct, n, (n * pct + 99) // 100 AS r
+  FROM (VALUES (50), (90), (99)) AS q(pct) CROSS JOIN tot
+), owner AS (
+  SELECT r.grp, r.pct, r.n, r.r, min(c.lo) AS lo
+  FROM ranks r JOIN cum c ON c.grp = r.grp AND c.cum >= r.r
+  GROUP BY r.grp, r.pct, r.n, r.r
+)
+SELECT o.grp, CAST(o.pct AS BIGINT) AS pct, o.n, CAST(o.r AS BIGINT) AS r,
+  CAST(c.lo + ((c.hi - c.lo) * (o.r - (c.cum - c.cnt))) // c.cnt AS BIGINT) AS est
+FROM owner o JOIN cum c ON o.grp = c.grp AND o.lo = c.lo
+"""
+
+
+@query("q_grouped_quantiles", GROUPED_Q_ORACLE)
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.operators.sketch import qsketch_build, qsketch_quantiles
+
+    orders = tables.load(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.col("o_orderpriority").alias("grp"), F.expr(_QS_CENTS).alias("v")
+    )
+    return qsketch_quantiles(
+        qsketch_build(vals, "v", by=("grp",)), [50, 90, 99], by=("grp",)
+    )

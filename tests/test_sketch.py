@@ -129,3 +129,19 @@ def test_qsketch_shards_merge_to_global(spark):
     qa = {r.pct: r.est for r in K.qsketch_quantiles(whole, [50, 90]).collect()}
     qb = {r.pct: r.est for r in K.qsketch_quantiles(merged, [50, 90]).collect()}
     assert qa == qb
+
+
+def test_qsketch_grouped_matches_per_group_ungrouped(spark):
+    xs = [("a", (i * 13) % 997 + 1) for i in range(600)]
+    xs += [("b", (i * 7) % 89 + 1) for i in range(400)]
+    df = spark.createDataFrame(xs, "grp string, v long")
+    grouped = K.qsketch_quantiles(
+        K.qsketch_build(df, "v", by=("grp",)), [50, 90], by=("grp",)
+    )
+    got = {(r.grp, r.pct): (r.n, r.r, r.est) for r in grouped.collect()}
+    for g in ("a", "b"):
+        solo = K.qsketch_quantiles(
+            K.qsketch_build(df.filter(F.col("grp") == g), "v"), [50, 90]
+        )
+        for r in solo.collect():
+            assert got[(g, r.pct)] == (r.n, r.r, r.est)
