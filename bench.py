@@ -132,6 +132,7 @@ HEADLINE = [
     "q_quantile_sketch",
     "q_subword_encode",
     "q_grouped_quantiles",
+    "q_table_checksum",
 ]
 
 

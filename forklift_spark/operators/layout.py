@@ -138,3 +138,38 @@ def distinct_sketch_rollup(
         .drop("sk")
     )
     return fine_est, coarse
+
+
+# --------------------------------------------------------------------------
+# Table fingerprint: order-independent multiset checksum for copy /
+# migration validation. Comparing a 100 TB source against its replica
+# with EXCEPT or a sorted diff is a full shuffle of both sides; the
+# fingerprint reduces each side to `buckets` rows (bucket, n_rows,
+# xor-of-row-hashes) computed scan-side — compare the two tiny frames
+# and any difference localizes to a bucket (re-fingerprint that bucket
+# with more buckets to bisect further). XOR is commutative/associative
+# (order-independent at any parallelism) and self-inverse — a flipped
+# pair of rows cancels in the checksum but not in n_rows, so the
+# (count, xor) PAIR is the verdict. Hashing is the engine-portable md5
+# family, so an INDEPENDENT engine can fingerprint its side (the oracle
+# replays it; that is exactly the cross-system copy-validation story).
+# Nulls: concat_ws drops nulls silently (ambiguous), so every column is
+# null-sentineled before concatenation.
+# --------------------------------------------------------------------------
+def table_fingerprint(
+    df: DataFrame, cols: list[str], buckets: int = 16
+) -> DataFrame:
+    from forklift_spark.functions.hashing import md5_long
+
+    canon = F.concat_ws(
+        "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    h = md5_long(canon)
+    return (
+        df.select(F.pmod(h, F.lit(buckets)).alias("bucket"), h.alias("_h"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr("bit_xor(_h)").alias("checksum"),
+        )
+    )

@@ -1147,3 +1147,43 @@ def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         _to_rank(F.col("value").cast("double"), F.col("lo2"), F.col("hi2"), Z_BITS),
     ]
     return wb.select("event_id", _interleave(ranks, Z_BITS).alias("z"))
+
+
+# --------------------------------------------------------------------------
+# q_table_checksum — order-independent multiset fingerprint of lineitem
+# (operators/layout.py:table_fingerprint): 16 rows of (bucket, n_rows,
+# xor-of-row-md5) replace a full-shuffle EXCEPT for copy/migration
+# validation; a mismatch localizes to a bucket. The oracle IS the
+# use-case: an independent engine fingerprints the same table and must
+# match checksum-for-checksum (cross-system replica validation).
+# Doubles are excluded from the canonical string (double->string
+# formatting is not engine-portable); keys, flags, and dates cover
+# row identity for this table.
+# --------------------------------------------------------------------------
+_FP_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_returnflag", "l_linestatus",
+]
+
+CHECKSUM_ORACLE = f"""
+WITH h AS (
+  SELECT CAST('0x' || substr(md5(concat_ws(chr(1),
+    {", ".join(f"coalesce(CAST({c} AS VARCHAR), chr(0))" for c in _FP_COLS)},
+    coalesce(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), chr(0))
+  )), 1, 15) AS BIGINT) AS h
+  FROM lineitem
+)
+SELECT h % 16 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+  bit_xor(h) AS checksum
+FROM h GROUP BY 1
+"""
+
+
+@query("q_table_checksum", CHECKSUM_ORACLE)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.operators.layout import table_fingerprint
+
+    li = tables.load(spark, sf_dir, "lineitem").withColumn(
+        "ship_day", F.col("l_shipdate").cast("date").cast("string")
+    )
+    return table_fingerprint(li, _FP_COLS + ["ship_day"], buckets=16)

@@ -106,3 +106,27 @@ def test_hll_rollup_error_and_merge_consistency(spark):
         # differ — but register content is near-identical)
         assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])
         assert abs(est - direct[et]) / max(direct[et], 1) < 0.02, (et, est, direct[et])
+
+
+def test_table_fingerprint_validates_copies(spark):
+    from forklift_spark.operators.layout import table_fingerprint
+
+    rows = [(i, f"name{i % 7}") for i in range(500)]
+    src = spark.createDataFrame(rows, "id long, name string")
+    fp = lambda df: {
+        r.bucket: (r.n_rows, r.checksum)
+        for r in table_fingerprint(df, ["id", "name"], buckets=8).collect()
+    }
+    base = fp(src)
+    # identical copy in a different row order -> identical fingerprint
+    shuffled = spark.createDataFrame(list(reversed(rows)), "id long, name string")
+    assert fp(shuffled.repartition(7)) == base
+    # one mutated row -> exactly the affected bucket(s) differ
+    mutated = spark.createDataFrame(
+        rows[:-1] + [(499, "CORRUPT")], "id long, name string"
+    )
+    diff = {b for b in base if fp(mutated).get(b) != base[b]}
+    assert 1 <= len(diff) <= 2
+    # a dropped row changes n_rows even if xor were to cancel
+    dropped = spark.createDataFrame(rows[:-1], "id long, name string")
+    assert sum(n for n, _ in fp(dropped).values()) == 499
