@@ -57,6 +57,11 @@ _BNLJ_ALLOWED = {
     "q_skew_audit",            # 1-row scalar table total
     "q11_important_stock",     # 1-row scalar total-value threshold
     "q15_top_supplier",        # 1-row scalar max-revenue frame
+    "q_dsir_weights",          # 1-row feature-total scalars into the B-row model
+    "q_unigram_xent",          # 1-row corpus-token total into the vocab model
+    "q_subword_encode",        # 1-row collected-vocabulary array frame
+    "q_quantile_sketch",       # pct list x bounded bucket table (rank range join)
+    "q_grouped_quantiles",     # per-key totals x 3-row pct list
 }
 
 
