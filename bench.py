@@ -133,6 +133,8 @@ HEADLINE = [
     "q_subword_encode",
     "q_grouped_quantiles",
     "q_table_checksum",
+    "q_stream_qsketch",
+    "q_k_anonymity",
 ]
 
 

@@ -1053,3 +1053,120 @@ def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qsketch_quantiles(
         qsketch_build(vals, "v", by=("grp",)), [50, 90, 99], by=("grp",)
     )
+
+
+# --------------------------------------------------------------------------
+# q_stream_qsketch — the log-binned quantile sketch MAINTAINED BY THE
+# STREAMING ENGINE: order values arrive in staged micro-batches and the
+# bucket grid is a streaming groupBy in complete mode. Bucket counts are
+# plain sums, so the streamed sketch must equal the batch-built sketch
+# cell-for-cell (the same live-mergeability certification as
+# q_stream_cms_build, for the quantile-profiling sketch). The oracle
+# replays the batch bucket build.
+# --------------------------------------------------------------------------
+STREAM_QSKETCH_ORACLE = f"""
+WITH v AS (
+  SELECT {_QS_CENTS} AS v FROM orders
+), e AS (
+  SELECT v, CAST(pow(2.0, greatest(length(bin(v)) - 6, 0)) AS BIGINT) AS step
+  FROM v
+)
+SELECT v - (v % step) AS lo, v - (v % step) + step - 1 AS hi,
+  CAST(count(*) AS BIGINT) AS cnt
+FROM e GROUP BY 1, 2
+"""
+
+
+@query("q_stream_qsketch", STREAM_QSKETCH_ORACLE)
+def q_stream_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    orders = tables.load(spark, sf_dir, "orders")
+    src = tempfile.mkdtemp(prefix="fk_stream_qs_")
+    orders.select(F.expr(_QS_CENTS).alias("v")).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("v long")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    bits = F.length(F.bin(F.col("v")))
+    step = F.pow(F.lit(2.0), F.greatest(bits - F.lit(6), F.lit(0)).cast("double")).cast(
+        "bigint"
+    )
+    cells = (
+        stream.select(
+            (F.col("v") - F.pmod("v", step)).alias("lo"), step.alias("_step")
+        )
+        .select("lo", (F.col("lo") + F.col("_step") - 1).alias("hi"))
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sink = f"stream_qs_{uuid.uuid4().hex[:8]}"
+    q = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(sink).select(
+        "lo", "hi", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_k_anonymity — re-identification risk audit (Sweeney's k-anonymity):
+# group the table by its quasi-identifier combination and report the
+# group-size distribution plus which equivalence classes fall below
+# k=5 (every row in such a class is re-identifiable within < k
+# candidates). The acctbal quasi-identifier is generalized to $100
+# bands scan-side (floor of an IEEE-exact double division — portable).
+# Plan: one keyed aggregation, then a bounded size-histogram
+# aggregation — scan + two tiny shuffles at any scale. The governance
+# preflight before releasing a curated dataset with demographic-like
+# columns.
+# --------------------------------------------------------------------------
+_KANON_K = 5
+
+KANON_ORACLE = f"""
+WITH q AS (
+  SELECT c_nationkey, c_mktsegment,
+    CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) * 100 AS bal_band
+  FROM customer
+), classes AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS sz
+  FROM q GROUP BY 1, 2, 3
+)
+SELECT CAST(sz AS BIGINT) AS group_size,
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sz * count(*) AS BIGINT) AS n_rows,
+  (sz < {_KANON_K}) AS below_k
+FROM classes GROUP BY sz
+"""
+
+
+@query("q_k_anonymity", KANON_ORACLE)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer")
+    classes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            (F.floor(F.col("c_acctbal") / 100.0) * 100).alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return classes.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        (F.col("sz") * F.count(F.lit(1))).cast("bigint").alias("n_rows"),
+    ).select(
+        F.col("sz").cast("bigint").alias("group_size"),
+        "n_groups",
+        "n_rows",
+        (F.col("sz") < _KANON_K).alias("below_k"),
+    )

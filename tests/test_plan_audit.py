@@ -24,6 +24,7 @@ from tests.conftest import SF_DIR
 # execute work at DataFrame-build time (stream run / centroid collect);
 # audited by their dedicated tests instead
 _BUILDS_EXECUTE = {
+    "q_stream_qsketch",
     "q_stream_windowed_counts",
     "q_kmeans_clusters",
     "q_ann_ivf_topk",
