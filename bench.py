@@ -135,6 +135,7 @@ HEADLINE = [
     "q_table_checksum",
     "q_stream_qsketch",
     "q_k_anonymity",
+    "q_bm25_search",
 ]
 
 

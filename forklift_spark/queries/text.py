@@ -1182,3 +1182,88 @@ def q_subword_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("toks").cast("bigint").alias("n_toks"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_bm25_search — Okapi BM25 retrieval (k1=1.2, b=0.75) for a fixed
+# query term set: the scoring function behind every lexical search
+# engine, completing the IR story next to q_tfidf_top_terms (which used
+# a linear idf before cross-engine ln-parity was established) and
+# q_hybrid_search. Per-(doc, term) partial scores quantize to integer
+# 1e-9 units BEFORE the per-doc sum (BIGINT — order-independent); the
+# float expression is ONE SHARED SQL STRING evaluated by both engines
+# (constants in scientific notation — plain decimal literals parse as
+# DECIMAL with different division semantics, see SCALING.md).
+#
+# Scale: tf aggregates only the query-term hits (scan filter first),
+# df and the avgdl scalar are bounded broadcasts, doc length is one
+# doc-keyed aggregation, top-k is TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("data", "batch", "column")
+_BM25_TOPK = 20
+# shared Spark-SQL/DuckDB expression over columns: tf, df, dl, n, avgdl
+_BM25_UNIT = (
+    "CAST(FLOOR(ln(1e0 + (CAST(n - df AS DOUBLE) + 5e-1) / (CAST(df AS DOUBLE) + 5e-1))"
+    " * (CAST(tf AS DOUBLE) * 2.2e0)"
+    " / (CAST(tf AS DOUBLE) + 1.2e0 * (1e0 - 7.5e-1 + 7.5e-1 * CAST(dl AS DOUBLE) / avgdl))"
+    " * 1e9) AS BIGINT)"
+)
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_W}) AS tok FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE tok IN ({_BM25_IN}) GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+), scal AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+), scored AS (
+  SELECT tf.doc_id, {_BM25_UNIT} AS unit
+  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN scal
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+  CAST(SUM(unit) AS BIGINT) AS score_units
+FROM scored GROUP BY doc_id
+ORDER BY score_units DESC, doc_id LIMIT {_BM25_TOPK}
+"""
+
+
+@query("q_bm25_search", BM25_ORACLE)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.words("text")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scal = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .select("doc_id", F.expr(_BM25_UNIT).alias("unit"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("unit").cast("bigint").alias("score_units"),
+        )
+        .orderBy(F.col("score_units").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )

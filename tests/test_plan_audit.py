@@ -63,6 +63,7 @@ _BNLJ_ALLOWED = {
     "q_subword_encode",        # 1-row collected-vocabulary array frame
     "q_quantile_sketch",       # pct list x bounded bucket table (rank range join)
     "q_grouped_quantiles",     # per-key totals x 3-row pct list
+    "q_bm25_search",           # 1-row (N, avgdl) scalar frame
 }
 
 
