@@ -136,6 +136,7 @@ HEADLINE = [
     "q_stream_qsketch",
     "q_k_anonymity",
     "q_bm25_search",
+    "q_global_shuffle",
 ]
 
 

@@ -1267,3 +1267,44 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_units").desc(), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# q_global_shuffle — deterministic pretraining shuffle: every doc gets a
+# portable hash rank, shards by hash residue, and an intra-shard
+# position by hash order (ties by doc_id). The shuffle-before-pack step
+# of dataset assembly, with NO RNG state: re-running on any cluster
+# reproduces the identical permutation. The only window partitions BY
+# SHARD — at 100 TB each shard's rank sort is one partition-local sort
+# after the hash shuffle, never a global order.
+# --------------------------------------------------------------------------
+from forklift_spark.functions.hashing import md5_long_sql as _md5_sql
+
+GSHUFFLE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_md5_sql("concat('sh:', CAST(doc_id AS VARCHAR))")} AS h
+  FROM documents
+)
+SELECT doc_id, h % 8 AS shard,
+  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+
+@query("q_global_shuffle", GSHUFFLE_ORACLE)
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from forklift_spark.functions.hashing import md5_long
+
+    docs = tables.load(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        md5_long(F.concat(F.lit("sh:"), F.col("doc_id").cast("string"))).alias("h"),
+    ).withColumn("shard", F.col("h") % 8)
+    w = W.partitionBy("shard").orderBy("h", "doc_id")
+    return h.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
