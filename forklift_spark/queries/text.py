@@ -1145,25 +1145,20 @@ def q_subword_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         ).alias("g")
     )
-    grams = chars.limit(0)
-    for l in (2, 3, 4):
-        grams = grams.unionByName(
-            wc.filter(F.length("w") >= l)
-            .select(
-                F.explode(
-                    F.expr(
-                        f"transform(sequence(1, length(w) - {l - 1}), "
-                        f"i -> substring(w, i, {l}))"
-                    )
-                ).alias("g"),
-                "c",
-            )
-            .groupBy("g")
-            .agg(F.sum("c").alias("cnt")),
-            allowMissingColumns=True,
-        )
+    # all gram lengths explode in one pass -> ONE weighted aggregation
+    # (a per-length pre-aggregate union costs 3 extra shuffles for the
+    # same multiset)
+    gram_arrays = ", ".join(
+        f"CASE WHEN length(w) >= {l} THEN "
+        f"transform(sequence(1, length(w) - {l - 1}), i -> substring(w, i, {l})) "
+        f"ELSE array() END"
+        for l in (2, 3, 4)
+    )
     topk = (
-        grams.groupBy("g").agg(F.sum("cnt").alias("cnt"))
+        wc.filter(F.length("w") >= 2)
+        .select(F.explode(F.expr(f"concat({gram_arrays})")).alias("g"), "c")
+        .groupBy("g")
+        .agg(F.sum("c").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "g")
         .limit(_SW_K)
         .select("g")

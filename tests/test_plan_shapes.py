@@ -160,3 +160,34 @@ def test_embedding_dedup_lsh_signature_table_reuse(spark):
     assert plan.count("Bucketed: true") == 2
     assert "Exchange hashpartitioning" not in plan  # bucketed scan IS the shuffle
     assert "CartesianProduct" not in plan
+
+
+# Shuffle-budget pins: the EXECUTED (AQE-final) plan's non-broadcast
+# Exchange count for this session's operators, at the values measured
+# when the plans were audited (scripts/plan_report.py). A regression
+# that adds a shuffle fails here before it ships.
+_SHUFFLE_BUDGET = {
+    "q_dsir_weights": 2,
+    "q_unigram_xent": 2,
+    "q_quantile_sketch": 2,
+    "q_grouped_quantiles": 2,
+    "q_table_checksum": 1,
+    "q_global_shuffle": 1,
+    "q_k_anonymity": 2,
+    "q_bm25_search": 4,
+    "q_subword_encode": 5,
+}
+
+
+@pytest.mark.parametrize("name,budget", sorted(_SHUFFLE_BUDGET.items()))
+def test_shuffle_exchange_budget(name, budget, spark):
+    import re
+
+    from forklift_spark import queries as Q
+
+    df = Q.catalog()[name](spark, SF_DIR)
+    df.collect()  # finalize AQE on THIS plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    n = len(re.findall(r"\bExchange\b", plan)) - plan.count("BroadcastExchange")
+    assert n <= budget, f"{name}: {n} shuffle exchanges (budget {budget})"
