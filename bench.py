@@ -137,6 +137,7 @@ HEADLINE = [
     "q_k_anonymity",
     "q_bm25_search",
     "q_global_shuffle",
+    "q_warc_extract",
 ]
 
 

@@ -749,3 +749,125 @@ def video_thumbnail(
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, VIDEO_THUMB_SCHEMA)
+
+
+# -- WARC web-archive ingest ----------------------------------------------
+
+WARC_EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("response_uri", T.StringType()),
+        T.StructField("http_status", T.LongType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("body", T.StringType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def attach_fake_warc(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Attach a REAL WARC/1.0 file per row (warcinfo + request +
+    response records, parseable by any WARC reader). The response body
+    is a closed form of the row — ``<html><body><p>`` + the first 64
+    text chars + ``</p></body></html>`` — so an independent engine can
+    replay every extracted field without parsing the container."""
+    from forklift_spark.functions.warccodec import write_warc
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["_t"]):
+                uri = f"https://example.com/doc/{int(doc_id)}"
+                html = f"<html><body><p>{(text or '')[:64]}</p></body></html>"
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + html.encode()
+                )
+                recs = [
+                    {
+                        "warc_type": "warcinfo",
+                        "payload": b"software: forklift-spark\r\n",
+                    },
+                    {
+                        "warc_type": "request",
+                        "target_uri": uri,
+                        "payload": b"GET / HTTP/1.1\r\nHost: example.com\r\n\r\n",
+                    },
+                    {
+                        "warc_type": "response",
+                        "target_uri": uri,
+                        "record_id": f"<urn:doc:{int(doc_id)}>",
+                        "content_type": "application/http;msgtype=response",
+                        "payload": http,
+                    },
+                ]
+                out["doc_id"].append(doc_id)
+                out["payload"].append(write_warc(recs))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema)
+
+
+def warc_extract(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL WARC ingest over a binary column: walk every record
+    (Content-Length-driven — see functions/warccodec.py), find the
+    response record, parse its HTTP payload, and emit the fields a
+    web-curation pipeline starts from (URI, status, content type,
+    body). Corrupt payloads degrade to a per-row ``decode_error`` so
+    one bad archive can't kill a 100 TB scan. Arrow ``mapInPandas``,
+    no shuffle. At real scale the binary cells are WARC *records*
+    pre-split by the reader; the parse discipline is identical."""
+    from forklift_spark.functions.warccodec import (
+        WarcDecodeError,
+        parse_http,
+        parse_warc,
+    )
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    cols = [f.name for f in WARC_EXTRACT_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                row: dict[str, object] = {c: None for c in cols if c != "doc_id"}
+                try:
+                    recs = parse_warc(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    row["n_records"] = len(recs)
+                    resp = next(
+                        r for r in recs
+                        if r["headers"].get("WARC-Type") == "response"
+                    )
+                    status, hh, body = parse_http(resp["payload"])
+                    row["response_uri"] = resp["headers"].get("WARC-Target-URI")
+                    row["http_status"] = status
+                    row["content_type"] = hh.get("content-type")
+                    row["body"] = body.decode("utf-8", errors="replace")
+                except (WarcDecodeError, StopIteration) as e:
+                    row["decode_error"] = (
+                        "no response record"
+                        if isinstance(e, StopIteration)
+                        else str(e)
+                    )
+                out["doc_id"].append(doc_id)
+                for c in cols:
+                    if c != "doc_id":
+                        out[c].append(row[c])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, WARC_EXTRACT_SCHEMA)

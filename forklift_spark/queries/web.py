@@ -211,3 +211,45 @@ def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("markup").cast("double") / F.length("html"), 9).alias("markup_ratio"),
         F.md5(F.col("clean")).alias("clean_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_warc_extract — REAL web-archive ingest: every row carries a genuine
+# WARC/1.0 file (warcinfo + request + response records, built by
+# attach_fake_warc) and the operator walks the records
+# Content-Length-driven, parses the HTTP response, and emits the fields
+# a web-curation pipeline starts from. The payload's response body is a
+# closed form of the source row, so the oracle replays URI, status,
+# content type, record count, and the body byte-for-byte (md5) WITHOUT
+# parsing the container — the hash certifies the parser walk + HTTP
+# split end to end. Arrow mapInPandas, no shuffle (see
+# functions/warccodec.py for the at-scale record-splitting note).
+# --------------------------------------------------------------------------
+WARC_ORACLE = """
+SELECT doc_id,
+  CAST(3 AS BIGINT) AS n_records,
+  'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS response_uri,
+  CAST(200 AS BIGINT) AS http_status,
+  'text/html' AS content_type,
+  CAST(15 + length(substring(text, 1, 64)) + 18 AS BIGINT) AS body_len,
+  md5('<html><body><p>' || substring(text, 1, 64) || '</p></body></html>')
+    AS body_md5
+FROM documents
+"""
+
+
+@query("q_warc_extract", WARC_ORACLE)
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.operators.multimodal import attach_fake_warc, warc_extract
+
+    docs = tables.load(spark, sf_dir, "documents")
+    got = warc_extract(attach_fake_warc(docs))
+    return got.select(
+        "doc_id",
+        "n_records",
+        "response_uri",
+        "http_status",
+        "content_type",
+        F.length("body").cast("bigint").alias("body_len"),
+        F.md5("body").alias("body_md5"),
+    )

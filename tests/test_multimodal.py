@@ -375,3 +375,53 @@ def test_video_thumbnail_roundtrips_through_image_codec(spark, docs):
         i = r.doc_id
         nf = 2 + i % 4
         assert r.frame_index == nf // 2
+
+
+# -- WARC ingest -----------------------------------------------------------
+
+
+def test_warc_roundtrip_and_content_length_walk():
+    from forklift_spark.functions.warccodec import parse_http, parse_warc, write_warc
+
+    # a payload CONTAINING the record magic must not split the walk
+    tricky = b"leading\r\n\r\nWARC/1.0\r\nfake: yes\r\n\r\nbody"
+    recs = [
+        {"warc_type": "warcinfo", "payload": b"software: x\r\n"},
+        {"warc_type": "response", "target_uri": "https://e.com/a",
+         "payload": b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + tricky},
+    ]
+    data = write_warc(recs)
+    back = parse_warc(data)
+    assert [r["headers"]["WARC-Type"] for r in back] == ["warcinfo", "response"]
+    status, headers, body = parse_http(back[1]["payload"])
+    assert (status, headers["content-type"], body) == (200, "text/plain", tricky)
+
+
+def test_warc_malformed_inputs_raise():
+    import pytest
+
+    from forklift_spark.functions.warccodec import (
+        WarcDecodeError, parse_warc, write_warc,
+    )
+
+    good = write_warc([{"warc_type": "response", "payload": b"x" * 40}])
+    for bad in (b"", b"NOTW" + good[4:], good[:-6], good[:30]):
+        with pytest.raises(WarcDecodeError):
+            parse_warc(bad)
+
+
+def test_warc_extract_degrades_per_row(spark):
+    from forklift_spark.operators.multimodal import attach_fake_warc, warc_extract
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "second doc")], "doc_id long, text string"
+    )
+    good = attach_fake_warc(docs)
+    corrupt = spark.createDataFrame(
+        [(3, bytearray(b"WARC/1.0\r\ngarbage"))], "doc_id long, payload binary"
+    )
+    out = {r.doc_id: r for r in warc_extract(good.unionByName(corrupt)).collect()}
+    assert out[1].n_records == 3 and out[1].http_status == 200
+    assert out[1].body == "<html><body><p>hello world</p></body></html>"
+    assert out[2].response_uri == "https://example.com/doc/2"
+    assert out[3].decode_error and out[3].http_status is None
