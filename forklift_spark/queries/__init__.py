@@ -79,7 +79,7 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
         "q_stream_stateful_counts",
     ],
     "multimodal": ["q_audio_features", "q_image_decode", "q_video_frames"],
-    "web": ["q_url_dedup", "q_html_strip"],
+    "web": ["q_url_dedup", "q_warc_extract"],
 }
 
 
