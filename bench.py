@@ -138,6 +138,7 @@ HEADLINE = [
     "q_bm25_search",
     "q_global_shuffle",
     "q_warc_extract",
+    "q_ivm_join",
 ]
 
 

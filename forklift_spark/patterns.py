@@ -369,3 +369,30 @@ def cdc_apply(
         .select(base.columns)
     )
     return survivors_base.unionByName(replaced)
+
+
+def ivm_join_insert_only(a_old, delta_a, b_old, delta_b, on: str):
+    """Incremental view maintenance for an inner join, insert-only
+    deltas: the standard delta algebra
+
+        V_new = V_old  ∪  ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    Each output row is tagged with its provenance branch. At 100 TB the
+    point is that V_old is a STORED table — only the three delta
+    branches execute, and each joins a (small) delta against a base or
+    the other delta, so maintenance cost scales with the delta, never
+    with |A| x |B|. Here ``old`` is recomputed for certification; the
+    branch algebra is what ships.
+
+    Correctness statement (certified by q_ivm_join's oracle): the union
+    of the four branches equals the full A ⋈ B recompute, row for row.
+    """
+    def tag(df, branch):
+        return df.withColumn("branch", F.lit(branch))
+
+    return (
+        tag(a_old.join(b_old, on), "old")
+        .unionByName(tag(delta_a.join(b_old, on), "delta_a"))
+        .unionByName(tag(a_old.join(delta_b, on), "delta_b"))
+        .unionByName(tag(delta_a.join(delta_b, on), "delta_both"))
+    )

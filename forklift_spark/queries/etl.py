@@ -1187,3 +1187,77 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ship_day", F.col("l_shipdate").cast("date").cast("string")
     )
     return table_fingerprint(li, _FP_COLS + ["ship_day"], buckets=16)
+
+
+# --------------------------------------------------------------------------
+# q_ivm_join — incremental view maintenance for a join view
+# (patterns.ivm_join_insert_only): V_new = V_old ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB.
+# The aggregate-rollup twin is q_incremental_rollup; this is the JOIN
+# side of "never rescan the world": at scale V_old is a stored table and
+# only the delta branches execute. The oracle certifies the ALGEBRA, not
+# just the arithmetic: per-branch counts/checksums replay the splits,
+# but the '__total__' row's checksum is computed from the straight
+# full A⋈B — so the hash match proves the four branches partition the
+# full join exactly (no lost, duplicated, or misrouted rows).
+# --------------------------------------------------------------------------
+_IVM_CUT = "1997-01-01 00:00:00"
+_IVM_ROWHASH = (
+    "CAST('0x' || substr(md5(concat_ws(chr(1), CAST(o_orderkey AS VARCHAR), "
+    "CAST(o_custkey AS VARCHAR), c_mktsegment)), 1, 15) AS BIGINT)"
+)
+
+IVM_ORACLE = f"""
+WITH a AS (
+  SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+), b AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+), branches AS (
+  SELECT CASE WHEN a.o_orderdate < TIMESTAMP '{_IVM_CUT}'
+              THEN CASE WHEN b.c_custkey % 10 != 0 THEN 'old' ELSE 'delta_b' END
+              ELSE CASE WHEN b.c_custkey % 10 != 0 THEN 'delta_a' ELSE 'delta_both' END
+         END AS branch,
+    {_IVM_ROWHASH} AS h
+  FROM a JOIN b ON a.o_custkey = b.c_custkey
+)
+SELECT branch, CAST(count(*) AS BIGINT) AS n_rows, bit_xor(h) AS checksum
+FROM branches GROUP BY branch
+UNION ALL
+SELECT '__total__', CAST(count(*) AS BIGINT), bit_xor({_IVM_ROWHASH})
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@query("q_ivm_join", IVM_ORACLE)
+def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.patterns import ivm_join_insert_only
+
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cut = F.col("o_orderdate") < F.lit(_IVM_CUT).cast("timestamp")
+    new_b = F.col("c_custkey") % 10 == 0
+    view = ivm_join_insert_only(
+        orders.filter(cut).withColumnRenamed("o_custkey", "c_custkey"),
+        orders.filter(~cut).withColumnRenamed("o_custkey", "c_custkey"),
+        cust.filter(~new_b),
+        cust.filter(new_b),
+        on="c_custkey",
+    ).select(
+        "branch",
+        F.expr(
+            "conv(substr(md5(concat_ws('\\u0001', CAST(o_orderkey AS STRING), "
+            "CAST(c_custkey AS STRING), c_mktsegment)), 1, 15), 16, 10)"
+        ).cast("long").alias("h"),
+    )
+    per_branch = view.groupBy("branch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr("bit_xor(h)").alias("checksum"),
+    )
+    total = view.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr("bit_xor(h)").alias("checksum"),
+    ).select(F.lit("__total__").alias("branch"), "n_rows", "checksum")
+    return per_branch.unionByName(total)

@@ -261,3 +261,17 @@ def test_cdc_apply_decision_table(spark):
     )
     out = {r.k: r.bal for r in cdc_apply(base, changes, key="k").collect()}
     assert out == {1: 12.0, 3: 30.0, 4: 40.0}
+
+
+def test_ivm_join_branches_partition_the_full_join(spark):
+    a = spark.createDataFrame([(i, i % 5) for i in range(40)], "oid long, k long")
+    b = spark.createDataFrame([(k, f"v{k}") for k in range(5)], "k long, v string")
+    a_old, delta_a = a.filter("oid < 30"), a.filter("oid >= 30")
+    b_old, delta_b = b.filter("k < 4"), b.filter("k >= 4")
+    got = patterns.ivm_join_insert_only(a_old, delta_a, b_old, delta_b, on="k")
+    rows = got.collect()
+    full = set((r.oid, r.k, r.v) for r in a.join(b, "k").collect())
+    assert set((r.oid, r.k, r.v) for r in rows) == full
+    assert len(rows) == len(full)  # a partition: no duplicates either
+    by_branch = {r.branch for r in rows}
+    assert by_branch == {"old", "delta_a", "delta_b", "delta_both"}
