@@ -72,6 +72,8 @@ def parse_warc(data: bytes) -> list[dict]:
             clen = int(headers["Content-Length"])
         except ValueError as e:
             raise WarcDecodeError("non-integer Content-Length") from e
+        if clen < 0:
+            raise WarcDecodeError("negative Content-Length")
         body_start = head_end + 4
         body_end = body_start + clen
         if body_end + 4 > n:

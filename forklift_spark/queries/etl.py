@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from forklift_spark import tables
+from forklift_spark.functions import hashing as H
 from forklift_spark.functions.exact import MONEY, dec
 from forklift_spark.queries import query
 
@@ -1247,10 +1248,14 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="c_custkey",
     ).select(
         "branch",
-        F.expr(
-            "conv(substr(md5(concat_ws('\\u0001', CAST(o_orderkey AS STRING), "
-            "CAST(c_custkey AS STRING), c_mktsegment)), 1, 15), 16, 10)"
-        ).cast("long").alias("h"),
+        H.md5_long(
+            F.concat_ws(
+                "\u0001",
+                F.col("o_orderkey").cast("string"),
+                F.col("c_custkey").cast("string"),
+                F.col("c_mktsegment"),
+            )
+        ).alias("h"),
     )
     per_branch = view.groupBy("branch").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),

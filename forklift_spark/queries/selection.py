@@ -144,12 +144,25 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = feats.select(
         "doc_id", "is_tgt", (md5_long("feat") % _DSIR_B).alias("bucket")
     )
-    tb = bf.filter("is_tgt").groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
-    rb = bf.filter(~F.col("is_tgt")).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cr")
+    # two-level rollup: the exploded feature stream shuffles ONCE at
+    # (doc, side, bucket) grain; the bucket models, the scalar totals,
+    # and the raw-doc counts all derive from that small frame (the
+    # identical first-level exchange is computed once and reused)
+    # lazy checkpoint: AQE does NOT reliably reuse the identical exchange
+    # across the four consumers (measured: the explode+shuffle ran 3x);
+    # checkpointing the small rollup frame pins one materialization
+    dcall = (
+        bf.groupBy("doc_id", "is_tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
-    tot = bf.agg(
-        F.count_if("is_tgt").alias("t"), F.count_if(~F.col("is_tgt")).alias("r")
+    tb = dcall.filter("is_tgt").groupBy("bucket").agg(F.sum("c").alias("ct"))
+    rb = dcall.filter(~F.col("is_tgt")).groupBy("bucket").agg(
+        F.sum("c").alias("cr")
+    )
+    tot = dcall.agg(
+        F.sum(F.when(F.col("is_tgt"), F.col("c")).otherwise(0)).alias("t"),
+        F.sum(F.when(~F.col("is_tgt"), F.col("c")).otherwise(0)).alias("r"),
     )
     model = (
         rb.join(tb, "bucket", "left")
@@ -171,11 +184,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lr_units"),
         )
     )
-    dcounts = (
-        bf.filter(~F.col("is_tgt"))
-        .groupBy("doc_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    dcounts = dcall.filter(~F.col("is_tgt")).select("doc_id", "bucket", "c")
     weights = (
         dcounts.join(F.broadcast(model), "bucket")  # model is <= B rows
         .groupBy("doc_id")

@@ -843,7 +843,7 @@ def q_stream_cms_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600), "stream did not finish; sketch would be partial"
     return spark.table(sink).select(
         "row", "bucket", F.col("cell").cast("long").alias("cell")
     )
@@ -1112,7 +1112,7 @@ def q_stream_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600), "stream did not finish; sketch would be partial"
     return spark.table(sink).select(
         "lo", "hi", F.col("cnt").cast("long").alias("cnt")
     )

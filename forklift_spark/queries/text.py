@@ -1080,7 +1080,7 @@ _SW_K = 12  # merged n-gram vocabulary entries (constant; 30k+ for a real BPE)
 SUBWORD_ORACLE = f"""
 WITH RECURSIVE words AS (
   SELECT w, count(*) AS c FROM (SELECT unnest({_W}) AS w FROM documents)
-  GROUP BY w
+  WHERE w <> '' GROUP BY w
 ), chars AS (
   SELECT DISTINCT unnest(list_transform(range(1, length(w) + 1),
     i -> substring(w, CAST(i AS INT), 1))) AS v
@@ -1135,8 +1135,13 @@ _SW_FOLD = (
 @query("q_subword_encode", SUBWORD_ORACLE)
 def q_subword_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
+    # blank docs normalize to '' and split() yields [''] — Spark's
+    # sequence(1, 0) would fold it to toks=[''] while the oracle's
+    # range(1, 1) yields [] (measured divergence); drop empty words on
+    # BOTH sides
     wc = (
         docs.select(F.explode(X.words("text")).alias("w"))
+        .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )

@@ -63,11 +63,18 @@ def main() -> None:
             rows.append({"query": name, "error": str(e).splitlines()[0][:120]})
             continue
         scans = plan.count("Scan parquet") + plan.count("FileScan parquet")
+        shuffles = sum(
+            1
+            for line in plan.splitlines()
+            if "ReusedExchange" not in line
+            and re.match(r"^[\s+\-:*()0-9]*Exchange\b", line)
+        )
         rows.append(
             {
                 "query": name,
-                "exchanges": len(re.findall(r"\bExchange\b", plan))
-                - plan.count("BroadcastExchange"),
+                # line-anchored: ReusedExchange descriptor text repeats
+                # the exchange spec inline and must not count
+                "exchanges": shuffles,
                 "broadcasts": plan.count("BroadcastExchange"),
                 "parquet_scans": scans,
                 "pushed_filter_scans": len(
@@ -81,12 +88,14 @@ def main() -> None:
     with open(f"plans_report.json", "w") as f:
         json.dump({"sf_dir": SF_DIR, "rows": rows}, f, indent=1)
     audited = [r for r in rows if "exchanges" in r]
+    errors = [r for r in rows if "error" in r]
     with open(f"PLANS_{tag}.md", "w") as f:
         f.write(
             f"# Physical-plan evidence — {tag}\n\n"
             f"{len(audited)} catalog queries audited at {SF_DIR} "
-            f"({len(rows) - len(audited)} side-effect/streaming entries "
-            "covered by their own tests instead).\n\n"
+            f"({len(rows) - len(audited) - len(errors)} side-effect/streaming "
+            "entries covered by their own tests instead; "
+            f"{len(errors)} ERRORED — must be 0).\n\n"
             "Columns: shuffle Exchanges (excl. broadcast), BroadcastExchanges, "
             "parquet scans / scans with pushed filters, distinct "
             "WholeStageCodegen spans, BroadcastNestedLoopJoins "
@@ -106,7 +115,14 @@ def main() -> None:
             f"{tot('broadcasts')} broadcasts, {tot('cartesian')} cartesian "
             f"products across {len(audited)} plans.\n"
         )
-    print(json.dumps({"audited": len(audited), "skipped": len(rows) - len(audited)}))
+    if errors:
+        for r in errors:
+            print("PLAN-ERROR", r["query"], r["error"])
+    print(json.dumps({
+        "audited": len(audited),
+        "errors": len(errors),
+        "skipped": len(rows) - len(audited) - len(errors),
+    }))
 
 
 if __name__ == "__main__":

@@ -125,7 +125,8 @@ def test_table_fingerprint_validates_copies(spark):
     mutated = spark.createDataFrame(
         rows[:-1] + [(499, "CORRUPT")], "id long, name string"
     )
-    diff = {b for b in base if fp(mutated).get(b) != base[b]}
+    mut = fp(mutated)
+    diff = {b for b in base if mut.get(b) != base[b]}
     assert 1 <= len(diff) <= 2
     # a dropped row changes n_rows even if xor were to cancel
     dropped = spark.createDataFrame(rows[:-1], "id long, name string")

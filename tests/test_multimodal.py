@@ -405,7 +405,8 @@ def test_warc_malformed_inputs_raise():
     )
 
     good = write_warc([{"warc_type": "response", "payload": b"x" * 40}])
-    for bad in (b"", b"NOTW" + good[4:], good[:-6], good[:30]):
+    negative_cl = good.replace(b"Content-Length: 40", b"Content-Length: -4")
+    for bad in (b"", b"NOTW" + good[4:], good[:-6], good[:30], negative_cl):
         with pytest.raises(WarcDecodeError):
             parse_warc(bad)
 

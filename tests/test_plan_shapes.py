@@ -167,15 +167,15 @@ def test_embedding_dedup_lsh_signature_table_reuse(spark):
 # when the plans were audited (scripts/plan_report.py). A regression
 # that adds a shuffle fails here before it ships.
 _SHUFFLE_BUDGET = {
-    "q_dsir_weights": 2,
-    "q_unigram_xent": 2,
-    "q_quantile_sketch": 2,
-    "q_grouped_quantiles": 2,
+    "q_dsir_weights": 5,      # 1 stream-grain rollup (checkpointed) + small
+    "q_unigram_xent": 3,
+    "q_quantile_sketch": 3,   # 1 stream-grain + bounded-bucket-table stages
+    "q_grouped_quantiles": 3,
     "q_table_checksum": 1,
     "q_global_shuffle": 1,
     "q_k_anonymity": 2,
-    "q_bm25_search": 4,
-    "q_subword_encode": 5,
+    "q_bm25_search": 7,       # 2 stream-grain (dl, filtered tf) + small
+    "q_subword_encode": 6,    # all over DISTINCT words (bounded)
 }
 
 
@@ -189,5 +189,13 @@ def test_shuffle_exchange_budget(name, budget, spark):
     df.collect()  # finalize AQE on THIS plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
-    n = len(re.findall(r"\bExchange\b", plan)) - plan.count("BroadcastExchange")
+    # line-anchored: BroadcastExchange/ReusedExchange node names don't
+    # match (word chars adjoin), and ReusedExchange DESCRIPTOR text
+    # repeating the original exchange spec is excluded per line
+    n = sum(
+        1
+        for line in plan.splitlines()
+        if "ReusedExchange" not in line
+        and re.match(r"^[\s+\-:*()0-9]*Exchange\b", line)
+    )
     assert n <= budget, f"{name}: {n} shuffle exchanges (budget {budget})"
