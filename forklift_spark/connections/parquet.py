@@ -35,6 +35,14 @@ class ParquetConnection(Connection):
             return self.engine.spark.sql(query_or_table)
         return self.writer.read(query_or_table)
 
+    def read_version(self, table: str, back: int = 1) -> DataFrame:
+        """Time travel: read the generation retired ``back`` publishes
+        ago (writer must be configured with ``retain_versions > 0``)."""
+        return self.writer.read_version(table, back)
+
+    def versions(self, table: str) -> list[int]:
+        return self.writer.versions(table)
+
     def _register_views(self, sql: str) -> None:
         known = set(self.tables())
         for ident in set(_IDENT_RE.findall(sql)):
@@ -60,7 +68,10 @@ class ParquetConnection(Connection):
         return sorted(
             d
             for d in os.listdir(self.root)
-            if os.path.isdir(os.path.join(self.root, d)) and "__staging__" not in d
+            if os.path.isdir(os.path.join(self.root, d))
+            and "__staging__" not in d
+            and "__old__" not in d
+            and not ("__v" in d and d.endswith("__"))  # retired generations
         )
 
     def drop(self, table: str) -> None:

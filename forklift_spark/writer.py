@@ -109,10 +109,24 @@ class ParquetTableWriter:
     """Write modes append / overwrite / upsert for a directory-per-table
     parquet warehouse with atomic publish."""
 
-    def __init__(self, spark: SparkSession, root: str, upsert_broadcast_threshold: int = 2_000_000):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        upsert_broadcast_threshold: int = 2_000_000,
+        retain_versions: int = 0,
+    ):
         self.spark = spark
         self.root = root
         self.upsert_broadcast_threshold = upsert_broadcast_threshold
+        # > 0: every whole-table publish retires the previous generation
+        # to <table>.__v{N}__ instead of deleting it, keeping the newest
+        # `retain_versions` generations readable (time travel). Retiring
+        # a generation is one directory rename — no data rewrite — so the
+        # cost at 100 TB is the retained storage, never extra IO. The
+        # in-place dynamic-partition path (_overwrite_partitions) is
+        # exempt by design: it exists to NOT rewrite the table.
+        self.retain_versions = retain_versions
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -122,6 +136,37 @@ class ParquetTableWriter:
 
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
+
+    # -- time travel -------------------------------------------------------
+    def _version_dirs(self, table: str) -> list[tuple[int, str]]:
+        prefix = f"{table}.__v"
+        out = []
+        if os.path.isdir(self.root):
+            for name in os.listdir(self.root):
+                if name.startswith(prefix) and name.endswith("__"):
+                    try:
+                        out.append((int(name[len(prefix):-2]), name))
+                    except ValueError:
+                        continue
+        return sorted(out)
+
+    def versions(self, table: str) -> list[int]:
+        """Retired generation numbers, oldest first (the live table is
+        one newer than the last entry)."""
+        return [n for n, _ in self._version_dirs(table)]
+
+    def read_version(self, table: str, back: int = 1) -> DataFrame:
+        """Read a retired generation: ``back=1`` is the one the latest
+        publish replaced."""
+        dirs = self._version_dirs(table)
+        if back < 1 or back > len(dirs):
+            raise KeyError(
+                f"{table}: no generation {back} back "
+                f"({len(dirs)} retained)"
+            )
+        return self.spark.read.parquet(
+            os.path.join(self.root, dirs[-back][1])
+        )
 
     # -- public write ------------------------------------------------------
     def write(
@@ -229,12 +274,20 @@ class ParquetTableWriter:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(staging)
-        old = f"{final}.__old__{uuid.uuid4().hex[:8]}"
-        if os.path.isdir(final):
-            os.rename(final, old)
-        os.rename(staging, final)
-        if os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
+        if self.retain_versions > 0 and os.path.isdir(final):
+            nxt = (self._version_dirs(table)[-1][0] + 1
+                   if self._version_dirs(table) else 1)
+            os.rename(final, os.path.join(self.root, f"{table}.__v{nxt}__"))
+            os.rename(staging, final)
+            for _, name in self._version_dirs(table)[: -self.retain_versions]:
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+        else:
+            old = f"{final}.__old__{uuid.uuid4().hex[:8]}"
+            if os.path.isdir(final):
+                os.rename(final, old)
+            os.rename(staging, final)
+            if os.path.isdir(old):
+                shutil.rmtree(old, ignore_errors=True)
 
 
 def schema_diff(existing: DataFrame, incoming: DataFrame) -> dict[str, list]:

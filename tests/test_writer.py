@@ -234,3 +234,41 @@ def test_auto_key_lazy_create_and_append_continue(spark, tmp_path):
     third = spark.createDataFrame([(100, "z")], "id long, name string")
     w.write(third, "people", mode="append", auto_key="id")
     assert max(r["id"] for r in w.read("people").collect()) == 100
+
+
+def test_retained_versions_time_travel(spark, tmp_path):
+    from forklift_spark.writer import ParquetTableWriter
+
+    w = ParquetTableWriter(spark, str(tmp_path), retain_versions=2)
+    for gen in (1, 2, 3, 4):
+        df = spark.createDataFrame([(i, gen) for i in range(5)], "id long, gen long")
+        w.write(df, "t", mode="overwrite")
+    assert {r.gen for r in w.read("t").collect()} == {4}
+    # two retired generations readable, oldest pruned
+    assert {r.gen for r in w.read_version("t", back=1).collect()} == {3}
+    assert {r.gen for r in w.read_version("t", back=2).collect()} == {2}
+    assert len(w.versions("t")) == 2
+    import pytest
+
+    with pytest.raises(KeyError):
+        w.read_version("t", back=3)
+    # upsert publishes whole-table -> also versioned
+    delta = spark.createDataFrame([(0, 99)], "id long, gen long")
+    w.write(delta, "t", mode="upsert", primary_key="id")
+    assert {r.gen for r in w.read_version("t", back=1).collect()} == {4}
+
+
+def test_version_dirs_hidden_from_table_listing(spark, tmp_path):
+    from forklift_spark.connections.parquet import ParquetConnection
+    from forklift_spark.engine import Engine
+    from forklift_spark.writer import ParquetTableWriter
+
+    eng = Engine({"project_root": str(tmp_path)}, spark=spark)
+    conn = ParquetConnection({"path": str(tmp_path / "wh")}, eng, name="wh")
+    conn.writer.retain_versions = 1
+    df = spark.createDataFrame([(1,)], "id long")
+    conn.write(df, "t", mode="overwrite")
+    conn.write(df, "t", mode="overwrite")
+    assert conn.tables() == ["t"]
+    assert conn.versions("t") == [1]
+    assert conn.read_version("t", back=1).count() == 1
