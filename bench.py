@@ -139,6 +139,7 @@ HEADLINE = [
     "q_global_shuffle",
     "q_warc_extract",
     "q_ivm_join",
+    "q_time_travel",
 ]
 
 

@@ -526,3 +526,68 @@ def q_partitioned_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(dec("value", MONEY)).cast("double").alias("total"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_time_travel — snapshot retention through the REAL writer: publish
+# generation 1 (pre-cut orders), OVERWRITE it with generation 2 (all
+# orders, re-priced), then read the live table AND the retired
+# generation back. Retiring a generation is one directory rename (no
+# data rewrite), so at 100 TB the rollback/debug read costs only the
+# retained storage. The oracle replays both generations from the source
+# parquet, so the hash certifies that time travel returns EXACTLY the
+# replaced bytes, not a re-derivation.
+# --------------------------------------------------------------------------
+_TT_CUT = "1996-01-01 00:00:00"
+
+TIME_TRAVEL_ORACLE = f"""
+WITH gen1 AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(14,2)) AS price
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_TT_CUT}'
+), gen2 AS (
+  SELECT o_orderkey,
+    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 2 AS DECIMAL(14,2)) AS price
+  FROM orders
+)
+SELECT 'current' AS generation, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(SUM(price) AS DOUBLE) AS total_price,
+  CAST(min(o_orderkey) AS BIGINT) AS min_key
+FROM gen2
+UNION ALL
+SELECT 'back1', CAST(count(*) AS BIGINT), CAST(SUM(price) AS DOUBLE),
+  CAST(min(o_orderkey) AS BIGINT)
+FROM gen1
+"""
+
+
+@query("q_time_travel", TIME_TRAVEL_ORACLE)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.writer import ParquetTableWriter
+
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        dec("o_totalprice", "decimal(14,2)").alias("price"),
+        "o_orderdate",
+    )
+    root = _scratch("timetravel")
+    w = ParquetTableWriter(spark, root, retain_versions=2)
+    gen1 = orders.filter(
+        F.col("o_orderdate") < F.lit(_TT_CUT).cast("timestamp")
+    ).select("o_orderkey", "price")
+    w.write(gen1, "orders_tt", mode="overwrite")
+    gen2 = orders.select(
+        "o_orderkey",
+        F.col("price").cast("decimal(14,2)").alias("price")
+    ).withColumn("price", (F.col("price") * 2).cast("decimal(14,2)"))
+    w.write(gen2, "orders_tt", mode="overwrite")
+
+    def summarize(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("price").cast("double").alias("total_price"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+        ).select(F.lit(label).alias("generation"), "n_rows", "total_price", "min_key")
+
+    return summarize(w.read("orders_tt"), "current").unionByName(
+        summarize(w.read_version("orders_tt", back=1), "back1")
+    )
