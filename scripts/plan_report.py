@@ -41,7 +41,8 @@ def main() -> None:
                                         "q_optimistic", "q_jsonl", "q_orc",
                                         "q_partitioned", "q_bucketed",
                                         "q_corpus_store", "q_scd2", "q_cdc",
-                                        "q_auto_increment", "q_sql_script"))
+                                        "q_auto_increment", "q_sql_script",
+                                        "q_time_travel"))
     }
     rows = []
     for name, fn in cat.items():

@@ -25,6 +25,7 @@ from tests.conftest import SF_DIR
 # audited by their dedicated tests instead
 _BUILDS_EXECUTE = {
     "q_stream_qsketch",
+    "q_time_travel",          # publishes two generations at build
     "q_stream_windowed_counts",
     "q_kmeans_clusters",
     "q_ann_ivf_topk",
