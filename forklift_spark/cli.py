@@ -126,6 +126,10 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("plan")
     p_run.add_argument("steps", nargs="*")
     sub.add_parser("queries", help="list the query catalog")
+    p_query = sub.add_parser("query", help="run one catalog query")
+    p_query.add_argument("name")
+    p_query.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_query.add_argument("--limit", type=int, default=20)
     ns = p.parse_args(argv)
     if ns.cmd == "init":
         init(ns.dir)
@@ -136,6 +140,22 @@ def main(argv: list[str] | None = None) -> int:
         for name in sorted(Q.catalog()):
             kind = "oracle-checked" if name in oracles else "rows-only"
             print(f"{name}\t{kind}")
+    elif ns.cmd == "query":
+        import json as _json
+
+        from forklift_spark import queries as Q
+        from forklift_spark.session import get_spark
+
+        cat = Q.catalog()
+        if ns.name not in cat:
+            match = [n for n in cat if ns.name in n]
+            if len(match) != 1:
+                print(f"unknown query {ns.name!r}; candidates: {match[:10]}")
+                return 2
+            ns.name = match[0]
+        df = cat[ns.name](get_spark(), ns.sf_dir)
+        for row in df.limit(ns.limit).collect():
+            print(_json.dumps(row.asDict(), default=str))
     else:
         run(ns.plan, ns.steps)
     return 0

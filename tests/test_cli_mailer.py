@@ -175,3 +175,17 @@ def test_logger_file_target(tmp_path):
     assert "file-logged error" in text
     # memory capture unaffected
     assert any("file-logged message" in m for m in eng.logger.messages)
+
+
+def test_cli_query_runner(spark, capsys):
+    import json
+
+    from forklift_spark.cli import main
+    from tests.conftest import SF_DIR
+
+    assert main(["query", "q_k_anonymity", "--sf-dir", SF_DIR, "--limit", "2"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert 1 <= len(out) <= 2
+    assert {"group_size", "n_groups", "n_rows", "below_k"} == set(json.loads(out[0]))
+    # ambiguous / unknown names fail with guidance, not a traceback
+    assert main(["query", "q_dedup", "--sf-dir", SF_DIR]) == 2
