@@ -65,7 +65,10 @@ def parse_warc(data: bytes) -> list[dict]:
             if b":" not in line:
                 raise WarcDecodeError(f"malformed header line {line[:40]!r}")
             k, v = line.split(b":", 1)
-            headers[k.strip().decode()] = v.strip().decode()
+            try:
+                headers[k.strip().decode()] = v.strip().decode()
+            except UnicodeDecodeError as e:
+                raise WarcDecodeError("non-UTF8 header bytes") from e
         if "Content-Length" not in headers:
             raise WarcDecodeError("record missing Content-Length")
         try:
@@ -104,5 +107,8 @@ def parse_http(payload: bytes) -> tuple[int, dict[str, str], bytes]:
     for line in lines[1:]:
         if b":" in line:
             k, v = line.split(b":", 1)
-            headers[k.strip().decode().lower()] = v.strip().decode()
+            try:
+                headers[k.strip().decode().lower()] = v.strip().decode()
+            except UnicodeDecodeError as e:
+                raise WarcDecodeError("non-UTF8 http header bytes") from e
     return status, headers, payload[head_end + 4 :]
