@@ -128,7 +128,10 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("queries", help="list the query catalog")
     p_query = sub.add_parser("query", help="run one catalog query")
     p_query.add_argument("name")
-    p_query.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_query.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
     p_query.add_argument("--limit", type=int, default=20)
     ns = p.parse_args(argv)
     if ns.cmd == "init":

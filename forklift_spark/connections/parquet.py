@@ -19,6 +19,7 @@ from forklift_spark.connections.base import Connection
 from forklift_spark.writer import ParquetTableWriter
 
 _SQL_RE = re.compile(r"^\s*(select|with)\b", re.IGNORECASE)
+_VERSION_DIR_RE = re.compile(r"\.__v\d+__$")  # writer's retired generations
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
@@ -26,7 +27,11 @@ class ParquetConnection(Connection):
     def __init__(self, config, engine, name: str = ""):
         super().__init__(config, engine, name)
         self.root = config["path"]
-        self.writer = ParquetTableWriter(engine.spark, self.root)
+        self.writer = ParquetTableWriter(
+            engine.spark,
+            self.root,
+            retain_versions=int(config.get("retain_versions", 0)),
+        )
 
     # -- reads -------------------------------------------------------------
     def read(self, query_or_table: str, **kwargs) -> DataFrame:
@@ -71,7 +76,7 @@ class ParquetConnection(Connection):
             if os.path.isdir(os.path.join(self.root, d))
             and "__staging__" not in d
             and "__old__" not in d
-            and not ("__v" in d and d.endswith("__"))  # retired generations
+            and not _VERSION_DIR_RE.search(d)
         )
 
     def drop(self, table: str) -> None:

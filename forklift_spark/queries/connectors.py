@@ -576,9 +576,8 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "price")
     w.write(gen1, "orders_tt", mode="overwrite")
     gen2 = orders.select(
-        "o_orderkey",
-        F.col("price").cast("decimal(14,2)").alias("price")
-    ).withColumn("price", (F.col("price") * 2).cast("decimal(14,2)"))
+        "o_orderkey", (F.col("price") * 2).cast("decimal(14,2)").alias("price")
+    )
     w.write(gen2, "orders_tt", mode="overwrite")
 
     def summarize(df: DataFrame, label: str) -> DataFrame:

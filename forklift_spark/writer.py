@@ -275,11 +275,12 @@ class ParquetTableWriter:
             w = w.partitionBy(*partition_by)
         w.parquet(staging)
         if self.retain_versions > 0 and os.path.isdir(final):
-            nxt = (self._version_dirs(table)[-1][0] + 1
-                   if self._version_dirs(table) else 1)
-            os.rename(final, os.path.join(self.root, f"{table}.__v{nxt}__"))
+            dirs = self._version_dirs(table)
+            nxt = dirs[-1][0] + 1 if dirs else 1
+            retired = f"{table}.__v{nxt}__"
+            os.rename(final, os.path.join(self.root, retired))
             os.rename(staging, final)
-            for _, name in self._version_dirs(table)[: -self.retain_versions]:
+            for _, name in (dirs + [(nxt, retired)])[: -self.retain_versions]:
                 shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
         else:
             old = f"{final}.__old__{uuid.uuid4().hex[:8]}"

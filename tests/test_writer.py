@@ -264,8 +264,9 @@ def test_version_dirs_hidden_from_table_listing(spark, tmp_path):
     from forklift_spark.writer import ParquetTableWriter
 
     eng = Engine({"project_root": str(tmp_path)}, spark=spark)
-    conn = ParquetConnection({"path": str(tmp_path / "wh")}, eng, name="wh")
-    conn.writer.retain_versions = 1
+    conn = ParquetConnection(
+        {"path": str(tmp_path / "wh"), "retain_versions": 1}, eng, name="wh"
+    )
     df = spark.createDataFrame([(1,)], "id long")
     conn.write(df, "t", mode="overwrite")
     conn.write(df, "t", mode="overwrite")
