@@ -92,8 +92,9 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 # ---------------------------------------------------------------------------
 
 
-H2_MOD = 1 << 55  # keeps h1 + i*h2 below 2^63 for i < 256 (no overflow
-# wrap, so the same arithmetic is valid in engines that error on overflow)
+H2_MOD = 1 << 55  # second digest slice width; kept in the narrow persisted
+# (id, h1, h2) shingle form for compatibility (minhash no longer derives
+# its hash family from h2 — see minhash_signatures)
 
 
 def exploded_shingles(
@@ -162,15 +163,39 @@ def hashed_shingles(
 def minhash_signatures(
     hashed: DataFrame, id_col: str, num_hashes: int
 ) -> DataFrame:
-    """(id, mh0..mh{n-1}) from hashed (id, h1, h2) shingle rows via
-    double hashing: mh_i = min(h1 + i*h2) (Kirsch-Mitzenmacher): one
-    md5 per shingle instead of num_hashes, one groupBy with map-side
-    partial min — scan-speed at 100 TB."""
-    aggs = [
-        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    """(id, mh0..mh{n-1}) from hashed (id, h1, ...) shingle rows: each
+    hash function is an INDEPENDENT seeded re-hash of the shingle's
+    60-bit identity h1, two 60-bit minhashes per md5 digest (so 16
+    hashes cost 8 md5 calls per shingle row), one groupBy with map-side
+    partial min — scan-speed at 100 TB.
+
+    Why not linear double hashing: the previous mh_i = min(h1 + i*h2)
+    had NO modular wrap in range (h1 < 2^60 dominates i*h2 < 2^59 for
+    i < 16), so g_i(x) - g_i(y) was monotone in i and the 16 argmins
+    tracked a lower envelope of lines — heavily correlated hash
+    functions that flatten the LSH banding s-curve (short docs could
+    draw all 16 minhashes from one shingle). A true Kirsch-Mitzenmacher
+    reduction needs (h1 + i*h2) mod p with wraps actually occurring,
+    which int64 arithmetic here cannot express portably; independent
+    md5 seeds are the engine-portable fix (same family as
+    functions/hashing.py)."""
+    h1s = F.col("h1").cast("string")
+    cols = []
+    for j in range((num_hashes + 1) // 2):
+        digest = F.md5(F.concat(F.lit(f"mh{j}:"), h1s))
+        cols.append(
+            F.conv(F.substring(digest, 1, 15), 16, 10).cast("long").alias(f"g{2 * j}")
+        )
+        if 2 * j + 1 < num_hashes:
+            cols.append(
+                F.conv(F.substring(digest, 16, 15), 16, 10)
+                .cast("long")
+                .alias(f"g{2 * j + 1}")
+            )
+    proj = hashed.select(F.col(id_col), *cols)
+    return proj.groupBy(id_col).agg(
+        *[F.min(f"g{i}").alias(f"mh{i}") for i in range(num_hashes)]
+    )
 
 
 def lsh_candidate_pairs(
@@ -183,6 +208,13 @@ def lsh_candidate_pairs(
     an equi-self-join on (band_index, band_key) — a shuffle join on the
     bucket, never a cross join.
     """
+    n_sig = len([c for c in sigs.columns if c.startswith("mh")])
+    if rows < 1 or bands < 1 or bands * rows != n_sig:
+        raise ValueError(
+            f"bands ({bands}) x rows ({rows}) must equal the signature "
+            f"width ({n_sig}); rows=0 would give every doc the same empty "
+            "band key (an all-pairs join)"
+        )
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]

@@ -80,8 +80,13 @@ _NH, _BANDS, _ROWS = 16, 8, 2
 
 def _minhash_lsh_oracle() -> str:
     sh = _shingle_sql()
+    # independent seeded re-hash of the shingle identity h1, two 60-bit
+    # minhashes per digest — mirrors operators/dedup.minhash_signatures
     mh_cols = ",\n    ".join(
-        f"min(h1 + {i} * h2) AS mh{i}" for i in range(_NH)
+        "min(CAST('0x' || substr("
+        f"md5('mh{i // 2}:' || CAST(h1 AS VARCHAR)), {1 if i % 2 == 0 else 16}, 15"
+        f") AS BIGINT)) AS mh{i}"
+        for i in range(_NH)
     )
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band, md5(concat_ws(',', mh{b * _ROWS}, mh{b * _ROWS + 1})) AS key FROM sig"
