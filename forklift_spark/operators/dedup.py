@@ -677,6 +677,13 @@ def fuzzy_levenshtein_pairs(
     Returns (id_a, id_b, dist) with id_a < id_b, dist <= max_dist over
     the first ``prefix_len`` characters.
     """
+    if len_tol > bucket_width // 2:
+        raise ValueError(
+            f"len_tol ({len_tol}) must be <= bucket_width//2 "
+            f"({bucket_width // 2}): the +/-1-bucket probe cannot reach "
+            "pairs whose length gap spans more than one bucket, so larger "
+            "tolerances would silently drop boundary pairs"
+        )
     head = F.substring(F.col(text_col), 1, prefix_len)
     base = df.select(
         F.col(id_col).alias("_id"),

@@ -123,32 +123,49 @@ TOPK_RESCORE_MARGIN = 8
 def _exact_rescore_topk(scored_fast: DataFrame, k: int) -> DataFrame:
     """Shared tail of the top-k operators: rank candidates by the cheap
     double cosine, exact-rescore only the top (k + margin) per query, then
-    re-rank on the exact decimal value the output reports."""
+    re-rank on the exact decimal value the output reports.
+
+    Zero-norm vectors (cosine undefined; 0/0 = NaN, which Spark orders
+    ABOVE every real double in a desc sort — a NaN row would take rank 1
+    and the exact decimal rescore would divide by zero) are excluded
+    from candidacy."""
     from pyspark.sql import Window as W
 
     wf = W.partitionBy("query_id").orderBy(
         F.col("cos_fast").desc(), F.col("neighbor_id")
     )
     short = (
-        scored_fast.withColumn("rf", F.row_number().over(wf))
+        scored_fast.filter(~F.isnan("cos_fast"))
+        .withColumn("rf", F.row_number().over(wf))
         .filter(F.col("rf") <= k + TOPK_RESCORE_MARGIN)
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                dot_exact(F.col("qv"), F.col("cv"))
-                / (norm_exact(F.col("qv")) * norm_exact(F.col("cv")))
-            ).alias("cos_sim"),
-        )
+        .select("query_id", "neighbor_id", "qv", "cv")
+    )
+    return _exact_rescore_tail(short, k)
+
+
+def _exact_rescore_tail(short: DataFrame, k: int, int_rank: bool = False) -> DataFrame:
+    """Common final stage of EVERY top-k operator: exact-decimal cosine
+    over an already-shortlisted (query_id, neighbor_id, qv, cv) frame,
+    re-rank desc with neighbor_id tiebreak, keep k, round to 9dp (the
+    decimal->double conversion may differ by 1 ulp between engines;
+    ranking uses the exact value)."""
+    from pyspark.sql import Window as W
+
+    scored = short.select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot_exact(F.col("qv"), F.col("cv"))
+            / (norm_exact(F.col("qv")) * norm_exact(F.col("cv")))
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        short.withColumn("rank", F.row_number().over(w))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        # 9dp output: decimal->double conversion may differ by 1 ulp
-        # between engines; ranking uses the exact value
         .withColumn("cos_sim", F.round("cos_sim", 9))
     )
+    return out.withColumn("rank", F.col("rank").cast("int")) if int_rank else out
 
 
 def _hyperplane_signs(seed: int, dims: int) -> list[int]:
@@ -260,10 +277,16 @@ def ivf_assign(
     vec_col: str = "embedding",
     out_col: str = "cell",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (max dot product) —
-    the IVF coarse quantizer as one JVM projection. ``centroids`` is a
-    small driver-side list shipped as literals (at scale: a k-means fit
-    on a sample, still < a few thousand cells — broadcast-sized by
+    """Assign each vector to its NEAREST centroid by squared L2 —
+    argmin ||x-c||² = argmax (2·<x,c> − ||c||²); the raw-dot shortcut
+    this replaced dropped the −||c||² term, so a large-norm centroid
+    absorbed nearly every vector regardless of direction, collapsing the
+    IVF partition (and its n_probe/n_cells cost bound). Both the dot and
+    the centroid self-norm run in the same exact-decimal machinery, cast
+    to double only for the final 2·dot − ||c||² comparison (identical
+    IEEE arithmetic to the SQL oracle). ``centroids`` is a small
+    driver-side list shipped as literals (at scale: a k-means fit on a
+    sample, still < a few thousand cells — broadcast-sized by
     construction). Ties break to the lowest cell id (array_position
     returns the FIRST index of the max, and centroids are in cell-id
     order). Scores stay in one named array column — a chained
@@ -274,8 +297,16 @@ def ivf_assign(
     for _cid, cvec in centroids:
         carr = F.array(*[F.lit(float(x)).cast(VEC_DEC) for x in cvec])
         prods = F.zip_with(F.col(vec_col), carr, lambda v, c: v.cast(VEC_DEC) * c)
+        dot = F.aggregate(
+            prods, F.lit(0).cast(ACC_DEC), lambda a, p: (a + p).cast(ACC_DEC)
+        )
+        cn2 = F.aggregate(
+            F.zip_with(carr, carr, lambda a, b: a * b),
+            F.lit(0).cast(ACC_DEC),
+            lambda a, p: (a + p).cast(ACC_DEC),
+        )
         scores.append(
-            F.aggregate(prods, F.lit(0).cast(ACC_DEC), lambda a, p: (a + p).cast(ACC_DEC))
+            F.lit(2.0) * dot.cast("double") - cn2.cast("double")
         )
     cids = F.array(*[F.lit(int(cid)) for cid, _ in centroids])
     idx = F.array_position(F.col("_scores"), F.array_max("_scores")).cast("int")
@@ -331,9 +362,16 @@ def ivf_topk(
     for cid, cvec in cents:
         carr = F.array(*[F.lit(float(x)).cast(VEC_DEC) for x in cvec])
         prods = F.zip_with(F.col("qv"), carr, lambda v, g: v.cast(VEC_DEC) * g)
-        score = F.aggregate(
+        dot = F.aggregate(
             prods, F.lit(0).cast(ACC_DEC), lambda a, p: (a + p).cast(ACC_DEC)
-        ).cast("double")
+        )
+        cn2 = F.aggregate(
+            F.zip_with(carr, carr, lambda a, b: a * b),
+            F.lit(0).cast(ACC_DEC),
+            lambda a, p: (a + p).cast(ACC_DEC),
+        )
+        # same nearest-cell metric as ivf_assign (2·dot − ||c||²)
+        score = F.lit(2.0) * dot.cast("double") - cn2.cast("double")
         entry = F.struct(score.alias("s"), F.lit(cid).alias("cell"))
         probes = F.array(entry) if probes is None else F.concat(probes, F.array(entry))
     q = q.withColumn(
@@ -550,6 +588,17 @@ def kmeans_fit_assign(
 # (asymmetric distance computation, ADC). Jegou et al., "Product
 # Quantization for Nearest Neighbor Search", TPAMI 2011.
 # ---------------------------------------------------------------------------
+def _unit(vec: Column) -> Column:
+    """L2-normalized copy of a vector column (zero vectors stay zero).
+    PQ shortlists rank by squared-L2 ADC distance while the operators'
+    output contract is COSINE — on unit vectors the two orderings
+    coincide (spherical quantization, the standard cosine-PQ recipe);
+    on raw vectors a large-norm true neighbor can be pushed out of the
+    L2 shortlist systematically."""
+    n = F.sqrt(dot_fast(vec, vec))
+    return F.transform(vec, lambda x: F.when(n > 0, x.cast("double") / n).otherwise(F.lit(0.0)))
+
+
 def pq_train(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -558,6 +607,7 @@ def pq_train(
     k: int = 16,
     iters: int = 2,
     dims: int | None = 64,
+    normalize: bool = True,
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks: split each vector into m contiguous
     subvectors and k-means each subspace independently (deterministic
@@ -578,18 +628,22 @@ def pq_train(
     if dims is None:
         dims = len(df.select(vec_col).first()[0])
     sub = dims // m
+    src = vec_col
+    if normalize:  # spherical PQ: quantize directions (see _unit)
+        df = df.withColumn("_pqn", _unit(F.col(vec_col)))
+        src = "_pqn"
     # one pass: (id, j, sv) for all m subspaces; persisted across iters
     sv_df = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
-            F.array(*[F.slice(F.col(vec_col), j * sub + 1, sub) for j in range(m)])
+            F.array(*[F.slice(F.col(src), j * sub + 1, sub) for j in range(m)])
         ).alias("j", "sv"),
     ).persist()
     # deterministic seeds: subvectors of the k lowest-id vectors (one
     # bounded collect for all subspaces)
     seed_rows = df.orderBy(id_col).limit(k).collect()
     books: list[list[list[float]]] = [
-        [list(r[vec_col])[j * sub : (j + 1) * sub] for r in seed_rows]
+        [list(r[src])[j * sub : (j + 1) * sub] for r in seed_rows]
         for j in range(m)
     ]
     spark = df.sparkSession
@@ -652,16 +706,22 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
-    """Encode each vector as m nearest-codeword indices (0-based). One
-    projection pass; each subspace's argmin uses the named-array-column
-    pattern (NOTES_r2 lesson 6 — never a when/otherwise fold). Keeps the
-    original vector column for exact rescoring."""
+    """Encode each vector as m nearest-codeword indices (0-based) — in
+    the same (unit-normalized, see _unit) space the codebooks were
+    trained in. One projection pass; each subspace's argmin uses the
+    named-array-column pattern (NOTES_r2 lesson 6 — never a
+    when/otherwise fold). Keeps the original vector column for exact
+    rescoring."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
     out = df
+    if normalize:
+        out = out.withColumn("_pqn", _unit(F.col(vec_col)))
+    src = "_pqn" if normalize else vec_col
     for j, book in enumerate(codebooks):
-        sv = F.slice(F.col(vec_col), j * sub + 1, sub)
+        sv = F.slice(F.col(src), j * sub + 1, sub)
         out = out.withColumn(f"_pqd{j}", F.array(*[_sq_dist_double(sv, c) for c in book]))
     codes = F.array(
         *[
@@ -671,7 +731,8 @@ def pq_encode(
             for j in range(m)
         ]
     )
-    return out.withColumn("codes", codes).drop(*[f"_pqd{j}" for j in range(m)])
+    drops = [f"_pqd{j}" for j in range(m)] + (["_pqn"] if normalize else [])
+    return out.withColumn("codes", codes).drop(*drops)
 
 
 def _query_luts(
@@ -681,6 +742,7 @@ def _query_luts(
     vec_col: str,
     cents: list[tuple[int, list[float]]] | None = None,
     n_probe: int = 0,
+    normalize: bool = True,
 ) -> DataFrame:
     """Collect the bounded query side (same contract as the broadcast in
     brute-force top-k: queries are few by construction) and precompute
@@ -697,9 +759,15 @@ def _query_luts(
     out = []
     for r in queries.select(id_col, vec_col).collect():
         v = [float(x) for x in r[vec_col]]
+        if normalize:  # LUT lives in the codebooks' unit space (_unit);
+            # probes + the rescore vector qv stay RAW
+            n = sum(x * x for x in v) ** 0.5
+            nv = [x / n for x in v] if n > 0 else v
+        else:
+            nv = v
         lut = [
             [
-                sum((v[j * sub + t] - c[t]) ** 2 for t in range(sub))
+                sum((nv[j * sub + t] - c[t]) ** 2 for t in range(sub))
                 for c in codebooks[j]
             ]
             for j in range(m)
@@ -707,10 +775,18 @@ def _query_luts(
         if cents is None:
             out.append((r[id_col], v, lut))
         else:
-            # descending score, ties to the higher cell id — matches the
-            # previous reverse(array_sort(struct(s, cell))) ordering
+            # nearest-cell metric 2·dot − ||c||² (argmin L2, same as
+            # ivf_assign); descending score, ties to the higher cell id —
+            # matches the reverse(array_sort(struct(s, cell))) ordering
             scored = sorted(
-                ((sum(a * b for a, b in zip(v, cvec)), cid) for cid, cvec in cents),
+                (
+                    (
+                        2.0 * sum(a * b for a, b in zip(v, cvec))
+                        - sum(c * c for c in cvec),
+                        cid,
+                    )
+                    for cid, cvec in cents
+                ),
                 reverse=True,
             )
             for _s, cid in scored[:n_probe]:
@@ -750,9 +826,14 @@ def pq_adc_topk(
     lsh/brute top-k; recall, not exactness, is the approximation —
     pinned in tests)."""
     q = _query_luts(queries, codebooks, id_col, vec_col)
-    joined = encoded.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "codes"
-    ).crossJoin(F.broadcast(q))
+    joined = (
+        encoded.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "codes"
+        )
+        # zero-norm vectors have no defined cosine (see _exact_rescore_topk)
+        .filter(dot_fast(F.col("cv"), F.col("cv")) > 0)
+        .crossJoin(F.broadcast(q))
+    )
     approx = _adc_approx()
     from pyspark.sql import Window as W
 
@@ -761,22 +842,9 @@ def pq_adc_topk(
         joined.withColumn("_approx", approx)
         .withColumn("rf", F.row_number().over(wf))
         .filter(F.col("rf") <= k + margin)
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                dot_exact(F.col("qv"), F.col("cv"))
-                / (norm_exact(F.col("qv")) * norm_exact(F.col("cv")))
-            ).alias("cos_sim"),
-        )
+        .select("query_id", "neighbor_id", "qv", "cv")
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        short.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .withColumn("cos_sim", F.round("cos_sim", 9))
-        .withColumn("rank", F.col("rank").cast("int"))
-    )
+    return _exact_rescore_tail(short, k, int_rank=True)
 
 
 def ivfpq_topk(
@@ -825,29 +893,24 @@ def ivfpq_topk(
     # lever, not an exactness contract) + per-subspace ADC lookup tables,
     # both precomputed driver-side over the bounded query set
     q = _query_luts(queries, books, id_col, vec_col, cents=cents, n_probe=n_probe)
-    joined = enc.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "codes", "cell"
-    ).join(F.broadcast(q), "cell")
+    joined = (
+        enc.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+            "codes", "cell",
+        )
+        .filter(dot_fast(F.col("cv"), F.col("cv")) > 0)
+        # no dedup needed: each corpus row has exactly ONE cell and each
+        # query's probe cells are distinct, so (query, neighbor) pairs
+        # are unique by construction — a dropDuplicates here was a pure
+        # full-candidate-set shuffle
+        .join(F.broadcast(q), "cell")
+    )
     approx = _adc_approx()
     wf = W.partitionBy("query_id").orderBy(F.col("_approx").asc(), F.col("neighbor_id"))
     short = (
         joined.withColumn("_approx", approx)
-        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rf", F.row_number().over(wf))
         .filter(F.col("rf") <= k + margin)
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                dot_exact(F.col("qv"), F.col("cv"))
-                / (norm_exact(F.col("qv")) * norm_exact(F.col("cv")))
-            ).alias("cos_sim"),
-        )
+        .select("query_id", "neighbor_id", "qv", "cv")
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        short.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .withColumn("cos_sim", F.round("cos_sim", 9))
-        .withColumn("rank", F.col("rank").cast("int"))
-    )
+    return _exact_rescore_tail(short, k, int_rank=True)

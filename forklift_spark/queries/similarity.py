@@ -268,18 +268,25 @@ WITH cents AS (
          embedding AS emb
   FROM embeddings WHERE vec_id >= {_NQ}
   ORDER BY vec_id LIMIT {_IVF_CELLS}
+), cn2 AS (
+  SELECT cell,
+    CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(10,9)) * CAST(CAST(v AS DOUBLE) AS DECIMAL(10,9))) AS DOUBLE) AS n2
+  FROM (SELECT cell, unnest(emb) AS v FROM cents) z GROUP BY cell
 ), cdots AS ({cdot}),
 assign AS (
   SELECT ia AS vec_id, ib AS cell FROM (
-    SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY dot DESC, ib) AS rn
-    FROM cdots
+    SELECT c.ia, c.ib,
+           row_number() OVER (PARTITION BY c.ia
+                              ORDER BY (2 * c.dot - n.n2) DESC, c.ib) AS rn
+    FROM cdots c JOIN cn2 n ON c.ib = n.cell
   ) WHERE rn = 1
 ), qdots AS ({qdot}),
 probes AS (
   SELECT ia AS vec_id, ib AS cell FROM (
-    SELECT ia, ib,
-           row_number() OVER (PARTITION BY ia ORDER BY CAST(dot AS DOUBLE) DESC, ib DESC) AS rn
-    FROM qdots
+    SELECT q.ia, q.ib,
+           row_number() OVER (PARTITION BY q.ia
+                              ORDER BY (2 * q.dot - n.n2) DESC, q.ib DESC) AS rn
+    FROM qdots q JOIN cn2 n ON q.ib = n.cell
   ) WHERE rn <= {_IVF_PROBE}
 ),
 norms AS ({_NORMS}),
