@@ -311,7 +311,15 @@ def minhash_dedup_pairs(
     hashed = hashed_shingles(df, id_col, text_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sigs = minhash_signatures(hashed, id_col, num_hashes)
+    # persist the (tiny: one row per doc) signature frame: the band
+    # self-join otherwise embeds the 8-md5-per-shingle signature
+    # projection TWICE in one fused stage, which was measured to fall
+    # off the fast path (~4s extra at sf0.1 vs ~0.5s for the pass run
+    # once) — and at scale the signature is the thing you persist anyway
+    # (see similarity.signature_table for the written-table form)
+    sigs = minhash_signatures(hashed, id_col, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
     return jaccard_on_pairs(cands, hashed.select(id_col, "h1"), id_col, threshold)
 
