@@ -26,14 +26,20 @@ Z_BITS = 16  # bits per dimension; 2 dims -> 32-bit z-value
 
 
 def _to_rank(col: Column, lo: Column, hi: Column, bits: int) -> Column:
-    """Scale a numeric column to an integer rank in [0, 2^bits)."""
+    """Scale a numeric column to an integer rank in [0, 2^bits).
+
+    NULLs rank 0 (an explicit policy: null propagation would otherwise
+    make frac NULL and least() silently pick max_rank, scattering null
+    rows into the max corner of the curve — measured accident, now a
+    deliberate min-corner cluster)."""
     span = (hi - lo).cast("double")
     frac = F.when(span > 0, (col.cast("double") - lo.cast("double")) / span).otherwise(
         F.lit(0.0)
     )
     max_rank = (1 << bits) - 1
-    return F.least(
-        F.floor(frac * F.lit(max_rank + 1)).cast("long"), F.lit(max_rank)
+    return F.coalesce(
+        F.least(F.floor(frac * F.lit(max_rank + 1)).cast("long"), F.lit(max_rank)),
+        F.lit(0),
     )
 
 
@@ -62,6 +68,12 @@ def zorder_sort(df: DataFrame, cols: list[str], bits: int = Z_BITS) -> DataFrame
     alone doesn't bound file size; record-split files stay z-contiguous
     because the sort is total).
     """
+    # total interleaved width must fit a signed 64-bit long: with D
+    # dimensions the top bit lands at position bits*D - 1, so bits is
+    # capped at 63 // D (4 cols at the default 16 bits would push dim 3's
+    # top bit into the SIGN bit — those rows sort first, anti-clustered —
+    # and Java's shiftleft masks shifts >= 64 back onto low positions)
+    bits = min(bits, 63 // len(cols))
     aggs = []
     for c in cols:
         aggs += [F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
@@ -161,9 +173,19 @@ def table_fingerprint(
 ) -> DataFrame:
     from forklift_spark.functions.hashing import md5_long
 
-    canon = F.concat_ws(
-        "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
-    )
+    # length-prefixed fields: a bare separator is ambiguous the moment a
+    # value can contain it (('a\x01b','c') vs ('a','b\x01c') would hash
+    # equal — the FALSE-MATCH direction a copy validator must never
+    # take), and a null sentinel collides with the same literal string.
+    # "len:value" framing removes both; NULL is the one frame ("-1:")
+    # no real value can produce.
+    def field(c):
+        v = F.col(c).cast("string")
+        return F.when(
+            v.isNull(), F.lit("-1:")
+        ).otherwise(F.concat(F.length(v).cast("string"), F.lit(":"), v))
+
+    canon = F.concat_ws("\x01", *[field(c) for c in cols])
     h = md5_long(canon)
     return (
         df.select(F.pmod(h, F.lit(buckets)).alias("bucket"), h.alias("_h"))

@@ -38,7 +38,8 @@ CMS_WIDTH = 512
 
 
 def _bucket_array(key: str, depth: int, width: int):
-    """Array of the key's bucket per hash row; posexplode yields
+    """Array of the key's seeded-md5 address per hash row (shared by the
+    CMS grid and the Bloom bit positions); posexplode yields
     (row, bucket) pairs."""
     return F.array(*[md5_long_seeded(key, i) % width for i in range(depth)])
 
@@ -110,7 +111,7 @@ def bloom_build(
 
 
 def _bloom_positions(key: str, n_hashes: int, n_bits: int):
-    return F.array(*[md5_long_seeded(key, i) % n_bits for i in range(n_hashes)])
+    return _bucket_array(key, n_hashes, n_bits)
 
 
 def bloom_probe(
@@ -245,7 +246,13 @@ def qsketch_quantiles(
         F.col("pct").cast("bigint").alias("pct"),
         "n",
         F.col("r").cast("bigint").alias("r"),
+        # overflow-guarded interpolation: (hi-lo)*(r-base) can pass 2^63
+        # for wide buckets with large counts (nanosecond-epoch or byte
+        # values at real scale) and would silently wrap; when the product
+        # cannot fit, fall to the SAME IEEE double expression both
+        # engines evaluate identically (accuracy stays far inside the
+        # 2^-mantissa_bits bucket-width bound either way)
         F.expr(
-            "b.lo + ((b.hi - b.lo) * (r - (b.cum - b.cnt))) div b.cnt"
+            "b.lo + (CASE WHEN (b.hi - b.lo) <= 4611686018427387904 div greatest(r - (b.cum - b.cnt), 1) THEN ((b.hi - b.lo) * (r - (b.cum - b.cnt))) div b.cnt ELSE CAST(FLOOR(CAST(b.hi - b.lo AS DOUBLE) * CAST(r - (b.cum - b.cnt) AS DOUBLE) / CAST(b.cnt AS DOUBLE)) AS BIGINT) END)"
         ).alias("est"),
     )

@@ -97,7 +97,9 @@ def detect_skew(
     share division is a single IEEE double op, so the report is
     engine-reproducible."""
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
-    total = df.select(F.count(F.lit(1)).alias("_t"))
+    # total derives from the (tiny) per-key aggregate — a df.count()
+    # here would scan the full table a second time
+    total = counts.agg(F.sum("n").alias("_t"))
     return (
         counts.crossJoin(F.broadcast(total))
         .withColumn("share", F.col("n").cast("double") / F.col("_t").cast("double"))
@@ -129,13 +131,21 @@ def binned_range_join(
     The exact [lo, hi) predicate re-applies post-join; each right row
     has exactly one bin, so no pair can match twice (no dedup pass).
     """
+    # guard hi <= lo: Spark's sequence(start, stop) infers step -1 when
+    # start > stop, so one inverted/corrupt window would explode into a
+    # DESCENDING bin range (potentially millions of rows) instead of
+    # matching nothing — the exact per-row quadratic this operator exists
+    # to prevent
     lb = left.withColumn(
         "_bin",
         F.explode(
-            F.sequence(
-                F.floor(F.col(lo) / bin_seconds),
-                F.floor((F.col(hi) - 1) / bin_seconds),
-            )
+            F.when(
+                F.col(hi) > F.col(lo),
+                F.sequence(
+                    F.floor(F.col(lo) / bin_seconds),
+                    F.floor((F.col(hi) - 1) / bin_seconds),
+                ),
+            ).otherwise(F.expr("array()"))
         ),
     )
     rb = right.withColumn("_bin", F.floor(F.col(right_ts) / bin_seconds))

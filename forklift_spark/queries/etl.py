@@ -1107,9 +1107,9 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _zorder_oracle(bits: int = 16) -> str:
     def rank(col: str, lo: str, hi: str) -> str:
         return (
-            f"least(CAST(floor(CASE WHEN ({hi} - {lo}) > 0 "
+            f"coalesce(least(CAST(floor(CASE WHEN ({hi} - {lo}) > 0 "
             f"THEN (CAST({col} AS DOUBLE) - {lo}) / ({hi} - {lo}) ELSE 0.0 END "
-            f"* {1 << bits}.0) AS BIGINT), {(1 << bits) - 1})"
+            f"* {1 << bits}.0) AS BIGINT), {(1 << bits) - 1}), 0)"
         )
 
     terms = " + ".join(
@@ -1169,8 +1169,9 @@ _FP_COLS = [
 CHECKSUM_ORACLE = f"""
 WITH h AS (
   SELECT CAST('0x' || substr(md5(concat_ws(chr(1),
-    {", ".join(f"coalesce(CAST({c} AS VARCHAR), chr(0))" for c in _FP_COLS)},
-    coalesce(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), chr(0))
+    {", ".join(f"CASE WHEN {c} IS NULL THEN '-1:' ELSE CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR) || ':' || CAST({c} AS VARCHAR) END" for c in _FP_COLS)},
+    CASE WHEN l_shipdate IS NULL THEN '-1:'
+         ELSE CAST(length(CAST(CAST(l_shipdate AS DATE) AS VARCHAR)) AS VARCHAR) || ':' || CAST(CAST(l_shipdate AS DATE) AS VARCHAR) END
   )), 1, 15) AS BIGINT) AS h
   FROM lineitem
 )

@@ -987,7 +987,7 @@ WITH v AS (
   GROUP BY r.pct, r.n, r.r
 )
 SELECT CAST(o.pct AS BIGINT) AS pct, o.n, CAST(o.r AS BIGINT) AS r,
-  CAST(c.lo + ((c.hi - c.lo) * (o.r - (c.cum - c.cnt))) // c.cnt AS BIGINT) AS est
+  CAST(c.lo + (CASE WHEN (c.hi - c.lo) <= 4611686018427387904 // greatest(o.r - (c.cum - c.cnt), 1) THEN ((c.hi - c.lo) * (o.r - (c.cum - c.cnt))) // c.cnt ELSE CAST(FLOOR(CAST(c.hi - c.lo AS DOUBLE) * CAST(o.r - (c.cum - c.cnt) AS DOUBLE) / CAST(c.cnt AS DOUBLE)) AS BIGINT) END) AS BIGINT) AS est
 FROM owner o JOIN cum c ON o.lo = c.lo
 """
 
@@ -1037,7 +1037,7 @@ WITH v AS (
   GROUP BY r.grp, r.pct, r.n, r.r
 )
 SELECT o.grp, CAST(o.pct AS BIGINT) AS pct, o.n, CAST(o.r AS BIGINT) AS r,
-  CAST(c.lo + ((c.hi - c.lo) * (o.r - (c.cum - c.cnt))) // c.cnt AS BIGINT) AS est
+  CAST(c.lo + (CASE WHEN (c.hi - c.lo) <= 4611686018427387904 // greatest(o.r - (c.cum - c.cnt), 1) THEN ((c.hi - c.lo) * (o.r - (c.cum - c.cnt))) // c.cnt ELSE CAST(FLOOR(CAST(c.hi - c.lo AS DOUBLE) * CAST(o.r - (c.cum - c.cnt) AS DOUBLE) / CAST(c.cnt AS DOUBLE)) AS BIGINT) END) AS BIGINT) AS est
 FROM owner o JOIN cum c ON o.grp = c.grp AND o.lo = c.lo
 """
 

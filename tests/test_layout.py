@@ -131,3 +131,19 @@ def test_table_fingerprint_validates_copies(spark):
     # a dropped row changes n_rows even if xor were to cancel
     dropped = spark.createDataFrame(rows[:-1], "id long, name string")
     assert sum(n for n, _ in fp(dropped).values()) == 499
+
+
+def test_table_fingerprint_framing_is_unambiguous(spark):
+    from forklift_spark.operators.layout import table_fingerprint
+
+    fp = lambda rows: {
+        r.bucket: (r.n_rows, r.checksum)
+        for r in table_fingerprint(
+            spark.createDataFrame(rows, "a string, b string"), ["a", "b"], buckets=4
+        ).collect()
+    }
+    # separator injection: same concatenation, different rows
+    assert fp([("a\x01b", "c")]) != fp([("a", "b\x01c")])
+    # NULL vs any literal value (incl. the old sentinel)
+    assert fp([(None, "x")]) != fp([("\x00", "x")])
+    assert fp([(None, "x")]) != fp([("", "x")])

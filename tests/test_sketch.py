@@ -145,3 +145,19 @@ def test_qsketch_grouped_matches_per_group_ungrouped(spark):
         )
         for r in solo.collect():
             assert got[(g, r.pct)] == (r.n, r.r, r.est)
+
+
+def test_qsketch_handles_nanosecond_scale_values(spark):
+    # (hi-lo)*(r-base) would overflow int64 for these buckets; the
+    # guarded interpolation must stay in range and inside the bucket
+    base = 1_700_000_000_000_000_000
+    xs = [base + (i * 7919) % 10**15 for i in range(3000)]
+    sk = K.qsketch_build(_vals(spark, xs), "v")
+    est = {r.pct: r.est for r in K.qsketch_quantiles(sk, [50, 99]).collect()}
+    xs_sorted = sorted(xs)
+    n = len(xs)
+    for pct, e in est.items():
+        r = (n * pct + 99) // 100
+        true = xs_sorted[r - 1]
+        assert e > 0
+        assert abs(e - true) <= max(true >> 5, 1), (pct, e, true)
