@@ -15,9 +15,14 @@ divide, and integer addition is associative at any parallelism — a
 fixed iteration count yields bit-identical ranks in every engine. The
 catalog oracle replays all iterations as unrolled SQL CTEs.
 
-Dangling nodes (no out-links) evaporate their mass — documented,
-deterministic, and replayed identically by the oracle; the (1-d)/N
-teleport keeps every node's rank positive.
+Dangling nodes (no out-links) redistribute their mass uniformly each
+round (the published treatment — Page et al.'s random surfer jumps from
+a sink to a random page; plain evaporation deflates regions fed through
+dangling-adjacent nodes and changes the RANKING, not just the scale).
+The per-node share is dm div N in integer units, so only the sub-unit
+remainder (< N units of 1e-12) evaporates; the (1-d)/N teleport keeps
+every node's rank positive. The oracle replays the dangling term
+round-for-round.
 
 Scale (100 TB / billion-edge graphs): edges shuffle-partition on the
 source for the contribution join and on the target for the sum —
@@ -49,7 +54,7 @@ def pagerank(
 
     ``n_nodes`` is a bounded scalar (same contract as HWM reads).
     Returns DataFrame(node, rank) with rank summing to <= SCALE
-    (teleport floor + dangling evaporation account for the gap)."""
+    (integer floors account for the small gap)."""
     nodes = nodes.select(F.col(node_col).alias("node"))
     edges = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -71,12 +76,20 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        # dangling mass: rank held by nodes with no out-links, shared
+        # uniformly (dm div N per node — a 1-row broadcast scalar)
+        dang = (
+            ranks.join(deg, ranks.node == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("_dm"))
+        )
         ranks = (
             nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 F.expr(
-                    f"{teleport}L + (({DAMPING_NUM} * coalesce(s, 0L)) div {DAMPING_DEN})"
+                    f"{teleport}L + (({DAMPING_NUM} * (coalesce(s, 0L) "
+                    f"+ _dm div {n_nodes}L)) div {DAMPING_DEN})"
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)

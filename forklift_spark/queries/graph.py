@@ -45,11 +45,16 @@ def _pagerank_ctes(iterations: int) -> str:
             f"  FROM ed JOIN deg USING (src) JOIN r{i-1} ON r{i-1}.node = ed.src",
             "  GROUP BY ed.dst",
             "),",
+            # dangling mass of round i-1, shared uniformly (dm // n each)
+            f"g{i} AS (",
+            f"  SELECT coalesce(sum(r.rank), 0) AS dm FROM r{i-1} r",
+            "  LEFT JOIN deg ON deg.src = r.node WHERE deg.src IS NULL",
+            "),",
             f"r{i} AS (",
             f"  SELECT d.doc_id AS node,",
             f"    ({_SCALE} * {G.DAMPING_DEN - G.DAMPING_NUM}) // ({G.DAMPING_DEN} * nn.n)",
-            f"      + ({G.DAMPING_NUM} * coalesce(c{i}.s, 0)) // {G.DAMPING_DEN} AS rank",
-            f"  FROM documents d CROSS JOIN nn LEFT JOIN c{i} ON c{i}.dst = d.doc_id",
+            f"      + ({G.DAMPING_NUM} * (coalesce(c{i}.s, 0) + g{i}.dm // nn.n)) // {G.DAMPING_DEN} AS rank",
+            f"  FROM documents d CROSS JOIN nn CROSS JOIN g{i} LEFT JOIN c{i} ON c{i}.dst = d.doc_id",
             "),",
         ]
     parts[-1] = parts[-1].rstrip(",")  # close the final CTE without a comma

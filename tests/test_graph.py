@@ -30,13 +30,19 @@ def test_star_graph_concentrates_rank_on_hub(spark):
     assert ranks[1] > ranks[2]  # the hub's one out-link is favored
 
 
-def test_dangling_mass_evaporates_deterministically(spark):
-    # 1 has no out-links: its mass is dropped, not redistributed
+def test_dangling_mass_redistributes_uniformly(spark):
+    # 1 has no out-links: its mass is shared with every node (the
+    # published random-surfer treatment), not dropped
     ranks_a = _rank(spark, [0, 1], [(0, 1)], 2)
     ranks_b = _rank(spark, [0, 1], [(0, 1)], 2)
     assert ranks_a == ranks_b  # bit-identical across runs
-    assert sum(ranks_a.values()) < G.RANK_SCALE  # evaporation is visible
+    # mass conserved up to integer floors: < N units per division site
+    assert sum(ranks_a.values()) > G.RANK_SCALE - 100
+    assert sum(ranks_a.values()) <= G.RANK_SCALE
     assert min(ranks_a.values()) > 0  # teleport keeps everyone positive
+    # node 0 receives ONLY teleport + dangling share; node 1 additionally
+    # receives 0's full contribution -> strictly richer
+    assert ranks_a[1] > ranks_a[0]
 
 
 def test_duplicate_edges_collapse(spark):
