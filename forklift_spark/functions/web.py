@@ -29,25 +29,35 @@ def url_part(url: Column | str, part: str) -> Column:
 
 
 # Tracking parameters stripped by canonicalization: the utm_* family plus
-# common session/click ids. Alternation kept RE2-compatible.
-_TRACKING_PARAM_RE = r"(utm_[a-z]+|sid|fbclid|gclid)=[^&]*&?"
+# common session/click ids. The name is anchored to a parameter BOUNDARY
+# (string start or '&') — an unanchored alternation would also strip the
+# tail of innocent parameters like `psid=9` or `classid=7`, fabricating
+# parameters that never existed. Alternation kept RE2-compatible.
+_TRACKING_PARAM_RE = r"(^|&)(utm_[a-z]+|sid|fbclid|gclid)=[^&]*"
 
 
 def clean_query(query: Column | str) -> Column:
     """Drop tracking parameters from a raw query string (no leading '?'):
-    remove each `param=value&?` then any dangling separator."""
+    remove each boundary-anchored `param=value`, then any leading
+    separator the removal exposed."""
     q = F.regexp_replace(_col(query), _TRACKING_PARAM_RE, "")
-    return F.regexp_replace(q, r"[?&]$", "")
+    return F.regexp_replace(q, r"^&", "")
 
 
 def canonicalize_url(url: Column | str) -> Column:
-    """Canonical form for URL-level dedup: scheme and host lowercased
-    (parse_url HOST already excludes any explicit port), path kept
-    verbatim, tracking params stripped from the query, empty query
-    dropped."""
+    """Canonical form for URL-level dedup: scheme and authority
+    lowercased with only the scheme's DEFAULT port removed (RFC 3986
+    §6.2.3 — dropping every explicit port would conflate distinct
+    resources like host:8080 with host), path kept verbatim, tracking
+    params stripped from the query, empty query dropped."""
     u = _col(url)
     scheme = F.lower(url_part(u, "PROTOCOL"))
-    host = F.lower(url_part(u, "HOST"))
+    auth = F.lower(F.coalesce(url_part(u, "AUTHORITY"), F.lit("")))
+    host = (
+        F.when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .otherwise(auth)
+    )
     path = F.coalesce(url_part(u, "PATH"), F.lit(""))
     q = clean_query(F.coalesce(url_part(u, "QUERY"), F.lit("")))
     return F.concat(

@@ -373,8 +373,8 @@ WITH seq AS (
     CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS roll_sum,
     COUNT(*) OVER w AS roll_n
   FROM events
-  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts) // 1000000
-               RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3599999999 PRECEDING AND 1 PRECEDING)
 )
 SELECT event_id, event_type, value,
   value - roll_sum / CAST(roll_n AS DOUBLE) AS deviation
@@ -387,10 +387,14 @@ WHERE roll_n >= 5
 @query("q_rolling_anomaly", Q_ROLLING_ANOMALY_ORACLE)
 def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
+    # microsecond grain: a second-grain frame spanned 3601 wall seconds
+    # AND excluded every same-second peer from "recent history", not just
+    # the current row; (t - 1h, t) in exact microseconds is the stated
+    # trailing-hour-excluding-the-current-instant definition
     w = (
         W.partitionBy("event_type")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, -1)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-(3600 * 1_000_000 - 1), -1)
     )
     v = dec("value", VALUE)
     roll_sum = F.sum(v).over(w).cast("double")
@@ -427,14 +431,21 @@ WITH prep AS (
          SUM(x * x) AS sxx, SUM(x * y) AS sxy
   FROM prep GROUP BY "group"
 )
+-- zero-variance-x guard mirrors mlfit._ols_fit: a group whose xs are all
+-- equal gets slope 0 / intercept mean (a bare division would emit
+-- NaN/Inf here but 0/mean in the pandas fitter — an engine divergence)
 SELECT "group", n,
-  (CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))
-    / (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
-    AS slope,
-  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
-    - (((CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))
-        / (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)))
-       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+  CASE WHEN (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) = 0 THEN 0.0
+    ELSE (CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))
+      / (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+  END AS slope,
+  CASE WHEN (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) = 0
+    THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+    ELSE CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+      - (((CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))
+          / (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)))
+         * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+  END AS intercept,
   CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y
 FROM sums
 """

@@ -55,15 +55,16 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 SESSION_ORACLE = """
 WITH g AS (
-  SELECT user_id, ts,
-    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-              > INTERVAL '30 minutes'
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > 1800000000
          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
     THEN 1 ELSE 0 END AS new_session
   FROM events
 ), s AS (
   SELECT user_id, ts,
-    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g
 )
@@ -77,12 +78,23 @@ FROM s GROUP BY user_id
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # full-microsecond gap: cast-to-long FLOORS to seconds while the
+    # oracle compared full-precision intervals, so a boundary gap like
+    # 1800.8s split sessions in one engine only (measured trap; every
+    # other query here already floors/keeps precision on BOTH sides)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
     marked = ev.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
     )
-    wc = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    # the cumsum window carries the SAME event_id tiebreak as the marker
+    # window: on (user, ts) ties the engines may order differently and a
+    # tie-ordered cumsum would invent or merge sessions nondeterministically
+    wc = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
     sess = marked.withColumn("session_id", F.sum("new_session").over(wc))
     return sess.groupBy("user_id").agg(
         F.countDistinct("session_id").alias("n_sessions"),
@@ -165,18 +177,22 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from forklift_spark.operators.skew import binned_range_join
 
     ev = tables.load(spark, sf_dir, "events")
+    # microsecond timeline: unix_timestamp() FLOORS to seconds, which
+    # would both admit clicks a hair older than 1h and drop same-second
+    # clicks the full-precision oracle counts (measured trap); the bin
+    # operator is unit-agnostic, so bins are 1h of MICROseconds
     errors = ev.filter(F.col("event_type") == "error").select(
         "event_id", "user_id",
-        (F.unix_timestamp("ts") - 3600).alias("lo"),
-        F.unix_timestamp("ts").alias("hi"),
+        (F.unix_micros("ts") - 3600 * 1_000_000).alias("lo"),
+        F.unix_micros("ts").alias("hi"),
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.unix_timestamp("ts").alias("cts"),
+        "user_id", F.unix_micros("ts").alias("cts"),
         F.col("event_id").alias("cid"),
     )
     matched = binned_range_join(
         errors, clicks, keys=["user_id"], right_ts="cts",
-        lo="lo", hi="hi", bin_seconds=3600,
+        lo="lo", hi="hi", bin_seconds=3600 * 1_000_000,
     )
     counts = matched.groupBy("event_id").agg(F.count("cid").alias("n"))
     return (
@@ -190,48 +206,72 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q_event_funnel — sequential funnel: per user, did view -> click ->
-# purchase happen in ts order? One groupBy with conditional min/max
-# timestamps (no self-joins, no window): the plan a 100 TB event log
-# wants — a single shuffle on user_id with map-side partial agg.
+# q_event_funnel — sequential funnel (windowFunnel semantics): per user,
+# does an INCREASING view -> click -> purchase subsequence exist? The
+# naive all-global-minimums comparison is wrong-by-intent: a user with
+# click@t1 < view@t2 < click@t3 < purchase@t4 DID convert via (t2,t3,t4)
+# but first_click < first_view flags them false. Correct recurrence:
+# first view, then the earliest click AFTER it, then the earliest
+# purchase after THAT — three user-keyed aggregations (each a single
+# shuffle with map-side partial agg; no self-join explosion, no window).
 # --------------------------------------------------------------------------
 FUNNEL_ORACLE = """
-WITH per_user AS (
-  SELECT user_id,
-    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
-    min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
-    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
-  FROM events GROUP BY user_id
+WITH fv AS (
+  SELECT user_id, min(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), fc AS (
+  SELECT e.user_id, min(e.ts) AS first_click
+  FROM events e JOIN fv ON fv.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > fv.first_view
+  GROUP BY e.user_id
+), fp AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase
+  FROM events e JOIN fc ON fc.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > fc.first_click
+  GROUP BY e.user_id
+), users AS (
+  SELECT DISTINCT user_id FROM events
 )
-SELECT user_id, first_view, first_click, first_purchase,
-  (first_view IS NOT NULL)
-    AND (first_click IS NOT NULL AND first_click > first_view)
-    AND (first_purchase IS NOT NULL AND first_purchase > first_click)
-  AS converted
-FROM per_user
+SELECT u.user_id, fv.first_view, fc.first_click, fp.first_purchase,
+  (fp.first_purchase IS NOT NULL) AS converted
+FROM users u
+LEFT JOIN fv USING (user_id)
+LEFT JOIN fc USING (user_id)
+LEFT JOIN fp USING (user_id)
 """
 
 
 @query("q_event_funnel", FUNNEL_ORACLE)
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
-
-    def first_ts(etype: str):
-        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
-
-    per_user = ev.groupBy("user_id").agg(
-        first_ts("view").alias("first_view"),
-        first_ts("click").alias("first_click"),
-        first_ts("purchase").alias("first_purchase"),
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
     )
-    converted = (
-        F.col("first_view").isNotNull()
-        & (F.col("first_click").isNotNull() & (F.col("first_click") > F.col("first_view")))
-        & (
-            F.col("first_purchase").isNotNull()
-            & (F.col("first_purchase") > F.col("first_click"))
-        )
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
     )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    per_user = (
+        ev.select("user_id").distinct()
+        .join(fv, "user_id", "left")
+        .join(fc, "user_id", "left")
+        .join(fp, "user_id", "left")
+    )
+    # the recurrence guarantees first_view < first_click < first_purchase
+    # whenever the chain completes, so conversion is just the last link
+    converted = F.col("first_purchase").isNotNull()
     return per_user.select(
         "user_id", "first_view", "first_click", "first_purchase",
         converted.alias("converted"),
@@ -247,11 +287,11 @@ TRAILING_ORACLE = """
 SELECT o_orderkey, o_custkey,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
     OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
-          RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW) AS DOUBLE)
     AS trailing_7d,
   count(*)
     OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
-          RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+          RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
     AS n_7d
 FROM orders
 """
@@ -266,10 +306,14 @@ def q_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = tables.load(spark, sf_dir, "orders").withColumn(
         "__epoch", F.unix_timestamp("o_orderdate")
     )
+    # 7 CALENDAR days at date grain = current date + 6 prior (518400s);
+    # an inclusive 604800 PRECEDING frame covers eight dates (the
+    # conventional rolling-7D window, e.g. pandas closed='right', is
+    # (t-7d, t])
     w = (
         W.partitionBy("o_custkey")
         .orderBy("__epoch")
-        .rangeBetween(-604800, W.currentRow)
+        .rangeBetween(-518400, W.currentRow)
     )
     return orders.select(
         "o_orderkey",
@@ -307,7 +351,7 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600), "stream did not finish; sink would be partial"
     return spark.table(sink)
 
 
@@ -353,7 +397,7 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600), "stream did not finish; sink would be partial"
     return (
         spark.table(sink)
         .groupBy("event_type")
@@ -418,7 +462,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600), "stream did not finish; sink would be partial"
     return spark.table(sink)
 
 
@@ -474,7 +518,7 @@ def q_stream_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=os.path.join(root, "ckpt"),
         max_files_per_trigger=2,
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600), "stream did not finish; sink would be partial"
     return writer.read("events_sync")
 
 
@@ -735,7 +779,7 @@ def q_window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 STREAM_SESSION_ORACLE = """
 WITH m AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
     CASE WHEN lag(ts) OVER w IS NULL
               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS brk
@@ -743,7 +787,8 @@ WITH m AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), g AS (
   SELECT user_id, ts,
-    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
   FROM m
 )
 SELECT user_id,
@@ -774,5 +819,5 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600), "stream did not finish; sink would be partial"
     return spark.table(sink)

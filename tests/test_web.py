@@ -60,3 +60,43 @@ def test_strip_html_and_markup_accounting(spark):
 def test_strip_html_leaves_plain_text_alone(spark):
     assert _one(spark, W.strip_html("h"), h="no tags here") == "no tags here"
 
+
+
+def test_tracking_strip_is_param_boundary_anchored(spark):
+    from forklift_spark.functions.web import canonicalize_url
+
+    urls = [
+        ("https://e.com/p?psid=9&ref=1",),     # psid is NOT sid
+        ("https://e.com/p?classid=7",),        # classid is NOT sid
+        ("https://e.com/p?sid=9&ref=1",),      # real sid at string start
+        ("https://e.com/p?a=1&sid=9&ref=1",),  # real sid mid-query
+    ]
+    got = [
+        r[0]
+        for r in spark.createDataFrame(urls, "u string")
+        .select(canonicalize_url("u"))
+        .collect()
+    ]
+    assert got[0] == "https://e.com/p?psid=9&ref=1"
+    assert got[1] == "https://e.com/p?classid=7"
+    assert got[2] == "https://e.com/p?ref=1"
+    assert got[3] == "https://e.com/p?a=1&ref=1"
+
+
+def test_canonicalize_keeps_non_default_ports(spark):
+    from forklift_spark.functions.web import canonicalize_url
+
+    urls = [
+        ("https://API.example.com:443/p/1",),  # default port -> dropped
+        ("https://api.example.com:8080/p/1",), # explicit port -> kept
+        ("http://api.example.com:80/x",),      # http default -> dropped
+    ]
+    got = [
+        r[0]
+        for r in spark.createDataFrame(urls, "u string")
+        .select(canonicalize_url("u"))
+        .collect()
+    ]
+    assert got[0] == "https://api.example.com/p/1"
+    assert got[1] == "https://api.example.com:8080/p/1"
+    assert got[2] == "http://api.example.com/x"
