@@ -776,3 +776,93 @@ def duplicated_ngram_stats(
             9,
         ).alias("dup_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity self-join via prefix filtering (PPJoin family)
+# ---------------------------------------------------------------------------
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num: int = 1,
+    den: int = 2,
+) -> DataFrame:
+    """EXACT Jaccard >= num/den self-join without the all-pairs blowup:
+    prefix filtering (Chaudhuri et al. 2006 / PPJoin, Xiao et al. 2011).
+
+    Order every document's shingle set by ascending global document
+    frequency (rarest first; ties broken by the 60-bit shingle hash, a
+    total order). If jaccard(A, B) >= t, the two sets MUST share a token
+    inside their first |x| - ceil(t*|x|) + 1 tokens, so the candidate
+    join runs only over those short prefixes of RARE tokens — the
+    fan-out per prefix token is its (low) document frequency, never the
+    corpus-wide postings of a stop-shingle. Unlike MinHash-LSH this is
+    lossless: the driver oracle replays the naive all-pairs join and the
+    hash match certifies zero missed pairs.
+
+    Every comparison is integer arithmetic (prefix length by integer
+    ceiling division, the threshold as den*inter >= num*union), so the
+    boundary jaccard == t is engine-exact. At 100 TB: the shingle
+    hashing is scan-side, the df table is one keyed aggregation, and the
+    candidate join shuffles (prefix-token, id, n) triples — the size
+    filter den*min(n) >= num*max(n) prunes length-incompatible pairs
+    inside the join condition before the distinct.
+    """
+    toks = hashed_shingles(df, id_col, text_col, shingle_n).select(id_col, "h1")
+    dfreq = toks.groupBy("h1").agg(F.count(F.lit(1)).alias("df"))
+    docs = (
+        toks.join(dfreq, "h1")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("df", "h1"))).alias("ord"))
+        .select(
+            id_col,
+            F.transform("ord", lambda x: x["h1"]).alias("toks"),
+            F.size("ord").alias("n"),
+        )
+        .withColumn(
+            "p",
+            F.expr(f"CAST(n - (n * {num} + {den} - 1) DIV {den} + 1 AS INT)"),
+        )
+    )
+    docs = docs.persist()  # consumed by the prefix explode AND both join-backs
+    pref = docs.select(
+        id_col, "n", F.explode(F.slice("toks", F.lit(1), F.col("p"))).alias("tok")
+    )
+    a = pref.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"), "tok")
+    b = pref.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("na") * den >= F.col("nb") * num)
+            & (F.col("nb") * den >= F.col("na") * num)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = docs.select(
+        F.col(id_col).alias("id_a"), F.col("toks").alias("ta"), F.col("n").alias("na")
+    )
+    tb = docs.select(
+        F.col(id_col).alias("id_b"), F.col("toks").alias("tb"), F.col("n").alias("nb")
+    )
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")).cast("bigint"))
+        .withColumn("uni", (F.col("na") + F.col("nb") - F.col("inter")).cast("bigint"))
+        .filter(F.col("inter") * den >= F.col("uni") * num)
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "uni",
+            (F.col("inter").cast("double") / F.col("uni").cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )

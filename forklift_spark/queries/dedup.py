@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from forklift_spark import tables
 from forklift_spark.operators import dedup as D
+from forklift_spark.operators.dedup import normalize_text
 from forklift_spark.queries import query
 
 # shared SQL fragments (DuckDB) ---------------------------------------------
@@ -692,4 +693,87 @@ def q_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("kept")
             .alias("status"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_set_similarity_join — EXACT Jaccard >= 1/2 self-join via prefix
+# filtering (PPJoin family): candidates come only from each set's
+# rarest-token prefix, yet the result is provably identical to the
+# all-pairs join. The corpus is augmented with junk-extended copies
+# (doc_id + 10^6; k = n_distinct_words + doc_id%2 unique junk tokens)
+# so pairs straddle the threshold from both sides: long docs keep
+# jaccard(original, extended) above 1/2, short ones fall below. The
+# ORACLE REPLAYS THE NAIVE ALL-PAIRS JOIN — a hash match certifies the
+# prefix filter lost nothing (the property LSH cannot offer).
+# --------------------------------------------------------------------------
+_PJ_NUM, _PJ_DEN = 1, 2
+
+
+def _set_similarity_oracle() -> str:
+    sh = _shingle_sql()
+    h1 = "CAST('0x' || substr(md5('s:' || s), 1, 15) AS BIGINT)"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {NORM} AS norm,
+         len(list_distinct(string_split({NORM}, ' '))) AS nw
+  FROM documents
+), src AS (
+  SELECT doc_id, norm FROM base
+  UNION ALL
+  SELECT doc_id + 1000000,
+         norm || ' ' || array_to_string(
+           list_transform(range(1, nw + 1 + doc_id % 2),
+                          i -> 'zq' || doc_id || 'x' || i), ' ')
+  FROM base
+), words AS (
+  SELECT doc_id, norm, string_split(norm, ' ') AS w FROM src
+), sh0 AS (
+  SELECT doc_id, {sh} AS sh FROM words
+), hs AS (
+  SELECT doc_id, {h1} AS h1
+  FROM (SELECT doc_id, unnest(sh) AS s FROM sh0)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM hs a JOIN hs b ON a.h1 = b.h1 AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, CAST(i.i AS BIGINT) AS inter,
+  CAST(sa.n + sb.n - i.i AS BIGINT) AS uni,
+  CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.i * {_PJ_DEN} >= (sa.n + sb.n - i.i) * {_PJ_NUM}
+"""
+
+
+@query("q_set_similarity_join", _set_similarity_oracle())
+def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = normalize_text("text")
+    base = docs.select(
+        "doc_id",
+        norm.alias("norm"),
+        F.size(F.array_distinct(F.split(norm, " "))).alias("nw"),
+    )
+    junk = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), (F.col("nw") + F.col("doc_id") % 2).cast("int")),
+            lambda i: F.concat(
+                F.lit("zq"), F.col("doc_id").cast("string"), F.lit("x"),
+                i.cast("string"),
+            ),
+        ),
+        " ",
+    )
+    mut = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("norm", F.lit(" "), junk).alias("text"),
+    )
+    src = base.select("doc_id", F.col("norm").alias("text")).unionByName(mut)
+    return D.prefix_jaccard_pairs(
+        src, "doc_id", "text", shingle_n=3, num=_PJ_NUM, den=_PJ_DEN
     )

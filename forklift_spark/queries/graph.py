@@ -183,3 +183,109 @@ def q_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 9).alias("share"),
         F.floor(share * _EPOCH_TOKENS).cast("bigint").alias("epoch_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_triangle_count — per-node triangle participation over the derived
+# link graph (undirected), counted by DEGREE ORDERING: every edge is
+# oriented from its lower-(degree, id) endpoint to the higher one, so
+# each triangle has exactly one topological (a < b < c) orientation and
+# is enumerated once by the wedge join. The classic bound: total wedges
+# under degree ordering is O(m^1.5) regardless of hubs — a hub's
+# postings never fan out as wedge centers, which is what makes this
+# shape survive power-law graphs at 100 TB (plain (src join src) is
+# quadratic in the hub degree). Integer-exact; the oracle replays the
+# orientation and both joins.
+# --------------------------------------------------------------------------
+TRIANGLE_ORACLE = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+ed AS (
+  SELECT DISTINCT doc_id AS src,
+         (doc_id * (2 * k + 5) + k) % nn.n AS dst
+  FROM documents, nn, (SELECT unnest(range(1, 4)) AS k) ks
+  WHERE k <= 1 + doc_id % 3
+    AND (doc_id * (2 * k + 5) + k) % nn.n <> doc_id
+),
+und AS (
+  SELECT src AS u, dst AS v FROM ed
+  UNION
+  SELECT dst, src FROM ed
+),
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+o AS (
+  SELECT und.u AS a, und.v AS b
+  FROM und
+  JOIN deg da ON da.u = und.u
+  JOIN deg db ON db.u = und.v
+  WHERE da.d < db.d OR (da.d = db.d AND und.u < und.v)
+),
+tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM o e1
+  JOIN o e2 ON e2.a = e1.b
+  JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pernode AS (
+  SELECT node, count(*) AS n_triangles
+  FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(n_triangles AS BIGINT) AS n_triangles
+FROM pernode
+"""
+
+
+@query("q_triangle_count", TRIANGLE_ORACLE)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    n = docs.count()  # bounded scalar (node count)
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.sequence(F.lit(1), (F.lit(1) + F.col("doc_id") % 3).cast("int"))
+            ).alias("k"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * (2 * F.col("k") + 5) + F.col("k")) % n).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    und = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    und = und.persist()  # degree agg + orientation join + wedge closure
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("u").alias("_ua"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("_ub"), F.col("d").alias("db"))
+    o = (
+        und.join(da, und.u == da._ua)
+        .join(db, und.v == db._ub)
+        .filter(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("u") < F.col("v")))
+        )
+        .select(F.col("u").alias("a"), F.col("v").alias("b"))
+    )
+    o = o.persist()  # three-way self-join
+    e1 = o.select(F.col("a").alias("a"), F.col("b").alias("b"))
+    e2 = o.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = o.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    pernode = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return pernode.select(F.col("node").cast("bigint").alias("node"), "n_triangles")

@@ -821,3 +821,84 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert q.awaitTermination(600), "stream did not finish; sink would be partial"
     return spark.table(sink)
+
+
+# --------------------------------------------------------------------------
+# q_interval_merge — gaps-and-islands interval union: each event opens a
+# deterministic interval [ts, ts + 10..40 min); overlapping or touching
+# intervals per user merge into islands, and the per-user rollup reports
+# island count, total covered time, and the longest island. The classic
+# availability/coverage computation (uptime windows, session stitching,
+# sensor validity ranges). A new island starts where the interval's
+# start exceeds the running max of every PRECEDING end — one window
+# pass, partitioned by user: no self-join, and at 100 TB the only
+# shuffle is the per-user repartition the window needs. All arithmetic
+# in integer epoch microseconds; ties broken by event_id so the prefix
+# max is engine-deterministic.
+# --------------------------------------------------------------------------
+INTERVAL_MERGE_ORACLE = """
+WITH iv AS (
+  SELECT user_id, event_id,
+    epoch_us(ts) AS s,
+    epoch_us(ts) + (600 + (event_id % 7) * 300) * 1000000 AS e
+  FROM events
+), flagged AS (
+  SELECT *,
+    CASE WHEN max(e) OVER (
+        PARTITION BY user_id ORDER BY s, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      ) >= s THEN 0 ELSE 1 END AS new_island
+  FROM iv
+), islands AS (
+  SELECT *, sum(new_island) OVER (
+      PARTITION BY user_id ORDER BY s, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS island_id
+  FROM flagged
+), merged AS (
+  SELECT user_id, island_id, min(s) AS s, max(e) AS e,
+         count(*) AS n_events
+  FROM islands GROUP BY user_id, island_id
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_intervals,
+  CAST(sum(e - s) AS BIGINT) AS covered_us,
+  CAST(max(e - s) AS BIGINT) AS longest_us,
+  CAST(sum(n_events) AS BIGINT) AS n_events
+FROM merged GROUP BY user_id
+"""
+
+
+@query("q_interval_merge", INTERVAL_MERGE_ORACLE)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = tables.load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + (F.lit(600) + (F.col("event_id") % 7) * 300) * 1_000_000
+        ).alias("e"),
+    )
+    order = W.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(order.rowsBetween(W.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island", F.when(prev_max_e >= F.col("s"), 0).otherwise(1)
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("new_island").over(order.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("s"), F.max("e").alias("e"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("covered_us"),
+        F.max(F.col("e") - F.col("s")).cast("bigint").alias("longest_us"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+    )
