@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from forklift_spark.functions.hashing import md5_long_seeded
+from forklift_spark.functions.hashing import md5_long, md5_long_seeded
 
 CMS_DEPTH = 4
 CMS_WIDTH = 512
@@ -255,4 +255,56 @@ def qsketch_quantiles(
         F.expr(
             "b.lo + (CASE WHEN (b.hi - b.lo) <= 4611686018427387904 div greatest(r - (b.cum - b.cnt), 1) THEN ((b.hi - b.lo) * (r - (b.cum - b.cnt))) div b.cnt ELSE CAST(FLOOR(CAST(b.hi - b.lo AS DOUBLE) * CAST(r - (b.cum - b.cnt) AS DOUBLE) / CAST(b.cnt AS DOUBLE)) AS BIGINT) END)"
         ).alias("est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with set algebra
+# ---------------------------------------------------------------------------
+
+KMV_HASH_SPACE = 1 << 60  # md5_long values are uniform on [0, 2^60)
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """The k smallest 60-bit md5 values of the DISTINCT keys — a
+    fixed-k, mergeable distinct-count sketch (Bar-Yossef et al. 2002 /
+    the theta-sketch family). Deterministic by construction (same md5,
+    same order on every engine), so oracles replay it value-for-value.
+
+    Plan: distinct-hash aggregation, then TakeOrderedAndProject — each
+    partition keeps its own k smallest and the driver merges k-sized
+    heaps; nothing resembling a global sort materializes. Sketches of
+    shards MERGE by unioning rows and re-taking the k smallest, which
+    is how a 100 TB scan builds per-partition sketches and combines
+    them in one reduce."""
+    h = md5_long(F.col(key_col).cast("string"))
+    return df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+
+
+def kmv_merge(k: int, *sketches: DataFrame) -> DataFrame:
+    """Union sketch: the k smallest over the combined sketch rows —
+    KMV's closure under set union (lossless: equals the sketch of the
+    unioned base data)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """1-row (n_sketch, h_max, est) frame: exact count when the sketch
+    holds fewer than k values (every distinct key is present), else the
+    unbiased DV estimator (k-1) * 2^60 / h_k. The numerator is one
+    exact double literal so both engines evaluate the same IEEE
+    division."""
+    numer = float((k - 1) * KMV_HASH_SPACE)
+    return sketch.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sketch"),
+        F.max("h").alias("h_max"),
+    ).select(
+        "n_sketch",
+        "h_max",
+        F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double"))
+        .otherwise(F.lit(numer) / F.col("h_max").cast("double"))
+        .alias("est"),
     )

@@ -1267,3 +1267,129 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(h)").alias("checksum"),
     ).select(F.lit("__total__").alias("branch"), "n_rows", "checksum")
     return per_branch.unionByName(total)
+
+
+# --------------------------------------------------------------------------
+# q_data_expectations — declarative data-quality contract audit (the
+# Deequ/expectations pattern): completeness, key uniqueness, value
+# range, accepted domain, date floor, and referential integrity, each
+# reported as (check, violations, passed). The raw tables are clean, so
+# the audit runs over a deterministically CORRUPTED union — injected
+# NULL keys, duplicate order keys, negated prices, a bogus status, a
+# pre-1995 date, orphaned lineitems — and the oracle replays the
+# injection + every metric: a hash match certifies each check counts
+# exactly its own defects (no false positives on the clean rows, none
+# missed among the injected). Plan shape: two scan-side conditional
+# aggregations plus one anti-join — no full-table shuffle; at 100 TB
+# this is the preflight that gates a publish.
+# --------------------------------------------------------------------------
+EXPECTATIONS_ORACLE = """
+WITH om AS (
+  SELECT * FROM orders
+  UNION ALL SELECT * FROM orders WHERE o_orderkey % 1009 = 1
+  UNION ALL
+  SELECT o_orderkey + 1000000000, CAST(NULL AS BIGINT), 'X',
+         -o_totalprice, TIMESTAMP '1990-01-01', o_orderpriority
+  FROM orders WHERE o_orderkey % 997 = 0
+), lm AS (
+  SELECT * FROM lineitem
+  UNION ALL
+  SELECT l_orderkey + 2000000000, l_partkey, l_suppkey, l_linenumber,
+         -l_quantity, l_extendedprice, l_discount, l_tax,
+         l_returnflag, l_linestatus, l_shipdate
+  FROM lineitem WHERE l_orderkey % 991 = 0
+)
+SELECT check_name, CAST(violations AS BIGINT) AS violations,
+       violations = 0 AS passed
+FROM (
+  SELECT 'orders_custkey_complete' AS check_name,
+         count(*) FILTER (o_custkey IS NULL) AS violations FROM om
+  UNION ALL
+  SELECT 'orders_key_unique', count(*) - count(DISTINCT o_orderkey) FROM om
+  UNION ALL
+  SELECT 'orders_totalprice_positive',
+         count(*) FILTER (o_totalprice <= 0) FROM om
+  UNION ALL
+  SELECT 'orders_status_domain',
+         count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P')) FROM om
+  UNION ALL
+  SELECT 'orders_date_floor',
+         count(*) FILTER (o_orderdate < TIMESTAMP '1995-01-01') FROM om
+  UNION ALL
+  SELECT 'orders_key_positive', count(*) FILTER (o_orderkey <= 0) FROM om
+  UNION ALL
+  SELECT 'lineitem_quantity_positive',
+         count(*) FILTER (l_quantity <= 0) FROM lm
+  UNION ALL
+  SELECT 'lineitem_order_ref',
+         (SELECT count(*) FROM lm
+          WHERE NOT EXISTS (SELECT 1 FROM om WHERE om.o_orderkey = lm.l_orderkey))
+)
+"""
+
+
+@query("q_data_expectations", EXPECTATIONS_ORACLE)
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    om = (
+        orders.unionByName(orders.filter(F.col("o_orderkey") % 1009 == 1))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 997 == 0).select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                F.lit(None).cast("long").alias("o_custkey"),
+                F.lit("X").alias("o_orderstatus"),
+                (-F.col("o_totalprice")).alias("o_totalprice"),
+                F.lit("1990-01-01 00:00:00").cast("timestamp").alias("o_orderdate"),
+                "o_orderpriority",
+            )
+        )
+    )
+    lm = li.unionByName(
+        li.filter(F.col("l_orderkey") % 991 == 0)
+        .withColumn("l_orderkey", F.col("l_orderkey") + 2000000000)
+        .withColumn("l_quantity", -F.col("l_quantity"))
+    )
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    oagg = om.agg(
+        cnt(F.col("o_custkey").isNull()).alias("v_complete"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("v_unique"),
+        cnt(F.col("o_totalprice") <= 0).alias("v_price"),
+        cnt(~F.col("o_orderstatus").isin("O", "F", "P")).alias("v_status"),
+        cnt(F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        .alias("v_date"),
+        cnt(F.col("o_orderkey") <= 0).alias("v_keypos"),
+    )
+    orows = oagg.selectExpr(
+        "stack(6, "
+        "'orders_custkey_complete', v_complete, "
+        "'orders_key_unique', v_unique, "
+        "'orders_totalprice_positive', v_price, "
+        "'orders_status_domain', v_status, "
+        "'orders_date_floor', v_date, "
+        "'orders_key_positive', v_keypos"
+        ") AS (check_name, violations)"
+    )
+    lrows = lm.agg(cnt(F.col("l_quantity") <= 0).alias("v")).select(
+        F.lit("lineitem_quantity_positive").alias("check_name"),
+        F.col("v").alias("violations"),
+    )
+    refrows = (
+        lm.join(
+            om.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+        .select(F.lit("lineitem_order_ref").alias("check_name"), "violations")
+    )
+    return (
+        orows.unionByName(lrows)
+        .unionByName(refrows)
+        .withColumn("passed", F.col("violations") == 0)
+    )

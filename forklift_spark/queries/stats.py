@@ -1181,3 +1181,214 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         (F.col("sz") < _KANON_K).alias("below_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_l_diversity — the companion governance audit to q_k_anonymity
+# (Machanavajjhala et al.): a release is l-diverse when every
+# quasi-identifier equivalence class carries at least l DISTINCT values
+# of the sensitive attribute — k-anonymity alone fails when a class is
+# large but homogeneous (everyone in it shares the secret). Classes are
+# the same (nation, segment, $100-balance-band) triple; the sensitive
+# attribute is the customer's order priority. Reported as a bounded
+# histogram over l (classes with no orders have l = 0). Plan: one
+# equi-join customer->orders, two keyed aggregations, one bounded
+# histogram — every stage partitions by its key at 100 TB.
+# --------------------------------------------------------------------------
+_LDIV_L = 3
+
+LDIV_ORACLE = f"""
+WITH q AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+    CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) * 100 AS bal_band
+  FROM customer
+), sz AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS n_cust
+  FROM q GROUP BY 1, 2, 3
+), lv AS (
+  SELECT q.c_nationkey, q.c_mktsegment, q.bal_band,
+    count(DISTINCT o.o_orderpriority) AS l
+  FROM q JOIN orders o ON o.o_custkey = q.c_custkey
+  GROUP BY 1, 2, 3
+), classes AS (
+  SELECT sz.n_cust, coalesce(lv.l, 0) AS l
+  FROM sz LEFT JOIN lv USING (c_nationkey, c_mktsegment, bal_band)
+)
+SELECT CAST(l AS BIGINT) AS l_distinct,
+  CAST(count(*) AS BIGINT) AS n_classes,
+  CAST(sum(n_cust) AS BIGINT) AS n_customers,
+  (l < {_LDIV_L}) AS below_l
+FROM classes GROUP BY l
+"""
+
+
+@query("q_l_diversity", LDIV_ORACLE)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders")
+    q = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 100.0) * 100).alias("bal_band"),
+    )
+    keys = ["c_nationkey", "c_mktsegment", "bal_band"]
+    sz = q.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_cust"))
+    lv = (
+        q.join(orders, q.c_custkey == orders.o_custkey)
+        .groupBy(*keys)
+        .agg(F.countDistinct("o_orderpriority").alias("l"))
+    )
+    classes = sz.join(lv, keys, "left").select(
+        "n_cust", F.coalesce(F.col("l"), F.lit(0)).alias("l")
+    )
+    return classes.groupBy("l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("n_cust").cast("bigint").alias("n_customers"),
+    ).select(
+        F.col("l").cast("bigint").alias("l_distinct"),
+        "n_classes",
+        "n_customers",
+        (F.col("l") < _LDIV_L).alias("below_l"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_kmv_distinct — KMV (k-minimum-values) distinct sketches WITH SET
+# ALGEBRA: per-segment cardinality estimates, a lossless union sketch,
+# and an intersection estimate via the matched fraction of the union
+# sketch — the capability HLL lacks (HLL unions but cannot intersect).
+# Keys are (user, day) pairs; segments are click vs purchase events.
+# Every sketch value is a deterministic md5, TakeOrderedAndProject
+# keeps per-partition top-k heaps (no global sort), and the oracle
+# rebuilds all three sketches value-for-value, so the hash certifies
+# sketch construction, merge closure, the DV estimator arithmetic, and
+# the exact-when-small fallback. exact_n rides along for an in-row
+# error audit.
+# --------------------------------------------------------------------------
+_KMV_K = 64
+_KMV_NUMER = float((_KMV_K - 1) * (1 << 60))  # (k-1) * 2^60, one exact double
+
+
+def _kmv_oracle() -> str:
+    from forklift_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql("key")
+    def est(t: str) -> str:
+        return (
+            f"CASE WHEN {t}.ns < {_KMV_K} THEN CAST({t}.ns AS DOUBLE) "
+            f"ELSE {_KMV_NUMER!r} / CAST({t}.hm AS DOUBLE) END"
+        )
+    return f"""
+WITH keys AS (
+  SELECT event_type,
+    user_id || '@' || date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS key
+  FROM events WHERE event_type IN ('click', 'purchase')
+), ha AS (SELECT DISTINCT {h} AS h FROM keys WHERE event_type = 'click'),
+hb AS (SELECT DISTINCT {h} AS h FROM keys WHERE event_type = 'purchase'),
+ska AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+skb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+sku AS (
+  SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+  ORDER BY h LIMIT {_KMV_K}
+),
+ea AS (SELECT count(*) AS ns, max(h) AS hm FROM ska),
+eb AS (SELECT count(*) AS ns, max(h) AS hm FROM skb),
+eu AS (SELECT count(*) AS ns, max(h) AS hm FROM sku),
+mt AS (
+  SELECT count(*) AS m FROM sku
+  WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)
+),
+na AS (SELECT count(*) AS c FROM ha),
+nb AS (SELECT count(*) AS c FROM hb),
+nu AS (SELECT count(*) AS c FROM (SELECT h FROM ha UNION SELECT h FROM hb)),
+ni AS (SELECT count(*) AS c FROM ha WHERE h IN (SELECT h FROM hb))
+SELECT 'click' AS set_name, CAST(na.c AS BIGINT) AS exact_n,
+       CAST(ea.ns AS BIGINT) AS n_sketch, {est("ea")} AS est
+FROM ea, na
+UNION ALL
+SELECT 'purchase', CAST(nb.c AS BIGINT), CAST(eb.ns AS BIGINT), {est("eb")}
+FROM eb, nb
+UNION ALL
+SELECT 'union', CAST(nu.c AS BIGINT), CAST(eu.ns AS BIGINT), {est("eu")}
+FROM eu, nu
+UNION ALL
+SELECT 'intersection', CAST(ni.c AS BIGINT), CAST(mt.m AS BIGINT),
+  CASE WHEN eu.ns < {_KMV_K} THEN CAST(mt.m AS DOUBLE)
+       ELSE CAST(mt.m AS DOUBLE) * ({est("eu")})
+            / {float(_KMV_K)!r} END AS est
+FROM eu, mt, ni
+"""
+
+
+@query("q_kmv_distinct", _kmv_oracle())
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.functions.hashing import md5_long
+    from forklift_spark.operators import sketch as K
+
+    ev = tables.load(spark, sf_dir, "events")
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("@"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("string"),
+    )
+    keys = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_type", key.alias("key")
+    )
+    ha = (
+        keys.filter(F.col("event_type") == "click")
+        .select(md5_long(F.col("key")).alias("h"))
+        .distinct()
+        .persist()
+    )
+    hb = (
+        keys.filter(F.col("event_type") == "purchase")
+        .select(md5_long(F.col("key")).alias("h"))
+        .distinct()
+        .persist()
+    )
+    ska = ha.orderBy("h").limit(_KMV_K).persist()
+    skb = hb.orderBy("h").limit(_KMV_K).persist()
+    sku = K.kmv_merge(_KMV_K, ska, skb).persist()
+
+    def seg_row(name: str, hashes: DataFrame, sk: DataFrame) -> DataFrame:
+        exact = hashes.agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        return (
+            K.kmv_estimate(sk, _KMV_K)
+            .crossJoin(F.broadcast(exact))  # 1-row scalar frames
+            .select(
+                F.lit(name).alias("set_name"), "exact_n",
+                F.col("n_sketch"), "est",
+            )
+        )
+
+    hu = ha.unionByName(hb).distinct()
+    matched = (
+        sku.join(ska, "h", "left_semi")
+        .join(skb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    exact_i = ha.join(hb, "h", "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    )
+    eu = K.kmv_estimate(sku, _KMV_K)
+    inter_row = (
+        eu.crossJoin(F.broadcast(matched))  # 1-row scalar frames
+        .crossJoin(F.broadcast(exact_i))
+        .select(
+            F.lit("intersection").alias("set_name"),
+            "exact_n",
+            F.col("m").alias("n_sketch"),
+            F.when(F.col("n_sketch") < _KMV_K, F.col("m").cast("double"))
+            .otherwise(
+                F.col("m").cast("double") * F.col("est") / F.lit(float(_KMV_K))
+            )
+            .alias("est"),
+        )
+    )
+    return (
+        seg_row("click", ha, ska)
+        .unionByName(seg_row("purchase", hb, skb))
+        .unionByName(seg_row("union", hu, sku))
+        .unionByName(inter_row)
+    )

@@ -902,3 +902,59 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("e") - F.col("s")).cast("bigint").alias("longest_us"),
         F.sum("n_ev").cast("bigint").alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_decayed_engagement — recency-weighted activity scoring with an EXACT
+# half-life: each event contributes floor(value*1000) milli-units
+# weighted by 2^(16 - min(days_old, 16)) — i.e. halving per day of age,
+# saturating at 16 days — so the per-user score is a plain BIGINT sum:
+# order-independent at any parallelism and replayable by the oracle
+# (double pow(0.5, d) sums would be partition-order roulette). days_old
+# is measured against the corpus max date, a 1-row broadcast scalar.
+# The normalized double score divides the identical integer once at the
+# end. The standard "recent activity ranks higher" feature of feed
+# ranking / churn models, in the engine-exact discipline.
+# --------------------------------------------------------------------------
+_DECAY_CAP = 16
+
+DECAYED_ENGAGEMENT_ORACLE = f"""
+WITH mx AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+w AS (
+  SELECT user_id,
+    CAST(FLOOR(value * 1000) AS BIGINT)
+      * (CAST(1 AS BIGINT) << ({_DECAY_CAP} - LEAST(
+          date_diff('day', CAST(ts AS DATE), mx.maxd), {_DECAY_CAP})))
+      AS wv
+  FROM events, mx
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(wv) AS BIGINT) AS score_scaled,
+  CAST(sum(wv) AS DOUBLE) / {(1 << _DECAY_CAP) * 1000}.0 AS score
+FROM w GROUP BY user_id
+"""
+
+
+@query("q_decayed_engagement", DECAYED_ENGAGEMENT_ORACLE)
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
+    days = F.datediff(F.col("maxd"), F.to_date("ts"))
+    # 2^(cap - d) via double pow: exact for exponents 0..16, cast exact
+    wv = F.floor(F.col("value") * 1000).cast("bigint") * F.pow(
+        F.lit(2.0),
+        (F.lit(_DECAY_CAP) - F.least(days, F.lit(_DECAY_CAP))).cast("double"),
+    ).cast("bigint")
+    return (
+        ev.crossJoin(F.broadcast(mx))  # 1-row scalar max-date frame
+        .select("user_id", wv.alias("wv"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("wv").cast("bigint").alias("score_scaled"),
+            (F.sum("wv").cast("double") / float((1 << _DECAY_CAP) * 1000)).alias(
+                "score"
+            ),
+        )
+    )

@@ -65,6 +65,8 @@ _BNLJ_ALLOWED = {
     "q_quantile_sketch",       # pct list x bounded bucket table (rank range join)
     "q_grouped_quantiles",     # per-key totals x 3-row pct list
     "q_bm25_search",           # 1-row (N, avgdl) scalar frame
+    "q_decayed_engagement",    # 1-row corpus-max-date scalar frame
+    "q_kmv_distinct",          # 1-row sketch-estimate scalar frames
 }
 
 

@@ -161,3 +161,37 @@ def test_qsketch_handles_nanosecond_scale_values(spark):
         true = xs_sorted[r - 1]
         assert e > 0
         assert abs(e - true) <= max(true >> 5, 1), (pct, e, true)
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_merge_equals_direct_sketch(spark):
+    from pyspark.sql import functions as F
+
+    from forklift_spark.operators import sketch as K
+
+    df = spark.range(0, 5000).select(F.col("id").cast("string").alias("k"))
+    a = df.filter(F.col("k").cast("long") % 3 != 0)
+    b = df.filter(F.col("k").cast("long") % 3 != 1)  # overlapping shards
+    direct = K.kmv_sketch(a.unionByName(b), "k", 32)
+    merged = K.kmv_merge(32, K.kmv_sketch(a, "k", 32), K.kmv_sketch(b, "k", 32))
+    assert sorted(r.h for r in direct.collect()) == sorted(
+        r.h for r in merged.collect()
+    )
+
+
+def test_kmv_estimate_exact_when_small_and_bounded_error(spark):
+    from pyspark.sql import functions as F
+
+    from forklift_spark.operators import sketch as K
+
+    small = spark.range(0, 20).select(F.col("id").cast("string").alias("k"))
+    row = K.kmv_estimate(K.kmv_sketch(small, "k", 64), 64).collect()[0]
+    assert row.n_sketch == 20 and row.est == 20.0
+    big = spark.range(0, 20000).select(F.col("id").cast("string").alias("k"))
+    est = K.kmv_estimate(K.kmv_sketch(big, "k", 256), 256).collect()[0].est
+    # KMV relative std error ~ 1/sqrt(k-2) ≈ 6.3% at k=256; allow 4 sigma
+    assert abs(est - 20000) / 20000 < 0.25
