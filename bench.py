@@ -140,6 +140,14 @@ HEADLINE = [
     "q_warc_extract",
     "q_ivm_join",
     "q_time_travel",
+    "q_set_similarity_join",
+    "q_triangle_count",
+    "q_interval_merge",
+    "q_decayed_engagement",
+    "q_data_expectations",
+    "q_l_diversity",
+    "q_kmv_distinct",
+    "q_stream_dedup_exact",
 ]
 
 

@@ -43,10 +43,10 @@ def query(name: str, oracle: str | None = None):
 # queries last (weakest checks at the tail).
 _WINDOW_FAMILIES: dict[str, list[str]] = {
     "dedup": [
-        "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
+        "q_stream_dedup_exact", "q_dedup_minhash_lsh", "q_set_similarity_join",
         "q_substring_dedup", "q_decontaminate", "q_dedup_components",
     ],
-    "graph": ["q_pagerank"],
+    "graph": ["q_pagerank", "q_triangle_count"],
     "similarity": [
         "q_ann_bruteforce_topk", "q_ann_lsh_topk",
         "q_embedding_dedup_lsh", "q_ann_ivf_topk",
@@ -59,19 +59,18 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
     "selection": ["q_dsir_weights", "q_unigram_xent"],
     "etl": [
         "q_read_since", "q_upsert_merge", "q_schema_evolution",
-        "q_hwm",
+        "q_data_expectations",
         "q_json_extract", "q_array_agg", "q_salted_join",
     ],
     "analytics": [
         "q1_pricing_summary", "q5_region_revenue", "q7_volume_shipping",
-        "q13_order_distribution",
     ],
     "connectors": [
         "q_csv_roundtrip", "q_jdbc_roundtrip", "q_dump_pipe_roundtrip",
         "q_optimistic_sync", "q_es_roundtrip",
     ],
     "stats": [
-        "q_stats_moments", "q_grouped_ols", "q_retention_cohorts",
+        "q_stats_moments", "q_grouped_ols", "q_kmv_distinct",
         "q_heavy_hitters_cms",
     ],
     "timeseries": [

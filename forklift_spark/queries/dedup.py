@@ -777,3 +777,102 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_jaccard_pairs(
         src, "doc_id", "text", shingle_n=3, num=_PJ_NUM, den=_PJ_DEN
     )
+
+
+# --------------------------------------------------------------------------
+# q_stream_dedup_exact — ONLINE exact dedup EXECUTED IN THE STREAMING
+# ENGINE: the corpus (plus case-mangled and whitespace-mangled copies,
+# so duplicates land in DIFFERENT micro-batches) is staged as 6 files
+# read 2-per-trigger; each foreachBatch dedups within itself (min-id
+# per fingerprint) and anti-joins a PERSISTENT fingerprint store before
+# accepting — state grows with the accepted corpus, never the stream.
+# The oracle certifies the online invariant the batches must preserve:
+# every fingerprint group is accepted EXACTLY ONCE no matter how its
+# copies were split across batches (a missing history check re-accepts
+# a later-batch duplicate and breaks n_accepted); n_seen certifies no
+# row was dropped. Outputs are arrival-order-independent by
+# construction, so the check is deterministic under any file order.
+# --------------------------------------------------------------------------
+STREAM_DEDUP_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) || '  ' FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, '  ' || text FROM documents WHERE doc_id % 2 = 0
+), fp AS (
+  SELECT doc_id, md5({NORM}) AS fingerprint FROM src
+)
+SELECT fingerprint,
+  CAST(count(*) AS BIGINT) AS n_seen,
+  CAST(1 AS BIGINT) AS n_accepted
+FROM fp GROUP BY fingerprint
+"""
+
+
+@query("q_stream_dedup_exact", STREAM_DEDUP_ORACLE)
+def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    src_df = (
+        docs.unionByName(
+            docs.select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 2 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.lit("  "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    src = tempfile.mkdtemp(prefix="fk_stream_dedup_src_")
+    src_df.repartition(6).write.mode("overwrite").parquet(src)
+    store_root = tempfile.mkdtemp(prefix="fk_stream_dedup_state_")
+    accepted_path = os.path.join(store_root, "accepted")
+    seen_path = os.path.join(store_root, "seen")
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        fp = batch_df.withColumn("fingerprint", D.fingerprint("text"))
+        winners = fp.groupBy("fingerprint").agg(
+            F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("cnt")
+        )
+        winners.select("fingerprint", "cnt").write.mode("append").parquet(seen_path)
+        fresh = winners.select("fingerprint", "doc_id")
+        if os.path.exists(accepted_path):
+            hist = s.read.parquet(accepted_path).select("fingerprint")
+            # materialize BEFORE appending: the anti-join scans the same
+            # path the write targets (read-then-append-self hazard)
+            fresh = fresh.join(hist, "fingerprint", "left_anti").localCheckpoint()
+        fresh.write.mode("append").parquet(accepted_path)
+
+    stream = (
+        spark.readStream.schema(src_df.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(store_root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "stream did not finish; store would be partial"
+    seen = (
+        spark.read.parquet(seen_path)
+        .groupBy("fingerprint")
+        .agg(F.sum("cnt").cast("bigint").alias("n_seen"))
+    )
+    acc = (
+        spark.read.parquet(accepted_path)
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_accepted"))
+    )
+    return seen.join(acc, "fingerprint").select("fingerprint", "n_seen", "n_accepted")
