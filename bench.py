@@ -148,6 +148,7 @@ HEADLINE = [
     "q_l_diversity",
     "q_kmv_distinct",
     "q_stream_dedup_exact",
+    "q_mmr_diversify",
 ]
 
 

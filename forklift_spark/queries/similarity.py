@@ -711,3 +711,198 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("id") == F.col("component")).alias("is_survivor"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_mmr_diversify — Maximal Marginal Relevance re-ranking (Carbonell &
+# Goldstein 1998): from each query's brute-force top-20 candidates,
+# iteratively select 5 results maximizing 0.7*relevance - 0.3*max
+# similarity to the already-selected set — the standard redundancy
+# suppressor for RAG context assembly (top-k alone returns five copies
+# of the same fact). All scores are the 9dp-rounded exact-decimal
+# cosines both engines already agree on, so the greedy argmax (with id
+# tiebreak) is engine-deterministic, and the ORACLE UNROLLS ALL FIVE
+# SELECTION ROUNDS as CTEs — an oracle-backed iterative re-ranker, like
+# q_pagerank. Scale shape: candidate generation is the ANN problem
+# (bounded query side), MMR itself touches only Q*20 rows and Q*20*19
+# bounded pair sims.
+# --------------------------------------------------------------------------
+_MMR_CAND = 20
+_MMR_K = 5
+
+
+def _mmr_oracle() -> str:
+    dots = _PAIR_DOT.format(
+        A="(SELECT * FROM embeddings WHERE vec_id < %d)" % _NQ,
+        B="(SELECT * FROM embeddings WHERE vec_id >= %d)" % _NQ,
+        COND="",
+    )
+    parts = [f"""
+WITH norms AS MATERIALIZED ({_NORMS}),
+dots AS MATERIALIZED ({dots}),
+scored AS (
+  SELECT d.ia AS query_id, d.ib AS neighbor_id,
+         d.dot / (na.nrm * nb.nrm) AS cos_sim
+  FROM dots d JOIN norms na ON d.ia = na.vec_id
+              JOIN norms nb ON d.ib = nb.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+), cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id, round(cos_sim, 9) AS rel, rank
+  FROM ranked WHERE rank <= {_MMR_CAND}
+), cp AS MATERIALIZED (
+  SELECT DISTINCT least(a.neighbor_id, b.neighbor_id) AS ia,
+                  greatest(a.neighbor_id, b.neighbor_id) AS ib
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.neighbor_id < b.neighbor_id
+), pd AS MATERIALIZED (
+  SELECT ia, ib,
+    CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(10,9)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(10,9))) AS DOUBLE) AS dot
+  FROM (
+    SELECT p.ia, p.ib, unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+    FROM cp p JOIN embeddings ea ON ea.vec_id = p.ia
+              JOIN embeddings eb ON eb.vec_id = p.ib
+  ) z GROUP BY ia, ib
+), cs0 AS MATERIALIZED (
+  SELECT ia, ib, round(pd.dot / (na.nrm * nb.nrm), 9) AS sim
+  FROM pd JOIN norms na ON pd.ia = na.vec_id
+          JOIN norms nb ON pd.ib = nb.vec_id
+), cs AS MATERIALIZED (
+  SELECT ia, ib, sim FROM cs0 UNION ALL SELECT ib, ia, sim FROM cs0
+), sel1 AS (
+  SELECT query_id, neighbor_id, 1 AS mmr_rank, rel,
+         round(0.7 * rel, 9) AS mmr_score
+  FROM cand WHERE rank = 1
+)"""]
+    for t in range(2, _MMR_K + 1):
+        parts.append(f""",
+rem{t} AS (
+  SELECT c.query_id, c.neighbor_id, c.rel FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM sel{t-1} s
+                    WHERE s.query_id = c.query_id
+                      AND s.neighbor_id = c.neighbor_id)
+), pen{t} AS (
+  SELECT r.query_id, r.neighbor_id, max(cs.sim) AS mx
+  FROM rem{t} r
+  JOIN sel{t-1} s ON s.query_id = r.query_id
+  JOIN cs ON cs.ia = r.neighbor_id AND cs.ib = s.neighbor_id
+  GROUP BY 1, 2
+), pick{t} AS (
+  SELECT query_id, neighbor_id, {t} AS mmr_rank, rel,
+         round(m, 9) AS mmr_score
+  FROM (
+    SELECT r.query_id, r.neighbor_id, r.rel,
+      0.7 * r.rel - 0.3 * p.mx AS m,
+      row_number() OVER (PARTITION BY r.query_id
+                         ORDER BY 0.7 * r.rel - 0.3 * p.mx DESC,
+                                  r.neighbor_id) AS rk
+    FROM rem{t} r JOIN pen{t} p
+      ON p.query_id = r.query_id AND p.neighbor_id = r.neighbor_id
+  ) WHERE rk = 1
+), sel{t} AS (
+  SELECT * FROM sel{t-1} UNION ALL SELECT * FROM pick{t}
+)""")
+    parts.append(f"""
+SELECT query_id, neighbor_id, CAST(mmr_rank AS INT) AS mmr_rank,
+       rel AS relevance, mmr_score
+FROM sel{_MMR_K}""")
+    return "".join(parts)
+
+
+@query("q_mmr_diversify", _mmr_oracle())
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from forklift_spark.operators.similarity import dot_exact, norm_exact
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cand = S.brute_force_topk(
+        emb.filter(F.col("vec_id") < _NQ),
+        emb.filter(F.col("vec_id") >= _NQ),
+        k=_MMR_CAND,
+    ).select("query_id", "neighbor_id", F.col("cos_sim").alias("rel"), "rank")
+    cand = cand.persist()
+
+    # pairwise candidate sims: distinct unordered id pairs across queries
+    # (shared between queries), exact decimal cosine rounded like rel
+    cp = (
+        cand.alias("a")
+        .join(
+            cand.alias("b"),
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.neighbor_id") < F.col("b.neighbor_id")),
+        )
+        .select(
+            F.col("a.neighbor_id").alias("ia"), F.col("b.neighbor_id").alias("ib")
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    cs0 = (
+        cp.join(ea, "ia")
+        .join(eb, "ib")
+        .select(
+            "ia",
+            "ib",
+            F.round(
+                dot_exact(F.col("va"), F.col("vb"))
+                / (norm_exact(F.col("va")) * norm_exact(F.col("vb"))),
+                9,
+            ).alias("sim"),
+        )
+    )
+    cs = cs0.unionByName(
+        cs0.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"), "sim")
+    ).persist()
+
+    sel = cand.filter(F.col("rank") == 1).select(
+        "query_id",
+        "neighbor_id",
+        F.lit(1).alias("mmr_rank"),
+        "rel",
+        F.round(F.lit(0.7) * F.col("rel"), 9).alias("mmr_score"),
+    )
+    # materialize the (Q*t)-row selected set each round: without the cut,
+    # round t's plan re-embeds every earlier round's join tree and
+    # codegen cost compounds (measured ~30s/round at sf0.01)
+    sel = sel.localCheckpoint()
+    for t in range(2, _MMR_K + 1):
+        sel_ids = sel.select("query_id", F.col("neighbor_id").alias("sel_id"))
+        rem = cand.join(
+            sel.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_anti"
+        ).select("query_id", "neighbor_id", "rel")
+        pen = (
+            rem.join(sel_ids, "query_id")
+            .join(
+                cs,
+                (F.col("ia") == F.col("neighbor_id"))
+                & (F.col("ib") == F.col("sel_id")),
+            )
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.max("sim").alias("mx"))
+        )
+        m = F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("mx")
+        wk = W.partitionBy("query_id").orderBy(m.desc(), F.col("neighbor_id"))
+        pick = (
+            rem.join(pen, ["query_id", "neighbor_id"])
+            .withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.lit(t).alias("mmr_rank"),
+                "rel",
+                F.round(m, 9).alias("mmr_score"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.select(
+        "query_id",
+        "neighbor_id",
+        F.col("mmr_rank").cast("int").alias("mmr_rank"),
+        F.col("rel").alias("relevance"),
+        "mmr_score",
+    )
