@@ -149,6 +149,7 @@ HEADLINE = [
     "q_kmv_distinct",
     "q_stream_dedup_exact",
     "q_mmr_diversify",
+    "q_rrf_fusion",
 ]
 
 

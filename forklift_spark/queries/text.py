@@ -1308,3 +1308,130 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_rrf_fusion — Reciprocal Rank Fusion (Cormack et al. 2009): merge the
+# BM25 lexical ranking with the vector-cosine ranking by summing
+# floor(1e12 / (60 + rank)) per list — the standard hybrid-retrieval
+# combiner (Elasticsearch/Vespa default) that needs NO score
+# normalization across lists. Contributions are floored to integer
+# units so the fused score is a BIGINT sum (engine-exact; the raw
+# 1/(60+r) doubles would be fine too, but integers keep the catalog's
+# order-independence discipline). Full outer join: a doc ranked by only
+# one list still fuses. The oracle replays BOTH rankings end to end —
+# BM25 quantized partials AND the exact-decimal cosine list — plus the
+# fusion arithmetic.
+# --------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_TOPN = 20
+
+
+def _rrf_oracle() -> str:
+    from forklift_spark.queries.similarity import _NORMS, _PAIR_DOT
+
+    dots = _PAIR_DOT.format(
+        A="(SELECT * FROM embeddings WHERE vec_id = 0)",
+        B="(SELECT * FROM embeddings WHERE vec_id >= 10)",
+        COND="",
+    )
+    contrib = f"CAST(FLOOR(1e12 / CAST({_RRF_K} + {{r}} AS DOUBLE)) AS BIGINT)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_W}) AS tok FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE tok IN ({_BM25_IN}) GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+), scal AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+), bm AS (
+  SELECT tf.doc_id, SUM({_BM25_UNIT}) AS score_units
+  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN scal
+  GROUP BY tf.doc_id
+), lex AS (
+  SELECT doc_id, CAST(row_number() OVER (
+      ORDER BY score_units DESC, doc_id) AS INT) AS lex_rank
+  FROM bm ORDER BY score_units DESC, doc_id LIMIT {_RRF_TOPN}
+), norms AS ({_NORMS}),
+dots AS ({dots}),
+sem AS (
+  SELECT neighbor_id AS doc_id, CAST(rank AS INT) AS sem_rank
+  FROM (
+    SELECT d.ib AS neighbor_id,
+      row_number() OVER (ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.ib) AS rank
+    FROM dots d JOIN norms na ON d.ia = na.vec_id
+                JOIN norms nb ON d.ib = nb.vec_id
+  ) WHERE rank <= {_RRF_TOPN}
+)
+SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+  lex.lex_rank, sem.sem_rank,
+  coalesce({contrib.format(r="lex.lex_rank")}, 0)
+    + coalesce({contrib.format(r="sem.sem_rank")}, 0) AS rrf_units
+FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+"""
+
+
+@query("q_rrf_fusion", _rrf_oracle())
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from forklift_spark.operators import similarity as S
+
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.words("text")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scal = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    bm = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .select("doc_id", F.expr(_BM25_UNIT).alias("unit"))
+        .groupBy("doc_id")
+        .agg(F.sum("unit").alias("score_units"))
+        .orderBy(F.col("score_units").desc(), "doc_id")
+        .limit(_RRF_TOPN)
+    )
+    wl = W.orderBy(F.col("score_units").desc(), "doc_id")
+    lex = bm.select(
+        "doc_id", F.row_number().over(wl).cast("int").alias("lex_rank")
+    )
+    emb = tables.load(spark, sf_dir, "embeddings")
+    sem = S.brute_force_topk(
+        emb.filter(F.col("vec_id") == 0),
+        emb.filter(F.col("vec_id") >= 10),
+        k=_RRF_TOPN,
+    ).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("int").alias("sem_rank")
+    )
+
+    def contrib(r):
+        return F.floor(F.lit(1e12) / (F.lit(_RRF_K) + r).cast("double")).cast(
+            "bigint"
+        )
+
+    return lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(contrib(F.col("lex_rank")), F.lit(0))
+            + F.coalesce(contrib(F.col("sem_rank")), F.lit(0))
+        ).alias("rrf_units"),
+    )

@@ -68,6 +68,7 @@ _BNLJ_ALLOWED = {
     "q_bm25_search",           # 1-row (N, avgdl) scalar frame
     "q_decayed_engagement",    # 1-row corpus-max-date scalar frame
     "q_kmv_distinct",          # 1-row sketch-estimate scalar frames
+    "q_rrf_fusion",            # 1-row (N, avgdl) scalar + bounded query side
 }
 
 
