@@ -176,6 +176,14 @@ _SHUFFLE_BUDGET = {
     "q_k_anonymity": 2,
     "q_bm25_search": 7,       # 2 stream-grain (dl, filtered tf) + small
     "q_subword_encode": 6,    # all over DISTINCT words (bounded)
+    "q_set_similarity_join": 2,  # prefix-candidate join + distinct (persisted doc frame)
+    "q_triangle_count": 2,    # wedge join + per-node rollup (persisted oriented edges)
+    "q_interval_merge": 1,    # one per-user window partition
+    "q_decayed_engagement": 2,  # 1-row max-date agg + per-user rollup
+    "q_data_expectations": 5,   # two conditional aggs + ref anti-join + unions
+    "q_l_diversity": 4,       # class sizes + joined distinct-l + histogram
+    "q_kmv_distinct": 1,      # distinct-hash agg feeding TakeOrdered sketches
+    "q_rrf_fusion": 8,        # BM25 pipeline + cosine list + full-outer fuse
 }
 
 
