@@ -150,6 +150,7 @@ HEADLINE = [
     "q_stream_dedup_exact",
     "q_mmr_diversify",
     "q_rrf_fusion",
+    "q_entity_resolution",
 ]
 
 

@@ -876,3 +876,100 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_accepted"))
     )
     return seen.join(acc, "fingerprint").select("fingerprint", "n_seen", "n_accepted")
+
+
+# --------------------------------------------------------------------------
+# q_entity_resolution — record linkage to GOLDEN RECORDS (the MDM
+# pipeline): a customer master plus an 'import' feed of typo'd
+# duplicates (name + 'x', same balance) resolves to one entity per
+# real customer. Three verified operators composed end to end —
+# (1) blocked Levenshtein matching on (nation, $100-band) equi-blocks
+# with ±1 length-bucket probing (no cross join; the oracle states the
+# UNBLOCKED predicate, so the hash certifies the blocking lost no
+# match), (2) pointer-doubling connected components over the match
+# graph (oracle: recursive CTE fixpoint), (3) survivorship: min-key
+# canonical record, per-entity record/source counts, max balance. The
+# oracle replays the full chain — certifying the COMPOSITION, like
+# q_corpus_curation does for curation.
+# --------------------------------------------------------------------------
+ENTITY_ORACLE = """
+WITH RECURSIVE src AS (
+  SELECT c_custkey AS rid, c_name AS name, c_nationkey AS nat,
+    CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS band, c_acctbal AS bal,
+    'crm' AS source
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name || 'x', c_nationkey,
+    CAST(FLOOR(c_acctbal / 100.0) AS BIGINT), c_acctbal, 'import'
+  FROM customer WHERE c_custkey % 5 = 0
+), pairs AS (
+  SELECT a.rid AS id_a, b.rid AS id_b
+  FROM src a JOIN src b
+    ON a.nat = b.nat AND a.band = b.band AND a.rid < b.rid
+  WHERE levenshtein(left(a.name, 40), left(b.name, 40)) <= 2
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.s, rr.r FROM reach rr JOIN edges e ON e.d = rr.id
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+), ent AS (
+  SELECT coalesce(c.component, s.rid) AS entity_id, s.*
+  FROM src s LEFT JOIN comp c ON c.id = s.rid
+), gold AS (
+  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records,
+    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+    max(bal) AS max_bal
+  FROM ent GROUP BY entity_id
+)
+SELECT g.entity_id, s.name AS canonical_name, g.n_records, g.n_sources,
+       g.max_bal
+FROM gold g JOIN src s ON s.rid = g.entity_id
+"""
+
+
+@query("q_entity_resolution", ENTITY_ORACLE)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") / 100.0).cast("bigint").alias("band"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("crm").alias("source"),
+    )
+    feed = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("rid"),
+        F.concat(F.col("c_name"), F.lit("x")).alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") / 100.0).cast("bigint").alias("band"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("import").alias("source"),
+    )
+    src = base.unionByName(feed).withColumn(
+        "blk", F.concat(F.col("nat").cast("string"), F.lit(":"), F.col("band"))
+    ).withColumn("nlen", F.length("name"))
+    src = src.persist()  # matching + entity rollup + canonical join-back
+    pairs = D.fuzzy_levenshtein_pairs(
+        src, "rid", "name", block_col="blk", len_col="nlen", max_dist=2
+    )
+    comp = D.connected_components(pairs)
+    ent = src.join(
+        comp.select(F.col("id").alias("rid"), "component"), "rid", "left"
+    ).withColumn("entity_id", F.coalesce(F.col("component"), F.col("rid")))
+    gold = ent.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.max("bal").alias("max_bal"),
+    )
+    canon = src.select(
+        F.col("rid").alias("entity_id"), F.col("name").alias("canonical_name")
+    )
+    return gold.join(canon, "entity_id").select(
+        "entity_id", "canonical_name", "n_records", "n_sources", "max_bal"
+    )

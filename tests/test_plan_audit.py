@@ -33,6 +33,7 @@ _BUILDS_EXECUTE = {
     "q_ann_ivfpq_topk",  # centroid + codebook training collects at build
     "q_dedup_components",
     "q_mmr_diversify",         # greedy rounds localCheckpoint at build
+    "q_entity_resolution",     # connected components iterate at build
     "q_contamination_matrix",  # shares the components/minhash machinery
     "q_incremental_rollup",    # maintains state on disk at build time
     "q_upsert_merge",
