@@ -844,14 +844,22 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         winners = fp.groupBy("fingerprint").agg(
             F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("cnt")
         )
-        winners.select("fingerprint", "cnt").write.mode("append").parquet(seen_path)
+        # per-epoch OVERWRITE directories: foreachBatch is at-least-once,
+        # so a retried epoch must replace its own output, never append a
+        # second copy (double-counted n_seen / re-accepted winners)
+        winners.select("fingerprint", "cnt").write.mode("overwrite").parquet(
+            f"{seen_path}/epoch={epoch_id}"
+        )
         fresh = winners.select("fingerprint", "doc_id")
-        if os.path.exists(accepted_path):
-            hist = s.read.parquet(accepted_path).select("fingerprint")
-            # materialize BEFORE appending: the anti-join scans the same
-            # path the write targets (read-then-append-self hazard)
-            fresh = fresh.join(hist, "fingerprint", "left_anti").localCheckpoint()
-        fresh.write.mode("append").parquet(accepted_path)
+        prior = [
+            f"{accepted_path}/epoch={e}"
+            for e in range(epoch_id)
+            if os.path.exists(f"{accepted_path}/epoch={e}")
+        ]
+        if prior:
+            hist = s.read.parquet(*prior).select("fingerprint")
+            fresh = fresh.join(hist, "fingerprint", "left_anti")
+        fresh.write.mode("overwrite").parquet(f"{accepted_path}/epoch={epoch_id}")
 
     stream = (
         spark.readStream.schema(src_df.schema)
