@@ -151,6 +151,7 @@ HEADLINE = [
     "q_mmr_diversify",
     "q_rrf_fusion",
     "q_entity_resolution",
+    "q_snapshot_diff",
 ]
 
 

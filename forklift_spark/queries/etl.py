@@ -1393,3 +1393,104 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(refrows)
         .withColumn("passed", F.col("violations") == 0)
     )
+
+
+# --------------------------------------------------------------------------
+# q_snapshot_diff — CHANGE-SET DERIVATION between two table snapshots:
+# the inverse of q_cdc_apply, for sources with no change log (the
+# classic nightly-snapshot diff that FEEDS a CDC pipeline). Old = the
+# orders table; new = a deterministic mutation (every 7th order's price
+# bumped, every 13th deleted, a batch of fresh keys inserted). One full
+# outer join on the key + a value-fingerprint comparison classifies
+# every key as insert / update / delete / unchanged; the fingerprint is
+# the same length-prefixed framing as table_fingerprint, so a column
+# value cannot smuggle a separator and fake an 'unchanged'. At 100 TB
+# both sides shuffle once on the key — and the summary certifies exact
+# per-class counts, while per-row classification rides in the same
+# plan (the oracle replays rows, not just counts).
+# --------------------------------------------------------------------------
+SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS pr
+  FROM orders
+), new AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+         ELSE o_totalprice END AS pr
+  FROM orders WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, 'O', o_totalprice FROM orders
+  WHERE o_orderkey % 11 = 0
+), fo AS (
+  SELECT k, md5(
+    CAST(length(st) AS VARCHAR) || ':' || st || '|' ||
+    CAST(length(CAST(pr AS VARCHAR)) AS VARCHAR) || ':' || CAST(pr AS VARCHAR)
+  ) AS fp FROM old
+), fn AS (
+  SELECT k, md5(
+    CAST(length(st) AS VARCHAR) || ':' || st || '|' ||
+    CAST(length(CAST(pr AS VARCHAR)) AS VARCHAR) || ':' || CAST(pr AS VARCHAR)
+  ) AS fp FROM new
+), cls AS (
+  SELECT coalesce(fo.k, fn.k) AS k,
+    CASE WHEN fo.k IS NULL THEN 'I'
+         WHEN fn.k IS NULL THEN 'D'
+         WHEN fo.fp <> fn.fp THEN 'U'
+         ELSE 'N' END AS op
+  FROM fo FULL OUTER JOIN fn ON fo.k = fn.k
+)
+SELECT op, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+FROM cls GROUP BY op
+"""
+
+
+@query("q_snapshot_diff", SNAPSHOT_DIFF_ORACLE)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    old = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("pr"),
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")).alias("pr"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 1000000000).alias("k"),
+                F.lit("O").alias("st"),
+                F.col("o_totalprice").alias("pr"),
+            )
+        )
+    )
+
+    def fp(df):
+        framed = F.concat(
+            F.length("st").cast("string"), F.lit(":"), F.col("st"), F.lit("|"),
+            F.length(F.col("pr").cast("string")).cast("string"), F.lit(":"),
+            F.col("pr").cast("string"),
+        )
+        return df.select("k", F.md5(framed).alias("fp"))
+
+    fo = fp(old).select(F.col("k").alias("ko"), F.col("fp").alias("fpo"))
+    fn = fp(new).select(F.col("k").alias("kn"), F.col("fp").alias("fpn"))
+    cls = fo.join(fn, fo.ko == fn.kn, "full_outer").select(
+        F.coalesce(F.col("ko"), F.col("kn")).alias("k"),
+        F.when(F.col("ko").isNull(), "I")
+        .when(F.col("kn").isNull(), "D")
+        .when(F.col("fpo") != F.col("fpn"), "U")
+        .otherwise("N")
+        .alias("op"),
+    )
+    return cls.groupBy("op").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("k").cast("bigint").alias("min_key"),
+        F.max("k").cast("bigint").alias("max_key"),
+    )
