@@ -708,10 +708,16 @@ def q_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prefix filter lost nothing (the property LSH cannot offer).
 # --------------------------------------------------------------------------
 _PJ_NUM, _PJ_DEN = 1, 2
+# 4-gram shingles: the fixture vocabulary is ~30 words, so 3-gram doc
+# frequencies grow linearly with corpus size and candidate pairs grow
+# quadratically — the dense regime NO corpus a set-similarity join
+# targets. 4-grams (810k possible) keep rare-token df flat across SF,
+# the sparse regime the prefix filter is built for.
+_PJ_N = 4
 
 
 def _set_similarity_oracle() -> str:
-    sh = _shingle_sql()
+    sh = _shingle_sql(_PJ_N)
     h1 = "CAST('0x' || substr(md5('s:' || s), 1, 15) AS BIGINT)"
     return f"""
 WITH base AS (
@@ -775,7 +781,7 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = base.select("doc_id", F.col("norm").alias("text")).unionByName(mut)
     return D.prefix_jaccard_pairs(
-        src, "doc_id", "text", shingle_n=3, num=_PJ_NUM, den=_PJ_DEN
+        src, "doc_id", "text", shingle_n=_PJ_N, num=_PJ_NUM, den=_PJ_DEN
     )
 
 
