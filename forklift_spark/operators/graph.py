@@ -95,3 +95,105 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def transitive_closure(
+    edges: DataFrame,
+    max_doublings: int = 4,
+    child_col: str = "child",
+    parent_col: str = "parent",
+) -> DataFrame:
+    """All (descendant, ancestor, dist) pairs of a DAG/forest by pointer
+    doubling: each round composes the closure-so-far with itself, so
+    reachable distance doubles per round — O(log depth) rounds where the
+    naive loop (and a recursive CTE) needs O(depth). All arithmetic is
+    integer; in a tree every (desc, anc) pair has a unique distance, so
+    the dedup after each compose drops only exact duplicates.
+
+    Scale: each round is one self-join of the closure keyed on the join
+    column — pairs-count × log-depth total shuffle volume; per-round
+    ``localCheckpoint`` cuts lineage exactly like ``pagerank``. Raises
+    if the closure is still growing after ``max_doublings`` rounds
+    (2^max_doublings hops) instead of returning a partial closure."""
+    cl = (
+        edges.select(
+            F.col(child_col).alias("descn"),
+            F.col(parent_col).alias("anc"),
+            F.lit(1).alias("dist"),
+        )
+        .dropDuplicates(["descn", "anc"])
+        .localCheckpoint(eager=True)
+    )
+    n = cl.count()
+    for _ in range(max_doublings):
+        hop = cl.alias("a").join(
+            cl.alias("b"), F.col("a.anc") == F.col("b.descn")
+        ).select(
+            F.col("a.descn").alias("descn"),
+            F.col("b.anc").alias("anc"),
+            (F.col("a.dist") + F.col("b.dist")).alias("dist"),
+        )
+        cl = (
+            cl.unionByName(hop)
+            .dropDuplicates(["descn", "anc"])
+            .localCheckpoint(eager=True)
+        )
+        n2 = cl.count()
+        if n2 == n:
+            return cl
+        n = n2
+    # one more compose must add nothing, else the depth exceeded 2^rounds
+    extra = (
+        cl.alias("a")
+        .join(cl.alias("b"), F.col("a.anc") == F.col("b.descn"))
+        .select(F.col("a.descn").alias("descn"), F.col("b.anc").alias("anc"))
+        .join(cl, ["descn", "anc"], "left_anti")
+        .limit(1)
+        .count()
+    )
+    if extra:
+        raise RuntimeError(
+            f"transitive_closure: not converged after {max_doublings} doublings"
+        )
+    return cl
+
+
+def bfs_hops(
+    nodes: DataFrame,
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Minimum hop distance from any source node within ``rounds`` hops
+    (multi-source BFS as synchronous Bellman-Ford relaxation: each round
+    relaxes every edge once — dist' = min(dist, min_in(dist_src + 1))).
+    Unreached nodes get dist -1. Integer arithmetic throughout, so a
+    fixed round count is bit-identical at any parallelism and an oracle
+    can unroll the rounds. Scale: one edge-keyed join + one min-agg per
+    round; ranks-frame is one row per node; lineage cut per round."""
+    nodes = nodes.select(F.col(node_col).alias("node"))
+    edges = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
+    dist = nodes.join(
+        sources.select(F.col(node_col).alias("node"), F.lit(0).alias("dist")),
+        "node",
+        "left",
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        relax = (
+            edges.join(dist, edges.src == dist.node)
+            .filter(F.col("dist").isNotNull())
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("nd"))
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        dist = (
+            dist.join(relax, "node", "left")
+            .select("node", F.least("dist", "nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("node", F.coalesce("dist", F.lit(-1)).alias("dist"))

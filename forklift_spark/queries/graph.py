@@ -289,3 +289,153 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
     return pernode.select(F.col("node").cast("bigint").alias("node"), "n_triangles")
+
+
+# --------------------------------------------------------------------------
+# q_bom_explode — bill-of-materials explosion + rollup over a derived
+# part hierarchy (parent(p) = (p-1) div 4 — a 4-ary tree rooted at part
+# 0, depth ~log4 N so it DEEPENS with SF). The operator is
+# transitive_closure (operators/graph.py): pointer DOUBLING, O(log
+# depth) self-join rounds where a recursive CTE walks one level per
+# step — the distributed closure shape for deep hierarchies. Rollups:
+# node depth, subtree size, direct children, exact-decimal subtree
+# retail value. The oracle computes the same closure with a genuinely
+# recursive CTE — two different algorithms, one fixpoint; the hash
+# certifies the doubling loses/invents no pairs.
+# --------------------------------------------------------------------------
+BOM_ORACLE = """
+WITH RECURSIVE cl AS (
+  SELECT p_partkey AS descn, (p_partkey - 1) // 4 AS anc, 1 AS dist
+  FROM part WHERE p_partkey >= 1
+  UNION ALL
+  SELECT cl.descn, (cl.anc - 1) // 4, cl.dist + 1
+  FROM cl WHERE cl.anc >= 1
+), allp AS (
+  SELECT * FROM cl
+  UNION ALL
+  SELECT p_partkey, p_partkey, 0 FROM part
+), agg AS (
+  SELECT allp.anc AS p_partkey,
+    CAST(count(*) AS BIGINT) AS subtree_size,
+    CAST(count(*) FILTER (WHERE allp.dist = 1) AS BIGINT) AS n_children,
+    CAST(SUM(CAST(p.p_retailprice AS DECIMAL(14,2))) AS DOUBLE) AS subtree_retail
+  FROM allp JOIN part p ON p.p_partkey = allp.descn
+  GROUP BY allp.anc
+), dep AS (
+  SELECT descn AS p_partkey, CAST(max(dist) AS BIGINT) AS depth
+  FROM allp GROUP BY descn
+)
+SELECT a.p_partkey, d.depth, a.subtree_size, a.n_children, a.subtree_retail
+FROM agg a JOIN dep d USING (p_partkey)
+"""
+
+
+@query("q_bom_explode", BOM_ORACLE)
+def q_bom_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.functions.exact import MONEY, dec
+
+    part = tables.load(spark, sf_dir, "part")
+    edges = part.filter(F.col("p_partkey") >= 1).select(
+        F.col("p_partkey").alias("child"),
+        F.expr("(p_partkey - 1) div 4").alias("parent"),
+    )
+    cl = G.transitive_closure(edges, max_doublings=4)
+    allp = cl.unionByName(
+        part.select(
+            F.col("p_partkey").alias("descn"),
+            F.col("p_partkey").alias("anc"),
+            F.lit(0).alias("dist"),
+        )
+    )
+    retail = part.select("p_partkey", dec("p_retailprice", MONEY).alias("pr"))
+    agg = (
+        allp.join(retail, allp.descn == retail.p_partkey)
+        .groupBy("anc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("subtree_size"),
+            F.sum((F.col("dist") == 1).cast("bigint")).cast("bigint").alias("n_children"),
+            F.sum("pr").cast("double").alias("subtree_retail"),
+        )
+    )
+    dep = allp.groupBy("descn").agg(F.max("dist").cast("bigint").alias("depth"))
+    return (
+        agg.join(dep, agg.anc == dep.descn)
+        .select(
+            F.col("anc").alias("p_partkey"),
+            "depth",
+            "subtree_size",
+            "n_children",
+            "subtree_retail",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_bfs_hops — multi-source BFS reachability over the derived link graph
+# (the crawl-frontier / seed-distance pass: how many hops is each page
+# from a trusted seed set). Synchronous relaxation, integer hop counts,
+# fixed 4 rounds — the oracle unrolls every round (r1/d1 .. r4/d4) with
+# explicit CASE min-merges (no reliance on either engine's
+# least()-vs-NULL semantics). Unreached nodes report -1.
+# --------------------------------------------------------------------------
+_BFS_ROUNDS = 4
+_BFS_SRC_MOD = 83
+
+
+def _bfs_oracle(rounds: int) -> str:
+    parts = [
+        "WITH nn AS (SELECT count(*) AS n FROM documents),",
+        "ed AS (",
+        "  SELECT DISTINCT doc_id AS src,",
+        "         (doc_id * (2 * k + 5) + k) % nn.n AS dst",
+        "  FROM documents, nn, (SELECT unnest(range(1, 4)) AS k) ks",
+        "  WHERE k <= 1 + doc_id % 3",
+        "    AND (doc_id * (2 * k + 5) + k) % nn.n <> doc_id",
+        "),",
+        f"d0 AS (SELECT doc_id AS node, CASE WHEN doc_id % {_BFS_SRC_MOD} = 0 THEN 0 END AS dist FROM documents),",
+    ]
+    for i in range(1, rounds + 1):
+        parts += [
+            f"r{i} AS (",
+            f"  SELECT e.dst AS node, min(d.dist + 1) AS nd",
+            f"  FROM ed e JOIN d{i-1} d ON d.node = e.src",
+            "  WHERE d.dist IS NOT NULL GROUP BY e.dst",
+            "),",
+            f"d{i} AS (",
+            "  SELECT d.node,",
+            "    CASE WHEN d.dist IS NULL THEN r.nd",
+            "         WHEN r.nd IS NULL THEN d.dist",
+            "         WHEN r.nd < d.dist THEN r.nd ELSE d.dist END AS dist",
+            f"  FROM d{i-1} d LEFT JOIN r{i} r ON r.node = d.node",
+            "),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts) + (
+        f"\nSELECT node, CAST(coalesce(dist, -1) AS BIGINT) AS dist FROM d{rounds}"
+    )
+
+
+BFS_ORACLE = _bfs_oracle(_BFS_ROUNDS)
+
+
+@query("q_bfs_hops", BFS_ORACLE)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    n = docs.count()  # bounded scalar (node count), same contract as q_pagerank
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.sequence(F.lit(1), (F.lit(1) + F.col("doc_id") % 3).cast("int"))
+            ).alias("k"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * (2 * F.col("k") + 5) + F.col("k")) % n).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    sources = nodes.filter(F.col("node") % _BFS_SRC_MOD == 0)
+    dist = G.bfs_hops(nodes, edges, sources, rounds=_BFS_ROUNDS)
+    return dist.select("node", F.col("dist").cast("bigint").alias("dist"))

@@ -271,3 +271,111 @@ def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("total_nll_units div n_toks").alias("xent_units"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_bigram_xent — interpolated bigram LM cross-entropy (the KenLM-style
+# upgrade of q_unigram_xent: context-aware perplexity-filter scoring).
+# P(w2|w1) = λ·c(w1 w2)/c(w1) + (1−λ)·c(w2)/T — Jelinek-Mercer
+# interpolation with the unigram model as backoff, so unseen-context
+# mass never reaches zero. The model is built from the corpus itself,
+# so every scored bigram exists in the model (inner join, no smoothing
+# holes); λ is a scientific-notation literal on BOTH sides because a
+# plain decimal literal parses as DECIMAL (not DOUBLE) in both engines
+# with different division semantics (measured — see q_hll_portable).
+# Engine-exactness discipline of the family: one interpolated
+# probability per DISTINCT bigram, quantized to 1e-9 units at the model
+# table; per-doc totals are BIGINT sums; the mean is true integer
+# division. Scale: model rows = distinct bigrams (shuffle moves
+# distinct pairs, not occurrences); the join-back is broadcast at test
+# SF / pair-keyed shuffle at 100 TB.
+# --------------------------------------------------------------------------
+_LAMBDA = "7.5e-1"
+_ONE_MINUS_LAMBDA = "2.5e-1"
+
+BIGRAM_XENT_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_W} AS w FROM documents
+), bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bg
+  FROM w WHERE len(w) >= 2
+), toks AS (
+  SELECT doc_id, unnest(w) AS tok FROM w
+), uc AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t FROM uc
+), bc AS (
+  SELECT bg, count(*) AS cb FROM bg GROUP BY bg
+), model AS (
+  SELECT bc.bg,
+    CAST(FLOOR(-ln(
+      {_LAMBDA} * (CAST(bc.cb AS DOUBLE) / CAST(u1.c AS DOUBLE))
+      + {_ONE_MINUS_LAMBDA} * (CAST(u2.c AS DOUBLE) / CAST(tot.t AS DOUBLE))
+    ) * 1e9) AS BIGINT) AS nll_units
+  FROM bc
+  JOIN uc u1 ON u1.tok = string_split(bc.bg, ' ')[1]
+  JOIN uc u2 ON u2.tok = string_split(bc.bg, ' ')[2]
+  CROSS JOIN tot
+)
+SELECT bg.doc_id,
+  CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(m.nll_units) AS BIGINT) AS total_nll_units,
+  CAST(SUM(m.nll_units) AS BIGINT) // CAST(count(*) AS BIGINT) AS xent_units
+FROM bg JOIN model m USING (bg)
+GROUP BY bg.doc_id
+"""
+
+
+@query("q_bigram_xent", BIGRAM_XENT_ORACLE)
+def q_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", X.words("text").alias("w"))
+    bg = w.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    toks = w.select("doc_id", F.explode("w").alias("tok"))
+    uc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = uc.agg(F.sum("c").cast("bigint").alias("t"))
+    bc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    # split the pair key once; both unigram joins are vocab-sized
+    bparts = bc.select(
+        "bg", "cb",
+        F.split("bg", " ").getItem(0).alias("w1"),
+        F.split("bg", " ").getItem(1).alias("w2"),
+    )
+    model = (
+        bparts.join(F.broadcast(uc.selectExpr("tok AS w1", "c AS c1")), "w1")
+        .join(F.broadcast(uc.selectExpr("tok AS w2", "c AS c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bg",
+            F.floor(
+                -F.log(
+                    F.lit(0.75) * (F.col("cb").cast("double") / F.col("c1").cast("double"))
+                    + F.lit(0.25) * (F.col("c2").cast("double") / F.col("t").cast("double"))
+                )
+                * F.lit(1e9)
+            ).alias("nll_units"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("nll_units").cast("bigint").alias("total_nll_units"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "total_nll_units",
+            F.expr("total_nll_units div n_bigrams").alias("xent_units"),
+        )
+    )

@@ -1392,3 +1392,242 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(seg_row("union", hu, sku))
         .unionByName(inter_row)
     )
+
+
+# --------------------------------------------------------------------------
+# q_welch_ab — A/B experiment analysis end to end: deterministic traffic
+# split (variant = md5(user) % 2 — the idempotent bucketing a real
+# experiment framework uses, so a user re-lands in the same arm on every
+# scan), then a per-event-type two-sample Welch t-test on value. All
+# moments come from exact decimal power sums (order-independent at any
+# parallelism); t and the Welch–Satterthwaite df are final double
+# expressions shared verbatim with the oracle, rounded at 9 dp because
+# the (s2 - s1²/n) shape is contraction-sensitive (see q_stats_moments).
+# Scale shape: one scan, one tiny (type × variant) aggregate, one
+# broadcast self-join — no window, no second pass.
+# --------------------------------------------------------------------------
+_VARIANT_SQL = (
+    "CAST('0x' || substr(md5(concat('u:', CAST(user_id AS VARCHAR))), 1, 15) AS BIGINT) % 2"
+)
+
+WELCH_AB_ORACLE = f"""
+WITH s AS (
+  SELECT event_type, {_VARIANT_SQL} AS variant,
+    COUNT(*) AS n,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+    CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s2
+  FROM events
+  GROUP BY 1, 2
+), m AS (
+  SELECT event_type, variant, n,
+    s1 / CAST(n AS DOUBLE) AS mean,
+    (s2 - (s1 * s1) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var
+  FROM s
+), w AS (
+  SELECT a.event_type,
+    a.n AS n_a, b.n AS n_b,
+    a.mean AS mean_a, b.mean AS mean_b,
+    a.var / CAST(a.n AS DOUBLE) + b.var / CAST(b.n AS DOUBLE) AS se2,
+    a.var / CAST(a.n AS DOUBLE) AS va, b.var / CAST(b.n AS DOUBLE) AS vb
+  FROM m a JOIN m b ON a.event_type = b.event_type
+  WHERE a.variant = 0 AND b.variant = 1
+)
+SELECT event_type,
+  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  round(mean_a, 9) AS mean_a, round(mean_b, 9) AS mean_b,
+  round((mean_a - mean_b) / sqrt(se2), 9) AS t_stat,
+  round(se2 * se2 / (va * va / CAST(n_a - 1 AS DOUBLE)
+                     + vb * vb / CAST(n_b - 1 AS DOUBLE)), 9) AS welch_df,
+  abs((mean_a - mean_b) / sqrt(se2)) > 1.96 AS significant
+FROM w
+"""
+
+
+@query("q_welch_ab", WELCH_AB_ORACLE)
+def q_welch_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.functions.hashing import md5_long
+
+    ev = tables.load(spark, sf_dir, "events")
+    v = dec("value", VALUE)
+    s = (
+        ev.withColumn(
+            "variant",
+            md5_long(F.concat(F.lit("u:"), F.col("user_id").cast("string"))) % 2,
+        )
+        .groupBy("event_type", "variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).cast("double").alias("s1"),
+            F.sum(v * v).cast("double").alias("s2"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    m = s.select(
+        "event_type",
+        "variant",
+        "n",
+        (F.col("s1") / n_d).alias("mean"),
+        (
+            (F.col("s2") - (F.col("s1") * F.col("s1")) / n_d)
+            / (F.col("n") - F.lit(1)).cast("double")
+        ).alias("var"),
+    )
+    a = m.filter(F.col("variant") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        (F.col("var") / F.col("n").cast("double")).alias("va"),
+    )
+    b = m.filter(F.col("variant") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        (F.col("var") / F.col("n").cast("double")).alias("vb"),
+    )
+    se2 = F.col("va") + F.col("vb")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        F.col("va") * F.col("va") / (F.col("n_a") - F.lit(1)).cast("double")
+        + F.col("vb") * F.col("vb") / (F.col("n_b") - F.lit(1)).cast("double")
+    )
+    return a.join(b, "event_type").select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("mean_a", 9).alias("mean_a"),
+        F.round("mean_b", 9).alias("mean_b"),
+        F.round(t, 9).alias("t_stat"),
+        F.round(df, 9).alias("welch_df"),
+        (F.abs(t) > F.lit(1.96)).alias("significant"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_psi_drift — Population Stability Index between a reference and a
+# current period (the standard production drift monitor for a corpus or
+# feature pipeline): per event type, decile bins are fitted on the
+# REFERENCE window only (exact interpolated percentiles — the
+# q_equidepth_histogram machinery), both windows are bucketed against
+# those frozen boundaries, and PSI = Σ (pc − pr)·ln(pc/pr) with add-one
+# (Laplace) smoothing so an empty current bin stays finite. Engine
+# exactness: the ln argument is ONE division of two exact integer
+# products (ln bit-parity on such doubles is measured — see
+# q_dsir_weights), each bin's contribution is quantized to 1e-12 units
+# at the 10-bin frame, and the per-type total is a BIGINT sum —
+# order-independent at any parallelism. Scale shape: two scans (fit +
+# bucket), boundaries broadcast, no window, no sort.
+# --------------------------------------------------------------------------
+_PSI_SPLIT = "2024-01-15"
+
+PSI_ORACLE = f"""
+WITH ref AS (
+  SELECT event_type, value FROM events WHERE ts < TIMESTAMP '{_PSI_SPLIT}'
+), cur AS (
+  SELECT event_type, value FROM events WHERE ts >= TIMESTAMP '{_PSI_SPLIT}'
+), b AS (
+  SELECT event_type, quantile_cont(value, {_DECILES}) AS bs
+  FROM ref GROUP BY event_type
+), rb AS (
+  SELECT r.event_type, 1 + len(list_filter(b.bs, x -> r.value > x)) AS bucket,
+         count(*) AS nr
+  FROM ref r JOIN b USING (event_type) GROUP BY 1, 2
+), cb AS (
+  SELECT c.event_type, 1 + len(list_filter(b.bs, x -> c.value > x)) AS bucket,
+         count(*) AS nc
+  FROM cur c JOIN b USING (event_type) GROUP BY 1, 2
+), tot AS (
+  SELECT event_type,
+    (SELECT count(*) FROM ref r WHERE r.event_type = b.event_type) AS tr,
+    (SELECT count(*) FROM cur c WHERE c.event_type = b.event_type) AS tc
+  FROM b
+), bins AS (
+  SELECT t.event_type, g.bucket,
+    coalesce(rb.nr, 0) + 1 AS nr, coalesce(cb.nc, 0) + 1 AS nc,
+    t.tr + 10 AS tr, t.tc + 10 AS tc
+  FROM tot t
+  CROSS JOIN (SELECT unnest(range(1, 11)) AS bucket) g
+  LEFT JOIN rb ON rb.event_type = t.event_type AND rb.bucket = g.bucket
+  LEFT JOIN cb ON cb.event_type = t.event_type AND cb.bucket = g.bucket
+), contrib AS (
+  SELECT event_type,
+    CAST(round(
+      (CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE)
+       - CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE))
+      * ln(CAST(nc * tr AS DOUBLE) / CAST(nr * tc AS DOUBLE)) * 1e12
+    ) AS BIGINT) AS c_e12
+  FROM bins
+)
+SELECT event_type,
+  CAST((SELECT tr - 10 FROM bins b2 WHERE b2.event_type = contrib.event_type LIMIT 1) AS BIGINT) AS n_ref,
+  CAST((SELECT tc - 10 FROM bins b2 WHERE b2.event_type = contrib.event_type LIMIT 1) AS BIGINT) AS n_cur,
+  CAST(sum(c_e12) AS BIGINT) AS psi_e12,
+  sum(c_e12) > 200000000000 AS drifted
+FROM contrib GROUP BY event_type
+"""
+
+
+@query("q_psi_drift", PSI_ORACLE)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    split = F.lit(_PSI_SPLIT).cast("timestamp")
+    ref = ev.filter(F.col("ts") < split).select("event_type", "value")
+    cur = ev.filter(F.col("ts") >= split).select("event_type", "value")
+    frac = ", ".join(str(d) for d in _DECILES)
+    bounds = ref.groupBy("event_type").agg(
+        F.expr(f"percentile(value, array({frac}))").alias("bs")
+    )
+
+    def bucketed(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.join(F.broadcast(bounds), "event_type")
+            .select(
+                "event_type",
+                (1 + F.size(F.filter("bs", lambda x: F.col("value") > x))).alias(
+                    "bucket"
+                ),
+            )
+            .groupBy("event_type", "bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    rb = bucketed(ref, "nr")
+    cb = bucketed(cur, "nc")
+    tot = (
+        ref.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("tr"))
+        .join(cur.groupBy("event_type").agg(F.count(F.lit(1)).alias("tc")), "event_type")
+    )
+    grid = tot.select(
+        "event_type", "tr", "tc", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("bucket")
+    )
+    bins = (
+        grid.join(rb, ["event_type", "bucket"], "left")
+        .join(cb, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            (F.coalesce("nr", F.lit(0)) + 1).alias("nr"),
+            (F.coalesce("nc", F.lit(0)) + 1).alias("nc"),
+            (F.col("tr") + 10).alias("trs"),
+            (F.col("tc") + 10).alias("tcs"),
+        )
+    )
+    term = (
+        F.col("nc").cast("double") / F.col("tcs").cast("double")
+        - F.col("nr").cast("double") / F.col("trs").cast("double")
+    ) * F.log(
+        (F.col("nc") * F.col("trs")).cast("double")
+        / (F.col("nr") * F.col("tcs")).cast("double")
+    )
+    contrib = bins.select(
+        "event_type",
+        "trs",
+        "tcs",
+        F.round(term * F.lit(1e12)).cast("long").alias("c_e12"),
+    )
+    return contrib.groupBy("event_type").agg(
+        (F.first("trs") - F.lit(10)).cast("long").alias("n_ref"),
+        (F.first("tcs") - F.lit(10)).cast("long").alias("n_cur"),
+        F.sum("c_e12").cast("long").alias("psi_e12"),
+        (F.sum("c_e12") > F.lit(200_000_000_000)).alias("drifted"),
+    )

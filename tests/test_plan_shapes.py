@@ -184,6 +184,11 @@ _SHUFFLE_BUDGET = {
     "q_l_diversity": 4,       # class sizes + joined distinct-l + histogram
     "q_kmv_distinct": 1,      # distinct-hash agg feeding TakeOrdered sketches
     "q_rrf_fusion": 8,        # BM25 pipeline + cosine list + full-outer fuse
+    "q_welch_ab": 2,          # (type, variant) agg + arm self-join
+    "q_psi_drift": 5,         # per-type percentile fit + two bucket aggs + totals
+    "q_bigram_xent": 4,       # bigram/unigram model aggs + per-doc rollup
+    "q_bom_explode": 2,       # subtree rollup + depth agg (closure checkpointed)
+    "q_bfs_hops": 0,          # relaxation rounds all behind localCheckpoint
 }
 
 
