@@ -396,3 +396,71 @@ def ivm_join_insert_only(a_old, delta_a, b_old, delta_b, on: str):
         .unionByName(tag(a_old.join(delta_b, on), "delta_b"))
         .unionByName(tag(delta_a.join(delta_b, on), "delta_both"))
     )
+
+
+def ivm_agg_apply(
+    view_old: "F.DataFrame",
+    inserts: "F.DataFrame",
+    deletes: "F.DataFrame",
+    keys: list[str],
+    count_col: str = "n_rows",
+    sum_cols: dict[str, str] | None = None,
+) -> "F.DataFrame":
+    """Incremental view maintenance for a group-by aggregate view under
+    insert AND delete deltas: V_new(g) = V_old(g) + agg(ΔI)(g) −
+    agg(ΔD)(g) for the self-maintainable aggregates (COUNT, SUM — each
+    combines with simple arithmetic; MIN/MAX are NOT maintainable under
+    deletes without auxiliary per-group state and are deliberately not
+    offered). Groups whose maintained count reaches zero are DROPPED
+    (the classic IVM subtlety: a fully-deleted group must disappear from
+    the view, not linger as a zero row), and a count driven NEGATIVE
+    raises — a delete for a row the view never absorbed is an integrity
+    violation, not a number to propagate.
+
+    ``sum_cols`` maps view column -> source column (sums should be
+    exact types — DECIMAL/BIGINT — so maintenance arithmetic is
+    order-independent; see functions/exact.py). At 100 TB ``view_old``
+    is a stored table: the two delta aggregations scale with the delta
+    and the merge joins on the (small) group key space."""
+    from pyspark.sql import functions as FF
+
+    sum_cols = sum_cols or {}
+
+    def agg(delta, tag):
+        return delta.groupBy(*keys).agg(
+            FF.count(FF.lit(1)).alias(f"_c_{tag}"),
+            *[
+                FF.sum(src).alias(f"_s_{tag}_{out}")
+                for out, src in sum_cols.items()
+            ],
+        )
+
+    di = agg(inserts, "i")
+    dd = agg(deletes, "d")
+    merged = (
+        view_old.join(di, keys, "full_outer").join(dd, keys, "full_outer")
+    )
+    zero = FF.lit(0)
+    n_new = (
+        FF.coalesce(FF.col(count_col), zero)
+        + FF.coalesce(FF.col("_c_i"), zero)
+        - FF.coalesce(FF.col("_c_d"), zero)
+    )
+    out_cols = [FF.col(k) for k in keys] + [n_new.alias(count_col)]
+    for out in sum_cols:
+        out_cols.append(
+            (
+                FF.coalesce(FF.col(out), zero)
+                + FF.coalesce(FF.col(f"_s_i_{out}"), zero)
+                - FF.coalesce(FF.col(f"_s_d_{out}"), zero)
+            ).alias(out)
+        )
+    merged = merged.select(*out_cols)
+    bad = merged.filter(FF.col(count_col) < 0).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"ivm_agg_apply: maintained count went negative for group "
+            f"{[bad[0][k] for k in keys]} — delete delta contains rows "
+            "the view never absorbed"
+        )
+    return merged.filter(FF.col(count_col) > 0)

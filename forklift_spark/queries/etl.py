@@ -1494,3 +1494,79 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("bigint").alias("min_key"),
         F.max("k").cast("bigint").alias("max_key"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_ivm_agg — incremental view maintenance for a GROUP-BY AGGREGATE view
+# under insert AND delete deltas (patterns.ivm_agg_apply): the rollup
+# twin of q_ivm_join. V_old aggregates the pre-cut orders; the insert
+# delta is everything after the cut; the delete delta retracts a keyed
+# sample of the base PLUS one entire (priority, month) cell — so the
+# classic IVM subtlety (a fully-deleted group must VANISH from the
+# view, not linger at zero) is exercised at every SF. COUNT/SUM are the
+# self-maintainable aggregates (MIN/MAX need auxiliary state under
+# deletes and are deliberately absent — see the operator docstring);
+# sums stay DECIMAL through the maintenance arithmetic so V_old + ΔI −
+# ΔD is order-independent. The oracle recomputes the view FROM SCRATCH
+# on (base − deletes + inserts): a hash match proves maintenance ==
+# recompute, including the group-drop.
+# --------------------------------------------------------------------------
+_IVMA_CUT = "1999-01-01 00:00:00"
+_IVMA_WIPE_YM = "1995-01"
+_IVMA_WIPE_PRIO = "1-URGENT"
+
+IVM_AGG_ORACLE = f"""
+WITH eff AS (
+  SELECT * FROM orders
+  WHERE NOT (
+    o_orderdate < TIMESTAMP '{_IVMA_CUT}'
+    AND (o_orderkey % 13 = 0
+         OR (strftime(o_orderdate, '%Y-%m') = '{_IVMA_WIPE_YM}'
+             AND o_orderpriority = '{_IVMA_WIPE_PRIO}'))
+  )
+)
+SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS ym,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_total
+FROM eff GROUP BY 1, 2
+"""
+
+
+@query("q_ivm_agg", IVM_AGG_ORACLE)
+def q_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.patterns import ivm_agg_apply
+
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.col("o_orderdate").alias("od"),
+        dec("o_totalprice", MONEY).alias("tp"),
+    )
+    cut = F.col("od") < F.lit(_IVMA_CUT).cast("timestamp")
+    base = orders.filter(cut)
+    inserts = orders.filter(~cut)
+    deletes = base.filter(
+        (F.col("o_orderkey") % 13 == 0)
+        | (
+            (F.col("ym") == _IVMA_WIPE_YM)
+            & (F.col("o_orderpriority") == _IVMA_WIPE_PRIO)
+        )
+    )
+    view_old = base.groupBy("o_orderpriority", "ym").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("tp").alias("sum_total")
+    )
+    view_new = ivm_agg_apply(
+        view_old,
+        inserts,
+        deletes,
+        keys=["o_orderpriority", "ym"],
+        count_col="n_rows",
+        sum_cols={"sum_total": "tp"},
+    )
+    return view_new.select(
+        "o_orderpriority",
+        "ym",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("sum_total").cast("double").alias("sum_total"),
+    )

@@ -275,3 +275,52 @@ def test_ivm_join_branches_partition_the_full_join(spark):
     assert len(rows) == len(full)  # a partition: no duplicates either
     by_branch = {r.branch for r in rows}
     assert by_branch == {"old", "delta_a", "delta_b", "delta_both"}
+
+
+# -- ivm_agg_apply ---------------------------------------------------------
+
+
+def _ivm_view(spark, rows):
+    return spark.createDataFrame(rows, "g string, n_rows long, sum_total long")
+
+
+def _ivm_delta(spark, rows):
+    return spark.createDataFrame(rows, "g string, v long")
+
+
+def test_ivm_agg_insert_delete_and_group_drop(spark):
+    from forklift_spark.patterns import ivm_agg_apply
+
+    old = _ivm_view(spark, [("a", 2, 10), ("b", 1, 5), ("c", 3, 30)])
+    ins = _ivm_delta(spark, [("a", 7), ("d", 4)])     # update + brand-new group
+    dele = _ivm_delta(spark, [("b", 5), ("c", 10), ("c", 10)])  # b fully deleted
+    out = ivm_agg_apply(
+        old, ins, dele, keys=["g"], sum_cols={"sum_total": "v"}
+    )
+    got = {r.g: (r.n_rows, r.sum_total) for r in out.collect()}
+    # b vanished (count hit zero), d appeared, a and c maintained
+    assert got == {"a": (3, 17), "c": (1, 10), "d": (1, 4)}
+
+
+def test_ivm_agg_negative_count_raises(spark):
+    import pytest
+
+    from forklift_spark.patterns import ivm_agg_apply
+
+    old = _ivm_view(spark, [("a", 1, 10)])
+    ins = _ivm_delta(spark, [])
+    dele = _ivm_delta(spark, [("a", 10), ("a", 10)])  # 2 deletes vs count 1
+    with pytest.raises(ValueError, match="negative"):
+        ivm_agg_apply(old, ins, dele, keys=["g"], sum_cols={"sum_total": "v"})
+
+
+def test_ivm_agg_delete_of_unknown_group_raises(spark):
+    import pytest
+
+    from forklift_spark.patterns import ivm_agg_apply
+
+    old = _ivm_view(spark, [("a", 1, 10)])
+    dele = _ivm_delta(spark, [("zz", 1)])  # group the view never absorbed
+    with pytest.raises(ValueError, match="never absorbed"):
+        ivm_agg_apply(old, _ivm_delta(spark, []), dele, keys=["g"],
+                      sum_cols={"sum_total": "v"})

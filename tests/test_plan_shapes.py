@@ -189,6 +189,7 @@ _SHUFFLE_BUDGET = {
     "q_bigram_xent": 4,       # bigram/unigram model aggs + per-doc rollup
     "q_bom_explode": 2,       # subtree rollup + depth agg (closure checkpointed)
     "q_bfs_hops": 0,          # relaxation rounds all behind localCheckpoint
+    "q_ivm_agg": 4,           # view_old agg + two delta aggs + group-key merge
 }
 
 
