@@ -280,3 +280,168 @@ def q_video_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     thumbs = M.video_thumbnail(M.attach_fake_avi(docs), thumb_w=2, thumb_h=2)
     return thumbs.select("doc_id", "frame_index", "thumb_w", "thumb_h", "px_csv")
+
+
+# --------------------------------------------------------------------------
+# q_phash_dedup — image NEAR-duplicate detection by perceptual hash:
+# REAL decode (vendored PPM codec) -> 56-bit dHash (nearest-neighbor
+# 9x7 grayscale grid, gradient bits — operators/multimodal.image_dhash)
+# -> banded self-join (8 bands x 7 bits; pigeonhole guarantees every
+# pair within Hamming distance 7 shares an equal band, so the 6-bit
+# threshold loses nothing) -> exact Hamming verify via
+# bit_count(xor). THE ORACLE REPLAYS THE ALL-PAIRS JOIN from the
+# closed-form raster: the hash certifies decode, resample, hash bits,
+# AND that the banding dropped zero pairs — the same losslessness
+# guarantee q_set_similarity_join gives for token sets, here for the
+# image modality. Scale: candidates are bucket-equi-join rows, never
+# all pairs; the hash frame is one row per image.
+# --------------------------------------------------------------------------
+_PHASH_T = 6  # max Hamming distance for "near duplicate" (< 8 bands)
+
+PHASH_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+), g AS (
+  SELECT doc_id, w, h,
+    list_transform(range(0, 63), t ->
+      ((doc_id * 31 + (3 * ((((t // 9) * h) // 7) * w + (((t % 9) * w) // 9))) * 7) % 256
+       + (doc_id * 31 + (3 * ((((t // 9) * h) // 7) * w + (((t % 9) * w) // 9)) + 1) * 7) % 256
+       + (doc_id * 31 + (3 * ((((t // 9) * h) // 7) * w + (((t % 9) * w) // 9)) + 2) * 7) % 256
+      ) // 3
+    ) AS gr
+  FROM d
+), hs AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(0, 56), b ->
+      CASE WHEN gr[(b // 8) * 9 + (b % 8) + 1] > gr[(b // 8) * 9 + (b % 8) + 2]
+           THEN CAST(1 AS BIGINT) << b ELSE 0 END
+    )) AS BIGINT) AS dhash
+  FROM g
+), pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb
+  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= {_PHASH_T}
+), near AS (
+  SELECT doc_id, count(*) AS n_near FROM (
+    SELECT ida AS doc_id FROM pairs UNION ALL SELECT idb FROM pairs
+  ) GROUP BY doc_id
+)
+SELECT hs.doc_id, hs.dhash,
+  CAST(coalesce(near.n_near, 0) AS BIGINT) AS n_near
+FROM hs LEFT JOIN near USING (doc_id)
+"""
+
+
+@query("q_phash_dedup", PHASH_ORACLE)
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    hashes = (
+        M.image_dhash(M.attach_fake_ppm(docs))
+        .select("doc_id", "dhash")
+        .persist()  # consumed by both sides of the band self-join
+    )
+    n_bands, band_bits = 8, M.DHASH_H * M.DHASH_W // 8
+    banded = hashes.select(
+        "doc_id",
+        "dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("b"),
+    ).withColumn(
+        "bv", F.expr(f"shiftright(dhash, b * {band_bits}) & {2**band_bits - 1}")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("ida"),
+            F.col("b.doc_id").alias("idb"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .dropDuplicates(["ida", "idb"])
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= _PHASH_T)
+    )
+    near = (
+        pairs.select(F.col("ida").alias("doc_id"))
+        .unionAll(pairs.select(F.col("idb").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return hashes.join(near, "doc_id", "left").select(
+        "doc_id",
+        "dhash",
+        F.coalesce("n_near", F.lit(0)).cast("bigint").alias("n_near"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_scene_detect — video scene segmentation: REAL AVI decode -> per-frame
+# temporal difference (exact-integer sum of absolute byte deltas,
+# operators/multimodal.video_frame_diffs) -> cut where the diff exceeds
+# 9 gray levels per byte -> gaps-and-islands (running sum of cut flags)
+# -> per-scene rollup. Decode + diff run in one Arrow pass; the
+# segmentation is one per-clip window — the standard shot-boundary
+# pipeline over the closed-form rasters, which the oracle replays
+# end to end (diff arithmetic, threshold, island numbering).
+# --------------------------------------------------------------------------
+SCENE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 4 AS w, 2 + doc_id % 3 AS h,
+         2 + doc_id % 4 AS nf
+  FROM documents
+), f AS (
+  SELECT doc_id, w, h, unnest(range(0, nf)) AS fi FROM d
+), diff AS (
+  SELECT doc_id, w, h, fi,
+    CASE WHEN fi = 0 THEN NULL ELSE
+      list_sum(list_transform(range(0, w * h * 3), j ->
+        abs(CAST((doc_id * 17 + fi * 251 + j * 13) % 256 AS BIGINT)
+            - CAST((doc_id * 17 + (fi - 1) * 251 + j * 13) % 256 AS BIGINT))))
+    END AS fd
+  FROM f
+), flags AS (
+  SELECT doc_id, fi,
+    CASE WHEN fd > 9 * w * h * 3 THEN 1 ELSE 0 END AS cut
+  FROM diff
+), sc AS (
+  SELECT doc_id, fi,
+    SUM(cut) OVER (PARTITION BY doc_id ORDER BY fi) AS scene_id
+  FROM flags
+)
+SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+  CAST(min(fi) AS BIGINT) AS start_frame,
+  CAST(max(fi) AS BIGINT) AS end_frame,
+  CAST(count(*) AS BIGINT) AS n_frames
+FROM sc GROUP BY doc_id, scene_id
+"""
+
+
+@query("q_scene_detect", SCENE_ORACLE)
+def q_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = tables.load(spark, sf_dir, "documents")
+    diffs = M.video_frame_diffs(M.attach_fake_avi(docs))
+    flags = diffs.select(
+        "doc_id",
+        "frame_index",
+        F.when(
+            F.col("frame_diff") > 9 * F.col("width") * F.col("height") * 3, 1
+        )
+        .otherwise(0)
+        .alias("cut"),
+    )
+    w = W.partitionBy("doc_id").orderBy("frame_index")
+    sc = flags.withColumn("scene_id", F.sum("cut").over(w))
+    return sc.groupBy("doc_id", "scene_id").agg(
+        F.min("frame_index").cast("bigint").alias("start_frame"),
+        F.max("frame_index").cast("bigint").alias("end_frame"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+    ).select(
+        "doc_id", F.col("scene_id").cast("bigint").alias("scene_id"),
+        "start_frame", "end_frame", "n_frames",
+    )

@@ -426,3 +426,85 @@ def test_warc_extract_degrades_per_row(spark):
     assert out[1].body == "<html><body><p>hello world</p></body></html>"
     assert out[2].response_uri == "https://example.com/doc/2"
     assert out[3].decode_error and out[3].http_status is None
+
+
+# -- image_dhash -----------------------------------------------------------
+
+
+def _dhash_of(spark, payloads):
+    from forklift_spark.operators.multimodal import image_dhash
+
+    df = spark.createDataFrame(
+        list(enumerate(payloads)), "doc_id long, payload binary"
+    )
+    out = image_dhash(df)
+    return {r.doc_id: (r.dhash, r.decode_error) for r in out.collect()}
+
+
+def test_dhash_invariant_under_2x_upscale(spark):
+    # nearest-neighbor 2x upscale hits the same source pixels at every
+    # grid sample (floor(floor(2a)/2) == floor(a)), so the perceptual
+    # hash must be EXACTLY equal — the robustness property that makes
+    # dHash a near-dup signal rather than a byte checksum
+    from forklift_spark.functions.imagecodec import encode_ppm
+
+    w, h = 6, 5
+    px = bytes((j * 37 + 11) % 256 for j in range(w * h * 3))
+    big = bytearray()
+    for y in range(2 * h):
+        for x in range(2 * w):
+            p = 3 * ((y // 2) * w + (x // 2))
+            big += px[p:p + 3]
+    got = _dhash_of(
+        spark,
+        [encode_ppm(w, h, "RGB", px), encode_ppm(2 * w, 2 * h, "RGB", bytes(big))],
+    )
+    assert got[0][0] == got[1][0]
+    assert got[0][1] is None
+
+
+def test_dhash_corrupt_payload_degrades(spark):
+    from forklift_spark.functions.imagecodec import encode_ppm
+
+    px = bytes(range(36))
+    got = _dhash_of(spark, [encode_ppm(2, 2, "RGB", bytes(12)), b"NOTANIMAGE"])
+    assert got[0][1] is None
+    assert got[1][0] is None and got[1][1]  # error string, no hash
+
+
+def test_dhash_is_56_bit_positive(spark):
+    # all-gradient image: every comparison fires; hash must stay within
+    # 56 bits (positive in a signed 64-bit int in every engine)
+    from forklift_spark.functions.imagecodec import encode_ppm
+
+    w, h = 9, 7
+    px = bytes(min(255, (w - x) * 20) for y in range(h) for x in range(w) for _ in range(3))
+    got = _dhash_of(spark, [encode_ppm(w, h, "RGB", px)])
+    assert got[0][0] == (1 << 56) - 1
+
+
+# -- video_frame_diffs -----------------------------------------------------
+
+
+def test_frame_diffs_exact_and_first_null(spark):
+    from forklift_spark.functions.videocodec import write_avi
+    from forklift_spark.operators.multimodal import video_frame_diffs
+
+    f0 = bytes([10] * 12)  # 2x2 RGB
+    f1 = bytes([13] * 12)  # +3 per byte -> diff 36
+    f2 = bytes([5] * 12)   # -8 per byte -> diff 96
+    df = spark.createDataFrame(
+        [(0, write_avi(2, 2, 10, [f0, f1, f2]))], "doc_id long, payload binary"
+    )
+    rows = {r.frame_index: r.frame_diff for r in video_frame_diffs(df).collect()}
+    assert rows == {0: None, 1: 36, 2: 96}
+
+
+def test_frame_diffs_corrupt_payload_degrades(spark):
+    from forklift_spark.operators.multimodal import video_frame_diffs
+
+    df = spark.createDataFrame(
+        [(7, b"RIFFgarbage")], "doc_id long, payload binary"
+    )
+    rows = video_frame_diffs(df).collect()
+    assert len(rows) == 1 and rows[0].decode_error

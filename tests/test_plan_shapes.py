@@ -190,6 +190,8 @@ _SHUFFLE_BUDGET = {
     "q_bom_explode": 2,       # subtree rollup + depth agg (closure checkpointed)
     "q_bfs_hops": 0,          # relaxation rounds all behind localCheckpoint
     "q_ivm_agg": 4,           # view_old agg + two delta aggs + group-key merge
+    "q_phash_dedup": 4,       # band self-join + pair dedup + near rollup + joinback
+    "q_scene_detect": 1,      # one per-clip window partition
 }
 
 
