@@ -152,6 +152,15 @@ HEADLINE = [
     "q_rrf_fusion",
     "q_entity_resolution",
     "q_snapshot_diff",
+    "q_welch_ab",
+    "q_psi_drift",
+    "q_bigram_xent",
+    "q_bom_explode",
+    "q_bfs_hops",
+    "q_ivm_agg",
+    "q_phash_dedup",
+    "q_scene_detect",
+    "q_line_dedup",
 ]
 
 

@@ -44,7 +44,7 @@ def query(name: str, oracle: str | None = None):
 _WINDOW_FAMILIES: dict[str, list[str]] = {
     "dedup": [
         "q_stream_dedup_exact", "q_dedup_minhash_lsh", "q_set_similarity_join",
-        "q_substring_dedup", "q_decontaminate", "q_dedup_components",
+        "q_substring_dedup", "q_decontaminate", "q_line_dedup",
     ],
     "graph": ["q_pagerank", "q_triangle_count"],
     "similarity": [
@@ -56,11 +56,11 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
         "q_text_token_stats", "q_text_quality", "q_lang_id",
         "q_gopher_quality", "q_sequence_pack", "q_winnow_fingerprint",
     ],
-    "selection": ["q_dsir_weights", "q_unigram_xent"],
+    "selection": ["q_dsir_weights", "q_bigram_xent"],
     "etl": [
         "q_read_since", "q_upsert_merge", "q_schema_evolution",
         "q_data_expectations",
-        "q_json_extract", "q_array_agg", "q_salted_join",
+        "q_json_extract", "q_array_agg", "q_ivm_agg",
     ],
     "analytics": [
         "q1_pricing_summary", "q5_region_revenue", "q7_volume_shipping",
@@ -70,14 +70,14 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
         "q_optimistic_sync", "q_es_roundtrip",
     ],
     "stats": [
-        "q_stats_moments", "q_grouped_ols", "q_kmv_distinct",
+        "q_welch_ab", "q_psi_drift", "q_kmv_distinct",
         "q_heavy_hitters_cms",
     ],
     "timeseries": [
         "q_asof_join", "q_sessionize", "q_stream_windowed_counts",
         "q_stream_stateful_counts",
     ],
-    "multimodal": ["q_audio_features", "q_image_decode", "q_video_frames"],
+    "multimodal": ["q_audio_features", "q_phash_dedup", "q_scene_detect"],
     "web": ["q_url_dedup", "q_warc_extract"],
 }
 

@@ -987,3 +987,81 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.join(canon, "entity_id").select(
         "entity_id", "canonical_name", "n_records", "n_sources", "max_bal"
     )
+
+
+# --------------------------------------------------------------------------
+# q_line_dedup — C4-style LINE-level deduplication with document
+# reassembly (Raffel et al. 2020 drop repeated lines across the corpus;
+# Lee et al. 2022 measure how much that removes): documents are chunked
+# into deterministic 8-word segments ("lines" for a corpus with no
+# newlines), each segment occurrence is fingerprinted, and for every
+# fingerprint exactly ONE canonical occurrence survives (min packed
+# (doc_id, seg_idx) — the same min-survivor discipline as
+# q_dedup_exact, made total by packing so both engines agree without
+# struct-min semantics). Documents are REASSEMBLED from their surviving
+# segments in order — the output is the cleaned corpus, not just an
+# audit. Scale: one fingerprint-keyed shuffle (8-byte md5-derived
+# keys), canonical table joins back broadcast-or-keyed, reassembly is a
+# per-doc sorted collect — no all-pairs anything.
+# --------------------------------------------------------------------------
+_SEG_WORDS = 8
+
+LINE_DEDUP_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split({NORM}, ' ') AS w FROM documents
+), segs AS (
+  SELECT doc_id, s AS seg_idx,
+    doc_id * 1000 + s AS pk,
+    array_to_string(list_slice(w, s * {_SEG_WORDS} + 1, s * {_SEG_WORDS} + {_SEG_WORDS}), ' ') AS seg
+  FROM (SELECT doc_id, w, unnest(range(0, (len(w) + {_SEG_WORDS} - 1) // {_SEG_WORDS})) AS s FROM w)
+), canon AS (
+  SELECT md5(seg) AS fp, min(pk) AS cpk FROM segs GROUP BY 1
+), marked AS (
+  SELECT s.doc_id, s.seg_idx, s.seg, (s.pk = c.cpk) AS keep
+  FROM segs s JOIN canon c ON md5(s.seg) = c.fp
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_segments,
+  CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+  coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (keep), '') AS cleaned_text
+FROM marked GROUP BY doc_id
+"""
+
+
+@query("q_line_dedup", LINE_DEDUP_ORACLE)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.operators.text import words
+
+    docs = tables.load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", words("text").alias("w"))
+    segs = (
+        w.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, (size(w) - 1) div {_SEG_WORDS}), "
+                    f"s -> array_join(slice(w, s * {_SEG_WORDS} + 1, {_SEG_WORDS}), ' '))"
+                )
+            ).alias("seg_idx", "seg"),
+        )
+        .withColumn("pk", F.col("doc_id") * 1000 + F.col("seg_idx"))
+        .withColumn("fp", F.md5("seg"))
+    )
+    canon = segs.groupBy("fp").agg(F.min("pk").alias("cpk"))
+    marked = segs.join(canon, "fp").withColumn("keep", F.col("pk") == F.col("cpk"))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(F.col("keep").cast("bigint")).cast("bigint").alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("keep"), F.struct("seg_idx", "seg")))
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("cleaned_text"),
+    )
