@@ -161,6 +161,8 @@ HEADLINE = [
     "q_phash_dedup",
     "q_scene_detect",
     "q_line_dedup",
+    "q_kcore",
+    "q_random_walks",
 ]
 
 

@@ -197,3 +197,158 @@ def bfs_hops(
             .localCheckpoint(eager=True)
         )
     return dist.select("node", F.coalesce("dist", F.lit(-1)).alias("dist"))
+
+
+def kcore(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 12,
+    node_col: str = "node",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling over UNDIRECTED
+    edges: each round removes every node whose degree within the
+    surviving subgraph is < k, until a fixpoint — what remains is the
+    k-core (maximal subgraph of min-degree k). Returns one row per node:
+    ``in_core``, ``core_deg`` (degree inside the final core; NULL if
+    peeled) and ``peel_round`` (the round that removed it; NULL if it
+    survived) — peel_round is the coreness-ordering signal a curation
+    pipeline uses to rank nodes by structural robustness.
+
+    Synchronous peeling is deterministic (no tie-break order), so a
+    fixed round count is engine-exact and an oracle can unroll the
+    rounds (idempotent once converged). Peeling can need MANY rounds on
+    pathological graphs (a path peels two ends per round), so
+    non-convergence within ``max_rounds`` RAISES rather than returning
+    a superset of the core. Scale: each round is one edge-keyed
+    semi-join + degree agg; lineage cut per round."""
+    und = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    sym = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nb"))
+        .unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("nb")))
+        .dropDuplicates(["node", "nb"])
+        .localCheckpoint(eager=True)
+    )
+    alive = nodes.select(F.col(node_col).alias("node")).localCheckpoint(eager=True)
+    peeled = []  # (frame of nodes, round) accumulated per round
+    converged = False
+    for i in range(1, max_rounds + 1):
+        deg = (
+            sym.join(alive.withColumnRenamed("node", "nb"), "nb")
+            .join(alive, "node")
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("dg"))
+        )
+        new_alive = deg.filter(F.col("dg") >= k).select("node").localCheckpoint(
+            eager=True
+        )
+        removed = alive.join(new_alive, "node", "left_anti").select(
+            "node", F.lit(i).alias("peel_round")
+        ).localCheckpoint(eager=True)
+        alive = new_alive
+        if removed.limit(1).count() == 0:
+            converged = True
+            break
+        peeled.append(removed)
+    if not converged:
+        raise RuntimeError(f"kcore: peeling not converged after {max_rounds} rounds")
+    core_deg = (
+        sym.join(alive.withColumnRenamed("node", "nb"), "nb")
+        .join(alive, "node")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )
+    out = nodes.select(F.col(node_col).alias("node")).join(core_deg, "node", "left")
+    if peeled:
+        rounds = peeled[0]
+        for fr in peeled[1:]:
+            rounds = rounds.unionByName(fr)
+    else:  # the whole graph already was a k-core: nothing peeled
+        rounds = nodes.select(
+            F.col(node_col).alias("node"), F.lit(1).alias("peel_round")
+        ).limit(0)
+    return (
+        out.join(rounds, "node", "left")
+        .select(
+            "node",
+            F.col("peel_round").isNull().alias("in_core"),
+            "core_deg",
+            "peel_round",
+        )
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    length: int,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed: str = "rw",
+) -> DataFrame:
+    """Deterministic truncated random walks (the DeepWalk/node2vec
+    corpus-generation step): one walk per start node; at step s from
+    node u the next hop is neighbor index md5(seed:s:u:start) % outdeg
+    over the dst-sorted adjacency list — a hash in place of an RNG, so
+    the walk corpus is reproducible at any parallelism AND an
+    independent engine can replay every hop. A dangling node ends the
+    walk (steps stop advancing). Returns (start, final, path, steps)
+    with path as a '->'-joined node string.
+
+    Scale: the indexed adjacency is one window pass over edges; each of
+    the ``length`` steps is one (node-keyed) join of the walk frontier
+    against it — walk count × length total join rows, never edge-count
+    × length."""
+    from pyspark.sql import Window
+    from forklift_spark.functions.hashing import md5_long
+
+    nb = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .dropDuplicates(["src", "dst"])
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1,
+        )
+        .withColumn("od", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .localCheckpoint(eager=True)
+    )
+    walk = starts.select(
+        F.col(node_col).alias("start"),
+        F.col(node_col).alias("cur"),
+        F.col(node_col).cast("string").alias("path"),
+        F.lit(0).alias("steps"),
+    )
+    for s in range(1, length + 1):
+        pick = md5_long(
+            F.concat(
+                F.lit(f"{seed}:{s}:"),
+                F.col("cur").cast("string"),
+                F.lit(":"),
+                F.col("start").cast("string"),
+            )
+        )
+        walk = (
+            walk.join(
+                nb,
+                (walk.cur == nb.src) & (nb.idx == pick % nb.od),
+                "left",
+            )
+            .select(
+                "start",
+                F.coalesce("dst", "cur").alias("cur"),
+                F.when(
+                    F.col("dst").isNotNull(),
+                    F.concat(F.col("path"), F.lit("->"), F.col("dst").cast("string")),
+                )
+                .otherwise(F.col("path"))
+                .alias("path"),
+                F.when(F.col("dst").isNotNull(), F.col("steps") + 1)
+                .otherwise(F.col("steps"))
+                .alias("steps"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return walk.select("start", F.col("cur").alias("final"), "path", "steps")

@@ -401,7 +401,10 @@ def _bfs_oracle(rounds: int) -> str:
             f"  FROM ed e JOIN d{i-1} d ON d.node = e.src",
             "  WHERE d.dist IS NOT NULL GROUP BY e.dst",
             "),",
-            f"d{i} AS (",
+            # MATERIALIZED: DuckDB inlines plain CTEs per reference; a{i}
+            # references a{i-1} three times, so unhinted rounds expand
+            # EXPONENTIALLY (measured: file-handle exhaustion at 12 rounds)
+            f"d{i} AS MATERIALIZED (",
             "  SELECT d.node,",
             "    CASE WHEN d.dist IS NULL THEN r.nd",
             "         WHEN r.nd IS NULL THEN d.dist",
@@ -439,3 +442,178 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = nodes.filter(F.col("node") % _BFS_SRC_MOD == 0)
     dist = G.bfs_hops(nodes, edges, sources, rounds=_BFS_ROUNDS)
     return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
+
+
+# --------------------------------------------------------------------------
+# q_kcore — k-core decomposition (k=3) of the undirected link graph by
+# synchronous peeling (operators/graph.kcore): in_core membership, the
+# degree inside the final core, and the peel round for removed nodes
+# (the coreness-ordering signal). Synchronous peeling has no tie-break
+# order, so the oracle unrolls 12 rounds (measured: 8 needed at sf0.01,
+# 10 at sf0.1; converged rounds are idempotent no-ops) — the engine
+# RAISES if the graph hasn't converged by then rather than returning a
+# superset of the core.
+# --------------------------------------------------------------------------
+_KCORE_K = 3
+_KCORE_ROUNDS = 12
+
+_UND_EDGES_CTE = """nn AS (SELECT count(*) AS n FROM documents),
+ed0 AS (
+  SELECT DISTINCT doc_id AS src,
+         (doc_id * (2 * k + 5) + k) % nn.n AS dst
+  FROM documents, nn, (SELECT unnest(range(1, 4)) AS k) ks
+  WHERE k <= 1 + doc_id % 3
+    AND (doc_id * (2 * k + 5) + k) % nn.n <> doc_id
+),
+ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ed0),
+sym AS MATERIALIZED (SELECT a AS node, b AS nb FROM ed UNION ALL SELECT b, a FROM ed)"""
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    parts = [
+        "WITH " + _UND_EDGES_CTE + ",",
+        "a0 AS (SELECT doc_id AS node FROM documents),",
+    ]
+    for i in range(1, rounds + 1):
+        parts += [
+            # MATERIALIZED: DuckDB inlines plain CTEs per reference; a{i}
+            # references a{i-1} three times, so unhinted rounds expand
+            # EXPONENTIALLY (measured: file-handle exhaustion at 12 rounds)
+            f"d{i} AS MATERIALIZED (",
+            f"  SELECT s.node, count(*) AS dg FROM sym s",
+            f"  JOIN a{i-1} x ON x.node = s.node JOIN a{i-1} y ON y.node = s.nb",
+            "  GROUP BY s.node",
+            "),",
+            f"a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE dg >= {k}),",
+            f"rm{i} AS (SELECT node, {i} AS pr FROM a{i-1}",
+            f"  WHERE node NOT IN (SELECT node FROM a{i})),",
+        ]
+    parts += [
+        "rmall AS (" + " UNION ALL ".join(
+            f"SELECT * FROM rm{i}" for i in range(1, rounds + 1)
+        ) + "),",
+        "cd AS (",
+        "  SELECT s.node, count(*) AS core_deg FROM sym s",
+        f"  JOIN a{rounds} x ON x.node = s.node JOIN a{rounds} y ON y.node = s.nb",
+        "  GROUP BY s.node",
+        ")",
+    ]
+    return "\n".join(parts) + """
+SELECT n.node, rmall.pr IS NULL AS in_core,
+  CAST(cd.core_deg AS BIGINT) AS core_deg,
+  CAST(rmall.pr AS BIGINT) AS peel_round
+FROM a0 n LEFT JOIN rmall USING (node) LEFT JOIN cd USING (node)"""
+
+
+KCORE_ORACLE = _kcore_oracle(_KCORE_K, _KCORE_ROUNDS)
+
+
+@query("q_kcore", KCORE_ORACLE)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    n = docs.count()  # bounded scalar, same contract as q_pagerank
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    ed0 = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.sequence(F.lit(1), (F.lit(1) + F.col("doc_id") % 3).cast("int"))
+            ).alias("k"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * (2 * F.col("k") + 5) + F.col("k")) % n).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    und = ed0.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).dropDuplicates(["a", "b"])
+    out = G.kcore(nodes, und, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+    return out.select(
+        "node",
+        "in_core",
+        F.col("core_deg").cast("bigint").alias("core_deg"),
+        F.col("peel_round").cast("bigint").alias("peel_round"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_random_walks — deterministic truncated random walks over the link
+# graph (operators/graph.random_walks): the DeepWalk/node2vec corpus
+# generator with a seeded hash in place of the RNG, so the emitted walk
+# corpus is reproducible at any parallelism and the oracle replays every
+# hop (indexed adjacency + 4 unrolled step joins, hash % outdeg next-hop
+# choice, dangling nodes freeze the walk).
+# --------------------------------------------------------------------------
+_WALK_LEN = 4
+
+
+def _walks_oracle(length: int) -> str:
+    from forklift_spark.functions.hashing import md5_long_sql
+
+    parts = [
+        "WITH nn AS (SELECT count(*) AS n FROM documents),",
+        "ed AS (",
+        "  SELECT DISTINCT doc_id AS src,",
+        "         (doc_id * (2 * k + 5) + k) % nn.n AS dst",
+        "  FROM documents, nn, (SELECT unnest(range(1, 4)) AS k) ks",
+        "  WHERE k <= 1 + doc_id % 3",
+        "    AND (doc_id * (2 * k + 5) + k) % nn.n <> doc_id",
+        "),",
+        "nb AS (",
+        "  SELECT src, dst,",
+        "    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,",
+        "    count(*) OVER (PARTITION BY src) AS od",
+        "  FROM ed",
+        "),",
+        "w0 AS (SELECT doc_id AS start, doc_id AS cur,",
+        "       CAST(doc_id AS VARCHAR) AS path, 0 AS steps FROM documents),",
+    ]
+    for s in range(1, length + 1):
+        pick = md5_long_sql(
+            f"'rw:{s}:' || CAST(w.cur AS VARCHAR) || ':' || CAST(w.start AS VARCHAR)"
+        )
+        parts += [
+            f"w{s} AS (",
+            "  SELECT w.start,",
+            "    coalesce(nb.dst, w.cur) AS cur,",
+            "    CASE WHEN nb.dst IS NOT NULL",
+            "         THEN w.path || '->' || CAST(nb.dst AS VARCHAR)",
+            "         ELSE w.path END AS path,",
+            "    w.steps + CASE WHEN nb.dst IS NOT NULL THEN 1 ELSE 0 END AS steps",
+            f"  FROM w{s-1} w LEFT JOIN nb",
+            f"    ON nb.src = w.cur AND nb.idx = {pick} % nb.od",
+            "),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts) + (
+        f"\nSELECT start, cur AS final, path, CAST(steps AS BIGINT) AS steps FROM w{length}"
+    )
+
+
+WALKS_ORACLE = _walks_oracle(_WALK_LEN)
+
+
+@query("q_random_walks", WALKS_ORACLE)
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.sequence(F.lit(1), (F.lit(1) + F.col("doc_id") % 3).cast("int"))
+            ).alias("k"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * (2 * F.col("k") + 5) + F.col("k")) % n).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    starts = docs.select(F.col("doc_id").alias("node"))
+    walks = G.random_walks(edges, starts, length=_WALK_LEN)
+    return walks.select(
+        "start", "final", "path", F.col("steps").cast("bigint").alias("steps")
+    )

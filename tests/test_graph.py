@@ -118,3 +118,79 @@ def test_bfs_direction_respected(spark):
     # edges are directed: source downstream of a node cannot reach it
     d = _bfs(spark, [0, 1], [(0, 1)], [1], rounds=3)
     assert d == {0: -1, 1: 0}
+
+
+# -- kcore -----------------------------------------------------------------
+
+
+def _kcore(spark, nodes, edges, k, max_rounds=12):
+    ndf = spark.createDataFrame([(x,) for x in nodes], "node long")
+    edf = spark.createDataFrame(edges, "a long, b long")
+    out = G.kcore(ndf, edf, k=k, max_rounds=max_rounds)
+    return {r.node: (r.in_core, r.core_deg, r.peel_round) for r in out.collect()}
+
+
+def test_kcore_k4_plus_pendant(spark):
+    # K4 is a 3-core; the pendant (4) and the isolated node (9) peel in
+    # round 1; K4 members keep degree 3 inside the core
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    got = _kcore(spark, [0, 1, 2, 3, 4, 9], k4 + [(3, 4)], k=3)
+    assert got[4] == (False, None, 1)
+    assert got[9] == (False, None, 1)
+    for n in (0, 1, 2, 3):
+        assert got[n] == (True, 3, None)
+
+
+def test_kcore_cascade_peel_rounds(spark):
+    # path 0-1-2-3-4 under k=2: ends peel first, cascade inward —
+    # peel_round records the cascade order
+    path = [(i, i + 1) for i in range(4)]
+    got = _kcore(spark, list(range(5)), path, k=2)
+    assert got[0][2] == 1 and got[4][2] == 1
+    assert got[1][2] == 2 and got[3][2] == 2
+    assert got[2][2] == 3
+    assert all(not v[0] for v in got.values())
+
+
+def test_kcore_raises_when_not_converged(spark):
+    import pytest
+
+    path = [(i, i + 1) for i in range(9)]
+    with pytest.raises(RuntimeError, match="not converged"):
+        _kcore(spark, list(range(10)), path, k=2, max_rounds=2)
+
+
+def test_kcore_whole_graph_is_core(spark):
+    # triangle under k=2: nothing peels (the empty-peeled branch)
+    tri = [(0, 1), (1, 2), (0, 2)]
+    got = _kcore(spark, [0, 1, 2], tri, k=2)
+    assert all(v == (True, 2, None) for v in got.values())
+
+
+# -- random_walks ----------------------------------------------------------
+
+
+def _walks(spark, edges, starts, length):
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(x,) for x in starts], "node long")
+    out = G.random_walks(edf, sdf, length=length)
+    return {r.start: (r.final, r.path, r.steps) for r in out.collect()}
+
+
+def test_walks_deterministic_and_edge_following(spark):
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 1)]
+    a = _walks(spark, edges, [0, 1, 2], 4)
+    b = _walks(spark, edges, [0, 1, 2], 4)
+    assert a == b  # hash-seeded: bit-identical across runs
+    for start, (final, path, steps) in a.items():
+        hops = [int(x) for x in path.split("->")]
+        assert hops[0] == start and hops[-1] == final and steps == len(hops) - 1
+        for u, v in zip(hops, hops[1:]):
+            assert (u, v) in edges  # every hop is a real edge
+
+
+def test_walks_dangling_freezes(spark):
+    # 1 has no out-edges: the walk from 0 stops there, steps stop advancing
+    got = _walks(spark, [(0, 1)], [0, 1], 4)
+    assert got[0] == (1, "0->1", 1)
+    assert got[1] == (1, "1", 0)

@@ -192,6 +192,9 @@ _SHUFFLE_BUDGET = {
     "q_ivm_agg": 4,           # view_old agg + two delta aggs + group-key merge
     "q_phash_dedup": 4,       # band self-join + pair dedup + near rollup + joinback
     "q_scene_detect": 1,      # one per-clip window partition
+    "q_line_dedup": 2,        # fingerprint canon agg + per-doc reassembly
+    "q_kcore": 4,             # final core-degree pass (peel rounds checkpointed)
+    "q_random_walks": 0,      # adjacency + steps all behind localCheckpoint
 }
 
 
