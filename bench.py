@@ -163,6 +163,7 @@ HEADLINE = [
     "q_line_dedup",
     "q_kcore",
     "q_random_walks",
+    "q_stream_late_audit",
 ]
 
 

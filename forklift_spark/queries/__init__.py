@@ -74,7 +74,7 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
         "q_heavy_hitters_cms",
     ],
     "timeseries": [
-        "q_asof_join", "q_sessionize", "q_stream_windowed_counts",
+        "q_asof_join", "q_sessionize", "q_stream_late_audit",
         "q_stream_stateful_counts",
     ],
     "multimodal": ["q_audio_features", "q_phash_dedup", "q_scene_detect"],

@@ -958,3 +958,121 @@ def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_stream_late_audit — WATERMARK LATE-DATA ACCOUNTING executed in the
+# streaming engine: a mostly-time-ordered stream (one week per
+# micro-batch, files read oldest-first by mtime) carries stragglers
+# that arrive two batches after their event week; a 3-day watermark on
+# 1-day tumbling windows drops the too-late ones and withholds the
+# trailing windows in append mode. The oracle replays Spark's MEASURED
+# semantics end to end: the watermark EFFECTIVE while batch i is
+# filtered derives from data through batch i-2 (global-watermark
+# propagation lags one trigger — pinned empirically: the one-batch-lag
+# model mis-drops 49 rows, the two-batch model matches the sink
+# row-for-row), a row survives while its window end exceeds that
+# watermark, and only windows whose end <= final watermark are emitted.
+# The '__unaccounted__' row reconciles totals (dropped late rows +
+# withheld trailing windows) so nothing disappears silently. No fixture
+# row lands exactly on a window-end == watermark boundary (watermarks
+# inherit microsecond offsets, window ends are midnight), so the <-vs-<=
+# boundary is not load-bearing here.
+# --------------------------------------------------------------------------
+_LATE_DELAY_DAYS = 3
+_LATE_BATCHES = 6
+
+STREAM_LATE_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, ts,
+    CAST(floor(date_diff('day', TIMESTAMP '2024-01-01', ts) / 7) AS INT) AS w
+  FROM events
+), b AS (
+  SELECT event_id, ts,
+    CASE WHEN event_id % 97 = 0 AND w <= 3 THEN w + 2
+         ELSE least(w, {_LATE_BATCHES - 1}) END AS batch
+  FROM e
+), mx AS (
+  SELECT batch, max(ts) AS mts FROM b GROUP BY batch
+), eff AS (
+  SELECT b1.batch,
+    (SELECT max(m.mts) FROM mx m WHERE m.batch <= b1.batch - 2)
+      - INTERVAL {_LATE_DELAY_DAYS} DAY AS wm
+  FROM (SELECT DISTINCT batch FROM b) b1
+), fin AS (
+  SELECT max(mts) - INTERVAL {_LATE_DELAY_DAYS} DAY AS fwm FROM mx
+), acc AS (
+  SELECT date_trunc('day', b.ts) AS day, count(*) AS n
+  FROM b JOIN eff USING (batch)
+  WHERE eff.wm IS NULL OR date_trunc('day', b.ts) + INTERVAL 1 DAY > eff.wm
+  GROUP BY 1
+), em AS (
+  SELECT strftime(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n_rows
+  FROM acc, fin WHERE day + INTERVAL 1 DAY <= fin.fwm
+)
+SELECT day, n_rows FROM em
+UNION ALL
+SELECT '__unaccounted__',
+  CAST((SELECT count(*) FROM events) - (SELECT sum(n_rows) FROM em) AS BIGINT)
+"""
+
+
+@query("q_stream_late_audit", STREAM_LATE_ORACLE)
+def q_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    ev = tables.load(spark, sf_dir, "events").select("event_id", "ts")
+    ev = ev.withColumn(
+        "w", F.floor(F.datediff(F.col("ts"), F.lit("2024-01-01")) / 7)
+    ).withColumn(
+        "batch",
+        F.when(
+            (F.col("event_id") % 97 == 0) & (F.col("w") <= 3), F.col("w") + 2
+        )
+        .otherwise(F.least(F.col("w"), F.lit(_LATE_BATCHES - 1)))
+        .cast("int"),
+    )
+    # stage one file per micro-batch with INCREASING mtimes: the file
+    # source processes oldest-first, so batch order (the thing watermark
+    # evolution depends on) is deterministic
+    src = tempfile.mkdtemp(prefix="fk_stream_late_")
+    t0 = 1_700_000_000
+    for i in range(_LATE_BATCHES):
+        tmp = tempfile.mkdtemp(prefix="fk_stream_late_tmp_")
+        ev.filter(F.col("batch") == i).select("event_id", "ts").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"batch{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", f"{_LATE_DELAY_DAYS} days")
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .count()
+    )
+    sink = f"stream_late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "stream did not finish; sink would be partial"
+    emitted = spark.table(sink).select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+        F.col("count").cast("bigint").alias("n_rows"),
+    ).localCheckpoint()
+    total = ev.count()
+    unacc = emitted.agg(
+        (F.lit(total) - F.sum("n_rows")).cast("bigint").alias("n_rows")
+    ).select(F.lit("__unaccounted__").alias("day"), "n_rows")
+    return emitted.unionByName(unacc)
