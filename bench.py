@@ -164,6 +164,8 @@ HEADLINE = [
     "q_kcore",
     "q_random_walks",
     "q_stream_late_audit",
+    "q_attribution",
+    "q_join_size_est",
 ]
 
 

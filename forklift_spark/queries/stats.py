@@ -1631,3 +1631,78 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_e12").cast("long").alias("psi_e12"),
         (F.sum("c_e12") > F.lit(200_000_000_000)).alias("drifted"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_join_size_est — sketch-based join-cardinality estimation (the query-
+# optimizer primitive: predict |A ⋈ B| before running the join).
+# |orders ⋈ lineitem| on orderkey is Σ_k cA(k)·cB(k); the estimator
+# hash-samples the KEY SPACE at rate 1/16 (md5 threshold — both sides
+# sample the SAME keys, which is what makes frequency products
+# observable) and scales the sampled product sum by 16 — integer-exact,
+# so est = 16·Σ_sample is reproducible and the oracle replays sketch
+# AND ground truth. The exact side is computed from per-key counts
+# (group-join-sum, never the materialized join). Scale: two scans +
+# key-keyed aggregates; the sampled side touches 1/16 of the key space.
+# --------------------------------------------------------------------------
+_JSE_RATE_LOG2 = 4  # sample keys where hash < 2^(60-4): rate 1/16
+_JSE_THRESHOLD = 1 << (60 - _JSE_RATE_LOG2)
+
+JOIN_SIZE_ORACLE = f"""
+WITH ca AS (
+  SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1
+), cb AS (
+  SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+), j AS (
+  SELECT ca.k, ca.c * cb.c AS p,
+    CAST('0x' || substr(md5(CAST(ca.k AS VARCHAR)), 1, 15) AS BIGINT)
+      < {_JSE_THRESHOLD} AS sampled
+  FROM ca JOIN cb USING (k)
+)
+SELECT 'orders_x_lineitem' AS join_name,
+  CAST(sum(p) AS BIGINT) AS exact_rows,
+  CAST({1 << _JSE_RATE_LOG2} * sum(p) FILTER (sampled) AS BIGINT) AS est_rows,
+  CAST(count(*) FILTER (sampled) AS BIGINT) AS n_sampled_keys,
+  round(abs(CAST({1 << _JSE_RATE_LOG2} * sum(p) FILTER (sampled) AS DOUBLE)
+            - CAST(sum(p) AS DOUBLE)) / CAST(sum(p) AS DOUBLE), 9) AS rel_err
+FROM j
+"""
+
+
+@query("q_join_size_est", JOIN_SIZE_ORACLE)
+def q_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.functions.hashing import md5_long
+
+    ca = (
+        tables.load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    cb = (
+        tables.load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    j = ca.join(cb, "k").select(
+        (F.col("ca") * F.col("cb")).alias("p"),
+        (md5_long(F.col("k").cast("string")) < _JSE_THRESHOLD).alias("sampled"),
+    )
+    scale = 1 << _JSE_RATE_LOG2
+    agg = j.agg(
+        F.sum("p").cast("bigint").alias("exact_rows"),
+        (F.lit(scale) * F.sum(F.when(F.col("sampled"), F.col("p")).otherwise(0)))
+        .cast("bigint")
+        .alias("est_rows"),
+        F.sum(F.col("sampled").cast("bigint")).cast("bigint").alias("n_sampled_keys"),
+    )
+    return agg.select(
+        F.lit("orders_x_lineitem").alias("join_name"),
+        "exact_rows",
+        "est_rows",
+        "n_sampled_keys",
+        F.round(
+            F.abs(F.col("est_rows").cast("double") - F.col("exact_rows").cast("double"))
+            / F.col("exact_rows").cast("double"),
+            9,
+        ).alias("rel_err"),
+    )

@@ -1076,3 +1076,104 @@ def q_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(total) - F.sum("n_rows")).cast("bigint").alias("n_rows")
     ).select(F.lit("__unaccounted__").alias("day"), "n_rows")
     return emitted.unionByName(unacc)
+
+
+# --------------------------------------------------------------------------
+# q_attribution — position-based (U-shaped) multi-touch attribution:
+# every purchase credits the click/view touchpoints of the same user in
+# the 7 days before it — 40% to the first touch, 40% to the last, 20%
+# split across the middles (1 touch takes 100%, 2 split 50/50). All
+# credit is INTEGER basis points: middles get 2000 div (n-2) bp each
+# and the sub-bp remainder goes to the first touch (documented,
+# deterministic — float shares would drift per engine), and attributed
+# value is cents x bp (BIGINT), so every sum is order-independent.
+# Ties in touch order break on event_id. Scale: the touch join is
+# user-keyed (per-user activity windows bound the pair fan-out — the
+# binned_range_join regime); the rollup is a tiny (channel, position)
+# aggregate.
+# --------------------------------------------------------------------------
+ATTRIBUTION_ORACLE = """
+WITH conv AS (
+  SELECT event_id AS pid, user_id, ts AS pts,
+    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT event_id AS tid, user_id, ts AS tts, event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view')
+), pairs AS (
+  SELECT c.pid, c.cents, t.tid, t.channel,
+    row_number() OVER (PARTITION BY c.pid ORDER BY t.tts, t.tid) AS pos,
+    count(*) OVER (PARTITION BY c.pid) AS n
+  FROM conv c JOIN touch t
+    ON t.user_id = c.user_id
+   AND t.tts < c.pts AND t.tts >= c.pts - INTERVAL 7 DAY
+), credit AS (
+  SELECT pid, cents, tid, channel, n,
+    CASE WHEN pos = 1 THEN 'first' WHEN pos = n THEN 'last' ELSE 'mid' END AS position,
+    CASE
+      WHEN n = 1 THEN 10000
+      WHEN n = 2 THEN 5000
+      WHEN pos = 1 THEN 4000 + 2000 - (2000 // (n - 2)) * (n - 2)
+      WHEN pos = n THEN 4000
+      ELSE 2000 // (n - 2)
+    END AS bp
+  FROM pairs
+)
+SELECT channel, position,
+  CAST(count(*) AS BIGINT) AS n_touches,
+  CAST(sum(bp) AS BIGINT) AS total_bp,
+  CAST(sum(cents * bp) AS BIGINT) AS attributed_e4cents
+FROM credit GROUP BY channel, position
+"""
+
+
+@query("q_attribution", ATTRIBUTION_ORACLE)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from forklift_spark.functions.exact import dec
+
+    ev = tables.load(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("pts"),
+        (dec("value", "decimal(12,2)") * 100).cast("bigint").alias("cents"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("tu") == F.col("cu"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w = W.partitionBy("pid")
+    ranked = pairs.select(
+        "pid", "cents", "tid", "channel",
+        F.row_number().over(w.orderBy("tts", "tid")).alias("pos"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    mid_bp = F.expr("2000 div (n - 2)")
+    credit = ranked.select(
+        "cents", "channel",
+        F.when(F.col("pos") == 1, "first")
+        .when(F.col("pos") == F.col("n"), "last")
+        .otherwise("mid")
+        .alias("position"),
+        F.when(F.col("n") == 1, 10000)
+        .when(F.col("n") == 2, 5000)
+        .when(F.col("pos") == 1, F.lit(6000) - mid_bp * (F.col("n") - 2))
+        .when(F.col("pos") == F.col("n"), 4000)
+        .otherwise(mid_bp)
+        .alias("bp"),
+    )
+    return credit.groupBy("channel", "position").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum("bp").cast("bigint").alias("total_bp"),
+        F.sum(F.col("cents") * F.col("bp")).cast("bigint").alias("attributed_e4cents"),
+    )

@@ -195,6 +195,8 @@ _SHUFFLE_BUDGET = {
     "q_line_dedup": 2,        # fingerprint canon agg + per-doc reassembly
     "q_kcore": 4,             # final core-degree pass (peel rounds checkpointed)
     "q_random_walks": 0,      # adjacency + steps all behind localCheckpoint
+    "q_attribution": 2,       # user-keyed touch join + per-purchase window
+    "q_join_size_est": 3,     # two per-key count aggs + key join
 }
 
 
