@@ -106,14 +106,19 @@ def transitive_closure(
     """All (descendant, ancestor, dist) pairs of a DAG/forest by pointer
     doubling: each round composes the closure-so-far with itself, so
     reachable distance doubles per round — O(log depth) rounds where the
-    naive loop (and a recursive CTE) needs O(depth). All arithmetic is
-    integer; in a tree every (desc, anc) pair has a unique distance, so
-    the dedup after each compose drops only exact duplicates.
+    naive loop (and a recursive CTE) needs O(depth). ``dist`` is the
+    SHORTEST path length: each compose keeps min(dist) per pair
+    (min-plus squaring), which is deterministic on general DAGs where a
+    pair can be reached by paths of different lengths — a keep-any
+    dedup would return whichever duplicate the shuffle happened to
+    order first. Convergence therefore tracks (pair count, Σdist):
+    pairs can stop appearing while shortest distances are still
+    shrinking.
 
     Scale: each round is one self-join of the closure keyed on the join
     column — pairs-count × log-depth total shuffle volume; per-round
     ``localCheckpoint`` cuts lineage exactly like ``pagerank``. Raises
-    if the closure is still growing after ``max_doublings`` rounds
+    if the closure is still changing after ``max_doublings`` rounds
     (2^max_doublings hops) instead of returning a partial closure."""
     cl = (
         edges.select(
@@ -121,10 +126,19 @@ def transitive_closure(
             F.col(parent_col).alias("anc"),
             F.lit(1).alias("dist"),
         )
-        .dropDuplicates(["descn", "anc"])
+        .groupBy("descn", "anc")
+        .agg(F.min("dist").alias("dist"))
         .localCheckpoint(eager=True)
     )
-    n = cl.count()
+
+    def _state(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dist"), F.lit(0)).alias("sd"),
+        ).collect()[0]
+        return row["n"], row["sd"]
+
+    st = _state(cl)
     for _ in range(max_doublings):
         hop = cl.alias("a").join(
             cl.alias("b"), F.col("a.anc") == F.col("b.descn")
@@ -135,23 +149,27 @@ def transitive_closure(
         )
         cl = (
             cl.unionByName(hop)
-            .dropDuplicates(["descn", "anc"])
+            .groupBy("descn", "anc")
+            .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
-        n2 = cl.count()
-        if n2 == n:
+        st2 = _state(cl)
+        if st2 == st:
             return cl
-        n = n2
-    # one more compose must add nothing, else the depth exceeded 2^rounds
-    extra = (
-        cl.alias("a")
-        .join(cl.alias("b"), F.col("a.anc") == F.col("b.descn"))
-        .select(F.col("a.descn").alias("descn"), F.col("b.anc").alias("anc"))
-        .join(cl, ["descn", "anc"], "left_anti")
-        .limit(1)
-        .count()
+        st = st2
+    # one more compose must change nothing (neither pairs nor shortest
+    # distances), else the depth exceeded 2^rounds
+    hop = cl.alias("a").join(
+        cl.alias("b"), F.col("a.anc") == F.col("b.descn")
+    ).select(
+        F.col("a.descn").alias("descn"),
+        F.col("b.anc").alias("anc"),
+        (F.col("a.dist") + F.col("b.dist")).alias("dist"),
     )
-    if extra:
+    fixpoint = (
+        cl.unionByName(hop).groupBy("descn", "anc").agg(F.min("dist").alias("dist"))
+    )
+    if _state(fixpoint) != st:
         raise RuntimeError(
             f"transitive_closure: not converged after {max_doublings} doublings"
         )

@@ -998,7 +998,8 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fingerprint exactly ONE canonical occurrence survives (min packed
 # (doc_id, seg_idx) — the same min-survivor discipline as
 # q_dedup_exact, made total by packing so both engines agree without
-# struct-min semantics). Documents are REASSEMBLED from their surviving
+# struct-min semantics; the 1e6 multiplier keeps packing injective up
+# to 8M-word documents). Documents are REASSEMBLED from their surviving
 # segments in order — the output is the cleaned corpus, not just an
 # audit. Scale: one fingerprint-keyed shuffle (8-byte md5-derived
 # keys), canonical table joins back broadcast-or-keyed, reassembly is a
@@ -1011,7 +1012,7 @@ WITH w AS (
   SELECT doc_id, string_split({NORM}, ' ') AS w FROM documents
 ), segs AS (
   SELECT doc_id, s AS seg_idx,
-    doc_id * 1000 + s AS pk,
+    doc_id * 1000000 + s AS pk,
     array_to_string(list_slice(w, s * {_SEG_WORDS} + 1, s * {_SEG_WORDS} + {_SEG_WORDS}), ' ') AS seg
   FROM (SELECT doc_id, w, unnest(range(0, (len(w) + {_SEG_WORDS} - 1) // {_SEG_WORDS})) AS s FROM w)
 ), canon AS (
@@ -1044,7 +1045,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("seg_idx", "seg"),
         )
-        .withColumn("pk", F.col("doc_id") * 1000 + F.col("seg_idx"))
+        .withColumn("pk", F.col("doc_id") * 1000000 + F.col("seg_idx"))
         .withColumn("fp", F.md5("seg"))
     )
     canon = segs.groupBy("fp").agg(F.min("pk").alias("cpk"))

@@ -280,7 +280,10 @@ def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
 # interpolation with the unigram model as backoff, so unseen-context
 # mass never reaches zero. The model is built from the corpus itself,
 # so every scored bigram exists in the model (inner join, no smoothing
-# holes); λ is a scientific-notation literal on BOTH sides because a
+# holes). The context count is the TOTAL unigram count (including
+# doc-final occurrences), so the conditional is slightly deficient
+# (sums to < 1) — the standard simplification; harmless for relative
+# ranking, stated for exactness; λ is a scientific-notation literal on BOTH sides because a
 # plain decimal literal parses as DECIMAL (not DOUBLE) in both engines
 # with different division semantics (measured — see q_hll_portable).
 # Engine-exactness discipline of the family: one interpolated

@@ -194,3 +194,12 @@ def test_walks_dangling_freezes(spark):
     got = _walks(spark, [(0, 1)], [0, 1], 4)
     assert got[0] == (1, "0->1", 1)
     assert got[1] == (1, "1", 0)
+
+
+def test_closure_dag_shortest_distance_is_deterministic(spark):
+    # diamond DAG: 3 reaches 0 via 3->1->0 (len 2) and directly 3->0
+    # (len 1) — dist must be the SHORTEST path, not join-order roulette
+    edges = [(1, 0), (2, 0), (3, 1), (3, 0)]
+    cl = _closure(spark, edges)
+    assert cl[(3, 0)] == 1
+    assert cl[(3, 1)] == 1 and cl[(1, 0)] == 1
