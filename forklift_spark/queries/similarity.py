@@ -906,3 +906,133 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rel").alias("relevance"),
         "mmr_score",
     )
+
+
+# --------------------------------------------------------------------------
+# q_ann_recall — retrieval-quality EVALUATION of the approximate index:
+# recall@K of the LSH top-K against the brute-force ground truth, per
+# query (n_matched, integer basis-point recall, and where the true
+# top-1 landed in the approximate ranking; -1 = missed). This is the
+# eval harness every ANN deployment runs before trusting an index —
+# here as a first-class oracle-checked query: the oracle replays BOTH
+# pipelines (exact decimal dots for the full ranking, md5-hyperplane
+# signatures + bucket-restricted dots for the approximate one) and the
+# metric arithmetic is all-integer, so the hash certifies ground truth,
+# index behavior, AND the scoring. Scale: the brute-force side is the
+# bounded-query-set shape of q_ann_bruteforce_topk; everything after
+# the two top-K frames is a K-row-per-query join.
+# --------------------------------------------------------------------------
+def _ann_recall_oracle() -> str:
+    sign = (
+        "CASE WHEN CAST('0x' || substr(md5('h' || s || ':' || CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) & 1 = 1 "
+        "THEN 1 ELSE -1 END"
+    )
+    dots_x = _PAIR_DOT.format(
+        A="(SELECT * FROM embeddings WHERE vec_id < %d)" % _NQ,
+        B="(SELECT * FROM embeddings WHERE vec_id >= %d)" % _NQ,
+        COND="",
+    )
+    dots_a = _PAIR_DOT.format(
+        A="(SELECT e.*, g.bucket FROM embeddings e JOIN sig g USING (vec_id) WHERE vec_id < %d)" % _NQ,
+        B="(SELECT e.*, g.bucket FROM embeddings e JOIN sig g USING (vec_id) WHERE vec_id >= %d)" % _NQ,
+        COND="WHERE a.bucket = b.bucket",
+    )
+    return f"""
+WITH norms AS ({_NORMS}),
+ex AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+), sums AS (
+  SELECT e.vec_id, s.s,
+    sum(CAST(CAST(e.v AS DOUBLE) AS DECIMAL(10,9)) * ({sign})) AS tot
+  FROM ex e CROSS JOIN (SELECT unnest(range(0, {_BITS})) AS s) s
+  GROUP BY e.vec_id, s.s
+), sig AS (
+  SELECT vec_id,
+    CAST(sum(CASE WHEN tot >= 0 THEN 1 << s ELSE 0 END) AS INT) AS bucket
+  FROM sums GROUP BY vec_id
+),
+dx AS ({dots_x}),
+rx AS (
+  SELECT * FROM (
+    SELECT d.ia AS query_id, d.ib AS neighbor_id,
+      row_number() OVER (PARTITION BY d.ia
+        ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.ib) AS rank
+    FROM dx d JOIN norms na ON d.ia = na.vec_id
+              JOIN norms nb ON d.ib = nb.vec_id
+  ) WHERE rank <= {_K}
+),
+da AS ({dots_a}),
+ra AS (
+  SELECT * FROM (
+    SELECT d.ia AS query_id, d.ib AS neighbor_id,
+      row_number() OVER (PARTITION BY d.ia
+        ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.ib) AS rank
+    FROM da d JOIN norms na ON d.ia = na.vec_id
+              JOIN norms nb ON d.ib = nb.vec_id
+  ) WHERE rank <= {_K}
+),
+m AS (
+  SELECT x.query_id, count(*) AS n_matched
+  FROM rx x JOIN ra a USING (query_id, neighbor_id)
+  GROUP BY x.query_id
+),
+nx AS (SELECT query_id, count(*) AS n_exact FROM rx GROUP BY 1),
+na_ AS (SELECT query_id, count(*) AS n_approx FROM ra GROUP BY 1),
+t1 AS (
+  SELECT x.query_id, coalesce(a.rank, -1) AS top1_rank_in_approx
+  FROM rx x LEFT JOIN ra a USING (query_id, neighbor_id)
+  WHERE x.rank = 1
+)
+SELECT nx.query_id,
+  CAST(nx.n_exact AS BIGINT) AS n_exact,
+  CAST(coalesce(na_.n_approx, 0) AS BIGINT) AS n_approx,
+  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+  CAST(10000 * coalesce(m.n_matched, 0) // nx.n_exact AS BIGINT) AS recall_bp,
+  CAST(t1.top1_rank_in_approx AS BIGINT) AS top1_rank_in_approx
+FROM nx
+LEFT JOIN na_ USING (query_id)
+LEFT JOIN m USING (query_id)
+JOIN t1 USING (query_id)
+"""
+
+
+@query("q_ann_recall", _ann_recall_oracle())
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q_side = emb.filter(F.col("vec_id") < _NQ)
+    c_side = emb.filter(F.col("vec_id") >= _NQ)
+    exact = S.brute_force_topk(q_side, c_side, k=_K).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rx")
+    ).localCheckpoint(eager=False)
+    approx = S.lsh_topk(q_side, c_side, k=_K, bits=_BITS).select(
+        "query_id", "neighbor_id", F.col("rank").alias("ra")
+    ).localCheckpoint(eager=False)
+    nx = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    na = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    m = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    t1 = (
+        exact.filter(F.col("rx") == 1)
+        .join(approx, ["query_id", "neighbor_id"], "left")
+        .select("query_id", F.coalesce("ra", F.lit(-1)).alias("top1_rank_in_approx"))
+    )
+    return (
+        nx.join(na, "query_id", "left")
+        .join(m, "query_id", "left")
+        .join(t1, "query_id")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.coalesce("n_approx", F.lit(0)).cast("bigint").alias("n_approx"),
+            F.coalesce("n_matched", F.lit(0)).cast("bigint").alias("n_matched"),
+            F.expr("10000 * coalesce(n_matched, 0) div n_exact")
+            .cast("bigint")
+            .alias("recall_bp"),
+            F.col("top1_rank_in_approx").cast("bigint").alias("top1_rank_in_approx"),
+        )
+    )
