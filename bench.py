@@ -166,6 +166,8 @@ HEADLINE = [
     "q_stream_late_audit",
     "q_attribution",
     "q_join_size_est",
+    "q_ann_recall",
+    "q_mi_feature_select",
 ]
 
 

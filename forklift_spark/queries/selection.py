@@ -382,3 +382,126 @@ def q_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("total_nll_units div n_bigrams").alias("xent_units"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_mi_feature_select — supervised feature selection by mutual
+# information: score each token by MI(token-presence; domain-label)
+# over documents (the classifier-feature / domain-signal audit a
+# curation stack runs before training a fastText-style filter). The
+# 2x2 contingency per token uses DOC-LEVEL presence counts; each of
+# the four cells contributes (n/N)·ln(n·N / (rowtot·coltot)) — the ln
+# argument is one division of two exact integer products (the measured
+# ln-bit-parity regime), and the four-term sum is ONE fixed-order
+# scalar expression both engines evaluate identically, quantized to
+# 1e-9 units at the (bounded-vocabulary) contingency table. Zero
+# cells contribute zero by the 0·ln0 convention — made explicit on
+# both engines, never an engine's NULL-propagation accident. Top-30 by
+# (mi desc, token) via TakeOrderedAndProject. Scale: presence counts
+# shuffle DISTINCT (doc, token) pairs; the contingency table is
+# vocabulary-sized.
+# --------------------------------------------------------------------------
+_MI_K = 30
+_MI_MIN_DF = 5
+
+MI_ORACLE = f"""
+WITH lab AS (
+  SELECT doc_id, source IN ({_TGT_IN}) AS y FROM documents
+), pres AS (
+  SELECT DISTINCT d.doc_id, unnest({_W}) AS tok
+  FROM documents d
+), tots AS (
+  SELECT count(*) AS n,
+         count(*) FILTER (y) AS n_t
+  FROM lab
+), cell AS (
+  SELECT p.tok,
+    count(*) FILTER (l.y) AS n11,
+    count(*) FILTER (NOT l.y) AS n10
+  FROM pres p JOIN lab l USING (doc_id)
+  GROUP BY p.tok
+  HAVING count(*) >= {_MI_MIN_DF}
+), mi AS (
+  SELECT tok, n11, n10,
+    (SELECT
+      CAST(FLOOR(1e9 * (
+        CASE WHEN n11 > 0 THEN (CAST(n11 AS DOUBLE) / n)
+          * ln(CAST(n11 * n AS DOUBLE) / CAST((n11 + n10) * n_t AS DOUBLE)) ELSE 0 END
+        + CASE WHEN n10 > 0 THEN (CAST(n10 AS DOUBLE) / n)
+          * ln(CAST(n10 * n AS DOUBLE) / CAST((n11 + n10) * (n - n_t) AS DOUBLE)) ELSE 0 END
+        + CASE WHEN n_t - n11 > 0 THEN (CAST(n_t - n11 AS DOUBLE) / n)
+          * ln(CAST((n_t - n11) * n AS DOUBLE) / CAST((n - n11 - n10) * n_t AS DOUBLE)) ELSE 0 END
+        + CASE WHEN (n - n_t) - n10 > 0 THEN (CAST((n - n_t) - n10 AS DOUBLE) / n)
+          * ln(CAST(((n - n_t) - n10) * n AS DOUBLE) / CAST((n - n11 - n10) * (n - n_t) AS DOUBLE)) ELSE 0 END
+      )) AS BIGINT)
+     FROM tots) AS mi_units
+  FROM cell
+)
+SELECT tok, CAST(n11 AS BIGINT) AS n_target_docs,
+  CAST(n10 AS BIGINT) AS n_raw_docs, mi_units
+FROM mi
+ORDER BY mi_units DESC, tok LIMIT {_MI_K}
+"""
+
+
+@query("q_mi_feature_select", MI_ORACLE)
+def q_mi_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    lab = docs.select(
+        "doc_id", F.col("source").isin(*_DSIR_TARGET).alias("y")
+    )
+    pres = (
+        docs.select("doc_id", F.explode(X.words("text")).alias("tok"))
+        .dropDuplicates(["doc_id", "tok"])
+    )
+    tots = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("long")).alias("n_t"),
+    )
+    cell = (
+        pres.join(lab, "doc_id")
+        .groupBy("tok")
+        .agg(
+            F.sum(F.col("y").cast("long")).alias("n11"),
+            F.sum((~F.col("y")).cast("long")).alias("n10"),
+        )
+        .filter(F.col("n11") + F.col("n10") >= _MI_MIN_DF)
+    )
+
+    def term(num: F.Column, rown: F.Column, coln: F.Column) -> F.Column:
+        n = F.col("n")
+        return F.when(
+            num > 0,
+            (num.cast("double") / n.cast("double"))
+            * F.log((num * n).cast("double") / (rown * coln).cast("double")),
+        ).otherwise(F.lit(0.0))
+
+    df_tok = F.col("n11") + F.col("n10")
+    nf = F.col("n") - df_tok  # docs without the token
+    n_r = F.col("n") - F.col("n_t")
+    mi = cell.crossJoin(F.broadcast(tots)).select(
+        "tok",
+        "n11",
+        "n10",
+        F.floor(
+            F.lit(1e9)
+            * (
+                term(F.col("n11"), df_tok, F.col("n_t"))
+                + term(F.col("n10"), df_tok, n_r)
+                + term(F.col("n_t") - F.col("n11"), nf, F.col("n_t"))
+                + term(n_r - F.col("n10"), nf, n_r)
+            )
+        )
+        .cast("bigint")
+        .alias("mi_units"),
+    )
+    return (
+        mi.orderBy(F.col("mi_units").desc(), "tok")
+        .limit(_MI_K)
+        .select(
+            "tok",
+            F.col("n11").cast("bigint").alias("n_target_docs"),
+            F.col("n10").cast("bigint").alias("n_raw_docs"),
+            "mi_units",
+        )
+    )

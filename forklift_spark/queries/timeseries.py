@@ -1092,6 +1092,22 @@ def q_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # binned_range_join regime); the rollup is a tiny (channel, position)
 # aggregate.
 # --------------------------------------------------------------------------
+def position_credit_bp():
+    """U-shaped multi-touch credit in integer basis points over (pos, n)
+    columns: 40/20/40 first/middles/last; 1 touch takes all, 2 split
+    evenly, and the middle pool's integer-division remainder goes to
+    the first touch — so credits per conversion sum to EXACTLY 10000 bp
+    for every n (conservation is property-tested)."""
+    mid_bp = F.expr("2000 div (n - 2)")
+    return (
+        F.when(F.col("n") == 1, 10000)
+        .when(F.col("n") == 2, 5000)
+        .when(F.col("pos") == 1, F.lit(6000) - mid_bp * (F.col("n") - 2))
+        .when(F.col("pos") == F.col("n"), 4000)
+        .otherwise(mid_bp)
+    )
+
+
 ATTRIBUTION_ORACLE = """
 WITH conv AS (
   SELECT event_id AS pid, user_id, ts AS pts,
@@ -1158,19 +1174,13 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w.orderBy("tts", "tid")).alias("pos"),
         F.count(F.lit(1)).over(w).alias("n"),
     )
-    mid_bp = F.expr("2000 div (n - 2)")
     credit = ranked.select(
         "cents", "channel",
         F.when(F.col("pos") == 1, "first")
         .when(F.col("pos") == F.col("n"), "last")
         .otherwise("mid")
         .alias("position"),
-        F.when(F.col("n") == 1, 10000)
-        .when(F.col("n") == 2, 5000)
-        .when(F.col("pos") == 1, F.lit(6000) - mid_bp * (F.col("n") - 2))
-        .when(F.col("pos") == F.col("n"), 4000)
-        .otherwise(mid_bp)
-        .alias("bp"),
+        position_credit_bp().alias("bp"),
     )
     return credit.groupBy("channel", "position").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_touches"),
