@@ -168,6 +168,8 @@ HEADLINE = [
     "q_join_size_est",
     "q_ann_recall",
     "q_mi_feature_select",
+    "q_balanced_sample",
+    "q_web_pipeline",
 ]
 
 

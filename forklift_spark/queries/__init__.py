@@ -78,7 +78,7 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
         "q_stream_stateful_counts",
     ],
     "multimodal": ["q_audio_features", "q_phash_dedup", "q_scene_detect"],
-    "web": ["q_url_dedup", "q_warc_extract"],
+    "web": ["q_url_dedup", "q_web_pipeline"],
 }
 
 

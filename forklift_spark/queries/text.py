@@ -1435,3 +1435,54 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(contrib(F.col("sem_rank")), F.lit(0))
         ).alias("rrf_units"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_balanced_sample — EXACTLY-k-per-group balanced downsampling (class
+# rebalancing before training): each (source, lang) cell keeps its
+# min(k, n) lowest-hash-ranked docs. The hash rank replaces an RNG the
+# same way q_stratified_sample's Bernoulli does, but gives a FIXED
+# sample size per cell (Bernoulli only hits the rate in expectation) —
+# the two sampling contracts a curation stack needs side by side.
+# Rank-by-hash is a per-cell window (row_number over md5), so the plan
+# is one grouped window pass, no global sort; ties are impossible
+# (md5 of distinct ids). Oracle replays rank and cutoff exactly.
+# --------------------------------------------------------------------------
+_BAL_K = 12
+
+BALANCED_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, source, lang,
+    row_number() OVER (
+      PARTITION BY source, lang
+      ORDER BY CAST('0x' || substr(md5('bal:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), doc_id
+    ) AS rk,
+    count(*) OVER (PARTITION BY source, lang) AS cell_n
+  FROM documents
+)
+SELECT doc_id, source, lang,
+  CAST(rk AS BIGINT) AS rk,
+  CAST(cell_n AS BIGINT) AS cell_n
+FROM r WHERE rk <= {_BAL_K}
+"""
+
+
+@query("q_balanced_sample", BALANCED_ORACLE)
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from forklift_spark.functions.hashing import md5_long
+
+    docs = tables.load(spark, sf_dir, "documents")
+    h = md5_long(F.concat(F.lit("bal:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("source", "lang")
+    r = docs.select(
+        "doc_id", "source", "lang",
+        F.row_number().over(w.orderBy(h.asc(), F.col("doc_id"))).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("cell_n"),
+    )
+    return r.filter(F.col("rk") <= _BAL_K).select(
+        "doc_id", "source", "lang",
+        F.col("rk").cast("bigint").alias("rk"),
+        F.col("cell_n").cast("bigint").alias("cell_n"),
+    )

@@ -253,3 +253,85 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("body").cast("bigint").alias("body_len"),
         F.md5("body").alias("body_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_web_pipeline — the composed END-TO-END web-curation pipeline, the
+# web-family counterpart of q_corpus_curation: REAL WARC parse (vendored
+# Content-Length-driven reader) -> HTML boilerplate strip (engine-
+# portable tag regex) -> exact dedup on the normalized visible text
+# (min-id survivor; 64-char bodies collide across docs, so the stage
+# does real work) -> word-count quality gate -> per-source funnel
+# rollup (fetched / unique / kept / kept tokens). The oracle replays
+# the WHOLE chain from the closed-form bodies — certifying the
+# COMPOSITION, not just each stage. Scale: decode is one Arrow pass;
+# dedup is the only wide shuffle (8-byte fingerprints); the rollup is
+# source-sized.
+# --------------------------------------------------------------------------
+_WEBP_MIN_WORDS = 12  # corpus-calibrated so the gate splits (word counts span 10..15)
+
+WEB_PIPELINE_ORACLE = f"""
+WITH body AS (
+  SELECT doc_id, source,
+    '<html><body><p>' || substring(text, 1, 64) || '</p></body></html>' AS html
+  FROM documents
+), s AS (
+  SELECT doc_id, source,
+    trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS clean
+  FROM body
+), fp AS (
+  SELECT doc_id, source, clean,
+    md5(trim(regexp_replace(lower(clean), ' +', ' ', 'g'))) AS f
+  FROM s
+), win AS (
+  SELECT f, min(doc_id) AS survivor FROM fp GROUP BY f
+), flag AS (
+  SELECT fp.doc_id, fp.source,
+    len(string_split(fp.clean, ' ')) AS n_words,
+    (fp.doc_id = win.survivor) AS is_surv
+  FROM fp JOIN win ON fp.f = win.f
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_fetched,
+  CAST(count(*) FILTER (is_surv) AS BIGINT) AS n_unique,
+  CAST(count(*) FILTER (is_surv AND n_words >= {_WEBP_MIN_WORDS}) AS BIGINT) AS n_kept,
+  CAST(coalesce(sum(n_words) FILTER (is_surv AND n_words >= {_WEBP_MIN_WORDS}), 0) AS BIGINT) AS kept_tokens
+FROM flag GROUP BY source
+"""
+
+
+@query("q_web_pipeline", WEB_PIPELINE_ORACLE)
+def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.operators.multimodal import attach_fake_warc, warc_extract
+
+    docs = tables.load(spark, sf_dir, "documents")
+    fetched = warc_extract(attach_fake_warc(docs)).select("doc_id", "body")
+    stripped = fetched.select(
+        "doc_id", W.strip_html(F.col("body").cast("string")).alias("clean")
+    )
+    fp = stripped.select(
+        "doc_id",
+        "clean",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("clean"), " +", " "))
+        ).alias("f"),
+    )
+    win = fp.groupBy("f").agg(F.min("doc_id").alias("survivor"))
+    flag = (
+        fp.join(win, "f")
+        .select(
+            "doc_id",
+            F.size(F.split("clean", " ")).alias("n_words"),
+            (F.col("doc_id") == F.col("survivor")).alias("is_surv"),
+        )
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    kept = F.col("is_surv") & (F.col("n_words") >= _WEBP_MIN_WORDS)
+    return flag.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fetched"),
+        F.sum(F.col("is_surv").cast("bigint")).cast("bigint").alias("n_unique"),
+        F.sum(kept.cast("bigint")).cast("bigint").alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(kept, F.col("n_words"))), F.lit(0)
+        ).cast("bigint").alias("kept_tokens"),
+    )

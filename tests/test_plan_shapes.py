@@ -90,6 +90,8 @@ def test_no_collect_in_operators():
 
     allowed_fns = {
         "deterministic_centroids", "kmeans_fit", "pq_train", "_query_luts",
+        # transitive_closure's convergence probe: one (count, sum) row
+        "_state",
     }
     root = pathlib.Path(__file__).resolve().parents[1] / "forklift_spark" / "operators"
     offenders = []
@@ -197,6 +199,10 @@ _SHUFFLE_BUDGET = {
     "q_random_walks": 0,      # adjacency + steps all behind localCheckpoint
     "q_attribution": 2,       # user-keyed touch join + per-purchase window
     "q_join_size_est": 3,     # two per-key count aggs + key join
+    "q_balanced_sample": 1,   # one (source, lang) window partition
+    "q_web_pipeline": 2,      # fingerprint dedup + per-source funnel rollup
+    "q_mi_feature_select": 3, # presence distinct + contingency + TakeOrdered
+    "q_ann_recall": 7,        # two top-K pipelines + K-row metric joins
 }
 
 
