@@ -170,6 +170,7 @@ HEADLINE = [
     "q_mi_feature_select",
     "q_balanced_sample",
     "q_web_pipeline",
+    "q_spatial_join",
 ]
 
 

@@ -1570,3 +1570,77 @@ def q_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("sum_total").cast("double").alias("sum_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_spatial_join — planar radius join via grid bucketing
+# (operators/spatial.grid_radius_join): customers and suppliers get
+# closed-form integer coordinates on a 10000x10000 grid; each customer
+# finds suppliers within radius 300 through a 3x3 cell-neighborhood
+# equi-join (cell size = radius, so the blocking is LOSSLESS by
+# construction), with the exact integer squared-distance predicate
+# applied after. Output: per matched customer, the neighbor count and
+# the nearest supplier (min by dist2, then id). THE ORACLE REPLAYS THE
+# ALL-PAIRS JOIN — the hash certifies the grid blocking dropped zero
+# pairs, the q_set_similarity_join guarantee for the spatial domain.
+# No trigonometry anywhere (cross-engine sin/cos parity is not
+# established; project to a planar grid first at real scale).
+# --------------------------------------------------------------------------
+_SPATIAL_R = 300
+
+SPATIAL_ORACLE = f"""
+WITH c AS (
+  SELECT c_custkey, (c_custkey * 73) % 10000 AS x, (c_custkey * 149) % 10000 AS y
+  FROM customer
+), s AS (
+  SELECT s_suppkey, (s_suppkey * 97) % 10000 AS x, (s_suppkey * 193) % 10000 AS y
+  FROM supplier
+), pairs AS (
+  SELECT c.c_custkey, s.s_suppkey,
+    (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS dist2
+  FROM c, s
+  WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+        <= {_SPATIAL_R * _SPATIAL_R}
+), best AS (
+  SELECT c_custkey, min(dist2) AS nearest_dist2 FROM pairs GROUP BY 1
+), pick AS (
+  SELECT p.c_custkey, min(p.s_suppkey) AS nearest_supp, b.nearest_dist2
+  FROM pairs p JOIN best b
+    ON b.c_custkey = p.c_custkey AND p.dist2 = b.nearest_dist2
+  GROUP BY p.c_custkey, b.nearest_dist2
+)
+SELECT p.c_custkey,
+  CAST(n.n_within AS BIGINT) AS n_within,
+  CAST(p.nearest_supp AS BIGINT) AS nearest_supp,
+  CAST(p.nearest_dist2 AS BIGINT) AS nearest_dist2
+FROM pick p JOIN (
+  SELECT c_custkey, count(*) AS n_within FROM pairs GROUP BY 1
+) n USING (c_custkey)
+"""
+
+
+@query("q_spatial_join", SPATIAL_ORACLE)
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.operators.spatial import grid_radius_join
+
+    cust = tables.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 73) % 10000).alias("x"),
+        ((F.col("c_custkey") * 149) % 10000).alias("y"),
+    )
+    supp = tables.load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        ((F.col("s_suppkey") * 97) % 10000).alias("x"),
+        ((F.col("s_suppkey") * 193) % 10000).alias("y"),
+    )
+    pairs = grid_radius_join(cust, supp, radius=_SPATIAL_R)
+    agg = pairs.groupBy("l_id").agg(
+        F.count(F.lit(1)).alias("n_within"),
+        F.min(F.struct("dist2", "r_id")).alias("_best"),
+    )
+    return agg.select(
+        F.col("l_id").alias("c_custkey"),
+        F.col("n_within").cast("bigint").alias("n_within"),
+        F.col("_best.r_id").cast("bigint").alias("nearest_supp"),
+        F.col("_best.dist2").cast("bigint").alias("nearest_dist2"),
+    )

@@ -68,6 +68,8 @@ _BNLJ_ALLOWED = {
     "q_grouped_quantiles",     # per-key totals x 3-row pct list
     "q_bm25_search",           # 1-row (N, avgdl) scalar frame
     "q_decayed_engagement",    # 1-row corpus-max-date scalar frame
+    "q_bigram_xent",           # 1-row corpus-token total into the bigram model
+    "q_mi_feature_select",     # 1-row (n, n_t) totals into the contingency table
     "q_kmv_distinct",          # 1-row sketch-estimate scalar frames
     "q_rrf_fusion",            # 1-row (N, avgdl) scalar + bounded query side
 }

@@ -203,6 +203,7 @@ _SHUFFLE_BUDGET = {
     "q_web_pipeline": 2,      # fingerprint dedup + per-source funnel rollup
     "q_mi_feature_select": 3, # presence distinct + contingency + TakeOrdered
     "q_ann_recall": 7,        # two top-K pipelines + K-row metric joins
+    "q_spatial_join": 3,      # cell equi-join + per-point rollup
 }
 
 

@@ -107,3 +107,40 @@ def test_binned_range_join_equals_predicate_join(spark):
     # spot-pin the edges: lo inclusive, hi exclusive, cross-bin matches
     assert (1, 100) in got and (1, 160) not in got
     assert (2, 3599) in got and (2, 3600) in got and (2, 3700) not in got
+
+
+# -- grid_radius_join (operators/spatial.py) -------------------------------
+
+
+def test_grid_radius_join_lossless_vs_bruteforce(spark):
+    # deterministic scatter incl. cell-boundary stragglers; the grid
+    # blocking must reproduce the brute-force pair set exactly
+    from forklift_spark.operators.spatial import grid_radius_join
+
+    R = 10
+    pts_l = [(i, (i * 37) % 100, (i * 61) % 100) for i in range(40)]
+    pts_r = [(j, (j * 53) % 100, (j * 29) % 100) for j in range(30)]
+    L = spark.createDataFrame(pts_l, "id long, x long, y long")
+    Rt = spark.createDataFrame(pts_r, "id long, x long, y long")
+    got = {
+        (r.l_id, r.r_id, r.dist2)
+        for r in grid_radius_join(L, Rt, radius=R).collect()
+    }
+    want = {
+        (i, j, (xi - xj) ** 2 + (yi - yj) ** 2)
+        for i, xi, yi in pts_l
+        for j, xj, yj in pts_r
+        if (xi - xj) ** 2 + (yi - yj) ** 2 <= R * R
+    }
+    assert got == want and len(want) > 0
+
+
+def test_grid_radius_join_boundary_inclusive(spark):
+    # dist exactly == radius is IN (<=), and a pair in adjacent cells
+    # (9 and 11 with cell size 10) must be found
+    from forklift_spark.operators.spatial import grid_radius_join
+
+    L = spark.createDataFrame([(1, 9, 0)], "id long, x long, y long")
+    Rt = spark.createDataFrame([(2, 19, 0), (3, 20, 0)], "id long, x long, y long")
+    got = {(r.r_id, r.dist2) for r in grid_radius_join(L, Rt, radius=10).collect()}
+    assert got == {(2, 100)}  # 19 is exactly 10 away (in); 20 is 11 away (out)
