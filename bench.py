@@ -171,6 +171,8 @@ HEADLINE = [
     "q_balanced_sample",
     "q_web_pipeline",
     "q_spatial_join",
+    "q_ewma_smooth",
+    "q_dataset_card",
 ]
 
 

@@ -1486,3 +1486,87 @@ def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").cast("bigint").alias("rk"),
         F.col("cell_n").cast("bigint").alias("cell_n"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_dataset_card — the one-row corpus datasheet (the "dataset card"
+# stats block a release ships with): document/token/char totals,
+# language and source cardinalities, English share, exact-duplicate
+# rate, mean and median document length, and a minimum-length quality
+# pass rate. Every rate is integer basis points (true integer
+# division); the median is the exact interpolated percentile both
+# engines compute identically (q_percentiles machinery). One scan +
+# one tiny distinct-fingerprint aggregate — the report is two jobs at
+# any scale.
+# --------------------------------------------------------------------------
+_CARD_MIN_WORDS = 25
+
+DATASET_CARD_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars,
+    len(string_split({NORM}, ' ')) AS n_words,
+    md5({NORM}) AS fp
+  FROM documents
+), agg AS (
+  SELECT
+    count(*) AS n_docs,
+    CAST(sum(n_words) AS BIGINT) AS n_tokens,
+    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+    count(DISTINCT lang) AS n_langs,
+    count(DISTINCT source) AS n_sources,
+    count(*) FILTER (lang = 'en') AS n_en,
+    count(DISTINCT fp) AS n_unique,
+    count(*) FILTER (n_words >= {_CARD_MIN_WORDS}) AS n_quality,
+    quantile_cont(n_words, 0.5) AS p50_words
+  FROM base
+)
+SELECT
+  CAST(n_docs AS BIGINT) AS n_docs,
+  n_tokens,
+  n_chars,
+  CAST(n_langs AS BIGINT) AS n_langs,
+  CAST(n_sources AS BIGINT) AS n_sources,
+  CAST(10000 * n_en // n_docs AS BIGINT) AS en_share_bp,
+  CAST(10000 * (n_docs - n_unique) // n_docs AS BIGINT) AS dup_rate_bp,
+  CAST(10000 * n_quality // n_docs AS BIGINT) AS quality_pass_bp,
+  CAST(n_tokens // n_docs AS BIGINT) AS mean_doc_tokens,
+  round(p50_words, 9) AS median_doc_tokens
+FROM agg
+"""
+
+
+@query("q_dataset_card", DATASET_CARD_ORACLE)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.operators.text import words
+
+    docs = tables.load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.size(words("text")).alias("n_words"),
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        ).alias("fp"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("n_en"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.sum((F.col("n_words") >= _CARD_MIN_WORDS).cast("long")).alias("n_quality"),
+        F.expr("percentile(n_words, 0.5)").alias("p50_words"),
+    )
+    return agg.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "n_tokens",
+        "n_chars",
+        "n_langs",
+        "n_sources",
+        F.expr("10000 * n_en div n_docs").cast("bigint").alias("en_share_bp"),
+        F.expr("10000 * (n_docs - n_unique) div n_docs").cast("bigint").alias("dup_rate_bp"),
+        F.expr("10000 * n_quality div n_docs").cast("bigint").alias("quality_pass_bp"),
+        F.expr("n_tokens div n_docs").cast("bigint").alias("mean_doc_tokens"),
+        F.round("p50_words", 9).alias("median_doc_tokens"),
+    )

@@ -1187,3 +1187,76 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bp").cast("bigint").alias("total_bp"),
         F.sum(F.col("cents") * F.col("bp")).cast("bigint").alias("attributed_e4cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_ewma_smooth — exponentially weighted moving average over the daily
+# mean value per event type (the forecast-smoothing / anomaly-baseline
+# primitive). EWMA is a SEQUENTIAL recursion (e_d depends on e_{d-1}),
+# which distributed SQL cannot window — here it runs as ONE JVM
+# `aggregate` HOF fold over each type's sorted day array (types are few,
+# days are bounded; the same bounded-fold contract as q_subword_encode),
+# while the oracle replays the recursion with a recursive CTE — two
+# different recursion mechanisms, one fixpoint. All state is INTEGER:
+# daily mean = cents div count, e_d = (3·x_d·1000 + 7·e_{d-1}) div 10
+# (alpha = 0.3 as an exact ratio, state in milli-cents) — double decay
+# would accumulate engine-specific rounding over the chain.
+# --------------------------------------------------------------------------
+EWMA_ORACLE = """
+WITH RECURSIVE d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) // count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM d
+), r AS (
+  SELECT event_type, day, x, rn, x * 1000 AS e FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.day, o.x, o.rn, (3 * o.x * 1000 + 7 * r.e) // 10
+  FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.rn + 1
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+  x AS day_cents, CAST(e AS BIGINT) AS ewma_e3
+FROM r
+"""
+
+
+@query("q_ewma_smooth", EWMA_ORACLE)
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.functions.exact import dec
+
+    ev = tables.load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+            (dec("value", "decimal(12,2)") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.expr("sum(cents) div count(*)").alias("x"))
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("a")
+    )
+    folded = arr.select(
+        "event_type",
+        F.expr(
+            """
+            aggregate(
+              slice(a, 2, greatest(size(a) - 1, 0)),
+              array(struct(a[0].day AS day, a[0].x AS x, a[0].x * 1000L AS e)),
+              (acc, v) -> concat(acc, array(struct(
+                v.day AS day, v.x AS x,
+                (3L * v.x * 1000L + 7L * element_at(acc, -1).e) div 10L AS e)))
+            )
+            """
+        ).alias("f"),
+    )
+    out = folded.select("event_type", F.explode("f").alias("r"))
+    return out.select(
+        "event_type",
+        F.col("r.day").alias("day"),
+        F.col("r.x").cast("bigint").alias("day_cents"),
+        F.col("r.e").cast("bigint").alias("ewma_e3"),
+    )

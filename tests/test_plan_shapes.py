@@ -204,6 +204,8 @@ _SHUFFLE_BUDGET = {
     "q_mi_feature_select": 3, # presence distinct + contingency + TakeOrdered
     "q_ann_recall": 7,        # two top-K pipelines + K-row metric joins
     "q_spatial_join": 3,      # cell equi-join + per-point rollup
+    "q_ewma_smooth": 2,       # daily rollup + per-type fold collect
+    "q_dataset_card": 2,      # one scan aggregate + distinct-fp pass
 }
 
 
