@@ -173,6 +173,8 @@ HEADLINE = [
     "q_spatial_join",
     "q_ewma_smooth",
     "q_dataset_card",
+    "q_pseudonymize",
+    "q_sequence_pattern",
 ]
 
 

@@ -1644,3 +1644,51 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_best.r_id").cast("bigint").alias("nearest_supp"),
         F.col("_best.dist2").cast("bigint").alias("nearest_dist2"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_pseudonymize — privacy-preserving pseudonymization WITH referential
+# integrity (the GDPR-style release transform): every user_id is
+# replaced by a deterministic keyed surrogate (md5 of a salted id —
+# one-way, stable across tables and runs), and the query PROVES the
+# transform preserved the join structure: per-surrogate event counts
+# and exact value sums must equal the per-user originals re-keyed.
+# The salt would be a secret in production (documented); determinism is
+# the point here — the oracle replays surrogate assignment and the
+# integrity reconciliation. One scan, one keyed aggregate; surrogate
+# assignment is scan-side hashing, no lookup table to leak.
+# --------------------------------------------------------------------------
+PSEUDO_ORACLE = """
+WITH ev AS (
+  SELECT user_id,
+    substr(md5('pepper:v1:' || CAST(user_id AS VARCHAR)), 1, 16) AS pseudo_id,
+    CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+)
+SELECT pseudo_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_source_ids,
+  CAST(SUM(v) AS DOUBLE) AS total_value
+FROM ev GROUP BY pseudo_id
+"""
+
+
+@query("q_pseudonymize", PSEUDO_ORACLE)
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id",
+        F.substring(
+            F.md5(F.concat(F.lit("pepper:v1:"), F.col("user_id").cast("string"))),
+            1,
+            16,
+        ).alias("pseudo_id"),
+        dec("value", "decimal(12,2)").alias("v"),
+    )
+    return p.groupBy("pseudo_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        # 1 for every surrogate == no collisions, the referential-
+        # integrity certificate the oracle re-derives independently
+        F.countDistinct("user_id").cast("bigint").alias("n_source_ids"),
+        F.sum("v").cast("double").alias("total_value"),
+    )

@@ -1260,3 +1260,62 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.x").cast("bigint").alias("day_cents"),
         F.col("r.e").cast("bigint").alias("ewma_e3"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_sequence_pattern — CEP-style event-sequence pattern detection (the
+# MATCH_RECOGNIZE use case): each user's time-ordered event types
+# collapse to a symbol string (v/c/p/s/e by first letter), and a
+# regular expression counts funnel occurrences — here one-or-more
+# views, then up to three clicks, ending in a purchase
+# ('v+c{0,3}p'). The regex is restricted to the Java/RE2 shared
+# subset (the web-family discipline), so DuckDB replays the SAME
+# pattern over the SAME collapsed strings — cross-engine certification
+# of the sequence semantics. Order ties break on event_id. One window
+# pass to order, one per-user fold; the symbol string is bounded by
+# per-user activity.
+# --------------------------------------------------------------------------
+_SEQ_PATTERN = "v+c{0,3}p"
+
+SEQ_PATTERN_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, substr(event_type, 1, 1) AS sym, ts, event_id
+  FROM events
+), s AS (
+  SELECT user_id, string_agg(sym, '' ORDER BY ts, event_id) AS seq
+  FROM o GROUP BY user_id
+)
+SELECT user_id,
+  CAST(length(seq) AS BIGINT) AS n_events,
+  CAST(len(regexp_extract_all(seq, '{_SEQ_PATTERN}')) AS BIGINT) AS n_matches,
+  length(regexp_extract(seq, '{_SEQ_PATTERN}')) > 0 AS converted
+FROM s
+"""
+
+
+@query("q_sequence_pattern", SEQ_PATTERN_ORACLE)
+def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        F.substring("event_type", 1, 1).alias("sym"),
+        "ts",
+        "event_id",
+    )
+    s = o.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "sym"))),
+                lambda x: x["sym"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    return s.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        F.size(F.expr(f"regexp_extract_all(seq, '{_SEQ_PATTERN}', 0)"))
+        .cast("bigint")
+        .alias("n_matches"),
+        (F.length(F.regexp_extract("seq", _SEQ_PATTERN, 0)) > 0).alias("converted"),
+    )

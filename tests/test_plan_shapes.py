@@ -206,6 +206,8 @@ _SHUFFLE_BUDGET = {
     "q_spatial_join": 3,      # cell equi-join + per-point rollup
     "q_ewma_smooth": 2,       # daily rollup + per-type fold collect
     "q_dataset_card": 2,      # one scan aggregate + distinct-fp pass
+    "q_pseudonymize": 2,      # surrogate-keyed rollup (+distinct source ids)
+    "q_sequence_pattern": 1,  # one per-user ordered fold
 }
 
 
