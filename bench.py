@@ -175,6 +175,8 @@ HEADLINE = [
     "q_dataset_card",
     "q_pseudonymize",
     "q_sequence_pattern",
+    "q_stream_enrich",
+    "q_fk_discovery",
 ]
 
 

@@ -1692,3 +1692,71 @@ def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n_source_ids"),
         F.sum("v").cast("double").alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_fk_discovery — inclusion-dependency (foreign-key) discovery, the
+# Metanome-style schema-profiling pass: for each candidate (child
+# column -> parent key) pair, measure distinct-value containment
+# |distinct(child) ∩ parent| / |distinct(child)| and flag full
+# containment as an FK candidate. The candidate set includes every true
+# TPC-H edge AND a non-contained pair (customer keys -> supplier keys)
+# so the detector's negative path is certified too. Caveat stated up
+# front: full containment is an INCLUSION dependency, not proof of a
+# semantic FK — small surrogate-key domains are routinely contained in
+# larger ones by accident (s_suppkey ⊆ c_custkey here), which is why
+# profilers report containment_bp rather than a bare boolean. All counts
+# integer, containment in basis points (true integer division). Scale:
+# per pair one distinct-project of the child + one semi-join against
+# the parent key — child distincts cross the wire, never rows.
+# --------------------------------------------------------------------------
+_FK_CANDIDATES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("customer", "c_custkey", "supplier", "s_suppkey"),  # negative control
+]
+
+FK_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{ct}.{cc} -> {pt}.{pc}' AS candidate,
+  CAST(d.n AS BIGINT) AS n_child_distinct,
+  CAST(d.m AS BIGINT) AS n_contained,
+  CAST(10000 * d.m // d.n AS BIGINT) AS containment_bp,
+  d.m = d.n AS is_fk
+FROM (
+  SELECT count(*) AS n,
+    count(*) FILTER (WHERE EXISTS (SELECT 1 FROM {pt} p WHERE p.{pc} = c.k)) AS m
+  FROM (SELECT DISTINCT {cc} AS k FROM {ct} WHERE {cc} IS NOT NULL) c
+) d"""
+    for ct, cc, pt, pc in _FK_CANDIDATES
+)
+
+
+@query("q_fk_discovery", FK_ORACLE)
+def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for ct, cc, pt, pc in _FK_CANDIDATES:
+        child = (
+            tables.load(spark, sf_dir, ct)
+            .select(F.col(cc).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+        )
+        parent = tables.load(spark, sf_dir, pt).select(F.col(pc).alias("k"))
+        n = child.agg(F.count(F.lit(1)).alias("n"))
+        m = child.join(parent, "k", "left_semi").agg(F.count(F.lit(1)).alias("m"))
+        row = (
+            n.crossJoin(F.broadcast(m))  # two 1-row scalar frames
+            .select(
+                F.lit(f"{ct}.{cc} -> {pt}.{pc}").alias("candidate"),
+                F.col("n").cast("bigint").alias("n_child_distinct"),
+                F.col("m").cast("bigint").alias("n_contained"),
+                F.expr("10000 * m div n").cast("bigint").alias("containment_bp"),
+                (F.col("m") == F.col("n")).alias("is_fk"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

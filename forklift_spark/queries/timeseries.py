@@ -1319,3 +1319,76 @@ def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_matches"),
         (F.length(F.regexp_extract("seq", _SEQ_PATTERN, 0)) > 0).alias("converted"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_stream_enrich — STREAM-TO-STATIC enrichment join executed in the
+# streaming engine: the events stream (staged files, availableNow)
+# joins a static dimension (the deterministic user->cohort frame) per
+# micro-batch — the standard streaming-enrichment shape, where the
+# static side broadcasts into every trigger. Joining and aggregating
+# in the engine must reproduce the batch join bit-for-bit (counts and
+# exact decimal sums are order-independent), so the oracle is simply
+# the batch equivalent — certifying that batch/stream join semantics
+# agree, the property a lambda-architecture migration depends on.
+# --------------------------------------------------------------------------
+STREAM_ENRICH_ORACLE = """
+WITH dim AS (
+  SELECT DISTINCT user_id,
+    CASE WHEN user_id % 3 = 0 THEN 'core' WHEN user_id % 3 = 1 THEN 'growth'
+         ELSE 'lapsed' END AS cohort
+  FROM events
+)
+SELECT d.cohort, e.event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events e JOIN dim d USING (user_id)
+GROUP BY d.cohort, e.event_type
+"""
+
+
+@query("q_stream_enrich", STREAM_ENRICH_ORACLE)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from forklift_spark.functions.exact import dec
+
+    ev = tables.load(spark, sf_dir, "events")
+    dim = ev.select("user_id").distinct().select(
+        "user_id",
+        F.when(F.col("user_id") % 3 == 0, "core")
+        .when(F.col("user_id") % 3 == 1, "growth")
+        .otherwise("lapsed")
+        .alias("cohort"),
+    )
+    src = tempfile.mkdtemp(prefix="fk_stream_enrich_")
+    ev.select("event_id", "user_id", "event_type", "value").repartition(
+        6
+    ).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id").groupBy(
+        "cohort", "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(dec("value", "decimal(12,2)")).alias("tv"),
+    )
+    sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "stream did not finish; sink would be partial"
+    return spark.table(sink).select(
+        "cohort", "event_type", "n_events",
+        F.col("tv").cast("double").alias("total_value"),
+    )

@@ -208,6 +208,7 @@ _SHUFFLE_BUDGET = {
     "q_dataset_card": 2,      # one scan aggregate + distinct-fp pass
     "q_pseudonymize": 2,      # surrogate-keyed rollup (+distinct source ids)
     "q_sequence_pattern": 1,  # one per-user ordered fold
+    "q_fk_discovery": 24,     # 6 candidates x (distinct + semi-join + 2 scalar aggs)
 }
 
 
