@@ -177,6 +177,7 @@ HEADLINE = [
     "q_sequence_pattern",
     "q_stream_enrich",
     "q_fk_discovery",
+    "q_audio_fingerprint",
 ]
 
 

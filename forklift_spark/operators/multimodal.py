@@ -990,3 +990,57 @@ def video_frame_diffs(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, VIDEO_DIFF_SCHEMA)
+
+
+AUDIO_FP_WINDOWS = 16  # energy-envelope windows -> 15 gradient bits
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("afp", T.LongType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def audio_fingerprint(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Perceptual audio fingerprint over a REAL WAV decode: the PCM
+    samples split into AUDIO_FP_WINDOWS equal windows, each window's
+    energy is the exact-integer sum of absolute sample values, and bit
+    k is set when envelope[k] > envelope[k+1] — the energy-gradient
+    fingerprint (the dHash idea on the time axis; robust to gain-
+    independent edits because only the envelope SHAPE matters). 15 bits
+    from 16 windows; all integer arithmetic, replayable by an
+    independent engine. Arrow ``mapInPandas``, no shuffle."""
+    from forklift_spark.functions.audiocodec import AudioDecodeError, parse_wav
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    cols = [f.name for f in AUDIO_FP_SCHEMA.fields]
+    wn = AUDIO_FP_WINDOWS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    _, _, smp = parse_wav(bytes(payload) if payload is not None else b"")
+                    n = len(smp)
+                    env = [
+                        sum(abs(x) for x in smp[k * n // wn : (k + 1) * n // wn])
+                        for k in range(wn)
+                    ]
+                    bits = 0
+                    for k in range(wn - 1):
+                        if env[k] > env[k + 1]:
+                            bits |= 1 << k
+                    row = {"n_samples": n, "afp": bits, "decode_error": None}
+                except AudioDecodeError as e:
+                    row = {c: None for c in cols if c != "doc_id"}
+                    row["decode_error"] = str(e)
+                out["doc_id"].append(doc_id)
+                for c, v in row.items():
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, AUDIO_FP_SCHEMA)

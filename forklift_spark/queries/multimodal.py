@@ -445,3 +445,95 @@ def q_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("scene_id").cast("bigint").alias("scene_id"),
         "start_frame", "end_frame", "n_frames",
     )
+
+
+# --------------------------------------------------------------------------
+# q_audio_fingerprint — perceptual audio near-dup: REAL WAV decode ->
+# 15-bit energy-gradient fingerprint (16-window integer envelope,
+# operators/multimodal.audio_fingerprint) -> 3-band Hamming LSH
+# self-join (5 bits/band; pigeonhole catches every pair within Hamming
+# distance 2) -> exact bit_count verify. Completes the perceptual-dedup
+# story across modalities (text MinHash/SimHash, image dHash, audio
+# energy hash — one banding discipline). THE ORACLE REPLAYS THE
+# ALL-PAIRS JOIN from the closed-form samples, certifying decode,
+# envelope, bits, and zero-loss banding.
+# --------------------------------------------------------------------------
+_AFP_T = 2  # max Hamming distance (< 3 bands)
+
+AUDIO_FP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, greatest(2, least(n_chars, 400)) AS n FROM documents
+), s AS (
+  SELECT doc_id, n,
+    list_transform(range(0, n), i -> abs(((doc_id * 37 + i * 9973) % 65536) - 32768)) AS a
+  FROM d
+), env AS (
+  SELECT doc_id, n,
+    list_transform(range(0, 16), k ->
+      coalesce(list_sum(a[(k * n) // 16 + 1 : ((k + 1) * n) // 16]), 0)) AS e
+  FROM s
+), hs AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(0, 15), k ->
+      CASE WHEN e[k + 1] > e[k + 2] THEN CAST(1 AS BIGINT) << k ELSE 0 END
+    )) AS BIGINT) AS afp
+  FROM env
+), pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb
+  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.afp, b.afp)) <= {_AFP_T}
+), near AS (
+  SELECT doc_id, count(*) AS n_near FROM (
+    SELECT ida AS doc_id FROM pairs UNION ALL SELECT idb FROM pairs
+  ) GROUP BY doc_id
+)
+SELECT hs.doc_id, hs.afp,
+  CAST(coalesce(near.n_near, 0) AS BIGINT) AS n_near
+FROM hs LEFT JOIN near USING (doc_id)
+"""
+
+
+@query("q_audio_fingerprint", AUDIO_FP_ORACLE)
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    hashes = (
+        M.audio_fingerprint(M.attach_fake_wav(docs))
+        .select("doc_id", "afp")
+        .persist()  # both sides of the band self-join
+    )
+    n_bands, band_bits = 3, 5
+    banded = hashes.select(
+        "doc_id",
+        "afp",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("b"),
+    ).withColumn(
+        "bv", F.expr(f"shiftright(afp, b * {band_bits}) & {2**band_bits - 1}")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("ida"),
+            F.col("b.doc_id").alias("idb"),
+            F.col("a.afp").alias("ha"),
+            F.col("b.afp").alias("hb"),
+        )
+        .dropDuplicates(["ida", "idb"])
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= _AFP_T)
+    )
+    near = (
+        pairs.select(F.col("ida").alias("doc_id"))
+        .unionAll(pairs.select(F.col("idb").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return hashes.join(near, "doc_id", "left").select(
+        "doc_id",
+        "afp",
+        F.coalesce("n_near", F.lit(0)).cast("bigint").alias("n_near"),
+    )

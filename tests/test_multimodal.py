@@ -508,3 +508,35 @@ def test_frame_diffs_corrupt_payload_degrades(spark):
     )
     rows = video_frame_diffs(df).collect()
     assert len(rows) == 1 and rows[0].decode_error
+
+
+# -- audio_fingerprint -----------------------------------------------------
+
+
+def _afp_of(spark, payloads):
+    from forklift_spark.operators.multimodal import audio_fingerprint
+
+    df = spark.createDataFrame(
+        list(enumerate(payloads)), "doc_id long, payload binary"
+    )
+    return {r.doc_id: (r.afp, r.decode_error) for r in audio_fingerprint(df).collect()}
+
+
+def test_audio_fingerprint_gain_invariant(spark):
+    # doubling every sample scales each window's energy by exactly 2,
+    # so the envelope-GRADIENT bits are unchanged — the property that
+    # makes it perceptual (volume-independent), not a byte checksum
+    from forklift_spark.functions.audiocodec import write_wav
+
+    smp = [((i * 997) % 2000) - 1000 for i in range(160)]
+    loud = [2 * x for x in smp]
+    got = _afp_of(
+        spark, [write_wav(smp, 16000), write_wav(loud, 16000)]
+    )
+    assert got[0][0] == got[1][0]
+    assert got[0][1] is None
+
+
+def test_audio_fingerprint_corrupt_degrades(spark):
+    got = _afp_of(spark, [b"RIFFnotawave"])
+    assert got[0][0] is None and got[0][1]

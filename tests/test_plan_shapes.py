@@ -209,6 +209,7 @@ _SHUFFLE_BUDGET = {
     "q_pseudonymize": 2,      # surrogate-keyed rollup (+distinct source ids)
     "q_sequence_pattern": 1,  # one per-user ordered fold
     "q_fk_discovery": 24,     # 6 candidates x (distinct + semi-join + 2 scalar aggs)
+    "q_audio_fingerprint": 4, # band self-join + pair dedup + near rollup + joinback
 }
 
 
