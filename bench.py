@@ -178,6 +178,8 @@ HEADLINE = [
     "q_stream_enrich",
     "q_fk_discovery",
     "q_audio_fingerprint",
+    "q_fd_discovery",
+    "q_k_anonymize",
 ]
 
 

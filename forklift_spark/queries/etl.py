@@ -1760,3 +1760,137 @@ def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# q_fd_discovery — functional-dependency profiling, the companion of
+# q_fk_discovery: A -> B holds iff every A value maps to exactly one B
+# value; violations = Σ_a (distinct B per a − 1). Candidates include
+# true dependencies (order key -> customer key; part key -> brand), a
+# violated one (nation key -> market segment), and the key-like
+# direction of a many-to-one pair — certifying both verdict paths.
+# One groupBy per candidate over a two-column projection; at scale the
+# shuffle carries distinct (A, B) pairs (map-side combine), never rows.
+# --------------------------------------------------------------------------
+_FD_CANDIDATES = [
+    ("orders", "o_orderkey", "o_custkey"),
+    ("part", "p_partkey", "p_brand"),
+    ("lineitem", "l_orderkey", "l_suppkey"),   # violated: multi-supplier orders
+    ("customer", "c_nationkey", "c_mktsegment"),  # violated: many segments per nation
+]
+
+FD_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{t}: {a} -> {b}' AS candidate,
+  CAST(count(*) AS BIGINT) AS n_lhs_values,
+  CAST(SUM(nb - 1) AS BIGINT) AS n_violations,
+  SUM(nb - 1) = 0 AS holds
+FROM (
+  SELECT {a}, count(DISTINCT {b}) AS nb FROM {t} GROUP BY {a}
+)"""
+    for t, a, b in _FD_CANDIDATES
+)
+
+
+@query("q_fd_discovery", FD_ORACLE)
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, a, b in _FD_CANDIDATES:
+        g = (
+            tables.load(spark, sf_dir, t)
+            .groupBy(a)
+            .agg(F.countDistinct(b).alias("nb"))
+        )
+        row = g.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs_values"),
+            F.sum(F.col("nb") - 1).cast("bigint").alias("n_violations"),
+        ).select(
+            F.lit(f"{t}: {a} -> {b}").alias("candidate"),
+            "n_lhs_values",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# --------------------------------------------------------------------------
+# q_k_anonymize — k-anonymization as a TRANSFORM decision, not just an
+# audit (the q_k_anonymity companion): walk a fixed generalization
+# ladder over the quasi-identifiers (nation key, account balance) —
+# exact values -> 1000-wide bands -> nation-group + 2000-bands ->
+# fully suppressed + 5000-bands — and choose the FIRST level whose
+# minimum equivalence-class size reaches k=10 (minimal information
+# loss that satisfies the guarantee). Output: per-level class
+# statistics with the chosen level flagged, so the oracle certifies
+# the whole decision procedure. All bucketing is one IEEE division +
+# floor (engine-identical); each level is one small aggregate.
+# --------------------------------------------------------------------------
+_KANON_K = 10
+
+_KANON_LEVELS = [
+    ("L0_exact", "c_nationkey", "CAST(floor(c_acctbal) AS BIGINT)"),
+    ("L1_band1k", "c_nationkey", "CAST(floor(c_acctbal / 1000) AS BIGINT)"),
+    ("L2_group5_band2k", "c_nationkey div 5", "CAST(floor(c_acctbal / 2000) AS BIGINT)"),
+    # CAST form: a bare 0 would parse as a GROUP BY ordinal in both engines
+    ("L3_suppressed_band5k", "CAST(0 AS INT)", "CAST(floor(c_acctbal / 5000) AS BIGINT)"),
+]
+
+
+def _kanon_oracle() -> str:
+    per_level = "\nUNION ALL\n".join(
+        f"""
+SELECT {i} AS level_no, '{name}' AS level,
+  CAST(count(*) AS BIGINT) AS n_classes,
+  CAST(min(sz) AS BIGINT) AS min_class,
+  CAST(max(sz) AS BIGINT) AS max_class,
+  min(sz) >= {_KANON_K} AS meets_k
+FROM (
+  SELECT count(*) AS sz FROM customer
+  GROUP BY {qi1.replace('div', '//')}, {qi2.replace('//', '//')}
+)"""
+        for i, (name, qi1, qi2) in enumerate(_KANON_LEVELS)
+    )
+    return f"""
+WITH levels AS ({per_level}),
+chosen AS (
+  SELECT min(level_no) AS c FROM levels WHERE meets_k
+)
+SELECT level, n_classes, min_class, max_class, meets_k,
+  level_no = chosen.c AS chosen
+FROM levels CROSS JOIN chosen
+"""
+
+
+@query("q_k_anonymize", _kanon_oracle())
+def q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer")
+    out = None
+    for i, (name, qi1, qi2) in enumerate(_KANON_LEVELS):
+        sizes = cust.groupBy(F.expr(qi1), F.expr(qi2)).agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        row = sizes.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.min("sz").cast("bigint").alias("min_class"),
+            F.max("sz").cast("bigint").alias("max_class"),
+        ).select(
+            F.lit(i).alias("level_no"),
+            F.lit(name).alias("level"),
+            "n_classes",
+            "min_class",
+            "max_class",
+            (F.col("min_class") >= _KANON_K).alias("meets_k"),
+        )
+        out = row if out is None else out.unionByName(row)
+    chosen = (
+        out.filter("meets_k")
+        .agg(F.min("level_no").alias("c"))
+    )
+    return (
+        out.crossJoin(F.broadcast(chosen))  # 1-row scalar choice
+        .select(
+            "level", "n_classes", "min_class", "max_class", "meets_k",
+            (F.col("level_no") == F.col("c")).alias("chosen"),
+        )
+    )

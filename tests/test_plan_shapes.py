@@ -210,6 +210,8 @@ _SHUFFLE_BUDGET = {
     "q_sequence_pattern": 1,  # one per-user ordered fold
     "q_fk_discovery": 24,     # 6 candidates x (distinct + semi-join + 2 scalar aggs)
     "q_audio_fingerprint": 4, # band self-join + pair dedup + near rollup + joinback
+    "q_fd_discovery": 12,     # 4 candidates x (distinct-pair agg + rollup + union)
+    "q_k_anonymize": 12,      # 4 ladder levels x (class-size agg + stats rollup)
 }
 
 
