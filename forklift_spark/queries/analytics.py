@@ -1547,3 +1547,64 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q_skyline — Pareto-frontier (skyline) query: parts not dominated on
+# (minimize p_retailprice, maximize p_size). s dominates r iff
+# price_s <= price_r AND size_s >= size_r with at least one strict;
+# equivalently r is dominated iff
+#   max{size : price < price_r} >= size_r   OR
+#   max{size : price = price_r} >  size_r
+# which a per-price max + one prefix-max window answers in O(n log n) —
+# no self-join. Scale shape is the published two-phase distributed
+# skyline: a LOCAL prune inside 64 hash buckets first (lossless —
+# dominance is transitive, so any dominator eliminated locally is
+# itself dominated by a local survivor), then the exact global test on
+# the bounded survivor union (skylines grow ~polylog(n), so the global
+# stage's unpartitioned window is bounded by construction, same
+# contract as q_rrf_fusion's LIMIT frame). The oracle replays the
+# QUADRATIC NOT-EXISTS definition — a hash match certifies the
+# window formulation and the local prune lost zero frontier rows,
+# including equal-(price,size) twins which dominance must keep.
+# --------------------------------------------------------------------------
+SKYLINE_ORACLE = """
+SELECT r.p_partkey, r.p_retailprice, r.p_size
+FROM part r
+WHERE NOT EXISTS (
+  SELECT 1 FROM part s
+  WHERE s.p_retailprice <= r.p_retailprice AND s.p_size >= r.p_size
+    AND (s.p_retailprice < r.p_retailprice OR s.p_size > r.p_size)
+)
+"""
+
+
+def _skyline_prune(df: DataFrame, part_cols: list[str]) -> DataFrame:
+    """Drop rows dominated within each part_cols group ([] = global)."""
+    mp = df.groupBy(*part_cols, "p_retailprice").agg(F.max("p_size").alias("mp"))
+    w = (
+        (W.partitionBy(*part_cols) if part_cols else W.partitionBy())
+        .orderBy("p_retailprice")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    mp = mp.withColumn("run_lt", F.max("mp").over(w))
+    dominated = F.coalesce(
+        F.col("run_lt") >= F.col("p_size"), F.lit(False)
+    ) | (F.col("mp") > F.col("p_size"))
+    return (
+        df.join(mp, [*part_cols, "p_retailprice"])
+        .filter(~dominated)
+        .drop("mp", "run_lt")
+    )
+
+
+@query("q_skyline", SKYLINE_ORACLE)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = tables.load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.pmod(F.hash("p_partkey"), F.lit(64)).alias("bkt"),
+    )
+    local = _skyline_prune(part, ["bkt"]).drop("bkt")
+    return _skyline_prune(local, []).select("p_partkey", "p_retailprice", "p_size")

@@ -1894,3 +1894,191 @@ def q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("level_no") == F.col("c")).alias("chosen"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_zone_map_pruning — data-skipping audit: how many "files" a
+# zone-map (per-file min/max) index prunes for a value-range predicate
+# under two layouts — arrival order (hash-scattered values: every file
+# straddles the predicate, nothing prunes) vs value-clustered (the
+# layout zorder_sort/compact produce: all but the boundary files
+# prune). This is the measurement a table-layout decision runs BEFORE
+# rewriting 100 TB: skipped_bp quantifies what clustering would buy.
+# ntile(32) simulates the writer's file assignment on both sides (the
+# real writers are write_partitioned/zorder_sort — layout.py); min/max
+# zone stats and all counts are integer/IEEE exact, pruning is the
+# standard [lo,hi] disjointness test, and the oracle replays file
+# assignment, zone stats, and the pruning decision file-for-file.
+# --------------------------------------------------------------------------
+ZONEMAP_ORACLE = """
+WITH f AS (
+  SELECT value,
+    ntile(32) OVER (ORDER BY event_id) AS f_arrival,
+    ntile(32) OVER (ORDER BY value, event_id) AS f_sorted
+  FROM events
+), m AS (
+  SELECT 'arrival' AS layout, f_arrival AS file_id,
+         min(value) AS zlo, max(value) AS zhi, count(*) AS n_rows,
+         count(*) FILTER (WHERE value BETWEEN 200 AND 400) AS n_match
+  FROM f GROUP BY 1, 2
+  UNION ALL
+  SELECT 'sorted', f_sorted, min(value), max(value), count(*),
+         count(*) FILTER (WHERE value BETWEEN 200 AND 400)
+  FROM f GROUP BY 1, 2
+)
+SELECT layout,
+  CAST(count(*) AS BIGINT) AS n_files,
+  CAST(count(*) FILTER (WHERE zhi < 200 OR zlo > 400) AS BIGINT) AS n_pruned,
+  CAST(SUM(CASE WHEN zhi < 200 OR zlo > 400 THEN 0 ELSE n_rows END) AS BIGINT)
+    AS rows_scanned,
+  CAST(SUM(n_match) AS BIGINT) AS rows_matched,
+  CAST(10000 * SUM(CASE WHEN zhi < 200 OR zlo > 400 THEN n_rows ELSE 0 END)
+       // SUM(n_rows) AS BIGINT) AS skipped_bp
+FROM m GROUP BY layout
+"""
+
+
+@query("q_zone_map_pruning", ZONEMAP_ORACLE)
+def q_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = tables.load(spark, sf_dir, "events").select("event_id", "value")
+    # ntile = the simulated writer's file assignment; the global sort is
+    # the demo stand-in for a sorted write (zorder_sort does the real one)
+    f = ev.select(
+        "value",
+        F.ntile(32).over(W.orderBy("event_id")).alias("f_arrival"),
+        F.ntile(32).over(W.orderBy("value", "event_id")).alias("f_sorted"),
+    )
+    m = (
+        f.select(
+            F.lit("arrival").alias("layout"),
+            F.col("f_arrival").alias("file_id"),
+            "value",
+        )
+        .unionByName(
+            f.select(
+                F.lit("sorted").alias("layout"),
+                F.col("f_sorted").alias("file_id"),
+                "value",
+            )
+        )
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("value").alias("zlo"),
+            F.max("value").alias("zhi"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("value").between(200, 400), 1).otherwise(0))
+            .alias("n_match"),
+        )
+    )
+    pruned = (F.col("zhi") < 200) | (F.col("zlo") > 400)
+    return m.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(pruned.cast("bigint")).alias("n_pruned"),
+        F.sum(F.when(pruned, F.lit(0)).otherwise(F.col("n_rows"))).alias("rows_scanned"),
+        F.sum("n_match").cast("bigint").alias("rows_matched"),
+        F.expr(
+            "10000 * sum(CASE WHEN zhi < 200 OR zlo > 400 THEN n_rows ELSE 0 END)"
+            " div sum(n_rows)"
+        ).alias("skipped_bp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_compaction_plan — small-file compaction planning: pack each
+# source's "files" (per-(source, doc_id-chunk) byte sizes) into merge
+# bins of capacity 4x the source's mean file size using
+# NEXT-FIT-DECREASING (sort sizes descending; a file joins the open
+# bin if it fits, else opens a new one — the one-pass greedy a
+# compactor actually runs, since first-fit's open-bin scan doesn't
+# stream). Oversized files get singleton bins. The packing recursion
+# is sequential per source, so it folds as one JVM `aggregate` HOF
+# over the sorted size array (file counts per source are bounded at
+# planning grain; the bounded-fold contract), and the oracle replays
+# the same greedy walk with a recursive CTE — two recursion
+# mechanisms, one plan. All arithmetic BIGINT.
+# --------------------------------------------------------------------------
+COMPACTION_ORACLE = """
+WITH RECURSIVE files AS (
+  SELECT source, doc_id // 25 AS chunk, SUM(n_chars) AS sz
+  FROM documents GROUP BY 1, 2
+), capd AS (
+  SELECT source, CAST(4 * (SUM(sz) // COUNT(*)) AS BIGINT) AS cap,
+    COUNT(*) AS n_files, CAST(SUM(sz) AS BIGINT) AS total_chars
+  FROM files GROUP BY 1
+), o AS (
+  SELECT f.source, CAST(f.sz AS BIGINT) AS sz, c.cap,
+    row_number() OVER (PARTITION BY f.source ORDER BY f.sz DESC, f.chunk) AS rn
+  FROM files f JOIN capd c USING (source)
+), r AS (
+  SELECT source, rn, sz, cap, 1 AS n_bins, sz AS last_load,
+    CAST(0 AS BIGINT) AS max_closed
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.rn, o.sz, o.cap,
+    CASE WHEN r.last_load + o.sz <= o.cap THEN r.n_bins ELSE r.n_bins + 1 END,
+    CASE WHEN r.last_load + o.sz <= o.cap THEN r.last_load + o.sz ELSE o.sz END,
+    CASE WHEN r.last_load + o.sz <= o.cap THEN r.max_closed
+         ELSE greatest(r.max_closed, r.last_load) END
+  FROM r JOIN o ON o.source = r.source AND o.rn = r.rn + 1
+), fin AS (
+  SELECT r.* FROM r
+  JOIN (SELECT source, max(rn) AS mx FROM o GROUP BY source) m
+    ON m.source = r.source AND r.rn = m.mx
+)
+SELECT c.source, CAST(c.n_files AS BIGINT) AS n_files, c.total_chars, c.cap,
+  CAST(f.n_bins AS BIGINT) AS n_bins,
+  CAST(greatest(f.max_closed, f.last_load) AS BIGINT) AS max_bin,
+  CAST(10000 * c.total_chars // (f.n_bins * c.cap) AS BIGINT) AS fill_bp
+FROM capd c JOIN fin f USING (source)
+"""
+
+
+@query("q_compaction_plan", COMPACTION_ORACLE)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    files = docs.groupBy(
+        "source", F.expr("doc_id div 25").alias("chunk")
+    ).agg(F.sum("n_chars").alias("sz"))
+    arr = (
+        files.groupBy("source")
+        .agg(
+            # descending-size order with chunk tiebreak: sort ascending on
+            # (-sz, chunk) — array_sort on the struct is the deterministic sort
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("sz")).alias("nsz"), "chunk", "sz"))
+            ).alias("a"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("sz").alias("total_chars"),
+        )
+        .withColumn("cap", F.expr("4L * (total_chars div n_files)"))
+    )
+    folded = arr.select(
+        "source",
+        "n_files",
+        "total_chars",
+        "cap",
+        F.expr(
+            """
+            aggregate(
+              a,
+              cast(array() as array<bigint>),
+              (loads, v) -> if(
+                size(loads) > 0 AND element_at(loads, -1) + v.sz <= cap,
+                concat(slice(loads, 1, size(loads) - 1),
+                       array(element_at(loads, -1) + v.sz)),
+                concat(loads, array(v.sz)))
+            )
+            """
+        ).alias("loads"),
+    )
+    return folded.select(
+        "source",
+        "n_files",
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+        "cap",
+        F.size("loads").cast("bigint").alias("n_bins"),
+        F.array_max("loads").cast("bigint").alias("max_bin"),
+        F.expr("10000L * total_chars div (size(loads) * cap)").alias("fill_bp"),
+    )

@@ -1392,3 +1392,144 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort", "event_type", "n_events",
         F.col("tv").cast("double").alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_sliding_distinct — trailing 7-day distinct users (and event volume)
+# per observed day: the sliding-window COUNT DISTINCT that plain window
+# functions cannot express (DISTINCT is not frame-able). Spark shape:
+# each event EXPLODES into the 7 window-end days it contributes to
+# (a bounded W-fold fanout of keys, not payloads), then one
+# (day, user) distinct aggregation — the scalable alternative to a
+# per-day range join, whose same-key pair re-filtering is per-day
+# quadratic at scale. Window-end days are semi-joined to observed days
+# (bounded frame, broadcast). The ORACLE replays the *range-join*
+# formulation — two different algorithms, one fixpoint, so a hash
+# match certifies the explode fanout covers exactly [day, day+6].
+# --------------------------------------------------------------------------
+SLIDING_DISTINCT_ORACLE = """
+WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS u7,
+  COUNT(*) AS n7
+FROM d JOIN events e
+  ON CAST(e.ts AS DATE) BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY 1
+"""
+
+
+@query("q_sliding_distinct", SLIDING_DISTINCT_ORACLE)
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    days = ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+    expl = days.select(
+        "user_id",
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("wday"),
+    )
+    actual = days.select("day").distinct()
+    return (
+        expl.join(F.broadcast(actual), expl["wday"] == actual["day"], "left_semi")
+        .groupBy("wday")
+        .agg(
+            F.countDistinct("user_id").alias("u7"),
+            F.count(F.lit(1)).alias("n7"),
+        )
+        .select(F.date_format("wday", "yyyy-MM-dd").alias("day"), "u7", "n7")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_cusum_changepoint — two-sided CUSUM drift detection over the daily
+# event volume per type (the classic changepoint/monitoring chart):
+#   sp_d = max(0, sp_{d-1} + x_d - mean - k)   (upward drift)
+#   sn_d = max(0, sn_{d-1} + mean - x_d - k)   (downward drift)
+# with slack k = 5% of the per-type mean and alarm threshold h = mean.
+# CUSUM is a sequential recursion (like EWMA), so it runs as ONE JVM
+# `aggregate` HOF fold over each type's sorted day array (types are
+# few, days bounded — the bounded-fold contract), while the oracle
+# replays the recursion with a recursive CTE. All state is INTEGER
+# milli-events (x·1000, mean_e3 = 1000·total div n_days) — double
+# state would accumulate engine-specific rounding along the chain.
+# --------------------------------------------------------------------------
+CUSUM_ORACLE = """
+WITH RECURSIVE d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT event_type,
+    CAST((1000 * SUM(x)) // COUNT(*) AS BIGINT) AS mean_e3
+  FROM d GROUP BY 1
+), o AS (
+  SELECT d.event_type, d.day, d.x, st.mean_e3, st.mean_e3 // 20 AS k_e3,
+    row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
+  FROM d JOIN st USING (event_type)
+), r AS (
+  SELECT event_type, day, x, rn, mean_e3, k_e3,
+    greatest(0, x * 1000 - mean_e3 - k_e3) AS sp,
+    greatest(0, mean_e3 - x * 1000 - k_e3) AS sn
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.day, o.x, o.rn, o.mean_e3, o.k_e3,
+    greatest(0, r.sp + o.x * 1000 - o.mean_e3 - o.k_e3),
+    greatest(0, r.sn + o.mean_e3 - o.x * 1000 - o.k_e3)
+  FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.rn + 1
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x,
+  CAST(sp AS BIGINT) AS sp_e3, CAST(sn AS BIGINT) AS sn_e3,
+  (sp > mean_e3 OR sn > mean_e3) AS alarm
+FROM r
+"""
+
+
+@query("q_cusum_changepoint", CUSUM_ORACLE)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    arr = (
+        daily.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(F.struct("day", "x"))).alias("a"))
+        .withColumn(
+            "mean_e3",
+            F.expr("(1000L * aggregate(a, 0L, (s, v) -> s + v.x)) div size(a)"),
+        )
+        .withColumn("k_e3", F.expr("mean_e3 div 20L"))
+    )
+    folded = arr.select(
+        "event_type",
+        "mean_e3",
+        F.expr(
+            """
+            aggregate(
+              a,
+              struct(
+                cast(array() as array<struct<day:string,x:bigint,sp:bigint,sn:bigint>>)
+                  AS r,
+                0L AS sp, 0L AS sn),
+              (acc, v) -> struct(
+                concat(acc.r, array(struct(
+                  v.day AS day, v.x AS x,
+                  greatest(0L, acc.sp + v.x * 1000L - mean_e3 - k_e3) AS sp,
+                  greatest(0L, acc.sn + mean_e3 - v.x * 1000L - k_e3) AS sn))) AS r,
+                greatest(0L, acc.sp + v.x * 1000L - mean_e3 - k_e3) AS sp,
+                greatest(0L, acc.sn + mean_e3 - v.x * 1000L - k_e3) AS sn)
+            ).r
+            """
+        ).alias("f"),
+    )
+    out = folded.select("event_type", "mean_e3", F.explode("f").alias("r"))
+    return out.select(
+        "event_type",
+        F.col("r.day").alias("day"),
+        F.col("r.x").alias("x"),
+        F.col("r.sp").alias("sp_e3"),
+        F.col("r.sn").alias("sn_e3"),
+        ((F.col("r.sp") > F.col("mean_e3")) | (F.col("r.sn") > F.col("mean_e3")))
+        .alias("alarm"),
+    )

@@ -212,6 +212,11 @@ _SHUFFLE_BUDGET = {
     "q_audio_fingerprint": 4, # band self-join + pair dedup + near rollup + joinback
     "q_fd_discovery": 12,     # 4 candidates x (distinct-pair agg + rollup + union)
     "q_k_anonymize": 12,      # 4 ladder levels x (class-size agg + stats rollup)
+    "q_skyline": 4,           # bucket prune (agg + window + joinback) + global stage
+    "q_sliding_distinct": 3,  # day explode agg + observed-days distinct + semi-join
+    "q_zone_map_pruning": 1,  # simulated file assignment windows (single-partition)
+    "q_cusum_changepoint": 2, # daily rollup + per-type fold collect
+    "q_compaction_plan": 2,   # file-size rollup + per-source fold collect
 }
 
 
