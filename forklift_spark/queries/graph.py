@@ -617,3 +617,214 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walks.select(
         "start", "final", "path", F.col("steps").cast("bigint").alias("steps")
     )
+
+
+# --------------------------------------------------------------------------
+# q_link_predict — link prediction over the synthetic doc graph (the
+# q_triangle_count edge set): for every NON-adjacent pair with at
+# least one common neighbor, common-neighbor count and the Adamic-Adar
+# score sum(1/ln(deg(z))) over shared neighbors z, top 20. Wedge
+# enumeration (e1=(z,a), e2=(z,b), a<b) through each center z —
+# centers of degree 1 cannot form a wedge, so ln(deg) >= ln(2) by
+# construction; at 100 TB a hub center fans deg^2 wedges, which a
+# degree cap / neighborhood sample bounds (documented, not needed at
+# catalog grain). Engine exactness: ln() is bit-identical across
+# engines on exact-integer doubles (the DSIR finding), so per-center
+# contributions quantize to floor(1e9/ln(d)) BIGINTs and the pair
+# score is an order-independent integer sum. Existing edges leave via
+# anti-join; (score, cn, a, b) ordering is total, so LIMIT 20 is
+# deterministic.
+# --------------------------------------------------------------------------
+LINK_PREDICT_ORACLE = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+ed AS (
+  SELECT DISTINCT doc_id AS src,
+         (doc_id * (2 * k + 5) + k) % nn.n AS dst
+  FROM documents, nn, (SELECT unnest(range(1, 4)) AS k) ks
+  WHERE k <= 1 + doc_id % 3
+    AND (doc_id * (2 * k + 5) + k) % nn.n <> doc_id
+),
+und AS (
+  SELECT src AS u, dst AS v FROM ed
+  UNION
+  SELECT dst, src FROM ed
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
+w AS (
+  SELECT e1.u AS z, e1.v AS a, e2.v AS b
+  FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+),
+sc AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn,
+    CAST(SUM(CAST(floor(1e9 / ln(CAST(deg.d AS DOUBLE))) AS BIGINT)) AS BIGINT)
+      AS aa_e9
+  FROM w JOIN deg ON deg.u = w.z
+  GROUP BY a, b
+),
+cand AS (
+  SELECT sc.* FROM sc
+  WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = sc.a AND und.v = sc.b)
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, cn, aa_e9
+FROM cand ORDER BY aa_e9 DESC, cn DESC, a, b LIMIT 20
+"""
+
+
+@query("q_link_predict", LINK_PREDICT_ORACLE)
+def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    n = docs.count()  # bounded scalar (node count)
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.sequence(F.lit(1), (F.lit(1) + F.col("doc_id") % 3).cast("int"))
+            ).alias("k"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * (2 * F.col("k") + 5) + F.col("k")) % n).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    und = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .persist()  # wedge join + anti-join + degree agg
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    e1 = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
+    e2 = und.select(F.col("u").alias("z"), F.col("v").alias("b"))
+    wedges = e1.join(e2, "z").filter(F.col("a") < F.col("b"))
+    sc = (
+        wedges.join(deg.withColumnRenamed("u", "z"), "z")
+        .withColumn(
+            "contrib",
+            F.expr("cast(floor(1e9 / ln(cast(d as double))) as bigint)"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum("contrib").cast("bigint").alias("aa_e9"),
+        )
+    )
+    cand = sc.join(
+        und,
+        (sc["a"] == und["u"]) & (sc["b"] == und["v"]),
+        "left_anti",
+    )
+    return cand.orderBy(F.col("aa_e9").desc(), F.col("cn").desc(), "a", "b").limit(20)
+
+
+# --------------------------------------------------------------------------
+# q_modularity — Newman modularity of a GIVEN node partition (here:
+# the doc's source) over the synthetic doc graph — the community-
+# quality metric that scores whether sources form graph communities.
+#   Q = sum_c [ L_c/m - (D_c/2m)^2 ]
+# is rational, so the per-community contribution is published as the
+# INTEGER numerator over the common denominator M2^2 (M2 = 2m = the
+# directed edge count): M2^2 * Q_c = 2*M2*L_c - D_c^2 — exact BIGINT
+# end to end, with one final IEEE division for the readable double.
+# Both directions of every undirected edge are counted once each, so
+# intra-community rows halve to L_c without parity loss. One scalar
+# 1-row M2 frame broadcasts (q11/q15 shape); everything else is
+# equi-joins on node id and one per-community rollup.
+# --------------------------------------------------------------------------
+MODULARITY_ORACLE = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+ed AS (
+  SELECT DISTINCT doc_id AS src,
+         (doc_id * (2 * k + 5) + k) % nn.n AS dst
+  FROM documents, nn, (SELECT unnest(range(1, 4)) AS k) ks
+  WHERE k <= 1 + doc_id % 3
+    AND (doc_id * (2 * k + 5) + k) % nn.n <> doc_id
+),
+und AS (
+  SELECT src AS u, dst AS v FROM ed
+  UNION
+  SELECT dst, src FROM ed
+),
+m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM und),
+com AS (SELECT doc_id, source FROM documents),
+deg AS (
+  SELECT c.source, CAST(count(*) AS BIGINT) AS d_c,
+         CAST(count(DISTINCT und.u) AS BIGINT) AS n_nodes
+  FROM und JOIN com c ON c.doc_id = und.u
+  GROUP BY c.source
+),
+intra AS (
+  SELECT cu.source, CAST(count(*) // 2 AS BIGINT) AS l_c
+  FROM und
+  JOIN com cu ON cu.doc_id = und.u
+  JOIN com cv ON cv.doc_id = und.v
+  WHERE cu.source = cv.source
+  GROUP BY cu.source
+)
+SELECT d.source, d.n_nodes, d.d_c, COALESCE(i.l_c, 0) AS l_c, m2.m2,
+  CAST(2 * m2.m2 * COALESCE(i.l_c, 0) - d.d_c * d.d_c AS BIGINT) AS q_num,
+  CAST(2 * m2.m2 * COALESCE(i.l_c, 0) - d.d_c * d.d_c AS DOUBLE)
+    / CAST(m2.m2 * m2.m2 AS DOUBLE) AS q_part
+FROM deg d LEFT JOIN intra i ON i.source = d.source CROSS JOIN m2
+"""
+
+
+@query("q_modularity", MODULARITY_ORACLE)
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    n = docs.count()  # bounded scalar (node count)
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.sequence(F.lit(1), (F.lit(1) + F.col("doc_id") % 3).cast("int"))
+            ).alias("k"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * (2 * F.col("k") + 5) + F.col("k")) % n).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    und = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .persist()  # M2 count + degree rollup + intra join
+    )
+    com = F.broadcast(docs.select("doc_id", "source"))
+    m2 = und.agg(F.count(F.lit(1)).cast("bigint").alias("m2"))
+    deg = (
+        und.join(com, und["u"] == com["doc_id"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("d_c"),
+            F.countDistinct("u").cast("bigint").alias("n_nodes"),
+        )
+    )
+    cu = com.select(F.col("doc_id").alias("_u"), F.col("source").alias("su"))
+    cv = com.select(F.col("doc_id").alias("_v"), F.col("source").alias("sv"))
+    intra = (
+        und.join(F.broadcast(cu), und["u"] == F.col("_u"))
+        .join(F.broadcast(cv), und["v"] == F.col("_v"))
+        .filter(F.col("su") == F.col("sv"))
+        .groupBy(F.col("su").alias("source"))
+        .agg(F.expr("cast(count(*) div 2 as bigint)").alias("l_c"))
+    )
+    out = (
+        deg.join(intra, "source", "left")
+        .withColumn("l_c", F.coalesce("l_c", F.lit(0).cast("bigint")))
+        .crossJoin(F.broadcast(m2))  # 1-row scalar edge count
+    )
+    return out.select(
+        "source",
+        "n_nodes",
+        "d_c",
+        "l_c",
+        "m2",
+        F.expr("cast(2 * m2 * l_c - d_c * d_c as bigint)").alias("q_num"),
+        (
+            F.expr("cast(2 * m2 * l_c - d_c * d_c as double)")
+            / F.expr("cast(m2 * m2 as double)")
+        ).alias("q_part"),
+    )

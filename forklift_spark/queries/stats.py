@@ -1706,3 +1706,80 @@ def q_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("rel_err"),
     )
+
+
+# --------------------------------------------------------------------------\n# q_quantile_normalize — per-group quantile normalization: each event
+# type's values are mapped onto the GLOBAL value distribution at
+# centile grain (rank r of n in its group -> the global
+# ceil(100*r/n)-centile boundary value), the batch-effect correction
+# used to make per-source feature distributions comparable before
+# training. Boundaries are DISCRETE global percentiles — the actual
+# value at global rank ceil(c*N/100) under a total (value, event_id)
+# order — because Spark `percentile` and DuckDB `quantile_cont`
+# interpolate with different floating-point groupings (measured here:
+# 29.8 vs 29.800000000000004); rank selection is pure BIGINT
+# arithmetic and the boundary is a READ value, bit-identical by
+# construction. Spark derives each global rank's centile set by the
+# INVERSE index map (explode of [c_lo..c_hi] — no join), the oracle
+# by the forward join — two formulations, one boundary table. The
+# boundary extraction's global window is rank-extraction over the
+# (bounded) boundary count at scale via qsketch; documented trade.
+# --------------------------------------------------------------------------
+QUANTILE_NORM_ORACLE = """
+WITH nn AS (SELECT COUNT(*) AS N FROM events),
+g AS (
+  SELECT value, row_number() OVER (ORDER BY value, event_id) AS grk FROM events
+),
+c AS (SELECT unnest(range(1, 101)) AS c),
+b AS (
+  SELECT c.c, g.value AS bv
+  FROM c CROSS JOIN nn JOIN g ON g.grk = (c.c * nn.N + 99) // 100
+),
+r AS (
+  SELECT event_id, event_type, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT r.event_id, r.event_type, r.value,
+  CAST((100 * rk + n - 1) // n AS BIGINT) AS centile,
+  b.bv AS norm
+FROM r JOIN b ON b.c = (100 * rk + n - 1) // n
+"""
+
+
+@query("q_quantile_normalize", QUANTILE_NORM_ORACLE)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = tables.load(spark, sf_dir, "events")
+    g = ev.select(
+        "value",
+        "event_id",
+        F.row_number().over(W.orderBy("value", "event_id")).alias("grk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("N"),
+    )
+    # inverse index map: global rank grk serves centiles c with
+    # ceil(c*N/100) == grk, i.e. c in (100*(grk-1)/N, 100*grk/N]
+    b = (
+        g.select(
+            F.col("value").alias("bv"),
+            F.expr("(100 * (grk - 1)) div N + 1").alias("c_lo"),
+            F.expr("least((100 * grk) div N, 100L)").alias("c_hi"),
+        )
+        .filter(F.col("c_hi") >= F.col("c_lo"))
+        .select(F.explode(F.expr("sequence(c_lo, c_hi)")).alias("c"), "bv")
+    )
+    wr = W.partitionBy("event_type").orderBy("value", "event_id")
+    wn = W.partitionBy("event_type")
+    r = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).withColumn("centile", F.expr("(100 * rk + n - 1) div n"))
+    return (
+        r.join(F.broadcast(b), r["centile"] == b["c"])  # bounded 100-row frame
+        .select("event_id", "event_type", "value", "centile", F.col("bv").alias("norm"))
+    )

@@ -1570,3 +1570,123 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_tokens div n_docs").cast("bigint").alias("mean_doc_tokens"),
         F.round("p50_words", 9).alias("median_doc_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_bpe_train — byte-pair-encoding TRAINING: the actual iterative merge
+# loop (q_bpe_pair_stats is one round's statistic; this runs the loop).
+# Each round: (1) occurrence-weighted adjacent-pair counts over the
+# DISTINCT-word table (the vocabulary-not-token-stream shuffle rule),
+# (2) the argmax pair under a deterministic (n DESC, left, right) tie
+# break — a 1-row scalar frame (q11/q15 shape), (3) the classic greedy
+# LEFT-TO-RIGHT NON-OVERLAPPING merge of that pair inside every word,
+# run as one JVM `aggregate` HOF fold per distinct word ("aaaa" + (a,a)
+# -> [aa, aa], never [a, aa, a]). Rounds are unrolled with a
+# localCheckpoint on the bounded word table (iterative-operator
+# discipline). The oracle replays the merge fold with DuckDB's
+# list_reduce over the spaced-symbol string — two engines, two HOF
+# implementations, certifying pair counts, argmax tie breaks, AND the
+# greedy merge semantics round for round. Pair counts count OVERLAPPING
+# occurrences ("aaa" -> 2x(a,a)) exactly as reference BPE does.
+# --------------------------------------------------------------------------
+_BPE_TRAIN_ROUNDS = 3
+
+
+def _bpe_train_oracle(rounds: int) -> str:
+    parts = [
+        f"""WITH w0 AS MATERIALIZED (
+  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s,
+         CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT unnest({_W}) AS w FROM documents) t
+  WHERE w <> '' GROUP BY 1
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", p{r} AS MATERIALIZED (
+  SELECT list_extract(l, k) AS lft, list_extract(l, k + 1) AS rgt,
+         CAST(SUM(f) AS BIGINT) AS n
+  FROM (SELECT unnest(generate_series(1, len(l) - 1)) AS k, l, f
+        FROM (SELECT string_split(s, ' ') AS l, f FROM w{r - 1}) q
+        WHERE len(l) >= 2) t
+  GROUP BY 1, 2
+), b{r} AS MATERIALIZED (
+  SELECT lft, rgt, n FROM p{r} ORDER BY n DESC, lft, rgt LIMIT 1
+), w{r} AS MATERIALIZED (
+  SELECT list_reduce(string_split(w{r - 1}.s, ' '), (acc, y) ->
+      CASE WHEN (acc = b{r}.lft OR ends_with(acc, ' ' || b{r}.lft))
+                AND y = b{r}.rgt
+           THEN left(acc, length(acc) - length(b{r}.lft)) || b{r}.lft || b{r}.rgt
+           ELSE acc || ' ' || y END) AS s, w{r - 1}.f
+  FROM w{r - 1}, b{r}
+)"""
+        )
+    selects = [
+        f"SELECT {r} AS merge_round, lft, rgt, lft || rgt AS merged, n FROM b{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+_BPE_MERGE_FOLD = """
+aggregate(
+  s,
+  cast(array() as array<string>),
+  (acc, t) -> if(
+    size(acc) > 0 AND element_at(acc, -1) = lft AND t = rgt,
+    concat(slice(acc, 1, size(acc) - 1), array(lft || rgt)),
+    concat(acc, array(t)))
+)
+"""
+
+
+@query("q_bpe_train", _bpe_train_oracle(_BPE_TRAIN_ROUNDS))
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce as _reduce
+
+    docs = tables.load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(X.words("text")).alias("w"))
+        .filter(F.col("w") != "")  # empty-word engine divergence (NOTES r3 §22)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select(F.split("w", "").alias("s"), "f")
+        .localCheckpoint(eager=True)  # bounded distinct-word table
+    )
+    merge_rows = []
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        pairs = (
+            words.filter(F.size("s") >= 2)  # sequence(1,0) counts DOWN in Spark
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1),"
+                        " i -> struct(element_at(s, i) AS lft,"
+                        " element_at(s, i + 1) AS rgt))"
+                    )
+                ).alias("p"),
+                "f",
+            )
+            .groupBy("p.lft", "p.rgt")
+            .agg(F.sum("f").alias("n"))
+        )
+        best = (
+            pairs.orderBy(F.col("n").desc(), "lft", "rgt")
+            .limit(1)
+            .localCheckpoint(eager=True)  # 1-row scalar, consumed twice
+        )
+        words = (
+            words.crossJoin(F.broadcast(best.select("lft", "rgt")))
+            .select(F.expr(_BPE_MERGE_FOLD).alias("s"), "f")
+            .localCheckpoint(eager=True)
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(r).alias("merge_round"),
+                "lft",
+                "rgt",
+                F.concat("lft", "rgt").alias("merged"),
+                "n",
+            )
+        )
+    return _reduce(lambda a, b: a.unionByName(b), merge_rows)

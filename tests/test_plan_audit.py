@@ -74,6 +74,8 @@ _BNLJ_ALLOWED = {
     "q_k_anonymize",           # 1-row chosen-level scalar frame
     "q_kmv_distinct",          # 1-row sketch-estimate scalar frames
     "q_rrf_fusion",            # 1-row (N, avgdl) scalar + bounded query side
+    "q_modularity",            # 1-row scalar edge-count frame
+    "q_bpe_train",             # 1-row argmax-pair scalar frame per merge round
 }
 
 

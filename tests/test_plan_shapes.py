@@ -217,6 +217,10 @@ _SHUFFLE_BUDGET = {
     "q_zone_map_pruning": 1,  # simulated file assignment windows (single-partition)
     "q_cusum_changepoint": 2, # daily rollup + per-type fold collect
     "q_compaction_plan": 2,   # file-size rollup + per-source fold collect
+    "q_bpe_train": 0,         # merge rounds all behind localCheckpoint
+    "q_link_predict": 2,      # wedge join + per-pair rollup (persisted edges)
+    "q_quantile_normalize": 2,  # global boundary window + per-type rank window
+    "q_modularity": 3,        # edge distinct + degree rollup + intra rollup
 }
 
 
