@@ -79,7 +79,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NH, _BANDS, _ROWS = 16, 8, 2
 
 
-def _minhash_lsh_oracle() -> str:
+def _minhash_ctes() -> str:
+    """Shared oracle CTE prefix replaying the MinHash pipeline: shingle
+    sets (hashed), signatures (sig), banded LSH candidates (cand), set
+    sizes (sizes) — reused by q_dedup_minhash_lsh and
+    q_dedup_recall_eval so both certify the SAME replayed sketch."""
     sh = _shingle_sql()
     # independent seeded re-hash of the shingle identity h1, two 60-bit
     # minhashes per digest — mirrors operators/dedup.minhash_signatures
@@ -117,7 +121,11 @@ WITH words AS (
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id
-), inter AS (
+)"""
+
+
+def _minhash_lsh_oracle() -> str:
+    return f"""{_minhash_ctes()}, inter AS (
   SELECT c.id_a, c.id_b, count(*) AS i
   FROM cand c
   JOIN hashed x ON x.doc_id = c.id_a
@@ -1065,4 +1073,93 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(""),
         ).alias("cleaned_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_dedup_recall_eval — measured quality of the MinHash-LSH candidate
+# stage itself: candidate recall and precision against EXACT
+# ground-truth near-duplicate pairs (shingle Jaccard >= 0.3 over ALL
+# pairs sharing >= 1 shingle — pairs sharing none have J = 0 and
+# cannot reach any positive threshold, so the inverted-index self-join
+# enumerates the complete truth set). This is the dedup twin of
+# q_ann_recall: it certifies the banding s-curve empirically — the
+# number the (1/b)^(1/r) threshold math PREDICTS — where the dedup
+# queries themselves only certify the post-verify output. Truth at
+# scale runs on a sample (the eval harness, not the pipeline); here
+# the corpus is the sample. The oracle replays the SAME sketch CTEs
+# q_dedup_minhash_lsh certifies (_minhash_ctes) plus the naive truth
+# join. Single-row output, integer bp metrics.
+# --------------------------------------------------------------------------
+def _dedup_recall_oracle() -> str:
+    return f"""{_minhash_ctes()}, tr AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+  FROM hashed x JOIN hashed y ON y.h1 = x.h1 AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT t.id_a, t.id_b
+  FROM tr t JOIN sizes sa ON sa.doc_id = t.id_a
+            JOIN sizes sb ON sb.doc_id = t.id_b
+  WHERE CAST(t.i AS DOUBLE) / CAST(sa.n + sb.n - t.i AS DOUBLE) >= 0.3
+), m AS (
+  SELECT count(*) AS n_matched FROM truth JOIN cand USING (id_a, id_b)
+), nt AS (SELECT count(*) AS n_truth FROM truth),
+nc AS (SELECT count(*) AS n_cand FROM cand)
+SELECT CAST(nt.n_truth AS BIGINT) AS n_truth,
+  CAST(nc.n_cand AS BIGINT) AS n_cand,
+  CAST(m.n_matched AS BIGINT) AS n_matched,
+  CAST(10000 * m.n_matched // nt.n_truth AS BIGINT) AS recall_bp,
+  CAST(10000 * m.n_matched // nc.n_cand AS BIGINT) AS precision_bp
+FROM nt, nc, m
+"""
+
+
+@query("q_dedup_recall_eval", _dedup_recall_oracle())
+def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = tables.load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    hashed = D.hashed_shingles(docs, "doc_id", "text", 3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = hashed.select(F.col("doc_id").alias("id_a"), "h1")
+    b = hashed.select(F.col("doc_id").alias("id_b"), "h1")
+    inter = (
+        a.join(b, "h1")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    truth = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(
+            F.col("i").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+            >= 0.3
+        )
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sigs = D.minhash_signatures(hashed, "doc_id", _NH)
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", _BANDS, _ROWS).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    m = truth.join(cand, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_matched"))
+    return (
+        nt.crossJoin(F.broadcast(nc))  # three 1-row scalar frames
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.col("n_cand").cast("bigint").alias("n_cand"),
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+            F.expr("10000 * n_matched div n_truth").alias("recall_bp"),
+            F.expr("10000 * n_matched div n_cand").alias("precision_bp"),
+        )
     )

@@ -2082,3 +2082,114 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("loads").cast("bigint").alias("max_bin"),
         F.expr("10000L * total_chars div (size(loads) * cap)").alias("fill_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_json_schema_infer — semi-structured schema profiling: given a JSON
+# payload column, discover per key its presence rate and value-type
+# distribution (int/double/bool/string) plus integer value bounds —
+# the scan a pipeline runs before declaring a typed schema over event
+# payloads. The testdata props column is single-key, so a richer
+# payload is SYNTHESIZED deterministically from (event_id, event_type)
+# with variably-present keys of each type — both engines build the
+# IDENTICAL JSON text, then each extracts keys GENERICALLY with its
+# own JSON machinery (Spark from_json map<string,string> explode;
+# DuckDB json_keys unnest + json_extract_string — extraction parity
+# measured: ints/doubles/bools all stringify identically). Type
+# classes come from shared-subset regexes over the value text;
+# 'true'/'false' STRINGS classify as bool by design (documented
+# heuristic). One key-grain shuffle; the total is a 1-row scalar.
+# --------------------------------------------------------------------------
+_JSON_PAYLOAD = """
+concat('{{"et":"', event_type, '"',
+  CASE WHEN event_id % 3 != 0
+       THEN concat(', "k":', CAST(event_id % 100 AS {S})) ELSE '' END,
+  CASE WHEN event_id % 2 = 0
+       THEN concat(', "r":', CAST(event_id % 10 AS {S}), '.5') ELSE '' END,
+  CASE WHEN event_id % 5 = 0
+       THEN concat(', "ok":', CASE WHEN event_id % 10 = 0
+                                   THEN 'true' ELSE 'false' END)
+       ELSE '' END,
+  '}}')
+"""
+
+JSON_SCHEMA_ORACLE = f"""
+WITH src AS (
+  SELECT event_id, {_JSON_PAYLOAD.format(S="VARCHAR")} AS j FROM events
+),
+tot AS (SELECT count(*) AS n FROM src),
+kv AS (
+  SELECT k, json_extract_string(j, '$.' || k) AS v
+  FROM src, unnest(json_keys(j)) AS t(k)
+),
+cls AS (
+  SELECT k, v,
+    CASE WHEN regexp_matches(v, '^-?[0-9]+$') THEN 'int'
+         WHEN regexp_matches(v, '^-?[0-9]+\\.[0-9]+$') THEN 'double'
+         WHEN v IN ('true', 'false') THEN 'bool'
+         ELSE 'string' END AS ty
+  FROM kv
+)
+SELECT k AS key, CAST(count(*) AS BIGINT) AS n_present,
+  CAST(10000 * count(*) // tot.n AS BIGINT) AS rate_bp,
+  CAST(count(*) FILTER (WHERE ty = 'int') AS BIGINT) AS n_int,
+  CAST(count(*) FILTER (WHERE ty = 'double') AS BIGINT) AS n_double,
+  CAST(count(*) FILTER (WHERE ty = 'bool') AS BIGINT) AS n_bool,
+  CAST(count(*) FILTER (WHERE ty = 'string') AS BIGINT) AS n_str,
+  min(CASE WHEN ty = 'int' THEN CAST(v AS BIGINT) END) AS int_min,
+  max(CASE WHEN ty = 'int' THEN CAST(v AS BIGINT) END) AS int_max
+FROM cls, tot GROUP BY k, tot.n
+"""
+
+
+@query("q_json_schema_infer", JSON_SCHEMA_ORACLE)
+def q_json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    src = ev.select(
+        F.expr(_JSON_PAYLOAD.format(S="STRING")).alias("j")
+    )
+    tot = src.agg(F.count(F.lit(1)).alias("n"))
+    kv = src.select(F.explode(F.from_json("j", "map<string,string>")).alias("k", "v"))
+    ty = (
+        F.when(F.col("v").rlike("^-?[0-9]+$"), "int")
+        .when(F.col("v").rlike("^-?[0-9]+\\.[0-9]+$"), "double")
+        .when(F.col("v").isin("true", "false"), "bool")
+        .otherwise("string")
+    )
+    cls = kv.withColumn("ty", ty)
+    return (
+        cls.groupBy(F.col("k").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(F.when(F.col("ty") == "int", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_int"),
+            F.sum(F.when(F.col("ty") == "double", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_double"),
+            F.sum(F.when(F.col("ty") == "bool", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bool"),
+            F.sum(F.when(F.col("ty") == "string", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_str"),
+            F.min(F.when(F.col("ty") == "int", F.col("v").cast("bigint"))).alias(
+                "int_min"
+            ),
+            F.max(F.when(F.col("ty") == "int", F.col("v").cast("bigint"))).alias(
+                "int_max"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))  # 1-row scalar total
+        .select(
+            "key",
+            "n_present",
+            F.expr("10000 * n_present div n").alias("rate_bp"),
+            "n_int",
+            "n_double",
+            "n_bool",
+            "n_str",
+            "int_min",
+            "int_max",
+        )
+    )

@@ -922,7 +922,11 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bounded-query-set shape of q_ann_bruteforce_topk; everything after
 # the two top-K frames is a K-row-per-query join.
 # --------------------------------------------------------------------------
-def _ann_recall_oracle() -> str:
+def _rank_pipeline_ctes() -> str:
+    """Shared oracle CTE prefix: exact (rx) and LSH-bucketed (ra) top-K
+    cosine rankings over the same query/corpus split — reused by
+    q_ann_recall and q_ndcg_eval so both evaluations certify the SAME
+    replayed pipelines."""
     sign = (
         "CASE WHEN CAST('0x' || substr(md5('h' || s || ':' || CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) & 1 = 1 "
         "THEN 1 ELSE -1 END"
@@ -972,7 +976,11 @@ ra AS (
     FROM da d JOIN norms na ON d.ia = na.vec_id
               JOIN norms nb ON d.ib = nb.vec_id
   ) WHERE rank <= {_K}
-),
+)"""
+
+
+def _ann_recall_oracle() -> str:
+    return f"""{_rank_pipeline_ctes()},
 m AS (
   SELECT x.query_id, count(*) AS n_matched
   FROM rx x JOIN ra a USING (query_id, neighbor_id)
@@ -1034,5 +1042,90 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("recall_bp"),
             F.col("top1_rank_in_approx").cast("bigint").alias("top1_rank_in_approx"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_ndcg_eval — graded ranking quality of the LSH pipeline vs
+# brute-force truth: NDCG@K, the metric that (unlike q_ann_recall's
+# set recall) penalizes the approximate list for ORDERING its hits
+# wrong. Truth grades are derived from the exact ranking (rank r of K
+# -> gain K+1-r, misses 0); DCG discounts by 1/log2(position+1).
+# Engine exactness: log2 factors through ln (bit-identical across
+# engines on exact-integer doubles — the DSIR finding), the whole
+# per-position term is ONE SHARED SQL expression evaluated by both
+# engines and floored to integer 1e-9 units, so per-query DCG/IDCG
+# are order-independent BIGINT sums. Both replayed pipelines are the
+# SAME CTE prefix q_ann_recall certifies (_rank_pipeline_ctes).
+# --------------------------------------------------------------------------
+def _dcg_term(g: str, p: str) -> str:
+    """floor(1e9 * g * ln(2)/ln(p+1)) — identical expression tree in
+    both engines => identical doubles => identical floor."""
+    return (
+        f"cast(floor(1e9 * (cast({g} as double) * ln(2e0)"
+        f" / ln(cast({p} + 1 as double)))) as bigint)"
+    )
+
+
+def _ndcg_oracle() -> str:
+    idcg = _dcg_term(f"({_K} + 1 - rank)", "rank")
+    dcg = _dcg_term(f"coalesce({_K} + 1 - x.rank, 0)", "a.rank")
+    return f"""{_rank_pipeline_ctes()},
+gx AS (
+  SELECT query_id, CAST(SUM({idcg}) AS BIGINT) AS idcg_e9 FROM rx GROUP BY 1
+),
+ga AS (
+  SELECT a.query_id, count(*) AS n_approx,
+    CAST(SUM({dcg}) AS BIGINT) AS dcg_e9
+  FROM ra a LEFT JOIN rx x USING (query_id, neighbor_id)
+  GROUP BY 1
+)
+SELECT gx.query_id,
+  CAST(coalesce(ga.n_approx, 0) AS BIGINT) AS n_approx,
+  CAST(coalesce(ga.dcg_e9, 0) AS BIGINT) AS dcg_e9,
+  gx.idcg_e9,
+  CAST(10000 * coalesce(ga.dcg_e9, 0) // gx.idcg_e9 AS BIGINT) AS ndcg_bp
+FROM gx LEFT JOIN ga USING (query_id)
+"""
+
+
+@query("q_ndcg_eval", _ndcg_oracle())
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q_side = emb.filter(F.col("vec_id") < _NQ)
+    c_side = emb.filter(F.col("vec_id") >= _NQ)
+    exact = (
+        S.brute_force_topk(q_side, c_side, k=_K)
+        .select("query_id", "neighbor_id", F.col("rank").alias("rx"))
+        .localCheckpoint(eager=False)
+    )
+    approx = S.lsh_topk(q_side, c_side, k=_K, bits=_BITS).select(
+        "query_id", "neighbor_id", F.col("rank").alias("ra")
+    )
+    gx = exact.groupBy("query_id").agg(
+        F.expr(f"cast(sum({_dcg_term(f'({_K} + 1 - rx)', 'rx')}) as bigint)")
+        .alias("idcg_e9")
+    )
+    ga = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_approx"),
+            F.expr(
+                f"cast(sum({_dcg_term(f'coalesce({_K} + 1 - rx, 0)', 'ra')}) as bigint)"
+            ).alias("dcg_e9"),
+        )
+    )
+    return (
+        gx.join(ga, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_approx", F.lit(0)).cast("bigint").alias("n_approx"),
+            F.coalesce("dcg_e9", F.lit(0)).cast("bigint").alias("dcg_e9"),
+            "idcg_e9",
+            F.expr("10000 * coalesce(dcg_e9, 0) div idcg_e9")
+            .cast("bigint")
+            .alias("ndcg_bp"),
         )
     )

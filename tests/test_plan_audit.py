@@ -76,6 +76,9 @@ _BNLJ_ALLOWED = {
     "q_rrf_fusion",            # 1-row (N, avgdl) scalar + bounded query side
     "q_modularity",            # 1-row scalar edge-count frame
     "q_bpe_train",             # 1-row argmax-pair scalar frame per merge round
+    "q_ndcg_eval",             # built on the brute-force top-k (same bound)
+    "q_json_schema_infer",     # 1-row scalar total
+    "q_dedup_recall_eval",     # three 1-row scalar metric frames
 }
 
 

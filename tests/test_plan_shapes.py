@@ -221,6 +221,9 @@ _SHUFFLE_BUDGET = {
     "q_link_predict": 2,      # wedge join + per-pair rollup (persisted edges)
     "q_quantile_normalize": 2,  # global boundary window + per-type rank window
     "q_modularity": 3,        # edge distinct + degree rollup + intra rollup
+    "q_ndcg_eval": 5,         # two top-K pipelines + gain joins (shared w/ recall)
+    "q_json_schema_infer": 2, # key-grain rollup + 1-row total
+    "q_dedup_recall_eval": 2, # truth inverted-index join + metric scalars
 }
 
 
