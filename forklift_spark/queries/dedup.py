@@ -1163,3 +1163,81 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("10000 * n_matched div n_cand").alias("precision_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_containment_dedup — DIRECTIONAL containment audit: |A∩B|/|A| over
+# shingle sets, the asymmetric cousin of Jaccard that near-dup
+# pipelines miss — a short doc quoted wholesale inside a long one has
+# tiny Jaccard but containment ~1. Pairs come from the inverted-index
+# self-join on shared shingles (complete for any positive threshold:
+# no shared shingle => containment 0); both directions report in
+# integer basis points (i div |A| — no doubles), kept when either
+# direction >= 80%. At 100 TB the candidate step prunes
+# ubiquitous shingles by document frequency before the join (the
+# postings-length cap every inverted-index join uses); the full join
+# here IS the exact semantics the capped one approximates.
+# --------------------------------------------------------------------------
+def _containment_oracle() -> str:
+    sh = _shingle_sql()
+    return f"""
+WITH words AS (
+  {_WORDS_CTE}
+), sh0 AS (
+  SELECT doc_id, {sh} AS sh FROM words
+), sh_exp AS (
+  SELECT doc_id, md5('s:' || unnest(sh)) AS d FROM sh0
+), hashed AS (
+  SELECT doc_id, CAST('0x' || substr(d, 1, 15) AS BIGINT) AS h1 FROM sh_exp
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+  FROM hashed x JOIN hashed y ON y.h1 = x.h1 AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, CAST(i.i AS BIGINT) AS inter,
+  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+  CAST(10000 * i.i // sa.n AS BIGINT) AS cont_ab_bp,
+  CAST(10000 * i.i // sb.n AS BIGINT) AS cont_ba_bp
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE 10000 * i.i // sa.n >= 8000 OR 10000 * i.i // sb.n >= 8000
+"""
+
+
+@query("q_containment_dedup", _containment_oracle())
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = tables.load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    hashed = D.hashed_shingles(docs, "doc_id", "text", 3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = hashed.select(F.col("doc_id").alias("id_a"), "h1")
+    b = hashed.select(F.col("doc_id").alias("id_b"), "h1")
+    inter = (
+        a.join(b, "h1")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("i").cast("bigint").alias("inter"),
+            F.col("na").cast("bigint").alias("na"),
+            F.col("nb").cast("bigint").alias("nb"),
+            F.expr("10000 * i div na").alias("cont_ab_bp"),
+            F.expr("10000 * i div nb").alias("cont_ba_bp"),
+        )
+        .filter((F.col("cont_ab_bp") >= 8000) | (F.col("cont_ba_bp") >= 8000))
+    )

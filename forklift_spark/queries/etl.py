@@ -2193,3 +2193,109 @@ def q_json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "int_max",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_bitemporal — bitemporal point-in-time query: the ledger tracks
+# VALID time (when a fact is true in the world) and TRANSACTION time
+# (when the database learned it) as independent axes; "AS OF tx T,
+# valid at V" must pick the row version that was both current
+# knowledge at T and in force at V — the audit query SCD2 (one axis)
+# and snapshot time travel (storage generations) cannot answer. The
+# ledger is synthesized deterministically from orders: every 7th order
+# receives a correction recorded 10 days later that re-prices the
+# order from its 30th day onward, producing the classic three-row
+# bitemporal history (superseded belief, reconfirmed early segment,
+# corrected late segment). Both engines build the identical ledger;
+# the as-of predicate is pure half-open interval logic on dates and
+# the rollup is integer cents.
+# --------------------------------------------------------------------------
+_BT_TX = "DATE '1996-06-01'"
+_BT_V = "DATE '1996-06-01'"
+
+BITEMPORAL_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pri,
+    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+    CAST(o_orderdate AS DATE) AS od,
+    o_orderkey % 7 = 0 AS corrected
+  FROM orders
+), ledger AS (
+  SELECT k, pri, cents, od AS valid_from, DATE '9999-12-31' AS valid_to,
+    od AS tx_from,
+    CASE WHEN corrected THEN od + INTERVAL 10 DAY ELSE DATE '9999-12-31' END
+      AS tx_to
+  FROM base
+  UNION ALL
+  SELECT k, pri, cents, od, od + INTERVAL 30 DAY,
+    od + INTERVAL 10 DAY, DATE '9999-12-31'
+  FROM base WHERE corrected
+  UNION ALL
+  SELECT k, pri, cents + 500, od + INTERVAL 30 DAY, DATE '9999-12-31',
+    od + INTERVAL 10 DAY, DATE '9999-12-31'
+  FROM base WHERE corrected
+)
+SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM ledger
+WHERE tx_from <= {_BT_TX} AND {_BT_TX} < tx_to
+  AND valid_from <= {_BT_V} AND {_BT_V} < valid_to
+GROUP BY pri
+"""
+
+
+@query("q_bitemporal", BITEMPORAL_ORACLE)
+def q_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        (dec("o_totalprice", "decimal(14,2)") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("od"),
+        (F.col("o_orderkey") % 7 == 0).alias("corrected"),
+    )
+    forever = F.lit("9999-12-31").cast("date")
+    v1 = base.select(
+        "k",
+        "pri",
+        "cents",
+        F.col("od").alias("valid_from"),
+        forever.alias("valid_to"),
+        F.col("od").alias("tx_from"),
+        F.when(F.col("corrected"), F.date_add("od", 10))
+        .otherwise(forever)
+        .alias("tx_to"),
+    )
+    v2 = base.filter("corrected").select(
+        "k",
+        "pri",
+        "cents",
+        F.col("od").alias("valid_from"),
+        F.date_add("od", 30).alias("valid_to"),
+        F.date_add("od", 10).alias("tx_from"),
+        forever.alias("tx_to"),
+    )
+    v3 = base.filter("corrected").select(
+        "k",
+        "pri",
+        (F.col("cents") + 500).alias("cents"),
+        F.date_add("od", 30).alias("valid_from"),
+        forever.alias("valid_to"),
+        F.date_add("od", 10).alias("tx_from"),
+        forever.alias("tx_to"),
+    )
+    t = F.lit("1996-06-01").cast("date")
+    ledger = v1.unionByName(v2).unionByName(v3)
+    return (
+        ledger.filter(
+            (F.col("tx_from") <= t)
+            & (t < F.col("tx_to"))
+            & (F.col("valid_from") <= t)
+            & (t < F.col("valid_to"))
+        )
+        .groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )

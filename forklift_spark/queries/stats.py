@@ -1783,3 +1783,56 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.join(F.broadcast(b), r["centile"] == b["c"])  # bounded 100-row frame
         .select("event_id", "event_type", "value", "centile", F.col("bv").alias("norm"))
     )
+
+
+# --------------------------------------------------------------------------
+# q_dp_release — the Laplace mechanism for a private count release,
+# replayed deterministically: per-cell noise is drawn by inverting the
+# Laplace CDF at a HASH-derived uniform (md5 of the cell key onto a
+# 52-bit dyadic rational), so both engines reproduce the identical
+# draw. NOTE the privacy caveat, stated plainly: a seed derived from
+# the protected data is NOT differential privacy — this query
+# certifies the MECHANISM ARITHMETIC (scale b = sensitivity/epsilon =
+# 1/0.5, inverse-CDF transform, non-negative clamp) that a production
+# release would run with a real RNG, and the audit view deliberately
+# publishes true counts beside released ones for exactly that reason.
+# Engine exactness: u is an exact dyadic rational in (0,1), |2u-1| and
+# 1-|2u-1| are exact, ln is bit-identical on identical doubles, and
+# the final floor lands on integer 1e-6 units — one shared SQL
+# expression evaluated by both engines.
+# --------------------------------------------------------------------------
+_DP_POW52 = 1 << 52
+_DP_U = (
+    "(CAST(CAST('0x' || substr(md5('dp:' || event_type), 1, 13) AS BIGINT)"
+    f" % {_DP_POW52 - 1} + 1 AS DOUBLE) / {float(_DP_POW52)!r})"
+)
+_DP_NOISE_E6 = (
+    f"CAST(floor(1e6 * (-2e0 * (CASE WHEN {_DP_U} >= 5e-1 THEN 1e0 ELSE -1e0 END)"
+    f" * ln(1e0 - abs(2e0 * {_DP_U} - 1e0)))) AS BIGINT)"
+)
+
+DP_RELEASE_ORACLE = f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true,
+  {_DP_NOISE_E6} AS noise_e6,
+  greatest(0, COUNT(*) * 1000000 + {_DP_NOISE_E6}) AS released_e6
+FROM events GROUP BY event_type
+"""
+
+
+@query("q_dp_release", DP_RELEASE_ORACLE)
+def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    # Spark: '0x..' literal cast is DuckDB-only; conv() is the Spark twin
+    u = (
+        f"(CAST(CAST(conv(substr(md5('dp:' || event_type), 1, 13), 16, 10) AS BIGINT)"
+        f" % {_DP_POW52 - 1} + 1 AS DOUBLE) / {float(_DP_POW52)!r})"
+    )
+    noise = (
+        f"CAST(floor(1e6 * (-2e0 * (CASE WHEN {u} >= 5e-1 THEN 1e0 ELSE -1e0 END)"
+        f" * ln(1e0 - abs(2e0 * {u} - 1e0)))) AS BIGINT)"
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.expr(noise).alias("noise_e6"),
+        F.expr(f"greatest(0L, count(*) * 1000000L + {noise})").alias("released_e6"),
+    )

@@ -1533,3 +1533,88 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("r.sp") > F.col("mean_e3")) | (F.col("r.sn") > F.col("mean_e3")))
         .alias("alarm"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_seasonal_decompose — classical additive decomposition of the daily
+# revenue series per event type: trend = centered 7-day moving average
+# (full windows only — edges stay NULL rather than decay-biased),
+# seasonal = day-of-week mean of the detrended series, residual = the
+# rest. All state INTEGER cents: the moving average and DOW means use
+# true integer division (measured: Spark `div` and DuckDB `//` BOTH
+# truncate toward zero on negatives, so detrended sums divide
+# identically). Day-of-week parity: Spark weekday() (Mon=0) ==
+# DuckDB isodow - 1. Two window passes partitioned by type + one
+# bounded DOW join — the scalable decomposition shape (no global
+# sort; each type's series stays in one partition stream).
+# --------------------------------------------------------------------------
+SEASONAL_ORACLE = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, day, x,
+    CASE WHEN COUNT(*) OVER w = 7
+         THEN CAST(SUM(x) OVER w // 7 AS BIGINT) END AS trend
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), dt AS (
+  SELECT *, x - trend AS detr, isodow(day) - 1 AS dow FROM t
+), s AS (
+  SELECT event_type, dow,
+    CAST(SUM(detr) // COUNT(detr) AS BIGINT) AS seasonal
+  FROM dt WHERE detr IS NOT NULL GROUP BY 1, 2
+)
+SELECT dt.event_type, strftime(dt.day, '%Y-%m-%d') AS day, dt.x AS x_cents,
+  dt.trend, s.seasonal, dt.detr - s.seasonal AS residual
+FROM dt LEFT JOIN s ON s.event_type = dt.event_type AND s.dow = dt.dow
+"""
+
+
+@query("q_seasonal_decompose", SEASONAL_ORACLE)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.functions.exact import dec
+
+    ev = tables.load(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            (dec("value", "decimal(12,2)") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("x"))
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    t = d.select(
+        "event_type",
+        "day",
+        "x",
+        F.when(F.count(F.lit(1)).over(w) == 7, F.sum("x").over(w)).alias("ma7"),
+    ).withColumn("trend", F.expr("ma7 div 7").cast("bigint"))
+    dt = t.select(
+        "event_type",
+        "day",
+        "x",
+        "trend",
+        (F.col("x") - F.col("trend")).alias("detr"),
+        F.weekday("day").alias("dow"),
+    )
+    s = (
+        dt.filter(F.col("detr").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(F.expr("sum(detr) div count(detr)").cast("bigint").alias("seasonal"))
+    )
+    return (
+        dt.join(F.broadcast(s), ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("x").alias("x_cents"),
+            "trend",
+            "seasonal",
+            (F.col("detr") - F.col("seasonal")).alias("residual"),
+        )
+    )

@@ -224,6 +224,10 @@ _SHUFFLE_BUDGET = {
     "q_ndcg_eval": 5,         # two top-K pipelines + gain joins (shared w/ recall)
     "q_json_schema_infer": 2, # key-grain rollup + 1-row total
     "q_dedup_recall_eval": 2, # truth inverted-index join + metric scalars
+    "q_containment_dedup": 1, # one inverted-index self-join (persisted shingles)
+    "q_seasonal_decompose": 4,  # daily rollup + trend window + DOW agg + joinback
+    "q_bitemporal": 1,        # priority rollup over the unioned ledger
+    "q_dp_release": 1,        # one cell-grain rollup
 }
 
 
