@@ -180,6 +180,22 @@ HEADLINE = [
     "q_audio_fingerprint",
     "q_fd_discovery",
     "q_k_anonymize",
+    "q_skyline",
+    "q_sliding_distinct",
+    "q_zone_map_pruning",
+    "q_cusum_changepoint",
+    "q_compaction_plan",
+    "q_bpe_train",
+    "q_link_predict",
+    "q_quantile_normalize",
+    "q_modularity",
+    "q_ndcg_eval",
+    "q_json_schema_infer",
+    "q_dedup_recall_eval",
+    "q_containment_dedup",
+    "q_seasonal_decompose",
+    "q_bitemporal",
+    "q_dp_release",
 ]
 
 

@@ -44,16 +44,16 @@ def query(name: str, oracle: str | None = None):
 _WINDOW_FAMILIES: dict[str, list[str]] = {
     "dedup": [
         "q_stream_dedup_exact", "q_dedup_minhash_lsh", "q_set_similarity_join",
-        "q_substring_dedup", "q_decontaminate", "q_line_dedup",
+        "q_substring_dedup", "q_decontaminate", "q_dedup_recall_eval",
     ],
     "graph": ["q_pagerank", "q_triangle_count"],
     "similarity": [
         "q_ann_bruteforce_topk", "q_ann_lsh_topk",
         "q_embedding_dedup_lsh", "q_ann_ivf_topk",
-        "q_semantic_dedup", "q_hybrid_search",
+        "q_semantic_dedup", "q_ndcg_eval",
     ],
     "text": [
-        "q_text_token_stats", "q_text_quality", "q_lang_id",
+        "q_text_token_stats", "q_bpe_train", "q_lang_id",
         "q_gopher_quality", "q_sequence_pack", "q_winnow_fingerprint",
     ],
     "selection": ["q_dsir_weights", "q_bigram_xent"],
@@ -63,7 +63,7 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
         "q_json_extract", "q_array_agg", "q_ivm_agg",
     ],
     "analytics": [
-        "q1_pricing_summary", "q5_region_revenue", "q7_volume_shipping",
+        "q_skyline", "q5_region_revenue", "q7_volume_shipping",
     ],
     "connectors": [
         "q_csv_roundtrip", "q_jdbc_roundtrip", "q_dump_pipe_roundtrip",
@@ -74,7 +74,7 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
         "q_heavy_hitters_cms",
     ],
     "timeseries": [
-        "q_asof_join", "q_sessionize", "q_stream_late_audit",
+        "q_asof_join", "q_cusum_changepoint", "q_stream_late_audit",
         "q_stream_stateful_counts",
     ],
     "multimodal": ["q_audio_features", "q_phash_dedup", "q_scene_detect"],
