@@ -196,6 +196,8 @@ HEADLINE = [
     "q_seasonal_decompose",
     "q_bitemporal",
     "q_dp_release",
+    "q_process_mining",
+    "q_holt_forecast",
 ]
 
 

@@ -1618,3 +1618,148 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("detr") - F.col("seasonal")).alias("residual"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_process_mining — the eventually-follows matrix over user traces
+# (the alpha-miner / process-discovery input): for each ordered pair
+# of distinct activities (a, b), how many users' FIRST occurrence of a
+# strictly precedes their first occurrence of b, with support in basis
+# points of the user population. Strict < on first timestamps is the
+# deterministic order relation — exact-microsecond ties count as
+# neither-precedes on BOTH engines, so no tiebreak column is needed
+# (min_by/arg_min tie behavior is engine-nondeterministic and
+# deliberately avoided). Shape: one (user, activity) first-occurrence
+# rollup, a per-user self-join bounded by the activity alphabet
+# (|A|^2 pairs per user, |A| = 5 here), one pair rollup.
+# --------------------------------------------------------------------------
+PROCESS_MINING_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, event_type, min(ts) AS ft
+  FROM events GROUP BY 1, 2
+), tot AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+pairs AS (
+  SELECT a.event_type AS act_a, b.event_type AS act_b,
+    count(*) AS n_users_ab
+  FROM firsts a JOIN firsts b
+    ON a.user_id = b.user_id AND a.event_type <> b.event_type
+  WHERE a.ft < b.ft
+  GROUP BY 1, 2
+)
+SELECT act_a, act_b, CAST(n_users_ab AS BIGINT) AS n_users_ab,
+  CAST(10000 * n_users_ab // tot.n_users AS BIGINT) AS support_bp
+FROM pairs, tot
+"""
+
+
+@query("q_process_mining", PROCESS_MINING_ORACLE)
+def q_process_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id", "event_type").agg(F.min("ts").alias("ft"))
+    tot = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    a = firsts.select(
+        "user_id", F.col("event_type").alias("act_a"), F.col("ft").alias("fa")
+    )
+    b = firsts.select(
+        "user_id", F.col("event_type").alias("act_b"), F.col("ft").alias("fb")
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .filter((F.col("act_a") != F.col("act_b")) & (F.col("fa") < F.col("fb")))
+        .groupBy("act_a", "act_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users_ab"))
+    )
+    return pairs.crossJoin(F.broadcast(tot)).select(  # 1-row scalar population
+        "act_a",
+        "act_b",
+        "n_users_ab",
+        F.expr("10000 * n_users_ab div n_users").alias("support_bp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_holt_forecast — Holt's linear-trend (double exponential) smoothing
+# over the daily revenue series per event type, the forecasting
+# upgrade of q_ewma_smooth: two coupled integer states in milli-cents
+#   l_d = (3·x_d·1000 + 7·(l + b)) div 10     (alpha = 0.3)
+#   b_d = (2·(l_d - l) + 8·b) div 10          (beta  = 0.2)
+# initialized l_1 = x_1·1000, b_1 = 0, with the 7-day-ahead forecast
+# l + 7·b published per day. Sequential two-state recursion == one JVM
+# `aggregate` HOF fold per type's sorted day array; the oracle replays
+# it with a recursive CTE (two recursion mechanisms, one fixpoint).
+# Negative trends divide identically in both engines (div/'//'
+# truncation parity, measured for q_seasonal_decompose).
+# --------------------------------------------------------------------------
+HOLT_ORACLE = """
+WITH RECURSIVE d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM d
+), r AS (
+  SELECT event_type, day, x, rn, x * 1000 AS l, CAST(0 AS BIGINT) AS b
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.day, o.x, o.rn,
+    (3 * o.x * 1000 + 7 * (r.l + r.b)) // 10,
+    (2 * ((3 * o.x * 1000 + 7 * (r.l + r.b)) // 10 - r.l) + 8 * r.b) // 10
+  FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.rn + 1
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x AS day_cents,
+  CAST(l AS BIGINT) AS l_e3, CAST(b AS BIGINT) AS b_e3,
+  CAST(l + 7 * b AS BIGINT) AS fc7_e3
+FROM r
+"""
+
+
+@query("q_holt_forecast", HOLT_ORACLE)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.functions.exact import dec
+
+    ev = tables.load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+            (dec("value", "decimal(12,2)") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("x"))
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("a")
+    )
+    folded = arr.select(
+        "event_type",
+        F.expr(
+            """
+            aggregate(
+              slice(a, 2, greatest(size(a) - 1, 0)),
+              struct(
+                array(struct(a[0].day AS day, a[0].x AS x,
+                             a[0].x * 1000L AS l, 0L AS b)) AS r,
+                a[0].x * 1000L AS l, 0L AS b),
+              (acc, v) -> struct(
+                concat(acc.r, array(struct(
+                  v.day AS day, v.x AS x,
+                  (3L * v.x * 1000L + 7L * (acc.l + acc.b)) div 10L AS l,
+                  (2L * ((3L * v.x * 1000L + 7L * (acc.l + acc.b)) div 10L
+                         - acc.l) + 8L * acc.b) div 10L AS b))) AS r,
+                (3L * v.x * 1000L + 7L * (acc.l + acc.b)) div 10L AS l,
+                (2L * ((3L * v.x * 1000L + 7L * (acc.l + acc.b)) div 10L
+                       - acc.l) + 8L * acc.b) div 10L AS b)
+            ).r
+            """
+        ).alias("f"),
+    )
+    out = folded.select("event_type", F.explode("f").alias("r"))
+    return out.select(
+        "event_type",
+        F.col("r.day").alias("day"),
+        F.col("r.x").alias("day_cents"),
+        F.col("r.l").alias("l_e3"),
+        F.col("r.b").alias("b_e3"),
+        (F.col("r.l") + 7 * F.col("r.b")).alias("fc7_e3"),
+    )

@@ -79,6 +79,7 @@ _BNLJ_ALLOWED = {
     "q_ndcg_eval",             # built on the brute-force top-k (same bound)
     "q_json_schema_infer",     # 1-row scalar total
     "q_dedup_recall_eval",     # three 1-row scalar metric frames
+    "q_process_mining",        # 1-row scalar user-population frame
 }
 
 

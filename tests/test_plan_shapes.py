@@ -228,6 +228,8 @@ _SHUFFLE_BUDGET = {
     "q_seasonal_decompose": 4,  # daily rollup + trend window + DOW agg + joinback
     "q_bitemporal": 1,        # priority rollup over the unioned ledger
     "q_dp_release": 1,        # one cell-grain rollup
+    "q_process_mining": 4,    # first-occurrence rollup + user self-join + pairs
+    "q_holt_forecast": 2,     # daily rollup + per-type fold collect
 }
 
 
