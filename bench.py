@@ -198,6 +198,7 @@ HEADLINE = [
     "q_dp_release",
     "q_process_mining",
     "q_holt_forecast",
+    "q_critical_path",
 ]
 
 

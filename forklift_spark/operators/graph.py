@@ -102,6 +102,8 @@ def transitive_closure(
     max_doublings: int = 4,
     child_col: str = "child",
     parent_col: str = "parent",
+    agg: str = "min",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """All (descendant, ancestor, dist) pairs of a DAG/forest by pointer
     doubling: each round composes the closure-so-far with itself, so
@@ -119,15 +121,24 @@ def transitive_closure(
     column — pairs-count × log-depth total shuffle volume; per-round
     ``localCheckpoint`` cuts lineage exactly like ``pagerank``. Raises
     if the closure is still changing after ``max_doublings`` rounds
-    (2^max_doublings hops) instead of returning a partial closure."""
+    (2^max_doublings hops) instead of returning a partial closure.
+
+    ``agg="max"`` switches to MAX-PLUS squaring — ``dist`` becomes the
+    LONGEST path (critical-path semantics; converges on DAGs, where
+    every path is simple). ``weight_col`` seeds each edge's dist from
+    that column instead of 1 (weighted paths; composition still sums).
+    The (pairs, Σdist) convergence probe is agg-agnostic: under max the
+    per-pair dist is nondecreasing, so equality is still a fixpoint."""
+    fagg = F.max if agg == "max" else F.min
+    seed = F.col(weight_col) if weight_col else F.lit(1)
     cl = (
         edges.select(
             F.col(child_col).alias("descn"),
             F.col(parent_col).alias("anc"),
-            F.lit(1).alias("dist"),
+            seed.alias("dist"),
         )
         .groupBy("descn", "anc")
-        .agg(F.min("dist").alias("dist"))
+        .agg(fagg("dist").alias("dist"))
         .localCheckpoint(eager=True)
     )
 
@@ -150,7 +161,7 @@ def transitive_closure(
         cl = (
             cl.unionByName(hop)
             .groupBy("descn", "anc")
-            .agg(F.min("dist").alias("dist"))
+            .agg(fagg("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
         st2 = _state(cl)
@@ -167,7 +178,7 @@ def transitive_closure(
         (F.col("a.dist") + F.col("b.dist")).alias("dist"),
     )
     fixpoint = (
-        cl.unionByName(hop).groupBy("descn", "anc").agg(F.min("dist").alias("dist"))
+        cl.unionByName(hop).groupBy("descn", "anc").agg(fagg("dist").alias("dist"))
     )
     if _state(fixpoint) != st:
         raise RuntimeError(

@@ -828,3 +828,78 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.expr("cast(m2 * m2 as double)")
         ).alias("q_part"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_critical_path — critical-path analysis (CPM) over a synthesized
+# multi-path task DAG (task k depends on k div 2 AND k div 3 — a
+# genuine DAG where longest != shortest, unlike the BOM tree): each
+# task's earliest start = the LONGEST duration-weighted ancestor
+# chain, finish = start + own duration. Runs as MAX-PLUS pointer
+# doubling (transitive_closure(agg="max", weight_col=...) — the same
+# O(log depth) squaring as the BOM closure with the semiring swapped;
+# converges because DAG paths are simple). The oracle replays longest
+# paths with a recursive CTE using UNION dedup on (descn, anc, dist)
+# — path-choice sequences collapse to distinct triples, bounding the
+# recursion. Integer durations 1 + k % 5.
+# --------------------------------------------------------------------------
+CRITICAL_PATH_ORACLE = """
+WITH RECURSIVE t AS (
+  SELECT p_partkey AS k, 1 + p_partkey % 5 AS dur
+  FROM part WHERE p_partkey >= 1 AND p_partkey < 500
+), e AS (
+  SELECT k AS child, k // 2 AS parent FROM t WHERE k >= 2
+  UNION
+  SELECT k, k // 3 FROM t WHERE k >= 2 AND k // 3 >= 1 AND k // 3 <> k // 2
+), cl AS (
+  SELECT e.child AS descn, e.parent AS anc, td.dur AS dist
+  FROM e JOIN t td ON td.k = e.parent
+  UNION
+  SELECT cl.descn, e.parent, cl.dist + td.dur
+  FROM cl JOIN e ON e.child = cl.anc JOIN t td ON td.k = e.parent
+), mx AS (
+  SELECT descn, max(dist) AS dist FROM cl GROUP BY descn, anc
+), es AS (
+  SELECT descn, CAST(max(dist) AS BIGINT) AS es,
+    CAST(count(*) AS BIGINT) AS n_anc
+  FROM mx GROUP BY descn
+)
+SELECT t.k AS task, CAST(t.dur AS BIGINT) AS dur,
+  COALESCE(es.n_anc, 0) AS n_anc,
+  COALESCE(es.es, 0) AS es,
+  COALESCE(es.es, 0) + t.dur AS finish
+FROM t LEFT JOIN es ON es.descn = t.k
+"""
+
+
+@query("q_critical_path", CRITICAL_PATH_ORACLE)
+def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = tables.load(spark, sf_dir, "part")
+    t = part.filter((F.col("p_partkey") >= 1) & (F.col("p_partkey") < 500)).select(
+        F.col("p_partkey").alias("k"), (1 + F.col("p_partkey") % 5).alias("dur")
+    )
+    e2 = t.filter(F.col("k") >= 2).select(
+        F.col("k").alias("child"), F.expr("k div 2").alias("parent")
+    )
+    e3 = t.filter(
+        (F.col("k") >= 2)
+        & (F.expr("k div 3") >= 1)
+        & (F.expr("k div 3") != F.expr("k div 2"))
+    ).select(F.col("k").alias("child"), F.expr("k div 3").alias("parent"))
+    pd_ = t.select(F.col("k").alias("parent"), F.col("dur").alias("w"))
+    edges = e2.unionByName(e3).join(F.broadcast(pd_), "parent")
+    cl = G.transitive_closure(edges, max_doublings=4, agg="max", weight_col="w")
+    es = cl.groupBy("descn").agg(
+        F.max("dist").cast("bigint").alias("es"),
+        F.count(F.lit(1)).cast("bigint").alias("n_anc"),
+    )
+    return (
+        t.join(es, t["k"] == es["descn"], "left")
+        .select(
+            F.col("k").alias("task"),
+            F.col("dur").cast("bigint").alias("dur"),
+            F.coalesce("n_anc", F.lit(0)).cast("bigint").alias("n_anc"),
+            F.coalesce("es", F.lit(0)).cast("bigint").alias("es"),
+            (F.coalesce("es", F.lit(0)) + F.col("dur")).cast("bigint").alias("finish"),
+        )
+    )

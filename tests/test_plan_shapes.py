@@ -230,6 +230,7 @@ _SHUFFLE_BUDGET = {
     "q_dp_release": 1,        # one cell-grain rollup
     "q_process_mining": 4,    # first-occurrence rollup + user self-join + pairs
     "q_holt_forecast": 2,     # daily rollup + per-type fold collect
+    "q_critical_path": 3,     # ES rollup + task joinback (closure checkpointed)
 }
 
 

@@ -135,3 +135,29 @@ def _fold():
     from forklift_spark.queries.text import _BPE_MERGE_FOLD
 
     return _BPE_MERGE_FOLD
+
+
+def test_max_plus_closure_longest_path_on_diamond(spark):
+    """Diamond with unequal arms: 1->2->4 (long arm via weights) and
+    1->3->4 — max-plus must report the LONGEST weighted path where the
+    default min-plus reports the shortest."""
+    from forklift_spark.operators import graph as G
+
+    # child -> parent edges with weights (weight = cost of the parent hop)
+    rows = [(4, 2, 10), (4, 3, 1), (2, 1, 1), (3, 1, 1)]
+    edges = spark.createDataFrame(rows, ["child", "parent", "w"])
+    longest = {
+        (r.descn, r.anc): r.dist
+        for r in G.transitive_closure(
+            edges, max_doublings=3, agg="max", weight_col="w"
+        ).collect()
+    }
+    shortest = {
+        (r.descn, r.anc): r.dist
+        for r in G.transitive_closure(
+            edges, max_doublings=3, agg="min", weight_col="w"
+        ).collect()
+    }
+    assert longest[(4, 1)] == 11  # via the 10-weight arm then 1
+    assert shortest[(4, 1)] == 2  # via the 1-weight arm then 1
+    assert longest[(4, 2)] == 10 and longest[(4, 3)] == 1
