@@ -1,0 +1,366 @@
+"""Manifest-based transactional MERGE over plain parquet.
+
+The reference's upsert sink mutates rows in place (`transports/mysql.rb:82-87`,
+DELETE IN + INSERT). Immutable columnar storage needs the Delta/Iceberg
+shape instead: data files are immutable, a versioned manifest names the
+live file set, and a commit atomically swaps a pointer to the new
+manifest. This module executes that shape with no table-format
+dependency — the "Upsert at scale" design in SCALING.md, realized.
+
+Layout under ``<root>/<table>/``::
+
+    data/snap-<hex>/[__fsp__=<value>/]part-*.parquet   immutable data files
+    manifest-v<N>.json                                 immutable manifests
+    _current                                           atomic version pointer
+
+Why this scales where ``ParquetTableWriter._upsert`` doesn't:
+
+- **MERGE rewrites only touched partitions.** The source batch names the
+  partitions it lands in; every other partition's files are carried into
+  the new manifest by reference — zero IO. A daily batch over a
+  date-partitioned 100 TB fact costs O(today), not O(table).
+- **Snapshot isolation + time travel.** Readers resolve the file list
+  from one manifest version; a concurrent commit never changes files a
+  running job already planned. Old versions stay readable until vacuum.
+- **Manifest-level partition pruning.** ``read(partitions=[...])`` plans
+  only the matching files — the scan never even lists the rest.
+- **Schema evolution without rewrites.** The manifest carries the table
+  schema; reads pass it explicitly, so files written before a column
+  existed are NULL-filled by the parquet reader instead of rewritten.
+
+Driver-side state is bounded: the commit path collects one string per
+touched partition (same class as the HWM scalar) and never row data.
+
+Merge contract (same as Hive dynamic-partition overwrite / partition-
+pruned Delta MERGE): a key is matched *within its partition* — source
+rows must carry the partition value their key lives in. A key that
+"moves" partitions inserts into the new one and leaves the old row;
+callers that allow moving keys must merge on (partition, key).
+
+Partition directory tokens: the partition column is *duplicated* into a
+string column ``__fsp__`` for ``partitionBy`` so the real column stays
+inside the data files (plain ``partitionBy`` would strip it and make
+every reader depend on dir-name inference). Tokens therefore follow
+Spark's own hive escaping; NULL partitions land in
+``__HIVE_DEFAULT_PARTITION__``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PART_DIR_COL = "__fsp__"  # file-system-partition dup column (never in data)
+NULL_TOKEN = "__HIVE_DEFAULT_PARTITION__"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first (optimistic-concurrency
+    loser; re-read and retry — the analog of a Delta protocol conflict)."""
+
+
+def _merge_schemas(current: T.StructType, incoming: T.StructType) -> T.StructType:
+    """Current columns in order (their types win), then new columns.
+    NullType incoming columns are stored as string placeholders, the
+    writer.py convention (reference varchar(0), mysql.rb:145)."""
+    cur = {f.name: f.dataType for f in current.fields}
+    fields = list(current.fields)
+    for f in incoming.fields:
+        if f.name not in cur:
+            dtype = T.StringType() if isinstance(f.dataType, T.NullType) else f.dataType
+            fields.append(T.StructField(f.name, dtype, True))
+    return T.StructType(fields)
+
+
+def _align(df: DataFrame, schema: T.StructType) -> DataFrame:
+    cols = []
+    have = {f.name: f.dataType for f in df.schema.fields}
+    for f in schema.fields:
+        if f.name in have:
+            c = F.col(f.name)
+            if have[f.name] != f.dataType:
+                c = c.cast(f.dataType)
+            cols.append(c.alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+class ManifestTable:
+    """A parquet table whose live file set is named by a versioned JSON
+    manifest, with atomic commits, partition-pruned MERGE/DELETE,
+    snapshot reads, and vacuum."""
+
+    def __init__(self, spark: SparkSession, root: str, table: str):
+        self.spark = spark
+        self.root = root
+        self.table = table
+        self.path = os.path.join(root, table)
+
+    # -- pointer / manifest IO ----------------------------------------------
+    def _pointer_path(self) -> str:
+        return os.path.join(self.path, "_current")
+
+    def exists(self) -> bool:
+        return os.path.isfile(self._pointer_path())
+
+    def current_version(self) -> int:
+        with open(self._pointer_path()) as fh:
+            return int(fh.read().strip())
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        p = os.path.join(self.path, f"manifest-v{v}.json")
+        if not os.path.isfile(p):
+            raise KeyError(f"{self.table}: no manifest version {v}")
+        with open(p) as fh:
+            return json.load(fh)
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.path):
+            if name.startswith("manifest-v") and name.endswith(".json"):
+                out.append(int(name[len("manifest-v"):-len(".json")]))
+        return sorted(out)
+
+    def history(self) -> list[dict]:
+        """One row per retained version: what the commit did and touched."""
+        return [
+            {
+                "version": v,
+                "operation": m.get("operation"),
+                "touched_partitions": m.get("touched_partitions"),
+                "n_files": len(m["entries"]),
+                "bytes": sum(e["bytes"] for e in m["entries"]),
+            }
+            for v in self.versions()
+            for m in [self.manifest(v)]
+        ]
+
+    def _commit(self, manifest: dict) -> int:
+        """Write the immutable manifest, then atomically swap the pointer.
+        The manifest write uses O_EXCL so two racing writers of the same
+        next-version fail loudly instead of last-write-wins."""
+        v = manifest["version"]
+        mpath = os.path.join(self.path, f"manifest-v{v}.json")
+        try:
+            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflict(f"{self.table}: version {v} already committed")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh)
+        tmp = self._pointer_path() + f".tmp{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, self._pointer_path())  # atomic on POSIX
+        return v
+
+    # -- data-file IO --------------------------------------------------------
+    def _write_snapshot(self, df: DataFrame, partition_by: str | None) -> list[dict]:
+        """Write one immutable snapshot dir; return its file entries.
+        The partition column is duplicated into PART_DIR_COL (string) so
+        the data files keep the real column (see module docstring)."""
+        snap = f"snap-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.path, "data", snap)
+        if partition_by:
+            df.withColumn(PART_DIR_COL, F.col(partition_by).cast("string")).write.partitionBy(
+                PART_DIR_COL
+            ).parquet(out)
+        else:
+            df.write.parquet(out)
+        entries = []
+        for dirpath, _dirs, files in os.walk(out):
+            token = None
+            base = os.path.basename(dirpath)
+            if base.startswith(f"{PART_DIR_COL}="):
+                token = unquote(base[len(PART_DIR_COL) + 1:])
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, name)
+                entries.append(
+                    {
+                        "path": os.path.relpath(full, self.path),
+                        "partition": token,
+                        "bytes": os.path.getsize(full),
+                    }
+                )
+        return entries
+
+    def files(
+        self, version: int | None = None, partitions: list | None = None
+    ) -> list[str]:
+        """Absolute data-file paths for a version, optionally pruned to a
+        partition-value list (manifest-level pruning: unlisted files are
+        never even touched by the scan)."""
+        m = self.manifest(version)
+        entries = m["entries"]
+        if partitions is not None:
+            want = {NULL_TOKEN if p is None else str(p) for p in partitions}
+            entries = [e for e in entries if e["partition"] in want]
+        return [os.path.join(self.path, e["path"]) for e in entries]
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        return T.StructType.fromJson(self.manifest(version)["schema"])
+
+    def read(
+        self, version: int | None = None, partitions: list | None = None
+    ) -> DataFrame:
+        """Snapshot read: exactly the files the manifest names, with the
+        manifest schema (files predating a column NULL-fill it)."""
+        schema = self.schema(version)
+        paths = self.files(version, partitions)
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # -- commits --------------------------------------------------------------
+    def create(self, df: DataFrame, partition_by: str | None = None) -> dict:
+        """Initial snapshot (version 1)."""
+        if self.exists():
+            raise FileExistsError(f"{self.table} already exists")
+        os.makedirs(self.path, exist_ok=True)
+        entries = self._write_snapshot(df, partition_by)
+        v = self._commit(
+            {
+                "version": 1,
+                "operation": "create",
+                "partition_by": partition_by,
+                "schema": df.schema.jsonValue(),
+                "touched_partitions": sorted({e["partition"] or "" for e in entries}),
+                "entries": entries,
+            }
+        )
+        return {"version": v, "files_written": len(entries)}
+
+    def _touched_tokens(self, df: DataFrame, partition_by: str) -> list[str]:
+        # bounded driver scalar: one string per touched partition (the
+        # commit must name them in the manifest anyway — same class as HWM)
+        rows = (
+            df.select(F.col(partition_by).cast("string").alias("p"))
+            .distinct()
+            .collect()
+        )
+        return sorted(NULL_TOKEN if r.p is None else r.p for r in rows)
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: str | list[str],
+        broadcast_threshold: int = 2_000_000,
+    ) -> dict:
+        """Upsert `source` by key: rewrite ONLY the partitions the source
+        batch lands in; carry every other partition's files by reference.
+        Matched keys are replaced by the source row (reference DELETE IN +
+        INSERT, mysql.rb:82-87); unmatched source rows insert."""
+        cur = self.manifest()
+        partition_by = cur["partition_by"]
+        schema = _merge_schemas(self.schema(), source.schema)
+        pk = [on] if isinstance(on, str) else list(on)
+        if partition_by:
+            touched = self._touched_tokens(source, partition_by)
+            kept = [e for e in cur["entries"] if e["partition"] not in set(touched)]
+            old = [e for e in cur["entries"] if e["partition"] in set(touched)]
+        else:
+            touched = [""]  # unpartitioned: documented O(table) fallback
+            kept, old = [], list(cur["entries"])
+        existing = (
+            self.spark.read.schema(self.schema()).parquet(
+                *[os.path.join(self.path, e["path"]) for e in old]
+            )
+            if old
+            else self.spark.createDataFrame([], self.schema())
+        )
+        src = _align(source, schema)
+        keys = src.select(*pk).distinct()
+        # broadcast the key set only while provably small (bounded probe,
+        # same rationale as ParquetTableWriter._upsert)
+        if keys.limit(broadcast_threshold + 1).count() <= broadcast_threshold:
+            keys = F.broadcast(keys)
+        survivors = _align(existing, schema).join(keys, pk, "left_anti")
+        entries = self._write_snapshot(survivors.unionByName(src), partition_by)
+        v = self._commit(
+            {
+                "version": cur["version"] + 1,
+                "operation": "merge",
+                "partition_by": partition_by,
+                "schema": schema.jsonValue(),
+                "touched_partitions": touched,
+                "entries": kept + entries,
+            }
+        )
+        return {
+            "version": v,
+            "touched_partitions": touched,
+            "files_rewritten": len(old),
+            "files_written": len(entries),
+            "files_carried": len(kept),
+        }
+
+    def delete(self, predicate) -> dict:
+        """Delete rows matching a Column predicate, rewriting only the
+        partitions that contain matches (the GDPR-delete shape)."""
+        cur = self.manifest()
+        partition_by = cur["partition_by"]
+        full = self.read()
+        if partition_by:
+            touched = self._touched_tokens(full.filter(predicate), partition_by)
+            kept = [e for e in cur["entries"] if e["partition"] not in set(touched)]
+            old = [e for e in cur["entries"] if e["partition"] in set(touched)]
+            scoped = (
+                self.spark.read.schema(self.schema()).parquet(
+                    *[os.path.join(self.path, e["path"]) for e in old]
+                )
+                if old
+                else self.spark.createDataFrame([], self.schema())
+            )
+        else:
+            touched, kept, old, scoped = [""], [], list(cur["entries"]), full
+        entries = self._write_snapshot(scoped.filter(~predicate), partition_by)
+        v = self._commit(
+            {
+                "version": cur["version"] + 1,
+                "operation": "delete",
+                "partition_by": partition_by,
+                "schema": cur["schema"],
+                "touched_partitions": touched,
+                "entries": kept + entries,
+            }
+        )
+        return {
+            "version": v,
+            "touched_partitions": touched,
+            "files_rewritten": len(old),
+            "files_written": len(entries),
+        }
+
+    def vacuum(self, keep_versions: int = 1) -> dict:
+        """Drop manifests older than the newest `keep_versions` and delete
+        data files no retained manifest references."""
+        keep = self.versions()[-max(1, keep_versions):]
+        referenced = set()
+        for v in keep:
+            referenced.update(e["path"] for e in self.manifest(v)["entries"])
+        removed_files = 0
+        data_root = os.path.join(self.path, "data")
+        for dirpath, _dirs, files in os.walk(data_root, topdown=False):
+            for name in files:
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, self.path)
+                if rel not in referenced and name.endswith(".parquet"):
+                    os.remove(full)
+                    removed_files += 1
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        removed_manifests = 0
+        for v in self.versions():
+            if v not in keep:
+                os.remove(os.path.join(self.path, f"manifest-v{v}.json"))
+                removed_manifests += 1
+        return {"removed_files": removed_files, "removed_manifests": removed_manifests}

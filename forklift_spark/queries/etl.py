@@ -2299,3 +2299,77 @@ def q_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("total_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# S3-at-scale: manifest-based transactional MERGE on plain parquet
+# (forklift_spark/manifest.py — the Delta/Iceberg shape of SCALING.md
+# "Upsert at scale", executed). The reference upsert mutates in place
+# (`transports/mysql.rb:82-87`); here the MERGE rewrites ONLY the
+# partitions the source batch lands in (order_year >= 2000) and carries
+# 1995-1999 by manifest reference — O(touched), not O(table). The oracle
+# replays the merge relationally; the untouched-partition byte-identity
+# is pinned by tests/test_manifest.py.
+# --------------------------------------------------------------------------
+MERGE_PART_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS order_year, o_totalprice
+  FROM orders
+), src AS (
+  SELECT o_orderkey, order_year,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) + CAST(100000 AS DECIMAL(14,2)) AS DOUBLE) AS o_totalprice
+  FROM base WHERE order_year >= 2000 AND o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, order_year, o_totalprice
+  FROM base WHERE order_year >= 2000 AND o_orderkey % 11 = 0
+), merged AS (
+  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL
+  SELECT * FROM src
+)
+SELECT order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM merged
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+
+@query("q_merge_partitioned", MERGE_PART_ORACLE)
+def q_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from forklift_spark.manifest import ManifestTable
+
+    base = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        "o_totalprice",
+    )
+    t = ManifestTable(
+        spark, tempfile.mkdtemp(prefix="forklift_manifest_"), "orders_by_year"
+    )
+    t.create(base, partition_by="order_year")
+    hot = base.filter(F.col("order_year") >= 2000)
+    updates = hot.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice",
+        (dec("o_totalprice", MONEY) + F.lit(100000).cast(MONEY)).cast("double"),
+    )
+    inserts = hot.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    )
+    stats = t.merge(updates.unionByName(inserts), on="o_orderkey")
+    # partition pruning is the operator's contract, not an optimization —
+    # fail loud if the commit rewrote cold partitions
+    assert all(int(p) >= 2000 for p in stats["touched_partitions"]), stats
+    assert stats["files_carried"] > 0, stats
+    return (
+        t.read()
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice", MONEY)).cast("double").alias("total_price"),
+        )
+        .orderBy("order_year")
+    )

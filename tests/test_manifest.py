@@ -1,0 +1,214 @@
+"""ManifestTable: transactional MERGE on plain parquet with partition-
+pruned rewrites (VERDICT r3 item 1).
+
+The load-bearing assertion is the file audit: after a MERGE that touches
+a partition subset, every untouched partition's data files are
+**byte-identical and carried by reference** — the commit did not rewrite
+them. Plus: snapshot isolation / time travel, atomic pointer swap,
+commit-conflict detection, schema evolution without rewrites, delete,
+vacuum, and manifest-level partition pruning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from forklift_spark.manifest import CommitConflict, ManifestTable
+
+
+def _md5s(table: ManifestTable, version=None, partitions=None) -> dict[str, str]:
+    out = {}
+    for p in table.files(version, partitions):
+        with open(p, "rb") as fh:
+            out[os.path.relpath(p, table.path)] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+@pytest.fixture()
+def base_df(spark):
+    # 3 partitions (y=1,2,3), 10 keys each
+    return spark.range(30).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3 + 1).cast("int").alias("y"),
+        (F.col("id") * 10).cast("long").alias("v"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path, base_df):
+    t = ManifestTable(spark, str(tmp_path), "t")
+    t.create(base_df, partition_by="y")
+    return t
+
+
+def test_create_and_read(table, base_df):
+    assert table.current_version() == 1
+    got = {(r.k, r.y, r.v) for r in table.read().collect()}
+    want = {(r.k, r.y, r.v) for r in base_df.collect()}
+    assert got == want
+
+
+def test_merge_touches_only_source_partitions(table, spark):
+    before = _md5s(table)
+    untouched_before = {
+        e["path"]: e for e in table.manifest()["entries"] if e["partition"] != "2"
+    }
+    src = spark.createDataFrame(
+        [(1, 2, 999), (100, 2, 1000)],  # update k=1 (lives in y=2), insert k=100
+        schema="k long, y int, v long",
+    )
+    stats = table.merge(src, on="k")
+    assert stats["touched_partitions"] == ["2"]
+    assert stats["files_carried"] == len(untouched_before)
+    # file audit: untouched partitions byte-identical, carried by reference
+    after_entries = {e["path"]: e for e in table.manifest()["entries"]}
+    for path, entry in untouched_before.items():
+        assert path in after_entries, "untouched file dropped from manifest"
+        assert after_entries[path] == entry
+    after = _md5s(table)
+    for path, digest in before.items():
+        if path in after:  # carried files
+            assert after[path] == digest, f"untouched file rewritten: {path}"
+    # and the carried set is exactly the untouched partitions
+    carried = set(before) & set(after)
+    assert carried == set(untouched_before)
+    # semantics: update applied, insert present, everything else intact
+    rows = {r.k: (r.y, r.v) for r in table.read().collect()}
+    assert rows[1] == (2, 999)
+    assert rows[100] == (2, 1000)
+    assert len(rows) == 31
+    assert rows[0] == (1, 0) and rows[3] == (1, 30)
+
+
+def test_snapshot_isolation_time_travel(table, spark):
+    v1_rows = {(r.k, r.v) for r in table.read().collect()}
+    table.merge(
+        spark.createDataFrame([(2, 3, -1)], "k long, y int, v long"), on="k"
+    )
+    assert table.current_version() == 2
+    assert {(r.k, r.v) for r in table.read(version=1).collect()} == v1_rows
+    assert (2, -1) in {(r.k, r.v) for r in table.read().collect()}
+
+
+def test_merge_new_partition_carries_everything(table, spark):
+    n_before = len(table.manifest()["entries"])
+    stats = table.merge(
+        spark.createDataFrame([(200, 9, 1)], "k long, y int, v long"), on="k"
+    )
+    assert stats["touched_partitions"] == ["9"]
+    assert stats["files_rewritten"] == 0
+    assert stats["files_carried"] == n_before
+    assert table.read(partitions=[9]).count() == 1
+
+
+def test_composite_key_merge(table, spark):
+    # merge on (y, k): updates in place, row count unchanged (k=4 lives
+    # in partition y=2 since base sets y = k % 3 + 1)
+    src = spark.createDataFrame([(4, 2, 777)], "k long, y int, v long")
+    table.merge(src, on=["y", "k"])
+    rows = {(r.k, r.y): r.v for r in table.read().collect()}
+    assert rows[(4, 2)] == 777
+    assert len(rows) == 30
+
+
+def test_schema_evolution_without_rewrite(table, spark):
+    before = _md5s(table, partitions=[1, 3])
+    src = spark.createDataFrame(
+        [(1, 2, 5, "new")], "k long, y int, v long, tag string"
+    )
+    table.merge(src, on="k")
+    # old files untouched yet readable with the evolved schema
+    assert _md5s(table, partitions=[1, 3]) == before
+    got = table.read()
+    assert [f.name for f in got.schema.fields] == ["k", "y", "v", "tag"]
+    rows = {r.k: r.tag for r in got.collect()}
+    assert rows[1] == "new"
+    assert rows[0] is None  # NULL-filled from pre-evolution file
+
+
+def test_delete_partition_pruned(table):
+    before = _md5s(table, partitions=[1, 2])
+    stats = table.delete(F.col("y") == 3)
+    assert stats["touched_partitions"] == ["3"]
+    assert _md5s(table, partitions=[1, 2]) == before
+    assert table.read().filter(F.col("y") == 3).count() == 0
+    assert table.read().count() == 20
+    # deleting rows that don't exist touches nothing
+    stats = table.delete(F.col("v") == -12345)
+    assert stats["touched_partitions"] == []
+    assert stats["files_rewritten"] == 0
+
+
+def test_partition_pruned_read_plans_fewer_files(table):
+    all_files = table.files()
+    pruned = table.files(partitions=[2])
+    assert 0 < len(pruned) < len(all_files)
+    assert table.read(partitions=[2]).count() == 10
+
+
+def test_commit_conflict_raises(table, spark, tmp_path):
+    # a second handle that read v1 and tries to commit v2 after the first
+    # handle already did -> loud conflict, not last-write-wins
+    other = ManifestTable(spark, str(tmp_path), "t")
+    m = other.manifest()
+    table.merge(
+        spark.createDataFrame([(0, 1, 1)], "k long, y int, v long"), on="k"
+    )
+    stale = dict(m, version=m["version"] + 1, operation="merge")
+    with pytest.raises(CommitConflict):
+        other._commit(stale)
+    assert table.read().count() == 30  # winner's commit intact
+
+
+def test_vacuum_keeps_referenced_files(table, spark):
+    table.merge(
+        spark.createDataFrame([(1, 2, 0)], "k long, y int, v long"), on="k"
+    )
+    table.merge(
+        spark.createDataFrame([(2, 3, 0)], "k long, y int, v long"), on="k"
+    )
+    live = set(table.files())
+    res = table.vacuum(keep_versions=1)
+    assert res["removed_manifests"] == 2
+    assert res["removed_files"] > 0
+    assert set(table.files()) == live
+    assert all(os.path.isfile(p) for p in live)
+    assert table.versions() == [3]
+    assert table.read().count() == 30  # both merges updated existing keys
+
+
+def test_unpartitioned_fallback(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path), "flat")
+    t.create(spark.range(5).select(F.col("id").alias("k")))
+    t.merge(spark.createDataFrame([(7,)], "k long"), on="k")
+    assert {r.k for r in t.read().collect()} == {0, 1, 2, 3, 4, 7}
+
+
+def test_null_partition_value(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path), "nulls")
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, "a", 20)],
+        T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("g", T.StringType()),
+                T.StructField("v", T.LongType()),
+            ]
+        ),
+    )
+    t.create(df, partition_by="g")
+    stats = t.merge(
+        spark.createDataFrame(
+            [(1, None, 11)],
+            df.schema,
+        ),
+        on="k",
+    )
+    assert stats["touched_partitions"] == ["__HIVE_DEFAULT_PARTITION__"]
+    rows = {r.k: (r.g, r.v) for r in t.read().collect()}
+    assert rows[1] == (None, 11) and rows[2] == ("a", 20)
