@@ -276,9 +276,21 @@ def kmv_sketch(df: DataFrame, key_col: str, k: int) -> DataFrame:
     heaps; nothing resembling a global sort materializes. Sketches of
     shards MERGE by unioning rows and re-taking the k smallest, which
     is how a 100 TB scan builds per-partition sketches and combines
-    them in one reduce."""
+    them in one reduce.
+
+    NULL keys are excluded inside the operator: md5_long(NULL) is NULL,
+    and Spark's ascending sort puts NULLs FIRST while DuckDB's default
+    is NULLS LAST — without the filter a NULL would occupy a k-minimum
+    slot on one engine only (ADVICE r3). Mirror the exclusion in any
+    kmv-based oracle (DISTINCT ... WHERE key IS NOT NULL)."""
     h = md5_long(F.col(key_col).cast("string"))
-    return df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+    return (
+        df.select(h.alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
 
 
 def kmv_merge(k: int, *sketches: DataFrame) -> DataFrame:

@@ -1506,27 +1506,45 @@ def q_welch_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_psi_drift — Population Stability Index between a reference and a
 # current period (the standard production drift monitor for a corpus or
 # feature pipeline): per event type, decile bins are fitted on the
-# REFERENCE window only (exact interpolated percentiles — the
-# q_equidepth_histogram machinery), both windows are bucketed against
-# those frozen boundaries, and PSI = Σ (pc − pr)·ln(pc/pr) with add-one
-# (Laplace) smoothing so an empty current bin stays finite. Engine
-# exactness: the ln argument is ONE division of two exact integer
-# products (ln bit-parity on such doubles is measured — see
-# q_dsir_weights), each bin's contribution is quantized to 1e-12 units
-# at the 10-bin frame, and the per-type total is a BIGINT sum —
-# order-independent at any parallelism. Scale shape: two scans (fit +
-# bucket), boundaries broadcast, no window, no sort.
+# REFERENCE window only, both windows are bucketed against those frozen
+# boundaries, and PSI = Σ (pc − pr)·ln(pc/pr) with add-one (Laplace)
+# smoothing so an empty current bin stays finite. Boundaries are
+# DISCRETE rank-selected values — the read value at per-type rank
+# ceil(d·n/10) under a (value, event_id) total order — NOT interpolated
+# percentiles: Spark `percentile` and DuckDB `quantile_cont` interpolate
+# with different FP groupings (measured 29.8 vs 29.800000000000004 on
+# this very column), so an interpolated edge can land epsilon across a
+# data value on one engine only (ADVICE r3); a read value is
+# bit-identical by construction. Engine exactness: the ln argument is
+# ONE division of two exact integer products (ln bit-parity on such
+# doubles is measured — see q_dsir_weights), each bin's contribution is
+# quantized to 1e-12 units at the 10-bin frame, and the per-type total
+# is a BIGINT sum — order-independent at any parallelism. Scale shape:
+# the fit is a per-type rank window (the q_quantile_normalize documented
+# trade), then one bucketing scan per window with the 9-edge frame
+# broadcast; no global sort.
 # --------------------------------------------------------------------------
 _PSI_SPLIT = "2024-01-15"
 
 PSI_ORACLE = f"""
 WITH ref AS (
-  SELECT event_type, value FROM events WHERE ts < TIMESTAMP '{_PSI_SPLIT}'
+  SELECT event_type, value, event_id FROM events WHERE ts < TIMESTAMP '{_PSI_SPLIT}'
 ), cur AS (
   SELECT event_type, value FROM events WHERE ts >= TIMESTAMP '{_PSI_SPLIT}'
+), rkd AS (
+  SELECT event_type, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ref
 ), b AS (
-  SELECT event_type, quantile_cont(value, {_DECILES}) AS bs
-  FROM ref GROUP BY event_type
+  SELECT event_type, list(bv ORDER BY d) AS bs
+  FROM (
+    SELECT r.event_type, d.d, r.value AS bv
+    FROM rkd r
+    JOIN (SELECT unnest(range(1, 10)) AS d) d
+      ON r.rk = (d.d * r.n + 9) // 10
+  )
+  GROUP BY event_type
 ), rb AS (
   SELECT r.event_type, 1 + len(list_filter(b.bs, x -> r.value > x)) AS bucket,
          count(*) AS nr
@@ -1568,13 +1586,39 @@ FROM contrib GROUP BY event_type
 
 @query("q_psi_drift", PSI_ORACLE)
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     ev = tables.load(spark, sf_dir, "events")
     split = F.lit(_PSI_SPLIT).cast("timestamp")
     ref = ev.filter(F.col("ts") < split).select("event_type", "value")
     cur = ev.filter(F.col("ts") >= split).select("event_type", "value")
-    frac = ", ".join(str(d) for d in _DECILES)
-    bounds = ref.groupBy("event_type").agg(
-        F.expr(f"percentile(value, array({frac}))").alias("bs")
+    # discrete rank-selected decile edges (see header comment): the value
+    # at per-type rank ceil(d*n/10), derived by the INVERSE index map
+    # (each rank serves deciles d in (10*(rk-1)/n, 10*rk/n]) — no join
+    ranked = ev.filter(F.col("ts") < split).select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("value", "event_id"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    edges = (
+        ranked.select(
+            "event_type",
+            F.col("value").alias("bv"),
+            F.expr("(10 * (rk - 1)) div n + 1").alias("d_lo"),
+            F.expr("least((10 * rk) div n, 9L)").alias("d_hi"),
+        )
+        .filter(F.col("d_hi") >= F.col("d_lo"))
+        .select(
+            "event_type", F.explode(F.expr("sequence(d_lo, d_hi)")).alias("d"), "bv"
+        )
+    )
+    bounds = edges.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "bv"))), lambda s: s["bv"]
+        ).alias("bs")
     )
 
     def bucketed(df: DataFrame, out: str) -> DataFrame:

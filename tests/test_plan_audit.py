@@ -70,7 +70,6 @@ _BNLJ_ALLOWED = {
     "q_decayed_engagement",    # 1-row corpus-max-date scalar frame
     "q_bigram_xent",           # 1-row corpus-token total into the bigram model
     "q_mi_feature_select",     # 1-row (n, n_t) totals into the contingency table
-    "q_fk_discovery",          # per-candidate 1-row (n, m) scalar frames
     "q_k_anonymize",           # 1-row chosen-level scalar frame
     "q_kmv_distinct",          # 1-row sketch-estimate scalar frames
     "q_rrf_fusion",            # 1-row (N, avgdl) scalar + bounded query side

@@ -195,3 +195,19 @@ def test_kmv_estimate_exact_when_small_and_bounded_error(spark):
     est = K.kmv_estimate(K.kmv_sketch(big, "k", 256), 256).collect()[0].est
     # KMV relative std error ~ 1/sqrt(k-2) ≈ 6.3% at k=256; allow 4 sigma
     assert abs(est - 20000) / 20000 < 0.25
+
+
+def test_kmv_excludes_null_keys(spark):
+    # ADVICE r3: Spark sorts NULLs first ascending, DuckDB last — a NULL
+    # hash must never occupy a k-minimum slot on either engine
+    from forklift_spark.operators import sketch as K
+
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(20)] + [(None,), (None,)], "k string"
+    )
+    sk = K.kmv_sketch(df, "k", k=8).collect()
+    assert len(sk) == 8
+    assert all(r.h is not None for r in sk)
+    # estimate path unaffected by the null rows
+    est = K.kmv_estimate(K.kmv_sketch(df, "k", k=64), 64).first()
+    assert est.n_sketch == 20  # exact when n < k, nulls excluded
