@@ -41,44 +41,50 @@ def query(name: str, oracle: str | None = None):
 # (not just exactly 50) checks a representative mix. After the window:
 # remaining oracle-backed queries, round-robin by family; rows-only
 # queries last (weakest checks at the tail).
+# r4 rotation (VERDICT r3 item 2): every r1-r3 driver-green query rotates
+# OUT (stays oracle-backed + local-verified via scripts/verify_driver.py);
+# the window now holds only queries that have NEVER had a driver row —
+# the judge's named ten (scd2/cdc/ivm_join/stream_windowed/sessionize/
+# corpus_curation/entity_resolution/spatial/checksum/quantile_normalize),
+# this round's new q_merge_partitioned, and the strongest remaining
+# never-checked entry per family slot.
 _WINDOW_FAMILIES: dict[str, list[str]] = {
     "dedup": [
-        "q_stream_dedup_exact", "q_dedup_minhash_lsh", "q_set_similarity_join",
-        "q_substring_dedup", "q_decontaminate", "q_dedup_recall_eval",
+        "q_corpus_curation", "q_entity_resolution", "q_dedup_components",
+        "q_fuzzy_match", "q_contamination_matrix", "q_line_dedup",
     ],
-    "graph": ["q_pagerank", "q_triangle_count"],
+    "graph": ["q_kcore", "q_modularity"],
     "similarity": [
-        "q_ann_bruteforce_topk", "q_ann_lsh_topk",
-        "q_embedding_dedup_lsh", "q_ann_ivf_topk",
-        "q_semantic_dedup", "q_ndcg_eval",
+        "q_ann_lsh_multitable", "q_knn_classify", "q_hybrid_search",
+        "q_mmr_diversify", "q_ann_recall", "q_embedding_quantize",
     ],
     "text": [
-        "q_text_token_stats", "q_bpe_train", "q_lang_id",
-        "q_gopher_quality", "q_sequence_pack", "q_winnow_fingerprint",
+        "q_tfidf_top_terms", "q_pii_redact", "q_zipf_token_freq",
+        "q_doc_chunking", "q_token_rarity", "q_train_test_split",
     ],
-    "selection": ["q_dsir_weights", "q_bigram_xent"],
+    "selection": ["q_unigram_xent", "q_mi_feature_select"],
     "etl": [
-        "q_read_since", "q_upsert_merge", "q_schema_evolution",
-        "q_data_expectations",
-        "q_json_extract", "q_array_agg", "q_ivm_agg",
+        "q_merge_partitioned", "q_scd2_merge", "q_cdc_apply",
+        "q_ivm_join", "q_spatial_join", "q_table_checksum",
+        "q_snapshot_diff",
     ],
     "analytics": [
-        "q_skyline", "q5_region_revenue", "q7_volume_shipping",
+        "q8_market_share", "q18_large_orders", "q21_waiting_supplier",
     ],
     "connectors": [
-        "q_csv_roundtrip", "q_jdbc_roundtrip", "q_dump_pipe_roundtrip",
-        "q_optimistic_sync", "q_es_roundtrip",
+        "q_auto_increment_key", "q_jsonl_roundtrip", "q_orc_roundtrip",
+        "q_partitioned_overwrite", "q_time_travel",
     ],
     "stats": [
-        "q_welch_ab", "q_psi_drift", "q_kmv_distinct",
-        "q_heavy_hitters_cms",
+        "q_quantile_normalize", "q_grouped_ols", "q_rolling_anomaly",
+        "q_retention_cohorts",
     ],
     "timeseries": [
-        "q_asof_join", "q_cusum_changepoint", "q_stream_late_audit",
-        "q_stream_stateful_counts",
+        "q_stream_windowed_counts", "q_stream_sessionize",
+        "q_range_join", "q_ohlc_bars",
     ],
-    "multimodal": ["q_audio_features", "q_phash_dedup", "q_scene_detect"],
-    "web": ["q_url_dedup", "q_web_pipeline"],
+    "multimodal": ["q_image_decode", "q_video_frames", "q_audio_fingerprint"],
+    "web": ["q_url_parse", "q_warc_extract"],
 }
 
 
