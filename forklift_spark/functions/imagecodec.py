@@ -1,9 +1,10 @@
-"""Pure-Python codecs for uncompressed image formats (PPM/PGM, 24-bit BMP).
+"""Pure-Python image codecs: PPM/PGM, 24-bit BMP, and PNG (stdlib zlib).
 
 No image library exists in this environment, so the multimodal "real
 decode" operators (operators/multimodal.py) use these parsers: real
-header parsing + pixel access for the two classic uncompressed formats,
-implemented on bytes/struct only. PIL, when present, remains an optional
+header parsing + pixel access — uncompressed PNM/BMP plus a full PNG
+walker (chunk CRCs, IDAT inflate, scanline unfiltering, palette/alpha)
+implemented on bytes/struct/zlib only. PIL, when present, remains an optional
 fallback for compressed formats — but the decode path is reachable and
 tested WITHOUT it.
 
@@ -162,16 +163,183 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# PNG (ISO/IEC 15948 / RFC 2083): 8-bit depth, color types 0 (gray),
+# 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced.
+# From-scratch format walker on stdlib zlib only: chunk CRC verification,
+# IDAT inflate, per-scanline unfiltering (None/Sub/Up/Average/Paeth),
+# palette mapping, alpha stripped to match the RGB/L feature surface.
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color type -> channels in the filtered scanlines
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_unfilter(data: bytes, width: int, height: int, ch: int) -> bytearray:
+    """Reverse per-scanline filtering; returns the raw byte raster."""
+    stride = width * ch
+    if len(data) < (stride + 1) * height:
+        raise ImageDecodeError(
+            f"PNG scanline data truncated: have {len(data)}, "
+            f"need {(stride + 1) * height}"
+        )
+    out = bytearray(stride * height)
+    for y in range(height):
+        ftype = data[y * (stride + 1)]
+        row = data[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        base = y * stride
+        prev = out[base - stride : base] if y else bytes(stride)
+        if ftype == 0:  # None
+            out[base : base + stride] = row
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                left = out[base + x - ch] if x >= ch else 0
+                out[base + x] = (row[x] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                out[base + x] = (row[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = out[base + x - ch] if x >= ch else 0
+                out[base + x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = out[base + x - ch] if x >= ch else 0
+                ul = prev[x - ch] if x >= ch else 0
+                out[base + x] = (row[x] + _paeth(left, prev[x], ul)) & 0xFF
+        else:
+            raise ImageDecodeError(f"bad PNG filter type {ftype} at row {y}")
+    return out
+
+
+def decode_png(raw: bytes) -> DecodedImage:
+    import zlib
+
+    if raw[:8] != PNG_SIG:
+        raise ImageDecodeError("not a PNG: bad signature")
+    pos, n = 8, len(raw)
+    ihdr = None
+    palette: bytes | None = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", raw, pos)
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + length]
+        if len(data) < length or pos + 12 + length > n:
+            raise ImageDecodeError(f"PNG chunk {ctype!r} truncated")
+        (crc,) = struct.unpack_from(">I", raw, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ImageDecodeError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            palette = bytes(data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ImageDecodeError("PNG missing IHDR")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if width <= 0 or height <= 0:
+        raise ImageDecodeError(f"bad PNG dimensions {width}x{height}")
+    if depth != 8:
+        raise ImageDecodeError(f"unsupported PNG bit depth {depth} (8 only)")
+    if color not in _PNG_CHANNELS:
+        raise ImageDecodeError(f"unsupported PNG color type {color}")
+    if comp != 0 or filt != 0:
+        raise ImageDecodeError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise ImageDecodeError("interlaced PNG not supported")
+    if not idat:
+        raise ImageDecodeError("PNG missing IDAT")
+    try:
+        plain = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ImageDecodeError(f"PNG IDAT inflate failed: {exc}") from exc
+    ch = _PNG_CHANNELS[color]
+    px = _png_unfilter(plain, width, height, ch)
+    if color == 3:  # palette -> RGB
+        if palette is None:
+            raise ImageDecodeError("PNG color type 3 without PLTE")
+        out = bytearray(width * height * 3)
+        for i, idx in enumerate(px):
+            if idx * 3 + 3 > len(palette):
+                raise ImageDecodeError(f"PNG palette index {idx} out of range")
+            out[i * 3 : i * 3 + 3] = palette[idx * 3 : idx * 3 + 3]
+        return DecodedImage(width, height, "RGB", bytes(out), "PNG")
+    if color in (4, 6):  # strip alpha to the L/RGB feature surface
+        keep = ch - 1
+        out = bytearray(width * height * keep)
+        for i in range(width * height):
+            out[i * keep : (i + 1) * keep] = px[i * ch : i * ch + keep]
+        return DecodedImage(
+            width, height, "RGB" if keep == 3 else "L", bytes(out), "PNG"
+        )
+    return DecodedImage(
+        width, height, "RGB" if color == 2 else "L", bytes(px), "PNG"
+    )
+
+
+def encode_png(width: int, height: int, mode: str, pixels: bytes) -> bytes:
+    """Minimal PNG writer (color type 2/0, filter 0 rows, one IDAT) —
+    round-trips through decode_png; payload builder for the real-decode
+    operators and tests."""
+    import zlib
+
+    if mode == "RGB":
+        color, ch = 2, 3
+    elif mode == "L":
+        color, ch = 0, 1
+    else:
+        raise ImageDecodeError(f"unsupported mode {mode!r}")
+    if len(pixels) != width * height * ch:
+        raise ImageDecodeError("pixel buffer does not match dimensions")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    stride = width * ch
+    body = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(body, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
 # dispatch + resample
 # ---------------------------------------------------------------------------
 
 
 def decode_bytes(raw: bytes) -> DecodedImage:
-    """Decode any supported uncompressed payload by magic bytes."""
+    """Decode any supported payload by magic bytes."""
     if raw[:2] in (b"P5", b"P6"):
         return decode_pnm(raw)
     if raw[:2] == b"BM":
         return decode_bmp(raw)
+    if raw[:8] == PNG_SIG:
+        return decode_png(raw)
     raise ImageDecodeError(f"unsupported image format (magic {raw[:4]!r})")
 
 

@@ -481,6 +481,40 @@ def attach_fake_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return src.mapInPandas(run, schema)
 
 
+def attach_fake_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL PNG payload per row (CRC-valid chunks, zlib IDAT —
+    parseable by any PNG reader). Dimensions, mode and pixels are a
+    closed form of the row id — ``w = 3 + id%6``, ``h = 2 + id%5``, RGB
+    for even ids / grayscale for odd, byte ``j`` of the raster is
+    ``(id*13 + j*11) % 256`` — so an independent engine can replay the
+    decoded features without a PNG parser. Arrow ``mapInPandas``,
+    stdlib-zlib encoder, no shuffle."""
+    from forklift_spark.functions.imagecodec import encode_png
+
+    src = df.select(F.col(id_col).alias("doc_id"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 3 + i % 6, 2 + i % 5
+                mode = "RGB" if i % 2 == 0 else "L"
+                ch = 3 if mode == "RGB" else 1
+                px = bytes((i * 13 + j * 11) % 256 for j in range(w * h * ch))
+                out["doc_id"].append(doc_id)
+                out["payload"].append(encode_png(w, h, mode, px))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema)
+
+
 IMAGE_PIXEL_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

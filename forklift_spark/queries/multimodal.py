@@ -74,14 +74,46 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q_image_features — Arrow-batched deterministic fake decode
-# (mean-byte / entropy features). Byte-level float accumulation isn't
-# SQL-expressible in DuckDB, so this entry takes the rows-only check.
+# q_image_features — REAL PNG decode (second real image format, r3
+# VERDICT item 5): every row carries a genuine PNG (CRC-valid chunks,
+# zlib IDAT built by attach_fake_png — RGB for even ids, grayscale for
+# odd); the vendored from-scratch PNG walker (functions/imagecodec.py:
+# chunk CRCs, inflate, scanline unfilter) decodes it and the features
+# are exact-integer pixel statistics. The raster is a closed form of
+# (doc_id, j), so the oracle replays the decoded features independently
+# — the hash certifies signature/IHDR/IDAT/unfilter + raster math end
+# to end. Formerly the last "fake features" rows-only entry.
 # --------------------------------------------------------------------------
-@query("q_image_features")
+IMAGE_FEATURES_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+  FROM documents
+), b AS (
+  SELECT doc_id, w, h, ch,
+    list_transform(range(0, w * h * ch), j -> (doc_id * 13 + j * 11) % 256) AS px
+  FROM d
+)
+SELECT doc_id,
+  CAST(w AS BIGINT) AS width,
+  CAST(h AS BIGINT) AS height,
+  CAST(w * h AS BIGINT) AS n_pixels,
+  CAST(list_sum(px) AS BIGINT) AS sum_rgb,
+  CAST(list_max(px) AS BIGINT) AS peak,
+  CAST(len(list_filter(px, x -> x >= 128)) AS BIGINT) AS n_bright,
+  round(CAST(list_sum(px) AS DOUBLE) / (w * h * ch), 9) AS mean_rgb
+FROM b
+"""
+
+
+@query("q_image_features", IMAGE_FEATURES_ORACLE)
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
-    return M.image_features(M.attach_fake_payload(docs))
+    feats = M.image_pixel_features(M.attach_fake_png(docs))
+    return feats.select(
+        "doc_id", "width", "height", "n_pixels", "sum_rgb", "peak", "n_bright",
+        F.round("mean_rgb", 9).alias("mean_rgb"),
+    )
 
 
 # --------------------------------------------------------------------------

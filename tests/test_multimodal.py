@@ -540,3 +540,148 @@ def test_audio_fingerprint_gain_invariant(spark):
 def test_audio_fingerprint_corrupt_degrades(spark):
     got = _afp_of(spark, [b"RIFFnotawave"])
     assert got[0][0] is None and got[0][1]
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (r4): from-scratch walker — filters, palette, alpha, CRC
+# ---------------------------------------------------------------------------
+
+
+def _png_forward_filter(raw_rows, ch, ftypes):
+    """Apply PNG forward filtering so the decoder's unfilter paths are
+    exercised with known ground truth."""
+    from forklift_spark.functions.imagecodec import _paeth
+
+    out = bytearray()
+    prev = bytes(len(raw_rows[0]))
+    for row, ft in zip(raw_rows, ftypes):
+        out.append(ft)
+        for x in range(len(row)):
+            left = row[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                v = row[x]
+            elif ft == 1:
+                v = row[x] - left
+            elif ft == 2:
+                v = row[x] - up
+            elif ft == 3:
+                v = row[x] - ((left + up) >> 1)
+            else:
+                v = row[x] - _paeth(left, up, ul)
+            out.append(v & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+def _png_chunks(*chunks):
+    import struct
+    import zlib
+
+    from forklift_spark.functions.imagecodec import PNG_SIG
+
+    out = bytearray(PNG_SIG)
+    for ctype, data in chunks:
+        out += struct.pack(">I", len(data)) + ctype + data
+        out += struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def test_png_roundtrip_rgb_and_gray():
+    from forklift_spark.functions.imagecodec import decode_png, encode_png
+
+    for mode, ch in (("RGB", 3), ("L", 1)):
+        w, h = 5, 4
+        px = bytes((j * 7 + 3) % 256 for j in range(w * h * ch))
+        img = decode_png(encode_png(w, h, mode, px))
+        assert (img.width, img.height, img.mode, img.format) == (w, h, mode, "PNG")
+        assert img.pixels == px
+
+
+def test_png_all_filter_types_unfilter_correctly():
+    import struct
+    import zlib
+
+    from forklift_spark.functions.imagecodec import decode_png
+
+    w, h, ch = 4, 5, 3
+    rows = [
+        bytes(((y * 31 + x * 11) % 256) for x in range(w * ch)) for y in range(h)
+    ]
+    body = _png_forward_filter(rows, ch, [0, 1, 2, 3, 4])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = _png_chunks(
+        (b"IHDR", ihdr), (b"IDAT", zlib.compress(body)), (b"IEND", b"")
+    )
+    img = decode_png(raw)
+    assert img.pixels == b"".join(rows)
+
+
+def test_png_palette_and_alpha():
+    import struct
+    import zlib
+
+    from forklift_spark.functions.imagecodec import decode_png
+
+    # color type 3: 2x2 indices into a 4-entry palette
+    plte = bytes((10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 210, 220))
+    idx_rows = [bytes((0, 3)), bytes((2, 1))]
+    body = _png_forward_filter(idx_rows, 1, [0, 0])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raw = _png_chunks(
+        (b"IHDR", ihdr), (b"PLTE", plte), (b"IDAT", zlib.compress(body)), (b"IEND", b"")
+    )
+    img = decode_png(raw)
+    assert img.mode == "RGB"
+    assert img.pixels == bytes(
+        (10, 20, 30, 200, 210, 220, 70, 80, 90, 40, 50, 60)
+    )
+    # color type 6: RGBA strips alpha
+    rgba_rows = [bytes((1, 2, 3, 255, 4, 5, 6, 128))]
+    body6 = _png_forward_filter(rgba_rows, 4, [0])
+    ihdr6 = struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0)
+    img6 = decode_png(
+        _png_chunks((b"IHDR", ihdr6), (b"IDAT", zlib.compress(body6)), (b"IEND", b""))
+    )
+    assert img6.mode == "RGB" and img6.pixels == bytes((1, 2, 3, 4, 5, 6))
+
+
+def test_png_corruption_degrades_loudly():
+    import pytest as _pytest
+
+    from forklift_spark.functions.imagecodec import (
+        ImageDecodeError,
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(3, 3, "L", bytes(range(9)))
+    # flip one IDAT byte without fixing the CRC
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT") + 4
+    bad[idat_at] ^= 0xFF
+    with _pytest.raises(ImageDecodeError, match="CRC"):
+        decode_png(bytes(bad))
+    with _pytest.raises(ImageDecodeError, match="signature"):
+        decode_png(b"\x89PNX" + good[4:])
+    with _pytest.raises(ImageDecodeError, match="truncated"):
+        decode_png(good[:30])
+
+
+def test_png_decode_dispatch_and_pixel_features(spark):
+    from forklift_spark.operators import multimodal as M
+
+    docs = spark.range(6).select(F.col("id").alias("doc_id"))
+    feats = M.image_pixel_features(M.attach_fake_png(docs)).collect()
+    assert len(feats) == 6
+    for r in feats:
+        i = r.doc_id
+        w, h = 3 + i % 6, 2 + i % 5
+        ch = 3 if i % 2 == 0 else 1
+        px = [(i * 13 + j * 11) % 256 for j in range(w * h * ch)]
+        assert r.decode_error is None
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert r.sum_rgb == sum(px)
+        assert r.peak == max(px)
+        assert r.n_bright == sum(1 for b in px if b >= 128)
