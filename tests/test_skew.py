@@ -144,3 +144,51 @@ def test_grid_radius_join_boundary_inclusive(spark):
     Rt = spark.createDataFrame([(2, 19, 0), (3, 20, 0)], "id long, x long, y long")
     got = {(r.r_id, r.dist2) for r in grid_radius_join(L, Rt, radius=10).collect()}
     assert got == {(2, 100)}  # 19 is exactly 10 away (in); 20 is 11 away (out)
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """VERDICT r3 item 7: prove the AQE skew-join rewrite actually fires
+    on a skewed shuffle join in this engine's config (the 'moderate skew'
+    row of SCALING.md's decision table — manual salting is reserved for
+    extreme single-key skew where one AQE split still exceeds an
+    executor). Thresholds are lowered so test-sized data crosses the
+    same code path a 100 TB partition would."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 200k rows, 85% on one hot key vs a uniform 5k-key right side;
+        # multi-partition inputs so the join really shuffles (single-
+        # partition ranges satisfy clustering trivially — no Exchange,
+        # nothing for the skew rewrite to split)
+        left = spark.range(0, 200_000, 1, 8).select(
+            F.when(F.col("id") % 100 < 85, F.lit(7)).otherwise(F.col("id") % 5000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 5000, 1, 4).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = left.join(right, "k")
+        assert len(joined.collect()) == 200_000  # finalize AQE on THIS plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin(skew=true)" in plan, (
+            f"AQE skew split did not fire:\n{plan[:2000]}"
+        )
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
