@@ -340,6 +340,61 @@ class ManifestTable:
             "files_written": len(entries),
         }
 
+    def compact(self, min_files: int = 2, partitions: list | None = None) -> dict:
+        """Coalesce small files: rewrite each partition holding at least
+        ``min_files`` data files into one file, carrying everything else
+        by reference. Logical content is unchanged (operation is a pure
+        layout move — the OPTIMIZE of the Delta/Iceberg shape); readers
+        on older versions keep their pinned file lists. At 100 TB this
+        is the maintenance job that keeps a streaming-merged table's
+        file count from degrading scan planning."""
+        cur = self.manifest()
+        partition_by = cur["partition_by"]
+        by_part: dict = {}
+        for e in cur["entries"]:
+            by_part.setdefault(e["partition"], []).append(e)
+        want = None
+        if partitions is not None:
+            want = {NULL_TOKEN if p is None else str(p) for p in partitions}
+        touched = sorted(
+            p if p is not None else NULL_TOKEN
+            for p, es in by_part.items()
+            if len(es) >= min_files and (want is None or (p or NULL_TOKEN) in want)
+        )
+        if not touched:
+            return {"version": cur["version"], "touched_partitions": [],
+                    "files_rewritten": 0, "files_written": 0}
+        tset = {None if t == NULL_TOKEN else t for t in touched}
+        old = [e for e in cur["entries"] if e["partition"] in tset]
+        kept = [e for e in cur["entries"] if e["partition"] not in tset]
+        scoped = self.spark.read.schema(self.schema()).parquet(
+            *[os.path.join(self.path, e["path"]) for e in old]
+        )
+        # one output file per partition: coalesce the whole scoped read
+        # when unpartitioned, else let the snapshot writer regroup and
+        # repartition by the partition column first
+        if partition_by:
+            scoped = scoped.repartition(len(tset), F.col(partition_by))
+        else:
+            scoped = scoped.coalesce(1)
+        entries = self._write_snapshot(scoped, partition_by)
+        v = self._commit(
+            {
+                "version": cur["version"] + 1,
+                "operation": "compact",
+                "partition_by": partition_by,
+                "schema": cur["schema"],
+                "touched_partitions": touched,
+                "entries": kept + entries,
+            }
+        )
+        return {
+            "version": v,
+            "touched_partitions": touched,
+            "files_rewritten": len(old),
+            "files_written": len(entries),
+        }
+
     def vacuum(self, keep_versions: int = 1) -> dict:
         """Drop manifests older than the newest `keep_versions` and delete
         data files no retained manifest references."""

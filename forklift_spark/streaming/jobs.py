@@ -279,3 +279,47 @@ def stream_dedup_minhash(
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
+
+
+def stream_merge_manifest(
+    spark: SparkSession,
+    source_path: str,
+    table,
+    on,
+    partition_by: str,
+    schema,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuous partition-pruned MERGE: each micro-batch upserts into a
+    ``ManifestTable`` (forklift_spark/manifest.py), rewriting ONLY the
+    partitions that batch lands in — the streaming Delta-sink shape on
+    plain parquet. A day-partitioned 100 TB fact absorbs a continuous
+    feed at O(touched partitions) per trigger, never O(table).
+
+    Exactly-once-on-table: foreachBatch is at-least-once; merge-by-key
+    is idempotent (a retried batch re-replaces the same keys), and each
+    commit is an atomic manifest-pointer swap, so readers only ever see
+    whole micro-batches. Commits are serialized by the single streaming
+    query; an out-of-band writer racing a trigger fails loudly with
+    ``CommitConflict`` instead of corrupting the table."""
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not table.exists():
+            table.create(batch_df, partition_by=partition_by)
+        else:
+            table.merge(batch_df, on=on)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+    writer = stream.writeStream.foreachBatch(merge).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -212,3 +212,62 @@ def test_null_partition_value(spark, tmp_path):
     assert stats["touched_partitions"] == ["__HIVE_DEFAULT_PARTITION__"]
     rows = {r.k: (r.g, r.v) for r in t.read().collect()}
     assert rows[1] == (None, 11) and rows[2] == ("a", 20)
+
+
+def test_compact_preserves_content_and_prunes(table, spark):
+    # three single-row merges into partition y=2 -> many small files there
+    for k, v in ((1, 101), (4, 104), (7, 107)):
+        table.merge(
+            spark.createDataFrame([(k, 2, v)], "k long, y int, v long"), on="k"
+        )
+    before_rows = {(r.k, r.y, r.v) for r in table.read().collect()}
+    cold_before = _md5s(table, partitions=[1, 3])
+    m = table.manifest()
+    files_y2 = [e for e in m["entries"] if e["partition"] == "2"]
+    assert len(files_y2) >= 2
+    stats = table.compact(min_files=2)
+    assert stats["touched_partitions"] == ["2"]
+    assert stats["files_written"] < stats["files_rewritten"]
+    # logical content unchanged; cold partitions byte-identical
+    assert {(r.k, r.y, r.v) for r in table.read().collect()} == before_rows
+    assert _md5s(table, partitions=[1, 3]) == cold_before
+    # idempotent: nothing left to compact at min_files=2 in y=2
+    after = [e for e in table.manifest()["entries"] if e["partition"] == "2"]
+    assert len(after) == 1
+
+
+def test_stream_merge_manifest_micro_batches(table, spark, tmp_path):
+    """Streaming MERGE sink: one manifest commit per non-empty micro-batch,
+    partition-pruned per batch, final state = upsert of the whole feed."""
+    from forklift_spark.streaming.jobs import stream_merge_manifest
+
+    src = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, y int, v long"
+    # two input files -> maxFilesPerTrigger=1 forces 2 micro-batches
+    spark.createDataFrame([(1, 2, 201), (100, 2, 202)], schema).coalesce(
+        1
+    ).write.parquet(src)
+    spark.createDataFrame([(2, 3, 301)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    v0 = table.current_version()
+    q = stream_merge_manifest(
+        spark,
+        src,
+        table,
+        on="k",
+        partition_by="y",
+        schema=schema,
+        checkpoint_dir=ckpt,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    assert table.current_version() == v0 + 2  # one commit per micro-batch
+    rows = {r.k: (r.y, r.v) for r in table.read().collect()}
+    assert rows[1] == (2, 201) and rows[100] == (2, 202) and rows[2] == (3, 301)
+    assert len(rows) == 31
+    # each commit named only the partitions its batch touched
+    hist = table.history()[-2:]
+    assert all(h["operation"] == "merge" for h in hist)
+    assert {tuple(h["touched_partitions"]) for h in hist} == {("2",), ("3",)}
