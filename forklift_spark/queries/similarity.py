@@ -175,8 +175,31 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sum of per-bucket squares, never N². The oracle replays the md5
 # hyperplane signs, so the bucket assignment — and thus the candidate
 # pair set — matches exactly.
+#
+# The bit count SELF-TUNES to corpus size: bits = max(4, ceil(log2(
+# ceil(N / 125)))) keeps expected bucket occupancy ~125 at any SF, so
+# per-bucket candidate work stays bounded and total candidates grow
+# O(N), not O(N²). Fixed bits measured 10x data -> ~50x runtime at sf1
+# (the r4 scale-stress run) — THE fixed-parameter LSH scale bug; the
+# oracle computes the identical formula in SQL, so bucket assignment
+# still matches at every SF. The N it needs is one metadata-cheap
+# count — a bounded driver scalar, same class as HWM.
 # --------------------------------------------------------------------------
-_DEDUP_BITS = 4
+_DEDUP_OCCUPANCY = 125  # target vectors/bucket (the measured sf0.1 working point)
+
+# SQL twin of _dedup_bits(): evaluated inside the oracle so both engines
+# derive the same bit count from the same table
+_DEDUP_BITS_SQL = (
+    "(SELECT greatest(4, CAST(ceil(log2(CAST((count(*) + 124) // 125 AS DOUBLE)))"
+    " AS INT)) FROM embeddings WHERE 1=1)"
+)
+
+
+def _dedup_bits(n: int) -> int:
+    import math
+
+    m = max(1, (n + _DEDUP_OCCUPANCY - 1) // _DEDUP_OCCUPANCY)
+    return max(4, math.ceil(math.log2(m)))
 
 
 def _emb_dedup_lsh_oracle() -> str:
@@ -197,7 +220,7 @@ WITH ex AS (
 ), sums AS (
   SELECT e.vec_id, s.s,
     sum(CAST(CAST(e.v AS DOUBLE) AS DECIMAL(10,9)) * ({sign})) AS tot
-  FROM ex e CROSS JOIN (SELECT unnest(range(0, {_DEDUP_BITS})) AS s) s
+  FROM ex e CROSS JOIN (SELECT unnest(range(0, {_DEDUP_BITS_SQL})) AS s) s
   GROUP BY e.vec_id, s.s
 ), sig AS (
   SELECT vec_id,
@@ -223,12 +246,13 @@ def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table and reused by both self-join branches — the 100 TB shape
     # (signatures shared across dedup/ANN/hybrid, no recompute, and the
     # bucketed scan replaces the candidate join's Exchange)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    bits = _dedup_bits(emb.count())  # self-tuning (header comment)
+    tag = hashlib.md5(f"{sf_dir}:{bits}".encode()).hexdigest()[:8]
     sigs = S.signature_table(
-        emb, f"sig_embeddings_{tag}", bits=_DEDUP_BITS
+        emb, f"sig_embeddings_{tag}", bits=bits
     )
     return S.embedding_dedup_pairs(
-        emb, threshold=_THRESH, bits=_DEDUP_BITS, signatures=sigs
+        emb, threshold=_THRESH, bits=bits, signatures=sigs
     )
 
 
@@ -698,10 +722,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
     # same signature table q_embedding_dedup_lsh builds — when both run
     # in one session the sign pass is paid once (write-once, reuse)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    sigs = S.signature_table(emb, f"sig_embeddings_{tag}", bits=_DEDUP_BITS)
+    bits = _dedup_bits(emb.count())  # self-tuning (see q_embedding_dedup_lsh)
+    tag = hashlib.md5(f"{sf_dir}:{bits}".encode()).hexdigest()[:8]
+    sigs = S.signature_table(emb, f"sig_embeddings_{tag}", bits=bits)
     pairs = S.embedding_dedup_pairs(
-        emb, threshold=_THRESH, bits=_DEDUP_BITS, signatures=sigs
+        emb, threshold=_THRESH, bits=bits, signatures=sigs
     )
     comp = DD.connected_components(pairs)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))

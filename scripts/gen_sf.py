@@ -13,8 +13,15 @@ WORKLOAD SHAPE, not just its size:
 - documents: every word is suffixed with the copy index, so shingle /
   MinHash / fingerprint dedup finds the same duplicate structure per
   copy instead of O(N^2) cross-copy pairs;
-- embeddings: vectors are rotated by the copy index, so near-dup /
-  ANN neighbor structure is per-copy, not 45 mirror pairs per vector.
+- embeddings: each copy applies a deterministic per-copy SIGN-FLIP
+  pattern (an orthogonal diagonal transform): pairwise cosines WITHIN a
+  copy are preserved exactly — the planted near-dup structure repeats
+  per copy — while cross-copy cosines are sign-scrambled to ~0, so the
+  pair graph is 10 disjoint copies of the sf0.1 graph, not one giant
+  cross-copy component. (A first attempt used per-copy array rotation;
+  smooth vectors survive rotation nearly unchanged, which chained
+  copies together into a component deep enough to blow the
+  pointer-doubling round budget — measured, not hypothetical.)
 - events: user_id is offset per copy — per-user session/window volume
   stays constant while the user population grows Nx (the realistic
   growth axis for a stream table).
@@ -116,14 +123,15 @@ def main() -> None:
     _replicate(emb, {key: "emb_id"}, n).withColumn(
         "__c", (F.col(key) / _DOMS["emb_id"]).cast("long")
     ).withColumn(
-        "__k", (F.col("__c") % F.size(vec)).cast("int")
-    ).withColumn(
         vec,
-        F.concat(
-            F.slice(F.col(vec), F.col("__k") + 1, F.size(vec) - F.col("__k")),
-            F.slice(F.col(vec), F.lit(1), F.col("__k")),
-        ),
-    ).drop("__c", "__k").select(key, vec, *other).write.mode("overwrite").parquet(
+        F.transform(
+            F.col(vec),
+            lambda x, j: F.when(
+                F.pmod(F.xxhash64(F.col("__c") * F.lit(65537) + j), F.lit(2)) == 0,
+                x,
+            ).otherwise(-x),
+        ).cast("array<float>"),
+    ).drop("__c").select(key, vec, *other).write.mode("overwrite").parquet(
         os.path.join(out, "embeddings.parquet")
     )
     print(f"wrote {n}x tables to {out}")
