@@ -2382,3 +2382,63 @@ def q_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+# --------------------------------------------------------------------------
+# q_manifest_compact — OPTIMIZE for the manifest table: after a merge
+# leaves many small files per partition, compact() coalesces each
+# partition to one file in a new manifest version WITHOUT changing
+# logical content. The oracle replays create+merge only — compact must
+# be invisible to it, so the hash certifies layout-move purity against
+# an independent engine (plus in-query asserts that files really
+# shrank). The maintenance job that keeps a continuously-merged 100 TB
+# table's file count from degrading scan planning.
+# --------------------------------------------------------------------------
+MANIFEST_COMPACT_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type, value FROM events
+), src AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(14,2)) + CAST(50 AS DECIMAL(14,2)) AS DOUBLE) AS value
+  FROM base WHERE event_id % 5 = 0
+), merged AS (
+  SELECT * FROM base WHERE event_id NOT IN (SELECT event_id FROM src)
+  UNION ALL
+  SELECT * FROM src
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM merged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q_manifest_compact", MANIFEST_COMPACT_ORACLE)
+def q_manifest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from forklift_spark.manifest import ManifestTable
+
+    ev = tables.load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = ManifestTable(
+        spark, tempfile.mkdtemp(prefix="fk_manifest_compact_"), "events_by_type"
+    )
+    # repartition(4) -> ~4 files per partition at create; the merge adds more
+    t.create(ev.repartition(4), partition_by="event_type")
+    src = ev.filter(F.col("event_id") % 5 == 0).withColumn(
+        "value", (dec("value", MONEY) + F.lit(50).cast(MONEY)).cast("double")
+    )
+    t.merge(src, on="event_id")
+    stats = t.compact(min_files=2)
+    assert stats["files_rewritten"] > stats["files_written"] > 0, stats
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", MONEY)).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

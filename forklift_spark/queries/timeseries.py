@@ -1763,3 +1763,72 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.b").alias("b_e3"),
         (F.col("r.l") + 7 * F.col("r.b")).alias("fc7_e3"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_stream_merge_manifest — the streaming MERGE sink EXECUTED IN THE
+# STREAMING ENGINE: a 3-file feed (with one file re-shipping a subset of
+# another — identical rows, the retry/replay shape) is consumed one file
+# per trigger by stream_merge_manifest, each micro-batch committing a
+# partition-pruned manifest MERGE. The oracle is the DISTINCT feed:
+# upsert-by-key must land every key exactly once no matter how files
+# interleave (order-independent by construction — the replayed rows are
+# byte-identical, so any arrival order converges to the same table).
+# In-query asserts pin one manifest commit per micro-batch.
+# --------------------------------------------------------------------------
+STREAM_MERGE_ORACLE = """
+WITH feed AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM feed GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q_stream_merge_manifest", STREAM_MERGE_ORACLE)
+def q_stream_merge_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from forklift_spark.manifest import ManifestTable
+    from forklift_spark.streaming.jobs import stream_merge_manifest
+
+    ev = tables.load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    feed_dir = tempfile.mkdtemp(prefix="fk_stream_merge_feed_")
+    evens = ev.filter(F.col("event_id") % 2 == 0)
+    # three files: two disjoint halves + a byte-identical replay of part
+    # of the second (the at-least-once duplicate-delivery shape)
+    evens.filter(F.col("event_id") % 4 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed_dir)
+    evens.filter(F.col("event_id") % 4 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed_dir)
+    evens.filter(F.col("event_id") % 8 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed_dir)
+    t = ManifestTable(
+        spark, tempfile.mkdtemp(prefix="fk_stream_merge_tbl_"), "events_merged"
+    )
+    q = stream_merge_manifest(
+        spark,
+        feed_dir,
+        t,
+        on="event_id",
+        partition_by="event_type",
+        schema=evens.schema,
+        checkpoint_dir=tempfile.mkdtemp(prefix="fk_stream_merge_ckpt_"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    assert t.current_version() == 3, t.history()  # create + 2 merges, 1/batch
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", MONEY)).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
