@@ -162,10 +162,47 @@ class ManifestTable:
         return v
 
     # -- data-file IO --------------------------------------------------------
+    # columns eligible for per-file zone-map stats (numeric/date/ts/string)
+    _STATS_TYPES = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+        T.DoubleType, T.DecimalType, T.DateType, T.TimestampType,
+        T.StringType,
+    )
+
+    def _file_stats(self, paths_schema: T.StructType, files: list[str]) -> dict:
+        """Per-file column min/max (zone maps — the Iceberg manifest-stats
+        shape): one extra aggregate pass over the files of the snapshot
+        JUST WRITTEN, i.e. O(touched partitions) at commit time, exactly
+        like Delta's inline stats collection — never a table scan. Reads
+        later skip files whose [min, max] can't satisfy a predicate."""
+        cols = [
+            f.name
+            for f in paths_schema.fields
+            if isinstance(f.dataType, self._STATS_TYPES)
+        ]
+        if not cols or not files:
+            return {}
+        df = self.spark.read.schema(paths_schema).parquet(*files).select(
+            F.input_file_name().alias("__file"), *cols
+        )
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).cast("string").alias(f"lo_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"hi_{c}"))
+        out: dict = {}
+        for row in df.groupBy("__file").agg(*aggs).collect():
+            # normalize the file:// URI to a table-relative key — file
+            # BASENAMES collide across partition dirs (the same task id
+            # names its file identically in every partition it writes)
+            key = os.path.relpath(row["__file"].split("://", 1)[-1], self.path)
+            out[key] = {c: [row[f"lo_{c}"], row[f"hi_{c}"]] for c in cols}
+        return out
+
     def _write_snapshot(self, df: DataFrame, partition_by: str | None) -> list[dict]:
-        """Write one immutable snapshot dir; return its file entries.
-        The partition column is duplicated into PART_DIR_COL (string) so
-        the data files keep the real column (see module docstring)."""
+        """Write one immutable snapshot dir; return its file entries
+        (with per-file zone-map stats). The partition column is
+        duplicated into PART_DIR_COL (string) so the data files keep the
+        real column (see module docstring)."""
         snap = f"snap-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, "data", snap)
         if partition_by:
@@ -191,34 +228,100 @@ class ManifestTable:
                         "bytes": os.path.getsize(full),
                     }
                 )
+        stats = self._file_stats(
+            df.drop(PART_DIR_COL).schema,
+            [os.path.join(self.path, e["path"]) for e in entries],
+        )
+        for e in entries:
+            s = stats.get(e["path"])
+            if s:
+                e["stats"] = s
         return entries
 
+    @staticmethod
+    def _numeric(dtype: T.DataType) -> bool:
+        return isinstance(
+            dtype,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.FloatType, T.DoubleType, T.DecimalType),
+        )
+
+    def _file_matches(self, entry: dict, col: str, bound, numeric: bool) -> bool:
+        """Can this file hold a row with ``col`` in [lo, hi]? Files
+        without stats always match (stats are an optimization, never a
+        correctness dependency)."""
+        stats = entry.get("stats", {}).get(col)
+        if stats is None:
+            return True
+        fmin, fmax = stats
+        if fmin is None:  # all-NULL column: no row satisfies a range
+            return False
+        lo, hi = bound
+        if numeric:
+            fmin, fmax = float(fmin), float(fmax)
+            lo = float(lo) if lo is not None else None
+            hi = float(hi) if hi is not None else None
+        else:
+            lo = str(lo) if lo is not None else None
+            hi = str(hi) if hi is not None else None
+        if lo is not None and fmax < lo:
+            return False
+        if hi is not None and fmin > hi:
+            return False
+        return True
+
     def files(
-        self, version: int | None = None, partitions: list | None = None
+        self,
+        version: int | None = None,
+        partitions: list | None = None,
+        where: dict | None = None,
     ) -> list[str]:
-        """Absolute data-file paths for a version, optionally pruned to a
-        partition-value list (manifest-level pruning: unlisted files are
-        never even touched by the scan)."""
+        """Absolute data-file paths for a version, optionally pruned by a
+        partition-value list and/or zone-map predicates ``where = {col:
+        (lo, hi)}`` (closed interval, either bound None): files whose
+        recorded [min, max] can't intersect are never even listed for
+        the scan — manifest-level data skipping. Non-numeric bounds
+        compare in Spark's string-cast form (ISO dates/timestamps order
+        lexicographically)."""
         m = self.manifest(version)
         entries = m["entries"]
         if partitions is not None:
             want = {NULL_TOKEN if p is None else str(p) for p in partitions}
             entries = [e for e in entries if e["partition"] in want]
+        if where:
+            types = {f.name: f.dataType for f in self.schema(version).fields}
+            for col, bound in where.items():
+                numeric = self._numeric(types.get(col, T.StringType()))
+                entries = [
+                    e for e in entries if self._file_matches(e, col, bound, numeric)
+                ]
         return [os.path.join(self.path, e["path"]) for e in entries]
 
     def schema(self, version: int | None = None) -> T.StructType:
         return T.StructType.fromJson(self.manifest(version)["schema"])
 
     def read(
-        self, version: int | None = None, partitions: list | None = None
+        self,
+        version: int | None = None,
+        partitions: list | None = None,
+        where: dict | None = None,
     ) -> DataFrame:
         """Snapshot read: exactly the files the manifest names, with the
-        manifest schema (files predating a column NULL-fill it)."""
+        manifest schema (files predating a column NULL-fill it). With
+        ``where``, zone-map stats skip non-intersecting files at plan
+        time AND the row-level interval filter is applied, so results
+        are correct whether or not a file carries stats."""
         schema = self.schema(version)
-        paths = self.files(version, partitions)
+        paths = self.files(version, partitions, where)
         if not paths:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+        df = self.spark.read.schema(schema).parquet(*paths)
+        for col, (lo, hi) in (where or {}).items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     # -- commits --------------------------------------------------------------
     def create(self, df: DataFrame, partition_by: str | None = None) -> dict:

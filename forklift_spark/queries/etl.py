@@ -2442,3 +2442,55 @@ def q_manifest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q_manifest_skipping — zone-map data skipping on the manifest table:
+# files are laid out time-clustered (repartitionByRange on ts before the
+# snapshot write — the Z-order-lite layout), the manifest records
+# per-file [min, max] column stats at commit time (O(snapshot), the
+# Delta inline-stats shape), and a time-range read PLANS ONLY the files
+# whose interval intersects — asserted in-query (pruned < total). The
+# oracle replays the range aggregate relationally, certifying that
+# skipping loses and duplicates nothing. At 100 TB this is the
+# difference between scanning a day and scanning the table when the
+# partition column alone is too coarse.
+# --------------------------------------------------------------------------
+MANIFEST_SKIP_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-06 00:00:00'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q_manifest_skipping", MANIFEST_SKIP_ORACLE)
+def q_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from forklift_spark.manifest import ManifestTable
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    t = ManifestTable(
+        spark, tempfile.mkdtemp(prefix="fk_manifest_skip_"), "events_zoned"
+    )
+    t.create(ev.repartitionByRange(8, "ts"), partition_by="event_type")
+    bounds = {"ts": ("2024-01-04 00:00:00", "2024-01-06 00:00:00")}
+    pruned, total = t.files(where=bounds), t.files()
+    # skipping is the operator's contract — fail loud if nothing pruned
+    assert 0 < len(pruned) < len(total), (len(pruned), len(total))
+    return (
+        t.read(where=bounds)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", MONEY)).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -271,3 +271,45 @@ def test_stream_merge_manifest_micro_batches(table, spark, tmp_path):
     hist = table.history()[-2:]
     assert all(h["operation"] == "merge" for h in hist)
     assert {tuple(h["touched_partitions"]) for h in hist} == {("2",), ("3",)}
+
+
+def test_zone_map_stats_and_file_skipping(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path), "zoned")
+    # 4 files per partition via repartitionByRange on v: disjoint v ranges
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("int").alias("y"),
+        F.col("id").alias("v"),
+    ).repartitionByRange(4, "v")
+    t.create(df, partition_by="y")
+    entries = t.manifest()["entries"]
+    assert all("stats" in e for e in entries)
+    for e in entries:
+        lo, hi = e["stats"]["v"]
+        assert int(lo) <= int(hi)
+    # range predicate intersects ~1/4 of the v domain -> fewer files planned
+    all_files = t.files()
+    pruned = t.files(where={"v": (0, 50)})
+    assert 0 < len(pruned) < len(all_files)
+    got = {r.v for r in t.read(where={"v": (0, 50)}).collect()}
+    assert got == set(range(0, 51))
+    # point lookup: (k, k) interval
+    assert t.read(where={"v": (399, 399)}).count() == 1
+    # open-ended bound
+    assert t.read(where={"v": (350, None)}).count() == 50
+    # files written before stats existed still match (no false skip)
+    e0 = t.manifest()["entries"][0]
+    del e0["stats"]
+    assert t._file_matches(e0, "v", (0, 1), numeric=True)
+
+
+def test_zone_map_all_null_column_skips(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path), "nullstats")
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "k long, v double"
+    )
+    t.create(df)
+    assert t.files(where={"v": (0.0, 10.0)}) == []
+    assert t.read(where={"v": (0.0, 10.0)}).count() == 0
+    # but the rows are still there without the predicate
+    assert t.read().count() == 2
