@@ -199,6 +199,10 @@ HEADLINE = [
     "q_process_mining",
     "q_holt_forecast",
     "q_critical_path",
+    "q_merge_partitioned",
+    "q_manifest_compact",
+    "q_manifest_skipping",
+    "q_stream_merge_manifest",
 ]
 
 
