@@ -1,0 +1,94 @@
+"""Property-based ManifestTable semantics: random MERGE/DELETE/COMPACT
+sequences vs an executable dict model (hypothesis) — same strategy as
+the writer/CDC property tests, applied to the r4 manifest format.
+
+Merges go through the composite key (y, k) — partition + key — which is
+the documented contract for keys that may move partitions, and gives the
+model exact semantics: merge = dict update, delete = value filter,
+compact = identity.
+
+Invariants checked after EVERY operation:
+- table contents == model contents;
+- every version ever committed stays readable (snapshot isolation) and
+  replays its historical state exactly;
+- data files named by any retained manifest exist on disk.
+"""
+
+from __future__ import annotations
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from forklift_spark.manifest import ManifestTable
+
+keys = st.integers(min_value=0, max_value=9)
+parts = st.integers(min_value=1, max_value=3)
+vals = st.integers(min_value=-50, max_value=50)
+
+rowsets = st.dictionaries(
+    st.tuples(parts, keys), vals, min_size=1, max_size=5
+)
+
+
+@st.composite
+def operations(draw):
+    n = draw(st.integers(min_value=1, max_value=5))
+    ops = []
+    for _ in range(n):
+        kind = draw(st.sampled_from(["merge", "merge", "delete", "compact"]))
+        if kind == "merge":
+            ops.append(("merge", draw(rowsets)))
+        elif kind == "delete":
+            ops.append(("delete", draw(vals)))
+        else:
+            ops.append(("compact", None))
+    return ops
+
+
+def _apply_model(model: dict, op, arg):
+    if op == "merge":
+        return {**model, **arg}  # replace-by-(y,k) or insert
+    if op == "delete":
+        return {yk: v for yk, v in model.items() if v != arg}
+    return dict(model)  # compact: layout only
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(base=rowsets, ops=operations())
+def test_manifest_random_ops_match_model(spark, tmp_path_factory, base, ops):
+    root = str(tmp_path_factory.mktemp("mprops"))
+    t = ManifestTable(spark, root, "t")
+
+    def df_of(rows: dict):
+        return spark.createDataFrame(
+            [(y, k, v) for (y, k), v in rows.items()], "y int, k long, v long"
+        )
+
+    t.create(df_of(base), partition_by="y")
+    model = dict(base)
+    history = {t.current_version(): dict(model)}
+    for op, arg in ops:
+        if op == "merge":
+            t.merge(df_of(arg), on=["y", "k"])
+        elif op == "delete":
+            t.delete(F.col("v") == arg)
+        else:
+            t.compact(min_files=2)
+        model = _apply_model(model, op, arg)
+        got = {(r.y, r.k): r.v for r in t.read().collect()}
+        assert got == model, f"after {op}({arg})"
+        history[t.current_version()] = dict(model)
+    # snapshot isolation: every committed version still replays its state
+    for v, snap in history.items():
+        got_v = {(r.y, r.k): r.v for r in t.read(version=v).collect()}
+        assert got_v == snap, f"version {v} drifted"
+    # every referenced file exists
+    for v in t.versions():
+        assert all(os.path.isfile(p) for p in t.files(v))
