@@ -189,13 +189,17 @@ class ManifestTable:
         for c in cols:
             aggs.append(F.min(c).cast("string").alias(f"lo_{c}"))
             aggs.append(F.max(c).cast("string").alias(f"hi_{c}"))
+        aggs.append(F.count(F.lit(1)).alias("__rows"))
         out: dict = {}
         for row in df.groupBy("__file").agg(*aggs).collect():
             # normalize the file:// URI to a table-relative key — file
             # BASENAMES collide across partition dirs (the same task id
             # names its file identically in every partition it writes)
             key = os.path.relpath(row["__file"].split("://", 1)[-1], self.path)
-            out[key] = {c: [row[f"lo_{c}"], row[f"hi_{c}"]] for c in cols}
+            out[key] = (
+                {c: [row[f"lo_{c}"], row[f"hi_{c}"]] for c in cols},
+                row["__rows"],
+            )
         return out
 
     def _write_snapshot(self, df: DataFrame, partition_by: str | None) -> list[dict]:
@@ -235,7 +239,7 @@ class ManifestTable:
         for e in entries:
             s = stats.get(e["path"])
             if s:
-                e["stats"] = s
+                e["stats"], e["rows"] = s
         return entries
 
     @staticmethod
@@ -442,6 +446,42 @@ class ManifestTable:
             "files_rewritten": len(old),
             "files_written": len(entries),
         }
+
+    def count_rows(
+        self, version: int | None = None, partitions: list | None = None
+    ) -> int | None:
+        """Row count from manifest metadata alone — NO file is opened
+        (the reference's `SELECT COUNT(1)` utility, `transports/
+        mysql.rb:182-184`, at zero scan cost). Returns None when any
+        selected entry predates row stats; fall back to read().count()."""
+        m = self.manifest(version)
+        entries = m["entries"]
+        if partitions is not None:
+            want = {NULL_TOKEN if p is None else str(p) for p in partitions}
+            entries = [e for e in entries if e["partition"] in want]
+        if any("rows" not in e for e in entries):
+            return None
+        return sum(e["rows"] for e in entries)
+
+    def restore(self, version: int) -> dict:
+        """Roll the table back to an earlier version AS A NEW COMMIT
+        (the Delta RESTORE shape): the new manifest re-references the
+        old version's files — zero data movement, history preserved,
+        and vacuum keeps the restored files live because the head
+        manifest names them."""
+        old = self.manifest(version)
+        cur = self.current_version()
+        v = self._commit(
+            {
+                "version": cur + 1,
+                "operation": f"restore({version})",
+                "partition_by": old["partition_by"],
+                "schema": old["schema"],
+                "touched_partitions": [],
+                "entries": old["entries"],
+            }
+        )
+        return {"version": v, "restored_from": version, "files": len(old["entries"])}
 
     def compact(self, min_files: int = 2, partitions: list | None = None) -> dict:
         """Coalesce small files: rewrite each partition holding at least

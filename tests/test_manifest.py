@@ -313,3 +313,34 @@ def test_zone_map_all_null_column_skips(spark, tmp_path):
     assert t.read(where={"v": (0.0, 10.0)}).count() == 0
     # but the rows are still there without the predicate
     assert t.read().count() == 2
+
+
+def test_count_rows_metadata_only(table, spark):
+    assert table.count_rows() == 30
+    assert table.count_rows(partitions=[2]) == 10
+    table.merge(
+        spark.createDataFrame([(100, 2, 1)], "k long, y int, v long"), on="k"
+    )
+    assert table.count_rows() == 31
+    # entries predating row stats -> honest None, not a wrong number
+    m = table.manifest()
+    del m["entries"][0]["rows"]
+    import json, os
+    with open(os.path.join(table.path, f"manifest-v{m['version']}.json"), "w") as fh:
+        json.dump(m, fh)
+    assert table.count_rows() is None
+
+
+def test_restore_is_a_new_commit(table, spark):
+    v1_rows = {(r.k, r.v) for r in table.read().collect()}
+    table.merge(
+        spark.createDataFrame([(1, 2, -9)], "k long, y int, v long"), on="k"
+    )
+    table.delete(F.col("y") == 1)
+    assert table.read().count() == 20
+    stats = table.restore(1)
+    assert stats["version"] == 4  # history preserved, rollback is a commit
+    assert {(r.k, r.v) for r in table.read().collect()} == v1_rows
+    # vacuum to head keeps restored files live
+    table.vacuum(keep_versions=1)
+    assert {(r.k, r.v) for r in table.read().collect()} == v1_rows
