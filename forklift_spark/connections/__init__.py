@@ -23,12 +23,14 @@ from forklift_spark.connections.base import Connection
 from forklift_spark.connections.columnar import AvroConnection, OrcConnection
 from forklift_spark.connections.csvfile import CsvConnection
 from forklift_spark.connections.jdbc import JdbcConnection
+from forklift_spark.connections.manifest import ManifestConnection
 from forklift_spark.connections.jsonl import JsonlConnection
 from forklift_spark.connections.parquet import ParquetConnection
 from forklift_spark.connections.elasticsearch import ElasticsearchConnection
 
 CONNECTION_TYPES: dict[str, type[Connection]] = {
     "parquet": ParquetConnection,
+    "manifest": ManifestConnection,
     "csv": CsvConnection,
     "jsonl": JsonlConnection,
     "orc": OrcConnection,

@@ -447,6 +447,27 @@ class ManifestTable:
             "files_written": len(entries),
         }
 
+    def overwrite(self, df: DataFrame) -> dict:
+        """Full-replace commit (the reference's pipe/RENAME publish,
+        `patterns/mysql_patterns.rb:35-39`): a new snapshot carries the
+        whole table; prior versions stay readable until vacuum."""
+        cur = self.manifest()
+        schema = _merge_schemas(
+            T.StructType([]), df.schema
+        )  # normalize NullType placeholders
+        entries = self._write_snapshot(_align(df, schema), cur["partition_by"])
+        v = self._commit(
+            {
+                "version": cur["version"] + 1,
+                "operation": "overwrite",
+                "partition_by": cur["partition_by"],
+                "schema": schema.jsonValue(),
+                "touched_partitions": sorted({e["partition"] or "" for e in entries}),
+                "entries": entries,
+            }
+        )
+        return {"version": v, "files_written": len(entries)}
+
     def count_rows(
         self, version: int | None = None, partitions: list | None = None
     ) -> int | None:

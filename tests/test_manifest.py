@@ -344,3 +344,64 @@ def test_restore_is_a_new_commit(table, spark):
     # vacuum to head keeps restored files live
     table.vacuum(keep_versions=1)
     assert {(r.k, r.v) for r in table.read().collect()} == v1_rows
+
+
+def test_manifest_connection_patterns(spark, tmp_path):
+    """The MERGE warehouse behind the Connection surface: pipe creates,
+    incremental_pipe HWM-syncs with a PARTITION-PRUNED merge, SQL
+    pass-through reads, metadata count, drop."""
+    import datetime as dt
+
+    from types import SimpleNamespace
+
+    from forklift_spark.connections.manifest import ManifestConnection
+    from forklift_spark.connections.parquet import ParquetConnection
+    from forklift_spark.patterns import incremental_pipe, pipe
+
+    engine = SimpleNamespace(
+        spark=spark, logger=SimpleNamespace(log=lambda *_: None)
+    )
+    src = ParquetConnection({"path": str(tmp_path / "src")}, engine, "src")
+    wh = ManifestConnection(
+        {"path": str(tmp_path / "wh"), "partition_by": {"users": "region"}},
+        engine,
+        "wh",
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "eu", 10, t0),
+        (2, "us", 20, t0),
+        (3, "eu", 30, t0 + dt.timedelta(days=1)),
+    ]
+    schema = "id long, region string, v long, updated_at timestamp"
+    src.write(
+        spark.createDataFrame(rows, schema), "users", mode="overwrite"
+    )
+    pipe(src, "users", wh, "users")
+    assert wh.count("users") == 3
+    assert wh.table("users").manifest()["partition_by"] == "region"
+    # source gains a newer row + an update past the HWM
+    src.write(
+        spark.createDataFrame(
+            [(2, "us", 25, t0 + dt.timedelta(days=2)),
+             (4, "eu", 40, t0 + dt.timedelta(days=3))],
+            schema,
+        ),
+        "users",
+        mode="upsert",
+        primary_key="id",
+    )
+    v_before = wh.table("users").current_version()
+    incremental_pipe(src, "users", wh, "users", matcher="updated_at", primary_key="id")
+    got = {r.id: (r.region, r.v) for r in wh.read("users").collect()}
+    assert got == {1: ("eu", 10), 2: ("us", 25), 3: ("eu", 30), 4: ("eu", 40)}
+    # the sync was ONE partition-pruned merge commit
+    m = wh.table("users").manifest()
+    assert m["version"] == v_before + 1
+    assert sorted(m["touched_partitions"]) == ["eu", "us"]
+    # SQL pass-through + utilities
+    n_eu = wh.read("SELECT count(*) AS n FROM users WHERE region = 'eu'").first().n
+    assert n_eu == 3
+    assert wh.tables() == ["users"]
+    wh.drop("users")
+    assert wh.tables() == []
