@@ -210,6 +210,9 @@ _SHUFFLE_BUDGET = {
     "q_sequence_pattern": 1,  # one per-user ordered fold
     "q_fk_discovery": 24,     # 6 candidates x (2 distincts + join + ONE agg; 1 scan/table)
     "q_profile_table": 2,     # ONE scan -> wide agg -> stack to long form
+    "q_merge_partitioned": 2, # final per-year rollup over the manifest read
+    "q_manifest_compact": 2,  # final per-type rollup (merge/compact are commits)
+    "q_manifest_skipping": 2, # pruned-file read -> per-type rollup
     "q_audio_fingerprint": 4, # band self-join + pair dedup + near rollup + joinback
     "q_fd_discovery": 12,     # 4 candidates x (distinct-pair agg + rollup + union)
     "q_k_anonymize": 12,      # 4 ladder levels x (class-size agg + stats rollup)
