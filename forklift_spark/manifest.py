@@ -361,14 +361,74 @@ class ManifestTable:
         source: DataFrame,
         on: str | list[str],
         broadcast_threshold: int = 2_000_000,
+        max_retries: int = 0,
     ) -> dict:
         """Upsert `source` by key: rewrite ONLY the partitions the source
         batch lands in; carry every other partition's files by reference.
         Matched keys are replaced by the source row (reference DELETE IN +
-        INSERT, mysql.rb:82-87); unmatched source rows insert."""
-        cur = self.manifest()
+        INSERT, mysql.rb:82-87); unmatched source rows insert.
+
+        Optimistic concurrency (``max_retries > 0``, the Delta OCC
+        shape): losing a commit race raises CommitConflict by default;
+        with retries, the loser re-reads the head and — when every
+        intervening commit touched DISJOINT partitions — REBASES: its
+        already-written data files are re-referenced against the new
+        head with zero recompute (its snapshot of the touched partitions
+        is still current). Overlapping commits recompute the merge from
+        the new head. Retries exhausted -> CommitConflict."""
+        attempt = 0
+        while True:
+            cur = self.manifest()
+            computed = self._compute_merge(cur, source, on, broadcast_threshold)
+            try:
+                return self._commit_merge(cur, **computed)
+            except CommitConflict:
+                if attempt >= max_retries:
+                    raise
+                attempt += 1
+                while True:  # rebase path: zero recompute on disjoint commits
+                    head = self.manifest()
+                    try:
+                        overlapping = any(
+                            set(self.manifest(v)["touched_partitions"])
+                            & set(computed["touched"])
+                            for v in range(cur["version"] + 1, head["version"] + 1)
+                        )
+                    except KeyError:
+                        overlapping = True  # vacuumed history: be conservative
+                    if overlapping:
+                        break  # outer loop recomputes from the new head
+                    kept = [
+                        e
+                        for e in head["entries"]
+                        if e["partition"] not in set(computed["touched"])
+                    ]
+                    # keep the winner's schema evolution visible: commit the
+                    # union of the head schema and ours
+                    rebased_schema = _merge_schemas(
+                        T.StructType.fromJson(head["schema"]), computed["schema"]
+                    )
+                    try:
+                        return self._commit_merge(
+                            head,
+                            **{
+                                **computed,
+                                "kept": kept,
+                                "schema": rebased_schema,
+                            },
+                        )
+                    except CommitConflict:
+                        if attempt >= max_retries:
+                            raise
+                        attempt += 1
+
+    def _compute_merge(
+        self, cur: dict, source: DataFrame, on, broadcast_threshold: int
+    ) -> dict:
         partition_by = cur["partition_by"]
-        schema = _merge_schemas(self.schema(), source.schema)
+        schema = _merge_schemas(
+            T.StructType.fromJson(cur["schema"]), source.schema
+        )
         pk = [on] if isinstance(on, str) else list(on)
         if partition_by:
             touched = self._touched_tokens(source, partition_by)
@@ -377,12 +437,13 @@ class ManifestTable:
         else:
             touched = [""]  # unpartitioned: documented O(table) fallback
             kept, old = [], list(cur["entries"])
+        cur_schema = T.StructType.fromJson(cur["schema"])
         existing = (
-            self.spark.read.schema(self.schema()).parquet(
+            self.spark.read.schema(cur_schema).parquet(
                 *[os.path.join(self.path, e["path"]) for e in old]
             )
             if old
-            else self.spark.createDataFrame([], self.schema())
+            else self.spark.createDataFrame([], cur_schema)
         )
         src = _align(source, schema)
         keys = src.select(*pk).distinct()
@@ -392,11 +453,20 @@ class ManifestTable:
             keys = F.broadcast(keys)
         survivors = _align(existing, schema).join(keys, pk, "left_anti")
         entries = self._write_snapshot(survivors.unionByName(src), partition_by)
+        return {
+            "schema": schema,
+            "touched": touched,
+            "kept": kept,
+            "old": old,
+            "entries": entries,
+        }
+
+    def _commit_merge(self, cur: dict, schema, touched, kept, old, entries) -> dict:
         v = self._commit(
             {
                 "version": cur["version"] + 1,
                 "operation": "merge",
-                "partition_by": partition_by,
+                "partition_by": cur["partition_by"],
                 "schema": schema.jsonValue(),
                 "touched_partitions": touched,
                 "entries": kept + entries,

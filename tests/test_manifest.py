@@ -405,3 +405,88 @@ def test_manifest_connection_patterns(spark, tmp_path):
     assert wh.tables() == ["users"]
     wh.drop("users")
     assert wh.tables() == []
+
+
+def test_occ_disjoint_rebase_zero_recompute(table, spark, monkeypatch):
+    """Two writers race on DISJOINT partitions: the loser rebases — its
+    already-written files are re-referenced against the winner's head
+    with no snapshot rewrite — and BOTH merges land."""
+    other = ManifestTable(spark, str(table.path).rsplit("/", 1)[0], "t")
+    snapshots = {"n": 0}
+    real_write = table._write_snapshot
+
+    def counting_write(df, part):
+        snapshots["n"] += 1
+        entries = real_write(df, part)
+        if snapshots["n"] == 1:
+            # inject the competing commit AFTER our snapshot, BEFORE our
+            # commit: winner merges into partition y=3 (we touch y=2)
+            other.merge(
+                spark.createDataFrame([(2, 3, 555)], "k long, y int, v long"),
+                on="k",
+            )
+        return entries
+
+    monkeypatch.setattr(table, "_write_snapshot", counting_write)
+    stats = table.merge(
+        spark.createDataFrame([(1, 2, 111)], "k long, y int, v long"),
+        on="k",
+        max_retries=2,
+    )
+    assert snapshots["n"] == 1, "disjoint rebase must not rewrite the snapshot"
+    assert stats["version"] == 3  # winner took v2, loser rebased onto v3
+    rows = {r.k: (r.y, r.v) for r in table.read().collect()}
+    assert rows[1] == (2, 111) and rows[2] == (3, 555)  # both merges visible
+    assert len(rows) == 30
+
+
+def test_occ_overlapping_recompute(table, spark, monkeypatch):
+    """Two writers race on the SAME partition: the loser must recompute
+    from the winner's head (a rebase would resurrect the pre-winner
+    state of the partition) — final state composes both merges."""
+    other = ManifestTable(spark, str(table.path).rsplit("/", 1)[0], "t")
+    snapshots = {"n": 0}
+    real_write = table._write_snapshot
+
+    def counting_write(df, part):
+        snapshots["n"] += 1
+        entries = real_write(df, part)
+        if snapshots["n"] == 1:
+            other.merge(  # winner updates k=4 in the SAME partition y=2
+                spark.createDataFrame([(4, 2, 444)], "k long, y int, v long"),
+                on="k",
+            )
+        return entries
+
+    monkeypatch.setattr(table, "_write_snapshot", counting_write)
+    table.merge(
+        spark.createDataFrame([(1, 2, 111)], "k long, y int, v long"),
+        on="k",
+        max_retries=2,
+    )
+    assert snapshots["n"] == 2, "overlapping conflict must recompute"
+    rows = {r.k: (r.y, r.v) for r in table.read().collect()}
+    # BOTH writes survive: recompute re-read the winner's k=4
+    assert rows[1] == (2, 111) and rows[4] == (2, 444)
+    assert len(rows) == 30
+
+
+def test_occ_no_retries_still_raises(table, spark, monkeypatch):
+    other = ManifestTable(spark, str(table.path).rsplit("/", 1)[0], "t")
+    real_write = table._write_snapshot
+    fired = {"done": False}
+
+    def racing_write(df, part):
+        entries = real_write(df, part)
+        if not fired["done"]:
+            fired["done"] = True
+            other.merge(
+                spark.createDataFrame([(2, 3, 5)], "k long, y int, v long"), on="k"
+            )
+        return entries
+
+    monkeypatch.setattr(table, "_write_snapshot", racing_write)
+    with pytest.raises(CommitConflict):
+        table.merge(
+            spark.createDataFrame([(1, 2, 1)], "k long, y int, v long"), on="k"
+        )
