@@ -202,7 +202,12 @@ class ManifestTable:
             )
         return out
 
-    def _write_snapshot(self, df: DataFrame, partition_by: str | None) -> list[dict]:
+    def _write_snapshot(
+        self,
+        df: DataFrame,
+        partition_by: str | None,
+        writer_options: dict | None = None,
+    ) -> list[dict]:
         """Write one immutable snapshot dir; return its file entries
         (with per-file zone-map stats). The partition column is
         duplicated into PART_DIR_COL (string) so the data files keep the
@@ -210,11 +215,14 @@ class ManifestTable:
         snap = f"snap-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, "data", snap)
         if partition_by:
-            df.withColumn(PART_DIR_COL, F.col(partition_by).cast("string")).write.partitionBy(
-                PART_DIR_COL
-            ).parquet(out)
+            w = df.withColumn(
+                PART_DIR_COL, F.col(partition_by).cast("string")
+            ).write.partitionBy(PART_DIR_COL)
         else:
-            df.write.parquet(out)
+            w = df.write
+        for k, v in (writer_options or {}).items():
+            w = w.option(k, v)
+        w.parquet(out)
         entries = []
         for dirpath, _dirs, files in os.walk(out):
             token = None
@@ -574,14 +582,29 @@ class ManifestTable:
         )
         return {"version": v, "restored_from": version, "files": len(old["entries"])}
 
-    def compact(self, min_files: int = 2, partitions: list | None = None) -> dict:
+    def compact(
+        self,
+        min_files: int = 2,
+        partitions: list | None = None,
+        cluster_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
+    ) -> dict:
         """Coalesce small files: rewrite each partition holding at least
         ``min_files`` data files into one file, carrying everything else
         by reference. Logical content is unchanged (operation is a pure
         layout move — the OPTIMIZE of the Delta/Iceberg shape); readers
         on older versions keep their pinned file lists. At 100 TB this
         is the maintenance job that keeps a streaming-merged table's
-        file count from degrading scan planning."""
+        file count from degrading scan planning.
+
+        ``cluster_by`` = OPTIMIZE ZORDER BY: rewritten rows are ordered
+        by the Morton code of the given numeric/date columns
+        (operators/layout.py zorder_sort) and split at
+        ``max_records_per_file``, so every z-dimension gets clustered
+        per-file [min, max] ranges — which is what makes the zone-map
+        skipping in files()/read() selective on non-partition columns.
+        With cluster_by, min_files=1 partitions are rewritten too (the
+        point is reordering, not just coalescing)."""
         cur = self.manifest()
         partition_by = cur["partition_by"]
         by_part: dict = {}
@@ -590,10 +613,11 @@ class ManifestTable:
         want = None
         if partitions is not None:
             want = {NULL_TOKEN if p is None else str(p) for p in partitions}
+        floor = 1 if cluster_by else min_files
         touched = sorted(
             p if p is not None else NULL_TOKEN
             for p, es in by_part.items()
-            if len(es) >= min_files and (want is None or (p or NULL_TOKEN) in want)
+            if len(es) >= floor and (want is None or (p or NULL_TOKEN) in want)
         )
         if not touched:
             return {"version": cur["version"], "touched_partitions": [],
@@ -604,14 +628,19 @@ class ManifestTable:
         scoped = self.spark.read.schema(self.schema()).parquet(
             *[os.path.join(self.path, e["path"]) for e in old]
         )
-        # one output file per partition: coalesce the whole scoped read
-        # when unpartitioned, else let the snapshot writer regroup and
-        # repartition by the partition column first
-        if partition_by:
+        writer_options = None
+        if cluster_by:
+            from forklift_spark.operators.layout import zorder_sort
+
+            scoped = zorder_sort(scoped, cluster_by)
+            if max_records_per_file:
+                writer_options = {"maxRecordsPerFile": str(max_records_per_file)}
+        elif partition_by:
+            # one output file per partition: regroup by the partition column
             scoped = scoped.repartition(len(tset), F.col(partition_by))
         else:
             scoped = scoped.coalesce(1)
-        entries = self._write_snapshot(scoped, partition_by)
+        entries = self._write_snapshot(scoped, partition_by, writer_options)
         v = self._commit(
             {
                 "version": cur["version"] + 1,

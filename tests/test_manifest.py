@@ -490,3 +490,28 @@ def test_occ_no_retries_still_raises(table, spark, monkeypatch):
         table.merge(
             spark.createDataFrame([(1, 2, 1)], "k long, y int, v long"), on="k"
         )
+
+
+def test_compact_zorder_clusters_zone_maps(spark, tmp_path):
+    """OPTIMIZE ZORDER: after cluster_by compaction, per-file [min, max]
+    ranges on the cluster column are tight enough that a narrow range
+    predicate plans strictly fewer files — on data written in an order
+    that made every pre-compact file cover the whole value domain."""
+    t = ManifestTable(spark, str(tmp_path), "zopt")
+    # round-robin layout: each of 4 input files spans the FULL v domain,
+    # so zone maps are useless before clustering
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("shard"),
+        (F.col("id") % 1000).alias("v"),
+    ).repartition(4, "shard").drop("shard")
+    t.create(df)
+    before = t.files(where={"v": (0, 49)})
+    assert len(before) == len(t.files())  # every file matches: no skipping
+    stats = t.compact(cluster_by=["v"], max_records_per_file=500)
+    assert stats["files_written"] >= 8
+    after = t.files(where={"v": (0, 49)})
+    assert 0 < len(after) < len(t.files())  # clustered ranges now prune
+    got = t.read(where={"v": (0, 49)})
+    assert got.count() == 4000 // 1000 * 50
+    assert {r.v for r in got.collect()} == set(range(50))
