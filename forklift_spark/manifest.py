@@ -10,6 +10,7 @@ dependency — the "Upsert at scale" design in SCALING.md, realized.
 Layout under ``<root>/<table>/``::
 
     data/snap-<hex>/[__fsp__=<value>/]part-*.parquet   immutable data files
+    dv/dv-<hex>/part-*.parquet                         deletion-vector sidecars
     manifest-v<N>.json                                 immutable manifests
     _current                                           atomic version pointer
 
@@ -58,6 +59,21 @@ from pyspark.sql import types as T
 
 PART_DIR_COL = "__fsp__"  # file-system-partition dup column (never in data)
 NULL_TOKEN = "__HIVE_DEFAULT_PARTITION__"
+
+# Table-relative file reference extracted from `_metadata.file_path` in
+# executors. The URI percent-encodes filesystem names (space -> %20,
+# % -> %25; '+' and unicode pass through), so this ref stays in ENCODED
+# form for executor-side joins (both sides produced by the same reader
+# => exact match); driver-side bookkeeping decodes with urllib unquote,
+# which is the precise inverse (never treats '+' as space).
+FILE_REF_RE = r"(data/snap-[0-9a-f]{12}/.*)$"
+# deletion-vector rows (file_ref, pos) under this total broadcast on the
+# read-path anti-join; above it, fall back to a shuffled join
+DV_BROADCAST_ROWS = 2_000_000
+
+
+def _file_ref() -> F.Column:
+    return F.regexp_extract(F.col("_metadata.file_path"), FILE_REF_RE, 1)
 
 
 class CommitConflict(RuntimeError):
@@ -194,8 +210,10 @@ class ManifestTable:
         for row in df.groupBy("__file").agg(*aggs).collect():
             # normalize the file:// URI to a table-relative key — file
             # BASENAMES collide across partition dirs (the same task id
-            # names its file identically in every partition it writes)
-            key = os.path.relpath(row["__file"].split("://", 1)[-1], self.path)
+            # names its file identically in every partition it writes).
+            # unquote undoes the URI's percent-encoding of partition dirs
+            # (space -> %20 etc.) so the key matches the os.walk entry path.
+            key = unquote(os.path.relpath(row["__file"].split("://", 1)[-1], self.path))
             out[key] = (
                 {c: [row[f"lo_{c}"], row[f"hi_{c}"]] for c in cols},
                 row["__rows"],
@@ -282,6 +300,26 @@ class ManifestTable:
             return False
         return True
 
+    def _entries(
+        self,
+        version: int | None = None,
+        partitions: list | None = None,
+        where: dict | None = None,
+    ) -> list[dict]:
+        m = self.manifest(version)
+        entries = m["entries"]
+        if partitions is not None:
+            want = {NULL_TOKEN if p is None else str(p) for p in partitions}
+            entries = [e for e in entries if e["partition"] in want]
+        if where:
+            types = {f.name: f.dataType for f in self.schema(version).fields}
+            for col, bound in where.items():
+                numeric = self._numeric(types.get(col, T.StringType()))
+                entries = [
+                    e for e in entries if self._file_matches(e, col, bound, numeric)
+                ]
+        return entries
+
     def files(
         self,
         version: int | None = None,
@@ -295,22 +333,60 @@ class ManifestTable:
         the scan — manifest-level data skipping. Non-numeric bounds
         compare in Spark's string-cast form (ISO dates/timestamps order
         lexicographically)."""
-        m = self.manifest(version)
-        entries = m["entries"]
-        if partitions is not None:
-            want = {NULL_TOKEN if p is None else str(p) for p in partitions}
-            entries = [e for e in entries if e["partition"] in want]
-        if where:
-            types = {f.name: f.dataType for f in self.schema(version).fields}
-            for col, bound in where.items():
-                numeric = self._numeric(types.get(col, T.StringType()))
-                entries = [
-                    e for e in entries if self._file_matches(e, col, bound, numeric)
-                ]
-        return [os.path.join(self.path, e["path"]) for e in entries]
+        return [
+            os.path.join(self.path, e["path"])
+            for e in self._entries(version, partitions, where)
+        ]
 
     def schema(self, version: int | None = None) -> T.StructType:
         return T.StructType.fromJson(self.manifest(version)["schema"])
+
+    def _read_entries(
+        self,
+        entries: list[dict],
+        schema: T.StructType,
+        keep_ref: bool = False,
+    ) -> DataFrame:
+        """Live rows of exactly these manifest entries: scan their files
+        and anti-join away deletion-vector positions. The dv join is
+        broadcast while the manifest-recorded dv row total stays small,
+        else a shuffled join — either way O(scan + |dv|), never a
+        rewrite. ``keep_ref`` keeps the (``__ref``, ``__pos``) identity
+        columns for callers that need row positions (dv computation)."""
+        if not entries:
+            df = self.spark.createDataFrame([], schema)
+            if keep_ref:
+                df = df.withColumn("__ref", F.lit(None).cast("string")).withColumn(
+                    "__pos", F.lit(None).cast("bigint")
+                )
+            return df
+        paths = [os.path.join(self.path, e["path"]) for e in entries]
+        df = self.spark.read.schema(schema).parquet(*paths)
+        dv_dirs = sorted({e["dv"] for e in entries if e.get("dv")})
+        if not dv_dirs and not keep_ref:
+            return df
+        if dv_dirs or keep_ref:
+            df = df.withColumn("__ref", _file_ref()).withColumn(
+                "__pos", F.col("_metadata.row_index")
+            )
+        if dv_dirs:
+            dv = self.spark.read.parquet(
+                *[os.path.join(self.path, d) for d in dv_dirs]
+            ).select("file_ref", "pos")
+            # positions only ever GROW per live file (deletes accumulate;
+            # rewrites change the file ref), so a shared dv dir referenced
+            # by several entries at different commit ages contributes only
+            # duplicate/stale-subset pairs — harmless to an anti-join
+            if sum(e.get("dv_rows", 0) for e in entries) <= DV_BROADCAST_ROWS:
+                dv = F.broadcast(dv)
+            df = df.join(
+                dv,
+                (df["__ref"] == dv["file_ref"]) & (df["__pos"] == dv["pos"]),
+                "left_anti",
+            )
+        if not keep_ref:
+            df = df.drop("__ref", "__pos")
+        return df
 
     def read(
         self,
@@ -324,10 +400,8 @@ class ManifestTable:
         time AND the row-level interval filter is applied, so results
         are correct whether or not a file carries stats."""
         schema = self.schema(version)
-        paths = self.files(version, partitions, where)
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(*paths)
+        entries = self._entries(version, partitions, where)
+        df = self._read_entries(entries, schema)
         for col, (lo, hi) in (where or {}).items():
             if lo is not None:
                 df = df.filter(F.col(col) >= F.lit(lo))
@@ -370,11 +444,21 @@ class ManifestTable:
         on: str | list[str],
         broadcast_threshold: int = 2_000_000,
         max_retries: int = 0,
+        use_dv: bool = False,
     ) -> dict:
         """Upsert `source` by key: rewrite ONLY the partitions the source
         batch lands in; carry every other partition's files by reference.
         Matched keys are replaced by the source row (reference DELETE IN +
         INSERT, mysql.rb:82-87); unmatched source rows insert.
+
+        ``use_dv=True`` drops write amplification further: matched rows
+        are masked by DELETION VECTORS (per-file row positions in a dv
+        sidecar, the Delta DV / Iceberg v2 positional-delete shape) and
+        source rows append as new files — NO existing data file is
+        rewritten at all, so a merge costs O(batch + touched-partition
+        scan) in IO-read and O(batch + |matches|) in IO-write. Readers
+        anti-join the dv at scan time; ``compact()`` materializes dvs
+        away when a partition accumulates too many.
 
         Optimistic concurrency (``max_retries > 0``, the Delta OCC
         shape): losing a commit race raises CommitConflict by default;
@@ -384,10 +468,11 @@ class ManifestTable:
         head with zero recompute (its snapshot of the touched partitions
         is still current). Overlapping commits recompute the merge from
         the new head. Retries exhausted -> CommitConflict."""
+        compute = self._compute_merge_dv if use_dv else self._compute_merge
         attempt = 0
         while True:
             cur = self.manifest()
-            computed = self._compute_merge(cur, source, on, broadcast_threshold)
+            computed = compute(cur, source, on, broadcast_threshold)
             try:
                 return self._commit_merge(cur, **computed)
             except CommitConflict:
@@ -446,13 +531,7 @@ class ManifestTable:
             touched = [""]  # unpartitioned: documented O(table) fallback
             kept, old = [], list(cur["entries"])
         cur_schema = T.StructType.fromJson(cur["schema"])
-        existing = (
-            self.spark.read.schema(cur_schema).parquet(
-                *[os.path.join(self.path, e["path"]) for e in old]
-            )
-            if old
-            else self.spark.createDataFrame([], cur_schema)
-        )
+        existing = self._read_entries(old, cur_schema)
         src = _align(source, schema)
         keys = src.select(*pk).distinct()
         # broadcast the key set only while provably small (bounded probe,
@@ -469,11 +548,119 @@ class ManifestTable:
             "entries": entries,
         }
 
-    def _commit_merge(self, cur: dict, schema, touched, kept, old, entries) -> dict:
+    def _write_dv(self, hits: DataFrame) -> tuple[str, dict, int]:
+        """Persist deletion-vector positions ``(file_ref, pos)`` as one
+        dv sidecar dir; return (relative dv path, per-file-ref counts,
+        total). ``hits`` must hold positions of LIVE rows only (computed
+        through a dv-applied read), so counts add to any prior dv_rows
+        without double-counting. Bounded driver state: one count per
+        touched file — the same class as the manifest entry list."""
+        hits = hits.localCheckpoint(eager=True)  # cut the scan lineage
+        counts = {
+            r["file_ref"]: r["n"]
+            for r in hits.groupBy("file_ref")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        total = sum(counts.values())
+        rel = os.path.join("dv", f"dv-{uuid.uuid4().hex[:12]}")
+        nparts = max(1, total // 4_000_000 + 1)
+        hits.repartition(nparts, "file_ref").write.parquet(
+            os.path.join(self.path, rel)
+        )
+        return rel, counts, total
+
+    def _dv_masked_entries(
+        self, scope: list[dict], hits: DataFrame
+    ) -> tuple[list[dict], list[str], int]:
+        """Attach a new merged dv to every entry of ``scope`` that
+        ``hits`` (live-row positions) covers; other entries pass through
+        unchanged. The new dv carries prior positions for the hit files
+        too, so each entry always references ONE complete dv. Returns
+        (updated scope entries, touched partition tokens, rows masked)."""
+        hits = hits.localCheckpoint(eager=True)
+        # driver-side mapping from encoded executor refs to fs entry paths
+        probe = {unquote(ref): ref for (ref,) in
+                 hits.select("file_ref").distinct().collect()}
+        hit_entries = [e for e in scope if e["path"] in probe]
+        if len(hit_entries) != len(probe):
+            missing = set(probe) - {e["path"] for e in hit_entries}
+            raise RuntimeError(f"dv hits reference unknown files: {missing}")
+        if not hit_entries:
+            return list(scope), [], 0
+        prior_dirs = sorted({e["dv"] for e in hit_entries if e.get("dv")})
+        full = hits.select("file_ref", "pos")
+        if prior_dirs:
+            refs = list(probe.values())
+            prior = (
+                self.spark.read.parquet(
+                    *[os.path.join(self.path, d) for d in prior_dirs]
+                )
+                .select("file_ref", "pos")
+                .filter(F.col("file_ref").isin(refs))
+            )
+            full = full.unionByName(prior)
+        rel, counts, total_new = self._write_dv(full)
+        out = []
+        for e in scope:
+            ref = probe.get(e["path"])
+            if ref is None:
+                out.append(e)
+            else:
+                out.append({**{k: v for k, v in e.items()},
+                            "dv": rel, "dv_rows": counts[ref]})
+        touched = sorted({e["partition"] or NULL_TOKEN for e in hit_entries})
+        masked = sum(counts[probe[e["path"]]] - e.get("dv_rows", 0)
+                     for e in hit_entries)
+        return out, touched, masked
+
+    def _compute_merge_dv(
+        self, cur: dict, source: DataFrame, on, broadcast_threshold: int
+    ) -> dict:
+        """Merge without rewriting any existing file: mask matched rows
+        via deletion vectors, append the source batch as new files."""
+        partition_by = cur["partition_by"]
+        schema = _merge_schemas(T.StructType.fromJson(cur["schema"]), source.schema)
+        pk = [on] if isinstance(on, str) else list(on)
+        if partition_by:
+            touched = self._touched_tokens(source, partition_by)
+            kept = [e for e in cur["entries"] if e["partition"] not in set(touched)]
+            old = [e for e in cur["entries"] if e["partition"] in set(touched)]
+        else:
+            touched = [""]
+            kept, old = [], list(cur["entries"])
+        cur_schema = T.StructType.fromJson(cur["schema"])
+        existing = self._read_entries(old, cur_schema, keep_ref=True)
+        src = _align(source, schema)
+        keys = src.select(*pk).distinct()
+        if keys.limit(broadcast_threshold + 1).count() <= broadcast_threshold:
+            keys = F.broadcast(keys)
+        matched = existing.join(keys, pk, "left_semi").select(
+            F.col("__ref").alias("file_ref"), F.col("__pos").alias("pos")
+        )
+        masked_old, _parts, masked = self._dv_masked_entries(old, matched)
+        new_entries = self._write_snapshot(src, partition_by)
+        return {
+            "schema": schema,
+            "touched": touched,
+            "kept": kept,
+            "old": [],  # nothing rewritten — old files stay live under dv masks
+            "entries": masked_old + new_entries,
+            "operation": "merge+dv",
+            "extra": {
+                "files_written": len(new_entries),  # appended only; 0 rewritten
+                "rows_masked": masked,
+            },
+        }
+
+    def _commit_merge(
+        self, cur: dict, schema, touched, kept, old, entries,
+        operation: str = "merge", extra: dict | None = None,
+    ) -> dict:
         v = self._commit(
             {
                 "version": cur["version"] + 1,
-                "operation": "merge",
+                "operation": operation,
                 "partition_by": cur["partition_by"],
                 "schema": schema.jsonValue(),
                 "touched_partitions": touched,
@@ -486,25 +673,26 @@ class ManifestTable:
             "files_rewritten": len(old),
             "files_written": len(entries),
             "files_carried": len(kept),
+            **(extra or {}),
         }
 
-    def delete(self, predicate) -> dict:
+    def delete(self, predicate, use_dv: bool = False) -> dict:
         """Delete rows matching a Column predicate, rewriting only the
-        partitions that contain matches (the GDPR-delete shape)."""
+        partitions that contain matches (the GDPR-delete shape).
+        ``use_dv=True`` rewrites NOTHING: matching live-row positions are
+        recorded as deletion vectors (one small sidecar write, O(|hits|))
+        and every data file carries by reference — the right shape when
+        deletes are sparse relative to partition size."""
         cur = self.manifest()
         partition_by = cur["partition_by"]
+        if use_dv:
+            return self._delete_dv(cur, predicate)
         full = self.read()
         if partition_by:
             touched = self._touched_tokens(full.filter(predicate), partition_by)
             kept = [e for e in cur["entries"] if e["partition"] not in set(touched)]
             old = [e for e in cur["entries"] if e["partition"] in set(touched)]
-            scoped = (
-                self.spark.read.schema(self.schema()).parquet(
-                    *[os.path.join(self.path, e["path"]) for e in old]
-                )
-                if old
-                else self.spark.createDataFrame([], self.schema())
-            )
+            scoped = self._read_entries(old, self.schema())
         else:
             touched, kept, old, scoped = [""], [], list(cur["entries"]), full
         entries = self._write_snapshot(scoped.filter(~predicate), partition_by)
@@ -523,6 +711,38 @@ class ManifestTable:
             "touched_partitions": touched,
             "files_rewritten": len(old),
             "files_written": len(entries),
+        }
+
+    def _delete_dv(self, cur: dict, predicate) -> dict:
+        """Positional delete: one dv-aware scan (with predicate pushdown)
+        finds matching live rows; their (file, position) pairs commit as
+        a dv sidecar attached to the covered entries."""
+        schema = T.StructType.fromJson(cur["schema"])
+        live = self._read_entries(cur["entries"], schema, keep_ref=True)
+        hits = live.filter(predicate).select(
+            F.col("__ref").alias("file_ref"), F.col("__pos").alias("pos")
+        )
+        masked, touched, masked_rows = self._dv_masked_entries(
+            cur["entries"], hits
+        )
+        if not touched:  # no live row matched: nothing to commit
+            return {"version": cur["version"], "touched_partitions": [],
+                    "files_rewritten": 0, "rows_masked": 0}
+        v = self._commit(
+            {
+                "version": cur["version"] + 1,
+                "operation": "delete+dv",
+                "partition_by": cur["partition_by"],
+                "schema": cur["schema"],
+                "touched_partitions": touched,
+                "entries": masked,
+            }
+        )
+        return {
+            "version": v,
+            "touched_partitions": touched,
+            "files_rewritten": 0,
+            "rows_masked": masked_rows,
         }
 
     def overwrite(self, df: DataFrame) -> dict:
@@ -560,7 +780,9 @@ class ManifestTable:
             entries = [e for e in entries if e["partition"] in want]
         if any("rows" not in e for e in entries):
             return None
-        return sum(e["rows"] for e in entries)
+        # dv positions always reference live files of THIS manifest, and
+        # each entry's dv_rows counts exactly its own masked positions
+        return sum(e["rows"] - e.get("dv_rows", 0) for e in entries)
 
     def restore(self, version: int) -> dict:
         """Roll the table back to an earlier version AS A NEW COMMIT
@@ -581,6 +803,49 @@ class ManifestTable:
             }
         )
         return {"version": v, "restored_from": version, "files": len(old["entries"])}
+
+    def changes(self, from_version: int, to_version: int) -> DataFrame:
+        """Row-level change feed between two versions (the Delta CDF /
+        `table_changes` shape, derived after the fact from plain
+        manifests): returns rows in ``to_version``'s schema plus a
+        ``_change_type`` column ('insert' | 'delete'; an update is its
+        delete+insert pair).
+
+        Cost is O(delta), never O(table): only files whose manifest
+        membership OR deletion-vector changed between the versions are
+        read. Candidate inserts/deletes cancel through ``exceptAll``
+        multiset difference, so pure layout moves (compact, restore,
+        rebase re-references) produce ZERO change rows."""
+        a = self.manifest(from_version)
+        b = self.manifest(to_version)
+        ea = {e["path"]: e for e in a["entries"]}
+        eb = {e["path"]: e for e in b["entries"]}
+        schema_a = T.StructType.fromJson(a["schema"])
+        schema_b = T.StructType.fromJson(b["schema"])
+        removed = [e for p, e in ea.items() if p not in eb]
+        added = [e for p, e in eb.items() if p not in ea]
+        changed = [
+            p
+            for p in set(ea) & set(eb)
+            if ea[p].get("dv") != eb[p].get("dv")
+            or ea[p].get("dv_rows") != eb[p].get("dv_rows")
+        ]
+        del_cand = _align(self._read_entries(removed, schema_a), schema_b)
+        ins_cand = self._read_entries(added, schema_b)
+        if changed:
+            # same immutable files under each side's dv mask: rows live
+            # at `a` but masked at `b` are deletes (vice versa: restores)
+            live_a = _align(
+                self._read_entries([ea[p] for p in changed], schema_a), schema_b
+            )
+            live_b = self._read_entries([eb[p] for p in changed], schema_b)
+            del_cand = del_cand.unionByName(live_a.exceptAll(live_b))
+            ins_cand = ins_cand.unionByName(live_b.exceptAll(live_a))
+        inserts = ins_cand.exceptAll(del_cand)
+        deletes = del_cand.exceptAll(ins_cand)
+        return inserts.withColumn("_change_type", F.lit("insert")).unionByName(
+            deletes.withColumn("_change_type", F.lit("delete"))
+        )
 
     def compact(
         self,
@@ -614,10 +879,13 @@ class ManifestTable:
         if partitions is not None:
             want = {NULL_TOKEN if p is None else str(p) for p in partitions}
         floor = 1 if cluster_by else min_files
+        # a partition carrying any deletion vector is always eligible:
+        # compaction is what materializes dv masks back into plain files
         touched = sorted(
             p if p is not None else NULL_TOKEN
             for p, es in by_part.items()
-            if len(es) >= floor and (want is None or (p or NULL_TOKEN) in want)
+            if (len(es) >= floor or any(e.get("dv") for e in es))
+            and (want is None or (p or NULL_TOKEN) in want)
         )
         if not touched:
             return {"version": cur["version"], "touched_partitions": [],
@@ -625,9 +893,9 @@ class ManifestTable:
         tset = {None if t == NULL_TOKEN else t for t in touched}
         old = [e for e in cur["entries"] if e["partition"] in tset]
         kept = [e for e in cur["entries"] if e["partition"] not in tset]
-        scoped = self.spark.read.schema(self.schema()).parquet(
-            *[os.path.join(self.path, e["path"]) for e in old]
-        )
+        # dv-aware: masked rows drop out here, so the rewritten files are
+        # plain again (dv materialization) and the new entries carry no dv
+        scoped = self._read_entries(old, self.schema())
         writer_options = None
         if cluster_by:
             from forklift_spark.operators.layout import zorder_sort
@@ -663,8 +931,12 @@ class ManifestTable:
         data files no retained manifest references."""
         keep = self.versions()[-max(1, keep_versions):]
         referenced = set()
+        referenced_dv = set()
         for v in keep:
-            referenced.update(e["path"] for e in self.manifest(v)["entries"])
+            for e in self.manifest(v)["entries"]:
+                referenced.add(e["path"])
+                if e.get("dv"):
+                    referenced_dv.add(e["dv"])
         removed_files = 0
         data_root = os.path.join(self.path, "data")
         for dirpath, _dirs, files in os.walk(data_root, topdown=False):
@@ -676,6 +948,18 @@ class ManifestTable:
                     removed_files += 1
             if not os.listdir(dirpath):
                 os.rmdir(dirpath)
+        # dv sidecars are referenced as whole DIRS (one per commit)
+        dv_root = os.path.join(self.path, "dv")
+        if os.path.isdir(dv_root):
+            import shutil
+
+            for name in os.listdir(dv_root):
+                rel = os.path.join("dv", name)
+                if rel not in referenced_dv:
+                    shutil.rmtree(os.path.join(dv_root, name))
+                    removed_files += 1
+            if not os.listdir(dv_root):
+                os.rmdir(dv_root)
         removed_manifests = 0
         for v in self.versions():
             if v not in keep:

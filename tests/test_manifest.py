@@ -515,3 +515,167 @@ def test_compact_zorder_clusters_zone_maps(spark, tmp_path):
     got = t.read(where={"v": (0, 49)})
     assert got.count() == 4000 // 1000 * 50
     assert {r.v for r in got.collect()} == set(range(50))
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (positional deletes) — the Delta DV / Iceberg v2 shape:
+# DELETE/MERGE commits that rewrite NO data file at all.
+# ---------------------------------------------------------------------------
+def test_dv_delete_rewrites_nothing(table):
+    before = _md5s(table)
+    stats = table.delete(F.col("k") % 5 == 0, use_dv=True)
+    assert stats["files_rewritten"] == 0
+    assert stats["rows_masked"] == 6
+    after = _md5s(table)
+    # EVERY data file byte-identical and still referenced
+    assert after == before
+    rows = {r.k for r in table.read().collect()}
+    assert rows == {k for k in range(30) if k % 5 != 0}
+    # metadata-only count reflects the masks without opening a file
+    assert table.count_rows() == 24
+    # time travel: the pre-delete version still shows the masked rows
+    assert {r.k for r in table.read(version=1).collect()} == set(range(30))
+
+
+def test_dv_delete_accumulates_and_merges_priors(table):
+    table.delete(F.col("k") == 3, use_dv=True)
+    table.delete(F.col("k") == 6, use_dv=True)
+    # second commit's dv carries the prior positions for re-hit files:
+    # every entry references exactly ONE dv with its full mask count
+    rows = {r.k for r in table.read().collect()}
+    assert rows == set(range(30)) - {3, 6}
+    assert table.count_rows() == 28
+    for e in table.manifest()["entries"]:
+        if e.get("dv"):
+            assert e["dv_rows"] >= 1
+
+
+def test_dv_delete_no_match_is_noop(table):
+    v = table.current_version()
+    stats = table.delete(F.col("k") == 999, use_dv=True)
+    assert stats["rows_masked"] == 0
+    assert table.current_version() == v  # no empty commit
+
+
+def test_dv_merge_appends_only(table, spark):
+    before = _md5s(table)
+    src = spark.createDataFrame(
+        [(1, 2, 999), (100, 2, 1000)], "k long, y int, v long"
+    )
+    stats = table.merge(src, on="k", use_dv=True)
+    assert stats["files_rewritten"] == 0
+    assert stats["rows_masked"] == 1  # k=1 existed and was masked
+    after = _md5s(table)
+    # every pre-merge file byte-identical AND still live (dv-masked)
+    for path, digest in before.items():
+        assert after[path] == digest, f"pre-merge file rewritten: {path}"
+    rows = {r.k: (r.y, r.v) for r in table.read().collect()}
+    assert rows[1] == (2, 999) and rows[100] == (2, 1000)
+    assert len(rows) == 31
+
+
+def test_dv_matches_rewrite_semantics(spark, tmp_path, base_df):
+    """dv-mode and rewrite-mode deletes/merges produce identical logical
+    state on twin tables."""
+    a = ManifestTable(spark, str(tmp_path), "a")
+    b = ManifestTable(spark, str(tmp_path), "b")
+    a.create(base_df, partition_by="y")
+    b.create(base_df, partition_by="y")
+    pred = (F.col("v") % 40 == 0) & (F.col("k") < 20)
+    a.delete(pred)
+    b.delete(pred, use_dv=True)
+    src = spark.createDataFrame([(2, 3, -7), (50, 1, 7)], "k long, y int, v long")
+    a.merge(src, on="k")
+    b.merge(src, on="k", use_dv=True)
+    rows_a = sorted((r.k, r.y, r.v) for r in a.read().collect())
+    rows_b = sorted((r.k, r.y, r.v) for r in b.read().collect())
+    assert rows_a == rows_b
+
+
+def test_compact_materializes_dv(table):
+    table.delete(F.col("k") % 3 == 0, use_dv=True)
+    want = {r.k for r in table.read().collect()}
+    stats = table.compact(min_files=1)
+    assert stats["files_rewritten"] > 0
+    m = table.manifest()
+    assert not any(e.get("dv") for e in m["entries"]), "dv not materialized"
+    assert {r.k for r in table.read().collect()} == want
+    assert table.count_rows() == len(want)
+
+
+def test_vacuum_retains_referenced_dv(table, spark):
+    table.delete(F.col("k") == 5, use_dv=True)
+    table.vacuum(keep_versions=1)
+    # the dv sidecar survives vacuum because the head manifest names it
+    assert {r.k for r in table.read().collect()} == set(range(30)) - {5}
+    # after compaction nothing references dvs; vacuum removes them
+    table.compact(min_files=1)
+    table.vacuum(keep_versions=1)
+    dv_root = os.path.join(table.path, "dv")
+    assert not os.path.isdir(dv_root) or not os.listdir(dv_root)
+    assert {r.k for r in table.read().collect()} == set(range(30)) - {5}
+
+
+def test_dv_special_partition_tokens(spark, tmp_path):
+    """URI-encoded partition dirs (space, %, =) round-trip through the
+    dv file_ref mapping — the executor joins on raw encoded refs while
+    the driver bookkeeping unquotes them back to fs entry paths."""
+    t = ManifestTable(spark, str(tmp_path), "funky")
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "e%f"), (3, "g=h"), (4, "a b"), (5, "c+d")],
+        "k long, p string",
+    )
+    t.create(df, partition_by="p")
+    stats = t.delete(F.col("k").isin(1, 2, 5), use_dv=True)
+    assert stats["files_rewritten"] == 0 and stats["rows_masked"] == 3
+    assert {r.k for r in t.read().collect()} == {3, 4}
+    assert t.count_rows() == 2
+    # zone-map stats attached despite encoded dir names (unquote fix)
+    assert all("rows" in e for e in t.manifest()["entries"])
+
+
+# ---------------------------------------------------------------------------
+# changes(): version-diff CDC from plain manifests
+# ---------------------------------------------------------------------------
+def test_changes_merge_feed(table, spark):
+    src = spark.createDataFrame(
+        [(1, 2, 999), (100, 2, 1000)], "k long, y int, v long"
+    )
+    table.merge(src, on="k")
+    feed = {
+        (r.k, r.v, r._change_type) for r in table.changes(1, 2).collect()
+    }
+    assert feed == {
+        (1, 10, "delete"),  # old row of updated key
+        (1, 999, "insert"),
+        (100, 1000, "insert"),
+    }
+
+
+def test_changes_dv_delete_feed(table):
+    table.delete(F.col("k").isin(4, 8), use_dv=True)
+    feed = {(r.k, r._change_type) for r in table.changes(1, 2).collect()}
+    assert feed == {(4, "delete"), (8, "delete")}
+
+
+def test_changes_layout_moves_cancel(table):
+    """compact and restore are pure layout moves: zero change rows."""
+    table.merge(
+        table.spark.createDataFrame([(0, 1, -1)], "k long, y int, v long"),
+        on="k",
+    )
+    v = table.current_version()
+    table.compact(min_files=1)
+    assert table.changes(v, table.current_version()).count() == 0
+    # restore back to v: net change vs v is also zero
+    table.restore(v)
+    assert table.changes(v, table.current_version()).count() == 0
+
+
+def test_changes_across_schema_evolution(table, spark):
+    src = spark.createDataFrame(
+        [(200, 2, 5, "new")], "k long, y int, v long, tag string"
+    )
+    table.merge(src, on="k")
+    feed = [(r.k, r.tag, r._change_type) for r in table.changes(1, 2).collect()]
+    assert feed == [(200, "new", "insert")]

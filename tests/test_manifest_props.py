@@ -38,20 +38,24 @@ def operations(draw):
     n = draw(st.integers(min_value=1, max_value=5))
     ops = []
     for _ in range(n):
-        kind = draw(st.sampled_from(["merge", "merge", "delete", "compact"]))
-        if kind == "merge":
-            ops.append(("merge", draw(rowsets)))
-        elif kind == "delete":
-            ops.append(("delete", draw(vals)))
+        kind = draw(
+            st.sampled_from(
+                ["merge", "merge", "merge_dv", "delete", "delete_dv", "compact"]
+            )
+        )
+        if kind in ("merge", "merge_dv"):
+            ops.append((kind, draw(rowsets)))
+        elif kind in ("delete", "delete_dv"):
+            ops.append((kind, draw(vals)))
         else:
             ops.append(("compact", None))
     return ops
 
 
 def _apply_model(model: dict, op, arg):
-    if op == "merge":
+    if op in ("merge", "merge_dv"):
         return {**model, **arg}  # replace-by-(y,k) or insert
-    if op == "delete":
+    if op in ("delete", "delete_dv"):
         return {yk: v for yk, v in model.items() if v != arg}
     return dict(model)  # compact: layout only
 
@@ -77,8 +81,12 @@ def test_manifest_random_ops_match_model(spark, tmp_path_factory, base, ops):
     for op, arg in ops:
         if op == "merge":
             t.merge(df_of(arg), on=["y", "k"])
+        elif op == "merge_dv":
+            t.merge(df_of(arg), on=["y", "k"], use_dv=True)
         elif op == "delete":
             t.delete(F.col("v") == arg)
+        elif op == "delete_dv":
+            t.delete(F.col("v") == arg, use_dv=True)
         else:
             t.compact(min_files=2)
         model = _apply_model(model, op, arg)
@@ -89,6 +97,22 @@ def test_manifest_random_ops_match_model(spark, tmp_path_factory, base, ops):
     for v, snap in history.items():
         got_v = {(r.y, r.k): r.v for r in t.read(version=v).collect()}
         assert got_v == snap, f"version {v} drifted"
+    # change-feed soundness: replaying changes(a, b) onto state(a)
+    # reproduces state(b) for every consecutive committed pair
+    committed = sorted(history)
+    for va, vb in zip(committed, committed[1:]):
+        feed = [
+            ((r.y, r.k), r.v, r._change_type)
+            for r in t.changes(va, vb).collect()
+        ]
+        replay = dict(history[va])
+        for yk, v, kind in feed:
+            if kind == "delete":
+                assert replay.pop(yk) == v, f"delete of absent row {yk}"
+        for yk, v, kind in feed:
+            if kind == "insert":
+                replay[yk] = v
+        assert replay == history[vb], f"changes({va},{vb}) replay drifted"
     # every referenced file exists
     for v in t.versions():
         assert all(os.path.isfile(p) for p in t.files(v))
