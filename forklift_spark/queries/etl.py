@@ -2494,3 +2494,137 @@ def q_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q_merge_dv — MERGE via deletion vectors: matched rows are masked by
+# positional dv sidecars and the batch appends as new files, so the
+# commit rewrites ZERO existing data files (asserted in-query) — write
+# amplification O(batch + matches) instead of O(touched partitions).
+# The dv-aware read path (scan + anti-join of the mask) must reproduce
+# the relational merge exactly; the oracle replays it in SQL, which
+# certifies masks lose nothing, double-mask nothing, and the appended
+# rows land once. Delta DV / Iceberg v2 positional deletes, from plain
+# parquet + JSON manifests (forklift_spark/manifest.py).
+# --------------------------------------------------------------------------
+MERGE_DV_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type, value FROM events
+), src AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(14,2)) + CAST(25 AS DECIMAL(14,2)) AS DOUBLE) AS value
+  FROM base WHERE event_id % 7 = 0
+  UNION ALL
+  SELECT event_id + 50000000, event_type, value
+  FROM base WHERE event_id % 9 = 0
+), merged AS (
+  SELECT * FROM base WHERE event_id NOT IN (SELECT event_id FROM src)
+  UNION ALL
+  SELECT * FROM src
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM merged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q_merge_dv", MERGE_DV_ORACLE)
+def q_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from forklift_spark.manifest import ManifestTable
+
+    ev = tables.load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = ManifestTable(spark, tempfile.mkdtemp(prefix="fk_merge_dv_"), "events_dv")
+    t.create(ev, partition_by="event_type")
+    updates = ev.filter(F.col("event_id") % 7 == 0).withColumn(
+        "value", (dec("value", MONEY) + F.lit(25).cast(MONEY)).cast("double")
+    )
+    inserts = ev.filter(F.col("event_id") % 9 == 0).withColumn(
+        "event_id", F.col("event_id") + F.lit(50000000)
+    )
+    stats = t.merge(updates.unionByName(inserts), on="event_id", use_dv=True)
+    # the dv contract: NO existing file rewritten, matches masked instead
+    assert stats["files_rewritten"] == 0, stats
+    assert stats["rows_masked"] > 0, stats
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", MONEY)).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_manifest_changes — CDC change feed derived from manifest versions
+# (the Delta table_changes shape): v1 create, v2 dv-DELETE, v3 dv-MERGE,
+# then changes(1, 3) emits row-level insert/delete events computed from
+# ONLY the files whose membership or dv mask differ — O(delta), never
+# O(table). The oracle states the expected feed relationally: deletes =
+# the %13 purge plus pre-images of updated keys; inserts = the batch.
+# --------------------------------------------------------------------------
+MANIFEST_CHANGES_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS order_year, o_totalprice
+  FROM orders
+), src AS (
+  SELECT o_orderkey, order_year,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) + CAST(100000 AS DECIMAL(14,2)) AS DOUBLE) AS o_totalprice
+  FROM base WHERE o_orderkey % 17 = 0
+  UNION ALL
+  SELECT o_orderkey + 200000000, order_year, o_totalprice
+  FROM base WHERE o_orderkey % 19 = 0
+), feed AS (
+  SELECT 'delete' AS change_type, * FROM base
+  WHERE o_orderkey % 13 = 0 OR o_orderkey % 17 = 0
+  UNION ALL
+  SELECT 'insert' AS change_type, * FROM src
+)
+SELECT change_type, order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM feed
+GROUP BY change_type, order_year
+ORDER BY change_type, order_year
+"""
+
+
+@query("q_manifest_changes", MANIFEST_CHANGES_ORACLE)
+def q_manifest_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from forklift_spark.manifest import ManifestTable
+
+    base = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        "o_totalprice",
+    )
+    t = ManifestTable(
+        spark, tempfile.mkdtemp(prefix="fk_changes_"), "orders_cdc"
+    )
+    t.create(base, partition_by="order_year")                      # v1
+    t.delete(F.col("o_orderkey") % 13 == 0, use_dv=True)           # v2
+    updates = base.filter(F.col("o_orderkey") % 17 == 0).withColumn(
+        "o_totalprice",
+        (dec("o_totalprice", MONEY) + F.lit(100000).cast(MONEY)).cast("double"),
+    )
+    inserts = base.filter(F.col("o_orderkey") % 19 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(200000000)
+    )
+    t.merge(updates.unionByName(inserts), on="o_orderkey", use_dv=True)  # v3
+    return (
+        t.changes(1, t.current_version())
+        .groupBy(F.col("_change_type").alias("change_type"), "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(dec("o_totalprice", MONEY)).cast("double").alias("total_price"),
+        )
+        .orderBy("change_type", "order_year")
+    )
