@@ -2628,3 +2628,89 @@ def q_manifest_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type", "order_year")
     )
+
+
+# --------------------------------------------------------------------------
+# q_mv_refresh_cdc — materialized-view refresh driven by the manifest
+# CHANGE FEED: the MV (a group-by COUNT/SUM rollup) is built once at v1,
+# then the table takes a dv-delete and a dv-merge; instead of
+# recomputing, the refresh consumes changes(v1, head) and applies
+# V + agg(inserts) − agg(deletes) via patterns.ivm_agg_apply. Cost is
+# O(delta) on both sides: the feed reads only files whose membership or
+# dv mask changed, and the maintenance joins on the group-key space.
+# The oracle recomputes the view FROM SCRATCH on the final state, so a
+# hash match proves feed-driven maintenance == full recompute — the
+# end-to-end contract a 100 TB rollup needs to never re-scan its fact.
+# Sums are integer cents so the maintenance arithmetic is order-exact.
+# --------------------------------------------------------------------------
+MV_REFRESH_CDC_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), src AS (
+  SELECT o_orderkey, order_year, cents + 12345 AS cents
+  FROM base WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 300000000, order_year, cents
+  FROM base WHERE o_orderkey % 11 = 0
+), final AS (
+  SELECT * FROM base
+  WHERE o_orderkey % 5 <> 0 AND o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL
+  SELECT * FROM src
+)
+SELECT order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM final
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+
+@query("q_mv_refresh_cdc", MV_REFRESH_CDC_ORACLE)
+def q_mv_refresh_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from forklift_spark.manifest import ManifestTable
+    from forklift_spark.patterns import ivm_agg_apply
+
+    base = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        (dec("o_totalprice", MONEY) * 100).cast("bigint").alias("cents"),
+    )
+    t = ManifestTable(spark, tempfile.mkdtemp(prefix="fk_mv_cdc_"), "orders_mv")
+    t.create(base, partition_by="order_year")  # v1
+    view_v1 = (
+        t.read(version=1)
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .localCheckpoint()  # materialize: refresh must not re-read the fact
+    )
+    t.delete(F.col("o_orderkey") % 5 == 0, use_dv=True)
+    updates = base.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "cents", F.col("cents") + F.lit(12345)
+    )
+    inserts = base.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(300000000)
+    )
+    t.merge(updates.unionByName(inserts), on="o_orderkey", use_dv=True)
+    feed = t.changes(1, t.current_version())
+    view_new = ivm_agg_apply(
+        view_v1,
+        feed.filter(F.col("_change_type") == "insert"),
+        feed.filter(F.col("_change_type") == "delete"),
+        keys=["order_year"],
+        count_col="n_rows",
+        sum_cols={"sum_cents": "cents"},
+    )
+    return view_new.select(
+        "order_year",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+    ).orderBy("order_year")

@@ -291,12 +291,18 @@ def stream_merge_manifest(
     checkpoint_dir: str | None = None,
     trigger_once: bool = True,
     max_files_per_trigger: int | None = None,
+    use_dv: bool = False,
 ) -> StreamingQuery:
     """Continuous partition-pruned MERGE: each micro-batch upserts into a
     ``ManifestTable`` (forklift_spark/manifest.py), rewriting ONLY the
     partitions that batch lands in — the streaming Delta-sink shape on
     plain parquet. A day-partitioned 100 TB fact absorbs a continuous
     feed at O(touched partitions) per trigger, never O(table).
+
+    ``use_dv=True`` switches the per-batch merge to deletion vectors:
+    matched rows are masked and the batch appends, so a trigger writes
+    O(batch) regardless of partition size — pair with a periodic
+    ``table.compact()`` to fold accumulated masks back into plain files.
 
     Exactly-once-on-table: foreachBatch is at-least-once; merge-by-key
     is idempotent (a retried batch re-replaces the same keys), and each
@@ -311,7 +317,7 @@ def stream_merge_manifest(
         if not table.exists():
             table.create(batch_df, partition_by=partition_by)
         else:
-            table.merge(batch_df, on=on)
+            table.merge(batch_df, on=on, use_dv=use_dv)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:

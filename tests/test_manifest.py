@@ -679,3 +679,32 @@ def test_changes_across_schema_evolution(table, spark):
     table.merge(src, on="k")
     feed = [(r.k, r.tag, r._change_type) for r in table.changes(1, 2).collect()]
     assert feed == [(200, "new", "insert")]
+
+
+def test_stream_merge_manifest_dv_mode(table, spark, tmp_path):
+    """Streaming MERGE with use_dv: each micro-batch masks + appends —
+    no data file that predates the stream is ever rewritten."""
+    from forklift_spark.streaming.jobs import stream_merge_manifest
+
+    src = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, y int, v long"
+    spark.createDataFrame([(1, 2, 201), (31, 2, 202)], schema).coalesce(
+        1
+    ).write.parquet(src)
+    spark.createDataFrame([(2, 3, 301)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    before = _md5s(table)
+    q = stream_merge_manifest(
+        spark, src, table, on="k", partition_by="y", schema=schema,
+        checkpoint_dir=ckpt, max_files_per_trigger=1, use_dv=True,
+    )
+    q.awaitTermination(120)
+    after = _md5s(table)
+    for path, digest in before.items():
+        assert after[path] == digest, f"pre-stream file rewritten: {path}"
+    rows = {r.k: (r.y, r.v) for r in table.read().collect()}
+    assert rows[1] == (2, 201) and rows[31] == (2, 202) and rows[2] == (3, 301)
+    assert len(rows) == 31
+    assert all(h["operation"] == "merge+dv" for h in table.history()[-2:])
