@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 PART_DIR_COL = "__fsp__"  # file-system-partition dup column (never in data)
+BUCKET_DIR_COL = "__fsb__"  # key-hash bucket dup column (never in data)
 NULL_TOKEN = "__HIVE_DEFAULT_PARTITION__"
 
 # Table-relative file reference extracted from `_metadata.file_path` in
@@ -220,46 +221,63 @@ class ManifestTable:
             )
         return out
 
+    @staticmethod
+    def _bucket_expr(bucket_by: list) -> F.Column:
+        """Deterministic key-hash bucket id (Spark murmur3 via F.hash).
+        The mapping must be recomputed identically at every commit, so
+        the bucket column is always derived from live data with this
+        one expression — never persisted logic."""
+        col, n = bucket_by
+        return F.pmod(F.hash(F.col(col)), F.lit(int(n))).cast("int")
+
     def _write_snapshot(
         self,
         df: DataFrame,
         partition_by: str | None,
         writer_options: dict | None = None,
+        bucket_by: list | None = None,
     ) -> list[dict]:
         """Write one immutable snapshot dir; return its file entries
         (with per-file zone-map stats). The partition column is
         duplicated into PART_DIR_COL (string) so the data files keep the
-        real column (see module docstring)."""
+        real column (see module docstring); with ``bucket_by`` a second
+        key-hash dir level (BUCKET_DIR_COL) sub-divides each partition
+        into hash cells."""
         snap = f"snap-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, "data", snap)
+        dir_cols = []
         if partition_by:
-            w = df.withColumn(
-                PART_DIR_COL, F.col(partition_by).cast("string")
-            ).write.partitionBy(PART_DIR_COL)
-        else:
-            w = df.write
+            df = df.withColumn(PART_DIR_COL, F.col(partition_by).cast("string"))
+            dir_cols.append(PART_DIR_COL)
+        if bucket_by:
+            df = df.withColumn(BUCKET_DIR_COL, self._bucket_expr(bucket_by))
+            dir_cols.append(BUCKET_DIR_COL)
+        w = df.write.partitionBy(*dir_cols) if dir_cols else df.write
         for k, v in (writer_options or {}).items():
             w = w.option(k, v)
         w.parquet(out)
         entries = []
         for dirpath, _dirs, files in os.walk(out):
-            token = None
-            base = os.path.basename(dirpath)
-            if base.startswith(f"{PART_DIR_COL}="):
-                token = unquote(base[len(PART_DIR_COL) + 1:])
+            token, bucket = None, None
+            for comp in os.path.relpath(dirpath, out).split(os.sep):
+                if comp.startswith(f"{PART_DIR_COL}="):
+                    token = unquote(comp[len(PART_DIR_COL) + 1:])
+                elif comp.startswith(f"{BUCKET_DIR_COL}="):
+                    bucket = int(comp[len(BUCKET_DIR_COL) + 1:])
             for name in files:
                 if not name.endswith(".parquet"):
                     continue
                 full = os.path.join(dirpath, name)
-                entries.append(
-                    {
-                        "path": os.path.relpath(full, self.path),
-                        "partition": token,
-                        "bytes": os.path.getsize(full),
-                    }
-                )
+                entry = {
+                    "path": os.path.relpath(full, self.path),
+                    "partition": token,
+                    "bytes": os.path.getsize(full),
+                }
+                if bucket is not None:
+                    entry["bucket"] = bucket
+                entries.append(entry)
         stats = self._file_stats(
-            df.drop(PART_DIR_COL).schema,
+            df.drop(PART_DIR_COL, BUCKET_DIR_COL).schema,
             [os.path.join(self.path, e["path"]) for e in entries],
         )
         for e in entries:
@@ -312,13 +330,38 @@ class ManifestTable:
             want = {NULL_TOKEN if p is None else str(p) for p in partitions}
             entries = [e for e in entries if e["partition"] in want]
         if where:
-            types = {f.name: f.dataType for f in self.schema(version).fields}
+            schema = self.schema(version)
+            types = {f.name: f.dataType for f in schema.fields}
             for col, bound in where.items():
                 numeric = self._numeric(types.get(col, T.StringType()))
                 entries = [
                     e for e in entries if self._file_matches(e, col, bound, numeric)
                 ]
+            # bucket pruning for point lookups: an equality bound on the
+            # bucket column hashes to exactly one cell per partition
+            bb = m.get("bucket_by")
+            if bb and bb[0] in where:
+                lo, hi = where[bb[0]]
+                if lo is not None and lo == hi:
+                    want_b = self._bucket_of_value(bb, lo, types.get(bb[0]))
+                    entries = [
+                        e for e in entries
+                        if e.get("bucket") is None or e["bucket"] == want_b
+                    ]
         return entries
+
+    def _bucket_of_value(self, bucket_by: list, value, dtype) -> int:
+        """Bucket id of one literal, computed BY SPARK (the only engine
+        whose murmur3 must agree with the write path), typed as the
+        table column. One 1-row job — bounded driver scalar."""
+        col, n = bucket_by
+        lit = F.lit(value)
+        if dtype is not None:
+            lit = lit.cast(dtype)
+        row = self.spark.range(1).select(
+            F.pmod(F.hash(lit), F.lit(int(n))).cast("int").alias("b")
+        ).collect()
+        return row[0]["b"]
 
     def files(
         self,
@@ -410,17 +453,30 @@ class ManifestTable:
         return df
 
     # -- commits --------------------------------------------------------------
-    def create(self, df: DataFrame, partition_by: str | None = None) -> dict:
-        """Initial snapshot (version 1)."""
+    def create(
+        self,
+        df: DataFrame,
+        partition_by: str | None = None,
+        bucket_by: tuple[str, int] | None = None,
+    ) -> dict:
+        """Initial snapshot (version 1). ``bucket_by=(col, n)`` lays
+        every partition out as ``n`` key-hash cells; when the merge key
+        contains the bucket column, MERGE then touches only the cells
+        the source keys hash into — O(touched cells), the finest-grained
+        write unit — and point-lookup reads prune to one cell. The hash
+        is Spark's murmur3 (stable across commits on one engine
+        version); changing ``n`` requires a fresh table."""
         if self.exists():
             raise FileExistsError(f"{self.table} already exists")
         os.makedirs(self.path, exist_ok=True)
-        entries = self._write_snapshot(df, partition_by)
+        bucket_by = list(bucket_by) if bucket_by else None
+        entries = self._write_snapshot(df, partition_by, bucket_by=bucket_by)
         v = self._commit(
             {
                 "version": 1,
                 "operation": "create",
                 "partition_by": partition_by,
+                "bucket_by": bucket_by,
                 "schema": df.schema.jsonValue(),
                 "touched_partitions": sorted({e["partition"] or "" for e in entries}),
                 "entries": entries,
@@ -515,21 +571,76 @@ class ManifestTable:
                             raise
                         attempt += 1
 
+    def _merge_scope(
+        self, cur: dict, source: DataFrame, pk: list[str]
+    ) -> tuple[list[str], list[int] | None, list[dict], list[dict]]:
+        """Split current entries into (touched tokens, touched buckets,
+        kept, old): `old` is the minimal file set a merge must consult —
+        the source partitions, further cut to the key-hash CELLS the
+        source keys land in when the table is bucketed on a merge-key
+        column. Driver state stays bounded: one token per partition plus
+        at most n bucket ids."""
+        partition_by = cur["partition_by"]
+        bucket_by = cur.get("bucket_by")
+        bucketed = bool(bucket_by) and bucket_by[0] in pk
+        if partition_by and bucketed:
+            # exact touched CELLS in one pass — strictly tighter than the
+            # cartesian of touched partitions x touched buckets
+            rows = (
+                source.select(
+                    F.col(partition_by).cast("string").alias("p"),
+                    self._bucket_expr(bucket_by).alias("b"),
+                )
+                .distinct()
+                .collect()
+            )
+            cells = {(r.p if r.p is not None else NULL_TOKEN, r.b) for r in rows}
+            touched = sorted({p for p, _b in cells})
+
+            def in_scope(e: dict) -> bool:
+                if e.get("bucket") is None:  # untagged legacy file
+                    return e["partition"] in {p for p, _b in cells}
+                return (e["partition"], e["bucket"]) in cells
+
+        elif partition_by:
+            touched = self._touched_tokens(source, partition_by)
+            tset = set(touched)
+
+            def in_scope(e: dict) -> bool:
+                return e["partition"] in tset
+
+        elif bucketed:
+            rows = (
+                source.select(self._bucket_expr(bucket_by).alias("b"))
+                .distinct()
+                .collect()
+            )
+            touched = [""]
+            bset = {r.b for r in rows}
+
+            def in_scope(e: dict) -> bool:
+                return e.get("bucket") is None or e["bucket"] in bset
+
+        else:
+            touched = [""]  # unpartitioned, unbucketed: O(table) fallback
+
+            def in_scope(e: dict) -> bool:
+                return True
+
+        old = [e for e in cur["entries"] if in_scope(e)]
+        kept = [e for e in cur["entries"] if not in_scope(e)]
+        return touched, None, kept, old
+
     def _compute_merge(
         self, cur: dict, source: DataFrame, on, broadcast_threshold: int
     ) -> dict:
         partition_by = cur["partition_by"]
+        bucket_by = cur.get("bucket_by")
         schema = _merge_schemas(
             T.StructType.fromJson(cur["schema"]), source.schema
         )
         pk = [on] if isinstance(on, str) else list(on)
-        if partition_by:
-            touched = self._touched_tokens(source, partition_by)
-            kept = [e for e in cur["entries"] if e["partition"] not in set(touched)]
-            old = [e for e in cur["entries"] if e["partition"] in set(touched)]
-        else:
-            touched = [""]  # unpartitioned: documented O(table) fallback
-            kept, old = [], list(cur["entries"])
+        touched, _buckets, kept, old = self._merge_scope(cur, source, pk)
         cur_schema = T.StructType.fromJson(cur["schema"])
         existing = self._read_entries(old, cur_schema)
         src = _align(source, schema)
@@ -539,7 +650,9 @@ class ManifestTable:
         if keys.limit(broadcast_threshold + 1).count() <= broadcast_threshold:
             keys = F.broadcast(keys)
         survivors = _align(existing, schema).join(keys, pk, "left_anti")
-        entries = self._write_snapshot(survivors.unionByName(src), partition_by)
+        entries = self._write_snapshot(
+            survivors.unionByName(src), partition_by, bucket_by=bucket_by
+        )
         return {
             "schema": schema,
             "touched": touched,
@@ -620,15 +733,10 @@ class ManifestTable:
         """Merge without rewriting any existing file: mask matched rows
         via deletion vectors, append the source batch as new files."""
         partition_by = cur["partition_by"]
+        bucket_by = cur.get("bucket_by")
         schema = _merge_schemas(T.StructType.fromJson(cur["schema"]), source.schema)
         pk = [on] if isinstance(on, str) else list(on)
-        if partition_by:
-            touched = self._touched_tokens(source, partition_by)
-            kept = [e for e in cur["entries"] if e["partition"] not in set(touched)]
-            old = [e for e in cur["entries"] if e["partition"] in set(touched)]
-        else:
-            touched = [""]
-            kept, old = [], list(cur["entries"])
+        touched, _buckets, kept, old = self._merge_scope(cur, source, pk)
         cur_schema = T.StructType.fromJson(cur["schema"])
         existing = self._read_entries(old, cur_schema, keep_ref=True)
         src = _align(source, schema)
@@ -639,7 +747,7 @@ class ManifestTable:
             F.col("__ref").alias("file_ref"), F.col("__pos").alias("pos")
         )
         masked_old, _parts, masked = self._dv_masked_entries(old, matched)
-        new_entries = self._write_snapshot(src, partition_by)
+        new_entries = self._write_snapshot(src, partition_by, bucket_by=bucket_by)
         return {
             "schema": schema,
             "touched": touched,
@@ -662,6 +770,7 @@ class ManifestTable:
                 "version": cur["version"] + 1,
                 "operation": operation,
                 "partition_by": cur["partition_by"],
+                "bucket_by": cur.get("bucket_by"),
                 "schema": schema.jsonValue(),
                 "touched_partitions": touched,
                 "entries": kept + entries,
@@ -695,12 +804,16 @@ class ManifestTable:
             scoped = self._read_entries(old, self.schema())
         else:
             touched, kept, old, scoped = [""], [], list(cur["entries"]), full
-        entries = self._write_snapshot(scoped.filter(~predicate), partition_by)
+        entries = self._write_snapshot(
+            scoped.filter(~predicate), partition_by,
+            bucket_by=cur.get("bucket_by"),
+        )
         v = self._commit(
             {
                 "version": cur["version"] + 1,
                 "operation": "delete",
                 "partition_by": partition_by,
+                "bucket_by": cur.get("bucket_by"),
                 "schema": cur["schema"],
                 "touched_partitions": touched,
                 "entries": kept + entries,
@@ -733,6 +846,7 @@ class ManifestTable:
                 "version": cur["version"] + 1,
                 "operation": "delete+dv",
                 "partition_by": cur["partition_by"],
+                "bucket_by": cur.get("bucket_by"),
                 "schema": cur["schema"],
                 "touched_partitions": touched,
                 "entries": masked,
@@ -753,12 +867,16 @@ class ManifestTable:
         schema = _merge_schemas(
             T.StructType([]), df.schema
         )  # normalize NullType placeholders
-        entries = self._write_snapshot(_align(df, schema), cur["partition_by"])
+        entries = self._write_snapshot(
+            _align(df, schema), cur["partition_by"],
+            bucket_by=cur.get("bucket_by"),
+        )
         v = self._commit(
             {
                 "version": cur["version"] + 1,
                 "operation": "overwrite",
                 "partition_by": cur["partition_by"],
+                "bucket_by": cur.get("bucket_by"),
                 "schema": schema.jsonValue(),
                 "touched_partitions": sorted({e["partition"] or "" for e in entries}),
                 "entries": entries,
@@ -797,6 +915,7 @@ class ManifestTable:
                 "version": cur + 1,
                 "operation": f"restore({version})",
                 "partition_by": old["partition_by"],
+                "bucket_by": old.get("bucket_by"),
                 "schema": old["schema"],
                 "touched_partitions": [],
                 "entries": old["entries"],
@@ -896,6 +1015,7 @@ class ManifestTable:
         # dv-aware: masked rows drop out here, so the rewritten files are
         # plain again (dv materialization) and the new entries carry no dv
         scoped = self._read_entries(old, self.schema())
+        bucket_by = cur.get("bucket_by")
         writer_options = None
         if cluster_by:
             from forklift_spark.operators.layout import zorder_sort
@@ -903,17 +1023,25 @@ class ManifestTable:
             scoped = zorder_sort(scoped, cluster_by)
             if max_records_per_file:
                 writer_options = {"maxRecordsPerFile": str(max_records_per_file)}
+        elif bucket_by:
+            # one output file per (partition, bucket) cell
+            cells = [F.col(partition_by)] if partition_by else []
+            cells.append(self._bucket_expr(bucket_by))
+            scoped = scoped.repartition(max(len(old), 1), *cells)
         elif partition_by:
             # one output file per partition: regroup by the partition column
             scoped = scoped.repartition(len(tset), F.col(partition_by))
         else:
             scoped = scoped.coalesce(1)
-        entries = self._write_snapshot(scoped, partition_by, writer_options)
+        entries = self._write_snapshot(
+            scoped, partition_by, writer_options, bucket_by=bucket_by
+        )
         v = self._commit(
             {
                 "version": cur["version"] + 1,
                 "operation": "compact",
                 "partition_by": partition_by,
+                "bucket_by": bucket_by,
                 "schema": cur["schema"],
                 "touched_partitions": touched,
                 "entries": kept + entries,

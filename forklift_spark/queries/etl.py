@@ -2714,3 +2714,78 @@ def q_mv_refresh_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("sum_cents").cast("bigint").alias("sum_cents"),
     ).orderBy("order_year")
+
+
+# --------------------------------------------------------------------------
+# q_manifest_bucket_merge — bucketed manifest layout: each partition is
+# laid out as key-hash CELLS (__fsb__ dirs, Spark murmur3), and a MERGE
+# whose key contains the bucket column rewrites only the exact
+# (partition, bucket) cells its source keys land in — asserted in-query
+# as a strict subset of the touched partitions' files. Point-lookup
+# reads prune to one cell per partition the same way. This is the
+# finest write unit the format offers: a narrow upsert into a 100 TB
+# fact costs O(cells-hit), not O(partition). Oracle replays the merge
+# plus the point lookup relationally.
+# --------------------------------------------------------------------------
+BUCKET_MERGE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS order_year, o_totalprice
+  FROM orders
+), src AS (
+  SELECT o_orderkey, order_year,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) + CAST(777 AS DECIMAL(14,2)) AS DOUBLE) AS o_totalprice
+  FROM base WHERE o_orderkey % 97 = 0
+), merged AS (
+  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL
+  SELECT * FROM src
+)
+SELECT order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM merged
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+
+@query("q_manifest_bucket_merge", BUCKET_MERGE_ORACLE)
+def q_manifest_bucket_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from forklift_spark.manifest import ManifestTable
+
+    base = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        "o_totalprice",
+    )
+    t = ManifestTable(
+        spark, tempfile.mkdtemp(prefix="fk_bucket_"), "orders_bucketed"
+    )
+    t.create(base, partition_by="order_year", bucket_by=("o_orderkey", 8))
+    n_before = len(t.files())
+    src = base.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_totalprice",
+        (dec("o_totalprice", MONEY) + F.lit(777).cast(MONEY)).cast("double"),
+    )
+    stats = t.merge(src, on="o_orderkey")
+    # cell pruning is the operator's contract: the sparse batch must NOT
+    # rewrite every file of the touched partitions
+    touched_files = [
+        e for e in t.manifest(1)["entries"]
+        if e["partition"] in set(stats["touched_partitions"])
+    ]
+    assert stats["files_rewritten"] < len(touched_files), stats
+    # point lookup plans at most one cell per partition
+    probe = t.files(where={"o_orderkey": (97, 97)})
+    assert 0 < len(probe) < n_before, (len(probe), n_before)
+    return (
+        t.read()
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice", MONEY)).cast("double").alias("total_price"),
+        )
+        .orderBy("order_year")
+    )

@@ -415,9 +415,9 @@ def test_occ_disjoint_rebase_zero_recompute(table, spark, monkeypatch):
     snapshots = {"n": 0}
     real_write = table._write_snapshot
 
-    def counting_write(df, part):
+    def counting_write(df, part, writer_options=None, bucket_by=None):
         snapshots["n"] += 1
-        entries = real_write(df, part)
+        entries = real_write(df, part, writer_options, bucket_by=bucket_by)
         if snapshots["n"] == 1:
             # inject the competing commit AFTER our snapshot, BEFORE our
             # commit: winner merges into partition y=3 (we touch y=2)
@@ -448,9 +448,9 @@ def test_occ_overlapping_recompute(table, spark, monkeypatch):
     snapshots = {"n": 0}
     real_write = table._write_snapshot
 
-    def counting_write(df, part):
+    def counting_write(df, part, writer_options=None, bucket_by=None):
         snapshots["n"] += 1
-        entries = real_write(df, part)
+        entries = real_write(df, part, writer_options, bucket_by=bucket_by)
         if snapshots["n"] == 1:
             other.merge(  # winner updates k=4 in the SAME partition y=2
                 spark.createDataFrame([(4, 2, 444)], "k long, y int, v long"),
@@ -476,8 +476,8 @@ def test_occ_no_retries_still_raises(table, spark, monkeypatch):
     real_write = table._write_snapshot
     fired = {"done": False}
 
-    def racing_write(df, part):
-        entries = real_write(df, part)
+    def racing_write(df, part, writer_options=None, bucket_by=None):
+        entries = real_write(df, part, writer_options, bucket_by=bucket_by)
         if not fired["done"]:
             fired["done"] = True
             other.merge(
@@ -708,3 +708,92 @@ def test_stream_merge_manifest_dv_mode(table, spark, tmp_path):
     assert rows[1] == (2, 201) and rows[31] == (2, 202) and rows[2] == (3, 301)
     assert len(rows) == 31
     assert all(h["operation"] == "merge+dv" for h in table.history()[-2:])
+
+
+# ---------------------------------------------------------------------------
+# Bucketed layout: key-hash cells inside each partition
+# ---------------------------------------------------------------------------
+@pytest.fixture()
+def bucketed(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path), "bt")
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2 + 1).cast("int").alias("y"),
+        (F.col("id") * 10).alias("v"),
+    )
+    t.create(df, partition_by="y", bucket_by=("k", 4))
+    return t
+
+
+def test_bucketed_merge_touches_only_cells(bucketed, spark):
+    m = bucketed.manifest()
+    assert m["bucket_by"] == ["k", 4]
+    assert all("bucket" in e for e in m["entries"])
+    before = _md5s(bucketed)
+    # one key -> one (partition, bucket) cell
+    src = spark.createDataFrame([(7, 2, -7)], "k long, y int, v long")
+    stats = bucketed.merge(src, on="k")
+    cell_files = [
+        e for e in m["entries"]
+        if e["partition"] == "2"
+    ]
+    assert stats["files_rewritten"] <= max(
+        1, len(cell_files) // 4 + 1
+    ), stats  # a single cell, not the whole partition
+    after = _md5s(bucketed)
+    carried = [p for p in before if p in after and before[p] == after[p]]
+    assert len(carried) == len(before) - stats["files_rewritten"]
+    rows = {r.k: r.v for r in bucketed.read().collect()}
+    assert rows[7] == -7 and rows[8] == 80 and len(rows) == 400
+
+
+def test_bucketed_dv_merge_and_delete(bucketed, spark):
+    before = _md5s(bucketed)
+    src = spark.createDataFrame([(6, 1, -6), (401, 2, 1)], "k long, y int, v long")
+    stats = bucketed.merge(src, on="k", use_dv=True)
+    assert stats["files_rewritten"] == 0 and stats["rows_masked"] == 1
+    after = _md5s(bucketed)
+    for p, d in before.items():
+        assert after[p] == d
+    rows = {r.k: r.v for r in bucketed.read().collect()}
+    assert rows[6] == -6 and rows[401] == 1 and len(rows) == 401
+    bucketed.delete(F.col("k") < 4, use_dv=True)
+    assert bucketed.read().count() == 397
+
+
+def test_bucketed_point_lookup_prunes_cells(bucketed):
+    total = len(bucketed.files())
+    pruned = bucketed.files(where={"k": (9, 9)})
+    # eq bound -> one bucket per partition (plus zone-map cuts)
+    assert 0 < len(pruned) <= total // 4 + 1
+    got = bucketed.read(where={"k": (9, 9)}).collect()
+    assert len(got) == 1 and got[0].v == 90
+    # RANGE bounds must not bucket-prune (hash is not order-preserving)
+    assert bucketed.read(where={"k": (0, 9)}).count() == 10
+
+
+def test_bucketed_compact_preserves_cells(bucketed, spark):
+    bucketed.merge(
+        spark.createDataFrame([(3, 2, -3)], "k long, y int, v long"),
+        on="k", use_dv=True,
+    )
+    want = {(r.k, r.v) for r in bucketed.read().collect()}
+    bucketed.compact(min_files=1)
+    m = bucketed.manifest()
+    assert m["bucket_by"] == ["k", 4]
+    assert all("bucket" in e for e in m["entries"])
+    assert {(r.k, r.v) for r in bucketed.read().collect()} == want
+    pruned = bucketed.files(where={"k": (9, 9)})
+    assert 0 < len(pruned) < len(bucketed.files())
+
+
+def test_bucketed_merge_key_without_bucket_col(bucketed, spark):
+    """Merging on a key that does NOT contain the bucket column falls
+    back to partition-level scope and stays correct."""
+    stats = bucketed.merge(
+        spark.createDataFrame([(999, 1, 123456)], "k long, y int, v long"),
+        on=["y", "v"],
+    )
+    assert stats["touched_partitions"] == ["1"]
+    rows = {r.k for r in bucketed.read().filter("v = 123456").collect()}
+    assert rows == {999}
