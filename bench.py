@@ -203,6 +203,10 @@ HEADLINE = [
     "q_manifest_compact",
     "q_manifest_skipping",
     "q_stream_merge_manifest",
+    "q_merge_dv",
+    "q_manifest_changes",
+    "q_mv_refresh_cdc",
+    "q_manifest_bucket_merge",
 ]
 
 

@@ -2734,7 +2734,7 @@ WITH base AS (
 ), src AS (
   SELECT o_orderkey, order_year,
          CAST(CAST(o_totalprice AS DECIMAL(14,2)) + CAST(777 AS DECIMAL(14,2)) AS DOUBLE) AS o_totalprice
-  FROM base WHERE o_orderkey % 97 = 0
+  FROM base WHERE o_orderkey < 10
 ), merged AS (
   SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
   UNION ALL
@@ -2765,7 +2765,10 @@ def q_manifest_bucket_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.create(base, partition_by="order_year", bucket_by=("o_orderkey", 8))
     n_before = len(t.files())
-    src = base.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+    # a FIXED narrow key set (not a modulus) so the batch hits fewer
+    # cells than exist at EVERY scale factor — the pruning assert below
+    # must hold at sf0.01 (driver) and sf0.1+ (bench) alike
+    src = base.filter(F.col("o_orderkey") < 10).withColumn(
         "o_totalprice",
         (dec("o_totalprice", MONEY) + F.lit(777).cast(MONEY)).cast("double"),
     )
@@ -2778,7 +2781,7 @@ def q_manifest_bucket_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     assert stats["files_rewritten"] < len(touched_files), stats
     # point lookup plans at most one cell per partition
-    probe = t.files(where={"o_orderkey": (97, 97)})
+    probe = t.files(where={"o_orderkey": (7, 7)})
     assert 0 < len(probe) < n_before, (len(probe), n_before)
     return (
         t.read()
