@@ -960,6 +960,11 @@ class ManifestTable:
             live_b = self._read_entries([eb[p] for p in changed], schema_b)
             del_cand = del_cand.unionByName(live_a.exceptAll(live_b))
             ins_cand = ins_cand.unionByName(live_b.exceptAll(live_a))
+        # each exceptAll consumes BOTH candidate sets, and callers usually
+        # branch on _change_type — checkpoint once (O(delta)) so the
+        # changed-file scans don't recompute per branch
+        del_cand = del_cand.localCheckpoint(eager=False)
+        ins_cand = ins_cand.localCheckpoint(eager=False)
         inserts = ins_cand.exceptAll(del_cand)
         deletes = del_cand.exceptAll(ins_cand)
         return inserts.withColumn("_change_type", F.lit("insert")).unionByName(
