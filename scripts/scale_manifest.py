@@ -1,0 +1,121 @@
+"""Write-amplification experiment for the manifest table's three merge
+strategies, run at two scale factors to show how the gap GROWS with
+data size (the 100 TB argument, measured instead of asserted).
+
+For a table of N rows and a 1% uniformly-spread update batch (the worst
+case for partition pruning — every partition is touched):
+
+- rewrite merge      -> rewrites every touched partition: O(N) bytes
+- dv merge           -> appends the batch + a positional sidecar: O(batch)
+- bucketed dv merge  -> same writes, but the match SCAN is also cut to
+                        the touched key-hash cells
+
+A narrow batch (fixed small key range) additionally shows cell-level
+rewrite pruning on the bucketed table.
+
+Usage: python scripts/scale_manifest.py [sf_dir ...]
+Prints one JSON line; intended for SCALING.md appendix evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from forklift_spark.manifest import ManifestTable  # noqa: E402
+from forklift_spark.session import get_spark  # noqa: E402
+
+
+def _bytes(t: ManifestTable, version: int) -> int:
+    return sum(e["bytes"] for e in t.manifest(version)["entries"])
+
+
+def _new_bytes(t: ManifestTable, v_from: int, v_to: int) -> int:
+    """Bytes in files (and dv sidecars) first referenced at v_to."""
+    old_paths = {e["path"] for e in t.manifest(v_from)["entries"]}
+    old_dvs = {e.get("dv") for e in t.manifest(v_from)["entries"]}
+    new = 0
+    for e in t.manifest(v_to)["entries"]:
+        if e["path"] not in old_paths:
+            new += e["bytes"]
+        dv = e.get("dv")
+        if dv and dv not in old_dvs:
+            old_dvs.add(dv)  # count each sidecar dir once
+            droot = os.path.join(t.path, dv)
+            for dp, _d, fs in os.walk(droot):
+                new += sum(os.path.getsize(os.path.join(dp, f)) for f in fs)
+    return new
+
+
+def run(spark, sf_dir: str) -> dict:
+    base = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        "o_totalprice",
+    )
+    n = base.count()
+    spread = base.filter(F.col("o_orderkey") % 100 == 7).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    )
+    narrow = base.filter(F.col("o_orderkey") < 8).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    )
+    out: dict = {"sf_dir": sf_dir, "rows": n, "batch_rows": spread.count()}
+
+    def table(tag, **kw):
+        t = ManifestTable(
+            spark, tempfile.mkdtemp(prefix=f"fk_scale_{tag}_"), "orders"
+        )
+        t.create(base, partition_by="order_year", **kw)
+        return t
+
+    # 1) rewrite merge, spread batch: O(table) writes
+    t = table("rw")
+    v0, t0 = t.current_version(), time.monotonic()
+    st = t.merge(spread, on="o_orderkey")
+    out["rewrite"] = {
+        "sec": round(time.monotonic() - t0, 2),
+        "mb_written": round(_new_bytes(t, v0, st["version"]) / 1e6, 2),
+        "files_rewritten": st["files_rewritten"],
+    }
+
+    # 2) dv merge, spread batch: O(batch) writes
+    t = table("dv")
+    v0, t0 = t.current_version(), time.monotonic()
+    st = t.merge(spread, on="o_orderkey", use_dv=True)
+    out["dv"] = {
+        "sec": round(time.monotonic() - t0, 2),
+        "mb_written": round(_new_bytes(t, v0, st["version"]) / 1e6, 2),
+        "files_rewritten": st["files_rewritten"],
+        "rows_masked": st["rows_masked"],
+    }
+
+    # 3) bucketed table, narrow batch: cell-level rewrite pruning
+    t = table("cell", bucket_by=("o_orderkey", 16))
+    total_files = len(t.files())
+    v0, t0 = t.current_version(), time.monotonic()
+    st = t.merge(narrow, on="o_orderkey")
+    out["bucketed_narrow"] = {
+        "sec": round(time.monotonic() - t0, 2),
+        "mb_written": round(_new_bytes(t, v0, st["version"]) / 1e6, 2),
+        "files_rewritten": st["files_rewritten"],
+        "table_files": total_files,
+    }
+    return out
+
+
+def main() -> None:
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.1", ".scale/sf1"]
+    spark = get_spark(app_name="scale_manifest")
+    print(json.dumps({"runs": [run(spark, d) for d in dirs]}))
+
+
+if __name__ == "__main__":
+    main()
