@@ -213,6 +213,10 @@ _SHUFFLE_BUDGET = {
     "q_merge_partitioned": 2, # final per-year rollup over the manifest read
     "q_manifest_compact": 2,  # final per-type rollup (merge/compact are commits)
     "q_manifest_skipping": 2, # pruned-file read -> per-type rollup
+    "q_merge_dv": 2,          # dv mask joins BROADCAST; rollup + sort only
+    "q_manifest_bucket_merge": 2,  # cell-pruned read -> rollup + sort
+    "q_manifest_changes": 4,  # 2 exceptAll diffs (checkpointed cands) + rollup
+    "q_mv_refresh_cdc": 7,    # 2 delta aggs + 2 full-outer merges + rollup
     "q_audio_fingerprint": 4, # band self-join + pair dedup + near rollup + joinback
     "q_fd_discovery": 12,     # 4 candidates x (distinct-pair agg + rollup + union)
     "q_k_anonymize": 12,      # 4 ladder levels x (class-size agg + stats rollup)
