@@ -859,6 +859,77 @@ class ManifestTable:
             "rows_masked": masked_rows,
         }
 
+    def delete_keys(
+        self,
+        keys: DataFrame,
+        on: str | list[str],
+        use_dv: bool = True,
+        broadcast_threshold: int = 2_000_000,
+    ) -> dict:
+        """Set-based delete: remove every live row whose key appears in
+        ``keys`` (the GDPR purge-list / CDC tombstone shape — a
+        DataFrame, never a driver-side literal list). Scope follows the
+        merge rules when ``keys`` carries the partition/bucket columns
+        (pruned scan), else the whole live set is consulted. Default is
+        deletion vectors (zero rewrites); ``use_dv=False`` rewrites the
+        scoped files without the masked rows."""
+        pk = [on] if isinstance(on, str) else list(on)
+        cur = self.manifest()
+        schema = self.schema()
+        have = set(keys.columns)
+        prunable = (not cur["partition_by"]) or cur["partition_by"] in have
+        if prunable:
+            touched, _b, kept, old = self._merge_scope(cur, keys, pk)
+        else:
+            kept, old = [], list(cur["entries"])
+        k = keys.select(*pk).distinct()
+        if k.limit(broadcast_threshold + 1).count() <= broadcast_threshold:
+            k = F.broadcast(k)
+        if use_dv:
+            # scan only the pruned scope; untouched entries pass through
+            live = self._read_entries(old, schema, keep_ref=True)
+            hits = live.join(k, pk, "left_semi").select(
+                F.col("__ref").alias("file_ref"), F.col("__pos").alias("pos")
+            )
+            masked, touched, masked_rows = self._dv_masked_entries(
+                cur["entries"], hits
+            )
+            if not touched:
+                return {"version": cur["version"], "touched_partitions": [],
+                        "files_rewritten": 0, "rows_masked": 0}
+            v = self._commit(
+                {
+                    "version": cur["version"] + 1,
+                    "operation": "delete+dv",
+                    "partition_by": cur["partition_by"],
+                    "bucket_by": cur.get("bucket_by"),
+                    "schema": cur["schema"],
+                    "touched_partitions": touched,
+                    "entries": masked,
+                }
+            )
+            return {"version": v, "touched_partitions": touched,
+                    "files_rewritten": 0, "rows_masked": masked_rows}
+        scoped = self._read_entries(old, schema)
+        survivors = scoped.join(k, pk, "left_anti")
+        entries = self._write_snapshot(
+            survivors, cur["partition_by"], bucket_by=cur.get("bucket_by")
+        )
+        touched = sorted({e["partition"] or NULL_TOKEN for e in old}) if old else []
+        v = self._commit(
+            {
+                "version": cur["version"] + 1,
+                "operation": "delete",
+                "partition_by": cur["partition_by"],
+                "bucket_by": cur.get("bucket_by"),
+                "schema": cur["schema"],
+                "touched_partitions": touched,
+                "entries": kept + entries,
+            }
+        )
+        return {"version": v, "touched_partitions": touched,
+                "files_rewritten": len(old), "files_written": len(entries)}
+
     def overwrite(self, df: DataFrame) -> dict:
         """Full-replace commit (the reference's pipe/RENAME publish,
         `patterns/mysql_patterns.rb:35-39`): a new snapshot carries the

@@ -464,3 +464,56 @@ def ivm_agg_apply(
             "the view never absorbed"
         )
     return merged.filter(FF.col(count_col) > 0)
+
+
+# ---------------------------------------------------------------------------
+# manifest CDC replication: version-cursor downstream sync at O(delta)
+# ---------------------------------------------------------------------------
+def manifest_cdc_sync(src, dst, on: str, since_version: int | None = None,
+                      use_dv: bool = True) -> dict:
+    """Replicate a ManifestTable delta into a downstream ManifestTable
+    by replaying the CHANGE FEED — the version-cursor analog of
+    incremental_pipe, with three properties HWM syncs can't offer:
+    the cursor is exact (a committed manifest version, not a timestamp
+    column), DELETES propagate (HWM syncs only ever see surviving
+    rows), and the read side is O(delta) (only files whose membership
+    or dv mask changed since the cursor are opened).
+
+    ``since_version`` defaults to the destination's recorded cursor
+    (stored in its manifest operation history is the caller's concern —
+    pass the value your HwmStore holds). First call with a fresh dst:
+    full snapshot copy, cursor = src head.
+
+    Replay order matters: upserts first (an update's delete+insert pair
+    collapses into the merge), then pure-delete tombstones (keys with a
+    delete event and no insert event). Returns the new cursor to store.
+    At 100 TB both sides scale with the delta: the feed reads changed
+    files only, the merge touches hit cells, the tombstone pass is a
+    dv-masked delete_keys."""
+    from pyspark.sql import functions as FF
+
+    head = src.current_version()
+    if not dst.exists():
+        dst.create(
+            src.read(),
+            partition_by=src.manifest()["partition_by"],
+            bucket_by=src.manifest().get("bucket_by"),
+        )
+        return {"from_version": None, "to_version": head, "mode": "snapshot"}
+    if since_version is None:
+        raise ValueError("manifest_cdc_sync: pass the stored cursor version")
+    if since_version == head:
+        return {"from_version": head, "to_version": head, "mode": "noop"}
+    feed = src.changes(since_version, head)
+    inserts = feed.filter(FF.col("_change_type") == "insert").drop("_change_type")
+    deletes = feed.filter(FF.col("_change_type") == "delete").drop("_change_type")
+    stats_m = dst.merge(inserts, on=on, use_dv=use_dv)
+    tombstones = deletes.join(inserts.select(on).distinct(), on, "left_anti")
+    stats_d = dst.delete_keys(tombstones.select(on), on=on, use_dv=use_dv)
+    return {
+        "from_version": since_version,
+        "to_version": head,
+        "mode": "delta",
+        "merged": stats_m,
+        "deleted": stats_d,
+    }

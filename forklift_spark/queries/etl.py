@@ -2792,3 +2792,91 @@ def q_manifest_bucket_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+# --------------------------------------------------------------------------
+# q_manifest_cdc_sync — version-cursor replication: a replica table is
+# kept in sync with a primary ManifestTable by replaying the CHANGE
+# FEED (patterns.manifest_cdc_sync) across two delta rounds — upserts
+# merge, pure-delete tombstones dv-mask; the cursor is an exact
+# committed version, so unlike an HWM sync it propagates DELETES and
+# never re-reads unchanged files. The query returns the REPLICA's
+# rollup while the oracle recomputes the PRIMARY's final state — a hash
+# match proves replica == primary after updates, inserts, and deletes.
+# --------------------------------------------------------------------------
+CDC_SYNC_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), r1 AS (  -- round 1: update %23, delete %29
+  SELECT o_orderkey, order_year,
+         CASE WHEN o_orderkey % 23 = 0 THEN cents + 11 ELSE cents END AS cents
+  FROM base WHERE o_orderkey % 29 <> 0
+), r2 AS (  -- round 2: insert shifted %31, THEN delete %37 (hits shifted too)
+  SELECT * FROM (
+    SELECT o_orderkey, order_year, cents FROM r1
+    UNION ALL
+    SELECT o_orderkey + 400000000, order_year, cents
+    FROM base WHERE o_orderkey % 31 = 0
+  ) WHERE o_orderkey % 37 <> 0
+)
+SELECT order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM r2
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+
+@query("q_manifest_cdc_sync", CDC_SYNC_ORACLE)
+def q_manifest_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from forklift_spark.manifest import ManifestTable
+    from forklift_spark.patterns import manifest_cdc_sync
+
+    base = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        (dec("o_totalprice", MONEY) * 100).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="fk_cdc_sync_")
+    src = ManifestTable(spark, root, "primary")
+    dst = ManifestTable(spark, root, "replica")
+    src.create(base, partition_by="order_year")
+    cursor = manifest_cdc_sync(src, dst, on="o_orderkey")["to_version"]
+    # round 1 on the primary: update + delete
+    src.merge(
+        base.filter(F.col("o_orderkey") % 23 == 0).withColumn(
+            "cents", F.col("cents") + F.lit(11)
+        ),
+        on="o_orderkey",
+        use_dv=True,
+    )
+    src.delete(F.col("o_orderkey") % 29 == 0, use_dv=True)
+    cursor = manifest_cdc_sync(src, dst, on="o_orderkey", since_version=cursor)[
+        "to_version"
+    ]
+    # round 2: insert + delete
+    src.merge(
+        base.filter(F.col("o_orderkey") % 31 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(400000000)
+        ),
+        on="o_orderkey",
+        use_dv=True,
+    )
+    src.delete(F.col("o_orderkey") % 37 == 0, use_dv=True)
+    stats = manifest_cdc_sync(src, dst, on="o_orderkey", since_version=cursor)
+    assert stats["mode"] == "delta", stats
+    assert stats["merged"]["files_rewritten"] == 0, stats  # dv replication
+    return (
+        dst.read()
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("order_year")
+    )

@@ -797,3 +797,67 @@ def test_bucketed_merge_key_without_bucket_col(bucketed, spark):
     assert stats["touched_partitions"] == ["1"]
     rows = {r.k for r in bucketed.read().filter("v = 123456").collect()}
     assert rows == {999}
+
+
+def test_zorder_compact_materializes_dv(spark, tmp_path):
+    """OPTIMIZE ZORDER over a dv-masked table: the clustered rewrite
+    reads THROUGH the mask (deleted rows stay gone) and drops the dv."""
+    t = ManifestTable(spark, str(tmp_path), "zdv")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).alias("v")
+    )
+    t.create(df.repartition(4))
+    t.delete(F.col("k") % 10 == 0, use_dv=True)
+    want = {r.k for r in t.read().collect()}
+    t.compact(cluster_by=["v"], max_records_per_file=500)
+    m = t.manifest()
+    assert not any(e.get("dv") for e in m["entries"])
+    assert {r.k for r in t.read().collect()} == want
+    # clustering still effective: narrow v-range prunes files
+    assert 0 < len(t.files(where={"v": (0, 49)})) < len(t.files())
+
+
+def test_delete_keys_set_based(table, spark):
+    """Set-based purge: dv by default (zero rewrites), pruned when the
+    key frame carries the partition column."""
+    before = _md5s(table)
+    purge = spark.createDataFrame([(3,), (7,), (999,)], "k long")
+    stats = table.delete_keys(purge, on="k")
+    assert stats["files_rewritten"] == 0 and stats["rows_masked"] == 2
+    assert _md5s(table) == before  # nothing rewritten
+    assert {r.k for r in table.read().collect()} == set(range(30)) - {3, 7}
+    # rewrite mode on twin keys
+    stats = table.delete_keys(
+        spark.createDataFrame([(8,)], "k long"), on="k", use_dv=False
+    )
+    assert stats["files_rewritten"] > 0
+    assert {r.k for r in table.read().collect()} == set(range(30)) - {3, 7, 8}
+
+
+def test_manifest_cdc_sync_replicates(table, spark, tmp_path):
+    """Version-cursor replication: replica == primary after update,
+    insert, delete, and schema evolution flow through the change feed."""
+    from forklift_spark.patterns import manifest_cdc_sync
+
+    dst = ManifestTable(spark, str(tmp_path), "replica")
+    cursor = manifest_cdc_sync(table, dst, on="k")["to_version"]
+    assert dst.read().count() == 30
+    table.merge(
+        spark.createDataFrame(
+            [(1, 2, 999, "tagged"), (100, 2, 5, "new")],
+            "k long, y int, v long, tag string",
+        ),
+        on="k",
+        use_dv=True,
+    )
+    table.delete(F.col("k").isin(4, 9), use_dv=True)
+    stats = manifest_cdc_sync(table, dst, on="k", since_version=cursor)
+    assert stats["mode"] == "delta"
+    a = sorted(map(tuple, table.read().collect()))
+    b = sorted(map(tuple, dst.read().collect()))
+    assert a == b and len(a) == 29
+    # cursor replay is idempotent
+    stats = manifest_cdc_sync(
+        table, dst, on="k", since_version=stats["to_version"]
+    )
+    assert stats["mode"] == "noop"
