@@ -186,12 +186,24 @@ class ManifestTable:
         T.StringType,
     )
 
-    def _file_stats(self, paths_schema: T.StructType, files: list[str]) -> dict:
+    def _file_stats(
+        self,
+        paths_schema: T.StructType,
+        files: list[str],
+        bloom: dict | None = None,
+    ) -> dict:
         """Per-file column min/max (zone maps — the Iceberg manifest-stats
         shape): one extra aggregate pass over the files of the snapshot
         JUST WRITTEN, i.e. O(touched partitions) at commit time, exactly
         like Delta's inline stats collection — never a table scan. Reads
-        later skip files whose [min, max] can't satisfy a predicate."""
+        later skip files whose [min, max] can't satisfy a predicate.
+
+        ``bloom = {"cols": [...], "bits": m, "k": k}`` additionally
+        collects a per-file BLOOM FILTER per listed column in the SAME
+        aggregate pass: k seeded murmur3 hashes mod m, distinct bit
+        positions per file (bounded by m), packed driver-side into a hex
+        bitmap ~m/4 chars long. Blooms serve equality lookups on
+        high-cardinality columns where [min, max] prunes nothing."""
         cols = [
             f.name
             for f in paths_schema.fields
@@ -207,6 +219,16 @@ class ManifestTable:
             aggs.append(F.min(c).cast("string").alias(f"lo_{c}"))
             aggs.append(F.max(c).cast("string").alias(f"hi_{c}"))
         aggs.append(F.count(F.lit(1)).alias("__rows"))
+        bcols = [c for c in (bloom or {}).get("cols", []) if c in cols]
+        if bloom and bcols:
+            m, k = int(bloom["bits"]), int(bloom["k"])
+            for c in bcols:
+                for i in range(k):
+                    aggs.append(
+                        F.collect_set(
+                            F.pmod(F.hash(F.col(c), F.lit(i)), F.lit(m))
+                        ).alias(f"bl_{i}_{c}")
+                    )
         out: dict = {}
         for row in df.groupBy("__file").agg(*aggs).collect():
             # normalize the file:// URI to a table-relative key — file
@@ -215,10 +237,21 @@ class ManifestTable:
             # unquote undoes the URI's percent-encoding of partition dirs
             # (space -> %20 etc.) so the key matches the os.walk entry path.
             key = unquote(os.path.relpath(row["__file"].split("://", 1)[-1], self.path))
-            out[key] = (
+            rec = (
                 {c: [row[f"lo_{c}"], row[f"hi_{c}"]] for c in cols},
                 row["__rows"],
             )
+            if bloom and bcols:
+                m, k = int(bloom["bits"]), int(bloom["k"])
+                blooms = {}
+                for c in bcols:
+                    bits = bytearray(m // 8)
+                    for i in range(k):
+                        for pos in row[f"bl_{i}_{c}"] or []:
+                            bits[pos // 8] |= 1 << (pos % 8)
+                    blooms[c] = bytes(bits).hex()
+                rec = rec + (blooms,)
+            out[key] = rec
         return out
 
     @staticmethod
@@ -236,13 +269,15 @@ class ManifestTable:
         partition_by: str | None,
         writer_options: dict | None = None,
         bucket_by: list | None = None,
+        bloom: dict | None = None,
     ) -> list[dict]:
         """Write one immutable snapshot dir; return its file entries
         (with per-file zone-map stats). The partition column is
         duplicated into PART_DIR_COL (string) so the data files keep the
         real column (see module docstring); with ``bucket_by`` a second
         key-hash dir level (BUCKET_DIR_COL) sub-divides each partition
-        into hash cells."""
+        into hash cells. ``bloom`` (None = inherit the table's config)
+        collects per-file bloom filters alongside the zone maps."""
         snap = f"snap-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, "data", snap)
         dir_cols = []
@@ -276,14 +311,19 @@ class ManifestTable:
                 if bucket is not None:
                     entry["bucket"] = bucket
                 entries.append(entry)
+        if bloom is None and self.exists():
+            bloom = self.manifest().get("bloom")
         stats = self._file_stats(
             df.drop(PART_DIR_COL, BUCKET_DIR_COL).schema,
             [os.path.join(self.path, e["path"]) for e in entries],
+            bloom=bloom,
         )
         for e in entries:
             s = stats.get(e["path"])
             if s:
-                e["stats"], e["rows"] = s
+                e["stats"], e["rows"] = s[0], s[1]
+                if len(s) > 2:
+                    e["bloom"] = s[2]
         return entries
 
     @staticmethod
@@ -348,7 +388,48 @@ class ManifestTable:
                         e for e in entries
                         if e.get("bucket") is None or e["bucket"] == want_b
                     ]
+            # bloom pruning: equality on a bloom column keeps only files
+            # whose filter has ALL k probe bits set (no false negatives —
+            # probe and build use the same seeded murmur3)
+            bl = m.get("bloom")
+            for col in (bl or {}).get("cols", []):
+                if col not in where:
+                    continue
+                lo, hi = where[col]
+                if lo is None or lo != hi:
+                    continue
+                probe = self._bloom_positions(
+                    lo, types.get(col), bl["bits"], bl["k"]
+                )
+                entries = [
+                    e for e in entries
+                    if self._bloom_maybe_contains(e, col, probe)
+                ]
         return entries
+
+    def _bloom_positions(self, value, dtype, m: int, k: int) -> list[int]:
+        """Probe bit positions of one literal, computed BY SPARK with the
+        write path's exact expression (seeded murmur3 mod m)."""
+        lit = F.lit(value)
+        if dtype is not None:
+            lit = lit.cast(dtype)
+        row = self.spark.range(1).select(
+            *[
+                F.pmod(F.hash(lit, F.lit(i)), F.lit(int(m))).alias(f"p{i}")
+                for i in range(int(k))
+            ]
+        ).collect()[0]
+        return [row[f"p{i}"] for i in range(int(k))]
+
+    @staticmethod
+    def _bloom_maybe_contains(entry: dict, col: str, probe: list[int]) -> bool:
+        """False only when the file's bloom PROVES the value absent;
+        files without a bloom (pre-config snapshots) always match."""
+        hx = entry.get("bloom", {}).get(col)
+        if hx is None:
+            return True
+        bits = bytes.fromhex(hx)
+        return all(bits[p // 8] & (1 << (p % 8)) for p in probe)
 
     def _bucket_of_value(self, bucket_by: list, value, dtype) -> int:
         """Bucket id of one literal, computed BY SPARK (the only engine
@@ -458,6 +539,9 @@ class ManifestTable:
         df: DataFrame,
         partition_by: str | None = None,
         bucket_by: tuple[str, int] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 4096,
+        bloom_hashes: int = 5,
     ) -> dict:
         """Initial snapshot (version 1). ``bucket_by=(col, n)`` lays
         every partition out as ``n`` key-hash cells; when the merge key
@@ -465,18 +549,34 @@ class ManifestTable:
         the source keys hash into — O(touched cells), the finest-grained
         write unit — and point-lookup reads prune to one cell. The hash
         is Spark's murmur3 (stable across commits on one engine
-        version); changing ``n`` requires a fresh table."""
+        version); changing ``n`` requires a fresh table.
+
+        ``bloom_cols`` collects a per-file bloom filter per listed
+        column at every commit (k seeded hashes over ``bloom_bits``
+        bits, ~bits/4 hex chars per file per column in the manifest):
+        equality reads on those columns prune files the bloom proves
+        absent — the skipping tool for high-cardinality identifiers
+        where [min, max] zone maps and partition dirs can't help."""
         if self.exists():
             raise FileExistsError(f"{self.table} already exists")
         os.makedirs(self.path, exist_ok=True)
         bucket_by = list(bucket_by) if bucket_by else None
-        entries = self._write_snapshot(df, partition_by, bucket_by=bucket_by)
+        bloom = (
+            {"cols": list(bloom_cols), "bits": int(bloom_bits),
+             "k": int(bloom_hashes)}
+            if bloom_cols
+            else None
+        )
+        entries = self._write_snapshot(
+            df, partition_by, bucket_by=bucket_by, bloom=bloom
+        )
         v = self._commit(
             {
                 "version": 1,
                 "operation": "create",
                 "partition_by": partition_by,
                 "bucket_by": bucket_by,
+                "bloom": bloom,
                 "schema": df.schema.jsonValue(),
                 "touched_partitions": sorted({e["partition"] or "" for e in entries}),
                 "entries": entries,
@@ -771,6 +871,7 @@ class ManifestTable:
                 "operation": operation,
                 "partition_by": cur["partition_by"],
                 "bucket_by": cur.get("bucket_by"),
+                "bloom": cur.get("bloom"),
                 "schema": schema.jsonValue(),
                 "touched_partitions": touched,
                 "entries": kept + entries,
@@ -814,6 +915,7 @@ class ManifestTable:
                 "operation": "delete",
                 "partition_by": partition_by,
                 "bucket_by": cur.get("bucket_by"),
+                "bloom": cur.get("bloom"),
                 "schema": cur["schema"],
                 "touched_partitions": touched,
                 "entries": kept + entries,
@@ -847,6 +949,7 @@ class ManifestTable:
                 "operation": "delete+dv",
                 "partition_by": cur["partition_by"],
                 "bucket_by": cur.get("bucket_by"),
+                "bloom": cur.get("bloom"),
                 "schema": cur["schema"],
                 "touched_partitions": touched,
                 "entries": masked,
@@ -903,6 +1006,7 @@ class ManifestTable:
                     "operation": "delete+dv",
                     "partition_by": cur["partition_by"],
                     "bucket_by": cur.get("bucket_by"),
+                "bloom": cur.get("bloom"),
                     "schema": cur["schema"],
                     "touched_partitions": touched,
                     "entries": masked,
@@ -922,6 +1026,7 @@ class ManifestTable:
                 "operation": "delete",
                 "partition_by": cur["partition_by"],
                 "bucket_by": cur.get("bucket_by"),
+                "bloom": cur.get("bloom"),
                 "schema": cur["schema"],
                 "touched_partitions": touched,
                 "entries": kept + entries,
@@ -948,6 +1053,7 @@ class ManifestTable:
                 "operation": "overwrite",
                 "partition_by": cur["partition_by"],
                 "bucket_by": cur.get("bucket_by"),
+                "bloom": cur.get("bloom"),
                 "schema": schema.jsonValue(),
                 "touched_partitions": sorted({e["partition"] or "" for e in entries}),
                 "entries": entries,
@@ -987,6 +1093,7 @@ class ManifestTable:
                 "operation": f"restore({version})",
                 "partition_by": old["partition_by"],
                 "bucket_by": old.get("bucket_by"),
+                "bloom": old.get("bloom"),
                 "schema": old["schema"],
                 "touched_partitions": [],
                 "entries": old["entries"],
@@ -1118,6 +1225,7 @@ class ManifestTable:
                 "operation": "compact",
                 "partition_by": partition_by,
                 "bucket_by": bucket_by,
+                "bloom": cur.get("bloom"),
                 "schema": cur["schema"],
                 "touched_partitions": touched,
                 "entries": kept + entries,

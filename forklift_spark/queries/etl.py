@@ -2880,3 +2880,57 @@ def q_manifest_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+# --------------------------------------------------------------------------
+# q_manifest_bloom_lookup — per-file BLOOM FILTERS in the manifest: the
+# skipping tool for high-cardinality identifier lookups where zone maps
+# are useless (random ids span every file's [min, max]) and the column
+# isn't the bucket key. Each commit collects k seeded murmur3 bits per
+# file in the SAME pass as the zone-map stats; an equality read keeps
+# only files whose filter has all probe bits set (no false negatives by
+# construction — probe and build share the hash expression, asserted
+# in-query by pruned < total while the oracle certifies the lookup
+# result). At 100 TB: a needle-in-haystack id probe opens a handful of
+# files instead of the fleet.
+# --------------------------------------------------------------------------
+BLOOM_LOOKUP_ORACLE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE md5(CAST(o_orderkey AS VARCHAR)) = md5('42')
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+
+@query("q_manifest_bloom_lookup", BLOOM_LOOKUP_ORACLE)
+def q_manifest_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from forklift_spark.manifest import ManifestTable
+
+    base = tables.load(spark, sf_dir, "orders").select(
+        F.md5(F.col("o_orderkey").cast("string")).alias("uid"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        "o_totalprice",
+    )
+    t = ManifestTable(spark, tempfile.mkdtemp(prefix="fk_bloom_"), "orders_uid")
+    t.create(
+        base.repartition(8), partition_by="order_year", bloom_cols=["uid"]
+    )
+    probe = spark.range(1).select(F.md5(F.lit("42")).alias("u")).collect()[0]["u"]
+    total = len(t.files())
+    pruned = t.files(where={"uid": (probe, probe)})
+    # bloom skipping is the operator's contract — fail loud if nothing pruned
+    assert 0 < len(pruned) < total, (len(pruned), total)
+    return (
+        t.read(where={"uid": (probe, probe)})
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(dec("o_totalprice", MONEY)).cast("double").alias("total_price"),
+        )
+        .orderBy("order_year")
+    )

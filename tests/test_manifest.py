@@ -861,3 +861,51 @@ def test_manifest_cdc_sync_replicates(table, spark, tmp_path):
         table, dst, on="k", since_version=stats["to_version"]
     )
     assert stats["mode"] == "noop"
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file skipping
+# ---------------------------------------------------------------------------
+def test_bloom_skipping_no_false_negatives(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path), "bl")
+    df = spark.range(5000).select(
+        F.md5(F.col("id").cast("string")).alias("uid"),
+        (F.col("id") % 2).cast("string").alias("p"),
+        F.col("id").alias("v"),
+    )
+    t.create(df.repartition(6), partition_by="p", bloom_cols=["uid"])
+    m = t.manifest()
+    assert m["bloom"]["cols"] == ["uid"]
+    assert all("uid" in e.get("bloom", {}) for e in m["entries"])
+    # EVERY present key must be found (bloom can never false-negative)
+    for v in (0, 1, 2499, 4999):
+        uid = df.filter(F.col("v") == v).collect()[0]["uid"]
+        got = t.read(where={"uid": (uid, uid)}).collect()
+        assert len(got) == 1 and got[0].v == v
+        assert 0 < len(t.files(where={"uid": (uid, uid)})) < len(t.files())
+    # absent key: zero rows (and typically zero files planned)
+    assert t.read(where={"uid": ("nope", "nope")}).count() == 0
+
+
+def test_bloom_survives_merge_and_compact(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path), "bl2")
+    df = spark.range(2000).select(
+        F.md5(F.col("id").cast("string")).alias("uid"),
+        (F.col("id") % 2).cast("string").alias("p"),
+        F.col("id").alias("v"),
+    )
+    t.create(df.repartition(4), partition_by="p", bloom_cols=["uid"])
+    t.merge(
+        df.filter("v < 5").withColumn("v", F.col("v") + 10000),
+        on="uid",
+        use_dv=True,
+    )
+    # config inherited: the appended snapshot carries blooms too
+    assert all("bloom" in e for e in t.manifest()["entries"])
+    uid = df.filter("v = 3").collect()[0]["uid"]
+    got = t.read(where={"uid": (uid, uid)}).collect()
+    assert len(got) == 1 and got[0].v == 10003  # dv + bloom compose
+    t.compact(min_files=1)
+    assert all("bloom" in e for e in t.manifest()["entries"])
+    got = t.read(where={"uid": (uid, uid)}).collect()
+    assert len(got) == 1 and got[0].v == 10003
