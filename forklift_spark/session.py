@@ -17,6 +17,7 @@ SparkSession factory. All engine defaults that matter at 100 TB live here:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -63,6 +64,23 @@ def session_builder(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "30g"))
         # local mode: the driver is the executor; keep python worker reuse on
         .config("spark.python.worker.reuse", "true")
+        # per-process warehouse: managed tables (bucketed signature/skew
+        # tables) are session-cache artifacts, not shared state — two
+        # concurrent processes writing the same managed-table PATH under a
+        # shared ./spark-warehouse race (observed: transient
+        # table-already-exists under parallel suite + verifier runs). The
+        # catalog metastore is per-process already; the table location
+        # must be too. Override with SPARK_GRAFT_WAREHOUSE for a shared
+        # deployment metastore.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(
+                    tempfile.gettempdir(), f"fk_warehouse_{os.getpid()}"
+                ),
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
