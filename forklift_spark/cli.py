@@ -133,6 +133,19 @@ def main(argv: list[str] | None = None) -> int:
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
     )
     p_query.add_argument("--limit", type=int, default=20)
+    p_man = sub.add_parser(
+        "manifest",
+        help="manifest-table maintenance (history/compact/vacuum/restore)",
+    )
+    p_man.add_argument("op", choices=["history", "compact", "vacuum", "restore"])
+    p_man.add_argument("root", help="warehouse dir holding the table")
+    p_man.add_argument("table")
+    p_man.add_argument("--min-files", type=int, default=4)
+    p_man.add_argument("--keep-versions", type=int, default=3)
+    p_man.add_argument("--version", type=int, help="restore target")
+    p_man.add_argument(
+        "--cluster-by", help="comma list: compact = OPTIMIZE ZORDER BY"
+    )
     ns = p.parse_args(argv)
     if ns.cmd == "init":
         init(ns.dir)
@@ -159,6 +172,27 @@ def main(argv: list[str] | None = None) -> int:
         df = cat[ns.name](get_spark(), ns.sf_dir)
         for row in df.limit(ns.limit).collect():
             print(_json.dumps(row.asDict(), default=str))
+    elif ns.cmd == "manifest":
+        import json as _json
+
+        from forklift_spark.manifest import ManifestTable
+        from forklift_spark.session import get_spark
+
+        t = ManifestTable(get_spark(), ns.root, ns.table)
+        if ns.op == "history":
+            for h in t.history():
+                print(_json.dumps(h))
+        elif ns.op == "compact":
+            cluster = ns.cluster_by.split(",") if ns.cluster_by else None
+            print(_json.dumps(t.compact(min_files=ns.min_files,
+                                        cluster_by=cluster)))
+        elif ns.op == "vacuum":
+            print(_json.dumps(t.vacuum(keep_versions=ns.keep_versions)))
+        else:
+            if ns.version is None:
+                print("restore requires --version")
+                return 2
+            print(_json.dumps(t.restore(ns.version)))
     else:
         run(ns.plan, ns.steps)
     return 0

@@ -189,3 +189,38 @@ def test_cli_query_runner(spark, capsys):
     assert {"group_size", "n_groups", "n_rows", "below_k"} == set(json.loads(out[0]))
     # ambiguous / unknown names fail with guidance, not a traceback
     assert main(["query", "q_dedup", "--sf-dir", SF_DIR]) == 2
+
+
+def test_cli_manifest_maintenance(spark, tmp_path, capsys):
+    """`forklift_spark manifest history|compact|vacuum|restore` drives
+    ManifestTable maintenance from the command line (the OPTIMIZE /
+    VACUUM surface of the table format)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from forklift_spark.cli import main
+    from forklift_spark.manifest import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path), "ev")
+    t.create(
+        spark.range(90).select(
+            F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("p")
+        ).repartition(4),
+        partition_by="p",
+    )
+    t.delete(F.col("k") % 9 == 0, use_dv=True)
+    assert main(["manifest", "history", str(tmp_path), "ev"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert [h["operation"] for h in lines] == ["create", "delete+dv"]
+    assert main(["manifest", "compact", str(tmp_path), "ev",
+                 "--min-files", "1"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["files_rewritten"] > 0
+    assert main(["manifest", "vacuum", str(tmp_path), "ev",
+                 "--keep-versions", "1"]) == 0
+    assert json.loads(capsys.readouterr().out)["removed_manifests"] == 2
+    assert t.read().count() == 80
+    assert main(["manifest", "restore", str(tmp_path), "ev",
+                 "--version", "3"]) == 0
+    assert t.current_version() == 4
