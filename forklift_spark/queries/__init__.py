@@ -66,7 +66,8 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
     "etl": [
         "q_merge_partitioned", "q_scd2_merge", "q_cdc_apply",
         "q_ivm_join", "q_spatial_join", "q_table_checksum",
-        "q_snapshot_diff",
+        "q_merge_dv",  # r4 swap: q_snapshot_diff rotated out (judge-verified
+        # local-PASS in r3) so the deletion-vector MERGE gets a driver row
     ],
     "analytics": [
         "q8_market_share", "q18_large_orders", "q21_waiting_supplier",
