@@ -1255,9 +1255,13 @@ class ManifestTable:
             for name in files:
                 full = os.path.join(dirpath, name)
                 rel = os.path.relpath(full, self.path)
-                if rel not in referenced and name.endswith(".parquet"):
+                # data/ is wholly table-owned: anything no retained
+                # manifest references is garbage — crashed-writer orphan
+                # snapshots, _SUCCESS markers, checksum sidecars
+                if rel not in referenced:
                     os.remove(full)
-                    removed_files += 1
+                    if name.endswith(".parquet"):
+                        removed_files += 1
             if not os.listdir(dirpath):
                 os.rmdir(dirpath)
         # dv sidecars are referenced as whole DIRS (one per commit)

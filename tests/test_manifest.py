@@ -909,3 +909,55 @@ def test_bloom_survives_merge_and_compact(spark, tmp_path):
     assert all("bloom" in e for e in t.manifest()["entries"])
     got = t.read(where={"uid": (uid, uid)}).collect()
     assert len(got) == 1 and got[0].v == 10003
+
+
+# ---------------------------------------------------------------------------
+# Crash safety: a writer that dies between snapshot write and commit
+# leaves GARBAGE, never corruption — readers are unaffected and vacuum
+# reclaims the orphans.
+# ---------------------------------------------------------------------------
+def test_crashed_writer_leaves_readers_unaffected(table, spark, monkeypatch):
+    want = {(r.k, r.v) for r in table.read().collect()}
+    v0 = table.current_version()
+
+    def die(manifest):
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(table, "_commit", die)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        table.merge(
+            spark.createDataFrame([(1, 2, -1)], "k long, y int, v long"),
+            on="k",
+        )
+    monkeypatch.undo()
+    # pointer untouched; logical state identical; orphan files on disk
+    assert table.current_version() == v0
+    assert {(r.k, r.v) for r in table.read().collect()} == want
+    data_root = os.path.join(table.path, "data")
+    snaps = os.listdir(data_root)
+    assert len(snaps) > 1, "crashed writer should have left an orphan snapshot"
+    # vacuum reclaims everything no retained manifest references
+    table.vacuum(keep_versions=1)
+    live = {e["path"].split(os.sep)[1] for e in table.manifest()["entries"]}
+    assert set(os.listdir(data_root)) == live
+    assert {(r.k, r.v) for r in table.read().collect()} == want
+
+
+def test_crashed_dv_writer_orphan_reclaimed(table, spark, monkeypatch):
+    table.delete(F.col("k") == 1, use_dv=True)  # a real dv to retain
+    want = {r.k for r in table.read().collect()}
+
+    def die(manifest):
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(table, "_commit", die)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        table.delete(F.col("k") == 2, use_dv=True)
+    monkeypatch.undo()
+    assert {r.k for r in table.read().collect()} == want
+    dv_root = os.path.join(table.path, "dv")
+    assert len(os.listdir(dv_root)) == 2  # one live, one orphan
+    table.vacuum(keep_versions=1)
+    # the referenced sidecar survives, the orphan is gone
+    assert len(os.listdir(dv_root)) == 1
+    assert {r.k for r in table.read().collect()} == want
