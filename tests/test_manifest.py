@@ -961,3 +961,13 @@ def test_crashed_dv_writer_orphan_reclaimed(table, spark, monkeypatch):
     # the referenced sidecar survives, the orphan is gone
     assert len(os.listdir(dv_root)) == 1
     assert {r.k for r in table.read().collect()} == want
+
+
+def test_dv_read_plan_broadcasts_small_masks(table, spark):
+    """The dv anti-join must be a BROADCAST hash join while the
+    manifest-recorded mask total is small — a shuffled join on every
+    read would tax the whole table for a handful of deletes."""
+    table.delete(F.col("k") == 5, use_dv=True)
+    plan = table.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
