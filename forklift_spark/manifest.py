@@ -44,6 +44,13 @@ inside the data files (plain ``partitionBy`` would strip it and make
 every reader depend on dir-name inference). Tokens therefore follow
 Spark's own hive escaping; NULL partitions land in
 ``__HIVE_DEFAULT_PARTITION__``.
+
+Multi-dimensional partitioning (date x region etc.) is expressed as ONE
+derived composite column — ``F.concat_ws("|", "day", "region")`` — and
+everything (merge pruning, partition reads, OCC disjointness, compact
+grouping) operates on the composite token unchanged; source batches
+must carry the same derived column. Combine with ``bucket_by`` for a
+key dimension and zone maps / blooms for everything else.
 """
 
 from __future__ import annotations

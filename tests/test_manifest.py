@@ -971,3 +971,28 @@ def test_dv_read_plan_broadcasts_small_masks(table, spark):
     plan = table.read()._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_composite_partition_column_pattern(spark, tmp_path):
+    """Multi-dimensional partitioning via ONE derived composite column
+    (module-docstring pattern): merge prunes on (day x region) cells."""
+    t = ManifestTable(spark, str(tmp_path), "multi")
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("day"),
+        (F.col("id") % 2).cast("string").alias("region"),
+        F.col("id").alias("v"),
+    ).withColumn("pcell", F.concat_ws("|", "day", "region"))
+    t.create(df, partition_by="pcell")
+    assert len({e["partition"] for e in t.manifest()["entries"]}) == 6
+    before = _md5s(table=t)
+    src = df.filter(F.col("k") == 7).withColumn("v", F.lit(-7).cast("long"))
+    stats = t.merge(src, on="k")
+    assert stats["touched_partitions"] == ["1|1"]  # k=7 -> day 1, region 1
+    after = _md5s(table=t)
+    carried = [p for p in before if p in after and before[p] == after[p]]
+    assert len(carried) == len(before) - stats["files_rewritten"]
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[7] == -7 and len(rows) == 300
+    # partition read on one composite cell
+    assert t.read(partitions=["2|0"]).count() == 50
