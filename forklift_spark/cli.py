@@ -137,7 +137,7 @@ def main(argv: list[str] | None = None) -> int:
         "manifest",
         help="manifest-table maintenance (history/compact/vacuum/restore)",
     )
-    p_man.add_argument("op", choices=["history", "compact", "vacuum", "restore"])
+    p_man.add_argument("op", choices=["history", "compact", "vacuum", "restore", "fsck"])
     p_man.add_argument("root", help="warehouse dir holding the table")
     p_man.add_argument("table")
     p_man.add_argument("--min-files", type=int, default=4)
@@ -188,6 +188,10 @@ def main(argv: list[str] | None = None) -> int:
                                         cluster_by=cluster)))
         elif ns.op == "vacuum":
             print(_json.dumps(t.vacuum(keep_versions=ns.keep_versions)))
+        elif ns.op == "fsck":
+            report = t.fsck()
+            print(_json.dumps(report))
+            return 0 if report["ok"] else 1
         else:
             if ns.version is None:
                 print("restore requires --version")

@@ -1245,6 +1245,110 @@ class ManifestTable:
             "files_written": len(entries),
         }
 
+    _UNSET = object()
+
+    def alter_layout(
+        self,
+        partition_by=_UNSET,
+        bucket_by=_UNSET,
+        bloom_cols=_UNSET,
+        bloom_bits: int = 4096,
+        bloom_hashes: int = 5,
+    ) -> dict:
+        """Change the table's physical layout — partition column, bucket
+        spec, bloom config — as ONE versioned rewrite commit (the ALTER
+        TABLE ... CLUSTER BY shape). Honest O(table): every live row is
+        rewritten under the new layout; history stays readable (old
+        versions keep their old layout metadata) and the swap is atomic,
+        so readers never see a half-migrated table. Omitted arguments
+        keep their current setting."""
+        cur = self.manifest()
+        new_part = (
+            cur["partition_by"] if partition_by is self._UNSET else partition_by
+        )
+        new_bucket = (
+            cur.get("bucket_by")
+            if bucket_by is self._UNSET
+            else (list(bucket_by) if bucket_by else None)
+        )
+        if bloom_cols is self._UNSET:
+            new_bloom = cur.get("bloom")
+        elif bloom_cols:
+            new_bloom = {"cols": list(bloom_cols), "bits": int(bloom_bits),
+                         "k": int(bloom_hashes)}
+        else:
+            new_bloom = None
+        df = self.read()
+        entries = self._write_snapshot(
+            df, new_part, bucket_by=new_bucket, bloom=new_bloom
+        )
+        v = self._commit(
+            {
+                "version": cur["version"] + 1,
+                "operation": "alter-layout",
+                "partition_by": new_part,
+                "bucket_by": new_bucket,
+                "bloom": new_bloom,
+                "schema": cur["schema"],
+                "touched_partitions": sorted(
+                    {e["partition"] or "" for e in entries}
+                ),
+                "entries": entries,
+            }
+        )
+        return {"version": v, "files_written": len(entries),
+                "partition_by": new_part, "bucket_by": new_bucket}
+
+    def fsck(self) -> dict:
+        """Integrity audit of the CURRENT version (plus orphan census
+        across the table dir): every referenced data file must exist
+        with its recorded size, every referenced dv sidecar must exist.
+        Returns issues (empty = healthy) and orphan counts — metadata
+        work only, no file is opened."""
+        m = self.manifest()
+        issues: list[str] = []
+        referenced: set[str] = set()
+        referenced_dv: set[str] = set()
+        for v in self.versions():
+            for e in self.manifest(v)["entries"]:
+                referenced.add(e["path"])
+                if e.get("dv"):
+                    referenced_dv.add(e["dv"])
+        for e in m["entries"]:
+            full = os.path.join(self.path, e["path"])
+            if not os.path.isfile(full):
+                issues.append(f"missing data file: {e['path']}")
+            elif os.path.getsize(full) != e["bytes"]:
+                issues.append(
+                    f"size drift: {e['path']} manifest={e['bytes']} "
+                    f"disk={os.path.getsize(full)}"
+                )
+            dv = e.get("dv")
+            if dv and not os.path.isdir(os.path.join(self.path, dv)):
+                issues.append(f"missing dv sidecar: {dv}")
+        orphan_files = 0
+        data_root = os.path.join(self.path, "data")
+        for dirpath, _dirs, files in os.walk(data_root):
+            for name in files:
+                rel = os.path.relpath(os.path.join(dirpath, name), self.path)
+                if name.endswith(".parquet") and rel not in referenced:
+                    orphan_files += 1
+        orphan_dvs = 0
+        dv_root = os.path.join(self.path, "dv")
+        if os.path.isdir(dv_root):
+            orphan_dvs = sum(
+                1
+                for name in os.listdir(dv_root)
+                if os.path.join("dv", name) not in referenced_dv
+            )
+        return {
+            "ok": not issues,
+            "version": m["version"],
+            "issues": issues,
+            "orphan_files": orphan_files,
+            "orphan_dv_dirs": orphan_dvs,
+        }
+
     def vacuum(self, keep_versions: int = 1) -> dict:
         """Drop manifests older than the newest `keep_versions` and delete
         data files no retained manifest references."""

@@ -996,3 +996,41 @@ def test_composite_partition_column_pattern(spark, tmp_path):
     assert rows[7] == -7 and len(rows) == 300
     # partition read on one composite cell
     assert t.read(partitions=["2|0"]).count() == 50
+
+
+def test_alter_layout_rebuckets_and_blooms(bucketed, spark):
+    """ALTER-layout: one atomic rewrite commit changes bucket count and
+    adds blooms; old versions keep the old layout; content unchanged."""
+    want = {(r.k, r.v) for r in bucketed.read().collect()}
+    v0 = bucketed.current_version()
+    stats = bucketed.alter_layout(bucket_by=("k", 8), bloom_cols=["k"])
+    m = bucketed.manifest()
+    assert m["bucket_by"] == ["k", 8]
+    assert m["bloom"]["cols"] == ["k"]
+    assert all("bloom" in e for e in m["entries"])
+    assert {(r.k, r.v) for r in bucketed.read().collect()} == want
+    assert bucketed.manifest(v0)["bucket_by"] == ["k", 4]  # history intact
+    assert stats["files_written"] > 0
+    # subsequent merges follow the NEW layout
+    bucketed.merge(
+        spark.createDataFrame([(1, 1, -1)], "k long, y int, v long"), on="k"
+    )
+    assert all(0 <= e["bucket"] < 8 for e in bucketed.manifest()["entries"])
+
+
+def test_fsck_detects_damage(table, spark):
+    table.delete(F.col("k") == 1, use_dv=True)
+    rep = table.fsck()
+    assert rep["ok"] and not rep["issues"]
+    # orphan census: a crashed snapshot shows up as orphans, not issues
+    victim = table.files()[0]
+    size = os.path.getsize(victim)
+    with open(victim, "ab") as fh:
+        fh.write(b"x")
+    rep = table.fsck()
+    assert not rep["ok"] and any("size drift" in i for i in rep["issues"])
+    with open(victim, "rb+") as fh:
+        fh.truncate(size)
+    os.remove(victim)
+    rep = table.fsck()
+    assert any("missing data file" in i for i in rep["issues"])
