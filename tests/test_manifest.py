@@ -1034,3 +1034,44 @@ def test_fsck_detects_damage(table, spark):
     os.remove(victim)
     rep = table.fsck()
     assert any("missing data file" in i for i in rep["issues"])
+
+
+def test_occ_concurrent_writers_all_land(spark, tmp_path):
+    """REAL concurrency: 4 threads race dv-merges into the same table
+    with retries. Every batch must land exactly once (the retry loop
+    serializes losers via rebase/recompute), and the final state equals
+    the sequential application — keys are disjoint so order is
+    irrelevant."""
+    import threading
+
+    t = ManifestTable(spark, str(tmp_path), "occ")
+    base = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("p"),
+        F.lit(0).cast("long").alias("v"),
+    )
+    t.create(base, partition_by="p")
+    errors: list = []
+
+    def writer(i: int):
+        try:
+            handle = ManifestTable(spark, str(tmp_path), "occ")
+            src = spark.createDataFrame(
+                [(400 + i, str(i % 4), i + 1)], "k long, p string, v long"
+            )
+            handle.merge(src, on="k", use_dv=True, max_retries=16)
+        except Exception as e:  # noqa: BLE001
+            errors.append((i, e))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert len(rows) == 404
+    for i in range(4):
+        assert rows[400 + i] == i + 1
+    # one commit per writer landed (plus create)
+    assert t.current_version() == 5
