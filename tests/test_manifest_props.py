@@ -116,3 +116,47 @@ def test_manifest_random_ops_match_model(spark, tmp_path_factory, base, ops):
     # every referenced file exists
     for v in t.versions():
         assert all(os.path.isfile(p) for p in t.files(v))
+
+
+# ---------------------------------------------------------------------------
+# Differential property: the two upsert implementations must agree
+# ---------------------------------------------------------------------------
+# keyed by k alone, partition DERIVED from the key (y = k % 3) so keys
+# never move partitions — the regime where the writer's global upsert
+# and the manifest's partition-scoped merge must coincide exactly (a
+# moving key is the documented divergence: manifest inserts into the
+# new partition and keeps the old row unless merged on the composite)
+keyed_rowsets = st.dictionaries(keys, vals, min_size=1, max_size=5)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(base=keyed_rowsets, seq=st.lists(keyed_rowsets, min_size=1, max_size=3),
+       dv=st.booleans())
+def test_writer_and_manifest_upsert_agree(spark, tmp_path_factory, base, seq, dv):
+    """ParquetTableWriter's anti-join full-rewrite upsert and
+    ManifestTable.merge (rewrite or dv mode) implement the SAME logical
+    upsert — random batch sequences must leave identical tables. Binds
+    the simple path and the scale path to one semantics."""
+    from forklift_spark.writer import ParquetTableWriter
+
+    root = tmp_path_factory.mktemp("diff")
+    w = ParquetTableWriter(spark, str(root / "plain"))
+    m = ManifestTable(spark, str(root), "manifest")
+
+    def df_of(rows: dict):
+        return spark.createDataFrame(
+            [(k % 3, k, v) for k, v in rows.items()], "y int, k long, v long"
+        )
+
+    w.write(df_of(base), "t", mode="overwrite")
+    m.create(df_of(base), partition_by="y")
+    for batch in seq:
+        w.write(df_of(batch), "t", mode="upsert", primary_key="k")
+        m.merge(df_of(batch), on="k", use_dv=dv)
+    got_w = sorted((r.y, r.k, r.v) for r in w.read("t").collect())
+    got_m = sorted((r.y, r.k, r.v) for r in m.read().collect())
+    assert got_w == got_m
