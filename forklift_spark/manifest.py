@@ -438,6 +438,76 @@ class ManifestTable:
         bits = bytes.fromhex(hx)
         return all(bits[p // 8] & (1 << (p % 8)) for p in probe)
 
+    def scan_plan(
+        self,
+        version: int | None = None,
+        partitions: list | None = None,
+        where: dict | None = None,
+    ) -> dict:
+        """EXPLAIN for the table format: how many files each pruning
+        layer (partition list -> zone maps -> bucket cell -> bloom)
+        would plan for this read, from manifest metadata alone — no file
+        opened, no job run. The observability hook for "why is this
+        query scanning so much": compare ``layers`` to spot the missing
+        filter/bloom/bucket."""
+        m = self.manifest(version)
+        entries = m["entries"]
+        layers = {"total": len(entries)}
+        if partitions is not None:
+            want = {NULL_TOKEN if p is None else str(p) for p in partitions}
+            entries = [e for e in entries if e["partition"] in want]
+        layers["after_partitions"] = len(entries)
+        schema = self.schema(version)
+        types = {f.name: f.dataType for f in schema.fields}
+        if where:
+            for col, bound in where.items():
+                numeric = self._numeric(types.get(col, T.StringType()))
+                entries = [
+                    e for e in entries
+                    if self._file_matches(e, col, bound, numeric)
+                ]
+        layers["after_zone_maps"] = len(entries)
+        bb = m.get("bucket_by")
+        if where and bb and bb[0] in where:
+            lo, hi = where[bb[0]]
+            if lo is not None and lo == hi:
+                want_b = self._bucket_of_value(bb, lo, types.get(bb[0]))
+                entries = [
+                    e for e in entries
+                    if e.get("bucket") is None or e["bucket"] == want_b
+                ]
+        layers["after_bucket"] = len(entries)
+        bl = m.get("bloom")
+        if where and bl:
+            for col in bl.get("cols", []):
+                if col not in where:
+                    continue
+                lo, hi = where[col]
+                if lo is None or lo != hi:
+                    continue
+                probe = self._bloom_positions(
+                    lo, types.get(col), bl["bits"], bl["k"]
+                )
+                entries = [
+                    e for e in entries
+                    if self._bloom_maybe_contains(e, col, probe)
+                ]
+        layers["after_bloom"] = len(entries)
+        bytes_planned = sum(e["bytes"] for e in entries)
+        rows = (
+            sum(e["rows"] - e.get("dv_rows", 0) for e in entries)
+            if all("rows" in e for e in entries)
+            else None
+        )
+        return {
+            "version": m["version"],
+            "layers": layers,
+            "files_planned": len(entries),
+            "bytes_planned": bytes_planned,
+            "rows_upper_bound": rows,
+            "skip_ratio": round(1 - len(entries) / max(1, layers["total"]), 4),
+        }
+
     def _bucket_of_value(self, bucket_by: list, value, dtype) -> int:
         """Bucket id of one literal, computed BY SPARK (the only engine
         whose murmur3 must agree with the write path), typed as the

@@ -1075,3 +1075,31 @@ def test_occ_concurrent_writers_all_land(spark, tmp_path):
         assert rows[400 + i] == i + 1
     # one commit per writer landed (plus create)
     assert t.current_version() == 5
+
+
+def test_scan_plan_layers_match_actual_planning(spark, tmp_path):
+    """scan_plan's per-layer counts are metadata-only EXPLAIN output;
+    its final count must equal what files() actually plans."""
+    t = ManifestTable(spark, str(tmp_path), "sp")
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("p"),
+        F.md5(F.col("id").cast("string")).alias("uid"),
+        (F.col("id") % 100).alias("v"),
+    )
+    t.create(
+        df.repartitionByRange(8, "v"),
+        partition_by="p",
+        bucket_by=("k", 4),
+        bloom_cols=["uid"],
+    )
+    uid = df.filter("k = 77").collect()[0]["uid"]
+    where = {"k": (77, 77), "uid": (uid, uid), "v": (77 % 100, 77 % 100)}
+    plan = t.scan_plan(partitions=["1"], where=where)
+    L = plan["layers"]
+    assert L["total"] >= L["after_partitions"] >= L["after_zone_maps"] \
+        >= L["after_bucket"] >= L["after_bloom"] == plan["files_planned"]
+    assert plan["files_planned"] == len(t.files(partitions=["1"], where=where))
+    assert plan["skip_ratio"] > 0.5
+    got = t.read(partitions=["1"], where=where).collect()
+    assert len(got) == 1 and got[0].k == 77
