@@ -505,3 +505,71 @@ def q_mi_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mi_units",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_mixture_weights — training-data MIXTURE weighting with temperature
+# (the multilingual/domain sampling op: p_i^T / sum p_j^T, Conneau &
+# Lample 2019 style). T = 0.5 so the power is sqrt — IEEE-correctly-
+# rounded in both engines — and weights are quantized to 1e-9 integers
+# BEFORE the normalizing sum (the repo's standard cross-engine trick:
+# integer sums are order-exact where double sums are not). Outputs per
+# domain: token count, quantized weight numerator, normalized sampling
+# weight, and expected epochs over the domain at one pass of the
+# mixture — the knob that keeps low-resource domains from being
+# memorized (epochs >> 1) or drowned (weight ~ 0). Scale: one rollup.
+# --------------------------------------------------------------------------
+MIXTURE_ORACLE = """
+WITH dom AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), q AS (
+  SELECT source, tokens,
+         CAST(ROUND(sqrt(CAST(tokens AS DOUBLE)) * 1e9) AS BIGINT) AS w_q
+  FROM dom
+), tot AS (
+  SELECT CAST(SUM(w_q) AS BIGINT) AS total_q,
+         CAST(SUM(tokens) AS BIGINT) AS total_tokens
+  FROM q
+)
+SELECT q.source, q.tokens, q.w_q,
+       CAST(q.w_q AS DOUBLE) / CAST(t.total_q AS DOUBLE) AS weight,
+       (CAST(q.w_q AS DOUBLE) * CAST(t.total_tokens AS DOUBLE))
+         / (CAST(t.total_q AS DOUBLE) * CAST(q.tokens AS DOUBLE)) AS epochs
+FROM q, tot t
+ORDER BY q.source
+"""
+
+
+@query("q_mixture_weights", MIXTURE_ORACLE)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    dom = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("tokens")
+    )
+    q = dom.withColumn(
+        "w_q",
+        F.round(F.sqrt(F.col("tokens").cast("double")) * F.lit(1e9)).cast(
+            "bigint"
+        ),
+    )
+    tot = q.agg(
+        F.sum("w_q").cast("bigint").alias("total_q"),
+        F.sum("tokens").cast("bigint").alias("total_tokens"),
+    )
+    return (
+        q.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tokens",
+            "w_q",
+            (
+                F.col("w_q").cast("double") / F.col("total_q").cast("double")
+            ).alias("weight"),
+            (
+                (F.col("w_q").cast("double") * F.col("total_tokens").cast("double"))
+                / (F.col("total_q").cast("double") * F.col("tokens").cast("double"))
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
