@@ -425,7 +425,8 @@ SELECT vec_id,
   len(embedding) AS dims,
   CAST(embedding[1] AS DOUBLE) AS first_val,
   CAST(embedding[len(embedding)] AS DOUBLE) AS last_val,
-  CAST(list_sum(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(10,9)))) AS DOUBLE) AS vec_sum
+  CAST(list_sum(list_transform(embedding,
+       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e9) AS BIGINT))) AS DOUBLE) / 1e9 AS vec_sum
 FROM embeddings
 WHERE vec_id < 100
 """
@@ -433,14 +434,16 @@ WHERE vec_id < 100
 
 @query("q_array_funcs", ARRAY_ORACLE)
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from forklift_spark.operators.similarity import ACC_DEC, VEC_DEC
-
     emb = tables.load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    vec_sum = F.aggregate(
-        F.col("embedding"),
-        F.lit(0).cast(ACC_DEC),
-        lambda s, x: (s + x.cast(VEC_DEC)).cast(ACC_DEC),
-    ).cast("double")
+    # integer-quantized element sum (tie-safe — see q_label_centroids)
+    vec_sum = (
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0).cast("bigint"),
+            lambda s, x: s + F.round(x.cast("double") * F.lit(1e9)).cast("bigint"),
+        ).cast("double")
+        / F.lit(1e9)
+    )
     return emb.select(
         "vec_id",
         F.size("embedding").cast("bigint").alias("dims"),

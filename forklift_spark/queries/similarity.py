@@ -21,7 +21,15 @@ _K = 5
 # pairwise exact decimal dot via zipped unnest, then double cosine.
 # NOTE: floats must go through DOUBLE before the decimal cast — DuckDB's
 # direct FLOAT->DECIMAL scales in float32 and is lossy; FLOAT->DOUBLE is
-# exact and DOUBLE->DECIMAL rounds identically in both engines.
+# exact and DOUBLE->DECIMAL rounds identically in both engines...
+# ...EXCEPT at exact decimal ties: a float32 element whose expansion
+# ends exactly at the 9th decimal (e.g. 0.1494140625) rounds HALF_UP in
+# Spark but half-even in DuckDB (2 such elements exist at sf0.1, none at
+# the sf0.01 gate). The cosine templates here survive because every
+# consumer rounds its final score to 9dp and the per-pair perturbation
+# is <= 1e-9*|x|; UNROUNDED sums must use the tie-safe integer
+# quantization instead — see q_label_centroids/q_array_funcs, and
+# functions/exact.py for the general rule.
 _PAIR_DOT = """
   SELECT ia, ib,
     CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(10,9)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(10,9))) AS DOUBLE) AS dot
@@ -647,10 +655,18 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The aggregation every embedding-classification / cluster-profiling
 # pass needs; long-form output keeps the oracle a plain GROUP BY.
 # --------------------------------------------------------------------------
+# Quantization is ROUND(v*1e9) -> BIGINT, NOT CAST(v AS DECIMAL(10,9)):
+# float32 elements are dyadic rationals whose decimal expansion can tie
+# EXACTLY at the 9th decimal (e.g. 0.1494140625), and the engines break
+# that tie differently (Spark BigDecimal HALF_UP vs DuckDB half-even on
+# double->decimal casts) — measured: 2 tie elements at sf0.1, one of
+# which red-rowed the label-8 mean. ROUND on the scaled double rounds
+# half-away-from-zero in BOTH engines (verified on the tie values), so
+# integer sums are bit-identical by construction.
 CENTROID_ORACLE = """
 SELECT label, i - 1 AS pos,
-  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(10,9))) AS DOUBLE)
-    / CAST(COUNT(*) AS DOUBLE) AS mean_v,
+  CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+    / (CAST(COUNT(*) AS DOUBLE) * 1e9) AS mean_v,
   COUNT(*) AS n
 FROM (
   SELECT label, unnest(embedding) AS v,
@@ -669,8 +685,10 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return exploded.groupBy("label", "pos").agg(
         (
-            F.sum(F.col("v").cast("decimal(10,9)")).cast("double")
-            / F.count(F.lit(1)).cast("double")
+            F.sum(
+                F.round(F.col("v").cast("double") * F.lit(1e9)).cast("bigint")
+            ).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e9))
         ).alias("mean_v"),
         F.count(F.lit(1)).alias("n"),
     )
