@@ -1880,3 +1880,74 @@ def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(noise).alias("noise_e6"),
         F.expr(f"greatest(0L, count(*) * 1000000L + {noise})").alias("released_e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_benford_audit — Benford's-law first-digit audit (the classic
+# fabricated-data / fraud screen): observed first-significant-digit
+# counts of o_totalprice vs the Benford expectation P(d)=log10(1+1/d),
+# with per-digit chi-square contributions. Exactness discipline: the
+# nine Benford probabilities are 1e-9-quantized INTEGER literals (no
+# cross-engine log10), expected counts are integer products, and each
+# chi-square term is computed in double on bit-identical operands then
+# 1e-9-requantized — so the sum is order-exact. First digit via string
+# head of the absolute cents value (no FP log tricks).
+# --------------------------------------------------------------------------
+_BENFORD_Q = {
+    1: 301029996, 2: 176091259, 3: 124938737, 4: 96910013,
+    5: 79181246, 6: 66946790, 7: 57991947, 8: 51152522, 9: 45757491,
+}
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {q}" for d, q in _BENFORD_Q.items()
+)
+
+BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+), obs AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY digit
+), tot AS (
+  SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs
+), scored AS (
+  SELECT o.digit, o.n_obs, t.n,
+         CASE o.digit {_BENFORD_CASE} END AS p_q
+  FROM obs o, tot t
+)
+SELECT digit, n_obs,
+  CAST(n * p_q AS DOUBLE) / 1e9 AS expected,
+  CAST(ROUND(
+    ((CAST(n_obs AS DOUBLE) - CAST(n * p_q AS DOUBLE) / 1e9)
+     * (CAST(n_obs AS DOUBLE) - CAST(n * p_q AS DOUBLE) / 1e9))
+    / (CAST(n * p_q AS DOUBLE) / 1e9) * 1e9
+  ) AS BIGINT) AS chi2_contrib_q
+FROM scored
+ORDER BY digit
+"""
+
+
+@query("q_benford_audit", BENFORD_ORACLE)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = orders.select(
+        F.substring(
+            (dec("o_totalprice", MONEY) * 100).cast("bigint").cast("string"),
+            1, 1,
+        ).cast("bigint").alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    p_q = F.create_map(
+        *[x for d, q in _BENFORD_Q.items() for x in (F.lit(d), F.lit(q))]
+    )[F.col("digit")].cast("bigint")
+    scored = obs.crossJoin(F.broadcast(tot)).withColumn("p_q", p_q)
+    expected = (F.col("n") * F.col("p_q")).cast("double") / F.lit(1e9)
+    dev = F.col("n_obs").cast("double") - expected
+    return scored.select(
+        "digit",
+        "n_obs",
+        expected.alias("expected"),
+        F.round(dev * dev / expected * F.lit(1e9)).cast("bigint").alias(
+            "chi2_contrib_q"
+        ),
+    ).orderBy("digit")
