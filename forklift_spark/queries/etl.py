@@ -2937,3 +2937,65 @@ def q_manifest_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+# --------------------------------------------------------------------------
+# q_manifest_time_travel — snapshot isolation as a query: after a merge
+# commits v2, BOTH versions stay readable — the query unions the v1 and
+# v2 rollups tagged by version, and the oracle replays pre- and
+# post-merge states relationally. A hash match proves time travel
+# returns the exact historical state, not a best-effort reconstruction
+# (the audit/backfill primitive: reproduce last week's report from last
+# week's table).
+# --------------------------------------------------------------------------
+TIME_TRAVEL_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type, value FROM events
+), src AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(14,2)) + CAST(9 AS DECIMAL(14,2)) AS DOUBLE) AS value
+  FROM base WHERE event_id % 6 = 0
+), v2 AS (
+  SELECT * FROM base WHERE event_id NOT IN (SELECT event_id FROM src)
+  UNION ALL
+  SELECT * FROM src
+), r1 AS (
+  SELECT 1 AS version, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+  FROM base GROUP BY event_type
+), r2 AS (
+  SELECT 2 AS version, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+  FROM v2 GROUP BY event_type
+)
+SELECT * FROM r1 UNION ALL SELECT * FROM r2
+ORDER BY version, event_type
+"""
+
+
+@query("q_manifest_time_travel", TIME_TRAVEL_ORACLE)
+def q_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from forklift_spark.manifest import ManifestTable
+
+    ev = tables.load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = ManifestTable(spark, tempfile.mkdtemp(prefix="fk_tt_"), "events_tt")
+    t.create(ev, partition_by="event_type")
+    src = ev.filter(F.col("event_id") % 6 == 0).withColumn(
+        "value", (dec("value", MONEY) + F.lit(9).cast(MONEY)).cast("double")
+    )
+    t.merge(src, on="event_id", use_dv=True)
+
+    def rollup(version: int):
+        return (
+            t.read(version=version)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(dec("value", MONEY)).cast("double").alias("total_value"),
+            )
+            .select(F.lit(version).cast("int").alias("version"), "*")
+        )
+
+    return rollup(1).unionByName(rollup(2)).orderBy("version", "event_type")
