@@ -54,6 +54,8 @@ _BNLJ_ALLOWED = {
     "q_equidepth_histogram",   # 1-row decile-boundary frame
     "q_zorder_keys",           # 1-row min/max bounds frame
     "q22_global_sales_opp",    # 1-row scalar average
+    "q_mixture_weights",       # 1-row (total_q, total_tokens) scalar frame
+    "q_benford_audit",         # 1-row grand-total scalar frame
     "q_weighted_sample",       # 1-row max-weight normalizer
     "q_cooccurrence_lift",     # 1-row context-count normalizer
     "q_decontaminate",         # broadcast benchmark side, non-equi containment
