@@ -1608,3 +1608,74 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     local = _skyline_prune(part, ["bkt"]).drop("bkt")
     return _skyline_prune(local, []).select("p_partkey", "p_retailprice", "p_size")
+
+
+# --------------------------------------------------------------------------
+# q_cohort_retention — weekly cohort retention matrix (the standard
+# product-analytics triangle): users cohorted by the Monday-truncated
+# week of their FIRST event; retention at offset k = distinct cohort
+# users active in cohort_week + k. Both engines truncate weeks to
+# Monday and the offset is an exact integer (aligned Mondays divide by
+# 7), so the whole matrix is integer-exact; the rate is a division of
+# identical BIGINTs. Scale: one per-user min, one (user, week) distinct,
+# one join on the (small) cohort dimension — no window over the fact.
+# --------------------------------------------------------------------------
+COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+  FROM events
+), sizes AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM firsts GROUP BY cohort_week
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active,
+       s.cohort_size,
+       CAST(COUNT(DISTINCT a.user_id) AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+FROM firsts f
+JOIN activity a ON a.user_id = f.user_id
+JOIN sizes s ON s.cohort_week = f.cohort_week
+GROUP BY f.cohort_week, week_offset, s.cohort_size
+ORDER BY f.cohort_week, week_offset
+"""
+
+
+@query("q_cohort_retention", COHORT_ORACLE)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return (
+        activity.join(firsts, "user_id")
+        .join(F.broadcast(sizes), "cohort_week")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+            "cohort_size",
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

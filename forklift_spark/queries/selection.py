@@ -573,3 +573,114 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q_vocab_kl — corpus drift: KL(P_src0 || P_s) of unigram distributions
+# for every source s vs the reference source, with add-one smoothing on
+# the comparison side (so unseen tokens contribute finitely). The drift
+# alarm for "did this week's crawl shift vocabulary" — rising KL flags
+# topic/spam shift before quality metrics move. Exactness: every
+# probability is an exact integer ratio, ln is bit-identical across
+# engines on exact-ratio doubles (measured r2), logs are FLOOR-quantized
+# to 1e-9 units, and each token's contribution c_a*(lnq_a - lnq_b) is
+# pure BIGINT arithmetic — the sum is order-exact. Scale: one (source,
+# token) rollup, a broadcast of per-source totals, one join on the
+# reference vocabulary.
+# --------------------------------------------------------------------------
+VOCAB_KL_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest({_W}) AS tok FROM documents
+), counts AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, tok
+), totals AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM counts GROUP BY source
+), vocab AS (
+  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks
+), ref AS (
+  SELECT c.tok, c.c AS c_a, t.t AS t_a,
+         CAST(FLOOR(ln(CAST(c.c AS DOUBLE) / CAST(t.t AS DOUBLE)) * 1e9) AS BIGINT) AS lnq_a
+  FROM counts c JOIN totals t ON t.source = c.source
+  WHERE c.source = 'src0'
+), pairs AS (
+  SELECT s.source, r.tok, r.c_a, r.t_a, r.lnq_a,
+         COALESCE(cb.c, 0) AS c_b, s.t AS t_b, v.v AS v
+  FROM ref r
+  CROSS JOIN totals s
+  CROSS JOIN vocab v
+  LEFT JOIN counts cb ON cb.source = s.source AND cb.tok = r.tok
+), scored AS (
+  SELECT source, c_a, t_a,
+         c_a * (lnq_a - CAST(FLOOR(ln(CAST(c_b + 1 AS DOUBLE) / CAST(t_b + v AS DOUBLE)) * 1e9) AS BIGINT)) AS units
+  FROM pairs
+)
+SELECT source,
+       CAST(SUM(units) AS BIGINT) AS kl_units,
+       CAST(MAX(t_a) AS BIGINT) AS ref_tokens,
+       CAST(SUM(units) AS DOUBLE) / (CAST(MAX(t_a) AS DOUBLE) * 1e9) AS kl_nats
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("q_vocab_kl", VOCAB_KL_ORACLE)
+def q_vocab_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(X.words("text")).alias("tok"))
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").cast("bigint").alias("t"))
+    vocab = toks.agg(F.count_distinct("tok").cast("bigint").alias("v"))
+    ref = (
+        counts.filter(F.col("source") == "src0")
+        .join(F.broadcast(totals.filter(F.col("source") == "src0")), "source")
+        .select(
+            "tok",
+            F.col("c").alias("c_a"),
+            F.col("t").alias("t_a"),
+            F.floor(
+                F.log(F.col("c").cast("double") / F.col("t").cast("double"))
+                * F.lit(1e9)
+            ).cast("bigint").alias("lnq_a"),
+        )
+    )
+    pairs = (
+        ref.crossJoin(F.broadcast(totals.select("source", F.col("t").alias("t_b"))))
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            counts.select("source", "tok", F.col("c").alias("c_b")),
+            ["source", "tok"],
+            "left",
+        )
+        .fillna({"c_b": 0})
+    )
+    lnq_b = F.floor(
+        F.log(
+            (F.col("c_b") + 1).cast("double")
+            / (F.col("t_b") + F.col("v")).cast("double")
+        )
+        * F.lit(1e9)
+    ).cast("bigint")
+    return (
+        pairs.select(
+            "source", "c_a", "t_a", (F.col("c_a") * (F.col("lnq_a") - lnq_b)).alias("units")
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("units").cast("bigint").alias("kl_units"),
+            F.max("t_a").cast("bigint").alias("ref_tokens"),
+        )
+        .select(
+            "source",
+            "kl_units",
+            "ref_tokens",
+            (
+                F.col("kl_units").cast("double")
+                / (F.col("ref_tokens").cast("double") * F.lit(1e9))
+            ).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
