@@ -56,6 +56,7 @@ _BNLJ_ALLOWED = {
     "q22_global_sales_opp",    # 1-row scalar average
     "q_mixture_weights",       # 1-row (total_q, total_tokens) scalar frame
     "q_benford_audit",         # 1-row grand-total scalar frame
+    "q_vocab_kl",              # 1-row vocab-size + 20-row per-source totals
     "q_weighted_sample",       # 1-row max-weight normalizer
     "q_cooccurrence_lift",     # 1-row context-count normalizer
     "q_decontaminate",         # broadcast benchmark side, non-equi containment
