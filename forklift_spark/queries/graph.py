@@ -903,3 +903,104 @@ def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("es", F.lit(0)) + F.col("dur")).cast("bigint").alias("finish"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_label_propagation — synchronous label-propagation community
+# detection (Raghavan et al. 2007) over the synthetic doc graph, THREE
+# unrolled rounds: each node adopts the most frequent label among its
+# neighbors, ties broken by MIN label — fully deterministic, so the
+# oracle replays every round as a CTE (the pagerank/BPE pattern for
+# iterative operators). Isolated-in-round nodes keep their label via
+# left join. Complements q_modularity (which SCORES a given partition —
+# LPA FINDS one). Scale: per round one neighbor-label rollup + one
+# per-node window argmax — O(E) shuffle per round, no all-pairs.
+# --------------------------------------------------------------------------
+def _lpa_round_sql(prev: str, out: str) -> str:
+    return f"""
+{out}_cnt AS (
+  SELECT e.u AS node, l.label AS nl, COUNT(*) AS cnt
+  FROM und e JOIN {prev} l ON l.node = e.v
+  GROUP BY e.u, l.label
+), {out}_pick AS (
+  SELECT node, nl,
+    ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, nl ASC) AS rn
+  FROM {out}_cnt
+), {out} AS (
+  SELECT p.node, COALESCE(k.nl, p.label) AS label
+  FROM {prev} p LEFT JOIN {out}_pick k ON k.node = p.node AND k.rn = 1
+)"""
+
+
+LPA_ORACLE = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+ed AS (
+  SELECT DISTINCT doc_id AS src,
+         (doc_id * (2 * k + 5) + k) % nn.n AS dst
+  FROM documents, nn, (SELECT unnest(range(1, 4)) AS k) ks
+  WHERE k <= 1 + doc_id % 3
+    AND (doc_id * (2 * k + 5) + k) % nn.n <> doc_id
+),
+und AS (
+  SELECT src AS u, dst AS v FROM ed
+  UNION
+  SELECT dst, src FROM ed
+),
+l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+{_lpa_round_sql('l0', 'l1')},
+{_lpa_round_sql('l1', 'l2')},
+{_lpa_round_sql('l2', 'l3')}
+SELECT node, CAST(label AS BIGINT) AS community FROM l3 ORDER BY node
+"""
+
+
+@query("q_label_propagation", LPA_ORACLE)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = tables.load(spark, sf_dir, "documents")
+    n = docs.count()  # bounded scalar (node count), same as q_modularity
+    ed = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.sequence(F.lit(1), (F.lit(1) + F.col("doc_id") % 3).cast("int"))
+            ).alias("k"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * (2 * F.col("k") + 5) + F.col("k")) % n).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+        .distinct()
+    )
+    und = (
+        ed.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(ed.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .localCheckpoint()  # 3 rounds reuse the edge set — cut the lineage
+    )
+    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
+    w = W.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("nl").asc())
+    for _ in range(3):
+        cnt = (
+            und.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), F.col("label").alias("nl"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        pick = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("nl").alias("new_label"))
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint()  # synchronous rounds: pin each generation
+        )
+    return labels.select(
+        "node", F.col("label").cast("bigint").alias("community")
+    ).orderBy("node")
