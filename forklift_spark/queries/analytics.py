@@ -1679,3 +1679,142 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# q_basket_rules — market-basket association rules over order line
+# items: for part pairs co-purchased in the same order, support,
+# confidence and lift. All three are exact integer ratios published as
+# (numerator, denominator-backed doubles of identical BIGINT operands),
+# so no FP drift. Pair generation is a per-order self-join (TPC-H
+# orders hold <= 7 lines, so the blow-up is bounded by 21 pairs/order —
+# the blocked-pairs shape, never all-pairs across orders). Top-20 by
+# pair count with full deterministic tie-break.
+# --------------------------------------------------------------------------
+BASKET_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), n_orders AS (
+  SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM items
+), part_cnt AS (
+  SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY pk
+), pairs AS (
+  SELECT a.pk AS pa, b.pk AS pb, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+)
+SELECT p.pa, p.pb, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+  CAST(p.c_ab AS DOUBLE) / CAST(n.n AS DOUBLE) AS support,
+  CAST(p.c_ab AS DOUBLE) / CAST(ca.c AS DOUBLE) AS confidence,
+  (CAST(n.n AS DOUBLE) * CAST(p.c_ab AS DOUBLE))
+    / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+FROM pairs p
+JOIN part_cnt ca ON ca.pk = p.pa
+JOIN part_cnt cb ON cb.pk = p.pb
+CROSS JOIN n_orders n
+ORDER BY p.c_ab DESC, p.pa, p.pb
+LIMIT 20
+"""
+
+
+@query("q_basket_rules", BASKET_ORACLE)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n = items.select("ok").distinct().count()  # bounded scalar
+    part_cnt = items.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = items.select("ok", F.col("pk").alias("pa"))
+    b = items.select("ok", F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+    return (
+        pairs.join(part_cnt.select(F.col("pk").alias("pa"), F.col("c").alias("c_a")), "pa")
+        .join(part_cnt.select(F.col("pk").alias("pb"), F.col("c").alias("c_b")), "pb")
+        .select(
+            "pa", "pb", "c_ab", "c_a", "c_b",
+            (F.col("c_ab").cast("double") / F.lit(float(n))).alias("support"),
+            (F.col("c_ab").cast("double") / F.col("c_a").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.lit(float(n)) * F.col("c_ab").cast("double"))
+                / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("c_ab").desc(), "pa", "pb")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q_rfm_segments — RFM customer segmentation: recency (days since last
+# order at a fixed anchor), frequency (order count), monetary (exact
+# cents). Quintile scores via ntile over FULLY tie-broken orders
+# (metric, custkey) so both engines assign identical buckets — ntile on
+# a partial order is nondeterministic and WOULD red-row. Output: one
+# row per (r, f, m) segment with size and totals. The segmentation
+# every CRM export needs; scale is three windows over the customer
+# dimension (small) after one fact rollup.
+# --------------------------------------------------------------------------
+RFM_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey AS ck,
+    CAST(date_diff('day', MAX(o_orderdate), DATE '1998-12-31') AS BIGINT) AS recency,
+    CAST(COUNT(*) AS BIGINT) AS frequency,
+    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT ck, recency, frequency, cents,
+    ntile(5) OVER (ORDER BY recency ASC, ck) AS r,
+    ntile(5) OVER (ORDER BY frequency DESC, ck) AS f,
+    ntile(5) OVER (ORDER BY cents DESC, ck) AS m
+  FROM cust
+)
+SELECT r, f, m,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM scored
+GROUP BY r, f, m
+ORDER BY r, f, m
+"""
+
+
+@query("q_rfm_segments", RFM_ORACLE)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.datediff(F.lit("1998-12-31").cast("date"), F.max("o_orderdate"))
+        .cast("bigint")
+        .alias("recency"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum((dec("o_totalprice", MONEY) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    scored = (
+        cust.withColumn(
+            "r", F.ntile(5).over(W.orderBy(F.col("recency").asc(), F.col("ck")))
+        )
+        .withColumn(
+            "f", F.ntile(5).over(W.orderBy(F.col("frequency").desc(), F.col("ck")))
+        )
+        .withColumn(
+            "m", F.ntile(5).over(W.orderBy(F.col("cents").desc(), F.col("ck")))
+        )
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("r", "f", "m")
+    )
