@@ -1622,10 +1622,10 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 COHORT_ORACLE = """
 WITH firsts AS (
-  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
   FROM events GROUP BY user_id
 ), activity AS (
-  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
   FROM events
 ), sizes AS (
   SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
@@ -1648,10 +1648,10 @@ ORDER BY f.cohort_week, week_offset
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events").select("user_id", "ts")
     firsts = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
     )
     activity = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
     ).distinct()
     sizes = firsts.groupBy("cohort_week").agg(
         F.count(F.lit(1)).cast("bigint").alias("cohort_size")
