@@ -207,6 +207,14 @@ HEADLINE = [
     "q_manifest_changes",
     "q_mv_refresh_cdc",
     "q_manifest_bucket_merge",
+    "q_manifest_bloom_lookup",
+    "q_cohort_retention",
+    "q_rfm_segments",
+    "q_basket_rules",
+    "q_vocab_kl",
+    "q_label_propagation",
+    "q_benford_audit",
+    "q_mixture_weights",
 ]
 
 
