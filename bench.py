@@ -209,7 +209,7 @@ HEADLINE = [
     "q_manifest_bucket_merge",
     "q_manifest_bloom_lookup",
     "q_cohort_retention",
-    "q_rfm_segments",
+    "q_rfm_segment_sizes",
     "q_basket_rules",
     "q_vocab_kl",
     "q_label_propagation",

@@ -1753,7 +1753,7 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q_rfm_segments — RFM customer segmentation: recency (days since last
+# q_rfm_segment_sizes — RFM segment SIZE rollup: recency (days since last
 # order at a fixed anchor), frequency (order count), monetary (exact
 # cents). Quintile scores via ntile over FULLY tie-broken orders
 # (metric, custkey) so both engines assign identical buckets — ntile on
@@ -1762,7 +1762,7 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every CRM export needs; scale is three windows over the customer
 # dimension (small) after one fact rollup.
 # --------------------------------------------------------------------------
-RFM_ORACLE = """
+RFM_SIZES_ORACLE = """
 WITH cust AS (
   SELECT o_custkey AS ck,
     CAST(date_diff('day', MAX(o_orderdate), DATE '1998-12-31') AS BIGINT) AS recency,
@@ -1785,8 +1785,8 @@ ORDER BY r, f, m
 """
 
 
-@query("q_rfm_segments", RFM_ORACLE)
-def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q_rfm_segment_sizes", RFM_SIZES_ORACLE)
+def q_rfm_segment_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     orders = tables.load(spark, sf_dir, "orders")
