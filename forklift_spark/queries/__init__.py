@@ -24,6 +24,11 @@ def query(name: str, oracle: str | None = None):
     """Register a query; oracle=None -> driver runs a rows-only check."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            # a duplicate would SILENTLY shadow the earlier query in the
+            # registry (and drop it from the correctness gate) — fail at
+            # import time instead
+            raise ValueError(f"duplicate query name: {name!r}")
         _REGISTRY[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
