@@ -1832,3 +1832,122 @@ def q_stream_merge_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q_seasonal_anomaly — anomaly detection on the seasonal-decomposition
+# RESIDUAL: a day is anomalous when residual^2 * n^2 > 4 * (n*SUM(r^2)
+# - SUM(r)^2) — i.e. |residual| exceeds 2 population sigmas of its
+# type's residual distribution. Every SUM is exact BIGINT (order-free);
+# the comparison happens in doubles built from those identical integers,
+# and IEEE multiply/compare on identical operands is engine-identical —
+# so the anomaly FLAG itself is exact, not approximately thresholded.
+# Composes the verified decompose machinery (trend/seasonal/residual
+# integer cents). The monitoring shape for '3-sigma after seasonality',
+# which a plain z-score on raw values can't do (weekday swings would
+# drown real anomalies). 2 sigma on this synthetic series flags a
+# handful of days at every SF (3 sigma flags none — pinned by the
+# exceedance census in the round notes).
+# --------------------------------------------------------------------------
+SEASONAL_ANOM_ORACLE = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, day, x,
+    CASE WHEN COUNT(*) OVER w = 7
+         THEN CAST(SUM(x) OVER w // 7 AS BIGINT) END AS trend
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), dt AS (
+  SELECT *, x - trend AS detr, isodow(day) - 1 AS dow FROM t
+), s AS (
+  SELECT event_type, dow,
+    CAST(SUM(detr) // COUNT(detr) AS BIGINT) AS seasonal
+  FROM dt WHERE detr IS NOT NULL GROUP BY 1, 2
+), r AS (
+  SELECT dt.event_type, dt.day, dt.detr - s.seasonal AS resid
+  FROM dt JOIN s ON s.event_type = dt.event_type AND s.dow = dt.dow
+  WHERE dt.detr IS NOT NULL
+), stats AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(resid) AS BIGINT) AS s1,
+    CAST(SUM(resid * resid) AS BIGINT) AS s2
+  FROM r GROUP BY event_type
+)
+SELECT r.event_type, strftime(r.day, '%Y-%m-%d') AS day,
+  CAST(r.resid AS BIGINT) AS resid_cents, st.n
+FROM r JOIN stats st ON st.event_type = r.event_type
+WHERE CAST(r.resid AS DOUBLE) * CAST(r.resid AS DOUBLE)
+        * CAST(st.n AS DOUBLE) * CAST(st.n AS DOUBLE)
+      > 4.0 * (CAST(st.n AS DOUBLE) * CAST(st.s2 AS DOUBLE)
+               - CAST(st.s1 AS DOUBLE) * CAST(st.s1 AS DOUBLE))
+ORDER BY r.event_type, r.day
+"""
+
+
+@query("q_seasonal_anomaly", SEASONAL_ANOM_ORACLE)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.functions.exact import dec
+
+    ev = tables.load(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            (dec("value", "decimal(12,2)") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("x"))
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    t = d.select(
+        "event_type", "day", "x",
+        F.when(F.count(F.lit(1)).over(w) == 7, F.sum("x").over(w)).alias("ma7"),
+    ).withColumn("trend", F.expr("ma7 div 7").cast("bigint"))
+    dt = t.select(
+        "event_type", "day", "x", "trend",
+        (F.col("x") - F.col("trend")).alias("detr"),
+        F.weekday("day").alias("dow"),
+    )
+    s = (
+        dt.filter(F.col("detr").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(F.expr("sum(detr) div count(detr)").cast("bigint").alias("seasonal"))
+    )
+    r = (
+        dt.join(F.broadcast(s), ["event_type", "dow"])
+        .filter(F.col("detr").isNotNull())
+        .select(
+            "event_type", "day",
+            (F.col("detr") - F.col("seasonal")).alias("resid"),
+        )
+    )
+    stats = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("resid").cast("bigint").alias("s1"),
+        F.sum(F.col("resid") * F.col("resid")).cast("bigint").alias("s2"),
+    )
+    rd = F.col("resid").cast("double")
+    nd = F.col("n").cast("double")
+    return (
+        r.join(F.broadcast(stats), "event_type")
+        .filter(
+            rd * rd * nd * nd
+            > F.lit(4.0)
+            * (
+                nd * F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double")
+            )
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("resid").cast("bigint").alias("resid_cents"),
+            "n",
+        )
+        .orderBy("event_type", "day")
+    )
