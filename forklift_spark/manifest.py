@@ -11,8 +11,22 @@ Layout under ``<root>/<table>/``::
 
     data/snap-<hex>/[__fsp__=<value>/]part-*.parquet   immutable data files
     dv/dv-<hex>/part-*.parquet                         deletion-vector sidecars
+    metadata/seg-<hex>.parquet                         immutable entry segments
     manifest-v<N>.json                                 immutable manifests
     _current                                           atomic version pointer
+
+Manifest METADATA scales past the file count where a monolithic entry
+list breaks (the Iceberg manifest-list shape, one level): the
+per-version JSON names immutable parquet ENTRY SEGMENTS (path, stats,
+bloom per file live in the segment, not the JSON) with each segment's
+partition coverage inline. A commit writes O(delta) metadata — segments
+the commit's partitions don't touch carry by reference, checked against
+the coverage list without being parsed — and a partition-pruned read
+plans from O(pruned) metadata. ``checkpoint()`` consolidates fragmented
+segments; a small-segment merge runs inline at commit time (amortized
+O(delta)); metadata-only stats (history, count_rows, scan_plan totals)
+come from per-segment sums with zero entry parsing. Manifests written
+by the pre-segment format (inline ``entries``) stay readable.
 
 Why this scales where ``ParquetTableWriter._upsert`` doesn't:
 
@@ -78,6 +92,13 @@ FILE_REF_RE = r"(data/snap-[0-9a-f]{12}/.*)$"
 # deletion-vector rows (file_ref, pos) under this total broadcast on the
 # read-path anti-join; above it, fall back to a shuffled join
 DV_BROADCAST_ROWS = 2_000_000
+# manifest entry lists live in immutable parquet SEGMENT sidecars under
+# metadata/ (the Iceberg manifest-file shape); the per-version JSON holds
+# only one small record per segment. A commit writes O(delta) metadata:
+# segments whose partitions the commit didn't touch carry by reference.
+SEGMENT_TARGET_ENTRIES = 2_000  # entries per metadata segment file
+SEGMENT_MERGE_SMALL = 16  # small-segment count that triggers inline merge
+DV_RATIO_WARN = 0.25  # dv_rows/rows per partition that flags dv pressure
 
 
 def _file_ref() -> F.Column:
@@ -126,6 +147,11 @@ class ManifestTable:
         self.root = root
         self.table = table
         self.path = os.path.join(root, table)
+        # immutable segment files -> safe to cache; bounded (cleared at cap)
+        self._seg_cache: dict[str, list[dict]] = {}
+        self.segment_target = SEGMENT_TARGET_ENTRIES
+        self.dv_broadcast_rows = DV_BROADCAST_ROWS
+        self.dv_ratio_warn = DV_RATIO_WARN
 
     # -- pointer / manifest IO ----------------------------------------------
     def _pointer_path(self) -> str:
@@ -138,13 +164,27 @@ class ManifestTable:
         with open(self._pointer_path()) as fh:
             return int(fh.read().strip())
 
-    def manifest(self, version: int | None = None) -> dict:
+    def _raw(self, version: int | None = None) -> dict:
+        """Stored manifest JSON — O(segments) small, NO entry lists loaded.
+        Internal planning paths use this so a read never parses metadata
+        for partitions it doesn't touch."""
         v = self.current_version() if version is None else version
         p = os.path.join(self.path, f"manifest-v{v}.json")
         if not os.path.isfile(p):
             raise KeyError(f"{self.table}: no manifest version {v}")
         with open(p) as fh:
             return json.load(fh)
+
+    def manifest(self, version: int | None = None) -> dict:
+        """Back-compat accessor: the manifest dict with ``entries``
+        MATERIALIZED (all segments loaded — O(table metadata); use
+        ``_raw``/``_m_entries`` with a partition set for pruned access).
+        Entries are per-dict copies so callers can't poison the cache."""
+        m = self._raw(version)
+        if "entries" not in m:
+            m = dict(m)
+            m["entries"] = [dict(e) for e in self._m_entries(m)]
+        return m
 
     def versions(self) -> list[int]:
         out = []
@@ -154,18 +194,167 @@ class ManifestTable:
         return sorted(out)
 
     def history(self) -> list[dict]:
-        """One row per retained version: what the commit did and touched."""
-        return [
+        """One row per retained version: what the commit did and touched.
+        Counts come from segment records — no entry list is loaded."""
+        out = []
+        for v in self.versions():
+            m = self._raw(v)
+            if "entries" in m:
+                n = len(m["entries"])
+                b = sum(e["bytes"] for e in m["entries"])
+            else:
+                n = sum(s["n_files"] for s in m["segments"])
+                b = sum(s["bytes"] for s in m["segments"])
+            out.append(
+                {
+                    "version": v,
+                    "operation": m.get("operation"),
+                    "touched_partitions": m.get("touched_partitions"),
+                    "n_files": n,
+                    "bytes": b,
+                }
+            )
+        return out
+
+    # -- metadata segments ----------------------------------------------------
+    # Entry lists are stored as immutable parquet files under metadata/
+    # (the Iceberg manifest-file shape, simplified to one level). The
+    # per-version JSON carries one record per segment: path, the set of
+    # partition tokens it covers (for pruned loading), and count/byte/row
+    # sums (for metadata-only stats). Segments are written and read
+    # DRIVER-SIDE with pyarrow — metadata operations never launch a
+    # Spark job. Per-entry stats/bloom dicts are JSON-encoded strings so
+    # the parquet schema is stable regardless of the table schema.
+
+    def _write_segment(self, entries: list[dict]) -> dict:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rel = os.path.join("metadata", f"seg-{uuid.uuid4().hex[:12]}.parquet")
+        recs = [
             {
-                "version": v,
-                "operation": m.get("operation"),
-                "touched_partitions": m.get("touched_partitions"),
-                "n_files": len(m["entries"]),
-                "bytes": sum(e["bytes"] for e in m["entries"]),
+                "path": e["path"],
+                "partition": e["partition"],
+                "bucket": e.get("bucket"),
+                "bytes": e["bytes"],
+                "rows": e.get("rows"),
+                "dv": e.get("dv"),
+                "dv_rows": e.get("dv_rows"),
+                "stats": json.dumps(e["stats"]) if "stats" in e else None,
+                "bloom": json.dumps(e["bloom"]) if "bloom" in e else None,
             }
-            for v in self.versions()
-            for m in [self.manifest(v)]
+            for e in entries
         ]
+        schema = pa.schema(
+            [
+                ("path", pa.string()),
+                ("partition", pa.string()),
+                ("bucket", pa.int32()),
+                ("bytes", pa.int64()),
+                ("rows", pa.int64()),
+                ("dv", pa.string()),
+                ("dv_rows", pa.int64()),
+                ("stats", pa.string()),
+                ("bloom", pa.string()),
+            ]
+        )
+        os.makedirs(os.path.join(self.path, "metadata"), exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pylist(recs, schema=schema),
+            os.path.join(self.path, rel),
+        )
+        record = {
+            "path": rel,
+            "partitions": sorted(
+                {e["partition"] for e in entries},
+                key=lambda p: (p is None, p),
+            ),
+            "n_files": len(entries),
+            "bytes": sum(e["bytes"] for e in entries),
+        }
+        if all("rows" in e for e in entries):
+            record["rows"] = sum(e["rows"] for e in entries)
+            record["dv_rows"] = sum(e.get("dv_rows", 0) for e in entries)
+        self._seg_cache[rel] = [dict(e) for e in entries]
+        return record
+
+    def _load_segment(self, rel: str) -> list[dict]:
+        if rel in self._seg_cache:
+            return self._seg_cache[rel]
+        import pyarrow.parquet as pq
+
+        out = []
+        for r in pq.read_table(os.path.join(self.path, rel)).to_pylist():
+            e = {
+                "path": r["path"],
+                "partition": r["partition"],
+                "bytes": r["bytes"],
+            }
+            if r["bucket"] is not None:
+                e["bucket"] = r["bucket"]
+            if r["stats"] is not None:
+                e["stats"] = json.loads(r["stats"])
+            if r["rows"] is not None:
+                e["rows"] = r["rows"]
+            if r["bloom"] is not None:
+                e["bloom"] = json.loads(r["bloom"])
+            if r["dv"] is not None:
+                e["dv"] = r["dv"]
+            if r["dv_rows"] is not None:
+                e["dv_rows"] = r["dv_rows"]
+            out.append(e)
+        if len(self._seg_cache) > 256:
+            self._seg_cache.clear()
+        self._seg_cache[rel] = out
+        return out
+
+    def _pack_segments(self, entries: list[dict]) -> list[dict]:
+        """Group entries by partition order and split into target-size
+        segments, so partition-pruned reads open few segment files."""
+        if not entries:
+            return []
+        entries = sorted(
+            entries,
+            key=lambda e: (
+                "" if e["partition"] is None else e["partition"],
+                e["path"],
+            ),
+        )
+        return [
+            self._write_segment(entries[i:i + self.segment_target])
+            for i in range(0, len(entries), self.segment_target)
+        ]
+
+    @staticmethod
+    def _seg_intersects(seg: dict, want: set) -> bool:
+        return any(
+            (p if p is not None else NULL_TOKEN) in want
+            for p in seg["partitions"]
+        )
+
+    def _m_entries(self, m: dict, partitions: set | None = None) -> list[dict]:
+        """Entry list of a raw manifest. With ``partitions`` (a set of
+        string tokens, NULL_TOKEN for a null partition value), only
+        segments covering a wanted partition are parsed — read planning
+        is O(pruned metadata), the point of the segment layout."""
+        if "entries" in m:  # legacy inline manifest (pre-segment format)
+            es = m["entries"]
+        else:
+            es = []
+            for seg in m["segments"]:
+                if partitions is not None and not self._seg_intersects(
+                    seg, partitions
+                ):
+                    continue
+                es.extend(self._load_segment(seg["path"]))
+        if partitions is not None:
+            es = [
+                e
+                for e in es
+                if (e["partition"] if e["partition"] is not None else NULL_TOKEN)
+                in partitions
+            ]
+        return es
 
     def _commit(self, manifest: dict) -> int:
         """Write the immutable manifest, then atomically swap the pointer.
@@ -319,7 +508,7 @@ class ManifestTable:
                     entry["bucket"] = bucket
                 entries.append(entry)
         if bloom is None and self.exists():
-            bloom = self.manifest().get("bloom")
+            bloom = self._raw().get("bloom")
         stats = self._file_stats(
             df.drop(PART_DIR_COL, BUCKET_DIR_COL).schema,
             [os.path.join(self.path, e["path"]) for e in entries],
@@ -371,11 +560,13 @@ class ManifestTable:
         partitions: list | None = None,
         where: dict | None = None,
     ) -> list[dict]:
-        m = self.manifest(version)
-        entries = m["entries"]
-        if partitions is not None:
-            want = {NULL_TOKEN if p is None else str(p) for p in partitions}
-            entries = [e for e in entries if e["partition"] in want]
+        m = self._raw(version)
+        want = (
+            {NULL_TOKEN if p is None else str(p) for p in partitions}
+            if partitions is not None
+            else None
+        )
+        entries = self._m_entries(m, want)
         if where:
             schema = self.schema(version)
             types = {f.name: f.dataType for f in schema.fields}
@@ -450,12 +641,18 @@ class ManifestTable:
         opened, no job run. The observability hook for "why is this
         query scanning so much": compare ``layers`` to spot the missing
         filter/bloom/bucket."""
-        m = self.manifest(version)
-        entries = m["entries"]
-        layers = {"total": len(entries)}
-        if partitions is not None:
-            want = {NULL_TOKEN if p is None else str(p) for p in partitions}
-            entries = [e for e in entries if e["partition"] in want]
+        m = self._raw(version)
+        if "entries" in m:
+            total = len(m["entries"])
+        else:
+            total = sum(s["n_files"] for s in m["segments"])
+        layers = {"total": total}
+        want = (
+            {NULL_TOKEN if p is None else str(p) for p in partitions}
+            if partitions is not None
+            else None
+        )
+        entries = self._m_entries(m, want)
         layers["after_partitions"] = len(entries)
         schema = self.schema(version)
         types = {f.name: f.dataType for f in schema.fields}
@@ -540,7 +737,7 @@ class ManifestTable:
         ]
 
     def schema(self, version: int | None = None) -> T.StructType:
-        return T.StructType.fromJson(self.manifest(version)["schema"])
+        return T.StructType.fromJson(self._raw(version)["schema"])
 
     def _read_entries(
         self,
@@ -578,7 +775,7 @@ class ManifestTable:
             # rewrites change the file ref), so a shared dv dir referenced
             # by several entries at different commit ages contributes only
             # duplicate/stale-subset pairs — harmless to an anti-join
-            if sum(e.get("dv_rows", 0) for e in entries) <= DV_BROADCAST_ROWS:
+            if sum(e.get("dv_rows", 0) for e in entries) <= self.dv_broadcast_rows:
                 dv = F.broadcast(dv)
             df = df.join(
                 dv,
@@ -656,7 +853,7 @@ class ManifestTable:
                 "bloom": bloom,
                 "schema": df.schema.jsonValue(),
                 "touched_partitions": sorted({e["partition"] or "" for e in entries}),
-                "entries": entries,
+                "segments": self._pack_segments(entries),
             }
         )
         return {"version": v, "files_written": len(entries)}
@@ -670,6 +867,141 @@ class ManifestTable:
             .collect()
         )
         return sorted(NULL_TOKEN if r.p is None else r.p for r in rows)
+
+    # -- generic optimistic-concurrency commit ---------------------------------
+    def _overlaps(self, from_version: int, head_version: int, touched) -> bool:
+        """Did any commit in (from_version, head_version] touch one of
+        our partitions — or replace the table wholesale? Conservative on
+        vacuumed history."""
+        tset = set(touched)
+        for v in range(from_version + 1, head_version + 1):
+            try:
+                m = self._raw(v)
+            except KeyError:
+                return True  # vacuumed history: be conservative
+            op = str(m.get("operation") or "")
+            if (
+                m.get("full_replace")
+                or op in ("overwrite", "alter-layout")
+                or op.startswith("restore")
+            ):
+                return True
+            if set(m.get("touched_partitions") or []) & tset:
+                return True
+        return False
+
+    def _occ(self, compute, max_retries: int) -> dict:
+        """Run ``compute(cur_raw) -> computed`` and commit, with the
+        Delta-shape optimistic-concurrency loop shared by EVERY mutating
+        operation (merge, delete, delete_keys, compact, overwrite,
+        alter_layout, checkpoint). Losing a race raises CommitConflict
+        unless ``max_retries > 0``; then, when every intervening commit
+        touched DISJOINT partitions, the loser REBASES — its
+        already-written data files are re-referenced against the new
+        head with zero recompute (carry is by REPLACED PATHS, so a
+        bucketed commit never drops same-partition/other-cell files).
+        Overlapping or full-replace interveners force a recompute from
+        the new head. ``computed`` may instead be ``{"noop": stats}``."""
+        attempt = 0
+        while True:
+            cur = self._raw()
+            computed = compute(cur)
+            if "noop" in computed:
+                return computed["noop"]
+            try:
+                return self._commit_computed(cur, computed)
+            except CommitConflict:
+                if attempt >= max_retries:
+                    raise
+                attempt += 1
+                if computed.get("no_rebase"):
+                    continue  # outer loop recomputes from the new head
+                while True:
+                    head = self._raw()
+                    if self._overlaps(
+                        cur["version"], head["version"], computed["touched"]
+                    ):
+                        break  # outer loop recomputes from the new head
+                    try:
+                        return self._commit_computed(head, computed, rebase=True)
+                    except CommitConflict:
+                        if attempt >= max_retries:
+                            raise
+                        attempt += 1
+
+    def _assemble_segments(self, base: dict, computed: dict) -> list[dict]:
+        """Segment records for the next version: carry base segments the
+        commit didn't touch BY REFERENCE (zero metadata IO — checked
+        against the touched-partition list first, so untouched
+        partitions' segments are never even parsed), rewrite broken
+        segments minus the replaced paths, and pack residue + new
+        entries into fresh segments. Metadata write is O(delta)."""
+        replaced = computed.get("replaced") or set()
+        carried: list[dict] = []
+        residue: list[dict] = []
+        if not computed.get("replace_all"):
+            tset = set(computed["touched"])
+            match_all = "" in tset  # unpartitioned scope touches everything
+            if "entries" in base:  # legacy inline manifest: pack everything
+                residue.extend(
+                    dict(e) for e in base["entries"] if e["path"] not in replaced
+                )
+            else:
+                for seg in base.get("segments", []):
+                    if not match_all and not self._seg_intersects(seg, tset):
+                        carried.append(seg)
+                        continue
+                    es = self._load_segment(seg["path"])
+                    if replaced and any(e["path"] in replaced for e in es):
+                        residue.extend(
+                            e for e in es if e["path"] not in replaced
+                        )
+                    else:
+                        carried.append(seg)
+        segments = carried + self._pack_segments(residue + list(computed["entries"]))
+        # inline metadata maintenance: many small segments (residue churn)
+        # merge into target-size ones — O(small), amortized O(delta)
+        small = [s for s in segments if s["n_files"] * 4 < self.segment_target]
+        if len(small) > SEGMENT_MERGE_SMALL:
+            smallset = {s["path"] for s in small}
+            merged: list[dict] = []
+            for s in small:
+                merged.extend(self._load_segment(s["path"]))
+            segments = [
+                s for s in segments if s["path"] not in smallset
+            ] + self._pack_segments(merged)
+        return segments
+
+    def _commit_computed(self, base: dict, computed: dict, rebase: bool = False) -> dict:
+        schema = computed["schema"]
+        if rebase:
+            # keep the winner's schema evolution visible: commit the
+            # union of the head schema and ours
+            schema = _merge_schemas(T.StructType.fromJson(base["schema"]), schema)
+        layout = computed.get("layout")
+        segments = self._assemble_segments(base, computed)
+        mdoc = {
+            "version": base["version"] + 1,
+            "operation": computed["operation"],
+            "partition_by": (
+                layout["partition_by"] if layout else base["partition_by"]
+            ),
+            "bucket_by": layout["bucket_by"] if layout else base.get("bucket_by"),
+            "bloom": layout["bloom"] if layout else base.get("bloom"),
+            "schema": schema.jsonValue(),
+            "touched_partitions": computed["touched"],
+            "segments": segments,
+        }
+        if computed.get("full_replace"):
+            mdoc["full_replace"] = True
+        v = self._commit(mdoc)
+        total = sum(s["n_files"] for s in segments)
+        return {
+            "version": v,
+            "touched_partitions": computed["touched"],
+            "files_carried": total - len(computed["entries"]),
+            **computed.get("stats", {}),
+        }
 
     def merge(
         self,
@@ -693,70 +1025,25 @@ class ManifestTable:
         anti-join the dv at scan time; ``compact()`` materializes dvs
         away when a partition accumulates too many.
 
-        Optimistic concurrency (``max_retries > 0``, the Delta OCC
-        shape): losing a commit race raises CommitConflict by default;
-        with retries, the loser re-reads the head and — when every
-        intervening commit touched DISJOINT partitions — REBASES: its
-        already-written data files are re-referenced against the new
-        head with zero recompute (its snapshot of the touched partitions
-        is still current). Overlapping commits recompute the merge from
-        the new head. Retries exhausted -> CommitConflict."""
-        compute = self._compute_merge_dv if use_dv else self._compute_merge
-        attempt = 0
-        while True:
-            cur = self.manifest()
-            computed = compute(cur, source, on, broadcast_threshold)
-            try:
-                return self._commit_merge(cur, **computed)
-            except CommitConflict:
-                if attempt >= max_retries:
-                    raise
-                attempt += 1
-                while True:  # rebase path: zero recompute on disjoint commits
-                    head = self.manifest()
-                    try:
-                        overlapping = any(
-                            set(self.manifest(v)["touched_partitions"])
-                            & set(computed["touched"])
-                            for v in range(cur["version"] + 1, head["version"] + 1)
-                        )
-                    except KeyError:
-                        overlapping = True  # vacuumed history: be conservative
-                    if overlapping:
-                        break  # outer loop recomputes from the new head
-                    kept = [
-                        e
-                        for e in head["entries"]
-                        if e["partition"] not in set(computed["touched"])
-                    ]
-                    # keep the winner's schema evolution visible: commit the
-                    # union of the head schema and ours
-                    rebased_schema = _merge_schemas(
-                        T.StructType.fromJson(head["schema"]), computed["schema"]
-                    )
-                    try:
-                        return self._commit_merge(
-                            head,
-                            **{
-                                **computed,
-                                "kept": kept,
-                                "schema": rebased_schema,
-                            },
-                        )
-                    except CommitConflict:
-                        if attempt >= max_retries:
-                            raise
-                        attempt += 1
+        Optimistic concurrency (``max_retries > 0``): see ``_occ`` —
+        disjoint-partition losers rebase with zero recompute."""
+        compute_fn = self._compute_merge_dv if use_dv else self._compute_merge
+        return self._occ(
+            lambda cur: compute_fn(cur, source, on, broadcast_threshold),
+            max_retries,
+        )
 
     def _merge_scope(
         self, cur: dict, source: DataFrame, pk: list[str]
-    ) -> tuple[list[str], list[int] | None, list[dict], list[dict]]:
-        """Split current entries into (touched tokens, touched buckets,
-        kept, old): `old` is the minimal file set a merge must consult —
-        the source partitions, further cut to the key-hash CELLS the
-        source keys land in when the table is bucketed on a merge-key
-        column. Driver state stays bounded: one token per partition plus
-        at most n bucket ids."""
+    ) -> tuple[list[str], list[dict]]:
+        """(touched tokens, old): `old` is the minimal file set a merge
+        must consult — the source partitions, further cut to the
+        key-hash CELLS the source keys land in when the table is
+        bucketed on a merge-key column. Only touched partitions'
+        metadata segments are parsed; untouched files are carried by
+        segment reference at commit time, never listed here. Driver
+        state stays bounded: one token per partition plus at most n
+        bucket ids."""
         partition_by = cur["partition_by"]
         bucket_by = cur.get("bucket_by")
         bucketed = bool(bucket_by) and bucket_by[0] in pk
@@ -804,9 +1091,9 @@ class ManifestTable:
             def in_scope(e: dict) -> bool:
                 return True
 
-        old = [e for e in cur["entries"] if in_scope(e)]
-        kept = [e for e in cur["entries"] if not in_scope(e)]
-        return touched, None, kept, old
+        scope_parts = set(touched) if partition_by else None
+        old = [e for e in self._m_entries(cur, scope_parts) if in_scope(e)]
+        return touched, old
 
     def _compute_merge(
         self, cur: dict, source: DataFrame, on, broadcast_threshold: int
@@ -817,7 +1104,7 @@ class ManifestTable:
             T.StructType.fromJson(cur["schema"]), source.schema
         )
         pk = [on] if isinstance(on, str) else list(on)
-        touched, _buckets, kept, old = self._merge_scope(cur, source, pk)
+        touched, old = self._merge_scope(cur, source, pk)
         cur_schema = T.StructType.fromJson(cur["schema"])
         existing = self._read_entries(old, cur_schema)
         src = _align(source, schema)
@@ -831,11 +1118,15 @@ class ManifestTable:
             survivors.unionByName(src), partition_by, bucket_by=bucket_by
         )
         return {
+            "operation": "merge",
             "schema": schema,
             "touched": touched,
-            "kept": kept,
-            "old": old,
+            "replaced": {e["path"] for e in old},
             "entries": entries,
+            "stats": {
+                "files_rewritten": len(old),
+                "files_written": len(entries),
+            },
         }
 
     def _write_dv(self, hits: DataFrame) -> tuple[str, dict, int]:
@@ -862,12 +1153,13 @@ class ManifestTable:
 
     def _dv_masked_entries(
         self, scope: list[dict], hits: DataFrame
-    ) -> tuple[list[dict], list[str], int]:
+    ) -> tuple[list[dict], list[str], list[str], int]:
         """Attach a new merged dv to every entry of ``scope`` that
-        ``hits`` (live-row positions) covers; other entries pass through
-        unchanged. The new dv carries prior positions for the hit files
-        too, so each entry always references ONE complete dv. Returns
-        (updated scope entries, touched partition tokens, rows masked)."""
+        ``hits`` (live-row positions) covers. The new dv carries prior
+        positions for the hit files too, so each entry always references
+        ONE complete dv. Returns (updated HIT entries only, their paths,
+        touched partition tokens, rows masked) — untouched scope entries
+        are not re-listed; the commit carries them by segment reference."""
         hits = hits.localCheckpoint(eager=True)
         # driver-side mapping from encoded executor refs to fs entry paths
         probe = {unquote(ref): ref for (ref,) in
@@ -877,7 +1169,7 @@ class ManifestTable:
             missing = set(probe) - {e["path"] for e in hit_entries}
             raise RuntimeError(f"dv hits reference unknown files: {missing}")
         if not hit_entries:
-            return list(scope), [], 0
+            return [], [], [], 0
         prior_dirs = sorted({e["dv"] for e in hit_entries if e.get("dv")})
         full = hits.select("file_ref", "pos")
         if prior_dirs:
@@ -890,19 +1182,20 @@ class ManifestTable:
                 .filter(F.col("file_ref").isin(refs))
             )
             full = full.unionByName(prior)
-        rel, counts, total_new = self._write_dv(full)
-        out = []
-        for e in scope:
-            ref = probe.get(e["path"])
-            if ref is None:
-                out.append(e)
-            else:
-                out.append({**{k: v for k, v in e.items()},
-                            "dv": rel, "dv_rows": counts[ref]})
-        touched = sorted({e["partition"] or NULL_TOKEN for e in hit_entries})
+        rel, counts, _total_new = self._write_dv(full)
+        updated = [
+            {**e, "dv": rel, "dv_rows": counts[probe[e["path"]]]}
+            for e in hit_entries
+        ]
+        touched = sorted(
+            {
+                e["partition"] if e["partition"] is not None else ""
+                for e in hit_entries
+            }
+        )
         masked = sum(counts[probe[e["path"]]] - e.get("dv_rows", 0)
                      for e in hit_entries)
-        return out, touched, masked
+        return updated, [e["path"] for e in hit_entries], touched, masked
 
     def _compute_merge_dv(
         self, cur: dict, source: DataFrame, on, broadcast_threshold: int
@@ -913,7 +1206,7 @@ class ManifestTable:
         bucket_by = cur.get("bucket_by")
         schema = _merge_schemas(T.StructType.fromJson(cur["schema"]), source.schema)
         pk = [on] if isinstance(on, str) else list(on)
-        touched, _buckets, kept, old = self._merge_scope(cur, source, pk)
+        touched, old = self._merge_scope(cur, source, pk)
         cur_schema = T.StructType.fromJson(cur["schema"])
         existing = self._read_entries(old, cur_schema, keep_ref=True)
         src = _align(source, schema)
@@ -923,120 +1216,91 @@ class ManifestTable:
         matched = existing.join(keys, pk, "left_semi").select(
             F.col("__ref").alias("file_ref"), F.col("__pos").alias("pos")
         )
-        masked_old, _parts, masked = self._dv_masked_entries(old, matched)
+        updated, hit_paths, _parts, masked = self._dv_masked_entries(old, matched)
         new_entries = self._write_snapshot(src, partition_by, bucket_by=bucket_by)
         return {
+            "operation": "merge+dv",
             "schema": schema,
             "touched": touched,
-            "kept": kept,
-            "old": [],  # nothing rewritten — old files stay live under dv masks
-            "entries": masked_old + new_entries,
-            "operation": "merge+dv",
-            "extra": {
-                "files_written": len(new_entries),  # appended only; 0 rewritten
+            "replaced": set(hit_paths),
+            "entries": updated + new_entries,
+            "stats": {
+                "files_rewritten": 0,  # old files stay live under dv masks
+                "files_written": len(new_entries),  # appended only
                 "rows_masked": masked,
             },
         }
 
-    def _commit_merge(
-        self, cur: dict, schema, touched, kept, old, entries,
-        operation: str = "merge", extra: dict | None = None,
-    ) -> dict:
-        v = self._commit(
-            {
-                "version": cur["version"] + 1,
-                "operation": operation,
-                "partition_by": cur["partition_by"],
-                "bucket_by": cur.get("bucket_by"),
-                "bloom": cur.get("bloom"),
-                "schema": schema.jsonValue(),
-                "touched_partitions": touched,
-                "entries": kept + entries,
-            }
-        )
-        return {
-            "version": v,
-            "touched_partitions": touched,
-            "files_rewritten": len(old),
-            "files_written": len(entries),
-            "files_carried": len(kept),
-            **(extra or {}),
-        }
-
-    def delete(self, predicate, use_dv: bool = False) -> dict:
+    def delete(self, predicate, use_dv: bool = False, max_retries: int = 0) -> dict:
         """Delete rows matching a Column predicate, rewriting only the
         partitions that contain matches (the GDPR-delete shape).
         ``use_dv=True`` rewrites NOTHING: matching live-row positions are
         recorded as deletion vectors (one small sidecar write, O(|hits|))
         and every data file carries by reference — the right shape when
-        deletes are sparse relative to partition size."""
-        cur = self.manifest()
+        deletes are sparse relative to partition size. Rows where the
+        predicate evaluates NULL are KEPT (SQL DELETE semantics) in both
+        modes. ``max_retries``: the shared OCC rebase loop (``_occ``)."""
+        def compute(cur: dict) -> dict:
+            if use_dv:
+                return self._compute_delete_dv(cur, predicate)
+            return self._compute_delete(cur, predicate)
+
+        return self._occ(compute, max_retries)
+
+    def _compute_delete(self, cur: dict, predicate) -> dict:
         partition_by = cur["partition_by"]
-        if use_dv:
-            return self._delete_dv(cur, predicate)
-        full = self.read()
+        schema = T.StructType.fromJson(cur["schema"])
         if partition_by:
+            full = self._read_entries(self._m_entries(cur), schema)
             touched = self._touched_tokens(full.filter(predicate), partition_by)
-            kept = [e for e in cur["entries"] if e["partition"] not in set(touched)]
-            old = [e for e in cur["entries"] if e["partition"] in set(touched)]
-            scoped = self._read_entries(old, self.schema())
+            old = self._m_entries(cur, set(touched))
         else:
-            touched, kept, old, scoped = [""], [], list(cur["entries"]), full
+            touched = [""]
+            old = self._m_entries(cur)
+        scoped = self._read_entries(old, schema)
+        # NULL-safe survivor filter: a NULL predicate row is NOT deleted
+        # (matches SQL DELETE and the dv path's filter(predicate))
+        survivors = scoped.filter(~F.coalesce(predicate, F.lit(False)))
         entries = self._write_snapshot(
-            scoped.filter(~predicate), partition_by,
-            bucket_by=cur.get("bucket_by"),
-        )
-        v = self._commit(
-            {
-                "version": cur["version"] + 1,
-                "operation": "delete",
-                "partition_by": partition_by,
-                "bucket_by": cur.get("bucket_by"),
-                "bloom": cur.get("bloom"),
-                "schema": cur["schema"],
-                "touched_partitions": touched,
-                "entries": kept + entries,
-            }
+            survivors, partition_by, bucket_by=cur.get("bucket_by")
         )
         return {
-            "version": v,
-            "touched_partitions": touched,
-            "files_rewritten": len(old),
-            "files_written": len(entries),
+            "operation": "delete",
+            "schema": schema,
+            "touched": touched,
+            "replaced": {e["path"] for e in old},
+            "entries": entries,
+            "stats": {
+                "files_rewritten": len(old),
+                "files_written": len(entries),
+            },
         }
 
-    def _delete_dv(self, cur: dict, predicate) -> dict:
+    def _compute_delete_dv(self, cur: dict, predicate) -> dict:
         """Positional delete: one dv-aware scan (with predicate pushdown)
         finds matching live rows; their (file, position) pairs commit as
         a dv sidecar attached to the covered entries."""
         schema = T.StructType.fromJson(cur["schema"])
-        live = self._read_entries(cur["entries"], schema, keep_ref=True)
+        all_entries = self._m_entries(cur)
+        live = self._read_entries(all_entries, schema, keep_ref=True)
         hits = live.filter(predicate).select(
             F.col("__ref").alias("file_ref"), F.col("__pos").alias("pos")
         )
-        masked, touched, masked_rows = self._dv_masked_entries(
-            cur["entries"], hits
+        updated, hit_paths, touched, masked_rows = self._dv_masked_entries(
+            all_entries, hits
         )
         if not touched:  # no live row matched: nothing to commit
-            return {"version": cur["version"], "touched_partitions": [],
-                    "files_rewritten": 0, "rows_masked": 0}
-        v = self._commit(
-            {
-                "version": cur["version"] + 1,
-                "operation": "delete+dv",
-                "partition_by": cur["partition_by"],
-                "bucket_by": cur.get("bucket_by"),
-                "bloom": cur.get("bloom"),
-                "schema": cur["schema"],
-                "touched_partitions": touched,
-                "entries": masked,
+            return {
+                "noop": {"version": cur["version"], "touched_partitions": [],
+                         "files_rewritten": 0, "rows_masked": 0}
             }
-        )
         return {
-            "version": v,
-            "touched_partitions": touched,
-            "files_rewritten": 0,
-            "rows_masked": masked_rows,
+            "operation": "delete+dv",
+            "schema": schema,
+            "touched": touched,
+            "replaced": set(hit_paths),
+            "entries": updated,
+            "stats": {"files_rewritten": 0, "rows_masked": masked_rows},
         }
 
     def delete_keys(
@@ -1045,6 +1309,7 @@ class ManifestTable:
         on: str | list[str],
         use_dv: bool = True,
         broadcast_threshold: int = 2_000_000,
+        max_retries: int = 0,
     ) -> dict:
         """Set-based delete: remove every live row whose key appears in
         ``keys`` (the GDPR purge-list / CDC tombstone shape — a
@@ -1052,91 +1317,103 @@ class ManifestTable:
         merge rules when ``keys`` carries the partition/bucket columns
         (pruned scan), else the whole live set is consulted. Default is
         deletion vectors (zero rewrites); ``use_dv=False`` rewrites the
-        scoped files without the masked rows."""
+        scoped files without the masked rows. ``max_retries``: the
+        shared OCC rebase loop (``_occ``)."""
         pk = [on] if isinstance(on, str) else list(on)
-        cur = self.manifest()
-        schema = self.schema()
-        have = set(keys.columns)
-        prunable = (not cur["partition_by"]) or cur["partition_by"] in have
-        if prunable:
-            touched, _b, kept, old = self._merge_scope(cur, keys, pk)
-        else:
-            kept, old = [], list(cur["entries"])
-        k = keys.select(*pk).distinct()
-        if k.limit(broadcast_threshold + 1).count() <= broadcast_threshold:
-            k = F.broadcast(k)
-        if use_dv:
-            # scan only the pruned scope; untouched entries pass through
-            live = self._read_entries(old, schema, keep_ref=True)
-            hits = live.join(k, pk, "left_semi").select(
-                F.col("__ref").alias("file_ref"), F.col("__pos").alias("pos")
-            )
-            masked, touched, masked_rows = self._dv_masked_entries(
-                cur["entries"], hits
-            )
-            if not touched:
-                return {"version": cur["version"], "touched_partitions": [],
-                        "files_rewritten": 0, "rows_masked": 0}
-            v = self._commit(
-                {
-                    "version": cur["version"] + 1,
-                    "operation": "delete+dv",
-                    "partition_by": cur["partition_by"],
-                    "bucket_by": cur.get("bucket_by"),
-                "bloom": cur.get("bloom"),
-                    "schema": cur["schema"],
-                    "touched_partitions": touched,
-                    "entries": masked,
-                }
-            )
-            return {"version": v, "touched_partitions": touched,
-                    "files_rewritten": 0, "rows_masked": masked_rows}
-        scoped = self._read_entries(old, schema)
-        survivors = scoped.join(k, pk, "left_anti")
-        entries = self._write_snapshot(
-            survivors, cur["partition_by"], bucket_by=cur.get("bucket_by")
-        )
-        touched = sorted({e["partition"] or NULL_TOKEN for e in old}) if old else []
-        v = self._commit(
-            {
-                "version": cur["version"] + 1,
-                "operation": "delete",
-                "partition_by": cur["partition_by"],
-                "bucket_by": cur.get("bucket_by"),
-                "bloom": cur.get("bloom"),
-                "schema": cur["schema"],
-                "touched_partitions": touched,
-                "entries": kept + entries,
-            }
-        )
-        return {"version": v, "touched_partitions": touched,
-                "files_rewritten": len(old), "files_written": len(entries)}
 
-    def overwrite(self, df: DataFrame) -> dict:
+        def compute(cur: dict) -> dict:
+            schema = T.StructType.fromJson(cur["schema"])
+            have = set(keys.columns)
+            prunable = (not cur["partition_by"]) or cur["partition_by"] in have
+            if prunable:
+                touched, old = self._merge_scope(cur, keys, pk)
+            else:
+                touched, old = None, self._m_entries(cur)
+            k = keys.select(*pk).distinct()
+            if k.limit(broadcast_threshold + 1).count() <= broadcast_threshold:
+                k = F.broadcast(k)
+            if use_dv:
+                # scan only the pruned scope; untouched entries carry
+                live = self._read_entries(old, schema, keep_ref=True)
+                hits = live.join(k, pk, "left_semi").select(
+                    F.col("__ref").alias("file_ref"), F.col("__pos").alias("pos")
+                )
+                updated, hit_paths, dv_touched, masked_rows = (
+                    self._dv_masked_entries(old, hits)
+                )
+                if not dv_touched:
+                    return {
+                        "noop": {"version": cur["version"],
+                                 "touched_partitions": [],
+                                 "files_rewritten": 0, "rows_masked": 0}
+                    }
+                return {
+                    "operation": "delete+dv",
+                    "schema": schema,
+                    "touched": dv_touched,
+                    "replaced": set(hit_paths),
+                    "entries": updated,
+                    "stats": {"files_rewritten": 0, "rows_masked": masked_rows},
+                }
+            scoped = self._read_entries(old, schema)
+            survivors = scoped.join(k, pk, "left_anti")
+            entries = self._write_snapshot(
+                survivors, cur["partition_by"], bucket_by=cur.get("bucket_by")
+            )
+            if touched is None:
+                touched_out = (
+                    sorted(
+                        {
+                            e["partition"] if e["partition"] is not None else ""
+                            for e in old
+                        }
+                    )
+                    if old
+                    else []
+                )
+            else:
+                touched_out = touched
+            return {
+                "operation": "delete",
+                "schema": schema,
+                "touched": touched_out,
+                "replaced": {e["path"] for e in old},
+                "entries": entries,
+                "stats": {
+                    "files_rewritten": len(old),
+                    "files_written": len(entries),
+                },
+            }
+
+        return self._occ(compute, max_retries)
+
+    def overwrite(self, df: DataFrame, max_retries: int = 0) -> dict:
         """Full-replace commit (the reference's pipe/RENAME publish,
         `patterns/mysql_patterns.rb:35-39`): a new snapshot carries the
-        whole table; prior versions stay readable until vacuum."""
-        cur = self.manifest()
-        schema = _merge_schemas(
-            T.StructType([]), df.schema
-        )  # normalize NullType placeholders
-        entries = self._write_snapshot(
-            _align(df, schema), cur["partition_by"],
-            bucket_by=cur.get("bucket_by"),
-        )
-        v = self._commit(
-            {
-                "version": cur["version"] + 1,
+        whole table; prior versions stay readable until vacuum. Marked
+        ``full_replace`` so concurrent disjoint-partition rebases stay
+        conservative across it; its own conflicts always recompute."""
+        def compute(cur: dict) -> dict:
+            schema = _merge_schemas(
+                T.StructType([]), df.schema
+            )  # normalize NullType placeholders
+            entries = self._write_snapshot(
+                _align(df, schema), cur["partition_by"],
+                bucket_by=cur.get("bucket_by"),
+            )
+            return {
                 "operation": "overwrite",
-                "partition_by": cur["partition_by"],
-                "bucket_by": cur.get("bucket_by"),
-                "bloom": cur.get("bloom"),
-                "schema": schema.jsonValue(),
-                "touched_partitions": sorted({e["partition"] or "" for e in entries}),
+                "schema": schema,
+                "touched": sorted({e["partition"] or "" for e in entries}),
+                "replaced": set(),
+                "replace_all": True,
+                "full_replace": True,
+                "no_rebase": True,
                 "entries": entries,
+                "stats": {"files_written": len(entries)},
             }
-        )
-        return {"version": v, "files_written": len(entries)}
+
+        return self._occ(compute, max_retries)
 
     def count_rows(
         self, version: int | None = None, partitions: list | None = None
@@ -1145,11 +1422,20 @@ class ManifestTable:
         (the reference's `SELECT COUNT(1)` utility, `transports/
         mysql.rb:182-184`, at zero scan cost). Returns None when any
         selected entry predates row stats; fall back to read().count()."""
-        m = self.manifest(version)
-        entries = m["entries"]
-        if partitions is not None:
-            want = {NULL_TOKEN if p is None else str(p) for p in partitions}
-            entries = [e for e in entries if e["partition"] in want]
+        m = self._raw(version)
+        if "entries" not in m and partitions is None:
+            # pure segment metadata: zero entry lists parsed
+            if all("rows" in s for s in m["segments"]):
+                return sum(
+                    s["rows"] - s.get("dv_rows", 0) for s in m["segments"]
+                )
+            return None
+        want = (
+            {NULL_TOKEN if p is None else str(p) for p in partitions}
+            if partitions is not None
+            else None
+        )
+        entries = self._m_entries(m, want)
         if any("rows" not in e for e in entries):
             return None
         # dv positions always reference live files of THIS manifest, and
@@ -1162,8 +1448,15 @@ class ManifestTable:
         old version's files — zero data movement, history preserved,
         and vacuum keeps the restored files live because the head
         manifest names them."""
-        old = self.manifest(version)
+        old = self._raw(version)
         cur = self.current_version()
+        if "segments" in old:
+            # zero metadata movement: re-reference the old version's
+            # immutable segment files directly
+            segments = old["segments"]
+        else:
+            segments = self._pack_segments([dict(e) for e in old["entries"]])
+        n_files = sum(s["n_files"] for s in segments)
         v = self._commit(
             {
                 "version": cur + 1,
@@ -1173,10 +1466,11 @@ class ManifestTable:
                 "bloom": old.get("bloom"),
                 "schema": old["schema"],
                 "touched_partitions": [],
-                "entries": old["entries"],
+                "full_replace": True,
+                "segments": segments,
             }
         )
-        return {"version": v, "restored_from": version, "files": len(old["entries"])}
+        return {"version": v, "restored_from": version, "files": n_files}
 
     def changes(self, from_version: int, to_version: int) -> DataFrame:
         """Row-level change feed between two versions (the Delta CDF /
@@ -1185,15 +1479,29 @@ class ManifestTable:
         ``_change_type`` column ('insert' | 'delete'; an update is its
         delete+insert pair).
 
-        Cost is O(delta), never O(table): only files whose manifest
-        membership OR deletion-vector changed between the versions are
-        read. Candidate inserts/deletes cancel through ``exceptAll``
-        multiset difference, so pure layout moves (compact, restore,
-        rebase re-references) produce ZERO change rows."""
-        a = self.manifest(from_version)
-        b = self.manifest(to_version)
-        ea = {e["path"]: e for e in a["entries"]}
-        eb = {e["path"]: e for e in b["entries"]}
+        Cost is O(delta), never O(table) — in DATA and in METADATA:
+        segment files shared by both versions' manifests are skipped
+        wholesale (their entries are byte-identical on both sides), so
+        only delta segments are parsed. Candidate inserts/deletes cancel
+        through ``exceptAll`` multiset difference, so pure layout moves
+        (compact, restore, rebase re-references) produce ZERO change
+        rows."""
+        a = self._raw(from_version)
+        b = self._raw(to_version)
+
+        def delta_entries(m: dict, other: dict) -> list[dict]:
+            if "entries" in m or "entries" in other:
+                return self._m_entries(m)  # legacy inline: full compare
+            shared = {s["path"] for s in other["segments"]}
+            es: list[dict] = []
+            for s in m["segments"]:
+                if s["path"] in shared:
+                    continue
+                es.extend(self._load_segment(s["path"]))
+            return es
+
+        ea = {e["path"]: e for e in delta_entries(a, b)}
+        eb = {e["path"]: e for e in delta_entries(b, a)}
         schema_a = T.StructType.fromJson(a["schema"])
         schema_b = T.StructType.fromJson(b["schema"])
         removed = [e for p, e in ea.items() if p not in eb]
@@ -1232,6 +1540,8 @@ class ManifestTable:
         partitions: list | None = None,
         cluster_by: list[str] | None = None,
         max_records_per_file: int | None = None,
+        auto_dv: bool = False,
+        max_retries: int = 0,
     ) -> dict:
         """Coalesce small files: rewrite each partition holding at least
         ``min_files`` data files into one file, carrying everything else
@@ -1248,72 +1558,117 @@ class ManifestTable:
         per-file [min, max] ranges — which is what makes the zone-map
         skipping in files()/read() selective on non-partition columns.
         With cluster_by, min_files=1 partitions are rewritten too (the
-        point is reordering, not just coalescing)."""
-        cur = self.manifest()
-        partition_by = cur["partition_by"]
-        by_part: dict = {}
-        for e in cur["entries"]:
-            by_part.setdefault(e["partition"], []).append(e)
-        want = None
-        if partitions is not None:
-            want = {NULL_TOKEN if p is None else str(p) for p in partitions}
-        floor = 1 if cluster_by else min_files
-        # a partition carrying any deletion vector is always eligible:
-        # compaction is what materializes dv masks back into plain files
-        touched = sorted(
-            p if p is not None else NULL_TOKEN
-            for p, es in by_part.items()
-            if (len(es) >= floor or any(e.get("dv") for e in es))
-            and (want is None or (p or NULL_TOKEN) in want)
-        )
-        if not touched:
-            return {"version": cur["version"], "touched_partitions": [],
-                    "files_rewritten": 0, "files_written": 0}
-        tset = {None if t == NULL_TOKEN else t for t in touched}
-        old = [e for e in cur["entries"] if e["partition"] in tset]
-        kept = [e for e in cur["entries"] if e["partition"] not in tset]
-        # dv-aware: masked rows drop out here, so the rewritten files are
-        # plain again (dv materialization) and the new entries carry no dv
-        scoped = self._read_entries(old, self.schema())
-        bucket_by = cur.get("bucket_by")
-        writer_options = None
-        if cluster_by:
-            from forklift_spark.operators.layout import zorder_sort
+        point is reordering, not just coalescing).
 
-            scoped = zorder_sort(scoped, cluster_by)
-            if max_records_per_file:
-                writer_options = {"maxRecordsPerFile": str(max_records_per_file)}
-        elif bucket_by:
-            # one output file per (partition, bucket) cell
-            cells = [F.col(partition_by)] if partition_by else []
-            cells.append(self._bucket_expr(bucket_by))
-            scoped = scoped.repartition(max(len(old), 1), *cells)
-        elif partition_by:
-            # one output file per partition: regroup by the partition column
-            scoped = scoped.repartition(len(tset), F.col(partition_by))
-        else:
-            scoped = scoped.coalesce(1)
-        entries = self._write_snapshot(
-            scoped, partition_by, writer_options, bucket_by=bucket_by
-        )
-        v = self._commit(
-            {
-                "version": cur["version"] + 1,
+        ``auto_dv=True`` compacts exactly the partitions ``fsck()``
+        flags for deletion-vector pressure (dv/live ratio past
+        ``dv_ratio_warn``, or any dv while the table total exceeds the
+        read-path broadcast bound) — the maintenance hook that keeps dv
+        anti-joins broadcastable. ``max_retries``: shared OCC loop."""
+        def compute(cur: dict) -> dict:
+            partition_by = cur["partition_by"]
+            want = None
+            if partitions is not None:
+                want = {NULL_TOKEN if p is None else str(p) for p in partitions}
+            scoped_entries = self._m_entries(cur, want)
+            by_part: dict = {}
+            for e in scoped_entries:
+                by_part.setdefault(e["partition"], []).append(e)
+            floor = 1 if cluster_by else min_files
+            if auto_dv:
+                flagged, _total = self._dv_flagged(scoped_entries)
+                fset = set(flagged)
+                touched = sorted(
+                    p if p is not None else NULL_TOKEN
+                    for p in by_part
+                    if (p if p is not None else NULL_TOKEN) in fset
+                )
+            else:
+                # a partition carrying any deletion vector is always
+                # eligible: compaction is what materializes dv masks
+                # back into plain files
+                touched = sorted(
+                    p if p is not None else NULL_TOKEN
+                    for p, es in by_part.items()
+                    if (len(es) >= floor or any(e.get("dv") for e in es))
+                    and (want is None or (p or NULL_TOKEN) in want)
+                )
+            if not touched:
+                return {
+                    "noop": {"version": cur["version"], "touched_partitions": [],
+                             "files_rewritten": 0, "files_written": 0}
+                }
+            tset = {None if t == NULL_TOKEN else t for t in touched}
+            old = [e for e in scoped_entries if e["partition"] in tset]
+            # dv-aware: masked rows drop out here, so the rewritten files
+            # are plain again (dv materialization), new entries carry no dv
+            schema = T.StructType.fromJson(cur["schema"])
+            scoped = self._read_entries(old, schema)
+            bucket_by = cur.get("bucket_by")
+            writer_options = None
+            if cluster_by:
+                from forklift_spark.operators.layout import zorder_sort
+
+                scoped = zorder_sort(scoped, cluster_by)
+                if max_records_per_file:
+                    writer_options = {
+                        "maxRecordsPerFile": str(max_records_per_file)
+                    }
+            elif bucket_by:
+                # one output file per (partition, bucket) cell
+                cells = [F.col(partition_by)] if partition_by else []
+                cells.append(self._bucket_expr(bucket_by))
+                scoped = scoped.repartition(max(len(old), 1), *cells)
+            elif partition_by:
+                # one output file per partition: regroup by partition column
+                scoped = scoped.repartition(len(tset), F.col(partition_by))
+            else:
+                scoped = scoped.coalesce(1)
+            entries = self._write_snapshot(
+                scoped, partition_by, writer_options, bucket_by=bucket_by
+            )
+            # unpartitioned scope token is "" in the OCC protocol (same
+            # token merges use), so racing merge+compact always conflict
+            occ_touched = [
+                "" if t == NULL_TOKEN and partition_by is None else t
+                for t in touched
+            ]
+            return {
                 "operation": "compact",
-                "partition_by": partition_by,
-                "bucket_by": bucket_by,
-                "bloom": cur.get("bloom"),
-                "schema": cur["schema"],
-                "touched_partitions": touched,
-                "entries": kept + entries,
+                "schema": schema,
+                "touched": occ_touched,
+                "replaced": {e["path"] for e in old},
+                "entries": entries,
+                "stats": {
+                    "files_rewritten": len(old),
+                    "files_written": len(entries),
+                },
             }
-        )
-        return {
-            "version": v,
-            "touched_partitions": touched,
-            "files_rewritten": len(old),
-            "files_written": len(entries),
-        }
+
+        return self._occ(compute, max_retries)
+
+    def _dv_flagged(self, entries: list[dict]) -> tuple[list[str], int]:
+        """Partitions under deletion-vector pressure: dv/live ratio at or
+        past ``dv_ratio_warn``, or carrying any dv while the TABLE total
+        exceeds the read-path broadcast bound (``dv_broadcast_rows``) —
+        past that bound every read silently shifts from a broadcast to a
+        shuffled anti-join. Metadata-only. Returns (flagged partition
+        tokens, total dv rows)."""
+        by_part: dict = {}
+        for e in entries:
+            by_part.setdefault(e["partition"], []).append(e)
+        total_dv = sum(e.get("dv_rows", 0) for e in entries)
+        flagged = []
+        for p, es in by_part.items():
+            dv = sum(e.get("dv_rows", 0) for e in es)
+            if dv == 0:
+                continue
+            rows = sum(e.get("rows", 0) for e in es)
+            if total_dv > self.dv_broadcast_rows or (
+                rows and dv / rows >= self.dv_ratio_warn
+            ):
+                flagged.append(p if p is not None else NULL_TOKEN)
+        return sorted(flagged), total_dv
 
     _UNSET = object()
 
@@ -1324,6 +1679,7 @@ class ManifestTable:
         bloom_cols=_UNSET,
         bloom_bits: int = 4096,
         bloom_hashes: int = 5,
+        max_retries: int = 0,
     ) -> dict:
         """Change the table's physical layout — partition column, bucket
         spec, bloom config — as ONE versioned rewrite commit (the ALTER
@@ -1331,60 +1687,109 @@ class ManifestTable:
         rewritten under the new layout; history stays readable (old
         versions keep their old layout metadata) and the swap is atomic,
         so readers never see a half-migrated table. Omitted arguments
-        keep their current setting."""
-        cur = self.manifest()
-        new_part = (
-            cur["partition_by"] if partition_by is self._UNSET else partition_by
-        )
-        new_bucket = (
-            cur.get("bucket_by")
-            if bucket_by is self._UNSET
-            else (list(bucket_by) if bucket_by else None)
-        )
-        if bloom_cols is self._UNSET:
-            new_bloom = cur.get("bloom")
-        elif bloom_cols:
-            new_bloom = {"cols": list(bloom_cols), "bits": int(bloom_bits),
-                         "k": int(bloom_hashes)}
-        else:
-            new_bloom = None
-        df = self.read()
-        entries = self._write_snapshot(
-            df, new_part, bucket_by=new_bucket, bloom=new_bloom
-        )
+        keep their current setting. ``max_retries``: conflicts recompute
+        from the new head (a table rewrite can never rebase)."""
+        def compute(cur: dict) -> dict:
+            new_part = (
+                cur["partition_by"] if partition_by is self._UNSET else partition_by
+            )
+            new_bucket = (
+                cur.get("bucket_by")
+                if bucket_by is self._UNSET
+                else (list(bucket_by) if bucket_by else None)
+            )
+            if bloom_cols is self._UNSET:
+                new_bloom = cur.get("bloom")
+            elif bloom_cols:
+                new_bloom = {"cols": list(bloom_cols), "bits": int(bloom_bits),
+                             "k": int(bloom_hashes)}
+            else:
+                new_bloom = None
+            df = self._read_entries(
+                self._m_entries(cur), T.StructType.fromJson(cur["schema"])
+            )
+            entries = self._write_snapshot(
+                df, new_part, bucket_by=new_bucket, bloom=new_bloom
+            )
+            return {
+                "operation": "alter-layout",
+                "schema": T.StructType.fromJson(cur["schema"]),
+                "touched": sorted({e["partition"] or "" for e in entries}),
+                "replaced": set(),
+                "replace_all": True,
+                "full_replace": True,
+                "no_rebase": True,
+                "entries": entries,
+                "layout": {"partition_by": new_part, "bucket_by": new_bucket,
+                           "bloom": new_bloom},
+                "stats": {"files_written": len(entries),
+                          "partition_by": new_part, "bucket_by": new_bucket},
+            }
+
+        return self._occ(compute, max_retries)
+
+    def checkpoint(self) -> dict:
+        """Consolidate the head version's metadata: rewrite ALL entry
+        segments into fresh partition-grouped, target-size segment files
+        as one commit (the Delta checkpoint / Iceberg rewrite-manifests
+        shape). Data files are untouched and logical content is
+        unchanged — ``changes()`` across a checkpoint yields zero rows —
+        but subsequent partition-pruned reads plan from a minimal
+        segment set, and commit-time carry checks touch fewer, larger
+        segments. Run it like compaction: periodically, or after a burst
+        of small commits fragments the metadata."""
+        cur = self._raw()
+        entries = [dict(e) for e in self._m_entries(cur)]
+        segments = self._pack_segments(entries)
         v = self._commit(
             {
                 "version": cur["version"] + 1,
-                "operation": "alter-layout",
-                "partition_by": new_part,
-                "bucket_by": new_bucket,
-                "bloom": new_bloom,
+                "operation": "checkpoint",
+                "partition_by": cur["partition_by"],
+                "bucket_by": cur.get("bucket_by"),
+                "bloom": cur.get("bloom"),
                 "schema": cur["schema"],
-                "touched_partitions": sorted(
-                    {e["partition"] or "" for e in entries}
-                ),
-                "entries": entries,
+                "touched_partitions": [],
+                "segments": segments,
             }
         )
-        return {"version": v, "files_written": len(entries),
-                "partition_by": new_part, "bucket_by": new_bucket}
+        return {"version": v, "segments": len(segments), "files": len(entries)}
 
     def fsck(self) -> dict:
         """Integrity audit of the CURRENT version (plus orphan census
         across the table dir): every referenced data file must exist
-        with its recorded size, every referenced dv sidecar must exist.
-        Returns issues (empty = healthy) and orphan counts — metadata
-        work only, no file is opened."""
-        m = self.manifest()
+        with its recorded size, every referenced dv sidecar and metadata
+        segment must exist. Also surfaces DELETION-VECTOR PRESSURE
+        warnings (see ``_dv_flagged``) — the nudge to run
+        ``compact(auto_dv=True)`` before reads degrade to shuffled dv
+        anti-joins. Returns issues (empty = healthy), warnings, and
+        orphan counts — metadata work only, no data file is opened."""
+        cur = self._raw()
         issues: list[str] = []
         referenced: set[str] = set()
         referenced_dv: set[str] = set()
+        referenced_seg: set[str] = set()
         for v in self.versions():
-            for e in self.manifest(v)["entries"]:
+            m = self._raw(v)
+            broken = False
+            for s in m.get("segments", []):
+                referenced_seg.add(s["path"])
+                if not os.path.isfile(os.path.join(self.path, s["path"])):
+                    issues.append(
+                        f"missing metadata segment: {s['path']} (v{v})"
+                    )
+                    broken = True
+            if broken:
+                continue  # entries unreadable; issue already recorded
+            for e in self._m_entries(m):
                 referenced.add(e["path"])
                 if e.get("dv"):
                     referenced_dv.add(e["dv"])
-        for e in m["entries"]:
+        try:
+            cur_entries = self._m_entries(cur)
+        except FileNotFoundError:
+            cur_entries = []
+        for e in cur_entries:
             full = os.path.join(self.path, e["path"])
             if not os.path.isfile(full):
                 issues.append(f"missing data file: {e['path']}")
@@ -1411,12 +1816,41 @@ class ManifestTable:
                 for name in os.listdir(dv_root)
                 if os.path.join("dv", name) not in referenced_dv
             )
+        orphan_segs = 0
+        meta_root = os.path.join(self.path, "metadata")
+        if os.path.isdir(meta_root):
+            orphan_segs = sum(
+                1
+                for name in os.listdir(meta_root)
+                if os.path.join("metadata", name) not in referenced_seg
+            )
+        flagged, total_dv = self._dv_flagged(cur_entries)
+        warnings: list[str] = []
+        if total_dv > self.dv_broadcast_rows:
+            warnings.append(
+                f"dv pressure: {total_dv} dv rows exceed the broadcast "
+                f"bound ({self.dv_broadcast_rows}) — reads now shuffle the "
+                f"dv anti-join; run compact(auto_dv=True)"
+            )
+        for p in flagged:
+            warnings.append(
+                f"dv pressure: partition {p!r} past "
+                f"dv/live ratio {self.dv_ratio_warn} — "
+                f"run compact(auto_dv=True)"
+            )
         return {
             "ok": not issues,
-            "version": m["version"],
+            "version": cur["version"],
             "issues": issues,
+            "warnings": warnings,
+            "dv_pressure": {
+                "total_dv_rows": total_dv,
+                "broadcast_bound": self.dv_broadcast_rows,
+                "flagged_partitions": flagged,
+            },
             "orphan_files": orphan_files,
             "orphan_dv_dirs": orphan_dvs,
+            "orphan_segments": orphan_segs,
         }
 
     def vacuum(self, keep_versions: int = 1) -> dict:
@@ -1425,8 +1859,12 @@ class ManifestTable:
         keep = self.versions()[-max(1, keep_versions):]
         referenced = set()
         referenced_dv = set()
+        referenced_seg = set()
         for v in keep:
-            for e in self.manifest(v)["entries"]:
+            m = self._raw(v)
+            for s in m.get("segments", []):
+                referenced_seg.add(s["path"])
+            for e in self._m_entries(m):
                 referenced.add(e["path"])
                 if e.get("dv"):
                     referenced_dv.add(e["dv"])
@@ -1457,9 +1895,26 @@ class ManifestTable:
                     removed_files += 1
             if not os.listdir(dv_root):
                 os.rmdir(dv_root)
+        # metadata segments: anything no retained manifest references is
+        # garbage (superseded segment generations, crashed-commit orphans)
+        meta_root = os.path.join(self.path, "metadata")
+        removed_segments = 0
+        if os.path.isdir(meta_root):
+            for name in os.listdir(meta_root):
+                rel = os.path.join("metadata", name)
+                if rel not in referenced_seg:
+                    os.remove(os.path.join(meta_root, name))
+                    self._seg_cache.pop(rel, None)
+                    removed_segments += 1
+            if not os.listdir(meta_root):
+                os.rmdir(meta_root)
         removed_manifests = 0
         for v in self.versions():
             if v not in keep:
                 os.remove(os.path.join(self.path, f"manifest-v{v}.json"))
                 removed_manifests += 1
-        return {"removed_files": removed_files, "removed_manifests": removed_manifests}
+        return {
+            "removed_files": removed_files,
+            "removed_manifests": removed_manifests,
+            "removed_segments": removed_segments,
+        }

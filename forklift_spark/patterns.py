@@ -509,7 +509,18 @@ def manifest_cdc_sync(src, dst, on: str, since_version: int | None = None,
     deletes = feed.filter(FF.col("_change_type") == "delete").drop("_change_type")
     stats_m = dst.merge(inserts, on=on, use_dv=use_dv)
     tombstones = deletes.join(inserts.select(on).distinct(), on, "left_anti")
-    stats_d = dst.delete_keys(tombstones.select(on), on=on, use_dv=use_dv)
+    # keep the destination's partition/bucket columns on the tombstone
+    # frame so delete_keys reuses _merge_scope pruning — the tombstone
+    # pass stays O(touched cells), not a whole-live-set scan
+    dman = dst._raw()
+    layout_cols = [
+        c
+        for c in {dman.get("partition_by"), (dman.get("bucket_by") or [None])[0]}
+        if c and c != on and c in tombstones.columns
+    ]
+    stats_d = dst.delete_keys(
+        tombstones.select(on, *layout_cols), on=on, use_dv=use_dv
+    )
     return {
         "from_version": since_version,
         "to_version": head,

@@ -198,8 +198,11 @@ _DEDUP_OCCUPANCY = 125  # target vectors/bucket (the measured sf0.1 working poin
 # SQL twin of _dedup_bits(): evaluated inside the oracle so both engines
 # derive the same bit count from the same table
 _DEDUP_BITS_SQL = (
-    "(SELECT greatest(4, CAST(ceil(log2(CAST((count(*) + 124) // 125 AS DOUBLE)))"
-    " AS INT)) FROM embeddings WHERE 1=1)"
+    # greatest(1, m) mirrors _dedup_bits()'s max(1, m) floor so the two
+    # formulas agree on an empty table (log2(0) would error/NULL here
+    # while the Python twin returns 4)
+    "(SELECT greatest(4, CAST(ceil(log2(CAST(greatest(1, (count(*) + 124) // 125)"
+    " AS DOUBLE))) AS INT)) FROM embeddings WHERE 1=1)"
 )
 
 
