@@ -45,13 +45,27 @@ class ManifestConnection(Connection):
         return self.table(name).exists()
 
     # -- reads -------------------------------------------------------------
+    def sql(self, statement: str) -> DataFrame:
+        """Pure-SQL access to manifest tables, including time travel:
+        ``SELECT ... FROM <table> VERSION AS OF <n>`` reads that pinned
+        snapshot (rewritten to a registered snapshot view — see
+        manifest.rewrite_time_travel); bare table names read the head.
+        Also the statement runner for U3 SQL-script transformations on
+        this connection."""
+        from forklift_spark.manifest import rewrite_time_travel
+
+        known = set(self.tables())
+        statement = rewrite_time_travel(
+            statement, lambda n: self.table(n) if n in known else None
+        )
+        for ident in set(_IDENT_RE.findall(statement)):
+            if ident in known:
+                self.table(ident).read().createOrReplaceTempView(ident)
+        return self.engine.spark.sql(statement)
+
     def read(self, query_or_table: str, **kwargs) -> DataFrame:
         if _SQL_RE.match(query_or_table):
-            known = set(self.tables())
-            for ident in set(_IDENT_RE.findall(query_or_table)):
-                if ident in known:
-                    self.table(ident).read().createOrReplaceTempView(ident)
-            return self.engine.spark.sql(query_or_table)
+            return self.sql(query_or_table)
         return self.table(query_or_table).read(
             version=kwargs.get("version"),
             partitions=kwargs.get("partitions"),

@@ -105,6 +105,42 @@ def _file_ref() -> F.Column:
     return F.regexp_extract(F.col("_metadata.file_path"), FILE_REF_RE, 1)
 
 
+# `<table> VERSION AS OF <n>` — the Delta/Iceberg time-travel SQL shape.
+# Spark has no Python-side parser hook for custom relation syntax, so the
+# SQL surface rewrites the clause to a registered snapshot view before
+# spark.sql sees it (a view-registration shim, not a string hack on data:
+# only the FROM-clause relation name changes).
+_TIME_TRAVEL_RE = None  # compiled lazily (re imported on first use)
+
+
+def rewrite_time_travel(sql: str, resolve) -> str:
+    """Rewrite every ``<name> VERSION AS OF <n>`` whose ``name``
+    ``resolve(name)`` maps to a ManifestTable into a registered snapshot
+    temp view ``<name>__v<n>`` (aliases after the clause keep working).
+    Unknown names pass through untouched so mixed-source SQL still
+    parses. Returns the rewritten SQL; views registered as a side
+    effect."""
+    import re
+
+    global _TIME_TRAVEL_RE
+    if _TIME_TRAVEL_RE is None:
+        _TIME_TRAVEL_RE = re.compile(
+            r"\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)",
+            re.IGNORECASE,
+        )
+
+    def sub(m):
+        name, v = m.group(1), int(m.group(2))
+        t = resolve(name)
+        if t is None:
+            return m.group(0)
+        view = f"{name}__v{v}"
+        t.read(version=v).createOrReplaceTempView(view)
+        return view
+
+    return _TIME_TRAVEL_RE.sub(sub, sql)
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed this version first (optimistic-concurrency
     loser; re-read and retry — the analog of a Delta protocol conflict)."""

@@ -2999,3 +2999,159 @@ def q_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return rollup(1).unionByName(rollup(2)).orderBy("version", "event_type")
+
+
+# --------------------------------------------------------------------------
+# q_manifest_checkpoint — metadata consolidation as a query (the Delta
+# checkpoint / Iceberg rewrite-manifests shape for this format's parquet
+# ENTRY SEGMENTS). A burst of small commits fragments the segment list;
+# checkpoint() repacks it as one commit. The oracle replays ONLY the
+# logical operations (create + merge + dv delete) — the checkpoint must
+# be invisible to it, so a hash match certifies the metadata move
+# changed nothing. In-query asserts pin the parts an oracle can't see:
+# the segment count really shrank, the CDC feed across the checkpoint is
+# EMPTY (zero change rows), and a partition-pruned read parses fewer
+# segment files than exist (read planning is O(pruned metadata) — the
+# 100 TB property the segment layout exists for).
+# --------------------------------------------------------------------------
+MANIFEST_CHECKPOINT_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type, value FROM events
+), src AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(14,2)) + CAST(25 AS DECIMAL(14,2)) AS DOUBLE) AS value
+  FROM base WHERE event_id % 4 = 0
+), merged AS (
+  SELECT * FROM base WHERE event_id NOT IN (SELECT event_id FROM src)
+  UNION ALL
+  SELECT * FROM src
+), live AS (
+  SELECT * FROM merged WHERE event_id % 7 <> 0
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM live
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q_manifest_checkpoint", MANIFEST_CHECKPOINT_ORACLE)
+def q_manifest_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from forklift_spark.manifest import ManifestTable
+
+    ev = tables.load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = ManifestTable(
+        spark, tempfile.mkdtemp(prefix="fk_checkpoint_"), "events_ckpt"
+    )
+    t.segment_target = 2  # force metadata fragmentation at every SF
+    t.create(ev.repartition(4), partition_by="event_type")
+    src = ev.filter(F.col("event_id") % 4 == 0).withColumn(
+        "value", (dec("value", MONEY) + F.lit(25).cast(MONEY)).cast("double")
+    )
+    t.merge(src, on="event_id")
+    t.delete(F.col("event_id") % 7 == 0, use_dv=True)
+    v_pre = t.current_version()
+    frag = len(t._raw()["segments"])
+    stats = t.checkpoint()
+    segs = t._raw()["segments"]
+    assert len(segs) <= frag, (len(segs), frag)
+    # pure metadata move: zero change rows across the checkpoint commit
+    assert t.changes(v_pre, stats["version"]).count() == 0
+    # read planning is O(pruned metadata): a one-partition read parses
+    # only segments whose coverage intersects it, never the full list
+    t2 = ManifestTable(spark, t.root, t.table)
+    loaded: list[str] = []
+    orig_load = t2._load_segment
+    t2._load_segment = lambda rel: (loaded.append(rel), orig_load(rel))[1]
+    tok = segs[0]["partitions"][0]
+    assert t2.files(partitions=[tok])
+    assert 0 < len(loaded) < len(segs), (len(loaded), len(segs))
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", MONEY)).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_manifest_sql — the pure-SQL surface over manifest tables, including
+# `VERSION AS OF` time travel (the Delta/Iceberg SQL shape): one
+# statement joins the v1 snapshot against the head to report per-year
+# totals before and after a merge. Exercises the real user path —
+# ManifestConnection.sql -> rewrite_time_travel -> registered snapshot
+# views -> spark.sql — not the Python read() API. The oracle replays
+# both states relationally; matched totals certify the SQL surface
+# reads exactly the pinned snapshot and exactly the head.
+# --------------------------------------------------------------------------
+MANIFEST_SQL_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS order_year, o_totalprice
+  FROM orders
+), src AS (
+  SELECT o_orderkey, order_year,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) + CAST(1000 AS DECIMAL(14,2)) AS DOUBLE) AS o_totalprice
+  FROM base WHERE o_orderkey % 7 = 0
+), merged AS (
+  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL
+  SELECT * FROM src
+), v1 AS (
+  SELECT order_year, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+  FROM base GROUP BY order_year
+), v2 AS (
+  SELECT order_year, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+  FROM merged GROUP BY order_year
+)
+SELECT v1.order_year, v1.n_orders,
+       v1.total_price AS total_v1, v2.total_price AS total_v2
+FROM v1 JOIN v2 ON v1.order_year = v2.order_year
+ORDER BY v1.order_year
+"""
+
+
+@query("q_manifest_sql", MANIFEST_SQL_ORACLE)
+def q_manifest_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from forklift_spark.connections.manifest import ManifestConnection
+    from forklift_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    conn = ManifestConnection(
+        {"path": tempfile.mkdtemp(prefix="fk_msql_")}, eng, "msql"
+    )
+    base = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        "o_totalprice",
+    )
+    t = conn.table("orders_m")
+    t.create(base, partition_by="order_year")
+    src = base.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice",
+        (dec("o_totalprice", MONEY) + F.lit(1000).cast(MONEY)).cast("double"),
+    )
+    t.merge(src, on="o_orderkey")
+    assert t.current_version() == 2
+    return conn.sql("""
+        SELECT v1.order_year, v1.n_orders,
+               v1.total_price AS total_v1, v2.total_price AS total_v2
+        FROM (SELECT order_year, COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+              FROM orders_m VERSION AS OF 1 GROUP BY order_year) v1
+        JOIN (SELECT order_year,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+              FROM orders_m GROUP BY order_year) v2
+          ON v1.order_year = v2.order_year
+        ORDER BY v1.order_year
+    """)

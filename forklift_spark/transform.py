@@ -46,7 +46,11 @@ def split_sql_script(text: str) -> list[str]:
     return statements
 
 
-def run_sql_script(spark, path: str, logger=None) -> int:
+def run_sql_script(spark, path: str, logger=None, sql_fn=None) -> int:
+    """``sql_fn`` overrides the statement runner — connections that
+    expose richer SQL (ManifestConnection's time-travel rewrite) plug it
+    in here so scripts can query their tables directly."""
+    runner = sql_fn or spark.sql
     with open(path) as f:
         text = f.read()
     n = 0
@@ -55,7 +59,7 @@ def run_sql_script(spark, path: str, logger=None) -> int:
             if logger:
                 logger.log(f"skipping unsupported DDL: {stmt.splitlines()[0][:80]}")
             continue
-        spark.sql(stmt)
+        runner(stmt)
         n += 1
     return n
 
@@ -75,6 +79,11 @@ def run_transformation(connection, path: str, *args) -> None:
     if ext in (".py",):
         run_py_transformation(connection, connection.engine, path, *args)
     elif ext in (".sql",):
-        run_sql_script(connection.engine.spark, path, logger=connection.engine.logger)
+        run_sql_script(
+            connection.engine.spark,
+            path,
+            logger=connection.engine.logger,
+            sql_fn=getattr(connection, "sql", None),
+        )
     else:
         raise ValueError(f"unknown transformation type {ext!r} ({path})")
