@@ -260,6 +260,19 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
     }
     print(json.dumps(out))
+    # ALSO persist the full per-query timings to a committed artifact:
+    # the driver's BENCH_r{N}.json stores only a stdout tail, which
+    # truncated the TPC-H numbers out of r3/r4 round-over-round diffs
+    # (VERDICT r4 item 4). Only full-headline runs write it (subset runs
+    # during iteration would clobber the committed numbers); atomic
+    # write; disable with an empty env value.
+    artifact = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r5.json")
+    if artifact and not extra:
+        tmp = artifact + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        os.replace(tmp, artifact)
 
 
 if __name__ == "__main__":

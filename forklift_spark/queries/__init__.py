@@ -46,51 +46,51 @@ def query(name: str, oracle: str | None = None):
 # (not just exactly 50) checks a representative mix. After the window:
 # remaining oracle-backed queries, round-robin by family; rows-only
 # queries last (weakest checks at the tail).
-# r4 rotation (VERDICT r3 item 2): every r1-r3 driver-green query rotates
+# r5 rotation (VERDICT r4 item 6): every r1-r4 driver-green query rotates
 # OUT (stays oracle-backed + local-verified via scripts/verify_driver.py);
-# the window now holds only queries that have NEVER had a driver row —
-# the judge's named ten (scd2/cdc/ivm_join/stream_windowed/sessionize/
-# corpus_curation/entity_resolution/spatial/checksum/quantile_normalize),
-# this round's new q_merge_partitioned, and the strongest remaining
-# never-checked entry per family slot.
+# the window again holds ONLY queries that have never had a driver row —
+# the judge's named four (q_manifest_cdc_sync, q_mv_refresh_cdc,
+# q_winnow_pairs, q_stream_stream_join), this round's new
+# q_manifest_checkpoint / q_manifest_sql, the rest of the manifest-format
+# catalog (previously local/judge-PASS only), the five remaining TPC-H
+# shapes, and the strongest never-checked entry per family slot.
 _WINDOW_FAMILIES: dict[str, list[str]] = {
     "dedup": [
-        "q_corpus_curation", "q_entity_resolution", "q_dedup_components",
-        "q_fuzzy_match", "q_contamination_matrix", "q_line_dedup",
+        "q_containment_dedup", "q_bloom_decontaminate",
+        "q_incremental_curation",
     ],
-    "graph": ["q_kcore", "q_modularity"],
-    "similarity": [
-        "q_ann_lsh_multitable", "q_knn_classify", "q_hybrid_search",
-        "q_mmr_diversify", "q_ann_recall", "q_embedding_quantize",
+    "graph": [
+        "q_label_propagation", "q_link_predict", "q_critical_path",
+        "q_bfs_hops",
     ],
+    "similarity": ["q_label_centroids"],
     "text": [
-        "q_tfidf_top_terms", "q_pii_redact", "q_zipf_token_freq",
-        "q_doc_chunking", "q_token_rarity", "q_train_test_split",
+        "q_winnow_pairs", "q_bpe_pair_stats", "q_subword_encode",
+        "q_bm25_search", "q_rrf_fusion", "q_dataset_card",
     ],
-    "selection": ["q_unigram_xent", "q_mi_feature_select"],
+    "selection": ["q_vocab_kl", "q_mixture_weights"],
     "etl": [
-        "q_merge_partitioned", "q_scd2_merge", "q_cdc_apply",
-        "q_ivm_join", "q_spatial_join", "q_table_checksum",
-        "q_merge_dv",  # r4 swap: q_snapshot_diff rotated out (judge-verified
-        # local-PASS in r3) so the deletion-vector MERGE gets a driver row
+        "q_manifest_checkpoint", "q_manifest_sql", "q_manifest_cdc_sync",
+        "q_mv_refresh_cdc", "q_manifest_changes", "q_manifest_compact",
+        "q_manifest_skipping", "q_manifest_bloom_lookup",
+        "q_manifest_time_travel", "q_snapshot_diff", "q_bitemporal",
     ],
     "analytics": [
-        "q8_market_share", "q18_large_orders", "q21_waiting_supplier",
+        "q2_min_cost_supplier", "q6_forecast_revenue", "q11_important_stock",
+        "q15_top_supplier", "q20_excess_stock", "q_cohort_retention",
     ],
-    "connectors": [
-        "q_auto_increment_key", "q_jsonl_roundtrip", "q_orc_roundtrip",
-        "q_partitioned_overwrite", "q_time_travel",
-    ],
+    "connectors": ["q_sql_script"],
     "stats": [
-        "q_quantile_normalize", "q_grouped_ols", "q_rolling_anomaly",
-        "q_retention_cohorts",
+        "q_quantile_sketch", "q_equidepth_histogram", "q_dp_release",
+        "q_benford_audit", "q_join_size_est", "q_mad_robust",
     ],
     "timeseries": [
-        "q_stream_windowed_counts", "q_stream_sessionize",
-        "q_range_join", "q_ohlc_bars",
+        "q_stream_stream_join", "q_stream_merge_manifest",
+        "q_stream_incremental_sync", "q_seasonal_anomaly",
+        "q_holt_forecast", "q_process_mining",
     ],
-    "multimodal": ["q_image_decode", "q_video_frames", "q_audio_fingerprint"],
-    "web": ["q_url_parse", "q_warc_extract"],
+    "multimodal": ["q_video_thumbnail", "q_video_features"],
+    "web": ["q_domain_stats", "q_html_strip"],
 }
 
 
