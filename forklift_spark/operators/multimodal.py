@@ -530,16 +530,31 @@ IMAGE_PIXEL_SCHEMA = T.StructType(
 )
 
 
-def image_pixel_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+def image_pixel_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder=None,
+) -> DataFrame:
     """REAL image decode + pixel statistics over a binary image column:
     the container is parsed by the vendored codec (PPM/PGM/BMP header +
     raster) and every feature derives from the decoded pixel bytes —
     exact-integer channel sum, peak channel value, bright-byte count
     (>=128); mean as one division. Corrupt payloads degrade to a
     per-row ``decode_error`` (null features) so one bad object can't
-    kill a 100 TB scan. Arrow-batched ``mapInPandas``, no shuffle."""
+    kill a 100 TB scan. Arrow-batched ``mapInPandas``, no shuffle.
+
+    ``decoder`` is the THROUGHPUT SEAM: any ``bytes -> object with
+    (width, height, pixels)`` callable replaces the vendored pure-Python
+    codec without touching the operator (schema, batching, degradation
+    contract unchanged) — at 100 TB, plug a native decoder (Pillow-SIMD
+    / libvips / a JVM codec via a different operator body) in here; the
+    vendored codec exists for hermetic parity, not peak throughput.
+    Measured ceiling of the pure-Python path: scripts/media_throughput.py
+    and SCALING.md §Python boundary."""
     from forklift_spark.functions.imagecodec import ImageDecodeError, decode_bytes
 
+    decode = decoder or decode_bytes
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
     cols = [f.name for f in IMAGE_PIXEL_SCHEMA.fields]
 
@@ -548,7 +563,7 @@ def image_pixel_features(df: DataFrame, id_col: str = "doc_id", payload_col: str
             out: dict[str, list] = {c: [] for c in cols}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    img = decode_bytes(bytes(payload) if payload is not None else b"")
+                    img = decode(bytes(payload) if payload is not None else b"")
                     px = img.pixels
                     row = {
                         "width": img.width,

@@ -54,6 +54,23 @@ def _new_bytes(t: ManifestTable, v_from: int, v_to: int) -> int:
     return new
 
 
+def _meta_bytes_new(t: ManifestTable, v_from: int, v_to: int) -> int:
+    """Metadata bytes the commit at v_to actually wrote: its manifest
+    JSON plus segment files not already referenced by v_from."""
+    total = os.path.getsize(os.path.join(t.path, f"manifest-v{v_to}.json"))
+    old = {s["path"] for s in t._raw(v_from).get("segments", [])}
+    for s in t._raw(v_to).get("segments", []):
+        if s["path"] not in old:
+            total += os.path.getsize(os.path.join(t.path, s["path"]))
+    return total
+
+
+def _meta_bytes_monolithic(t: ManifestTable, version: int) -> int:
+    """What the pre-segment (r4) format would have written for this
+    commit: the FULL entry list inlined in one JSON document."""
+    return len(json.dumps(t.manifest(version)))
+
+
 def run(spark, sf_dir: str) -> dict:
     base = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
         "o_orderkey",
@@ -95,6 +112,35 @@ def run(spark, sf_dir: str) -> dict:
         "mb_written": round(_new_bytes(t, v0, st["version"]) / 1e6, 2),
         "files_rewritten": st["files_rewritten"],
         "rows_masked": st["rows_masked"],
+    }
+
+    # 2b) metadata O(delta) (r5): on a MANY-FILE table (file count scales
+    # with rows, segment size fixed — the 100 TB shape), a
+    # single-partition dv merge must write metadata proportional to the
+    # TOUCHED partition, not the table — segments covering other
+    # partitions carry by reference. Compare against the monolithic
+    # full-entry-list JSON the r4 format wrote for EVERY commit.
+    nfiles = max(16, n // 5000)  # ~5k rows/file so files grow with SF
+    tm = ManifestTable(
+        spark, tempfile.mkdtemp(prefix="fk_scale_meta_"), "orders"
+    )
+    tm.segment_target = 64  # fixed entries/segment, like a real manifest
+    tm.create(base.repartition(nfiles), partition_by="order_year")
+    year = base.select(F.max("order_year")).collect()[0][0]
+    one_part = base.filter(
+        (F.col("order_year") == year) & (F.col("o_orderkey") % 50 == 3)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+    v0 = tm.current_version()
+    st = tm.merge(one_part, on="o_orderkey", use_dv=True)
+    delta_b = _meta_bytes_new(tm, v0, st["version"])
+    mono_b = _meta_bytes_monolithic(tm, st["version"])
+    out["metadata_commit"] = {
+        "touched_partitions": len(st["touched_partitions"]),
+        "total_files": len(tm.files()),
+        "segments": len(tm._raw().get("segments", [])),
+        "delta_metadata_bytes": delta_b,
+        "monolithic_metadata_bytes": mono_b,
+        "reduction_x": round(mono_b / max(1, delta_b), 1),
     }
 
     # 3) bucketed table, narrow batch: cell-level rewrite pruning

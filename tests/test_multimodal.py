@@ -685,3 +685,34 @@ def test_png_decode_dispatch_and_pixel_features(spark):
         assert r.sum_rgb == sum(px)
         assert r.peak == max(px)
         assert r.n_bright == sum(1 for b in px if b >= 128)
+
+
+def test_decoder_seam_swaps_codec(spark):
+    """The ``decoder`` seam of image_pixel_features: any ``bytes ->
+    (width, height, pixels)`` callable replaces the vendored codec with
+    schema, batching, and per-row corrupt degradation unchanged — the
+    100 TB path (SCALING.md §Python boundary) swaps in a native decoder
+    here without touching the operator."""
+    from forklift_spark.functions.imagecodec import ImageDecodeError
+    from forklift_spark.operators.multimodal import image_pixel_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"OK")), (2, bytearray(b"BAD"))],
+        "doc_id long, payload binary",
+    )
+
+    class _Img:
+        width, height = 2, 1
+        pixels = b"\x10\xf0"
+
+    def fake_decoder(raw: bytes):
+        if raw != b"OK":
+            raise ImageDecodeError("fake: unreadable")
+        return _Img()
+
+    rows = {r.doc_id: r for r in image_pixel_features(df, decoder=fake_decoder).collect()}
+    ok, bad = rows[1], rows[2]
+    assert (ok.width, ok.height, ok.sum_rgb, ok.n_bright) == (2, 1, 0x10 + 0xF0, 1)
+    assert ok.decode_error is None
+    # degradation contract survives the swap: corrupt row -> error, not crash
+    assert bad.width is None and "fake: unreadable" in bad.decode_error
