@@ -27,8 +27,10 @@ from forklift_spark.connections.manifest import ManifestConnection
 from forklift_spark.connections.jsonl import JsonlConnection
 from forklift_spark.connections.parquet import ParquetConnection
 from forklift_spark.connections.elasticsearch import ElasticsearchConnection
+from forklift_spark.connections.pgwire import PostgresConnection
 
 CONNECTION_TYPES: dict[str, type[Connection]] = {
+    "postgres": PostgresConnection,
     "parquet": ParquetConnection,
     "manifest": ManifestConnection,
     "csv": CsvConnection,
@@ -85,6 +87,7 @@ __all__ = [
     "AvroConnection",
     "JdbcConnection",
     "ElasticsearchConnection",
+    "PostgresConnection",
     "CONNECTION_TYPES",
     "discover",
     "load_config",

@@ -73,13 +73,13 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
         "q_manifest_checkpoint", "q_manifest_sql", "q_manifest_cdc_sync",
         "q_mv_refresh_cdc", "q_manifest_changes", "q_manifest_compact",
         "q_manifest_skipping", "q_manifest_bloom_lookup",
-        "q_manifest_time_travel", "q_snapshot_diff", "q_bitemporal",
+        "q_manifest_time_travel", "q_snapshot_diff",
     ],
     "analytics": [
         "q2_min_cost_supplier", "q6_forecast_revenue", "q11_important_stock",
         "q15_top_supplier", "q20_excess_stock", "q_cohort_retention",
     ],
-    "connectors": ["q_sql_script"],
+    "connectors": ["q_sql_script", "q_pg_roundtrip"],
     "stats": [
         "q_quantile_sketch", "q_equidepth_histogram", "q_dp_release",
         "q_benford_audit", "q_join_size_est", "q_mad_robust",

@@ -590,3 +590,80 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(w.read("orders_tt"), "current").unionByName(
         summarize(w.read_version("orders_tt", back=1), "back1")
     )
+
+
+# --------------------------------------------------------------------------
+# S1+S3 LIVE: a REAL PostgreSQL server (disposable, trust-auth, started
+# once per process) spoken to over raw sockets by the pure-Python
+# protocol-v3 client (connections/pgwire.py) — the one server connector
+# whose live wire path runs in-image, end-to-end: batched INSERT sink,
+# ON CONFLICT upsert (the reference's DELETE IN + INSERT,
+# `transports/mysql.rb:82-87`, as PostgreSQL's native idempotent form),
+# then a 4-slice partitioned parallel scan where each executor task
+# opens its own connection. The oracle replays the upsert relationally;
+# a hash match certifies both directions of the wire round trip.
+# --------------------------------------------------------------------------
+_PG_LIVE: dict = {}
+
+
+def _pg_live_params() -> dict:
+    if "params" not in _PG_LIVE:
+        import atexit
+
+        from forklift_spark.connections.pgwire import disposable_server
+
+        params, stop = disposable_server()
+        atexit.register(stop)
+        _PG_LIVE["params"] = params
+    return _PG_LIVE["params"]
+
+
+PG_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+), delta AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) + CAST(11 AS DECIMAL(14,2)) AS DOUBLE) AS o_totalprice
+  FROM base WHERE o_orderkey % 13 = 0
+), merged AS (
+  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+  UNION ALL
+  SELECT * FROM delta
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM merged
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q_pg_roundtrip", PG_ORACLE)
+def q_pg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.connections.pgwire import PostgresConnection
+
+    eng = _engine(spark, _scratch("pg"))
+    conn = PostgresConnection(dict(_pg_live_params()), eng, "pglive")
+    base = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    conn.drop("rt_orders")  # idempotent across reruns in one process
+    conn.write(base, "rt_orders", mode="upsert", primary_key="o_orderkey")
+    delta = base.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "o_totalprice",
+        (dec("o_totalprice", MONEY) + F.lit(11).cast(MONEY)).cast("double"),
+    )
+    conn.write(delta, "rt_orders", mode="upsert", primary_key="o_orderkey")
+    back = conn.read(
+        "rt_orders", partition_column="o_orderkey", num_partitions=4
+    )
+    assert back.rdd.getNumPartitions() == 4  # really a sliced parallel scan
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice", MONEY)).cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
