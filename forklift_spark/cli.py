@@ -137,7 +137,10 @@ def main(argv: list[str] | None = None) -> int:
         "manifest",
         help="manifest-table maintenance (history/compact/vacuum/restore)",
     )
-    p_man.add_argument("op", choices=["history", "compact", "vacuum", "restore", "fsck"])
+    p_man.add_argument(
+        "op",
+        choices=["history", "compact", "vacuum", "restore", "fsck", "checkpoint"],
+    )
     p_man.add_argument("root", help="warehouse dir holding the table")
     p_man.add_argument("table")
     p_man.add_argument("--min-files", type=int, default=4)
@@ -145,6 +148,11 @@ def main(argv: list[str] | None = None) -> int:
     p_man.add_argument("--version", type=int, help="restore target")
     p_man.add_argument(
         "--cluster-by", help="comma list: compact = OPTIMIZE ZORDER BY"
+    )
+    p_man.add_argument(
+        "--auto-dv",
+        action="store_true",
+        help="compact only the partitions fsck flags for dv pressure",
     )
     ns = p.parse_args(argv)
     if ns.cmd == "init":
@@ -185,9 +193,12 @@ def main(argv: list[str] | None = None) -> int:
         elif ns.op == "compact":
             cluster = ns.cluster_by.split(",") if ns.cluster_by else None
             print(_json.dumps(t.compact(min_files=ns.min_files,
-                                        cluster_by=cluster)))
+                                        cluster_by=cluster,
+                                        auto_dv=ns.auto_dv)))
         elif ns.op == "vacuum":
             print(_json.dumps(t.vacuum(keep_versions=ns.keep_versions)))
+        elif ns.op == "checkpoint":
+            print(_json.dumps(t.checkpoint()))
         elif ns.op == "fsck":
             report = t.fsck()
             print(_json.dumps(report))

@@ -483,6 +483,13 @@ class PostgresConnection(Connection):
                 else ""
             )
             c.execute(f"CREATE TABLE IF NOT EXISTS {table} ({ddl_cols}{pk})")
+            if mode in ("upsert", "merge") and primary_key in cols:
+                # the table may predate this upsert (created by a plain
+                # append/truncate load): ON CONFLICT needs a unique index
+                c.execute(
+                    f"CREATE UNIQUE INDEX IF NOT EXISTS "
+                    f"{table}_{primary_key}_uq ON {table} ({primary_key})"
+                )
             if mode == "truncate":
                 c.execute(f"TRUNCATE TABLE {table}")
         params = dict(self.params)
@@ -521,6 +528,17 @@ class PostgresConnection(Connection):
 
         df.foreachPartition(sink)
         self.engine.logger.log(f"pg wrote {table} ({mode}) in {self.name}")
+
+    def read_since(self, table: str, since, matcher: str = "updated_at") -> DataFrame:
+        """Incremental scan with the predicate pushed INTO the server
+        (S2 parity, `transports/mysql.rb:149-158`): Spark cannot push a
+        filter through the wire-client's mapInPandas, so the WHERE is
+        rendered into the query text — the server scans its index, the
+        wire carries only the delta."""
+        return self.read(
+            f"SELECT * FROM {table} WHERE {matcher} >= {_literal(since)} "
+            f"ORDER BY {matcher}"
+        )
 
     # -- utilities (P10) ---------------------------------------------------------
     def tables(self) -> list[str]:

@@ -292,6 +292,7 @@ def stream_merge_manifest(
     trigger_once: bool = True,
     max_files_per_trigger: int | None = None,
     use_dv: bool = False,
+    max_retries: int = 2,
 ) -> StreamingQuery:
     """Continuous partition-pruned MERGE: each micro-batch upserts into a
     ``ManifestTable`` (forklift_spark/manifest.py), rewriting ONLY the
@@ -308,8 +309,13 @@ def stream_merge_manifest(
     is idempotent (a retried batch re-replaces the same keys), and each
     commit is an atomic manifest-pointer swap, so readers only ever see
     whole micro-batches. Commits are serialized by the single streaming
-    query; an out-of-band writer racing a trigger fails loudly with
-    ``CommitConflict`` instead of corrupting the table."""
+    query; a MAINTENANCE job racing a trigger (compact/vacuum on a
+    schedule — the normal production pairing with ``use_dv``) is
+    absorbed by the shared OCC loop (``max_retries``, r5): a
+    disjoint-partition conflict rebases with zero recompute, an
+    overlapping one recomputes the micro-batch merge from the new head.
+    Retries exhausted still fails loudly with ``CommitConflict`` —
+    never corruption."""
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -317,7 +323,7 @@ def stream_merge_manifest(
         if not table.exists():
             table.create(batch_df, partition_by=partition_by)
         else:
-            table.merge(batch_df, on=on, use_dv=use_dv)
+            table.merge(batch_df, on=on, use_dv=use_dv, max_retries=max_retries)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:

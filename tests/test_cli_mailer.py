@@ -224,3 +224,37 @@ def test_cli_manifest_maintenance(spark, tmp_path, capsys):
     assert main(["manifest", "restore", str(tmp_path), "ev",
                  "--version", "3"]) == 0
     assert t.current_version() == 4
+
+
+def test_cli_manifest_checkpoint_and_auto_dv(spark, tmp_path, capsys):
+    """r5 CLI surface: `manifest checkpoint` consolidates metadata
+    segments; `manifest compact --auto-dv` compacts exactly the
+    dv-pressure partitions fsck flags."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from forklift_spark.cli import main
+    from forklift_spark.manifest import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path), "ck")
+    t.segment_target = 1
+    t.create(
+        spark.range(30).select(
+            F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("p")
+        ),
+        partition_by="p",
+    )
+    t.dv_ratio_warn = 0.05
+    t.delete(F.col("k").isin(0, 3), use_dv=True)  # dv pressure in p=0
+    assert main(["manifest", "checkpoint", str(tmp_path), "ck"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["files"] > 0 and out["segments"] <= out["files"]
+    # auto-dv compact through the CLI (fresh handle: default ratio 0.25;
+    # 2/10 masked in p=0 is under it, so lower via the table first)
+    t2 = ManifestTable(spark, str(tmp_path), "ck")
+    t2.delete(F.col("k").isin(6, 9, 12, 15), use_dv=True)  # p=0: 6/10 masked
+    assert main(["manifest", "compact", str(tmp_path), "ck", "--auto-dv"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["touched_partitions"] == ["0"]
+    assert t2.read().count() == 24

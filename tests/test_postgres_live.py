@@ -146,3 +146,53 @@ def test_pipe_postgres_to_parquet_warehouse(conn, spark, tmp_path):
     import datetime
 
     assert conn.max_timestamp("t_up") == datetime.datetime(1970, 1, 1)
+
+
+def test_read_since_pushes_predicate_to_server(conn, spark):
+    import datetime
+
+    rows = [
+        (1, "old", datetime.datetime(2024, 1, 1, 8, 0, 0)),
+        (2, "new", datetime.datetime(2024, 1, 2, 8, 0, 0)),
+        (3, "newest", datetime.datetime(2024, 1, 3, 8, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, updated_at timestamp")
+    conn.write(df, "t_since", mode="truncate", primary_key="id")
+    got = conn.read_since(
+        "t_since", datetime.datetime(2024, 1, 2), matcher="updated_at"
+    )
+    assert [r.id for r in got.collect()] == [2, 3]  # server-side WHERE + ORDER
+    assert conn.max_timestamp("t_since") == datetime.datetime(2024, 1, 3, 8)
+
+
+def test_incremental_pipe_live_pg_to_manifest(conn, spark, tmp_path):
+    """The reference's whole story on a REAL server: HWM sync from a
+    live PostgreSQL source into the transactional MERGE table format —
+    first run full copy, second run upserts only the delta."""
+    import datetime
+
+    from forklift_spark.connections.manifest import ManifestConnection
+    from forklift_spark.patterns import incremental_pipe
+
+    t0 = datetime.datetime(2024, 5, 1, 0, 0, 0)
+    base = spark.createDataFrame(
+        [(i, f"v{i}", t0) for i in range(10)],
+        "id long, val string, updated_at timestamp",
+    )
+    conn.write(base, "t_src", mode="truncate", primary_key="id")
+    dst = ManifestConnection({"path": str(tmp_path)}, conn.engine, "wh")
+    incremental_pipe(conn, "t_src", dst, "t_dst", primary_key="id")
+    assert dst.count("t_dst") == 10
+
+    t1 = datetime.datetime(2024, 5, 2, 0, 0, 0)
+    delta = spark.createDataFrame(
+        [(3, "V3", t1), (10, "v10", t1)],
+        "id long, val string, updated_at timestamp",
+    )
+    conn.write(delta, "t_src", mode="upsert", primary_key="id")
+    incremental_pipe(conn, "t_src", dst, "t_dst", primary_key="id")
+    got = {r.id: r.val for r in dst.read("t_dst").collect()}
+    assert got[3] == "V3" and got[10] == "v10" and len(got) == 11
+    # the destination is the MERGE format: the delta touched, others carried
+    hist = dst.table("t_dst").history()
+    assert hist[-1]["operation"] in ("merge", "merge+dv")
