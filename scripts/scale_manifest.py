@@ -143,6 +143,30 @@ def run(spark, sf_dir: str) -> dict:
         "reduction_x": round(mono_b / max(1, delta_b), 1),
     }
 
+    # 2c) commit LADDER (r5): 30 consecutive single-partition dv merges.
+    # The claim under test is AMORTIZED O(delta): per-commit metadata
+    # bytes must stay flat (not grow with version count) and the
+    # segment count must stay bounded (the inline small-segment merge
+    # absorbs residue fragmentation without a manual checkpoint).
+    ladder_meta: list[int] = []
+    for i in range(30):
+        step = base.filter(
+            (F.col("order_year") == year) & (F.col("o_orderkey") % 60 == i)
+        ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+        v0 = tm.current_version()
+        stv = tm.merge(step, on="o_orderkey", use_dv=True)
+        ladder_meta.append(_meta_bytes_new(tm, v0, stv["version"]))
+    half = len(ladder_meta) // 2
+    out["metadata_ladder"] = {
+        "commits": len(ladder_meta),
+        "kb_first_half_avg": round(sum(ladder_meta[:half]) / half / 1e3, 1),
+        "kb_second_half_avg": round(
+            sum(ladder_meta[half:]) / (len(ladder_meta) - half) / 1e3, 1
+        ),
+        "kb_max": round(max(ladder_meta) / 1e3, 1),
+        "segments_final": len(tm._raw().get("segments", [])),
+    }
+
     # 3) bucketed table, narrow batch: cell-level rewrite pruning
     t = table("cell", bucket_by=("o_orderkey", 16))
     total_files = len(t.files())

@@ -40,7 +40,8 @@ def operations(draw):
     for _ in range(n):
         kind = draw(
             st.sampled_from(
-                ["merge", "merge", "merge_dv", "delete", "delete_dv", "compact"]
+                ["merge", "merge", "merge_dv", "delete", "delete_dv",
+                 "compact", "checkpoint"]
             )
         )
         if kind in ("merge", "merge_dv"):
@@ -48,7 +49,7 @@ def operations(draw):
         elif kind in ("delete", "delete_dv"):
             ops.append((kind, draw(vals)))
         else:
-            ops.append(("compact", None))
+            ops.append((kind, None))
     return ops
 
 
@@ -57,7 +58,7 @@ def _apply_model(model: dict, op, arg):
         return {**model, **arg}  # replace-by-(y,k) or insert
     if op in ("delete", "delete_dv"):
         return {yk: v for yk, v in model.items() if v != arg}
-    return dict(model)  # compact: layout only
+    return dict(model)  # compact/checkpoint: layout/metadata only
 
 
 @settings(
@@ -87,6 +88,8 @@ def test_manifest_random_ops_match_model(spark, tmp_path_factory, base, ops):
             t.delete(F.col("v") == arg)
         elif op == "delete_dv":
             t.delete(F.col("v") == arg, use_dv=True)
+        elif op == "checkpoint":
+            t.checkpoint()  # metadata-only commit (r5 segments)
         else:
             t.compact(min_files=2)
         model = _apply_model(model, op, arg)
