@@ -559,20 +559,27 @@ def image_pixel_features(
     cols = [f.name for f in IMAGE_PIXEL_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             out: dict[str, list] = {c: [] for c in cols}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     img = decode(bytes(payload) if payload is not None else b"")
-                    px = img.pixels
+                    # vectorized feature pass: the per-pixel loop, not
+                    # the codec, dominated the measured throughput
+                    # (SCALING.md §Python boundary) — numpy int64 sums
+                    # are exact for any byte raster under 2^55 pixels
+                    px = np.frombuffer(bytes(img.pixels), dtype=np.uint8)
+                    s = int(px.sum(dtype=np.int64))
                     row = {
                         "width": img.width,
                         "height": img.height,
                         "n_pixels": img.width * img.height,
-                        "sum_rgb": sum(px),
-                        "peak": max(px) if px else 0,
-                        "n_bright": sum(1 for b in px if b >= 128),
-                        "mean_rgb": (sum(px) / len(px)) if px else 0.0,
+                        "sum_rgb": s,
+                        "peak": int(px.max()) if px.size else 0,
+                        "n_bright": int((px >= 128).sum(dtype=np.int64)),
+                        "mean_rgb": (s / px.size) if px.size else 0.0,
                         "decode_error": None,
                     }
                 except ImageDecodeError as e:
