@@ -311,8 +311,81 @@ class ManifestTable:
         if all("rows" in e for e in entries):
             record["rows"] = sum(e["rows"] for e in entries)
             record["dv_rows"] = sum(e.get("dv_rows", 0) for e in entries)
+        seg_stats = self._segment_stats(entries)
+        if seg_stats:
+            record["stats"] = seg_stats
         self._seg_cache[rel] = [dict(e) for e in entries]
         return record
+
+    @staticmethod
+    def _segment_stats(entries: list[dict]) -> dict:
+        """SEGMENT-level zone maps: the union range of the member files'
+        per-file [min, max] per column (the Iceberg manifest
+        partition-summary shape, applied to value columns). A column is
+        summarized only when EVERY entry carries stats for it — a
+        segment bound that might exclude an unsummarized file would
+        prune wrongly. ``{"null": true}`` marks all-files-all-NULL
+        (no row can satisfy any range); ``k`` records whether the
+        bounds aggregate numerically or lexicographically so the read
+        side only prunes when its own comparison kind agrees."""
+        if not entries or not all("stats" in e for e in entries):
+            return {}
+        cols = set(entries[0]["stats"])
+        for e in entries[1:]:
+            cols &= set(e["stats"])
+        out: dict = {}
+        for c in cols:
+            los: list = []
+            his: list = []
+            numeric_ok = True
+            for e in entries:
+                lo, hi = e["stats"][c]
+                if lo is None:  # all-NULL file: no range can match it
+                    continue
+                los.append(lo)
+                his.append(hi)
+                try:
+                    float(lo), float(hi)
+                except (TypeError, ValueError):
+                    numeric_ok = False
+            if not los:
+                out[c] = {"null": True}
+            elif numeric_ok:
+                out[c] = {"k": "n", "lo": min(los, key=float),
+                          "hi": max(his, key=float)}
+            else:
+                out[c] = {"k": "s", "lo": min(map(str, los)),
+                          "hi": max(map(str, his))}
+        return out
+
+    @staticmethod
+    def _seg_where_match(seg: dict, col: str, bound, numeric: bool) -> bool:
+        """Can any file in this segment hold a row with ``col`` in the
+        bound? Segments without a summary for the column always match
+        (summaries are an optimization, never a correctness gate); a
+        kind mismatch between the stored aggregation and the read-side
+        comparison disables pruning rather than risking it."""
+        st = seg.get("stats", {}).get(col)
+        if st is None:
+            return True
+        if st.get("null"):
+            return False
+        if (st.get("k") == "n") != bool(numeric):
+            return True
+        lo_b, hi_b = bound
+        slo, shi = st["lo"], st["hi"]
+        if numeric:
+            slo, shi = float(slo), float(shi)
+            lo_b = float(lo_b) if lo_b is not None else None
+            hi_b = float(hi_b) if hi_b is not None else None
+        else:
+            lo_b = str(lo_b) if lo_b is not None else None
+            hi_b = str(hi_b) if hi_b is not None else None
+        if lo_b is not None and shi < lo_b:
+            return False
+        if hi_b is not None and slo > hi_b:
+            return False
+        return True
 
     def _load_segment(self, rel: str) -> list[dict]:
         if rel in self._seg_cache:
@@ -368,11 +441,20 @@ class ManifestTable:
             for p in seg["partitions"]
         )
 
-    def _m_entries(self, m: dict, partitions: set | None = None) -> list[dict]:
+    def _m_entries(
+        self,
+        m: dict,
+        partitions: set | None = None,
+        where: dict | None = None,
+        types: dict | None = None,
+    ) -> list[dict]:
         """Entry list of a raw manifest. With ``partitions`` (a set of
         string tokens, NULL_TOKEN for a null partition value), only
-        segments covering a wanted partition are parsed — read planning
-        is O(pruned metadata), the point of the segment layout."""
+        segments covering a wanted partition are parsed; with ``where``
+        (+ ``types`` for numeric-vs-string comparison), segments whose
+        SEGMENT-level zone maps can't intersect are skipped too — read
+        planning is O(pruned metadata), the point of the segment
+        layout. Callers still apply per-file pruning afterwards."""
         if "entries" in m:  # legacy inline manifest (pre-segment format)
             es = m["entries"]
         else:
@@ -380,6 +462,14 @@ class ManifestTable:
             for seg in m["segments"]:
                 if partitions is not None and not self._seg_intersects(
                     seg, partitions
+                ):
+                    continue
+                if where and not all(
+                    self._seg_where_match(
+                        seg, col, bound,
+                        self._numeric((types or {}).get(col, T.StringType())),
+                    )
+                    for col, bound in where.items()
                 ):
                     continue
                 es.extend(self._load_segment(seg["path"]))
@@ -602,10 +692,13 @@ class ManifestTable:
             if partitions is not None
             else None
         )
-        entries = self._m_entries(m, want)
+        types = (
+            {f.name: f.dataType for f in T.StructType.fromJson(m["schema"]).fields}
+            if where
+            else None
+        )
+        entries = self._m_entries(m, want, where=where, types=types)
         if where:
-            schema = self.schema(version)
-            types = {f.name: f.dataType for f in schema.fields}
             for col, bound in where.items():
                 numeric = self._numeric(types.get(col, T.StringType()))
                 entries = [

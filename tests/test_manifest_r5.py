@@ -348,3 +348,50 @@ def test_cdc_sync_tombstone_pass_is_pruned(table, spark, tmp_path):
     assert {r.k for r in dst.read().collect()} == {
         r.k for r in table.read().collect()
     }
+
+
+def test_where_read_prunes_segments_by_zone_maps(spark, tmp_path, monkeypatch):
+    """Segment-level zone maps (r5): a `where`-only read skips segments
+    whose aggregated [min, max] can't intersect — metadata stays
+    O(pruned) even without a partition list. Correctness first: the
+    pruned read returns exactly the rows a full scan filter would."""
+    t = ManifestTable(spark, str(tmp_path), "z")
+    t.segment_target = 2
+    # v correlates with partition, so partition-grouped segments carry
+    # disjoint v ranges — the clustered-layout regime zone maps reward
+    df = spark.range(60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 6).cast("int").alias("y"),
+        (F.col("id") % 6 * 100 + F.col("id")).alias("v"),
+    )
+    t.create(df, partition_by="y")
+    segs = t._raw()["segments"]
+    assert len(segs) >= 3 and all("stats" in s for s in segs)
+    t._seg_cache.clear()
+    loaded: list[str] = []
+    real_load = t._load_segment
+    monkeypatch.setattr(
+        t, "_load_segment", lambda rel: (loaded.append(rel), real_load(rel))[1]
+    )
+    got = {r.k for r in t.read(where={"v": (300, 399)}).collect()}
+    assert got == {k for k in range(60) if 300 <= (k % 6) * 100 + k <= 399}
+    assert 0 < len(loaded) < len(segs), (len(loaded), len(segs))
+    # unknown column/kind never prunes (optimization, not a gate)
+    assert t.read(where={"k": (0, 5)}).count() == 6
+
+
+def test_segment_stats_survive_carry_and_all_null(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path), "zn")
+    df = spark.createDataFrame(
+        [(1, 1, None), (2, 1, None), (3, 2, "x")],
+        "k long, y int, s string",
+    )
+    t.create(df, partition_by="y")
+    # all-NULL column in partition 1's files: a range on s prunes them
+    files = t.files(where={"s": ("a", "z")})
+    assert files and all("__fsp__=2" in p for p in files)
+    # a merge carries partition-1 segments by reference with stats intact
+    t.merge(
+        spark.createDataFrame([(3, 2, "y")], "k long, y int, s string"), on="k"
+    )
+    assert {r.k for r in t.read(where={"s": ("y", "y")}).collect()} == {3}
