@@ -233,6 +233,7 @@ _OID_MAP: dict[int, tuple[T.DataType, Any]] = {
     1700: (T.DecimalType(38, 18), decimal.Decimal),
     1082: (T.DateType(), _parse_date),
     1114: (T.TimestampType(), _parse_ts),
+    1184: (T.TimestampType(), _parse_ts),  # timestamptz ('+00' offsets parse)
     17: (T.BinaryType(), _parse_bytea),
 }
 _FALLBACK = (T.StringType(), str)

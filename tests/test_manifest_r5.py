@@ -395,3 +395,27 @@ def test_segment_stats_survive_carry_and_all_null(spark, tmp_path):
         spark.createDataFrame([(3, 2, "y")], "k long, y int, s string"), on="k"
     )
     assert {r.k for r in t.read(where={"s": ("y", "y")}).collect()} == {3}
+
+
+def test_occ_merge_vs_alter_layout_exactly_once(spark, tmp_path):
+    """A full-table replacement racing a merge: alter_layout is flagged
+    full_replace, so neither side may silently rebase across the other —
+    both land (in either order) via recompute, and the final state holds
+    the merge's row under the new layout."""
+    t1 = ManifestTable(spark, str(tmp_path), "ra")
+    base = spark.range(30).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3 + 1).cast("int").alias("y"),
+        (F.col("id") * 10).cast("long").alias("v"),
+    )
+    t1.create(base, partition_by="y")
+    t2 = ManifestTable(spark, str(tmp_path), "ra")
+    src = spark.createDataFrame([(1, 2, 111), (100, 2, 1)], "k long, y int, v long")
+    _race([
+        lambda: t1.merge(src, on="k", max_retries=8),
+        lambda: t2.alter_layout(bucket_by=("k", 4), max_retries=8),
+    ])
+    rows = {r.k: r.v for r in t1.read().collect()}
+    assert rows[1] == 111 and rows[100] == 1 and len(rows) == 31
+    assert t1.current_version() == 3
+    assert t1.fsck()["ok"]

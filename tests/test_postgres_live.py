@@ -196,3 +196,11 @@ def test_incremental_pipe_live_pg_to_manifest(conn, spark, tmp_path):
     # the destination is the MERGE format: the delta touched, others carried
     hist = dst.table("t_dst").history()
     assert hist[-1]["operation"] in ("merge", "merge+dv")
+
+
+def test_timestamptz_maps_to_timestamp(conn):
+    df = conn.read(
+        "SELECT '2024-03-01 10:20:30.5+00'::timestamptz AS tz"
+    )
+    assert df.schema.fields[0].dataType.simpleString() == "timestamp"
+    assert df.collect()[0].tz is not None
