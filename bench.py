@@ -215,6 +215,14 @@ HEADLINE = [
     "q_label_propagation",
     "q_benford_audit",
     "q_mixture_weights",
+    # r5 wave: manifest metadata segments, SQL/time-travel surface,
+    # live-postgres wire round trip
+    "q_manifest_checkpoint",
+    "q_manifest_sql",
+    "q_manifest_segment_skip",
+    "q_manifest_time_travel",
+    "q_manifest_cdc_sync",
+    "q_pg_roundtrip",
 ]
 
 

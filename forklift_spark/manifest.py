@@ -783,6 +783,30 @@ class ManifestTable:
         )
         entries = self._m_entries(m, want)
         layers["after_partitions"] = len(entries)
+        # metadata-plan observability (r5): how many SEGMENT files the
+        # equivalent files()/read() call would parse, after partition
+        # coverage + segment-level zone maps — the "how much metadata
+        # does this read even open" companion to the file layers below
+        if "segments" in m and "entries" not in m:
+            types_m = {
+                f.name: f.dataType
+                for f in T.StructType.fromJson(m["schema"]).fields
+            }
+            parsed = 0
+            for seg in m["segments"]:
+                if want is not None and not self._seg_intersects(seg, want):
+                    continue
+                if where and not all(
+                    self._seg_where_match(
+                        seg, col, bound,
+                        self._numeric(types_m.get(col, T.StringType())),
+                    )
+                    for col, bound in where.items()
+                ):
+                    continue
+                parsed += 1
+            layers["segments_total"] = len(m["segments"])
+            layers["segments_parsed"] = parsed
         schema = self.schema(version)
         types = {f.name: f.dataType for f in schema.fields}
         if where:

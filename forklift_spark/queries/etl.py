@@ -3155,3 +3155,59 @@ def q_manifest_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON v1.order_year = v2.order_year
         ORDER BY v1.order_year
     """)
+
+
+# --------------------------------------------------------------------------
+# q_manifest_segment_skip — SEGMENT-level zone maps as a query (r5): on
+# a date-partitioned orders table whose metadata spans many segment
+# files, a predicate read on o_orderdate must (a) return exactly the
+# rows a full-scan filter would — the oracle certifies that — and (b)
+# plan from O(pruned) METADATA: the in-query asserts pin that
+# scan_plan's segments_parsed layer is a strict subset of
+# segments_total (dates correlate with the year partition, so
+# partition-grouped segments carry disjoint date ranges — the clustered
+# regime segment zone maps reward). The 100 TB point: a narrow time
+# window on a million-file table opens KBs of metadata, not all of it.
+# --------------------------------------------------------------------------
+SEGMENT_SKIP_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q_manifest_segment_skip", SEGMENT_SKIP_ORACLE)
+def q_manifest_segment_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from forklift_spark.manifest import ManifestTable
+
+    base = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        "o_orderdate",
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    t = ManifestTable(
+        spark, tempfile.mkdtemp(prefix="fk_segskip_"), "orders_by_year"
+    )
+    t.segment_target = 2  # metadata spans many segments at every SF
+    t.create(base.repartition(4), partition_by="order_year")
+    bounds = ("1995-01-01", "1995-12-31")
+    plan = t.scan_plan(where={"o_orderdate": bounds})
+    assert 0 < plan["layers"]["segments_parsed"] < plan["layers"]["segments_total"], plan
+    assert plan["files_planned"] < plan["layers"]["total"], plan
+    return (
+        t.read(where={"o_orderdate": bounds})
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice", MONEY)).cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
