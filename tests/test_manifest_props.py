@@ -95,6 +95,17 @@ def test_manifest_random_ops_match_model(spark, tmp_path_factory, base, ops):
         model = _apply_model(model, op, arg)
         got = {(r.y, r.k): r.v for r in t.read().collect()}
         assert got == model, f"after {op}({arg})"
+        # segment zone maps (r5) must never change results: a predicate
+        # read through metadata pruning == the model filtered, at every
+        # random dv/compact/checkpoint state
+        lo, hi = -10, 10
+        pruned = {
+            (r.y, r.k): r.v
+            for r in t.read(where={"v": (lo, hi)}).collect()
+        }
+        assert pruned == {
+            yk: v for yk, v in model.items() if lo <= v <= hi
+        }, f"where-read drifted after {op}({arg})"
         history[t.current_version()] = dict(model)
     # snapshot isolation: every committed version still replays its state
     for v, snap in history.items():
