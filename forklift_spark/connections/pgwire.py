@@ -185,6 +185,82 @@ class PgWire:
     def execute(self, sql: str) -> None:
         self.query(sql)
 
+    def query_params(
+        self, sql: str, params: list | tuple
+    ) -> tuple[list[tuple[str, int]], list[list[str | None]]]:
+        """EXTENDED-protocol query (Parse/Bind/Describe/Execute/Sync)
+        with server-side parameter binding: ``$1``-style placeholders
+        carry values out-of-band in text format, so no SQL-literal
+        encoding happens client-side at all — the hardening path for
+        values that originate outside the pipeline. Python values are
+        rendered to their PostgreSQL text form (None -> NULL, bool ->
+        t/f, date/datetime -> ISO, bytes -> hex bytea); the server
+        infers parameter types from context."""
+        def text_of(v) -> bytes | None:
+            if v is None:
+                return None
+            if isinstance(v, bool):
+                return b"t" if v else b"f"
+            if isinstance(v, (bytes, bytearray)):
+                return b"\\x" + bytes(v).hex().encode()
+            if isinstance(v, datetime.datetime):
+                return v.isoformat(sep=" ").encode()
+            if isinstance(v, datetime.date):
+                return v.isoformat().encode()
+            return str(v).encode()
+
+        # Parse: unnamed statement, parameter types unspecified (OID 0)
+        self._send(b"P", b"\x00" + sql.encode() + b"\x00" + struct.pack(">H", 0))
+        # Bind: unnamed portal/statement, all-text param + result formats
+        bind = [b"\x00\x00", struct.pack(">H", 0), struct.pack(">H", len(params))]
+        for p in params:
+            t = text_of(p)
+            if t is None:
+                bind.append(struct.pack(">i", -1))
+            else:
+                bind.append(struct.pack(">i", len(t)) + t)
+        bind.append(struct.pack(">H", 0))
+        self._send(b"B", b"".join(bind))
+        self._send(b"D", b"P\x00")  # Describe portal -> RowDescription
+        self._send(b"E", b"\x00" + struct.pack(">i", 0))  # all rows
+        self._send(b"S", b"")  # Sync
+        fields: list[tuple[str, int]] = []
+        rows: list[list[str | None]] = []
+        err: PgWireError | None = None
+        while True:
+            mtype, p = self._recv_msg()
+            if mtype == b"T":
+                fields = []
+                (nf,) = struct.unpack(">H", p[:2])
+                off = 2
+                for _ in range(nf):
+                    end = p.index(b"\x00", off)
+                    name = p[off:end].decode()
+                    off = end + 1
+                    _tbl, _att, oid = struct.unpack(">IHI", p[off:off + 10])
+                    off += 18
+                    fields.append((name, oid))
+            elif mtype == b"D":
+                (nf,) = struct.unpack(">H", p[:2])
+                off, vals = 2, []
+                for _ in range(nf):
+                    (ln,) = struct.unpack(">i", p[off:off + 4])
+                    off += 4
+                    if ln == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(p[off:off + ln].decode())
+                        off += ln
+                rows.append(vals)
+            elif mtype == b"E":
+                err = self._error(p)  # drain to ReadyForQuery after Sync
+            elif mtype == b"Z":
+                if err is not None:
+                    raise err
+                return fields, rows
+            # '1' ParseComplete / '2' BindComplete / 'n' NoData /
+            # 'C' CommandComplete / 'N' Notice / 'S' ParameterStatus: skip
+
     def close(self) -> None:
         try:
             self._send(b"X", b"")  # Terminate

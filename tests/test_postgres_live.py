@@ -204,3 +204,37 @@ def test_timestamptz_maps_to_timestamp(conn):
     )
     assert df.schema.fields[0].dataType.simpleString() == "timestamp"
     assert df.collect()[0].tz is not None
+
+
+def test_extended_protocol_parameterized_query(pg_server):
+    """Parse/Bind/Execute with $n placeholders: values travel out of
+    band, so hostile strings are data, never SQL."""
+    import datetime
+
+    from forklift_spark.connections.pgwire import PgWire, PgWireError
+
+    with PgWire(**pg_server) as c:
+        c.execute("CREATE TABLE IF NOT EXISTS t_ext (id bigint, s text, ts timestamp)")
+        c.execute("TRUNCATE t_ext")
+        hostile = "x'); DROP TABLE t_ext; --"
+        c.query_params(
+            "INSERT INTO t_ext VALUES ($1, $2, $3)",
+            [1, hostile, datetime.datetime(2024, 6, 1, 12, 0)],
+        )
+        c.query_params("INSERT INTO t_ext VALUES ($1, $2, $3)", [2, None, None])
+        fields, rows = c.query_params(
+            "SELECT id, s, ts FROM t_ext WHERE id >= $1 ORDER BY id", [1]
+        )
+        assert [n for n, _ in fields] == ["id", "s", "ts"]
+        assert rows[0][1] == hostile  # the injection arrived as DATA
+        assert rows[1][1] is None and rows[1][2] is None
+        assert "t_ext" in {
+            r[0] for r in c.query(
+                "SELECT table_name FROM information_schema.tables "
+                "WHERE table_schema = 'public'"
+            )[1]
+        }
+        # error recovery on the extended path too
+        with pytest.raises(PgWireError):
+            c.query_params("SELECT * FROM no_such_tbl WHERE x = $1", [1])
+        assert c.query("SELECT 7")[1] == [["7"]]
