@@ -139,7 +139,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_man.add_argument(
         "op",
-        choices=["history", "compact", "vacuum", "restore", "fsck", "checkpoint"],
+        choices=["history", "compact", "vacuum", "restore", "fsck",
+                 "checkpoint", "maintain"],
     )
     p_man.add_argument("root", help="warehouse dir holding the table")
     p_man.add_argument("table")
@@ -199,6 +200,11 @@ def main(argv: list[str] | None = None) -> int:
             print(_json.dumps(t.vacuum(keep_versions=ns.keep_versions)))
         elif ns.op == "checkpoint":
             print(_json.dumps(t.checkpoint()))
+        elif ns.op == "maintain":
+            report = t.maintain(min_files=ns.min_files,
+                                keep_versions=ns.keep_versions)
+            print(_json.dumps(report))
+            return 0 if report["fsck"]["ok"] else 1
         elif ns.op == "fsck":
             report = t.fsck()
             print(_json.dumps(report))

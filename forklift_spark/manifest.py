@@ -2006,6 +2006,42 @@ class ManifestTable:
             "orphan_segments": orphan_segs,
         }
 
+    def maintain(
+        self,
+        min_files: int = 4,
+        keep_versions: int = 3,
+        checkpoint_over_segments: int = 16,
+        max_retries: int = 2,
+        vacuum_now: bool = True,
+    ) -> dict:
+        """The scheduled maintenance pass, as one call (the OPTIMIZE +
+        VACUUM cron job every production table format needs): (1)
+        compact exactly the partitions fsck flags for deletion-vector
+        pressure, (2) coalesce partitions holding >= ``min_files`` small
+        files, (3) checkpoint the metadata when it spans more than
+        ``checkpoint_over_segments`` segment files, (4) vacuum history
+        beyond ``keep_versions``. Every step is an independent atomic
+        commit sharing the OCC loop, so a concurrent writer (or the
+        streaming MERGE sink) is absorbed, never corrupted. Returns the
+        per-step reports; steps that had nothing to do report noops —
+        the call is idempotent and safe on a cron."""
+        report: dict = {}
+        report["compact_dv"] = self.compact(
+            auto_dv=True, max_retries=max_retries
+        )
+        report["compact_small"] = self.compact(
+            min_files=min_files, max_retries=max_retries
+        )
+        cur = self._raw()
+        if len(cur.get("segments", [])) > checkpoint_over_segments:
+            report["checkpoint"] = self.checkpoint()
+        else:
+            report["checkpoint"] = {"version": cur["version"], "skipped": True}
+        if vacuum_now:
+            report["vacuum"] = self.vacuum(keep_versions=keep_versions)
+        report["fsck"] = self.fsck()
+        return report
+
     def vacuum(self, keep_versions: int = 1) -> dict:
         """Drop manifests older than the newest `keep_versions` and delete
         data files no retained manifest references."""

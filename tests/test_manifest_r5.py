@@ -419,3 +419,56 @@ def test_occ_merge_vs_alter_layout_exactly_once(spark, tmp_path):
     assert rows[1] == 111 and rows[100] == 1 and len(rows) == 31
     assert t1.current_version() == 3
     assert t1.fsck()["ok"]
+
+
+def test_maintain_is_the_idempotent_cron_pass(spark, tmp_path):
+    """maintain() = dv compaction + small-file compaction + metadata
+    checkpoint + vacuum + audit, each an atomic commit; a second run is
+    all noops. The messy-table input exercises every step."""
+    t = ManifestTable(spark, str(tmp_path), "mx")
+    t.segment_target = 1  # fragmented metadata
+    t.dv_ratio_warn = 0.05
+    base = spark.range(30).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3 + 1).cast("int").alias("y"),
+        (F.col("id") * 10).cast("long").alias("v"),
+    )
+    t.create(base.repartition(6), partition_by="y")  # small files
+    t.delete(F.col("k").isin(1, 4), use_dv=True)  # dv pressure in y=2
+    before = {(r.k, r.v) for r in t.read().collect()}
+    t.segment_target = 2000  # maintenance consolidates at the real target
+    report = t.maintain(min_files=2, keep_versions=1,
+                        checkpoint_over_segments=0)
+    assert report["fsck"]["ok"] and report["fsck"]["warnings"] == []
+    assert report["compact_dv"]["touched_partitions"] == ["2"]
+    assert report["compact_small"]["files_rewritten"] > 0
+    assert "skipped" not in report["checkpoint"]
+    assert len(t._raw()["segments"]) == 1  # metadata consolidated
+    assert report["vacuum"]["removed_manifests"] > 0
+    assert {(r.k, r.v) for r in t.read().collect()} == before
+    # idempotent: the second pass changes nothing
+    again = t.maintain(min_files=2, keep_versions=1,
+                       checkpoint_over_segments=4)
+    assert again["compact_dv"]["touched_partitions"] == []
+    assert again["compact_small"]["touched_partitions"] == []
+    assert again["checkpoint"].get("skipped") is True
+    assert again["fsck"]["ok"]
+
+
+def test_cli_maintain(spark, tmp_path, capsys):
+    import json
+
+    from forklift_spark.cli import main
+
+    t = ManifestTable(spark, str(tmp_path), "mc")
+    t.create(
+        spark.range(20).select(
+            F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("p")
+        ).repartition(4),
+        partition_by="p",
+    )
+    assert main(["manifest", "maintain", str(tmp_path), "mc",
+                 "--min-files", "2", "--keep-versions", "1"]) == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["fsck"]["ok"]
+    assert t.read().count() == 20
