@@ -155,6 +155,14 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="compact only the partitions fsck flags for dv pressure",
     )
+    p_man.add_argument(
+        "--orphan-grace",
+        type=float,
+        default=None,
+        help="vacuum/maintain: seconds a NEVER-referenced file must age "
+        "before deletion (default 24h; 0 = reclaim crash debris now — "
+        "only safe with no live writers)",
+    )
     ns = p.parse_args(argv)
     if ns.cmd == "init":
         init(ns.dir)
@@ -197,12 +205,18 @@ def main(argv: list[str] | None = None) -> int:
                                         cluster_by=cluster,
                                         auto_dv=ns.auto_dv)))
         elif ns.op == "vacuum":
-            print(_json.dumps(t.vacuum(keep_versions=ns.keep_versions)))
+            kw = {"keep_versions": ns.keep_versions}
+            if ns.orphan_grace is not None:
+                kw["orphan_grace_seconds"] = ns.orphan_grace
+            print(_json.dumps(t.vacuum(**kw)))
         elif ns.op == "checkpoint":
             print(_json.dumps(t.checkpoint()))
         elif ns.op == "maintain":
-            report = t.maintain(min_files=ns.min_files,
-                                keep_versions=ns.keep_versions)
+            kw = {"min_files": ns.min_files,
+                  "keep_versions": ns.keep_versions}
+            if ns.orphan_grace is not None:
+                kw["orphan_grace_seconds"] = ns.orphan_grace
+            report = t.maintain(**kw)
             print(_json.dumps(report))
             return 0 if report["fsck"]["ok"] else 1
         elif ns.op == "fsck":

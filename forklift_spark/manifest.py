@@ -99,6 +99,10 @@ DV_BROADCAST_ROWS = 2_000_000
 SEGMENT_TARGET_ENTRIES = 2_000  # entries per metadata segment file
 SEGMENT_MERGE_SMALL = 16  # small-segment count that triggers inline merge
 DV_RATIO_WARN = 0.25  # dv_rows/rows per partition that flags dv pressure
+# vacuum deletes a NEVER-referenced file (as opposed to one referenced
+# by a dropped version) only when older than this — a younger orphan may
+# be a concurrent writer's staged-but-uncommitted snapshot/dv/segment
+VACUUM_ORPHAN_GRACE_SECONDS = 24 * 3600.0
 
 
 def _file_ref() -> F.Column:
@@ -1540,6 +1544,155 @@ class ManifestTable:
 
         return self._occ(compute, max_retries)
 
+    def apply_changes(
+        self,
+        upserts: DataFrame,
+        tombstones: DataFrame | None,
+        on: str | list[str],
+        use_dv: bool = True,
+        broadcast_threshold: int = 2_000_000,
+        max_retries: int = 0,
+    ) -> dict:
+        """Apply a CDC batch — upsert rows AND tombstone keys — as ONE
+        atomic commit (the CDC-replication apply shape). Compared to a
+        merge followed by delete_keys this halves version churn and,
+        more importantly, removes the window where a reader sees the
+        batch's inserts without its deletes: readers observe whole
+        batches or nothing.
+
+        ``tombstones`` holds the key columns, plus optionally the
+        table's partition/bucket columns for a pruned delete scope.
+        Default is deletion vectors: matched and tombstoned rows are
+        masked (zero rewrites), upserts append as new files.
+        ``use_dv=False`` rewrites the scoped files instead.
+        ``max_retries``: the shared OCC rebase loop."""
+        pk = [on] if isinstance(on, str) else list(on)
+        have_tombs = tombstones is not None and not tombstones.isEmpty()
+        have_ups = not upserts.isEmpty()
+        if not have_ups and not have_tombs:
+            v = self.current_version()
+            return {"version": v, "touched_partitions": [],
+                    "files_rewritten": 0, "files_written": 0,
+                    "rows_masked": 0}
+
+        def compute(cur: dict) -> dict:
+            partition_by = cur["partition_by"]
+            schema = _merge_schemas(
+                T.StructType.fromJson(cur["schema"]), upserts.schema
+            )
+            cur_schema = T.StructType.fromJson(cur["schema"])
+            # combined scope: the upserts' touched cells plus the
+            # tombstones' (pruned when they carry the layout columns,
+            # whole live set otherwise) — each file listed once
+            touched: set[str] = set()
+            old: list[dict] = []
+            seen: set[str] = set()
+            full_scope = False
+            if have_ups:
+                t_u, old_u = self._merge_scope(cur, upserts, pk)
+                touched.update(t_u)
+                for e in old_u:
+                    if e["path"] not in seen:
+                        seen.add(e["path"])
+                        old.append(e)
+            if have_tombs:
+                prunable = (not partition_by) or partition_by in set(
+                    tombstones.columns
+                )
+                if prunable:
+                    t_t, old_t = self._merge_scope(cur, tombstones, pk)
+                    touched.update(t_t)
+                else:
+                    full_scope = True
+                    old_t = self._m_entries(cur)
+                for e in old_t:
+                    if e["path"] not in seen:
+                        seen.add(e["path"])
+                        old.append(e)
+            # one key frame masks both classes: upserted keys (replaced
+            # by the new rows) and tombstoned keys (just removed)
+            keys = upserts.select(*pk)
+            if have_tombs:
+                keys = keys.unionByName(tombstones.select(*pk))
+            keys = keys.distinct()
+            if keys.limit(broadcast_threshold + 1).count() <= broadcast_threshold:
+                keys = F.broadcast(keys)
+            if use_dv:
+                live = self._read_entries(old, cur_schema, keep_ref=True)
+                hits = live.join(keys, pk, "left_semi").select(
+                    F.col("__ref").alias("file_ref"), F.col("__pos").alias("pos")
+                )
+                updated, hit_paths, dv_touched, masked = (
+                    self._dv_masked_entries(old, hits)
+                )
+                new_entries = (
+                    self._write_snapshot(
+                        _align(upserts, schema), partition_by,
+                        bucket_by=cur.get("bucket_by"),
+                    )
+                    if have_ups
+                    else []
+                )
+                if not dv_touched and not new_entries:
+                    return {
+                        "noop": {"version": cur["version"],
+                                 "touched_partitions": [],
+                                 "files_rewritten": 0, "files_written": 0,
+                                 "rows_masked": 0}
+                    }
+                # OCC conflict tokens: every partition whose content
+                # changed — insert landing spots plus dv-hit partitions
+                # (hits outside the prunable scope only exist when the
+                # tombstones were unprunable, covered by dv_touched)
+                occ_touched = sorted(
+                    touched
+                    | set(dv_touched)
+                    | {e["partition"] or "" for e in new_entries}
+                )
+                return {
+                    "operation": "apply-changes+dv",
+                    "schema": schema,
+                    "touched": occ_touched,
+                    "replaced": set(hit_paths),
+                    "entries": updated + new_entries,
+                    "stats": {
+                        "files_rewritten": 0,
+                        "files_written": len(new_entries),
+                        "rows_masked": masked,
+                    },
+                }
+            scoped = self._read_entries(old, cur_schema)
+            survivors = _align(scoped, schema).join(keys, pk, "left_anti")
+            out = (
+                survivors.unionByName(_align(upserts, schema))
+                if have_ups
+                else survivors
+            )
+            entries = self._write_snapshot(
+                out, partition_by, bucket_by=cur.get("bucket_by")
+            )
+            occ_touched = sorted(
+                (
+                    {e["partition"] or "" for e in old}
+                    | {e["partition"] or "" for e in entries}
+                )
+                if full_scope
+                else touched | {e["partition"] or "" for e in entries}
+            )
+            return {
+                "operation": "apply-changes",
+                "schema": schema,
+                "touched": occ_touched,
+                "replaced": {e["path"] for e in old},
+                "entries": entries,
+                "stats": {
+                    "files_rewritten": len(old),
+                    "files_written": len(entries),
+                },
+            }
+
+        return self._occ(compute, max_retries)
+
     def overwrite(self, df: DataFrame, max_retries: int = 0) -> dict:
         """Full-replace commit (the reference's pipe/RENAME publish,
         `patterns/mysql_patterns.rb:35-39`): a new snapshot carries the
@@ -1744,15 +1897,30 @@ class ManifestTable:
                     p if p is not None else NULL_TOKEN
                     for p, es in by_part.items()
                     if (len(es) >= floor or any(e.get("dv") for e in es))
-                    and (want is None or (p or NULL_TOKEN) in want)
+                    and (want is None
+                         or (p if p is not None else NULL_TOKEN) in want)
                 )
             if not touched:
                 return {
                     "noop": {"version": cur["version"], "touched_partitions": [],
                              "files_rewritten": 0, "files_written": 0}
                 }
-            tset = {None if t == NULL_TOKEN else t for t in touched}
+            # token mapping must mirror how entries record partitions: a
+            # PARTITIONED table stores null values as the literal
+            # NULL_TOKEN string (hive dir name), only UNPARTITIONED
+            # entries carry partition=None — mapping NULL_TOKEN->None
+            # unconditionally made null partitions uncompactable and
+            # committed junk no-op versions every auto_dv maintenance run
+            tset = {
+                None if (t == NULL_TOKEN and partition_by is None) else t
+                for t in touched
+            }
             old = [e for e in scoped_entries if e["partition"] in tset]
+            if not old:
+                return {
+                    "noop": {"version": cur["version"], "touched_partitions": [],
+                             "files_rewritten": 0, "files_written": 0}
+                }
             # dv-aware: masked rows drop out here, so the rewritten files
             # are plain again (dv materialization), new entries carry no dv
             schema = T.StructType.fromJson(cur["schema"])
@@ -1881,7 +2049,7 @@ class ManifestTable:
 
         return self._occ(compute, max_retries)
 
-    def checkpoint(self) -> dict:
+    def checkpoint(self, max_retries: int = 0) -> dict:
         """Consolidate the head version's metadata: rewrite ALL entry
         segments into fresh partition-grouped, target-size segment files
         as one commit (the Delta checkpoint / Iceberg rewrite-manifests
@@ -1890,23 +2058,31 @@ class ManifestTable:
         but subsequent partition-pruned reads plan from a minimal
         segment set, and commit-time carry checks touch fewer, larger
         segments. Run it like compaction: periodically, or after a burst
-        of small commits fragments the metadata."""
-        cur = self._raw()
-        entries = [dict(e) for e in self._m_entries(cur)]
-        segments = self._pack_segments(entries)
-        v = self._commit(
-            {
-                "version": cur["version"] + 1,
+        of small commits fragments the metadata. Shares the OCC retry
+        loop (``max_retries``): losing a race to a concurrent writer
+        recomputes the consolidation from the new head instead of
+        raising, so ``maintain()`` can absorb a racing streaming sink;
+        it reports no touched partitions and no full_replace, so a
+        CONCURRENT loser can still rebase straight over it."""
+        def compute(cur: dict) -> dict:
+            entries = [dict(e) for e in self._m_entries(cur)]
+            return {
                 "operation": "checkpoint",
-                "partition_by": cur["partition_by"],
-                "bucket_by": cur.get("bucket_by"),
-                "bloom": cur.get("bloom"),
-                "schema": cur["schema"],
-                "touched_partitions": [],
-                "segments": segments,
+                "schema": T.StructType.fromJson(cur["schema"]),
+                "touched": [],
+                "replaced": set(),
+                # repack everything; content-identical, so neither
+                # full_replace (would block others' rebases) nor
+                # touched partitions are declared
+                "replace_all": True,
+                "no_rebase": True,
+                "entries": entries,
+                "stats": {"files": len(entries)},
             }
-        )
-        return {"version": v, "segments": len(segments), "files": len(entries)}
+
+        out = self._occ(compute, max_retries)
+        out["segments"] = len(self._raw(out["version"]).get("segments", []))
+        return out
 
     def fsck(self) -> dict:
         """Integrity audit of the CURRENT version (plus orphan census
@@ -1916,28 +2092,47 @@ class ManifestTable:
         warnings (see ``_dv_flagged``) — the nudge to run
         ``compact(auto_dv=True)`` before reads degrade to shuffled dv
         anti-joins. Returns issues (empty = healthy), warnings, and
-        orphan counts — metadata work only, no data file is opened."""
+        orphan counts — metadata work only, no data file is opened, and
+        each distinct segment file is parsed at most once across all
+        versions (a commit ladder shares most segments by reference, so
+        the census is O(distinct segments), not O(versions x segments)
+        — reported as ``segments_parsed`` vs ``segments_total``)."""
         cur = self._raw()
         issues: list[str] = []
         referenced: set[str] = set()
         referenced_dv: set[str] = set()
         referenced_seg: set[str] = set()
+        segments_total = 0
+        seg_parsed: set[str] = set()
         for v in self.versions():
             m = self._raw(v)
+            if "entries" in m:  # legacy inline manifest
+                for e in m["entries"]:
+                    referenced.add(e["path"])
+                    if e.get("dv"):
+                        referenced_dv.add(e["dv"])
+                continue
             broken = False
             for s in m.get("segments", []):
-                referenced_seg.add(s["path"])
-                if not os.path.isfile(os.path.join(self.path, s["path"])):
+                segments_total += 1
+                if s["path"] not in referenced_seg and not os.path.isfile(
+                    os.path.join(self.path, s["path"])
+                ):
                     issues.append(
                         f"missing metadata segment: {s['path']} (v{v})"
                     )
                     broken = True
+                referenced_seg.add(s["path"])
             if broken:
                 continue  # entries unreadable; issue already recorded
-            for e in self._m_entries(m):
-                referenced.add(e["path"])
-                if e.get("dv"):
-                    referenced_dv.add(e["dv"])
+            for s in m.get("segments", []):
+                if s["path"] in seg_parsed:
+                    continue  # carried by reference from an earlier version
+                seg_parsed.add(s["path"])
+                for e in self._load_segment(s["path"]):
+                    referenced.add(e["path"])
+                    if e.get("dv"):
+                        referenced_dv.add(e["dv"])
         try:
             cur_entries = self._m_entries(cur)
         except FileNotFoundError:
@@ -2004,6 +2199,8 @@ class ManifestTable:
             "orphan_files": orphan_files,
             "orphan_dv_dirs": orphan_dvs,
             "orphan_segments": orphan_segs,
+            "segments_total": segments_total,
+            "segments_parsed": len(seg_parsed),
         }
 
     def maintain(
@@ -2013,6 +2210,7 @@ class ManifestTable:
         checkpoint_over_segments: int = 16,
         max_retries: int = 2,
         vacuum_now: bool = True,
+        orphan_grace_seconds: float = VACUUM_ORPHAN_GRACE_SECONDS,
     ) -> dict:
         """The scheduled maintenance pass, as one call (the OPTIMIZE +
         VACUUM cron job every production table format needs): (1)
@@ -2020,11 +2218,14 @@ class ManifestTable:
         pressure, (2) coalesce partitions holding >= ``min_files`` small
         files, (3) checkpoint the metadata when it spans more than
         ``checkpoint_over_segments`` segment files, (4) vacuum history
-        beyond ``keep_versions``. Every step is an independent atomic
-        commit sharing the OCC loop, so a concurrent writer (or the
-        streaming MERGE sink) is absorbed, never corrupted. Returns the
-        per-step reports; steps that had nothing to do report noops —
-        the call is idempotent and safe on a cron."""
+        beyond ``keep_versions``. Every mutating step is an independent
+        atomic commit sharing the OCC retry loop, and vacuum's orphan
+        deletion honors ``orphan_grace_seconds`` (never deletes a young
+        never-referenced file, which may be a concurrent writer's staged
+        snapshot) — together these are what make racing this pass
+        against a live writer (e.g. the streaming MERGE sink) safe.
+        Returns the per-step reports; steps that had nothing to do
+        report noops — the call is idempotent and safe on a cron."""
         report: dict = {}
         report["compact_dv"] = self.compact(
             auto_dv=True, max_retries=max_retries
@@ -2034,29 +2235,103 @@ class ManifestTable:
         )
         cur = self._raw()
         if len(cur.get("segments", [])) > checkpoint_over_segments:
-            report["checkpoint"] = self.checkpoint()
+            report["checkpoint"] = self.checkpoint(max_retries=max_retries)
         else:
             report["checkpoint"] = {"version": cur["version"], "skipped": True}
         if vacuum_now:
-            report["vacuum"] = self.vacuum(keep_versions=keep_versions)
+            report["vacuum"] = self.vacuum(
+                keep_versions=keep_versions,
+                orphan_grace_seconds=orphan_grace_seconds,
+            )
         report["fsck"] = self.fsck()
         return report
 
-    def vacuum(self, keep_versions: int = 1) -> dict:
-        """Drop manifests older than the newest `keep_versions` and delete
-        data files no retained manifest references."""
-        keep = self.versions()[-max(1, keep_versions):]
-        referenced = set()
-        referenced_dv = set()
-        referenced_seg = set()
-        for v in keep:
+    def vacuum(
+        self,
+        keep_versions: int = 1,
+        orphan_grace_seconds: float = VACUUM_ORPHAN_GRACE_SECONDS,
+    ) -> dict:
+        """Drop manifests older than the newest ``keep_versions`` and
+        delete files no retained manifest references. Unreferenced files
+        fall in two classes with different safety rules:
+
+        - SUPERSEDED: referenced only by the versions being dropped —
+          committed history nobody can reach once those manifests are
+          gone (rebases carry from the retained head). Reclaimed
+          immediately, whatever their age: this is the space-reclaim
+          vacuum exists for.
+        - ORPHANS: referenced by NO version at all. Usually crashed-
+          writer snapshots / _SUCCESS markers — but a LIVE concurrent
+          writer's staged-not-yet-committed snapshot, dv dir, and
+          metadata segment are in exactly this class too (OCC protects
+          only the pointer swap, never uncommitted files). Deleted only
+          when older than ``orphan_grace_seconds`` (Delta's retention-
+          hours shape), so racing ``maintain()``/``vacuum()`` with live
+          writers cannot corrupt an in-flight commit. Pass 0 only when
+          no writer can be live (reclaims fresh crash debris at once).
+
+        Metadata cost: each distinct segment file is parsed at most once
+        across ALL versions (shared segments are classified from the
+        retained pass alone — a segment carried by a retained version
+        protects every path in it), reported as ``segments_parsed`` vs
+        ``segments_total`` references."""
+        import shutil
+        import time as _time
+
+        all_versions = self.versions()
+        keep = all_versions[-max(1, keep_versions):]
+        keepset = set(keep)
+        referenced: set[str] = set()
+        referenced_dv: set[str] = set()
+        referenced_seg: set[str] = set()
+        dropped: set[str] = set()
+        dropped_dv: set[str] = set()
+        dropped_seg: set[str] = set()
+        segments_total = 0
+        parsed: set[str] = set()
+        # retained versions first: any segment they carry protects every
+        # path inside it, so the dropped pass below never needs to parse
+        # a shared segment — vacuum metadata IO is O(distinct segments)
+        for v in sorted(all_versions, key=lambda v: (v not in keepset, v)):
             m = self._raw(v)
-            for s in m.get("segments", []):
-                referenced_seg.add(s["path"])
-            for e in self._m_entries(m):
-                referenced.add(e["path"])
-                if e.get("dv"):
-                    referenced_dv.add(e["dv"])
+            is_keep = v in keepset
+            seg_dst = referenced_seg if is_keep else dropped_seg
+            data_dst = referenced if is_keep else dropped
+            dv_dst = referenced_dv if is_keep else dropped_dv
+            if "entries" in m:  # legacy inline manifest
+                for e in m["entries"]:
+                    data_dst.add(e["path"])
+                    if e.get("dv"):
+                        dv_dst.add(e["dv"])
+                continue
+            for s in m["segments"]:
+                segments_total += 1
+                seg_dst.add(s["path"])
+                if s["path"] in parsed:
+                    continue
+                if not is_keep and s["path"] in referenced_seg:
+                    continue  # shared with a retained version: protected
+                parsed.add(s["path"])
+                for e in self._load_segment(s["path"]):
+                    data_dst.add(e["path"])
+                    if e.get("dv"):
+                        dv_dst.add(e["dv"])
+        now = _time.time()
+        grace = max(0.0, float(orphan_grace_seconds))
+        skipped_recent = 0
+
+        def removable(full: str, rel: str, dropped_set: set) -> bool:
+            nonlocal skipped_recent
+            if rel in dropped_set:
+                return True  # superseded committed history
+            try:
+                if now - os.path.getmtime(full) >= grace:
+                    return True  # orphan past the retention window
+            except OSError:
+                return False  # vanished concurrently; nothing to do
+            skipped_recent += 1
+            return False
+
         removed_files = 0
         data_root = os.path.join(self.path, "data")
         for dirpath, _dirs, files in os.walk(data_root, topdown=False):
@@ -2064,9 +2339,9 @@ class ManifestTable:
                 full = os.path.join(dirpath, name)
                 rel = os.path.relpath(full, self.path)
                 # data/ is wholly table-owned: anything no retained
-                # manifest references is garbage — crashed-writer orphan
-                # snapshots, _SUCCESS markers, checksum sidecars
-                if rel not in referenced:
+                # manifest references is garbage ONCE past the orphan
+                # grace (a younger orphan may be a live writer's stage)
+                if rel not in referenced and removable(full, rel, dropped):
                     os.remove(full)
                     if name.endswith(".parquet"):
                         removed_files += 1
@@ -2075,35 +2350,38 @@ class ManifestTable:
         # dv sidecars are referenced as whole DIRS (one per commit)
         dv_root = os.path.join(self.path, "dv")
         if os.path.isdir(dv_root):
-            import shutil
-
             for name in os.listdir(dv_root):
                 rel = os.path.join("dv", name)
-                if rel not in referenced_dv:
-                    shutil.rmtree(os.path.join(dv_root, name))
+                full = os.path.join(dv_root, name)
+                if rel not in referenced_dv and removable(full, rel, dropped_dv):
+                    shutil.rmtree(full)
                     removed_files += 1
             if not os.listdir(dv_root):
                 os.rmdir(dv_root)
-        # metadata segments: anything no retained manifest references is
-        # garbage (superseded segment generations, crashed-commit orphans)
+        # metadata segments: superseded generations reclaim now; an
+        # unreferenced YOUNG segment may belong to a commit mid-flight
         meta_root = os.path.join(self.path, "metadata")
         removed_segments = 0
         if os.path.isdir(meta_root):
             for name in os.listdir(meta_root):
                 rel = os.path.join("metadata", name)
-                if rel not in referenced_seg:
-                    os.remove(os.path.join(meta_root, name))
+                full = os.path.join(meta_root, name)
+                if rel not in referenced_seg and removable(full, rel, dropped_seg):
+                    os.remove(full)
                     self._seg_cache.pop(rel, None)
                     removed_segments += 1
             if not os.listdir(meta_root):
                 os.rmdir(meta_root)
         removed_manifests = 0
-        for v in self.versions():
-            if v not in keep:
+        for v in all_versions:
+            if v not in keepset:
                 os.remove(os.path.join(self.path, f"manifest-v{v}.json"))
                 removed_manifests += 1
         return {
             "removed_files": removed_files,
             "removed_manifests": removed_manifests,
             "removed_segments": removed_segments,
+            "skipped_recent_orphans": skipped_recent,
+            "segments_total": segments_total,
+            "segments_parsed": len(parsed),
         }

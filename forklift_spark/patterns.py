@@ -484,12 +484,12 @@ def manifest_cdc_sync(src, dst, on: str, since_version: int | None = None,
     pass the value your HwmStore holds). First call with a fresh dst:
     full snapshot copy, cursor = src head.
 
-    Replay order matters: upserts first (an update's delete+insert pair
-    collapses into the merge), then pure-delete tombstones (keys with a
-    delete event and no insert event). Returns the new cursor to store.
+    The whole round is ONE ``apply_changes`` commit (upserts + pure-
+    delete tombstones together — r6): a reader of the replica sees the
+    round's inserts and deletes atomically or not at all, and version
+    churn is one bump per sync. Returns the new cursor to store.
     At 100 TB both sides scale with the delta: the feed reads changed
-    files only, the merge touches hit cells, the tombstone pass is a
-    dv-masked delete_keys."""
+    files only, the apply touches hit cells, tombstones dv-mask."""
     from pyspark.sql import functions as FF
 
     head = src.current_version()
@@ -507,24 +507,24 @@ def manifest_cdc_sync(src, dst, on: str, since_version: int | None = None,
     feed = src.changes(since_version, head)
     inserts = feed.filter(FF.col("_change_type") == "insert").drop("_change_type")
     deletes = feed.filter(FF.col("_change_type") == "delete").drop("_change_type")
-    stats_m = dst.merge(inserts, on=on, use_dv=use_dv)
+    # pure-delete tombstones: keys with a delete event and no insert
+    # event (an update's delete+insert pair collapses into the upsert)
     tombstones = deletes.join(inserts.select(on).distinct(), on, "left_anti")
     # keep the destination's partition/bucket columns on the tombstone
-    # frame so delete_keys reuses _merge_scope pruning — the tombstone
-    # pass stays O(touched cells), not a whole-live-set scan
+    # frame so apply_changes reuses _merge_scope pruning — the tombstone
+    # scope stays O(touched cells), not a whole-live-set scan
     dman = dst._raw()
     layout_cols = [
         c
         for c in {dman.get("partition_by"), (dman.get("bucket_by") or [None])[0]}
         if c and c != on and c in tombstones.columns
     ]
-    stats_d = dst.delete_keys(
-        tombstones.select(on, *layout_cols), on=on, use_dv=use_dv
+    stats = dst.apply_changes(
+        inserts, tombstones.select(on, *layout_cols), on=on, use_dv=use_dv
     )
     return {
         "from_version": since_version,
         "to_version": head,
         "mode": "delta",
-        "merged": stats_m,
-        "deleted": stats_d,
+        "applied": stats,
     }

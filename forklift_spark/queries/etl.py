@@ -2871,9 +2871,13 @@ def q_manifest_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         use_dv=True,
     )
     src.delete(F.col("o_orderkey") % 37 == 0, use_dv=True)
+    v_before = dst.current_version()
     stats = manifest_cdc_sync(src, dst, on="o_orderkey", since_version=cursor)
     assert stats["mode"] == "delta", stats
-    assert stats["merged"]["files_rewritten"] == 0, stats  # dv replication
+    assert stats["applied"]["files_rewritten"] == 0, stats  # dv replication
+    # the whole round (upserts + tombstones) lands as ONE commit: no
+    # window where a replica reader sees inserts without the deletes
+    assert dst.current_version() == v_before + 1, (v_before, stats)
     return (
         dst.read()
         .groupBy("order_year")

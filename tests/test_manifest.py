@@ -936,8 +936,15 @@ def test_crashed_writer_leaves_readers_unaffected(table, spark, monkeypatch):
     data_root = os.path.join(table.path, "data")
     snaps = os.listdir(data_root)
     assert len(snaps) > 1, "crashed writer should have left an orphan snapshot"
-    # vacuum reclaims everything no retained manifest references
-    table.vacuum(keep_versions=1)
+    # a default-grace vacuum must NOT touch the fresh orphan — it is
+    # indistinguishable from a LIVE writer's staged-not-yet-committed
+    # snapshot (the r5 ADVICE corruption: OCC guards the pointer swap,
+    # not uncommitted files)
+    res = table.vacuum(keep_versions=1)
+    assert res["skipped_recent_orphans"] > 0
+    assert set(os.listdir(data_root)) == set(snaps)
+    # grace 0 = operator asserts no live writers: reclaim crash debris
+    table.vacuum(keep_versions=1, orphan_grace_seconds=0)
     live = {e["path"].split(os.sep)[1] for e in table.manifest()["entries"]}
     assert set(os.listdir(data_root)) == live
     assert {(r.k, r.v) for r in table.read().collect()} == want
@@ -957,7 +964,11 @@ def test_crashed_dv_writer_orphan_reclaimed(table, spark, monkeypatch):
     assert {r.k for r in table.read().collect()} == want
     dv_root = os.path.join(table.path, "dv")
     assert len(os.listdir(dv_root)) == 2  # one live, one orphan
+    # fresh dv orphans sit inside the grace window (could be a live
+    # writer's staged sidecar); explicit grace 0 reclaims crash debris
     table.vacuum(keep_versions=1)
+    assert len(os.listdir(dv_root)) == 2
+    table.vacuum(keep_versions=1, orphan_grace_seconds=0)
     # the referenced sidecar survives, the orphan is gone
     assert len(os.listdir(dv_root)) == 1
     assert {r.k for r in table.read().collect()} == want

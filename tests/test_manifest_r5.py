@@ -341,10 +341,13 @@ def test_cdc_sync_tombstone_pass_is_pruned(table, spark, tmp_path):
     dst = ManifestTable(spark, str(tmp_path), "dst")
     cursor = manifest_cdc_sync(table, dst, on="k")["to_version"]
     table.delete(F.col("k") == 4)  # k=4 lives in partition y=2
+    v_before = dst.current_version()
     stats = manifest_cdc_sync(table, dst, on="k", since_version=cursor)
     assert stats["mode"] == "delta"
-    # the tombstone delete_keys pass touched ONLY the delete's partition
-    assert stats["deleted"]["touched_partitions"] == ["2"]
+    # the single apply_changes commit (r6) touched ONLY the delete's
+    # partition — tombstone layout columns keep the scope pruned
+    assert stats["applied"]["touched_partitions"] == ["2"]
+    assert dst.current_version() == v_before + 1  # one commit per round
     assert {r.k for r in dst.read().collect()} == {
         r.k for r in table.read().collect()
     }

@@ -1,0 +1,278 @@
+"""Round-6 ManifestTable hardening (the r5 ADVICE + VERDICT items):
+
+- vacuum ORPHAN GRACE: a never-referenced file younger than the grace
+  window survives vacuum — it may be a CONCURRENT writer's staged
+  snapshot/dv/segment (OCC protects only the pointer swap, never
+  uncommitted files). Superseded committed history still reclaims
+  immediately. The end-to-end race (maintain() firing mid-commit of a
+  live writer) must land both commits with zero corruption.
+- compact() on a PARTITIONED table coalesces NULL-partition files (they
+  carry the literal NULL_TOKEN dir name, not None) and never commits a
+  junk no-op version when nothing was rewritten.
+- checkpoint() shares the OCC retry loop: losing a race to a concurrent
+  writer recomputes instead of crashing maintain().
+- fsck/vacuum parse each distinct metadata segment at most once across
+  all versions (O(distinct segments), not O(versions x segments)).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from forklift_spark.manifest import NULL_TOKEN, CommitConflict, ManifestTable
+
+
+@pytest.fixture()
+def base_df(spark):
+    return spark.range(30).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3 + 1).cast("int").alias("y"),
+        (F.col("id") * 10).cast("long").alias("v"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path, base_df):
+    t = ManifestTable(spark, str(tmp_path), "t")
+    t.create(base_df, partition_by="y")
+    return t
+
+
+# -- ADVICE r5 (high): vacuum must not eat a live writer's staged files --
+
+
+def test_vacuum_grace_spares_fresh_orphans_reclaims_superseded(table, spark):
+    """One vacuum call, both classes: files superseded by a committed
+    overwrite reclaim immediately; a fresh never-referenced file (the
+    staged-snapshot class) survives the default grace window."""
+    old_files = set(table.files())
+    table.overwrite(
+        spark.createDataFrame([(1, 1, 5)], "k long, y int, v long")
+    )
+    # simulate a concurrent writer's staged-but-uncommitted output
+    staged_dir = os.path.join(table.path, "data", "snap-aaaaaaaaaaaa")
+    os.makedirs(staged_dir)
+    staged = os.path.join(staged_dir, "part-00000.parquet")
+    with open(staged, "wb") as fh:
+        fh.write(b"in-flight")
+    res = table.vacuum(keep_versions=1)
+    assert not any(os.path.isfile(p) for p in old_files), "superseded kept"
+    assert os.path.isfile(staged), "vacuum ate a staged (uncommitted) file"
+    assert res["skipped_recent_orphans"] >= 1
+    # grace 0: operator asserts no live writers -> orphan reclaimed
+    table.vacuum(keep_versions=1, orphan_grace_seconds=0)
+    assert not os.path.exists(staged)
+
+
+def test_maintain_racing_live_writer_no_corruption(spark, tmp_path, base_df):
+    """The exact ADVICE scenario: maintain() (with its default vacuum)
+    fires while a writer sits BETWEEN snapshot write and pointer swap.
+    The writer's staged files must survive vacuum's orphan pass so its
+    commit lands referencing existing files; fsck stays clean."""
+    t = ManifestTable(spark, str(tmp_path), "race")
+    t.create(base_df, partition_by="y")
+    writer = ManifestTable(spark, str(tmp_path), "race")
+    fired = {"done": False}
+    orig_commit = writer._commit
+
+    def commit_with_race(manifest):
+        if not fired["done"]:
+            fired["done"] = True
+            # maintenance cron fires exactly in the vulnerable window
+            ManifestTable(spark, str(tmp_path), "race").maintain(
+                min_files=2, keep_versions=1
+            )
+        return orig_commit(manifest)
+
+    writer._commit = commit_with_race
+    writer.merge(
+        spark.createDataFrame([(1, 2, -7), (99, 2, -8)], "k long, y int, v long"),
+        on="k",
+        max_retries=3,
+    )
+    assert fired["done"]
+    t2 = ManifestTable(spark, str(tmp_path), "race")
+    audit = t2.fsck()
+    assert audit["ok"], audit["issues"]
+    rows = {(r.k, r.v) for r in t2.read().collect()}
+    assert (1, -7) in rows and (99, -8) in rows
+    assert len(rows) == 31
+
+
+# -- ADVICE r5 (medium): NULL partitions must compact -----------------------
+
+
+@pytest.fixture()
+def null_part_table(spark, tmp_path):
+    t = ManifestTable(spark, str(tmp_path), "np")
+    t.create(
+        spark.createDataFrame([(0, None, 0), (2, 1, 20)], "k long, y int, v long"),
+        partition_by="y",
+    )
+    # second commit appends new files into both partitions — the null
+    # partition now deterministically holds >= 2 data files
+    t.merge(
+        spark.createDataFrame([(1, None, 10), (3, 1, 30)], "k long, y int, v long"),
+        on="k",
+    )
+    return t
+
+
+def test_compact_coalesces_null_partition(null_part_table):
+    t = null_part_table
+    before = [e for e in t.manifest()["entries"]
+              if e["partition"] == NULL_TOKEN]
+    assert len(before) >= 2, "fixture should fragment the null partition"
+    res = t.compact(min_files=2)
+    assert NULL_TOKEN in res["touched_partitions"]
+    after = [e for e in t.manifest()["entries"]
+             if e["partition"] == NULL_TOKEN]
+    assert len(after) == 1
+    rows = {(r.k, r.v) for r in t.read().collect()}
+    assert rows == {(0, 0), (1, 10), (2, 20), (3, 30)}
+
+
+def test_compact_auto_dv_null_partition_no_junk_commits(null_part_table):
+    """auto_dv on a dv-pressured NULL partition must actually rewrite it
+    (materializing the mask) and then go quiet — the r5 bug re-flagged
+    the partition forever and committed a junk version every cron run."""
+    t = null_part_table
+    t.dv_ratio_warn = 0.01
+    t.delete(F.col("k") == 0, use_dv=True)
+    assert t._dv_flagged(t._m_entries(t._raw()))[0] == [NULL_TOKEN]
+    res = t.compact(auto_dv=True)
+    assert res["files_rewritten"] >= 1, "null partition never compacted"
+    assert t._dv_flagged(t._m_entries(t._raw()))[0] == []
+    v = t.current_version()
+    again = t.compact(auto_dv=True)  # idempotent: nothing flagged now
+    assert t.current_version() == v, "junk no-op version committed"
+    assert again["files_rewritten"] == 0
+    assert {r.k for r in t.read().collect()} == {1, 2, 3}
+
+
+def test_compact_scoped_to_explicit_null_partition(null_part_table):
+    t = null_part_table
+    res = t.compact(min_files=2, partitions=[None])
+    assert res["touched_partitions"] == [NULL_TOKEN]
+    assert {r.k for r in t.read().collect()} == {0, 1, 2, 3}
+
+
+# -- ADVICE r5 (medium): checkpoint shares the OCC loop ---------------------
+
+
+def test_checkpoint_occ_retry(spark, tmp_path, base_df):
+    t = ManifestTable(spark, str(tmp_path), "ckpt")
+    t.create(base_df, partition_by="y")
+    for k in (1, 2, 3):
+        t.merge(
+            spark.createDataFrame(
+                [(k, k % 3 + 1, -k)], "k long, y int, v long"
+            ),
+            on="k",
+        )
+    raced = {"done": False}
+    orig_commit = t._commit
+
+    def commit_with_race(manifest):
+        if not raced["done"]:
+            raced["done"] = True
+            other = ManifestTable(spark, str(tmp_path), "ckpt")
+            other.merge(
+                spark.createDataFrame([(7, 2, 777)], "k long, y int, v long"),
+                on="k",
+            )
+        return orig_commit(manifest)
+
+    t._commit = commit_with_race
+    with pytest.raises(CommitConflict):
+        t.checkpoint()  # no retries: loses the race loudly
+    raced["done"] = False
+    res = t.checkpoint(max_retries=1)  # recomputes from the new head
+    assert raced["done"]
+    t2 = ManifestTable(spark, str(tmp_path), "ckpt")
+    rows = {(r.k, r.v) for r in t2.read().collect()}
+    assert (7, 777) in rows  # the interleaved merge is IN the checkpoint
+    assert len(rows) == 30
+    # checkpoint is content-invisible: empty CDC feed across it
+    assert t2.changes(res["version"] - 1, res["version"]).count() == 0
+
+
+# -- VERDICT r5 item 4: one-commit CDC apply --------------------------------
+
+
+@pytest.mark.parametrize("use_dv", [True, False])
+def test_apply_changes_one_commit(table, spark, use_dv):
+    """Upserts + tombstones land as ONE version: update k=1, insert
+    k=100, delete k=4 — replica-reader atomicity plus half the churn."""
+    v0 = table.current_version()
+    ups = spark.createDataFrame(
+        [(1, 2, 999), (100, 2, 5)], "k long, y int, v long"
+    )
+    tombs = spark.createDataFrame([(4, 2)], "k long, y int")
+    stats = table.apply_changes(ups, tombs, on="k", use_dv=use_dv)
+    assert table.current_version() == v0 + 1
+    assert stats["touched_partitions"] == ["2"]  # pruned both sides
+    rows = {(r.k, r.v) for r in table.read().collect()}
+    assert (1, 999) in rows and (100, 5) in rows
+    assert not any(k == 4 for k, _v in rows)
+    assert len(rows) == 30  # 30 - deleted + inserted
+    if use_dv:
+        assert stats["files_rewritten"] == 0
+
+
+def test_apply_changes_deletes_only_and_empty(table, spark):
+    v0 = table.current_version()
+    empty = spark.createDataFrame([], "k long, y int, v long")
+    tombs = spark.createDataFrame([(7, 2)], "k long, y int")  # k=7 -> y=2
+    stats = table.apply_changes(empty, tombs, on="k")
+    assert table.current_version() == v0 + 1
+    assert stats["files_written"] == 0  # no snapshot for empty upserts
+    assert 7 not in {r.k for r in table.read().collect()}
+    # fully empty batch: no commit at all
+    stats = table.apply_changes(empty, None, on="k")
+    assert table.current_version() == v0 + 1
+    assert stats["rows_masked"] == 0
+
+
+# -- VERDICT r5 item 3: metadata-pruned maintenance audits ------------------
+
+
+def test_fsck_vacuum_parse_distinct_segments_once(spark, tmp_path, monkeypatch):
+    """A commit ladder shares most segments by reference, so the fsck /
+    vacuum census must parse O(distinct segments), not re-parse every
+    segment reference of every version."""
+    t = ManifestTable(spark, str(tmp_path), "seg")
+    t.segment_target = 4  # several segments per version at toy scale
+    base = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 8 + 1).cast("int").alias("y"),
+        (F.col("id") * 10).cast("long").alias("v"),
+    )
+    t.create(base, partition_by="y")
+    for k in (1, 2, 3, 4):
+        t.merge(
+            spark.createDataFrame([(k, k % 8 + 1, -k)], "k long, y int, v long"),
+            on="k",
+        )
+    t._seg_cache.clear()
+    loads = {"n": 0}
+    orig = ManifestTable._load_segment
+
+    def counting(self, rel):
+        if rel not in self._seg_cache:  # count real parses, not cache hits
+            loads["n"] += 1
+        return orig(self, rel)
+
+    monkeypatch.setattr(ManifestTable, "_load_segment", counting)
+    audit = t.fsck()
+    assert audit["ok"]
+    assert audit["segments_parsed"] < audit["segments_total"]
+    assert loads["n"] == audit["segments_parsed"]
+    t._seg_cache.clear()
+    loads["n"] = 0
+    res = t.vacuum(keep_versions=len(t.versions()))  # keep all: pure census
+    assert res["segments_parsed"] < res["segments_total"]
+    assert loads["n"] == res["segments_parsed"]
