@@ -581,6 +581,94 @@ class ManifestTable:
         return out
 
     @staticmethod
+    def _ts_stat_str(dt) -> str:
+        """Render a footer timestamp stat exactly like Spark's
+        cast-to-string (session tz UTC, trailing fraction zeros
+        trimmed) so footer-sourced and scan-sourced bounds stay
+        lexicographically comparable."""
+        import datetime as _dt
+
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        s = dt.strftime("%Y-%m-%d %H:%M:%S")
+        if dt.microsecond:
+            s += ("." + f"{dt.microsecond:06d}").rstrip("0")
+        return s
+
+    @classmethod
+    def _stat_str(cls, v) -> str:
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            return cls._ts_stat_str(v)
+        if isinstance(v, float):
+            return repr(v)  # read side compares numerics via float()
+        return str(v)  # int, date (ISO, matches Spark cast), str
+
+    def _file_stats_footer(
+        self, paths_schema: T.StructType, files: list[str]
+    ) -> dict:
+        """Per-file zone maps + row counts from the parquet FOOTERS,
+        driver-side with pyarrow — the snapshot just written is never
+        re-scanned (at 100 TB the difference between a metadata read
+        and a second data pass at every commit). Parquet guarantees the
+        footer min/max are valid bounds even when truncated, which is
+        all pruning needs. Columns whose footers can't answer (INT96
+        timestamps from legacy writers, any chunk missing stats) are
+        omitted for that file — reads treat a missing column stat as
+        always-match, so the fallback costs selectivity, never
+        correctness. DecimalType is handled by the caller via a
+        column-pruned Spark pass (pyarrow raises on FLBA decimals)."""
+        import pyarrow.parquet as pq
+
+        wanted = [
+            f.name
+            for f in paths_schema.fields
+            if isinstance(f.dataType, self._STATS_TYPES)
+            and not isinstance(f.dataType, T.DecimalType)
+        ]
+        out: dict = {}
+        for full in files:
+            md = pq.ParquetFile(full).metadata
+            names = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            stats: dict = {}
+            for col in wanted:
+                idx = names.get(col)
+                if idx is None:
+                    continue
+                los: list = []
+                his: list = []
+                usable = True
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    st = rg.column(idx).statistics
+                    if st is None:
+                        usable = False
+                        break
+                    if st.has_min_max:
+                        try:
+                            los.append(st.min)
+                            his.append(st.max)
+                        except Exception:
+                            usable = False
+                            break
+                    elif (st.null_count or 0) != rg.num_rows:
+                        usable = False  # values present but unbounded
+                        break
+                if not usable:
+                    continue
+                if not los:
+                    stats[col] = [None, None]  # all-NULL: prunes any range
+                else:
+                    stats[col] = [
+                        self._stat_str(min(los)), self._stat_str(max(his))
+                    ]
+            out[os.path.relpath(full, self.path)] = (stats, md.num_rows)
+        return out
+
+    @staticmethod
     def _bucket_expr(bucket_by: list) -> F.Column:
         """Deterministic key-hash bucket id (Spark murmur3 via F.hash).
         The mapping must be recomputed identically at every commit, so
@@ -616,7 +704,16 @@ class ManifestTable:
         w = df.write.partitionBy(*dir_cols) if dir_cols else df.write
         for k, v in (writer_options or {}).items():
             w = w.option(k, v)
-        w.parquet(out)
+        # write timestamps as TIMESTAMP_MICROS (not Spark's default
+        # INT96, which parquet stores WITHOUT column statistics) so the
+        # footer-based stats pass below can zone-map timestamp columns
+        ts_conf = "spark.sql.parquet.outputTimestampType"
+        prev_ts = self.spark.conf.get(ts_conf)
+        self.spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
+        try:
+            w.parquet(out)
+        finally:
+            self.spark.conf.set(ts_conf, prev_ts)
         entries = []
         for dirpath, _dirs, files in os.walk(out):
             token, bucket = None, None
@@ -639,11 +736,30 @@ class ManifestTable:
                 entries.append(entry)
         if bloom is None and self.exists():
             bloom = self._raw().get("bloom")
-        stats = self._file_stats(
-            df.drop(PART_DIR_COL, BUCKET_DIR_COL).schema,
-            [os.path.join(self.path, e["path"]) for e in entries],
-            bloom=bloom,
-        )
+        data_schema = df.drop(PART_DIR_COL, BUCKET_DIR_COL).schema
+        paths = [os.path.join(self.path, e["path"]) for e in entries]
+        if bloom and any(
+            c in {f.name for f in data_schema.fields}
+            for c in bloom.get("cols", [])
+        ):
+            # blooms need a real pass over the rows; stats ride along in
+            # the same aggregate job as before
+            stats = self._file_stats(data_schema, paths, bloom=bloom)
+        else:
+            # zone maps + row counts from the parquet footers: no second
+            # Spark scan of the snapshot at commit time
+            stats = self._file_stats_footer(data_schema, paths)
+            dec_fields = [
+                f for f in data_schema.fields
+                if isinstance(f.dataType, T.DecimalType)
+            ]
+            if dec_fields and paths:
+                # pyarrow can't extract FLBA decimal footer stats — one
+                # column-pruned Spark pass covers exactly those columns
+                extra = self._file_stats(T.StructType(dec_fields), paths)
+                for pth, rec in extra.items():
+                    if pth in stats:
+                        stats[pth][0].update(rec[0])
         for e in entries:
             s = stats.get(e["path"])
             if s:

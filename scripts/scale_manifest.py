@@ -167,6 +167,72 @@ def run(spark, sf_dir: str) -> dict:
         "segments_final": len(tm._raw().get("segments", [])),
     }
 
+    # 2d) commit-LATENCY ladder (r6, VERDICT item 2): what a commit's
+    # wall time is actually made of at 10 / 200 / 2000 files — dataflow
+    # (snapshot write), stats collection (footer pass since r6; the r5
+    # format re-scanned the snapshot with a Spark job), and metadata IO
+    # (segment parquet + manifest JSON + pointer swap). For the segment
+    # IO we also time what the r4 MONOLITHIC format would have written
+    # instead (full inline entry list), measured not asserted.
+    out["commit_latency"] = []
+    for nf in (10, 200, 2000):
+        tl = ManifestTable(
+            spark, tempfile.mkdtemp(prefix=f"fk_lat_{nf}_"), "orders"
+        )
+        tl.segment_target = 64
+        tl.create(base.repartition(nf), partition_by="order_year")
+        phases: dict[str, float] = {}
+
+        def timed(name: str, fn):
+            def wrap(*a, **kw):
+                p0 = time.monotonic()
+                try:
+                    return fn(*a, **kw)
+                finally:
+                    phases[name] = phases.get(name, 0.0) + (
+                        time.monotonic() - p0
+                    )
+            return wrap
+
+        tl._write_snapshot = timed("snapshot_s", tl._write_snapshot)
+        tl._file_stats_footer = timed("stats_s", tl._file_stats_footer)
+        tl._file_stats = timed("stats_s", tl._file_stats)
+        tl._pack_segments = timed("segment_io_s", tl._pack_segments)
+        tl._commit = timed("manifest_io_s", tl._commit)
+        reps = 3
+        t0 = time.monotonic()
+        for i in range(reps):
+            step = base.filter(
+                (F.col("order_year") == year) & (F.col("o_orderkey") % 70 == i)
+            ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+            tl.merge(step, on="o_orderkey", use_dv=True)
+        wall = time.monotonic() - t0
+        # the r4 monolithic format's metadata write for ONE commit at
+        # this file count: serialize + fsync the full inline entry list
+        entries = tl.manifest()["entries"]
+        m0 = time.monotonic()
+        mono_path = os.path.join(tl.path, "_mono_probe.json")
+        with open(mono_path, "w") as fh:
+            json.dump({"entries": entries}, fh)
+        mono_s = time.monotonic() - m0
+        os.remove(mono_path)
+        out["commit_latency"].append(
+            {
+                "table_files": nf,
+                "commits": reps,
+                "avg_commit_s": round(wall / reps, 3),
+                "avg_snapshot_s": round(phases.get("snapshot_s", 0) / reps, 3),
+                "avg_stats_s": round(phases.get("stats_s", 0) / reps, 3),
+                "avg_segment_io_s": round(
+                    phases.get("segment_io_s", 0) / reps, 4
+                ),
+                "avg_manifest_io_s": round(
+                    phases.get("manifest_io_s", 0) / reps, 4
+                ),
+                "monolithic_meta_write_s": round(mono_s, 4),
+            }
+        )
+
     # 3) bucketed table, narrow batch: cell-level rewrite pruning
     t = table("cell", bucket_by=("o_orderkey", 16))
     total_files = len(t.files())

@@ -499,12 +499,13 @@ def test_compact_zorder_clusters_zone_maps(spark, tmp_path):
     that made every pre-compact file cover the whole value domain."""
     t = ManifestTable(spark, str(tmp_path), "zopt")
     # round-robin layout: each of 4 input files spans the FULL v domain,
-    # so zone maps are useless before clustering
+    # so zone maps are useless before clustering (no hash column — a
+    # hash collision can leave an EMPTY file, which footer stats rightly
+    # prune as zero-row, breaking the every-file-matches premise)
     df = spark.range(4000).select(
         F.col("id").alias("k"),
-        (F.col("id") % 4).cast("int").alias("shard"),
         (F.col("id") % 1000).alias("v"),
-    ).repartition(4, "shard").drop("shard")
+    ).repartition(4)
     t.create(df)
     before = t.files(where={"v": (0, 49)})
     assert len(before) == len(t.files())  # every file matches: no skipping
