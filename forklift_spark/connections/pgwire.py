@@ -5,8 +5,11 @@ against a real disposable `postgres` process in the test suite).
 
 ``PgWire`` speaks the PostgreSQL frontend/backend protocol v3 (public
 spec: https://www.postgresql.org/docs/current/protocol.html) directly
-over a socket: startup, trust/cleartext/md5 auth, simple-query. No
-driver jar, no client library — nothing to gate.
+over a socket: startup, trust/cleartext/md5/SCRAM-SHA-256 auth (the
+PostgreSQL 14+ default, RFC 7677 over AuthenticationSASL with mutual
+server-signature verification), simple-query, extended-protocol
+parameterized queries, and the COPY sub-protocol for bulk transfer.
+No driver jar, no client library — nothing to gate.
 
 Reads are DISTRIBUTED the Spark-JDBC way (reference parity:
 `transports/mysql.rb:28-52` pages rows through one connection; here N
@@ -20,11 +23,15 @@ executor tasks each open their OWN socket and scan one slice):
 - without a partition column the read is one task (correct, not
   parallel — same as JDBC).
 
-Writes batch multi-row INSERTs per partition over per-task sockets;
-``upsert`` is ``INSERT .. ON CONFLICT (pk) DO UPDATE`` (the reference's
-DELETE IN + INSERT upsert, `transports/mysql.rb:82-87`, expressed as
-PostgreSQL's native idempotent form). Row volume per statement is
-bounded (500) so the server's parser never sees unbounded SQL.
+Plain loads (append/truncate) stream through ``COPY FROM STDIN`` per
+partition — the production bulk form; ``upsert`` batches
+``INSERT .. ON CONFLICT (pk) DO UPDATE`` (the reference's DELETE IN +
+INSERT upsert, `transports/mysql.rb:82-87`, expressed as PostgreSQL's
+native idempotent form), each batch deduplicated by primary key
+(last-wins) because one statement may not touch a key twice. Row
+volume per statement is bounded (500) so the server's parser never
+sees unbounded SQL. Full-table reads/dumps can take ``use_copy=True``
+to stream slices via ``COPY (SELECT ...) TO STDOUT``.
 
 The text protocol returns every value as a string; converters are
 OID-keyed, so round-trips are type-faithful for the core types
@@ -114,6 +121,7 @@ class PgWire:
         )
 
     def _auth(self, user: str, password: str | None) -> None:
+        scram: dict | None = None
         while True:
             mtype, p = self._recv_msg()
             if mtype == b"R":
@@ -133,6 +141,23 @@ class PgWire:
                     ).hexdigest()
                     digest = hashlib.md5(inner.encode() + salt).hexdigest()
                     self._send(b"p", b"md5" + digest.encode() + b"\x00")
+                elif code == 10:  # AuthenticationSASL (RFC 5802/7677)
+                    if password is None:
+                        raise PgWireError("password required (scram-sha-256)")
+                    mechs = [m for m in p[4:].split(b"\x00") if m]
+                    if b"SCRAM-SHA-256" not in mechs:
+                        raise PgWireError(
+                            f"unsupported SASL mechanisms: {mechs}"
+                        )
+                    scram = self._scram_first()
+                elif code == 11:  # AuthenticationSASLContinue
+                    if scram is None:
+                        raise PgWireError("SASLContinue before SASL start")
+                    self._scram_final(scram, p[4:], password)
+                elif code == 12:  # AuthenticationSASLFinal
+                    if scram is None:
+                        raise PgWireError("SASLFinal before SASL start")
+                    self._scram_verify(scram, p[4:])
                 else:
                     raise PgWireError(f"unsupported auth method {code}")
             elif mtype == b"E":
@@ -140,6 +165,67 @@ class PgWire:
             elif mtype == b"Z":  # ReadyForQuery
                 return
             # 'S' ParameterStatus / 'K' BackendKeyData / 'N' Notice: skip
+
+    # -- SCRAM-SHA-256 (the PostgreSQL 14+ default password auth) ----------
+    _GS2 = b"n,,"  # no channel binding
+
+    def _scram_first(self) -> dict:
+        """SASLInitialResponse: gs2 header + client-first-message-bare.
+        The username rides the startup packet (pg ignores n=)."""
+        import base64
+        import os as _os
+
+        nonce = base64.b64encode(_os.urandom(18))
+        bare = b"n=,r=" + nonce
+        msg = self._GS2 + bare
+        self._send(
+            b"p",
+            b"SCRAM-SHA-256\x00" + struct.pack(">i", len(msg)) + msg,
+        )
+        return {"nonce": nonce, "bare": bare}
+
+    def _scram_final(self, scram: dict, server_first: bytes, password: str) -> None:
+        """client-final-message with the proof (RFC 5802 §3): PBKDF2 the
+        password with the server's salt/iterations, prove possession of
+        ClientKey without sending it."""
+        import base64
+        import hmac as _hmac
+
+        attrs = dict(
+            kv.split(b"=", 1) for kv in server_first.split(b",") if b"=" in kv
+        )
+        srv_nonce, salt_b64, iters = attrs[b"r"], attrs[b"s"], int(attrs[b"i"])
+        if not srv_nonce.startswith(scram["nonce"]):
+            raise PgWireError("SCRAM server nonce does not extend ours")
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", password.encode(), base64.b64decode(salt_b64), iters
+        )
+        client_key = _hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        final_bare = b"c=" + base64.b64encode(self._GS2) + b",r=" + srv_nonce
+        auth_msg = scram["bare"] + b"," + server_first + b"," + final_bare
+        sig = _hmac.new(stored_key, auth_msg, hashlib.sha256).digest()
+        proof = bytes(a ^ b for a, b in zip(client_key, sig))
+        scram["server_key"] = _hmac.new(
+            salted, b"Server Key", hashlib.sha256
+        ).digest()
+        scram["auth_msg"] = auth_msg
+        self._send(b"p", final_bare + b",p=" + base64.b64encode(proof))
+
+    def _scram_verify(self, scram: dict, server_final: bytes) -> None:
+        """Check v=ServerSignature — mutual auth: a server that never
+        knew the password can't forge this."""
+        import base64
+        import hmac as _hmac
+
+        attrs = dict(
+            kv.split(b"=", 1) for kv in server_final.split(b",") if b"=" in kv
+        )
+        want = _hmac.new(
+            scram["server_key"], scram["auth_msg"], hashlib.sha256
+        ).digest()
+        if base64.b64decode(attrs.get(b"v", b"")) != want:
+            raise PgWireError("SCRAM server signature mismatch")
 
     def query(self, sql: str) -> tuple[list[tuple[str, int]], list[list[str | None]]]:
         """Simple-query: returns (fields [(name, type_oid)], rows of
@@ -261,6 +347,55 @@ class PgWire:
             # '1' ParseComplete / '2' BindComplete / 'n' NoData /
             # 'C' CommandComplete / 'N' Notice / 'S' ParameterStatus: skip
 
+    # -- COPY sub-protocol (the bulk transfer form; reference analog:
+    # `mysqldump` S9, transports/mysql.rb:209-232) ------------------------
+    def copy_out(self, sql: str) -> Iterator[bytes]:
+        """``COPY ... TO STDOUT``: yield raw CopyData payloads (text
+        format; a payload may hold part of a line — callers buffer and
+        split on newlines). The generator must be exhausted."""
+        self._send(b"Q", sql.encode() + b"\x00")
+        err: PgWireError | None = None
+        while True:
+            mtype, p = self._recv_msg()
+            if mtype == b"d":  # CopyData
+                yield p
+            elif mtype == b"E":
+                err = self._error(p)  # drain to ReadyForQuery
+            elif mtype == b"Z":
+                if err is not None:
+                    raise err
+                return
+            # 'H' CopyOutResponse / 'c' CopyDone / 'C' / 'N' / 'S': skip
+
+    def copy_in(self, sql: str, chunks) -> int:
+        """``COPY ... FROM STDIN``: stream ``chunks`` (bytes of text-
+        format lines) as CopyData frames; returns the server's row
+        count. A failing producer sends CopyFail so the server aborts
+        the load instead of hanging."""
+        self._send(b"Q", sql.encode() + b"\x00")
+        tag = ""
+        err: PgWireError | None = None
+        while True:
+            mtype, p = self._recv_msg()
+            if mtype == b"G":  # CopyInResponse
+                try:
+                    for ch in chunks:
+                        if ch:
+                            self._send(b"d", ch)
+                except Exception as exc:
+                    self._send(b"f", str(exc).encode()[:200] + b"\x00")
+                    raise
+                self._send(b"c", b"")  # CopyDone
+            elif mtype == b"C":
+                tag = p.rstrip(b"\x00").decode()
+            elif mtype == b"E":
+                err = self._error(p)
+            elif mtype == b"Z":
+                if err is not None:
+                    raise err
+                return int(tag.split()[-1]) if tag.startswith("COPY") else 0
+            # 'N' / 'S': skip
+
     def close(self) -> None:
         try:
             self._send(b"X", b"")  # Terminate
@@ -343,6 +478,72 @@ def _literal(v) -> str:
     if isinstance(v, datetime.date):
         return "'" + v.isoformat() + "'"
     return "'" + str(v).replace("'", "''") + "'"
+
+
+# -- COPY text-format codec ---------------------------------------------
+# Field values use the SAME text renderings as the simple-query protocol
+# (so the OID converters above apply after unescaping), wrapped in the
+# COPY TEXT framing: tab field separator, newline row terminator, \N for
+# NULL, and backslash escapes for the framing/control characters.
+
+_COPY_ESC = str.maketrans({
+    "\\": "\\\\", "\b": "\\b", "\f": "\\f", "\n": "\\n",
+    "\r": "\\r", "\t": "\\t", "\v": "\\v",
+})
+_COPY_UNESC = {
+    "\\": "\\", "b": "\b", "f": "\f", "n": "\n",
+    "r": "\r", "t": "\t", "v": "\v",
+}
+
+
+def _copy_field(v) -> str:
+    """One value in COPY TEXT form (NULL -> \\N, then value text with
+    framing characters escaped)."""
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, (bytes, bytearray)):
+        s = "\\x" + bytes(v).hex()
+    elif isinstance(v, datetime.datetime):
+        s = v.isoformat(sep=" ")
+    elif isinstance(v, datetime.date):
+        s = v.isoformat()
+    else:
+        s = str(v)
+    return s.translate(_COPY_ESC)
+
+
+def _copy_unescape(s: str) -> str:
+    if "\\" not in s:
+        return s
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            out.append(_COPY_UNESC.get(s[i + 1], s[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _copy_lines(payloads) -> Iterator[str]:
+    """Reassemble CopyData payloads into complete text lines (a payload
+    may split mid-line; the final payload may lack a trailing newline)."""
+    buf = b""
+    for p in payloads:
+        buf += p
+        while True:
+            nl = buf.find(b"\n")
+            if nl < 0:
+                break
+            yield buf[:nl].decode()
+            buf = buf[nl + 1:]
+    if buf:
+        yield buf.decode()
 
 
 _SPARK_PG_TYPES: list[tuple[type, str]] = [
@@ -465,6 +666,7 @@ class PostgresConnection(Connection):
         num_partitions: int = 8,
         lower_bound: int | None = None,
         upper_bound: int | None = None,
+        use_copy: bool = False,
         **kwargs,
     ) -> DataFrame:
         rel = query_or_table.strip()
@@ -522,8 +724,22 @@ class PostgresConnection(Connection):
             for pdf in batches:
                 for pred in pdf["pred"]:
                     sql = base_sql if pred == "" else f"{base_sql} WHERE {pred}"
-                    with PgWire(**params) as c:
-                        _flds, rows = c.query(sql)
+                    if use_copy:
+                        # bulk form: the slice streams through the COPY
+                        # sub-protocol (server-side text formatting, one
+                        # frame per chunk) instead of per-row DataRows
+                        rows = []
+                        with PgWire(**params) as c:
+                            for line in _copy_lines(
+                                c.copy_out(f"COPY ({sql}) TO STDOUT")
+                            ):
+                                rows.append([
+                                    None if f == "\\N" else _copy_unescape(f)
+                                    for f in line.split("\t")
+                                ])
+                    else:
+                        with PgWire(**params) as c:
+                            _flds, rows = c.query(sql)
                     data = {
                         name: [
                             convs[j](r[j]) if r[j] is not None else None
@@ -575,33 +791,66 @@ class PostgresConnection(Connection):
         if mode in ("upsert", "merge"):
             sets = ", ".join(f"{c0} = EXCLUDED.{c0}" for c0 in cols if c0 != primary_key)
             suffix = f" ON CONFLICT ({primary_key}) DO UPDATE SET {sets}"
-        else:
-            suffix = ""
 
-        def sink(rows_iter) -> None:
-            buf = []
-            client = None
-            try:
-                for row in rows_iter:
-                    buf.append(
-                        "(" + ", ".join(_literal(row[c0]) for c0 in cols) + ")"
-                    )
-                    if len(buf) >= batch:
+            def sink(rows_iter) -> None:
+                # ON CONFLICT DO UPDATE aborts if one statement touches
+                # the same key twice ("cannot affect row a second time")
+                # — dedup each batch by primary key, LAST occurrence
+                # wins, matching the merge contract
+                buf: dict = {}
+                client = None
+                try:
+                    for row in rows_iter:
+                        buf[row[primary_key]] = (
+                            "(" + ", ".join(_literal(row[c0]) for c0 in cols) + ")"
+                        )
+                        if len(buf) >= batch:
+                            client = client or PgWire(**params)
+                            client.execute(
+                                f"INSERT INTO {table} ({collist}) VALUES "
+                                + ", ".join(buf.values()) + suffix
+                            )
+                            buf.clear()
+                    if buf:
                         client = client or PgWire(**params)
                         client.execute(
                             f"INSERT INTO {table} ({collist}) VALUES "
-                            + ", ".join(buf) + suffix
+                            + ", ".join(buf.values()) + suffix
                         )
-                        buf.clear()
-                if buf:
-                    client = client or PgWire(**params)
-                    client.execute(
-                        f"INSERT INTO {table} ({collist}) VALUES "
-                        + ", ".join(buf) + suffix
+                finally:
+                    if client is not None:
+                        client.close()
+
+        else:
+            # plain loads (append / freshly-truncated) take the COPY
+            # sub-protocol: one streamed statement per partition instead
+            # of thousands of parsed multi-row INSERT literals — the
+            # production bulk form (S9/P4 analog)
+            def sink(rows_iter) -> None:
+                def chunks():
+                    lines: list[str] = []
+                    for row in rows_iter:
+                        lines.append(
+                            "\t".join(_copy_field(row[c0]) for c0 in cols)
+                            + "\n"
+                        )
+                        if len(lines) >= batch:
+                            yield "".join(lines).encode()
+                            lines.clear()
+                    if lines:
+                        yield "".join(lines).encode()
+
+                first = next(chunks_iter := chunks(), None)
+                if first is None:
+                    return  # empty partition: skip the round trip
+                def rechain():
+                    yield first
+                    yield from chunks_iter
+
+                with PgWire(**params) as c:
+                    c.copy_in(
+                        f"COPY {table} ({collist}) FROM STDIN", rechain()
                     )
-            finally:
-                if client is not None:
-                    client.close()
 
         df.foreachPartition(sink)
         self.engine.logger.log(f"pg wrote {table} ({mode}) in {self.name}")
@@ -616,6 +865,26 @@ class PostgresConnection(Connection):
             f"SELECT * FROM {table} WHERE {matcher} >= {_literal(since)} "
             f"ORDER BY {matcher}"
         )
+
+    def dump(self, dest_dir: str, tables: list[str] | None = None, fmt: str = "csv") -> list[str]:
+        """Endpoint snapshot via the COPY sub-protocol (S9 parity with
+        the reference's `mysqldump` pipe, `transports/mysql.rb:209-232`):
+        each table streams COPY TO STDOUT into the executors, then lands
+        as gzip'd csv or parquet like every other connector's dump."""
+        import os
+
+        done = []
+        for t in tables if tables is not None else self.tables():
+            df = self.read(t, use_copy=True)
+            out = os.path.join(dest_dir, t)
+            if fmt == "parquet":
+                df.write.mode("overwrite").parquet(out)
+            else:
+                df.write.mode("overwrite").option("header", True).option(
+                    "compression", "gzip"
+                ).csv(out)
+            done.append(t)
+        return done
 
     # -- utilities (P10) ---------------------------------------------------------
     def tables(self) -> list[str]:

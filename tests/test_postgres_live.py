@@ -238,3 +238,140 @@ def test_extended_protocol_parameterized_query(pg_server):
         with pytest.raises(PgWireError):
             c.query_params("SELECT * FROM no_such_tbl WHERE x = $1", [1])
         assert c.query("SELECT 7")[1] == [["7"]]
+
+
+# -- r6: SCRAM-SHA-256 auth (ADVICE r5: pg14+ default), COPY bulk path ------
+
+
+@pytest.fixture(scope="session")
+def scram_user(pg_server):
+    """A role whose hba line forces scram-sha-256 (the modern default;
+    the disposable server itself runs trust for the suite)."""
+    from forklift_spark.connections.pgwire import PgWire
+
+    with PgWire(**pg_server) as c:
+        c.execute("SET password_encryption = 'scram-sha-256'")
+        c.execute("CREATE ROLE scramuser LOGIN PASSWORD 'sekrit-42'")
+        hba = c.query("SHOW hba_file")[1][0][0]
+    with open(hba) as fh:
+        rules = fh.read()
+    with open(hba, "w") as fh:  # first match wins: scram line on top
+        fh.write(
+            "host all scramuser 127.0.0.1/32 scram-sha-256\n" + rules
+        )
+    with PgWire(**pg_server) as c:
+        c.execute("SELECT pg_reload_conf()")
+    return {"user": "scramuser", "password": "sekrit-42"}
+
+
+def test_scram_sha256_auth_live(pg_server, scram_user):
+    from forklift_spark.connections.pgwire import PgWire, PgWireError
+
+    params = dict(pg_server, **scram_user)
+    with PgWire(**params) as c:  # full RFC 7677 exchange incl. server sig
+        assert c.query("SELECT current_user")[1] == [["scramuser"]]
+    with pytest.raises(PgWireError, match="28P01|password"):
+        PgWire(**dict(params, password="wrong"))
+    with pytest.raises(PgWireError, match="password required"):
+        PgWire(**dict(params, password=None))
+
+
+def test_copy_roundtrip_byte_equal(pg_server):
+    """COPY both directions: rows with every framing hazard (tabs,
+    newlines, backslashes, NULLs, bytea) survive FROM STDIN -> TO STDOUT
+    with field-exact equality."""
+    from forklift_spark.connections.pgwire import (
+        PgWire, _copy_field, _copy_lines, _copy_unescape,
+    )
+
+    rows = [
+        (1, "plain", b"\x00\xff"),
+        (2, "tab\there", None),
+        (3, "new\nline and back\\slash", b"\xde\xad"),
+        (4, None, b""),
+    ]
+    with PgWire(**pg_server) as c:
+        c.execute("DROP TABLE IF EXISTS copy_rt")
+        c.execute("CREATE TABLE copy_rt (k int, s text, raw bytea)")
+        lines = [
+            "\t".join(_copy_field(v) for v in r) + "\n" for r in rows
+        ]
+        n = c.copy_in("COPY copy_rt (k, s, raw) FROM STDIN", 
+                      [l.encode() for l in lines])
+        assert n == len(rows)
+    with PgWire(**pg_server) as c:
+        got = []
+        for line in _copy_lines(c.copy_out(
+            "COPY (SELECT k, s, raw FROM copy_rt ORDER BY k) TO STDOUT"
+        )):
+            f = [None if x == "\\N" else _copy_unescape(x)
+                 for x in line.split("\t")]
+            got.append((
+                int(f[0]),
+                f[1],
+                bytes.fromhex(f[2][2:]) if f[2] is not None else None,
+            ))
+    assert got == [(k, s, (bytes(b) if b is not None else None))
+                   for k, s, b in rows]
+
+
+def test_copy_in_failure_aborts_cleanly(pg_server):
+    from forklift_spark.connections.pgwire import PgWire, PgWireError
+
+    with PgWire(**pg_server) as c:
+        c.execute("DROP TABLE IF EXISTS copy_fail")
+        c.execute("CREATE TABLE copy_fail (k int)")
+
+        def boom():
+            yield b"1\n"
+            raise RuntimeError("producer died")
+
+        with pytest.raises(RuntimeError, match="producer died"):
+            c.copy_in("COPY copy_fail FROM STDIN", boom())
+    with PgWire(**pg_server) as c:  # aborted load left nothing behind
+        assert c.query("SELECT count(*) FROM copy_fail")[1] == [["0"]]
+
+
+def test_bulk_write_uses_copy_and_matches(conn, spark):
+    """The append/truncate sink streams COPY FROM STDIN per partition;
+    a read (sliced SELECT) and a use_copy read agree exactly."""
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v\t"), F.col("id").cast("string")).alias("s"),
+        (F.col("id") % 7 == 0).alias("flag"),
+    ).repartition(4)
+    conn.drop("bulk_copy")
+    conn.write(df, "bulk_copy", mode="append")
+    assert conn.count("bulk_copy") == 2000
+    plain = {tuple(r) for r in conn.read("bulk_copy").collect()}
+    copied = {tuple(r) for r in conn.read("bulk_copy", use_copy=True,
+                                          partition_column="k").collect()}
+    want = {tuple(r) for r in df.collect()}
+    assert plain == want and copied == want
+
+
+def test_upsert_batch_with_duplicate_keys(conn, spark):
+    """ADVICE r5: a source batch holding the same primary key twice must
+    not abort the statement — last occurrence wins within the batch."""
+    conn.drop("dup_upsert")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    conn.write(base, "dup_upsert", mode="upsert", primary_key="k")
+    dup = spark.createDataFrame(
+        [(1, "first"), (1, "second"), (3, "c"), (1, "third")],
+        "k int, s string",
+    ).coalesce(1)  # same statement batch
+    conn.write(dup, "dup_upsert", mode="upsert", primary_key="k")
+    got = {tuple(r) for r in conn.read("dup_upsert").collect()}
+    assert got == {(1, "third"), (2, "b"), (3, "c")}
+
+
+def test_pg_dump_via_copy(conn, spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None)], "k int, s string"
+    )
+    conn.drop("dump_me")
+    conn.write(df, "dump_me", mode="append")
+    done = conn.dump(str(tmp_path), tables=["dump_me"], fmt="parquet")
+    assert done == ["dump_me"]
+    back = spark.read.parquet(str(tmp_path / "dump_me"))
+    assert {tuple(r) for r in back.collect()} == {(1, "x"), (2, "y"), (3, None)}
