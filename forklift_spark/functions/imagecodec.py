@@ -343,6 +343,68 @@ def decode_bytes(raw: bytes) -> DecodedImage:
     raise ImageDecodeError(f"unsupported image format (magic {raw[:4]!r})")
 
 
+def decode_headers(raw: bytes) -> DecodedImage:
+    """HEADER-ONLY decode: dimensions / mode / format from the container
+    header alone — the raster is never inflated, unfiltered, or even
+    touched (``pixels`` is empty). This is the measured ~8x throughput
+    path (scripts/media_throughput.py) for metadata-class pipelines:
+    resolution filters, aspect-ratio stats, corrupt-container triage at
+    ingest — anything that doesn't need pixel values. Validation is
+    header-deep by design: a truncated raster passes (the raster is not
+    read), a malformed header still raises ImageDecodeError."""
+    if raw[:2] in (b"P5", b"P6"):
+        (width, height, maxval), _off = _read_pnm_header(raw)
+        if width <= 0 or height <= 0 or not (0 < maxval < 256):
+            raise ImageDecodeError(f"bad PNM header {width}x{height}/{maxval}")
+        return DecodedImage(
+            width, height, "RGB" if raw[:2] == b"P6" else "L", b"",
+            "PPM" if raw[:2] == b"P6" else "PGM",
+        )
+    if raw[:2] == b"BM":
+        if len(raw) < 54:
+            raise ImageDecodeError("BMP header truncated")
+        hdr_size = struct.unpack_from("<I", raw, 14)[0]
+        if hdr_size < 40:
+            raise ImageDecodeError(f"unsupported BMP DIB header size {hdr_size}")
+        width, height_raw = struct.unpack_from("<ii", raw, 18)
+        bpp = struct.unpack_from("<H", raw, 28)[0]
+        compression = struct.unpack_from("<I", raw, 30)[0]
+        if compression != 0:
+            raise ImageDecodeError(f"unsupported BMP compression {compression}")
+        if bpp != 24:
+            raise ImageDecodeError(f"unsupported BMP bpp {bpp} (24 only)")
+        if width <= 0 or height_raw == 0:
+            raise ImageDecodeError(f"bad BMP dimensions {width}x{height_raw}")
+        return DecodedImage(width, abs(height_raw), "RGB", b"", "BMP")
+    if raw[:8] == PNG_SIG:
+        import zlib
+
+        if len(raw) < 33 or raw[12:16] != b"IHDR":
+            raise ImageDecodeError("PNG missing IHDR")
+        data = raw[16:29]
+        (crc,) = struct.unpack_from(">I", raw, 29)
+        if zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF != crc:
+            raise ImageDecodeError("PNG chunk b'IHDR' CRC mismatch")
+        width, height, depth, color, comp, filt, interlace = struct.unpack(
+            ">IIBBBBB", data
+        )
+        if width <= 0 or height <= 0:
+            raise ImageDecodeError(f"bad PNG dimensions {width}x{height}")
+        if depth != 8:
+            raise ImageDecodeError(f"unsupported PNG bit depth {depth} (8 only)")
+        if color not in _PNG_CHANNELS:
+            raise ImageDecodeError(f"unsupported PNG color type {color}")
+        if comp != 0 or filt != 0:
+            raise ImageDecodeError("unsupported PNG compression/filter method")
+        if interlace != 0:
+            raise ImageDecodeError("interlaced PNG not supported")
+        # mode mirrors decode_png's output surface (palette/alpha -> RGB/L)
+        return DecodedImage(
+            width, height, "L" if color in (0, 4) else "RGB", b"", "PNG"
+        )
+    raise ImageDecodeError(f"unsupported image format (magic {raw[:4]!r})")
+
+
 def resize_nearest(img: DecodedImage, new_w: int, new_h: int) -> DecodedImage:
     """Nearest-neighbor resample — deterministic (pure integer index
     arithmetic), so resized outputs are engine/test reproducible."""

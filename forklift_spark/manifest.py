@@ -1048,8 +1048,21 @@ class ManifestTable:
             # rewrites change the file ref), so a shared dv dir referenced
             # by several entries at different commit ages contributes only
             # duplicate/stale-subset pairs — harmless to an anti-join
-            if sum(e.get("dv_rows", 0) for e in entries) <= self.dv_broadcast_rows:
+            dv_total = sum(e.get("dv_rows", 0) for e in entries)
+            if dv_total <= self.dv_broadcast_rows:
                 dv = F.broadcast(dv)
+            else:
+                # surface the degradation AT READ TIME, not only in
+                # fsck: past the bound every read pays a shuffled
+                # anti-join until maintenance folds the masks back in
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "%s: %d deletion-vector rows exceed the broadcast "
+                    "bound (%d) — this read shuffles the dv anti-join; "
+                    "run maintain() or compact(auto_dv=True)",
+                    self.table, dv_total, self.dv_broadcast_rows,
+                )
             df = df.join(
                 dv,
                 (df["__ref"] == dv["file_ref"]) & (df["__pos"] == dv["pos"]),

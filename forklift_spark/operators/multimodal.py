@@ -593,6 +593,67 @@ def image_pixel_features(
     return src.mapInPandas(run, IMAGE_PIXEL_SCHEMA)
 
 
+IMAGE_HEADER_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("n_pixels", T.LongType()),
+    T.StructField("channels", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("decode_error", T.StringType()),
+])
+
+
+def image_header_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """HEADER-ONLY image metadata over a binary column: dimensions /
+    channel count / container format parsed from the header alone — the
+    raster is never decoded (functions/imagecodec.py decode_headers, the
+    measured ~8x throughput path vs the pixel decoder; see
+    scripts/media_throughput.py and SCALING.md §Python boundary). This
+    is the right operator for the metadata class of a curation pipeline
+    — resolution/aspect filters, format census, corrupt-header triage —
+    where paying a full decode per image buys nothing. Same contract as
+    the pixel operator: Arrow-batched ``mapInPandas``, no shuffle,
+    per-row corrupt degradation into ``decode_error``."""
+    from forklift_spark.functions.imagecodec import (
+        ImageDecodeError, decode_headers,
+    )
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    cols = [f.name for f in IMAGE_HEADER_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    img = decode_headers(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    ch = {"RGB": 3, "L": 1}[img.mode]
+                    row = {
+                        "width": img.width,
+                        "height": img.height,
+                        "n_pixels": img.width * img.height,
+                        "channels": ch,
+                        "format": img.format,
+                        "decode_error": None,
+                    }
+                except ImageDecodeError as e:
+                    row = {c: None for c in cols if c != "doc_id"}
+                    row["decode_error"] = str(e)
+                out["doc_id"].append(doc_id)
+                for c, v in row.items():
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, IMAGE_HEADER_SCHEMA)
+
+
 # --------------------------------------------------------------------------
 # Video: real AVI decode via the vendored pure-Python codec
 # --------------------------------------------------------------------------

@@ -117,6 +117,43 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q_image_headers — HEADER-ONLY image metadata (r6, VERDICT item 7):
+# the same genuine PNG payloads as q_image_features, but only the
+# signature + IHDR chunk (CRC-checked) are parsed — the ~8x-throughput
+# metadata path for resolution/format curation filters
+# (functions/imagecodec.py decode_headers through operators/
+# multimodal.py image_header_features). The oracle replays
+# dimensions/channels from the same closed form, certifying that the
+# header walk alone recovers exactly what the full decode reports.
+# --------------------------------------------------------------------------
+IMAGE_HEADERS_ORACLE = """
+SELECT doc_id,
+  CAST(3 + doc_id % 6 AS BIGINT) AS width,
+  CAST(2 + doc_id % 5 AS BIGINT) AS height,
+  CAST((3 + doc_id % 6) * (2 + doc_id % 5) AS BIGINT) AS n_pixels,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS BIGINT) AS channels,
+  'PNG' AS format,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("q_image_headers", IMAGE_HEADERS_ORACLE)
+def q_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    feats = M.image_header_features(M.attach_fake_png(docs))
+    # header-deep contract: zero decode errors on well-formed payloads
+    return (
+        feats.filter(F.col("decode_error").isNull())
+        .groupBy("doc_id", "width", "height", "n_pixels", "channels", "format")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # q_audio_features — REAL audio decode: every row carries a genuine
 # PCM16 WAV payload (RIFF container built by attach_fake_wav); the
 # operator parses the container with the vendored pure-Python codec and

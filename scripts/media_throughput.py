@@ -126,6 +126,15 @@ def main() -> None:
     image_pixel_features(payload, decoder=_header_only_decoder).count()
     probe = time.monotonic() - t0
 
+    # the SHIPPED header-only operator (r6: decode_headers first-class,
+    # dims/format via CRC-checked header walk, raster untouched)
+    from forklift_spark.operators.multimodal import image_header_features
+
+    image_header_features(payload).count()  # warm
+    t0 = time.monotonic()
+    image_header_features(payload).count()
+    hdr_op = time.monotonic() - t0
+
     out = {
         "sf_dir": sf_dir,
         "rows": n,
@@ -141,6 +150,11 @@ def main() -> None:
             "sec": round(probe, 2),
             "rows_per_sec": round(n / probe),
             "codec_headroom_x": round(full / probe, 1),
+        },
+        "image_header_features_operator": {
+            "sec": round(hdr_op, 2),
+            "rows_per_sec": round(n / hdr_op),
+            "speedup_vs_full_decode_x": round(full / hdr_op, 1),
         },
     }
     print(json.dumps(out))

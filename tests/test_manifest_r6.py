@@ -237,6 +237,23 @@ def test_apply_changes_deletes_only_and_empty(table, spark):
     assert stats["rows_masked"] == 0
 
 
+# -- VERDICT r5 item 8: dv pressure surfaces at read time -------------------
+
+
+def test_dv_read_warns_past_broadcast_bound(table, caplog):
+    import logging
+
+    table.delete(F.col("k") == 5, use_dv=True)
+    with caplog.at_level(logging.WARNING, logger="forklift_spark.manifest"):
+        table.read().count()
+    assert not [r for r in caplog.records if "broadcast bound" in r.message]
+    table.dv_broadcast_rows = 0  # shrink the bound: same read now shuffles
+    with caplog.at_level(logging.WARNING, logger="forklift_spark.manifest"):
+        assert table.read().count() == 29  # still correct, just shuffled
+    hits = [r for r in caplog.records if "broadcast bound" in r.message]
+    assert hits and "maintain()" in hits[0].message
+
+
 # -- VERDICT r5 item 3: metadata-pruned maintenance audits ------------------
 
 

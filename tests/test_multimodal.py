@@ -716,3 +716,76 @@ def test_decoder_seam_swaps_codec(spark):
     assert ok.decode_error is None
     # degradation contract survives the swap: corrupt row -> error, not crash
     assert bad.width is None and "fake: unreadable" in bad.decode_error
+
+
+# -- r6: header-only decode (VERDICT item 7) --------------------------------
+
+
+def test_decode_headers_matches_full_decode_dims():
+    """Header walk must recover exactly the full decoder's dims / mode /
+    format on every supported container."""
+    from forklift_spark.functions.imagecodec import (
+        decode_bytes, decode_headers, encode_bmp, encode_png, encode_ppm,
+    )
+
+    px_rgb = bytes((j * 5 + 3) % 256 for j in range(7 * 4 * 3))
+    px_l = bytes((j * 9 + 1) % 256 for j in range(6 * 3))
+    payloads = [
+        encode_ppm(7, 4, "RGB", px_rgb),
+        encode_ppm(6, 3, "L", px_l),
+        encode_bmp(7, 4, px_rgb),
+        encode_png(7, 4, "RGB", px_rgb),
+        encode_png(6, 3, "L", px_l),
+    ]
+    for raw in payloads:
+        full, hdr = decode_bytes(raw), decode_headers(raw)
+        assert (hdr.width, hdr.height, hdr.mode, hdr.format) == (
+            full.width, full.height, full.mode, full.format
+        )
+        assert hdr.pixels == b""  # the raster is never materialized
+
+
+def test_decode_headers_is_header_deep():
+    """Validation stops at the header BY DESIGN: a truncated raster
+    passes the header probe (full decode rejects it); a corrupted
+    header raises in both."""
+    import pytest as _pytest
+
+    from forklift_spark.functions.imagecodec import (
+        ImageDecodeError, decode_bytes, decode_headers, encode_png,
+    )
+
+    raw = encode_png(8, 8, "RGB", bytes(8 * 8 * 3))
+    truncated = raw[: len(raw) - 20]  # IDAT tail gone, IHDR intact
+    hdr = decode_headers(truncated)
+    assert (hdr.width, hdr.height) == (8, 8)
+    with _pytest.raises(ImageDecodeError):
+        decode_bytes(truncated)
+    # flip one IHDR byte: the CRC check must catch it header-side too
+    bad = bytearray(raw)
+    bad[17] ^= 0xFF  # width byte
+    with _pytest.raises(ImageDecodeError, match="CRC"):
+        decode_headers(bytes(bad))
+    with _pytest.raises(ImageDecodeError):
+        decode_headers(b"not an image at all")
+
+
+def test_image_header_features_operator(with_payload, spark):
+    """Operator contract: dims agree with the pixel operator row-for-row
+    on real PNGs; corrupt rows degrade per-row, never kill the scan."""
+    src = M.attach_fake_png(with_payload.select("doc_id").limit(40))
+    hdr = {r.doc_id: r for r in M.image_header_features(src).collect()}
+    pix = {r.doc_id: r for r in M.image_pixel_features(src).collect()}
+    assert set(hdr) == set(pix) and hdr
+    for k, hrow in hdr.items():
+        assert hrow.decode_error is None
+        assert (hrow.width, hrow.height, hrow.n_pixels) == (
+            pix[k].width, pix[k].height, pix[k].n_pixels
+        )
+        assert hrow.format == "PNG" and hrow.channels in (1, 3)
+    corrupt = spark.createDataFrame(
+        [(1, bytearray(b"JUNK")), (2, None)], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in M.image_header_features(corrupt).collect()}
+    assert rows[1].decode_error and rows[1].width is None
+    assert rows[2].decode_error
