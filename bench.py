@@ -99,6 +99,7 @@ HEADLINE = [
     "q_media_metadata",
     "q_frame_sample",
     "q_audio_features",
+    "q_image_headers",
     "q_corpus_curation",
     "q_skew_audit",
     "q_substring_dedup",

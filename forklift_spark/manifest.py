@@ -118,26 +118,30 @@ _TIME_TRAVEL_RE = None  # compiled lazily (re imported on first use)
 
 
 def rewrite_time_travel(sql: str, resolve) -> str:
-    """Rewrite every ``<name> VERSION AS OF <n>`` whose ``name``
-    ``resolve(name)`` maps to a ManifestTable into a registered snapshot
-    temp view ``<name>__v<n>`` (aliases after the clause keep working).
-    Unknown names pass through untouched so mixed-source SQL still
-    parses. Returns the rewritten SQL; views registered as a side
-    effect."""
+    """Rewrite every ``<name> VERSION AS OF <n>`` and ``<name>
+    TIMESTAMP AS OF '<ts>'`` whose ``name`` ``resolve(name)`` maps to a
+    ManifestTable into a registered snapshot temp view (aliases after
+    the clause keep working). Timestamps resolve to the newest version
+    committed at or before the instant (``version_at``). Unknown names
+    pass through untouched so mixed-source SQL still parses. Returns
+    the rewritten SQL; views registered as a side effect."""
     import re
 
     global _TIME_TRAVEL_RE
     if _TIME_TRAVEL_RE is None:
         _TIME_TRAVEL_RE = re.compile(
-            r"\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)",
+            r"\b([A-Za-z_][A-Za-z0-9_]*)\s+"
+            r"(?:VERSION\s+AS\s+OF\s+(\d+)"
+            r"|TIMESTAMP\s+AS\s+OF\s+'([^']+)')",
             re.IGNORECASE,
         )
 
     def sub(m):
-        name, v = m.group(1), int(m.group(2))
+        name = m.group(1)
         t = resolve(name)
         if t is None:
             return m.group(0)
+        v = int(m.group(2)) if m.group(2) else t.version_at(m.group(3))
         view = f"{name}__v{v}"
         t.read(version=v).createOrReplaceTempView(view)
         return view
@@ -148,6 +152,11 @@ def rewrite_time_travel(sql: str, resolve) -> str:
 class CommitConflict(RuntimeError):
     """Another writer committed this version first (optimistic-concurrency
     loser; re-read and retry — the analog of a Delta protocol conflict)."""
+
+
+class ConstraintViolation(ValueError):
+    """A commit's batch broke a table CHECK constraint — nothing was
+    referenced; the table is unchanged."""
 
 
 def _merge_schemas(current: T.StructType, incoming: T.StructType) -> T.StructType:
@@ -249,12 +258,49 @@ class ManifestTable:
                 {
                     "version": v,
                     "operation": m.get("operation"),
+                    "committed_at": self._committed_at(v, m),
                     "touched_partitions": m.get("touched_partitions"),
                     "n_files": n,
                     "bytes": b,
                 }
             )
         return out
+
+    def _committed_at(self, v: int, m: dict | None = None) -> float:
+        """Commit instant (epoch seconds). Manifests predating the r6
+        stamp fall back to the manifest file's mtime — same clock, set
+        at the same moment the stamped value would have been."""
+        m = self._raw(v) if m is None else m
+        ts = m.get("committed_at")
+        if ts is not None:
+            return float(ts)
+        return os.path.getmtime(os.path.join(self.path, f"manifest-v{v}.json"))
+
+    def version_at(self, ts) -> int:
+        """TIMESTAMP AS OF resolution: the newest retained version
+        committed at or before ``ts`` (epoch seconds, datetime, or an
+        ISO string — naive strings read as UTC, matching the engine's
+        session timezone). Raises KeyError when ``ts`` predates the
+        oldest retained commit — vacuumed history can't silently
+        resolve to a wrong snapshot."""
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        if isinstance(ts, _dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            ts = ts.timestamp()
+        ts = float(ts)
+        best = None
+        for v in self.versions():
+            if self._committed_at(v) <= ts and (best is None or v > best):
+                best = v
+        if best is None:
+            raise KeyError(
+                f"{self.table}: no version committed at or before {ts}"
+            )
+        return best
 
     # -- metadata segments ----------------------------------------------------
     # Entry lists are stored as immutable parquet files under metadata/
@@ -489,7 +535,12 @@ class ManifestTable:
     def _commit(self, manifest: dict) -> int:
         """Write the immutable manifest, then atomically swap the pointer.
         The manifest write uses O_EXCL so two racing writers of the same
-        next-version fail loudly instead of last-write-wins."""
+        next-version fail loudly instead of last-write-wins. Every
+        commit is stamped ``committed_at`` (epoch seconds) — the basis
+        of TIMESTAMP AS OF resolution."""
+        import time as _time
+
+        manifest.setdefault("committed_at", _time.time())
         v = manifest["version"]
         mpath = os.path.join(self.path, f"manifest-v{v}.json")
         try:
@@ -1102,6 +1153,7 @@ class ManifestTable:
         bloom_cols: list[str] | None = None,
         bloom_bits: int = 4096,
         bloom_hashes: int = 5,
+        constraints: dict[str, str] | None = None,
     ) -> dict:
         """Initial snapshot (version 1). ``bucket_by=(col, n)`` lays
         every partition out as ``n`` key-hash cells; when the merge key
@@ -1116,9 +1168,20 @@ class ManifestTable:
         bits, ~bits/4 hex chars per file per column in the manifest):
         equality reads on those columns prune files the bloom proves
         absent — the skipping tool for high-cardinality identifiers
-        where [min, max] zone maps and partition dirs can't help."""
+        where [min, max] zone maps and partition dirs can't help.
+
+        ``constraints = {name: sql_expr}`` declares CHECK constraints
+        (the Delta `ALTER TABLE ADD CONSTRAINT` shape): every commit
+        that introduces rows validates its BATCH against each
+        expression in one aggregate pass (O(batch), never a table
+        rescan) and raises ``ConstraintViolation`` before anything is
+        referenced. SQL three-valued semantics: NULL passes, only
+        FALSE violates."""
         if self.exists():
             raise FileExistsError(f"{self.table} already exists")
+        constraints = dict(constraints) if constraints else None
+        if constraints:
+            self._enforce_constraints(constraints, df, "create")
         os.makedirs(self.path, exist_ok=True)
         bucket_by = list(bucket_by) if bucket_by else None
         bloom = (
@@ -1137,12 +1200,86 @@ class ManifestTable:
                 "partition_by": partition_by,
                 "bucket_by": bucket_by,
                 "bloom": bloom,
+                "constraints": constraints,
                 "schema": df.schema.jsonValue(),
                 "touched_partitions": sorted({e["partition"] or "" for e in entries}),
                 "segments": self._pack_segments(entries),
             }
         )
         return {"version": v, "files_written": len(entries)}
+
+    # -- CHECK constraints ------------------------------------------------
+    @staticmethod
+    def _enforce_constraints(
+        constraints: dict[str, str] | None, df: DataFrame, op: str
+    ) -> None:
+        """One aggregate pass over the batch counting rows where each
+        expression is FALSE (NULL = unknown = passes, SQL CHECK
+        semantics). Raises ConstraintViolation naming every failed
+        constraint with its violation count."""
+        if not constraints:
+            return
+        aggs = [
+            F.sum(
+                F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1).otherwise(0)
+            ).alias(name)
+            for name, expr in constraints.items()
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {
+            name: int(row[name] or 0)
+            for name in constraints
+            if (row[name] or 0) > 0
+        }
+        if bad:
+            detail = "; ".join(
+                f"{name} ({constraints[name]!r}): {n} row(s)"
+                for name, n in bad.items()
+            )
+            raise ConstraintViolation(f"{op} rejected by CHECK: {detail}")
+
+    def set_constraint(self, name: str, expr: str, max_retries: int = 0) -> dict:
+        """Add (or replace) a CHECK constraint as a metadata-only commit
+        — but FIRST validate the whole live table against it (the Delta
+        ADD CONSTRAINT contract: an invariant must hold before it can
+        be promised). O(table) scan once at declaration; every later
+        commit pays only O(batch)."""
+        def compute(cur: dict) -> dict:
+            cons = dict(cur.get("constraints") or {})
+            cons[name] = expr
+            live = self._read_entries(
+                self._m_entries(cur), T.StructType.fromJson(cur["schema"])
+            )
+            self._enforce_constraints({name: expr}, live, "set_constraint")
+            return {
+                "operation": "set-constraint",
+                "schema": T.StructType.fromJson(cur["schema"]),
+                "touched": [],
+                "replaced": set(),
+                "no_rebase": True,
+                "entries": [],
+                "constraints_update": cons,
+                "stats": {"constraint": name},
+            }
+
+        return self._occ(compute, max_retries)
+
+    def drop_constraint(self, name: str, max_retries: int = 0) -> dict:
+        def compute(cur: dict) -> dict:
+            cons = dict(cur.get("constraints") or {})
+            cons.pop(name, None)
+            return {
+                "operation": "drop-constraint",
+                "schema": T.StructType.fromJson(cur["schema"]),
+                "touched": [],
+                "replaced": set(),
+                "no_rebase": True,
+                "entries": [],
+                "constraints_update": cons or None,
+                "stats": {"constraint": name},
+            }
+
+        return self._occ(compute, max_retries)
 
     def _touched_tokens(self, df: DataFrame, partition_by: str) -> list[str]:
         # bounded driver scalar: one string per touched partition (the
@@ -1274,6 +1411,11 @@ class ManifestTable:
             ),
             "bucket_by": layout["bucket_by"] if layout else base.get("bucket_by"),
             "bloom": layout["bloom"] if layout else base.get("bloom"),
+            "constraints": (
+                computed["constraints_update"]
+                if "constraints_update" in computed
+                else base.get("constraints")
+            ),
             "schema": schema.jsonValue(),
             "touched_partitions": computed["touched"],
             "segments": segments,
@@ -1390,6 +1532,7 @@ class ManifestTable:
             T.StructType.fromJson(cur["schema"]), source.schema
         )
         pk = [on] if isinstance(on, str) else list(on)
+        self._enforce_constraints(cur.get("constraints"), source, "merge")
         touched, old = self._merge_scope(cur, source, pk)
         cur_schema = T.StructType.fromJson(cur["schema"])
         existing = self._read_entries(old, cur_schema)
@@ -1492,6 +1635,7 @@ class ManifestTable:
         bucket_by = cur.get("bucket_by")
         schema = _merge_schemas(T.StructType.fromJson(cur["schema"]), source.schema)
         pk = [on] if isinstance(on, str) else list(on)
+        self._enforce_constraints(cur.get("constraints"), source, "merge")
         touched, old = self._merge_scope(cur, source, pk)
         cur_schema = T.StructType.fromJson(cur["schema"])
         existing = self._read_entries(old, cur_schema, keep_ref=True)
@@ -1709,6 +1853,10 @@ class ManifestTable:
             schema = _merge_schemas(
                 T.StructType.fromJson(cur["schema"]), upserts.schema
             )
+            if have_ups:
+                self._enforce_constraints(
+                    cur.get("constraints"), upserts, "apply_changes"
+                )
             cur_schema = T.StructType.fromJson(cur["schema"])
             # combined scope: the upserts' touched cells plus the
             # tombstones' (pruned when they carry the layout columns,
@@ -1822,6 +1970,120 @@ class ManifestTable:
 
         return self._occ(compute, max_retries)
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: str | list[str],
+        when_matched_update: dict[str, str] | str | None = "all",
+        when_matched_delete: str | None = None,
+        matched_update_condition: str | None = None,
+        when_not_matched_insert: bool = True,
+        max_retries: int = 0,
+    ) -> dict:
+        """Full conditional MERGE (the SQL ``MERGE INTO`` shape Delta/
+        Iceberg expose; ``merge()`` is the plain-upsert fast path):
+
+        - ``when_matched_delete``: SQL expr over aliases ``t`` (target)
+          and ``s`` (source); matched rows where it's TRUE are deleted.
+          Evaluated FIRST, like a ``WHEN MATCHED AND cond THEN DELETE``
+          clause listed before the update.
+        - ``when_matched_update``: ``"all"`` (every source column wins —
+          plain upsert), a ``{target_col: sql_expr}`` dict (exprs see
+          ``t``/``s``), or None (matched rows kept unless deleted).
+          ``matched_update_condition`` gates it (non-matching matched
+          rows pass through unchanged).
+        - ``when_not_matched_insert``: source rows with no target match
+          insert (aligned to the merged schema) — or are ignored.
+        - Target rows with no source match always carry (standard
+          NOT-MATCHED-BY-SOURCE default).
+
+        Scope and commit mechanics are merge()'s: only the source keys'
+        partitions/cells rewrite, untouched files carry by segment
+        reference, OCC with path-based rebase. Source must be key-
+        unique (the merge contract). Rewrite mode only — a dv variant
+        would mask matched rows and append, but conditional updates
+        need the joined row anyway, so the rewrite IS the work."""
+        pk = [on] if isinstance(on, str) else list(on)
+
+        def compute(cur: dict) -> dict:
+            partition_by = cur["partition_by"]
+            schema = _merge_schemas(
+                T.StructType.fromJson(cur["schema"]), source.schema
+            )
+            self._enforce_constraints(
+                cur.get("constraints"), source, "merge_into"
+            )
+            touched, old = self._merge_scope(cur, source, pk)
+            cur_schema = T.StructType.fromJson(cur["schema"])
+            t = _align(self._read_entries(old, cur_schema), schema).withColumn(
+                "__t", F.lit(True)
+            ).alias("t")
+            s = _align(source, schema).withColumn("__s", F.lit(True)).alias("s")
+            joined = t.join(s, [t[k].eqNullSafe(s[k]) for k in pk], "full_outer")
+            matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
+            t_only = F.col("t.__t").isNotNull() & F.col("s.__s").isNull()
+            s_only = F.col("t.__t").isNull() & F.col("s.__s").isNotNull()
+            delete_mask = (
+                matched & F.coalesce(F.expr(when_matched_delete), F.lit(False))
+                if when_matched_delete
+                else F.lit(False)
+            )
+            if when_matched_update is None:
+                update_mask = F.lit(False)
+            else:
+                update_mask = matched & ~delete_mask
+                if matched_update_condition:
+                    update_mask = update_mask & F.coalesce(
+                        F.expr(matched_update_condition), F.lit(False)
+                    )
+            if when_matched_update == "all":
+                update_map = {
+                    f.name: F.col(f"s.{f.name}") for f in source.schema.fields
+                }
+            elif isinstance(when_matched_update, dict):
+                update_map = {
+                    c: F.expr(e) for c, e in when_matched_update.items()
+                }
+            else:
+                update_map = {}
+            keep = (matched & ~delete_mask) | t_only
+            if when_not_matched_insert:
+                keep = keep | s_only
+            cols = []
+            for f in schema.fields:
+                t_val = F.col(f"t.{f.name}")
+                s_val = F.col(f"s.{f.name}")
+                val = F.when(t_only | (matched & ~update_mask), t_val)
+                if f.name in update_map:
+                    val = val.when(update_mask, update_map[f.name].cast(f.dataType))
+                else:
+                    val = val.when(update_mask, t_val)
+                cols.append(val.otherwise(s_val).alias(f.name))
+            out = joined.filter(keep).select(*cols)
+            if cur.get("constraints") and (update_map or when_not_matched_insert):
+                # update expressions can manufacture violations the
+                # source-batch check can't see: validate the rows being
+                # written (O(scope), only when constraints are declared)
+                self._enforce_constraints(
+                    cur.get("constraints"), out, "merge_into output"
+                )
+            entries = self._write_snapshot(
+                out, partition_by, bucket_by=cur.get("bucket_by")
+            )
+            return {
+                "operation": "merge-into",
+                "schema": schema,
+                "touched": touched,
+                "replaced": {e["path"] for e in old},
+                "entries": entries,
+                "stats": {
+                    "files_rewritten": len(old),
+                    "files_written": len(entries),
+                },
+            }
+
+        return self._occ(compute, max_retries)
+
     def overwrite(self, df: DataFrame, max_retries: int = 0) -> dict:
         """Full-replace commit (the reference's pipe/RENAME publish,
         `patterns/mysql_patterns.rb:35-39`): a new snapshot carries the
@@ -1832,6 +2094,7 @@ class ManifestTable:
             schema = _merge_schemas(
                 T.StructType([]), df.schema
             )  # normalize NullType placeholders
+            self._enforce_constraints(cur.get("constraints"), df, "overwrite")
             entries = self._write_snapshot(
                 _align(df, schema), cur["partition_by"],
                 bucket_by=cur.get("bucket_by"),

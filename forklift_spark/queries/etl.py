@@ -3215,3 +3215,239 @@ def q_manifest_segment_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# q_merge_into — full conditional MERGE (r6): WHEN MATCHED AND cond THEN
+# DELETE, WHEN MATCHED AND cond THEN UPDATE (expressions over t/s), WHEN
+# NOT MATCHED THEN INSERT — the SQL MERGE INTO surface Delta/Iceberg
+# expose, on the manifest format's pruned-scope commit mechanics. The
+# oracle replays the clause semantics relationally (FULL OUTER JOIN +
+# CASE), certifying update-expression arithmetic, delete gating,
+# condition fall-through, insert alignment, and carry of unmatched
+# target rows in one hash.
+# --------------------------------------------------------------------------
+MERGE_INTO_ORACLE = """
+WITH target AS (
+  SELECT o_orderkey AS k,
+         CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), src AS (
+  SELECT o_orderkey AS k,
+         CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'D'
+              WHEN o_orderkey % 3 = 0 THEN 'U'
+              ELSE 'X' END AS op
+  FROM orders
+  WHERE o_orderkey % 2 = 0 AND year(o_orderdate) IN (1996, 1997)
+  UNION ALL
+  SELECT o_orderkey + 500000000, CAST(1997 AS BIGINT),
+         CAST(77 AS BIGINT), 'I'
+  FROM orders WHERE o_orderkey % 97 = 0
+), merged AS (
+  SELECT
+    COALESCE(t.k, s.k) AS k,
+    CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL AND s.op = 'U'
+         THEN t.cents + s.cents
+         WHEN t.k IS NOT NULL THEN t.cents
+         ELSE s.cents END AS cents,
+    COALESCE(t.order_year, s.order_year) AS order_year,
+    CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL AND s.op = 'D'
+         THEN 1 ELSE 0 END AS deleted
+  FROM target t FULL OUTER JOIN src s ON t.k = s.k
+)
+SELECT order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM merged WHERE deleted = 0
+GROUP BY order_year ORDER BY order_year
+"""
+
+
+@query("q_merge_into", MERGE_INTO_ORACLE)
+def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from forklift_spark.manifest import ManifestTable
+
+    base = tables.load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        (dec("o_totalprice", MONEY) * 100).cast("bigint").alias("cents"),
+    )
+    t = ManifestTable(
+        spark, tempfile.mkdtemp(prefix="fk_merge_into_"), "orders_ci"
+    )
+    t.create(base, partition_by="order_year")
+    evens = base.filter(
+        (F.col("k") % 2 == 0) & F.col("order_year").isin(1996, 1997)
+    )
+    src = evens.withColumn(
+        "op",
+        F.when(F.col("k") % 11 == 0, F.lit("D"))
+        .when(F.col("k") % 3 == 0, F.lit("U"))
+        .otherwise(F.lit("X")),
+    ).unionByName(
+        base.filter(F.col("k") % 97 == 0).select(
+            (F.col("k") + F.lit(500000000)).alias("k"),
+            F.lit(1997).cast("bigint").alias("order_year"),
+            F.lit(77).cast("bigint").alias("cents"),
+            F.lit("I").alias("op"),
+        )
+    )
+    stats = t.merge_into(
+        src,
+        on="k",
+        when_matched_update={"cents": "t.cents + s.cents"},
+        matched_update_condition="s.op = 'U'",
+        when_matched_delete="s.op = 'D'",
+    )
+    # conditional merge inherits merge's pruned scope: only the source
+    # years' partitions rewrite, the rest carry by segment reference
+    assert set(stats["touched_partitions"]) == {"1996", "1997"}, stats
+    return (
+        t.read()
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("order_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_manifest_constraints — CHECK constraints (r6): declared at create,
+# enforced on every row-introducing commit in one O(batch) aggregate
+# pass (SQL three-valued semantics: NULL passes, FALSE rejects before
+# anything is referenced). The query proves the contract in-line — a
+# violating merge must raise and leave the version untouched — and the
+# oracle certifies the surviving state: exactly the clean base plus the
+# one conforming batch.
+# --------------------------------------------------------------------------
+MANIFEST_CONSTRAINTS_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), upd AS (
+  SELECT k, order_year, cents + 11 AS cents FROM base WHERE k % 13 = 0
+), merged AS (
+  SELECT b.k, b.order_year,
+         COALESCE(u.cents, b.cents) AS cents
+  FROM base b LEFT JOIN upd u ON b.k = u.k
+)
+SELECT order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM merged GROUP BY order_year ORDER BY order_year
+"""
+
+
+@query("q_manifest_constraints", MANIFEST_CONSTRAINTS_ORACLE)
+def q_manifest_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from forklift_spark.manifest import ConstraintViolation, ManifestTable
+
+    base = tables.load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        (dec("o_totalprice", MONEY) * 100).cast("bigint").alias("cents"),
+    )
+    t = ManifestTable(
+        spark, tempfile.mkdtemp(prefix="fk_constraints_"), "orders_chk"
+    )
+    t.create(
+        base,
+        partition_by="order_year",
+        constraints={"cents_pos": "cents > 0", "year_sane": "order_year >= 1990"},
+    )
+    v1 = t.current_version()
+    # a violating batch must be rejected BEFORE anything is referenced
+    bad = base.filter(F.col("k") % 7 == 0).withColumn(
+        "cents", F.lit(-1).cast("bigint")
+    )
+    try:
+        t.merge(bad, on="k")
+        raise AssertionError("constraint violation not raised")
+    except ConstraintViolation:
+        pass
+    assert t.current_version() == v1, "rejected commit left a version"
+    # a conforming batch lands normally under the same constraints
+    t.merge(
+        base.filter(F.col("k") % 13 == 0).withColumn(
+            "cents", F.col("cents") + F.lit(11)
+        ),
+        on="k",
+        use_dv=True,
+    )
+    return (
+        t.read()
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("order_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_time_travel_ts — TIMESTAMP AS OF (r6): every commit is stamped
+# committed_at; version_at() resolves an instant to the newest commit
+# at-or-before it, and the SQL surface rewrites `<table> TIMESTAMP AS
+# OF '<iso>'` through the same resolver. The probe instant is taken
+# BETWEEN two commits from the table's own recorded history, so
+# resolution is deterministic for any wall clock; the oracle certifies
+# the pre-merge snapshot content that instant must yield.
+# --------------------------------------------------------------------------
+TIME_TRAVEL_TS_ORACLE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+GROUP BY order_year ORDER BY order_year
+"""
+
+
+@query("q_time_travel_ts", TIME_TRAVEL_TS_ORACLE)
+def q_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import tempfile
+
+    from forklift_spark.manifest import ManifestTable, rewrite_time_travel
+
+    base = tables.load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        "o_orderdate",
+        (dec("o_totalprice", MONEY) * 100).cast("bigint").alias("cents"),
+    )
+    t = ManifestTable(spark, tempfile.mkdtemp(prefix="fk_ts_asof_"), "orders_ts")
+    t.create(base, partition_by="order_year")
+    t.merge(
+        base.filter(F.col("k") % 5 == 0).withColumn(
+            "cents", F.col("cents") + F.lit(999)
+        ),
+        on="k",
+        use_dv=True,
+    )
+    hist = t.history()
+    mid = (hist[0]["committed_at"] + hist[1]["committed_at"]) / 2
+    assert t.version_at(mid) == hist[0]["version"]
+    iso = datetime.datetime.fromtimestamp(
+        mid, datetime.timezone.utc
+    ).isoformat()
+    sql = rewrite_time_travel(
+        "SELECT order_year, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(cents) AS BIGINT) AS sum_cents "
+        f"FROM orders_ts TIMESTAMP AS OF '{iso}' "
+        "GROUP BY order_year ORDER BY order_year",
+        lambda n: t if n == "orders_ts" else None,
+    )
+    return spark.sql(sql)

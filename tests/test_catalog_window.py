@@ -27,11 +27,18 @@ def test_window_is_curated_and_oracle_backed():
 
 
 def test_every_prefix_has_family_spread():
-    """Round-robin emission: the first cycle touches every family, so any
-    prefix of >= 12 entries checks all 12 families."""
+    """Round-robin emission inside the window: the first cycle touches
+    every family the window CONTAINS (r6 policy: the window holds only
+    never-driver-checked queries, so families whose catalog is already
+    fully driver-verified are legitimately absent), and the catalog
+    reaches all 12 families shortly after the window + deferred block."""
     cat = list(q.catalog())
-    assert _families(cat[:12]) == FAMILIES
-    assert _families(cat[:50]) == FAMILIES
+    win_fams = _families(cat[:50])
+    assert win_fams <= FAMILIES
+    # the first round-robin cycle covers every window family
+    assert _families(cat[:len(win_fams)]) == win_fams
+    # full family spread resumes right after the window + deferred tail
+    assert _families(cat[:80]) == FAMILIES
 
 
 def test_rows_only_queries_sort_last():

@@ -293,3 +293,114 @@ def test_fsck_vacuum_parse_distinct_segments_once(spark, tmp_path, monkeypatch):
     res = t.vacuum(keep_versions=len(t.versions()))  # keep all: pure census
     assert res["segments_parsed"] < res["segments_total"]
     assert loads["n"] == res["segments_parsed"]
+
+
+# -- r6 features: TIMESTAMP AS OF, CHECK constraints, MERGE INTO ------------
+
+
+def test_timestamp_as_of_resolution(table, spark):
+    from forklift_spark.manifest import rewrite_time_travel
+
+    table.merge(
+        spark.createDataFrame([(1, 2, 111)], "k long, y int, v long"), on="k"
+    )
+    hist = table.history()
+    assert all(h["committed_at"] is not None for h in hist)
+    mid = (hist[0]["committed_at"] + hist[1]["committed_at"]) / 2
+    assert table.version_at(mid) == hist[0]["version"]
+    assert table.version_at(hist[1]["committed_at"]) == hist[1]["version"]
+    with pytest.raises(KeyError):
+        table.version_at(hist[0]["committed_at"] - 60)
+    # SQL surface: TIMESTAMP AS OF rewrites to the resolved snapshot view
+    import datetime
+
+    iso = datetime.datetime.fromtimestamp(
+        mid, datetime.timezone.utc
+    ).isoformat()
+    sql = rewrite_time_travel(
+        f"SELECT v FROM t TIMESTAMP AS OF '{iso}' WHERE k = 1",
+        lambda n: table if n == "t" else None,
+    )
+    assert "__v1" in sql
+    assert spark.sql(sql).collect()[0].v == 10  # pre-merge value
+
+
+def test_check_constraints_lifecycle(spark, tmp_path, base_df):
+    from forklift_spark.manifest import ConstraintViolation, ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path), "c")
+    with pytest.raises(ConstraintViolation, match="v_nonneg"):
+        t.create(
+            base_df.withColumn("v", F.col("v") - 1000),
+            partition_by="y",
+            constraints={"v_nonneg": "v >= 0"},
+        )
+    assert not t.exists()  # rejected create leaves no table
+    t.create(base_df, partition_by="y", constraints={"v_nonneg": "v >= 0"})
+    v1 = t.current_version()
+    bad = spark.createDataFrame([(1, 2, -5)], "k long, y int, v long")
+    for op in ("merge", "dv", "apply", "overwrite"):
+        with pytest.raises(ConstraintViolation, match="v_nonneg"):
+            if op == "merge":
+                t.merge(bad, on="k")
+            elif op == "dv":
+                t.merge(bad, on="k", use_dv=True)
+            elif op == "apply":
+                t.apply_changes(bad, None, on="k")
+            else:
+                t.overwrite(bad)
+    assert t.current_version() == v1  # nothing committed
+    # NULL passes (SQL three-valued CHECK)
+    t.merge(
+        spark.createDataFrame([(1, 2, None)], "k long, y int, v long"), on="k"
+    )
+    # declaring over existing data validates the LIVE table first
+    with pytest.raises(ConstraintViolation, match="v_small"):
+        t.set_constraint("v_small", "v < 5")
+    t.set_constraint("v_cap", "v <= 290")
+    with pytest.raises(ConstraintViolation, match="v_cap"):
+        t.merge(
+            spark.createDataFrame([(2, 3, 291)], "k long, y int, v long"),
+            on="k",
+        )
+    t.drop_constraint("v_cap")
+    t.merge(
+        spark.createDataFrame([(2, 3, 291)], "k long, y int, v long"), on="k"
+    )
+    assert {r.v for r in t.read().filter("k = 2").collect()} == {291}
+    # constraints survive unrelated commits (carried in every manifest)
+    assert "v_nonneg" in (t._raw().get("constraints") or {})
+
+
+def test_merge_into_conditional_clauses(table, spark):
+    src = spark.createDataFrame(
+        [(1, 2, 500, "U"), (4, 2, 0, "D"), (7, 2, 0, "X"), (99, 1, 7, "I")],
+        "k long, y int, v long, op string",
+    )
+    stats = table.merge_into(
+        src,
+        on="k",
+        when_matched_update={"v": "s.v + t.v"},
+        matched_update_condition="s.op = 'U'",
+        when_matched_delete="s.op = 'D'",
+    )
+    rows = {r.k: r.v for r in table.read().collect()}
+    assert rows[1] == 510  # updated: s.v + t.v = 500 + 10
+    assert 4 not in rows  # deleted
+    assert rows[7] == 70  # matched, condition false: untouched
+    assert rows[99] == 7  # inserted
+    assert rows[2] == 20  # not in source: carried
+    assert len(rows) == 30
+    assert stats["touched_partitions"]  # pruned scope, OCC tokens named
+    # op lands in the evolved schema for inserted rows, NULL elsewhere
+    got = {r.k: r.op for r in table.read().select("k", "op").collect()}
+    assert got[99] == "I" and got[2] is None
+
+
+def test_merge_into_no_insert_and_update_all(table, spark):
+    src = spark.createDataFrame(
+        [(1, 2, 777), (100, 2, 1)], "k long, y int, v long"
+    )
+    table.merge_into(src, on="k", when_not_matched_insert=False)
+    rows = {r.k: r.v for r in table.read().collect()}
+    assert rows[1] == 777 and 100 not in rows and len(rows) == 30
