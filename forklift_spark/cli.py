@@ -140,7 +140,8 @@ def main(argv: list[str] | None = None) -> int:
     p_man.add_argument(
         "op",
         choices=["history", "compact", "vacuum", "restore", "fsck",
-                 "checkpoint", "maintain"],
+                 "checkpoint", "maintain", "set-constraint",
+                 "drop-constraint"],
     )
     p_man.add_argument("root", help="warehouse dir holding the table")
     p_man.add_argument("table")
@@ -154,6 +155,12 @@ def main(argv: list[str] | None = None) -> int:
         "--auto-dv",
         action="store_true",
         help="compact only the partitions fsck flags for dv pressure",
+    )
+    p_man.add_argument(
+        "--name", help="constraint name (set-constraint/drop-constraint)"
+    )
+    p_man.add_argument(
+        "--expr", help="CHECK expression (set-constraint)"
     )
     p_man.add_argument(
         "--orphan-grace",
@@ -211,6 +218,16 @@ def main(argv: list[str] | None = None) -> int:
             print(_json.dumps(t.vacuum(**kw)))
         elif ns.op == "checkpoint":
             print(_json.dumps(t.checkpoint()))
+        elif ns.op == "set-constraint":
+            if not ns.name or not ns.expr:
+                print("set-constraint requires --name and --expr")
+                return 2
+            print(_json.dumps(t.set_constraint(ns.name, ns.expr)))
+        elif ns.op == "drop-constraint":
+            if not ns.name:
+                print("drop-constraint requires --name")
+                return 2
+            print(_json.dumps(t.drop_constraint(ns.name)))
         elif ns.op == "maintain":
             kw = {"min_files": ns.min_files,
                   "keep_versions": ns.keep_versions}

@@ -667,3 +667,63 @@ def q_pg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# q_pg_copy_roundtrip — the COPY sub-protocol end to end against a LIVE
+# server (r6): the bulk load streams COPY FROM STDIN per partition
+# (framing hazards included — the priority strings carry spaces and the
+# comment column injects tabs/newlines/backslashes), the read streams
+# COPY (SELECT slice) TO STDOUT per executor task. The oracle replays
+# the same projection relationally: one hash certifies the text-format
+# codec (escape/unescape), the chunk reassembly, and the slice union
+# against a real postgres.
+# --------------------------------------------------------------------------
+PG_COPY_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price,
+       CAST(SUM(length(o_orderstatus)) AS BIGINT) AS status_chars
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q_pg_copy_roundtrip", PG_COPY_ORACLE)
+def q_pg_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.connections.pgwire import PostgresConnection
+
+    eng = _engine(spark, _scratch("pgcopy"))
+    conn = PostgresConnection(dict(_pg_live_params()), eng, "pglive")
+    base = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        # framing hazards ride INSIDE the data: the COPY text codec must
+        # escape/unescape tabs, newlines and backslashes byte-exactly
+        F.concat(
+            F.col("o_orderstatus"), F.lit("\t|\n|\\end")
+        ).alias("o_status_hazard"),
+    ).repartition(4)
+    conn.drop("copy_orders")
+    conn.write(base, "copy_orders", mode="append")  # COPY FROM STDIN
+    back = conn.read(
+        "copy_orders",
+        partition_column="o_orderkey",
+        num_partitions=4,
+        use_copy=True,  # COPY (SELECT slice) TO STDOUT
+    )
+    assert back.rdd.getNumPartitions() == 4
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice", MONEY)).cast("double").alias("total_price"),
+            (
+                F.sum(F.length("o_status_hazard")).cast("bigint")
+                - F.count(F.lit(1)) * F.lit(8)  # the 8 hazard chars per row
+            ).alias("status_chars"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -3451,3 +3451,79 @@ def q_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda n: t if n == "orders_ts" else None,
     )
     return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# q_apply_changes — the one-commit CDC apply surface itself (r6): one
+# batch carries upserts (updates + inserts) AND tombstone keys; the
+# table moves exactly ONE version and a reader can never observe the
+# inserts without the deletes. The oracle replays the batch
+# relationally; the version arithmetic is asserted in-query.
+# --------------------------------------------------------------------------
+APPLY_CHANGES_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), ups AS (
+  SELECT k, order_year, cents + 7 AS cents FROM base WHERE k % 9 = 0
+  UNION ALL
+  SELECT k + 600000000, order_year, CAST(55 AS BIGINT)
+  FROM base WHERE k % 101 = 0
+), final AS (
+  SELECT b.k, b.order_year, COALESCE(u.cents, b.cents) AS cents
+  FROM base b LEFT JOIN ups u ON b.k = u.k
+  WHERE b.k % 17 != 0 OR b.k % 9 = 0   -- tombstones: %17 keys w/o upsert
+  UNION ALL
+  SELECT k, order_year, cents FROM ups WHERE k > 500000000
+)
+SELECT order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM final GROUP BY order_year ORDER BY order_year
+"""
+
+
+@query("q_apply_changes", APPLY_CHANGES_ORACLE)
+def q_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from forklift_spark.manifest import ManifestTable
+
+    base = tables.load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        (dec("o_totalprice", MONEY) * 100).cast("bigint").alias("cents"),
+    )
+    t = ManifestTable(
+        spark, tempfile.mkdtemp(prefix="fk_apply_chg_"), "orders_cdc"
+    )
+    t.create(base, partition_by="order_year")
+    v1 = t.current_version()
+    ups = base.filter(F.col("k") % 9 == 0).withColumn(
+        "cents", F.col("cents") + F.lit(7)
+    ).unionByName(
+        base.filter(F.col("k") % 101 == 0).select(
+            (F.col("k") + F.lit(600000000)).alias("k"),
+            "order_year",
+            F.lit(55).cast("bigint").alias("cents"),
+        )
+    )
+    # pure-delete tombstones (keys with no upsert event), layout column
+    # kept so the dv delete scope prunes
+    tombs = base.filter(
+        (F.col("k") % 17 == 0) & (F.col("k") % 9 != 0)
+    ).select("k", "order_year")
+    stats = t.apply_changes(ups, tombs, on="k", use_dv=True)
+    assert t.current_version() == v1 + 1, stats  # the WHOLE batch: one commit
+    assert stats["files_rewritten"] == 0, stats  # dv mode: zero rewrites
+    return (
+        t.read()
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("order_year")
+    )

@@ -404,3 +404,26 @@ def test_merge_into_no_insert_and_update_all(table, spark):
     table.merge_into(src, on="k", when_not_matched_insert=False)
     rows = {r.k: r.v for r in table.read().collect()}
     assert rows[1] == 777 and 100 not in rows and len(rows) == 30
+
+
+def test_cli_constraints(spark, tmp_path, capsys):
+    import json
+
+    from forklift_spark.cli import main
+
+    t = ManifestTable(spark, str(tmp_path), "cc")
+    t.create(
+        spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    assert main(["manifest", "set-constraint", str(tmp_path), "cc",
+                 "--name", "v_cap", "--expr", "v <= 40"]) in (None, 0)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["constraint"] == "v_cap"
+    assert "v_cap" in t._raw().get("constraints", {})
+    assert main(["manifest", "set-constraint", str(tmp_path), "cc"]) == 2
+    capsys.readouterr()
+    assert main(["manifest", "drop-constraint", str(tmp_path), "cc",
+                 "--name", "v_cap"]) in (None, 0)
+    assert not t._raw().get("constraints")
