@@ -504,7 +504,10 @@ def manifest_cdc_sync(src, dst, on: str, since_version: int | None = None,
         raise ValueError("manifest_cdc_sync: pass the stored cursor version")
     if since_version == head:
         return {"from_version": head, "to_version": head, "mode": "noop"}
-    feed = src.changes(since_version, head)
+    # materialize the O(delta) feed once: apply_changes drives several
+    # actions over these frames (emptiness probes, scope collects, the
+    # mask join) and each would otherwise recompute the changes() diff
+    feed = src.changes(since_version, head).localCheckpoint(eager=True)
     inserts = feed.filter(FF.col("_change_type") == "insert").drop("_change_type")
     deletes = feed.filter(FF.col("_change_type") == "delete").drop("_change_type")
     # pure-delete tombstones: keys with a delete event and no insert

@@ -649,7 +649,10 @@ def q_pg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
     conn.drop("rt_orders")  # idempotent across reruns in one process
-    conn.write(base, "rt_orders", mode="upsert", primary_key="o_orderkey")
+    # initial load of the fresh table takes the bulk COPY path (the
+    # production extract/load form — `transports/mysql.rb:209-232`'s
+    # dump analog); the delta below still exercises ON CONFLICT upsert
+    conn.write(base, "rt_orders", mode="append")
     delta = base.filter(F.col("o_orderkey") % 13 == 0).withColumn(
         "o_totalprice",
         (dec("o_totalprice", MONEY) + F.lit(11).cast(MONEY)).cast("double"),
