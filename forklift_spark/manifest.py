@@ -201,6 +201,9 @@ class ManifestTable:
         self.segment_target = SEGMENT_TARGET_ENTRIES
         self.dv_broadcast_rows = DV_BROADCAST_ROWS
         self.dv_ratio_warn = DV_RATIO_WARN
+        # max distinct merge keys collected for point-set file pruning
+        # (driver memory bound; larger batches prune by interval)
+        self._PRUNE_KEYS_BOUND = 4096
 
     # -- pointer / manifest IO ----------------------------------------------
     def _pointer_path(self) -> str:
@@ -1521,7 +1524,105 @@ class ManifestTable:
 
         scope_parts = set(touched) if partition_by else None
         old = [e for e in self._m_entries(cur, scope_parts) if in_scope(e)]
+        old = self._prune_by_key_range(cur, source, pk, old)
         return touched, old
+
+    def _prune_by_key_range(
+        self, cur: dict, source: DataFrame, pk: list[str], old: list[dict]
+    ) -> list[dict]:
+        """Merge-key zone-map file pruning (the Delta MERGE prune shape):
+        an equi-join match needs EVERY key column equal, so a file whose
+        recorded [min, max] on ANY key column cannot intersect the
+        batch's key range provably holds no match — it is dropped from
+        the scan/rewrite scope and carried by reference. One tiny agg
+        job over the batch buys an O(files-with-matching-ranges) scan
+        instead of O(touched-partition files); on key-clustered tables
+        (time-ordered ingest, the CDC shape — each commit's files hold
+        recent keys) a narrow batch prunes nearly everything.
+
+        Conservative by construction: only numeric/string key columns
+        whose dtype category AGREES between batch and table participate
+        (date/timestamp formatting across stat sources is not certified
+        for this comparison); entries without stats always stay; a
+        column with no non-NULL batch value is skipped (NULL keys never
+        equi-join anyway). float() is monotone on reals, so a numeric
+        bound comparison can keep a non-matching file but never drop a
+        matching one."""
+        if not old:
+            return old
+        tmap = {
+            f.name: f.dataType
+            for f in T.StructType.fromJson(cur["schema"]).fields
+        }
+        smap = {f.name: f.dataType for f in source.schema.fields}
+
+        def eligible(k: str) -> bool:
+            t, s = tmap.get(k), smap.get(k)
+            if t is None or s is None:
+                return False
+            if self._numeric(t) and self._numeric(s):
+                return True
+            return isinstance(t, T.StringType) and isinstance(s, T.StringType)
+
+        cols = [
+            k for k in pk
+            if eligible(k) and any(k in e.get("stats", {}) for e in old)
+        ]
+        if not cols:
+            return old
+        # bounded distinct-key probe: a small batch prunes by POINT SET —
+        # a file survives only if SOME batch key lands inside its range.
+        # One [min, max] interval can't cut the mixed update+insert CDC
+        # batch (one old key + one new key spans the whole table); the
+        # point set can. Past the bound, fall back to the interval.
+        rows = (
+            source.select(*cols).distinct()
+            .limit(self._PRUNE_KEYS_BOUND + 1).collect()
+        )
+        import bisect
+
+        if len(rows) <= self._PRUNE_KEYS_BOUND:
+            checks = []
+            for k in cols:
+                num = self._numeric(tmap[k])
+                conv = float if num else str
+                vals = sorted({conv(r[k]) for r in rows if r[k] is not None})
+                if vals:
+                    checks.append((k, num, vals))
+            if not checks:
+                return old
+
+            def survives(e: dict) -> bool:
+                for k, num, vals in checks:
+                    st = e.get("stats", {}).get(k)
+                    if st is None:
+                        continue  # no stats: can't prove matchless
+                    fmin, fmax = st
+                    if fmin is None:  # all-NULL column: no equi-match
+                        return False
+                    conv = float if num else str
+                    fmin, fmax = conv(fmin), conv(fmax)
+                    i = bisect.bisect_left(vals, fmin)
+                    if i >= len(vals) or vals[i] > fmax:
+                        return False  # no batch key inside [fmin, fmax]
+                return True
+
+            return [e for e in old if survives(e)]
+        aggs = []
+        for i, k in enumerate(cols):
+            aggs += [F.min(k).alias(f"l{i}"), F.max(k).alias(f"h{i}")]
+        row = source.agg(*aggs).collect()[0]
+        bounds = [
+            (k, (row[f"l{i}"], row[f"h{i}"]), self._numeric(tmap[k]))
+            for i, k in enumerate(cols)
+            if row[f"l{i}"] is not None
+        ]
+        if not bounds:
+            return old
+        return [
+            e for e in old
+            if all(self._file_matches(e, k, b, num) for k, b, num in bounds)
+        ]
 
     def _compute_merge(
         self, cur: dict, source: DataFrame, on, broadcast_threshold: int
@@ -1657,6 +1758,7 @@ class ManifestTable:
             "stats": {
                 "files_rewritten": 0,  # old files stay live under dv masks
                 "files_written": len(new_entries),  # appended only
+                "files_scanned": len(old),  # after key zone-map pruning
                 "rows_masked": masked,
             },
         }
@@ -1783,7 +1885,8 @@ class ManifestTable:
                     "touched": dv_touched,
                     "replaced": set(hit_paths),
                     "entries": updated,
-                    "stats": {"files_rewritten": 0, "rows_masked": masked_rows},
+                    "stats": {"files_rewritten": 0, "rows_masked": masked_rows,
+                              "files_scanned": len(old)},
                 }
             scoped = self._read_entries(old, schema)
             survivors = scoped.join(k, pk, "left_anti")
@@ -1935,6 +2038,7 @@ class ManifestTable:
                     "stats": {
                         "files_rewritten": 0,
                         "files_written": len(new_entries),
+                        "files_scanned": len(old),
                         "rows_masked": masked,
                     },
                 }

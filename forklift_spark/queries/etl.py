@@ -3527,3 +3527,75 @@ def q_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+# --------------------------------------------------------------------------
+# q_manifest_key_prune — merge-key zone-map file pruning (r6): on a
+# KEY-CLUSTERED manifest table (repartitionByRange models time-ordered
+# ingest, where each commit's files hold recent keys), a recent-key
+# merge batch must scan only the files whose recorded [min, max] key
+# range can hold a match — asserted in-query via files_scanned — while
+# the result stays byte-exact. The oracle replays the merge
+# relationally (CASE over the matched predicate), so one hash certifies
+# that pruning never dropped a file that held a match (the only way
+# pruning can be wrong).
+# --------------------------------------------------------------------------
+KEY_PRUNE_ORACLE = """
+WITH thr AS (SELECT (MAX(o_orderkey) * 49) // 50 AS t FROM orders),
+merged AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN year(o_orderdate) = 1997
+                   AND o_orderkey > (SELECT t FROM thr)
+              THEN CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                        + CAST(7 AS DECIMAL(14,2)) AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM merged
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q_manifest_key_prune", KEY_PRUNE_ORACLE)
+def q_manifest_key_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from forklift_spark.manifest import ManifestTable
+
+    base = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    t = ManifestTable(
+        spark, tempfile.mkdtemp(prefix="fk_keyprune_"), "orders_clustered"
+    )
+    t.create(
+        base.repartitionByRange(16, "o_orderkey"), partition_by="order_year"
+    )
+    hi = base.agg(F.max("o_orderkey")).collect()[0][0]
+    thr = hi * 49 // 50  # same integer arithmetic as the oracle's //
+    batch = base.filter(
+        (F.col("order_year") == 1997) & (F.col("o_orderkey") > thr)
+    ).withColumn(
+        "o_totalprice",
+        (dec("o_totalprice", MONEY) + F.lit(7).cast(MONEY)).cast("double"),
+    )
+    st = t.merge(batch, on="o_orderkey", use_dv=True)
+    part_files = len(t.files(version=1, partitions=[1997]))
+    # the point of the query: the scan was cut by the key zone maps
+    assert 0 < st["files_scanned"] < part_files, (st, part_files)
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice", MONEY)).cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -427,3 +427,92 @@ def test_cli_constraints(spark, tmp_path, capsys):
     assert main(["manifest", "drop-constraint", str(tmp_path), "cc",
                  "--name", "v_cap"]) in (None, 0)
     assert not t._raw().get("constraints")
+
+
+# -- merge-key zone-map file pruning (r6: the Delta MERGE prune shape) --
+
+
+@pytest.fixture()
+def clustered(spark, tmp_path):
+    """Key-clustered table (time-ordered ingest shape): 8 files per
+    partition with DISJOINT k ranges, so a narrow key batch can prove
+    most files matchless from their zone maps alone."""
+    df = spark.range(800).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2 + 1).cast("int").alias("y"),
+        (F.col("id") * 10).cast("long").alias("v"),
+    )
+    t = ManifestTable(spark, str(tmp_path), "t")
+    t.create(df.repartitionByRange(8, "k"), partition_by="y")
+    return t
+
+
+def test_merge_dv_prunes_scan_by_key_range(clustered, spark):
+    part_files = len([e for e in clustered.manifest()["entries"]
+                      if e["partition"] == "1"])
+    assert part_files >= 4
+    batch = spark.createDataFrame(
+        [(2, 1, 111), (4, 1, 222), (801, 1, 999)], "k long, y int, v long"
+    )
+    st = clustered.merge(batch, on="k", use_dv=True)
+    # only the files whose k-range can hold {2, 4, 801} were scanned
+    assert st["files_scanned"] < part_files
+    got = {r.k: r.v for r in clustered.read().filter("k in (2, 4, 801)").collect()}
+    assert got == {2: 111, 4: 222, 801: 999}
+    assert clustered.read().count() == 801  # 2 updates + 1 insert
+
+
+def test_merge_rewrite_prunes_rewrites_by_key_range(clustered, spark):
+    batch = spark.createDataFrame([(4, 1, 333)], "k long, y int, v long")
+    st = clustered.merge(batch, on="k")
+    part_files = len([e for e in clustered.manifest(1)["entries"]
+                      if e["partition"] == "1"])
+    assert 0 < st["files_rewritten"] < part_files
+    assert clustered.read().filter("k = 4").collect()[0].v == 333
+    assert clustered.read().count() == 800
+
+
+def test_delete_keys_and_apply_changes_prune(clustered, spark):
+    tombs = spark.createDataFrame([(5, 2)], "k long, y int")
+    st = clustered.delete_keys(tombs, on="k")
+    assert st["files_scanned"] < 8
+    assert clustered.read().filter("k = 5").count() == 0
+    ups = spark.createDataFrame([(6, 1, 66)], "k long, y int, v long")
+    tombs2 = spark.createDataFrame([(7, 2)], "k long, y int")
+    st2 = clustered.apply_changes(ups, tombs2, on="k")
+    assert st2["files_scanned"] < 16
+    rows = {r.k: r.v for r in clustered.read().filter("k in (6, 7)").collect()}
+    assert rows == {6: 66}
+
+
+def test_key_prune_conservative_cases(spark, tmp_path):
+    """Round-robin files (full-range stats) never prune — and results
+    stay exact; NULL-only batch keys skip pruning; a string key prunes
+    lexicographically."""
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = ManifestTable(spark, str(tmp_path / "rr"), "rr")
+    t.create(df.repartition(6))  # round-robin: every file spans all keys
+    st = t.merge(
+        spark.createDataFrame([(1, 11)], "k long, v long"), on="k", use_dv=True
+    )
+    assert 1 <= st["files_scanned"] <= 6  # never over-prunes the match
+    assert t.read().filter("k = 1").collect()[0].v == 11
+
+    nulls = spark.createDataFrame([(None, 5)], "k long, v long")
+    st2 = t.merge(nulls, on="k", use_dv=True)  # NULL keys never equi-join
+    assert t.read().filter("k is null").count() == 1
+
+    s = ManifestTable(spark, str(tmp_path / "s"), "s")
+    s.create(
+        spark.createDataFrame(
+            [(c, 1) for c in "abcdefgh"], "k string, v long"
+        ).repartitionByRange(4, "k")
+    )
+    st3 = s.merge(
+        spark.createDataFrame([("b", 9)], "k string, v long"),
+        on="k", use_dv=True,
+    )
+    assert st3["files_scanned"] < 4
+    assert {r.v for r in s.read().filter("k = 'b'").collect()} == {9}
