@@ -1468,50 +1468,101 @@ class ManifestTable:
         self, cur: dict, source: DataFrame, pk: list[str]
     ) -> tuple[list[str], list[dict]]:
         """(touched tokens, old): `old` is the minimal file set a merge
-        must consult — the source partitions, further cut to the
-        key-hash CELLS the source keys land in when the table is
-        bucketed on a merge-key column. Only touched partitions'
+        must consult — the source partitions, cut to the key-hash CELLS
+        the source keys land in when the table is bucketed on a
+        merge-key column, further cut by merge-key ZONE-MAP pruning (a
+        file whose recorded [min, max] on any key column cannot hold a
+        batch key provably holds no equi-join match, so it carries by
+        reference unscanned — the Delta MERGE prune shape). For a
+        bounded batch ONE distinct job answers all three scope
+        questions at once: touched partitions, touched cells, and the
+        key point set; past ``_PRUNE_KEYS_BOUND`` the coarse scope
+        re-collects without the key columns and pruning falls back to
+        one [min, max] interval per key. Only touched partitions'
         metadata segments are parsed; untouched files are carried by
         segment reference at commit time, never listed here. Driver
-        state stays bounded: one token per partition plus at most n
-        bucket ids."""
+        state stays bounded by the probe limit."""
         partition_by = cur["partition_by"]
         bucket_by = cur.get("bucket_by")
         bucketed = bool(bucket_by) and bucket_by[0] in pk
-        if partition_by and bucketed:
-            # exact touched CELLS in one pass — strictly tighter than the
-            # cartesian of touched partitions x touched buckets
-            rows = (
-                source.select(
-                    F.col(partition_by).cast("string").alias("p"),
-                    self._bucket_expr(bucket_by).alias("b"),
-                )
-                .distinct()
-                .collect()
+        prune_cols = self._prune_eligible(cur, source, pk)
+
+        sel = []
+        if partition_by:
+            sel.append(F.col(partition_by).cast("string").alias("__p"))
+        if bucketed:
+            sel.append(self._bucket_expr(bucket_by).alias("__b"))
+        sel += [
+            F.col(k).alias(f"__k{i}") for i, (k, _n) in enumerate(prune_cols)
+        ]
+        rows = None
+        if sel:
+            probe = (
+                source.select(*sel).distinct()
+                .limit(self._PRUNE_KEYS_BOUND + 1).collect()
             )
-            cells = {(r.p if r.p is not None else NULL_TOKEN, r.b) for r in rows}
+            if len(probe) <= self._PRUNE_KEYS_BOUND:
+                rows = probe
+
+        # point-set checks: (col, numeric, sorted batch values). A
+        # single interval can't cut the mixed update+insert CDC batch
+        # (one old key + one new key spans the whole table); the set can.
+        checks = []
+        if rows is not None:
+            for i, (k, num) in enumerate(prune_cols):
+                conv = float if num else str
+                vals = sorted(
+                    {conv(r[f"__k{i}"]) for r in rows if r[f"__k{i}"] is not None}
+                )
+                if vals:
+                    checks.append((k, num, vals))
+
+        if partition_by and bucketed:
+            if rows is None:  # unbounded batch: coarse cells only
+                rows = (
+                    source.select(
+                        F.col(partition_by).cast("string").alias("__p"),
+                        self._bucket_expr(bucket_by).alias("__b"),
+                    )
+                    .distinct()
+                    .collect()
+                )
+            # exact touched CELLS — strictly tighter than the cartesian
+            # of touched partitions x touched buckets
+            cells = {
+                (r["__p"] if r["__p"] is not None else NULL_TOKEN, r["__b"])
+                for r in rows
+            }
             touched = sorted({p for p, _b in cells})
+            parts = {p for p, _b in cells}
 
             def in_scope(e: dict) -> bool:
                 if e.get("bucket") is None:  # untagged legacy file
-                    return e["partition"] in {p for p, _b in cells}
+                    return e["partition"] in parts
                 return (e["partition"], e["bucket"]) in cells
 
         elif partition_by:
-            touched = self._touched_tokens(source, partition_by)
+            if rows is not None:
+                touched = sorted(
+                    {r["__p"] if r["__p"] is not None else NULL_TOKEN
+                     for r in rows}
+                )
+            else:
+                touched = self._touched_tokens(source, partition_by)
             tset = set(touched)
 
             def in_scope(e: dict) -> bool:
                 return e["partition"] in tset
 
         elif bucketed:
-            rows = (
-                source.select(self._bucket_expr(bucket_by).alias("b"))
-                .distinct()
-                .collect()
-            )
+            if rows is None:
+                rows = (
+                    source.select(self._bucket_expr(bucket_by).alias("__b"))
+                    .distinct()
+                    .collect()
+                )
             touched = [""]
-            bset = {r.b for r in rows}
+            bset = {r["__b"] for r in rows}
 
             def in_scope(e: dict) -> bool:
                 return e.get("bucket") is None or e["bucket"] in bset
@@ -1524,97 +1575,81 @@ class ManifestTable:
 
         scope_parts = set(touched) if partition_by else None
         old = [e for e in self._m_entries(cur, scope_parts) if in_scope(e)]
-        old = self._prune_by_key_range(cur, source, pk, old)
+        if checks:
+            old = [e for e in old if self._zone_survives(e, checks)]
+        elif prune_cols and rows is None:
+            old = self._prune_interval(source, prune_cols, old)
         return touched, old
 
-    def _prune_by_key_range(
-        self, cur: dict, source: DataFrame, pk: list[str], old: list[dict]
-    ) -> list[dict]:
-        """Merge-key zone-map file pruning (the Delta MERGE prune shape):
-        an equi-join match needs EVERY key column equal, so a file whose
-        recorded [min, max] on ANY key column cannot intersect the
-        batch's key range provably holds no match — it is dropped from
-        the scan/rewrite scope and carried by reference. One tiny agg
-        job over the batch buys an O(files-with-matching-ranges) scan
-        instead of O(touched-partition files); on key-clustered tables
-        (time-ordered ingest, the CDC shape — each commit's files hold
-        recent keys) a narrow batch prunes nearly everything.
-
-        Conservative by construction: only numeric/string key columns
-        whose dtype category AGREES between batch and table participate
-        (date/timestamp formatting across stat sources is not certified
-        for this comparison); entries without stats always stay; a
-        column with no non-NULL batch value is skipped (NULL keys never
-        equi-join anyway). float() is monotone on reals, so a numeric
-        bound comparison can keep a non-matching file but never drop a
-        matching one."""
-        if not old:
-            return old
+    def _prune_eligible(
+        self, cur: dict, source: DataFrame, pk: list[str]
+    ) -> list[tuple[str, bool]]:
+        """Key columns eligible for zone-map pruning, as (name, numeric):
+        numeric/string only, and the dtype CATEGORY must agree between
+        batch and table (date/timestamp stat formatting across stat
+        sources is not certified for this comparison)."""
         tmap = {
             f.name: f.dataType
             for f in T.StructType.fromJson(cur["schema"]).fields
         }
         smap = {f.name: f.dataType for f in source.schema.fields}
-
-        def eligible(k: str) -> bool:
+        out: list[tuple[str, bool]] = []
+        for k in pk:
             t, s = tmap.get(k), smap.get(k)
             if t is None or s is None:
-                return False
+                continue
             if self._numeric(t) and self._numeric(s):
-                return True
-            return isinstance(t, T.StringType) and isinstance(s, T.StringType)
+                out.append((k, True))
+            elif isinstance(t, T.StringType) and isinstance(s, T.StringType):
+                out.append((k, False))
+        return out
 
-        cols = [
-            k for k in pk
-            if eligible(k) and any(k in e.get("stats", {}) for e in old)
-        ]
-        if not cols:
-            return old
-        # bounded distinct-key probe: a small batch prunes by POINT SET —
-        # a file survives only if SOME batch key lands inside its range.
-        # One [min, max] interval can't cut the mixed update+insert CDC
-        # batch (one old key + one new key spans the whole table); the
-        # point set can. Past the bound, fall back to the interval.
-        rows = (
-            source.select(*cols).distinct()
-            .limit(self._PRUNE_KEYS_BOUND + 1).collect()
-        )
+    @staticmethod
+    def _zone_survives(entry: dict, checks: list) -> bool:
+        """Point-set zone test: drop the file only when, for some key
+        column with recorded stats, NO batch key lands inside its
+        [min, max] (an all-NULL column can never equi-match). float()
+        is monotone on reals, so the numeric comparison can keep a
+        non-matching file but never drop a matching one; stat-less
+        entries always stay (stats are an optimization, never a
+        correctness gate)."""
         import bisect
 
-        if len(rows) <= self._PRUNE_KEYS_BOUND:
-            checks = []
-            for k in cols:
-                num = self._numeric(tmap[k])
-                conv = float if num else str
-                vals = sorted({conv(r[k]) for r in rows if r[k] is not None})
-                if vals:
-                    checks.append((k, num, vals))
-            if not checks:
-                return old
+        for k, num, vals in checks:
+            st = entry.get("stats", {}).get(k)
+            if st is None:
+                continue
+            fmin, fmax = st
+            if fmin is None:
+                return False
+            conv = float if num else str
+            fmin, fmax = conv(fmin), conv(fmax)
+            i = bisect.bisect_left(vals, fmin)
+            if i >= len(vals) or vals[i] > fmax:
+                return False
+        return True
 
-            def survives(e: dict) -> bool:
-                for k, num, vals in checks:
-                    st = e.get("stats", {}).get(k)
-                    if st is None:
-                        continue  # no stats: can't prove matchless
-                    fmin, fmax = st
-                    if fmin is None:  # all-NULL column: no equi-match
-                        return False
-                    conv = float if num else str
-                    fmin, fmax = conv(fmin), conv(fmax)
-                    i = bisect.bisect_left(vals, fmin)
-                    if i >= len(vals) or vals[i] > fmax:
-                        return False  # no batch key inside [fmin, fmax]
-                return True
-
-            return [e for e in old if survives(e)]
+    def _prune_interval(
+        self,
+        source: DataFrame,
+        prune_cols: list[tuple[str, bool]],
+        old: list[dict],
+    ) -> list[dict]:
+        """Interval fallback for unbounded batches: one [min, max] per
+        eligible key column from a single agg job over the batch. Only
+        pays the job when some scoped entry actually records stats for
+        an eligible column."""
+        if not old or not any(
+            k in e.get("stats", {}) for k, _n in prune_cols for e in old
+        ):
+            return old
         aggs = []
-        for i, k in enumerate(cols):
+        for i, (k, _n) in enumerate(prune_cols):
             aggs += [F.min(k).alias(f"l{i}"), F.max(k).alias(f"h{i}")]
         row = source.agg(*aggs).collect()[0]
         bounds = [
-            (k, (row[f"l{i}"], row[f"h{i}"]), self._numeric(tmap[k]))
-            for i, k in enumerate(cols)
+            (k, (row[f"l{i}"], row[f"h{i}"]), num)
+            for i, (k, num) in enumerate(prune_cols)
             if row[f"l{i}"] is not None
         ]
         if not bounds:
