@@ -728,6 +728,134 @@ def fuzzy_levenshtein_pairs(
     )
 
 
+def passjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+    prefix_len: int = 64,
+) -> DataFrame:
+    """LOSSLESS edit-distance self-join with NO user blocking key
+    (PassJoin — Li, Deng, Feng, VLDB 2011 — with the simple +/-tau
+    position windows).
+
+    ``fuzzy_levenshtein_pairs`` above is exact only WITHIN the caller's
+    blocks, and a fixed-cardinality block key goes quadratic as data
+    grows (SCALE_SF1_r6: entity resolution grew 14.9x on 10x rows
+    because (nation, balance-band) has ~2.7k blocks at every SF). This
+    operator needs no blocks. Partition every string into
+    ``max_dist + 1`` contiguous segments by a rule derived only from
+    the string LENGTH; tau edit operations can break at most tau of
+    them, so any string within distance tau must contain at least one
+    segment as an EXACT substring, start-shifted at most tau positions
+    (pigeonhole over an optimal edit transcript — and symmetrically in
+    the other direction, which is why probing only id_small against
+    id_large's segments stays lossless). Candidates come from an
+    equi-join on (indexed length, segment ordinal, substring): the
+    probe side emits at most (2*tau+1)^2 * (tau+1) short substrings
+    per row (75 at tau=2), so the shuffle is O(75 N) tiny rows, never
+    O(N^2); a thresholded levenshtein verifies the deduplicated
+    candidates.
+
+    Strings shorter than ``max_dist + 1`` get empty segments, whose
+    keys degrade to a pure length-window join among tiny strings —
+    correct, and bounded by the tiny-string population.
+
+    Returns (id_a, id_b, dist) with id_a < id_b, dist <= max_dist over
+    the first ``prefix_len`` characters.
+    """
+    tau = int(max_dist)
+    if not 1 <= tau <= 4:
+        raise ValueError(
+            "max_dist must be in [1, 4]: probe fan-out is "
+            "(2*tau+1)^2 * (tau+1) keys per row"
+        )
+    k = tau + 1
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.substring(F.col(text_col), 1, prefix_len).alias("_s"),
+        )
+        .filter(F.col("_s").isNotNull())
+        .withColumn("_n", F.length("_s"))
+    )
+
+    def seg_len(length: Column, i: Column) -> Column:
+        return (
+            F.floor(length / k).cast("int")
+            + F.when(i < length % k, 1).otherwise(0)
+        )
+
+    def seg_pos(length: Column, i: Column) -> Column:
+        return (
+            i * F.floor(length / k).cast("int") + F.least(i, length % k)
+        ).cast("int")
+
+    # INDEX side: each string contributes its tau+1 canonical segments,
+    # keyed by (own length, segment ordinal, segment text)
+    iv = F.col("_i")
+    idx = (
+        base.select(
+            F.col("_id").alias("_id_b"),
+            F.col("_s").alias("_s_b"),
+            F.col("_n").alias("_ns"),
+            F.explode(F.sequence(F.lit(0), F.lit(tau))).alias("_i"),
+        )
+        .withColumn("_gl", seg_len(F.col("_ns"), iv))
+        .withColumn("_gp", seg_pos(F.col("_ns"), iv))
+        .select(
+            "_id_b", "_s_b", "_ns", "_i",
+            F.col("_s_b").substr(F.col("_gp") + 1, F.col("_gl")).alias("_kseg"),
+        )
+    )
+
+    # PROBE side: for every indexable length within +/-tau and every
+    # segment ordinal, emit the substrings of this string that could be
+    # that segment's surviving copy (start shift <= tau, fully inside)
+    pr = (
+        base.withColumn(
+            "_ns",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("_n") - tau, F.lit(0)),
+                    F.col("_n") + tau,
+                )
+            ),
+        )
+        .withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(tau))))
+        .withColumn("_gl", seg_len(F.col("_ns"), iv))
+        .withColumn("_gp", seg_pos(F.col("_ns"), iv))
+    )
+    lo = F.greatest(F.col("_gp") - tau, F.lit(0))
+    hi = F.least(F.col("_gp") + tau, (F.col("_n") - F.col("_gl")).cast("int"))
+    pos = (
+        F.when(F.col("_gl") == 0, F.array(F.lit(0)))
+        .when(lo <= hi, F.sequence(lo, hi))
+        .otherwise(F.array().cast("array<int>"))
+    )
+    pr = pr.withColumn("_q", F.explode(pos)).select(
+        "_id", "_s", "_ns", "_i",
+        F.col("_s").substr(F.col("_q") + 1, F.col("_gl")).alias("_kseg"),
+    )
+
+    cand = (
+        pr.join(idx, ["_ns", "_i", "_kseg"])
+        .filter(F.col("_id") < F.col("_id_b"))  # lossless: both directions hold
+        .select(
+            F.col("_id").alias("id_a"),
+            F.col("_id_b").alias("id_b"),
+            F.col("_s").alias("_sa"),
+            F.col("_s_b").alias("_sb"),
+        )
+        .distinct()  # one verification per pair, however many segments hit
+    )
+    dist = F.levenshtein(F.col("_sa"), F.col("_sb"), tau)
+    return (
+        cand.select("id_a", "id_b", dist.alias("dist"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= tau))
+    )
+
+
 def duplicated_ngram_stats(
     df: DataFrame, id_col: str, text_col: str, n: int = 5, min_docs: int = 2
 ) -> DataFrame:

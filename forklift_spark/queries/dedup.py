@@ -1241,3 +1241,74 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("cont_ab_bp") >= 8000) | (F.col("cont_ba_bp") >= 8000))
     )
+
+
+# --------------------------------------------------------------------------
+# q_passjoin_pairs — LOSSLESS edit-distance self-join with NO blocking
+# key (PassJoin, Li/Deng/Feng VLDB 2011): pigeonhole segment candidates
+# + thresholded levenshtein verify. The scale answer to SCALE_SF1_r6's
+# one superlinear row — entity resolution's fixed-cardinality blocking
+# makes candidates grow quadratically with density; PassJoin's shuffle
+# is O((2t+1)^2(t+1) * N) tiny segment keys at any density. The oracle
+# replays the join as a length-windowed quadratic levenshtein (DuckDB's
+# native levenshtein), so the hash certifies EXACT pair recall — the
+# only failure mode of candidate pruning. Input is a 30% customer
+# slice plus two mutated feeds (ed=1 suffix, ed<=2 tail rewrite);
+# base-base pairs (order keys differing in <=2 digit positions) keep
+# the matcher honest beyond the planted pairs.
+# --------------------------------------------------------------------------
+PASSJOIN_ORACLE = """
+WITH pool AS (
+  SELECT c_custkey AS rid, c_name AS name
+  FROM customer WHERE c_custkey % 10 < 3
+  UNION ALL
+  SELECT c_custkey + 10000000, c_name || 'q'
+  FROM customer WHERE c_custkey % 10 < 3 AND c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 20000000,
+         substr(c_name, 1, length(c_name) - 2) || 'zz'
+  FROM customer WHERE c_custkey % 10 < 3 AND c_custkey % 11 = 0
+),
+pairs AS (
+  SELECT a.rid AS id_a, b.rid AS id_b,
+         levenshtein(a.name, b.name) AS dist
+  FROM pool a JOIN pool b
+    ON a.rid < b.rid
+   AND abs(length(a.name) - length(b.name)) <= 2
+)
+SELECT CAST(dist AS BIGINT) AS dist,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(id_a + id_b) AS BIGINT) AS id_sum
+FROM pairs
+WHERE dist <= 2
+GROUP BY dist
+ORDER BY dist
+"""
+
+
+@query("q_passjoin_pairs", PASSJOIN_ORACLE)
+def q_passjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 10 < 3
+    )
+    base = cust.select(F.col("c_custkey").alias("rid"), F.col("c_name").alias("name"))
+    feed1 = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("rid"),
+        F.concat(F.col("c_name"), F.lit("q")).alias("name"),
+    )
+    feed2 = cust.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 20000000).alias("rid"),
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 2)"), F.lit("zz")
+        ).alias("name"),
+    )
+    pool = base.unionByName(feed1).unionByName(feed2)
+    pairs = D.passjoin_pairs(pool, "rid", "name", max_dist=2)
+    return (
+        pairs.groupBy(F.col("dist").cast("bigint").alias("dist"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("id_a") + F.col("id_b")).cast("bigint").alias("id_sum"),
+        )
+        .orderBy("dist")
+    )

@@ -162,3 +162,56 @@ def test_minhash_estimator_tracks_exact_jaccard(spark):
         assert abs(r["est"] - r["jaccard"]) <= max(3 * sigma, 0.2), (
             r["id_a"], r["id_b"], r["jaccard"], r["est"]
         )
+
+
+def test_passjoin_equals_brute_force(spark):
+    """PassJoin is LOSSLESS: the exact pair set of a brute-force
+    levenshtein cross join, on strings with planted substitutions,
+    inserts, deletes, empty and tiny strings, at tau = 1 and 2."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from forklift_spark.operators.dedup import passjoin_pairs
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        base = "".join(rng.choice("ab") for _ in range(rng.randint(0, 9)))
+        rows.append((i, base))
+        if base:
+            m = list(base)
+            m[rng.randrange(len(m))] = rng.choice("abz")
+            rows.append((1000 + i, "".join(m)))          # substitution
+        rows.append((2000 + i, base + rng.choice("ab")))  # insert
+        if len(base) > 1:
+            rows.append((3000 + i, base[1:]))             # delete
+    df = spark.createDataFrame(rows, "rid int, txt string")
+    a, b = df.alias("a"), df.alias("b")
+    for tau in (1, 2):
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in passjoin_pairs(df, "rid", "txt", max_dist=tau).collect()
+        }
+        brute = {
+            (r.id_a, r.id_b, r.dist)
+            for r in a.join(b, F.col("a.rid") < F.col("b.rid"))
+            .select(
+                F.col("a.rid").alias("id_a"),
+                F.col("b.rid").alias("id_b"),
+                F.levenshtein(F.col("a.txt"), F.col("b.txt")).alias("dist"),
+            )
+            .filter(F.col("dist") <= tau)
+            .collect()
+        }
+        assert got == brute, (tau, len(got), len(brute))
+
+
+def test_passjoin_rejects_wide_tau(spark):
+    import pytest as _pytest
+
+    from forklift_spark.operators.dedup import passjoin_pairs
+
+    df = spark.createDataFrame([(1, "x")], "rid int, txt string")
+    with _pytest.raises(ValueError):
+        passjoin_pairs(df, "rid", "txt", max_dist=9)
