@@ -207,6 +207,55 @@ def test_passjoin_equals_brute_force(spark):
         assert got == brute, (tau, len(got), len(brute))
 
 
+def test_passjoin_block_cols_equals_constrained_brute_force(spark):
+    """block_cols is a SEMANTIC equality constraint: the pair set equals
+    brute force filtered to equal constraint values, and rows with a
+    NULL constraint never pair (equi-join semantics, like ``a.c = b.c``
+    in SQL)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from forklift_spark.operators.dedup import passjoin_pairs
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(80):
+        base = "".join(rng.choice("ab") for _ in range(rng.randint(0, 8)))
+        cat = rng.choice(["x", "y", None])
+        rows.append((i, base, cat))
+        if base:
+            m = list(base)
+            m[rng.randrange(len(m))] = rng.choice("abz")
+            # same category half the time, different the other half:
+            # both sides of the constraint must be exercised
+            rows.append((1000 + i, "".join(m), cat if i % 2 else "y"))
+    df = spark.createDataFrame(rows, "rid int, txt string, cat string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in passjoin_pairs(
+            df, "rid", "txt", max_dist=2, block_cols=["cat"]
+        ).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r.id_a, r.id_b, r.dist)
+        for r in a.join(
+            b,
+            (F.col("a.rid") < F.col("b.rid"))
+            & (F.col("a.cat") == F.col("b.cat")),
+        )
+        .select(
+            F.col("a.rid").alias("id_a"),
+            F.col("b.rid").alias("id_b"),
+            F.levenshtein(F.col("a.txt"), F.col("b.txt")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+        .collect()
+    }
+    assert got == brute, (len(got), len(brute))
+
+
 def test_passjoin_rejects_wide_tau(spark):
     import pytest as _pytest
 
