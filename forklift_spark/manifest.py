@@ -932,6 +932,47 @@ class ManifestTable:
         bits = bytes.fromhex(hx)
         return all(bits[p // 8] & (1 << (p % 8)) for p in probe)
 
+    @staticmethod
+    def _bloom_probe_exact(src_t, tbl_t) -> bool:
+        """True when cast(batch value -> table dtype) provably preserves
+        every value that could equi-join a table value, so a bloom probe
+        computed on the cast can never miss a real match. Same type is
+        always exact; integral<->integral and float<->double widen/narrow
+        exactly for in-range matches (out-of-range values cannot match
+        at all); decimal<->decimal likewise. Mixed integral-vs-floating
+        is EXCLUDED: Spark's join coercion compares in double, where a
+        long can match through precision loss (2^53 + 1 == 2.0^53) while
+        its cast image hashes differently."""
+        if src_t is None or tbl_t is None:
+            return False
+        if src_t == tbl_t:
+            return True
+        integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        floating = (T.FloatType, T.DoubleType)
+        for fam in (integral, floating, (T.DecimalType,), (T.StringType,)):
+            if isinstance(src_t, fam) and isinstance(tbl_t, fam):
+                return True
+        return False
+
+    @staticmethod
+    def _bloom_scope_survives(entry: dict, bloom_checks: list) -> bool:
+        """Merge-scope bloom test: drop the file only when, for some key
+        column with a recorded bloom, NO batch key's probe tuple is
+        fully set (no false negatives — probe and build share the exact
+        seeded-murmur3 expression). Bloom-less entries always stay."""
+        blm = entry.get("bloom") or {}
+        for col, probes in bloom_checks:
+            hx = blm.get(col)
+            if hx is None:
+                continue
+            bits = bytes.fromhex(hx)
+            if not any(
+                all(bits[p // 8] & (1 << (p % 8)) for p in tpl)
+                for tpl in probes
+            ):
+                return False
+        return True
+
     def scan_plan(
         self,
         version: int | None = None,
@@ -1474,11 +1515,14 @@ class ManifestTable:
         file whose recorded [min, max] on any key column cannot hold a
         batch key provably holds no equi-join match, so it carries by
         reference unscanned — the Delta MERGE prune shape). For a
-        bounded batch ONE distinct job answers all three scope
-        questions at once: touched partitions, touched cells, and the
-        key point set; past ``_PRUNE_KEYS_BOUND`` the coarse scope
-        re-collects without the key columns and pruning falls back to
-        one [min, max] interval per key. Only touched partitions'
+        bounded batch ONE distinct job answers all the scope questions
+        at once: touched partitions, touched cells, the key point set,
+        AND (when the table blooms a key column) each key's bloom probe
+        positions — so bloom membership prunes files INSIDE overlapping
+        key ranges, where hash-distributed keys make zone maps useless;
+        past ``_PRUNE_KEYS_BOUND`` the coarse scope re-collects without
+        the key columns and pruning falls back to one [min, max]
+        interval per key. Only touched partitions'
         metadata segments are parsed; untouched files are carried by
         segment reference at commit time, never listed here. Driver
         state stays bounded by the probe limit."""
@@ -1486,6 +1530,29 @@ class ManifestTable:
         bucket_by = cur.get("bucket_by")
         bucketed = bool(bucket_by) and bucket_by[0] in pk
         prune_cols = self._prune_eligible(cur, source, pk)
+
+        # bloom-probe eligibility: key columns the table blooms, whose
+        # batch->table cast provably preserves every join-matching value
+        # (same type / both integral / both floating / both decimal /
+        # both string — a long-vs-double mix can join-match through
+        # precision loss, so it is excluded). The probe positions ride
+        # the SAME distinct job below as extra functional columns —
+        # zero additional jobs.
+        bl = cur.get("bloom") or {}
+        bl_cols: list[tuple[int, str]] = []
+        tmap = {
+            f.name: f.dataType
+            for f in T.StructType.fromJson(cur["schema"]).fields
+        }
+        if bl.get("cols") and prune_cols:
+            smap = {f.name: f.dataType for f in source.schema.fields}
+            for i, (k, _n) in enumerate(prune_cols):
+                if k in bl["cols"] and self._bloom_probe_exact(
+                    smap.get(k), tmap.get(k)
+                ):
+                    bl_cols.append((i, k))
+        m_bits = int(bl["bits"]) if bl else 0
+        k_hash = int(bl["k"]) if bl else 0
 
         sel = []
         if partition_by:
@@ -1495,6 +1562,16 @@ class ManifestTable:
         sel += [
             F.col(k).alias(f"__k{i}") for i, (k, _n) in enumerate(prune_cols)
         ]
+        if bl_cols:
+            for i, k in bl_cols:
+                cast_col = F.col(k).cast(tmap[k])
+                for h in range(k_hash):
+                    # exact write-path expression (_file_stats): seeded
+                    # murmur3 mod m — probe and build must agree bit-for-bit
+                    sel.append(
+                        F.pmod(F.hash(cast_col, F.lit(h)), F.lit(m_bits))
+                        .alias(f"__h{h}_{i}")
+                    )
         rows = None
         if sel:
             probe = (
@@ -1508,6 +1585,7 @@ class ManifestTable:
         # single interval can't cut the mixed update+insert CDC batch
         # (one old key + one new key spans the whole table); the set can.
         checks = []
+        bloom_checks = []
         if rows is not None:
             for i, (k, num) in enumerate(prune_cols):
                 conv = float if num else str
@@ -1516,6 +1594,20 @@ class ManifestTable:
                 )
                 if vals:
                     checks.append((k, num, vals))
+            # per-column probe tuples (one k-position tuple per distinct
+            # non-NULL batch key): NULL keys never equi-join, and a
+            # cast-nulled probe tuple can only keep extra files, never
+            # drop a file holding a real match (whose own probe is exact)
+            for i, k in bl_cols:
+                probes = sorted(
+                    {
+                        tuple(r[f"__h{h}_{i}"] for h in range(k_hash))
+                        for r in rows
+                        if r[f"__k{i}"] is not None
+                    }
+                )
+                if probes and not any(None in t for t in probes):
+                    bloom_checks.append((k, probes))
 
         if partition_by and bucketed:
             if rows is None:  # unbounded batch: coarse cells only
@@ -1579,6 +1671,13 @@ class ManifestTable:
             old = [e for e in old if self._zone_survives(e, checks)]
         elif prune_cols and rows is None:
             old = self._prune_interval(source, prune_cols, old)
+        if bloom_checks:
+            # prunes INSIDE overlapping key ranges (hash-distributed keys
+            # never separate by [min, max]); zone maps run first because
+            # they're cheaper per entry
+            old = [
+                e for e in old if self._bloom_scope_survives(e, bloom_checks)
+            ]
         return touched, old
 
     def _prune_eligible(

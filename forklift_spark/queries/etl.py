@@ -3599,3 +3599,67 @@ def q_manifest_key_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# q_manifest_bloom_prune — bloom-probe MERGE pruning (r6): on a
+# HASH-DISTRIBUTED manifest table (repartition(16, key) models
+# hash-bucketed ingest, where every file spans ~the whole key range) a
+# small key batch must scan only the files whose per-file key BLOOM may
+# contain a batch key — zone maps prune nothing here because the
+# [min, max] ranges all overlap. files_scanned is asserted in-query
+# (<= batch keys << total files); the oracle replays the merge
+# relationally (CASE over the match predicate), so the value hash
+# certifies the probe never dropped a file holding a real match — the
+# only way bloom pruning can be wrong. The probe positions ride the
+# same scope-collect job as the partition/key probes (zero extra jobs);
+# probe and build share the exact seeded-murmur3-mod-m expression.
+# --------------------------------------------------------------------------
+BLOOM_PRUNE_ORACLE = """
+WITH merged AS (
+  SELECT c_mktsegment,
+         CASE WHEN c_custkey <= 5
+              THEN CAST(CAST(c_acctbal AS DECIMAL(14,2))
+                        + CAST(100 AS DECIMAL(14,2)) AS DOUBLE)
+              ELSE c_acctbal END AS bal
+  FROM customer
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(bal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+FROM merged
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("q_manifest_bloom_prune", BLOOM_PRUNE_ORACLE)
+def q_manifest_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from forklift_spark.manifest import ManifestTable
+
+    base = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    t = ManifestTable(
+        spark, tempfile.mkdtemp(prefix="fk_bloomprune_"), "cust_hashed"
+    )
+    t.create(base.repartition(16, "c_custkey"), bloom_cols=["c_custkey"])
+    batch = base.filter(F.col("c_custkey") <= 5).withColumn(
+        "c_acctbal",
+        (dec("c_acctbal", MONEY) + F.lit(100).cast(MONEY)).cast("double"),
+    )
+    st = t.merge(batch, on="c_custkey", use_dv=True)
+    # the point of the query: 5 keys hash into <= 5 of 16 files and the
+    # bloom probe scanned ONLY those (ranges overlap; zones can't cut)
+    assert 0 < st["files_scanned"] <= 5 < len(t.files(version=1)), st
+    return (
+        t.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(dec("c_acctbal", MONEY)).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

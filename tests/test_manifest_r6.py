@@ -516,3 +516,120 @@ def test_key_prune_conservative_cases(spark, tmp_path):
     )
     assert st3["files_scanned"] < 4
     assert {r.v for r in s.read().filter("k = 'b'").collect()} == {9}
+
+
+# ---------------------------------------------------------------------------
+# Bloom-probe merge pruning: files whose key BLOOM proves no batch key
+# present are dropped from the merge scope even when their [min, max]
+# ranges fully overlap (hash-distributed keys — the regime zone maps
+# cannot cut).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def hash_distributed(spark, tmp_path):
+    """4 files hash-partitioned on k: every file spans ~the full key
+    range (zone maps prune nothing), key SETS are disjoint (blooms
+    prune everything but the owner file)."""
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    t = ManifestTable(spark, str(tmp_path), "hd")
+    t.create(df.repartition(4, "k"), bloom_cols=["k"])
+    return t
+
+
+def _keys_of_one_file(t, spark):
+    """(file_key, [two keys from that file]) via input_file_name."""
+    import os
+    from urllib.parse import unquote
+
+    rows = (
+        spark.read.parquet(
+            *[os.path.join(t.path, e["path"]) for e in t.manifest()["entries"]]
+        )
+        .select(F.input_file_name().alias("f"), "k")
+        .collect()
+    )
+    by_file: dict = {}
+    for r in rows:
+        key = unquote(os.path.relpath(r["f"].split("://", 1)[-1], t.path))
+        by_file.setdefault(key, []).append(r["k"])
+    fkey, ks = sorted(by_file.items())[0]
+    return fkey, sorted(ks)[:2]
+
+
+def test_bloom_probe_prunes_inside_overlapping_ranges(hash_distributed, spark):
+    t = hash_distributed
+    entries = t.manifest()["entries"]
+    assert len(entries) == 4
+    # ranges overlap: zone maps alone cannot isolate one file
+    los = [int(e["stats"]["k"][0]) for e in entries]
+    his = [int(e["stats"]["k"][1]) for e in entries]
+    assert max(los) < min(his), "fixture must produce overlapping ranges"
+    _fkey, ks = _keys_of_one_file(t, spark)
+    batch = spark.createDataFrame([(k, k * 100) for k in ks], "k long, v long")
+    st = t.merge(batch, on="k", use_dv=True)
+    assert st["files_scanned"] == 1, st
+    got = {r.k: r.v for r in t.read().filter(F.col("k").isin(ks)).collect()}
+    assert got == {k: k * 100 for k in ks}
+    assert t.read().count() == 400
+
+
+def test_bloom_probe_never_false_drops(hash_distributed, spark):
+    """A batch touching every file scans every file, and every update
+    lands — the no-false-negative side of the probe."""
+    t = hash_distributed
+    keys = [r.k for r in t.read().select("k").sample(0.05, seed=1).collect()]
+    assert len(keys) >= 8
+    batch = spark.createDataFrame([(k, -k) for k in keys], "k long, v long")
+    st = t.merge(batch, on="k", use_dv=True)
+    assert st["files_scanned"] >= 3  # sampled keys hit (almost) every file
+    got = {r.k: r.v for r in t.read().filter(F.col("k").isin(keys)).collect()}
+    assert got == {k: -k for k in keys}
+
+
+def test_bloom_probe_integral_widening_prunes(hash_distributed, spark):
+    """int batch against a long table is probe-exact (integral family):
+    pruning still engages and the merge is correct."""
+    t = hash_distributed
+    _fkey, ks = _keys_of_one_file(t, spark)
+    batch = spark.createDataFrame(
+        [(int(k), 7) for k in ks], "k int, v long"
+    )
+    st = t.merge(batch, on="k", use_dv=True)
+    assert st["files_scanned"] == 1, st
+    assert {r.v for r in t.read().filter(F.col("k").isin(ks)).collect()} == {7}
+
+
+def test_bloom_probe_skips_lossy_dtype_mix(hash_distributed, spark):
+    """double batch vs long table can join-match through precision loss,
+    so the bloom probe must NOT engage — the single-file cut the long
+    batch gets (see test above) must not happen here. Zone maps may
+    still trim edge files by [min, max]; that path is float-monotone
+    and stays active."""
+    t = hash_distributed
+    _fkey, ks = _keys_of_one_file(t, spark)
+    batch = spark.createDataFrame(
+        [(float(k), 9) for k in ks], "k double, v long"
+    )
+    st = t.merge(batch, on="k", use_dv=True)
+    assert st["files_scanned"] > 1, st
+    assert {r.v for r in t.read().filter(F.col("k").isin(ks)).collect()} == {9}
+
+
+def test_bloom_probe_delete_keys_and_apply_changes(hash_distributed, spark):
+    """delete_keys and apply_changes share _merge_scope, so the bloom
+    cut applies to both; deletes and upserts stay exact."""
+    t = hash_distributed
+    _fkey, ks = _keys_of_one_file(t, spark)
+    st = t.delete_keys(
+        spark.createDataFrame([(ks[0],)], "k long"), on="k"
+    )
+    assert st["files_scanned"] == 1, st
+    assert t.read().filter(F.col("k") == ks[0]).count() == 0
+    ups = spark.createDataFrame([(ks[1], 55)], "k long, v long")
+    tombs = spark.createDataFrame([(10**9,)], "k long")  # matches nothing
+    st2 = t.apply_changes(ups, tombs, on="k")
+    assert st2["files_scanned"] <= 2, st2
+    assert t.read().filter(F.col("k") == ks[1]).collect()[0].v == 55
