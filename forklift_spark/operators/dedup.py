@@ -1064,3 +1064,90 @@ def prefix_jaccard_pairs(
             ),
         )
     )
+
+
+def exact_span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """EXACT substring-span deduplication (the ExactSubstr discipline of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): any word span of length >= k that occurs more than once
+    across the corpus keeps exactly ONE canonical occurrence (min packed
+    (doc, position) — the same survivor discipline as line dedup) and
+    every other occurrence's tokens are removed; documents are
+    REASSEMBLED from their surviving tokens in order.
+
+    Unlike fixed-segment line dedup, the k-gram window SLIDES (stride
+    1), so repeated spans are caught at ANY alignment, and overlapping
+    duplicated k-grams union naturally into longer removed spans (a
+    repeated run of m >= k words is covered by its m - k + 1 duplicated
+    k-grams).
+
+    Dataflow (all linear, no all-pairs): one shuffle keyed by the
+    16-byte md5 of the k-gram text, a coverage explode bounded by
+    k x duplicate occurrences, and one (doc, position) anti-join-style
+    left join back to the token table. The suffix-array construction of
+    the paper is a single-machine design; this is its shuffle-native
+    equivalent at a fixed minimum span length.
+
+    Returns (id, n_tokens, n_kept, cleaned_text) for every document.
+    """
+    from forklift_spark.operators.text import words
+
+    if k < 2:
+        raise ValueError("k must be >= 2: a 1-gram span would delete "
+                         "every repeated word in the corpus")
+    w = df.select(F.col(id_col).alias("_id"), words(text_col).alias("_w"))
+    toks = w.select("_id", F.posexplode("_w").alias("_pos", "_word"))
+    grams = (
+        w.filter(F.size("_w") >= k)
+        .select(
+            "_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(_w) - {k}), "
+                    f"i -> array_join(slice(_w, i + 1, {k}), ' '))"
+                )
+            ).alias("_pos", "_g"),
+        )
+        .withColumn("_pk", F.col("_id") * 1000000 + F.col("_pos"))
+        .withColumn("_fp", F.md5("_g"))
+    )
+    canon = grams.groupBy("_fp").agg(
+        F.min("_pk").alias("_cpk"), F.count(F.lit(1)).alias("_n")
+    )
+    cov = (
+        grams.join(canon, "_fp")
+        .filter((F.col("_n") >= 2) & (F.col("_pk") != F.col("_cpk")))
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + k - 1)
+            ).alias("_pos"),
+        )
+        .distinct()
+        .withColumn("_covered", F.lit(True))
+    )
+    marked = toks.join(cov, ["_id", "_pos"], "left")
+    keep = F.col("_covered").isNull()
+    return marked.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(keep.cast("bigint")).cast("bigint").alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("_pos", "_word"))
+                        )
+                    ),
+                    lambda x: x["_word"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("cleaned_text"),
+    ).withColumnRenamed("_id", id_col)

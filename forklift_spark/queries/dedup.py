@@ -1316,3 +1316,58 @@ def q_passjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+# --------------------------------------------------------------------------
+# q_exact_substr_dedup — EXACT sliding-window substring-span dedup
+# (Lee et al. 2022 ExactSubstr, shuffle-native): every word span of
+# >= 10 tokens that repeats anywhere in the corpus — at ANY alignment,
+# within or across documents — keeps one canonical occurrence (min
+# packed (doc, pos), the q_line_dedup survivor discipline) and is
+# removed everywhere else; overlapping duplicated 10-grams union into
+# longer removed spans. Documents are reassembled from surviving
+# tokens — the output is the cleaned corpus. This is the stronger,
+# alignment-free sibling of q_line_dedup's fixed 8-word segmentation
+# (which misses a repeated span that straddles a segment boundary).
+# Scale: md5(k-gram)-keyed shuffle, coverage explode bounded by
+# k x duplicate occurrences, one (doc, pos) join — no all-pairs, no
+# suffix array (the paper's single-machine structure). The oracle
+# replays the full chain in SQL, so the value hash certifies window
+# generation, survivor choice, span union, AND reassembly together.
+# --------------------------------------------------------------------------
+_SPAN_K = 10
+
+EXACT_SUBSTR_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split({NORM}, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, s AS pos, doc_id * 1000000 + s AS pk,
+         array_to_string(list_slice(w, s + 1, s + {_SPAN_K}), ' ') AS g
+  FROM (SELECT doc_id, w, unnest(range(0, len(w) - {_SPAN_K} + 1)) AS s
+        FROM w WHERE len(w) >= {_SPAN_K})
+), canon AS (
+  SELECT md5(g) AS fp, min(pk) AS cpk, count(*) AS n FROM grams GROUP BY 1
+), cov AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT g.doc_id, unnest(range(g.pos, g.pos + {_SPAN_K})) AS pos
+    FROM grams g JOIN canon c ON md5(g.g) = c.fp
+    WHERE c.n >= 2 AND g.pk <> c.cpk
+  )
+), toks AS (
+  SELECT doc_id, p AS pos, w[p + 1] AS word
+  FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS p FROM w)
+)
+SELECT t.doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(count(*) FILTER (c.pos IS NULL) AS BIGINT) AS n_kept,
+  coalesce(string_agg(t.word, ' ' ORDER BY t.pos) FILTER (c.pos IS NULL), '')
+    AS cleaned_text
+FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+GROUP BY t.doc_id
+"""
+
+
+@query("q_exact_substr_dedup", EXACT_SUBSTR_ORACLE)
+def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return D.exact_span_dedup(docs, "doc_id", "text", k=_SPAN_K)

@@ -264,3 +264,50 @@ def test_passjoin_rejects_wide_tau(spark):
     df = spark.createDataFrame([(1, "x")], "rid int, txt string")
     with _pytest.raises(ValueError):
         passjoin_pairs(df, "rid", "txt", max_dist=9)
+
+
+def test_exact_span_dedup_semantics(spark):
+    """Planted spans pin the ExactSubstr contract: a >= k repeated run
+    is removed at every non-canonical occurrence AT ANY ALIGNMENT and
+    unions across overlapping windows (12-word run -> all 12 tokens
+    gone); short docs and unique text are untouched."""
+    from forklift_spark.operators.dedup import exact_span_dedup
+
+    span = " ".join(f"s{i}" for i in range(12))          # 12-word run
+    rows = [
+        # doc 0 owns the canonical occurrence (min packed key)
+        (0, "a0 a1 " + span + " a2 a3"),
+        # doc 1 repeats it at a DIFFERENT alignment (5 leading words)
+        (1, "b0 b1 b2 b3 b4 " + span + " b5"),
+        # doc 2: unique text, same length profile — untouched
+        (2, " ".join(f"c{i}" for i in range(16))),
+        # doc 3: shorter than k — can't even form a window
+        (3, "d0 d1 d2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in exact_span_dedup(df, "doc_id", "text", k=10).collect()
+    }
+    # doc 0: canonical copy survives whole
+    assert got[0].n_tokens == 16 and got[0].n_kept == 16
+    assert span in got[0].cleaned_text
+    # doc 1: all 12 span tokens removed (3 overlapping 10-grams union),
+    # surrounding words survive
+    assert got[1].n_tokens == 18 and got[1].n_kept == 6
+    assert got[1].cleaned_text == "b0 b1 b2 b3 b4 b5"
+    assert got[2].n_kept == 16 and got[3].n_kept == 3
+
+
+def test_exact_span_dedup_within_doc_repeat(spark):
+    """A doc repeating its own 10-word span keeps exactly the first
+    occurrence (canonical = min position within the doc)."""
+    from forklift_spark.operators.dedup import exact_span_dedup
+
+    span = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(7, span + " mid " + span)], "doc_id long, text string"
+    )
+    r = exact_span_dedup(df, "doc_id", "text", k=10).collect()[0]
+    assert r.n_tokens == 21 and r.n_kept == 11
+    assert r.cleaned_text == span + " mid"
