@@ -224,6 +224,14 @@ HEADLINE = [
     "q_manifest_time_travel",
     "q_manifest_cdc_sync",
     "q_pg_roundtrip",
+    # r6 wave: merge-key pruning (zones + blooms), one-commit CDC apply,
+    # pg COPY bulk path, lossless edit-distance self-join, ExactSubstr
+    "q_manifest_key_prune",
+    "q_manifest_bloom_prune",
+    "q_apply_changes",
+    "q_pg_copy_roundtrip",
+    "q_passjoin_pairs",
+    "q_exact_substr_dedup",
 ]
 
 
@@ -288,7 +296,7 @@ def main() -> None:
     # (VERDICT r4 item 4). Only full-headline runs write it (subset runs
     # during iteration would clobber the committed numbers); atomic
     # write; disable with an empty env value.
-    artifact = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r5.json")
+    artifact = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r6.json")
     if artifact and not extra:
         tmp = artifact + ".tmp"
         with open(tmp, "w") as fh:

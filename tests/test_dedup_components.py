@@ -311,3 +311,49 @@ def test_exact_span_dedup_within_doc_repeat(spark):
     r = exact_span_dedup(df, "doc_id", "text", k=10).collect()[0]
     assert r.n_tokens == 21 and r.n_kept == 11
     assert r.cleaned_text == span + " mid"
+
+
+def test_exact_span_dedup_matches_python_model(spark):
+    """Property: on random small-vocabulary corpora (dense genuine
+    repeats, self-overlapping runs like 'a a a ...'), the operator
+    equals a direct Python model of the ExactSubstr contract."""
+    import random
+    import re
+
+    from forklift_spark.operators.dedup import exact_span_dedup
+
+    def model(docs, k):
+        toks = {d: re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+                for d, t in docs}
+        occ = {}  # gram text -> list of (doc, pos)
+        for d, ws in toks.items():
+            for p in range(len(ws) - k + 1):
+                occ.setdefault(" ".join(ws[p:p + k]), []).append((d, p))
+        covered = {d: set() for d in toks}
+        for g, lst in occ.items():
+            if len(lst) < 2:
+                continue
+            cd, cp = min(lst, key=lambda x: x[0] * 1000000 + x[1])
+            for d, p in lst:
+                if (d, p) != (cd, cp):
+                    covered[d].update(range(p, p + k))
+        out = {}
+        for d, ws in toks.items():
+            kept = [w for i, w in enumerate(ws) if i not in covered[d]]
+            out[d] = (len(ws), len(kept), " ".join(kept))
+        return out
+
+    rng = random.Random(23)
+    for trial, (vocab, k) in enumerate([("ab", 3), ("abc", 4), ("a", 5)]):
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+            for i in range(40)
+        ]
+        want = model(docs, k)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.n_kept, r.cleaned_text)
+            for r in exact_span_dedup(df, "doc_id", "text", k=k).collect()
+        }
+        assert got == want, (trial, {d: (got[d], want[d])
+                                     for d in got if got[d] != want[d]})
