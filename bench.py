@@ -232,6 +232,7 @@ HEADLINE = [
     "q_pg_copy_roundtrip",
     "q_passjoin_pairs",
     "q_exact_substr_dedup",
+    "q_delta_read",
 ]
 
 

@@ -26,10 +26,12 @@ from forklift_spark.connections.jdbc import JdbcConnection
 from forklift_spark.connections.manifest import ManifestConnection
 from forklift_spark.connections.jsonl import JsonlConnection
 from forklift_spark.connections.parquet import ParquetConnection
+from forklift_spark.connections.deltalite import DeltaLiteConnection
 from forklift_spark.connections.elasticsearch import ElasticsearchConnection
 from forklift_spark.connections.pgwire import PostgresConnection
 
 CONNECTION_TYPES: dict[str, type[Connection]] = {
+    "delta": DeltaLiteConnection,
     "postgres": PostgresConnection,
     "parquet": ParquetConnection,
     "manifest": ManifestConnection,
@@ -86,6 +88,7 @@ __all__ = [
     "OrcConnection",
     "AvroConnection",
     "JdbcConnection",
+    "DeltaLiteConnection",
     "ElasticsearchConnection",
     "PostgresConnection",
     "CONNECTION_TYPES",

@@ -1,0 +1,276 @@
+"""Read-only Delta Lake table reader over the PUBLIC transaction-log
+protocol — no delta-spark jar, no Delta runtime.
+
+Interop surface: a user migrating off a Delta lakehouse (or pointing
+this engine at one a Spark-with-Delta writer maintains) can read those
+tables — current snapshot or ``version=`` time travel — through the
+standard Connection API, exactly like the reference lets every pattern
+target any registered endpoint (`base/connection.rb`).
+
+Scope is the delta.io PROTOCOL.md **reader version 1** feature set,
+implemented from the spec:
+
+- ``_delta_log/{version:020d}.json`` commit files, one JSON action per
+  line: ``protocol`` / ``metaData`` / ``add`` / ``remove`` (``txn`` /
+  ``commitInfo`` are ignored per spec — they don't affect table state).
+- Parquet checkpoints (single-file ``{v:020d}.checkpoint.parquet`` and
+  multi-part ``{v:020d}.checkpoint.{i:010d}.{n:010d}.parquet``) located
+  via ``_last_checkpoint``; the snapshot replays checkpoint state plus
+  the JSON tail after it — so logs whose early JSON commits were
+  cleaned up (the Delta retention job) still read correctly.
+- State reconstruction: last-writer-wins ``metaData``, live files =
+  adds minus later removes keyed by ``path`` (URL-decoded per spec).
+- Partition columns are NOT stored in the data files; they are attached
+  from each file's ``partitionValues`` string map, cast to the schema
+  dtype (empty string stays NULL for non-strings, per the spec's
+  serialization rules).
+
+Newer reader features degrade LOUDLY, never wrongly: a table with
+``minReaderVersion > 1`` (deletion vectors, column mapping, v2
+checkpoints...) raises ``DeltaUnsupported`` instead of returning rows
+that silently ignore deletion vectors.
+
+Driver bound: the live-file list is held on the driver (paths +
+partition values), same O(files) bound as the manifest format's entry
+list — the read itself is one distributed parquet scan per touched
+partition-value combination, unioned lazily.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from forklift_spark.connections.base import Connection
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CKPT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet$")
+
+
+class DeltaUnsupported(NotImplementedError):
+    """The table requires a reader feature outside protocol v1."""
+
+
+class DeltaLiteTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.log_dir = os.path.join(path, "_delta_log")
+
+    # -- log listing -------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_dir)
+
+    def versions(self) -> list[int]:
+        """JSON commit versions present on disk (checkpointed history may
+        have had its early JSON files cleaned; see snapshot())."""
+        out = []
+        for f in os.listdir(self.log_dir):
+            m = _COMMIT_RE.match(f)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        ck = self._last_checkpoint()
+        cand = vs + ([ck["version"]] if ck else [])
+        if not cand:
+            raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        return max(cand)
+
+    def _last_checkpoint(self) -> dict | None:
+        p = os.path.join(self.log_dir, "_last_checkpoint")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    # -- state reconstruction ------------------------------------------------
+
+    def snapshot(self, version: int | None = None) -> dict:
+        """Replay the log to ``version`` (default: latest): returns
+        {"version", "schema" (StructType), "partition_columns",
+        "files": {path: partitionValues}}."""
+        latest = self.latest_version()
+        target = latest if version is None else int(version)
+        if target > latest:
+            raise ValueError(f"version {target} > latest {latest}")
+
+        files: dict[str, dict] = {}
+        meta: dict | None = None
+        start = 0
+
+        ck = self._last_checkpoint()
+        if ck and ck["version"] <= target:
+            meta2, files2 = self._read_checkpoint(int(ck["version"]))
+            meta = meta2 or meta
+            files.update(files2)
+            start = int(ck["version"]) + 1
+
+        have = set(self.versions())
+        for v in range(start, target + 1):
+            if v not in have:
+                raise FileNotFoundError(
+                    f"missing commit {v} (log cleaned past the usable "
+                    f"checkpoint?) at {self.log_dir}"
+                )
+            with open(os.path.join(self.log_dir, f"{v:020d}.json")) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    act = json.loads(line)
+                    if "protocol" in act:
+                        self._check_protocol(act["protocol"])
+                    elif "metaData" in act:
+                        meta = act["metaData"]
+                    elif "add" in act:
+                        a = act["add"]
+                        files[unquote(a["path"])] = a.get("partitionValues") or {}
+                    elif "remove" in act:
+                        files.pop(unquote(act["remove"]["path"]), None)
+
+        if meta is None:
+            raise ValueError(f"no metaData action found in {self.log_dir}")
+        fmt = (meta.get("format") or {}).get("provider", "parquet")
+        if fmt != "parquet":
+            raise DeltaUnsupported(f"format provider {fmt!r} (parquet only)")
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        return {
+            "version": target,
+            "schema": schema,
+            "partition_columns": list(meta.get("partitionColumns") or []),
+            "files": files,
+        }
+
+    def _read_checkpoint(self, version: int) -> tuple[dict | None, dict]:
+        parts = sorted(
+            f for f in os.listdir(self.log_dir)
+            if (m := _CKPT_RE.match(f)) and int(m.group(1)) == version
+        )
+        if not parts:
+            raise FileNotFoundError(
+                f"_last_checkpoint points at {version} but no checkpoint "
+                f"parquet exists in {self.log_dir}"
+            )
+        df = self.spark.read.parquet(
+            *[os.path.join(self.log_dir, p) for p in parts]
+        )
+        meta: dict | None = None
+        files: dict[str, dict] = {}
+        cols = set(df.columns)
+        if "protocol" in cols:
+            for r in df.filter(F.col("protocol").isNotNull()).select(
+                "protocol.*"
+            ).collect():
+                self._check_protocol(r.asDict())
+        if "metaData" in cols:
+            rows = df.filter(F.col("metaData").isNotNull()).select(
+                "metaData.*"
+            ).collect()
+            if rows:
+                meta = {k: v for k, v in rows[-1].asDict().items()}
+                if isinstance(meta.get("format"), object) and hasattr(
+                    meta.get("format"), "asDict"
+                ):
+                    meta["format"] = meta["format"].asDict()
+        # checkpoints hold the full live set: adds present, removes are
+        # tombstones only (already excluded from add rows by the writer)
+        if "add" in cols:
+            for r in (
+                df.filter(F.col("add").isNotNull())
+                .select("add.path", "add.partitionValues")
+                .collect()
+            ):
+                files[unquote(r["path"])] = dict(r["partitionValues"] or {})
+        return meta, files
+
+    @staticmethod
+    def _check_protocol(proto: dict) -> None:
+        mrv = int(proto.get("minReaderVersion", 1) or 1)
+        if mrv > 1:
+            raise DeltaUnsupported(
+                f"minReaderVersion={mrv}: this reader implements protocol "
+                "v1 only (no deletion vectors / column mapping / v2 "
+                "checkpoints) — refusing rather than returning rows that "
+                "ignore reader-mandatory features"
+            )
+
+    # -- read ----------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        snap = self.snapshot(version)
+        schema: T.StructType = snap["schema"]
+        pcols = snap["partition_columns"]
+        ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+        data_schema = T.StructType(
+            [f for f in schema.fields if f.name not in pcols]
+        )
+        if not snap["files"]:
+            return self.spark.createDataFrame([], schema)
+
+        # one scan per distinct partition-value combination; the lit
+        # columns are constant-folded, the union is lazy
+        groups: dict[tuple, list[str]] = {}
+        for path, pv in snap["files"].items():
+            key = tuple(pv.get(c) for c in pcols)
+            groups.setdefault(key, []).append(os.path.join(self.path, path))
+        parts = []
+        for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
+            df = self.spark.read.schema(data_schema).parquet(*paths)
+            for c, v in zip(pcols, key):
+                # spec: partition values serialize as strings; empty
+                # string means NULL for non-string types
+                if v is None or (v == "" and not isinstance(
+                    ptypes[c], T.StringType
+                )):
+                    lit = F.lit(None).cast(ptypes[c])
+                else:
+                    lit = F.lit(v).cast(ptypes[c])
+                df = df.withColumn(c, lit)
+            parts.append(df.select(*[f.name for f in schema.fields]))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+
+class DeltaLiteConnection(Connection):
+    """Config: ``path`` — a directory whose subdirectories are Delta
+    tables (each containing ``_delta_log``). Read-only by design: this
+    engine WRITES through its own manifest format; Delta interop is for
+    reading someone else's lakehouse."""
+
+    def __init__(self, config, engine, name: str = ""):
+        super().__init__(config, engine, name)
+        self.root = config["path"]
+        self.spark = getattr(engine, "spark", engine)
+
+    def _table(self, name: str) -> DeltaLiteTable:
+        return DeltaLiteTable(self.spark, os.path.join(self.root, name))
+
+    def read(self, query_or_table: str, version: int | None = None,
+             **kwargs) -> DataFrame:
+        return self._table(query_or_table).read(version=version)
+
+    def write(self, df, table, mode="upsert", primary_key="id", **kwargs):
+        raise NotImplementedError(
+            "DeltaLiteConnection is read-only (protocol v1 reader); "
+            "write through a manifest/parquet connection instead"
+        )
+
+    def tables(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d, "_delta_log"))
+        )

@@ -730,3 +730,99 @@ def q_pg_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# q_delta_read — Delta Lake PROTOCOL-v1 interop read (r6): a Delta
+# transaction log is built BY HAND from the public PROTOCOL.md action
+# shapes (the reader must work from the spec alone, against a log this
+# engine didn't write), with lineitem partitioned by l_returnflag —
+# commit 0 adds every partition, commit 1 REMOVES the 'R' partition's
+# files (a delete a Delta writer would log). The connector replays
+# add/remove, attaches partition values from the log (the data files
+# do NOT contain l_returnflag), and the aggregate must equal the oracle
+# computed straight off the source table WITHOUT the removed partition.
+# Ignored commitInfo actions and the protocol check ride the same log.
+# --------------------------------------------------------------------------
+DELTA_READ_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+         AS sum_price
+FROM lineitem
+WHERE l_returnflag <> 'R'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q_delta_read", DELTA_READ_ORACLE)
+def q_delta_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import json as _json
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from forklift_spark.connections.deltalite import DeltaLiteTable
+
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    full_schema = T.StructType(
+        [f for f in li.schema.fields if f.name != "l_returnflag"]
+        + [T.StructField("l_returnflag", T.StringType())]
+    )
+    tdir = tempfile.mkdtemp(prefix="fk_delta_")
+    log = os.path.join(tdir, "_delta_log")
+    os.makedirs(log)
+    flags = [r[0] for r in li.select("l_returnflag").distinct().collect()]
+    adds = {}
+    for flag in sorted(flags):
+        part = li.filter(F.col("l_returnflag") == flag).drop("l_returnflag")
+        stage = os.path.join(tdir, f"stage_{flag}")
+        part.write.mode("overwrite").parquet(stage)
+        for i, f in enumerate(sorted(glob.glob(os.path.join(stage, "part-*.parquet")))):
+            rel = f"flag={flag}/f{i}.parquet"
+            os.makedirs(os.path.join(tdir, f"flag={flag}"), exist_ok=True)
+            shutil.move(f, os.path.join(tdir, rel))
+            adds[rel] = flag
+        shutil.rmtree(stage)
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(_json.dumps(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        ) + "\n")
+        fh.write(_json.dumps({"metaData": {
+            "id": "fk-delta-read", "format": {"provider": "parquet",
+                                              "options": {}},
+            "schemaString": _json.dumps(full_schema.jsonValue()),
+            "partitionColumns": ["l_returnflag"], "configuration": {},
+            "createdTime": 1700000000000,
+        }}) + "\n")
+        for rel, flag in adds.items():
+            fh.write(_json.dumps({"add": {
+                "path": rel, "partitionValues": {"l_returnflag": flag},
+                "size": 1, "modificationTime": 1700000000000,
+                "dataChange": True,
+            }}) + "\n")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"commitInfo": {"operation": "DELETE"}}) + "\n")
+        for rel, flag in adds.items():
+            if flag == "R":
+                fh.write(_json.dumps({"remove": {
+                    "path": rel, "deletionTimestamp": 1700000001000,
+                    "dataChange": True,
+                }}) + "\n")
+    got = DeltaLiteTable(spark, tdir).read()
+    return (
+        got.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
+             .alias("sum_qty"),
+            F.sum(dec("l_extendedprice", MONEY)).cast("double")
+             .alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
