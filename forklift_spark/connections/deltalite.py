@@ -274,3 +274,76 @@ class DeltaLiteConnection(Connection):
             d for d in os.listdir(self.root)
             if os.path.isdir(os.path.join(self.root, d, "_delta_log"))
         )
+
+
+def export_manifest_to_delta(table, dest: str) -> dict:
+    """One-shot SNAPSHOT export of a ManifestTable as a Delta-readable
+    table at ``dest`` (the reverse interop direction: external Delta
+    readers consume a table this engine maintains).
+
+    The manifest keeps every real column INSIDE its data files (the
+    partition dir column is the synthetic ``__fsp__``), so the export
+    declares an UNPARTITIONED protocol-v1 Delta table and adds every
+    live file as-is — any spec-conformant reader gets full rows with no
+    partition-value reconstruction. Files are hard-linked when the
+    filesystem allows (copied otherwise), so the export is O(metadata)
+    on one volume. The log is written at ``dest``, never inside the
+    manifest table directory — vacuum() treats foreign files there as
+    orphans and would reclaim the log.
+
+    Tables with live deletion vectors refuse: their parquet files still
+    CONTAIN the deleted rows, and protocol v1 has no way to say so —
+    run ``maintain()`` / ``compact(auto_dv=True)`` first. Exporting
+    masked files as-is would resurrect deleted rows in every external
+    reader, the silent-corruption failure mode this guard exists for.
+
+    Returns {"files": n, "rows": n or None, "version": source version}.
+    """
+    m = table.manifest()
+    if any(e.get("dv") for e in m["entries"]):
+        raise ValueError(
+            "table has live deletion vectors; external Delta-v1 readers "
+            "would see deleted rows — run maintain() (or "
+            "compact(auto_dv=True)) to materialize them, then export"
+        )
+    os.makedirs(os.path.join(dest, "_delta_log"), exist_ok=True)
+    adds = []
+    for e in m["entries"]:
+        src = os.path.join(table.path, e["path"])
+        dst = os.path.join(dest, e["path"])
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if not os.path.exists(dst):
+            try:
+                os.link(src, dst)
+            except OSError:
+                import shutil
+
+                shutil.copy2(src, dst)
+        adds.append({
+            "path": e["path"], "partitionValues": {},
+            "size": os.path.getsize(dst),
+            "modificationTime": int(os.path.getmtime(dst) * 1000),
+            "dataChange": True,
+        })
+    schema_json = json.dumps(
+        T.StructType.fromJson(m["schema"]).jsonValue()
+    )
+    with open(os.path.join(dest, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        ) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": f"forklift-spark-export-{m.get('version', 0)}",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_json,
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": int(m.get("committed_at", 0) or 0),
+        }}) + "\n")
+        for a in adds:
+            fh.write(json.dumps({"add": a}) + "\n")
+    rows = None
+    if all("rows" in e for e in m["entries"]):
+        rows = sum(e["rows"] for e in m["entries"])
+    return {"files": len(adds), "rows": rows,
+            "version": m.get("version", 0)}

@@ -219,3 +219,52 @@ def test_connection_surface(spark, delta_table):
     assert conn.count("events") == 9
     with pytest.raises(NotImplementedError):
         conn.write(spark.range(1), "events")
+
+
+def test_export_manifest_to_delta_roundtrip(spark, tmp_path):
+    """Snapshot export: an external spec-conformant reader (our own
+    DeltaLiteTable, reading only the log) sees exactly the manifest
+    table's live rows; dv-masked tables refuse until materialized."""
+    from forklift_spark.connections.deltalite import (
+        export_manifest_to_delta,
+    )
+    from forklift_spark.manifest import ManifestTable
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4 + 1).cast("int").alias("p"),
+        (F.col("id") * 10).alias("v"),
+    )
+    t = ManifestTable(spark, str(tmp_path / "m"), "m")
+    t.create(df, partition_by="p")
+    t.merge(
+        spark.createDataFrame([(5, 2, 555), (200, 1, 2000)],
+                              "k long, p int, v long"),
+        on="k",
+    )
+    dest = str(tmp_path / "exported")
+    stats = export_manifest_to_delta(t, dest)
+    assert stats["files"] >= 4 and stats["version"] == t.manifest()["version"]
+    got = {(r.k, r.p, r.v)
+           for r in DeltaLiteTable(spark, dest).read().collect()}
+    want = {(r.k, r.p, r.v) for r in t.read().collect()}
+    assert got == want and (5, 2, 555) in got and (200, 1, 2000) in got
+
+    # dv-masked table refuses; materializing clears the refusal
+    t2 = ManifestTable(spark, str(tmp_path / "m2"), "m2")
+    t2.create(df)
+    t2.merge(
+        spark.createDataFrame([(7, 1, 777)], "k long, p int, v long"),
+        on="k", use_dv=True,
+    )
+    assert any(e.get("dv") for e in t2.manifest()["entries"])
+    with pytest.raises(ValueError, match="deletion vectors"):
+        export_manifest_to_delta(t2, str(tmp_path / "e2"))
+    t2.compact()  # any dv'd partition is compact-eligible; masks materialize
+    assert not any(e.get("dv") for e in t2.manifest()["entries"])
+    dest2 = str(tmp_path / "e2")
+    export_manifest_to_delta(t2, dest2)
+    got2 = {(r.k, r.p, r.v)
+            for r in DeltaLiteTable(spark, dest2).read().collect()}
+    assert got2 == {(r.k, r.p, r.v) for r in t2.read().collect()}
+    assert (7, 1, 777) in got2
