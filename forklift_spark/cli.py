@@ -141,7 +141,7 @@ def main(argv: list[str] | None = None) -> int:
         "op",
         choices=["history", "compact", "vacuum", "restore", "fsck",
                  "checkpoint", "maintain", "set-constraint",
-                 "drop-constraint"],
+                 "drop-constraint", "export-delta"],
     )
     p_man.add_argument("root", help="warehouse dir holding the table")
     p_man.add_argument("table")
@@ -161,6 +161,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_man.add_argument(
         "--expr", help="CHECK expression (set-constraint)"
+    )
+    p_man.add_argument(
+        "--dest", help="export-delta: destination directory for the "
+        "protocol-v1 Delta snapshot"
     )
     p_man.add_argument(
         "--orphan-grace",
@@ -240,6 +244,15 @@ def main(argv: list[str] | None = None) -> int:
             report = t.fsck()
             print(_json.dumps(report))
             return 0 if report["ok"] else 1
+        elif ns.op == "export-delta":
+            if not ns.dest:
+                print("export-delta requires --dest")
+                return 2
+            from forklift_spark.connections.deltalite import (
+                export_manifest_to_delta,
+            )
+
+            print(_json.dumps(export_manifest_to_delta(t, ns.dest)))
         else:
             if ns.version is None:
                 print("restore requires --version")
