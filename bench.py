@@ -233,6 +233,7 @@ HEADLINE = [
     "q_passjoin_pairs",
     "q_exact_substr_dedup",
     "q_delta_read",
+    "q_avro_roundtrip",
 ]
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame
 
@@ -72,22 +73,115 @@ class OrcConnection(_FileFormatConnection):
 
 
 class AvroConnection(_FileFormatConnection):
-    """Requires the spark-avro module on the session classpath
-    (``--packages org.apache.spark:spark-avro_2.13:<spark-version>``)."""
+    """Avro interchange with two engines: the ``spark-avro`` jar when it
+    is on the classpath (vectorized, any Hadoop filesystem), else the
+    pure-Python container codec (``functions/avrocodec.py``) — decode
+    fans out one Spark task per container file, encode writes one
+    container file per partition, so both directions stay executor-side
+    and distributed even without the jar. The pure path needs a
+    filesystem every executor can open with ``open()`` (local volume /
+    NFS); point it at HDFS/S3 and you want the jar.
+
+    Force a path with ``engine=("jar"|"pure")``; default tries the jar
+    first and falls back."""
 
     FORMAT = "avro"
 
-    def read(self, query_or_table: str | None = None, schema=None, **kwargs) -> DataFrame:
-        try:
-            return super().read(query_or_table, schema=schema, **kwargs)
-        except Exception as exc:
-            raise RuntimeError(_AVRO_HINT) from exc
+    def read(self, query_or_table: str | None = None, schema=None,
+             engine: str = "auto", **kwargs) -> DataFrame:
+        path = query_or_table or self.file
+        if engine != "pure":
+            try:
+                return super().read(path, schema=schema, **kwargs)
+            except Exception as exc:
+                if engine == "jar":
+                    raise RuntimeError(_AVRO_HINT) from exc
+        return self._read_pure(path, schema=schema)
 
-    def write(self, df: DataFrame, table: str | None = None, mode: str = "append", **kwargs) -> None:
-        try:
-            super().write(df, table, mode=mode, **kwargs)
-        except Exception as exc:
-            raise RuntimeError(_AVRO_HINT) from exc
+    def write(self, df: DataFrame, table: str | None = None,
+              mode: str = "append", engine: str = "auto", **kwargs) -> None:
+        path = table or self.file
+        if engine != "pure":
+            try:
+                super().write(df, path, mode=mode, **kwargs)
+                return
+            except Exception as exc:
+                if engine == "jar":
+                    raise RuntimeError(_AVRO_HINT) from exc
+        self._write_pure(df, path, mode=mode,
+                         codec=kwargs.get("compression", self.compression))
+
+    # -- pure-Python distributed paths --------------------------------------
+
+    def _avro_files(self, path: str) -> list[str]:
+        if os.path.isfile(path):
+            return [path]
+        if os.path.isdir(path):
+            return sorted(
+                os.path.join(path, f) for f in os.listdir(path)
+                if f.endswith(".avro")
+            )
+        raise FileNotFoundError(f"no avro file or directory at {path}")
+
+    def _read_pure(self, path: str, schema=None) -> DataFrame:
+        from forklift_spark.functions import avrocodec as av
+
+        files = self._avro_files(path)
+        if not files:
+            raise FileNotFoundError(f"no *.avro files under {path}")
+        with open(files[0], "rb") as fh:
+            a_schema, _codec = av.read_container_header(fh.read(1 << 20))
+        spark_schema = schema
+        if spark_schema is None:
+            spark_schema, _ = av.avro_to_spark_type(a_schema)
+        spark = self.engine.spark
+
+        def _decode_file(fp: str):
+            # leaf decode; runs on the executor, one task per file
+            _, rows = av.read_container_file(fp)
+            return rows
+
+        # one task per container file: per-file imperative decode is the
+        # legitimate RDD case — the codec yields nested dicts that
+        # createDataFrame maps onto the schema by name
+        rdd = spark.sparkContext.parallelize(files, len(files)).flatMap(
+            _decode_file
+        )
+        return spark.createDataFrame(rdd, spark_schema)
+
+    def _write_pure(self, df: DataFrame, path: str, mode: str = "append",
+                    codec: str | None = None) -> None:
+        from forklift_spark.functions import avrocodec as av
+
+        spark_mode = {"append": "append", "overwrite": "overwrite",
+                      "truncate": "overwrite"}[mode]
+        if spark_mode == "overwrite" and os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        a_schema = av.spark_to_avro_schema(df.schema)
+        schema_json = __import__("json").dumps(a_schema)
+        run_id = uuid.uuid4().hex[:12]  # unique per write() for append
+        use_codec = codec or "deflate"
+        if use_codec == "none":
+            use_codec = "null"
+
+        def _write_partition(idx: int, rows):
+            # Rows encode positionally (field order == df.schema order);
+            # no per-row asDict materialization
+            data = list(rows)
+            if not data and idx != 0:
+                return iter(())  # empty non-first partitions write nothing
+            out = os.path.join(path, f"part-{idx:05d}-{run_id}.avro")
+            av.write_container_file(out, schema_json, data, codec=use_codec)
+            return iter([(idx, len(data))])
+
+        # one container file per partition (same layout as Spark file
+        # sinks); the tiny (idx, count) summary is the only driver data
+        counts = df.rdd.mapPartitionsWithIndex(_write_partition).collect()
+        self.engine.logger.log(
+            f"wrote avro {path} ({mode}, pure-python, "
+            f"{len(counts)} files, {sum(c for _, c in counts)} rows)"
+        )
 
 
 _AVRO_HINT = (

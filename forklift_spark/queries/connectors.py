@@ -481,6 +481,51 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Avro interchange through the PURE-PYTHON container codec
+# (functions/avrocodec.py, public Avro 1.11 spec — the spark-avro
+# datasource is not deployable in this image, so this is the executed
+# branch; with the jar, engine="auto" prefers it). The write fans out
+# one container file per partition and the read one task per file —
+# both distributed. The oracle certifies fidelity of long / decimal /
+# date / string values through the binary round trip: a wrong zigzag
+# sign, a mis-scaled decimal, or an off-by-one date epoch breaks the
+# hash. Reference analog: the CSV interchange surface this generalizes
+# (`transports/csv.rb:10-51`).
+# --------------------------------------------------------------------------
+AVRO_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+       CAST(MIN(l_shipdate) AS DATE) AS first_ship,
+       CAST(MAX(l_shipdate) AS DATE) AS last_ship
+FROM lineitem WHERE l_quantity < 10 GROUP BY l_returnflag
+"""
+
+
+@query("q_avro_roundtrip", AVRO_ORACLE)
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.connections.columnar import AvroConnection
+
+    root = _scratch("avro")
+    path = os.path.join(root, "lineitem_avro")
+    conn = AvroConnection({"file": path}, _engine(spark, root))
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+        "l_shipdate",
+    ).filter(F.col("l_quantity") < 10)  # roundtrip only the queried rows
+    # pin the pure codec so the query executes the same branch with or
+    # without the spark-avro module on the classpath
+    conn.write(li.repartition(8), mode="truncate", engine="pure")
+    back = conn.read(engine="pure")
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("l_extendedprice", MONEY)).cast("double").alias("revenue"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Hive-partitioned layout + dynamic partition overwrite (the 100 TB
 # incremental pattern): the table is written partitioned by event_date,
 # then ONE day is rewritten via overwrite_partitions (dynamic mode —

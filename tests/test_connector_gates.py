@@ -198,14 +198,22 @@ def test_orc_uses_builtin_format():
 
 
 def _avro_jar_present(spark) -> bool:
+    """True only when the avro DATASOURCE is deployable — Spark bundles
+    the org.apache.spark.sql.avro classes in core (so Class.forName
+    succeeds, which is how the r5 version of this probe mis-skipped),
+    but the file-format provider needs the external module."""
     try:
-        spark._jvm.java.lang.Class.forName("org.apache.spark.sql.avro.AvroFileFormat")
+        spark.read.format("avro").load("/nonexistent-path-for-avro-probe")
         return True
-    except Exception:
-        return False
+    except Exception as exc:
+        return "Failed to find data source" not in str(exc)
 
 
-def test_avro_degrades_with_actionable_hint(spark, tmp_path):
+def test_avro_jar_engine_degrades_with_actionable_hint(spark, tmp_path):
+    """engine="jar" pins the spark-avro path: without the jar it must
+    raise the actionable hint, NOT silently reroute to the pure codec
+    (r6: the default engine="auto" now falls back — see
+    tests/test_avro_pure.py for the live fallback roundtrip)."""
     if _avro_jar_present(spark):
         pytest.skip("spark-avro present; gated branch is live elsewhere")
     conn = AvroConnection(
@@ -214,6 +222,6 @@ def test_avro_degrades_with_actionable_hint(spark, tmp_path):
         "av",
     )
     with pytest.raises(RuntimeError, match="spark-avro"):
-        conn.write(spark.range(3), mode="overwrite")
+        conn.write(spark.range(3), mode="overwrite", engine="jar")
     with pytest.raises(RuntimeError, match="spark.jars.packages"):
-        conn.read()
+        conn.read(engine="jar")
