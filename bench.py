@@ -234,6 +234,7 @@ HEADLINE = [
     "q_exact_substr_dedup",
     "q_delta_read",
     "q_avro_roundtrip",
+    "q_iceberg_read",
 ]
 
 

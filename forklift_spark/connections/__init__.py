@@ -28,10 +28,12 @@ from forklift_spark.connections.jsonl import JsonlConnection
 from forklift_spark.connections.parquet import ParquetConnection
 from forklift_spark.connections.deltalite import DeltaLiteConnection
 from forklift_spark.connections.elasticsearch import ElasticsearchConnection
+from forklift_spark.connections.iceberglite import IcebergLiteConnection
 from forklift_spark.connections.pgwire import PostgresConnection
 
 CONNECTION_TYPES: dict[str, type[Connection]] = {
     "delta": DeltaLiteConnection,
+    "iceberg": IcebergLiteConnection,
     "postgres": PostgresConnection,
     "parquet": ParquetConnection,
     "manifest": ManifestConnection,

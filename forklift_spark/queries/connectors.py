@@ -871,3 +871,144 @@ def q_delta_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# q_iceberg_read — Apache Iceberg spec-v2 interop read (r6 continuation):
+# table metadata is built BY HAND from the public spec shapes
+# (metadata.json + Avro manifest list + Avro manifests via the
+# pure-Python codec — the reader must work from the spec alone, against
+# metadata this engine didn't write). Data files land at sequence 1;
+# an EQUALITY delete file (equality_ids=[l_orderkey]) lands at
+# sequence 2 removing l_orderkey % 97 = 3; a POSITION delete file at
+# sequence 3 removes the (file, row_index) pairs where l_quantity >= 45.
+# The aggregate must equal the oracle computed straight off the source
+# table minus BOTH delete predicates — a missed sequence-number rule, a
+# broken row_index join, or a non-null-safe equality match all break
+# the hash.
+# --------------------------------------------------------------------------
+ICEBERG_READ_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+         AS sum_price
+FROM lineitem
+WHERE NOT (l_quantity >= 45) AND NOT (l_orderkey % 97 = 3)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q_iceberg_read", ICEBERG_READ_ORACLE)
+def q_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import json as _json
+
+    from forklift_spark.connections.iceberglite import (
+        MANIFEST_ENTRY_SCHEMA,
+        MANIFEST_FILE_SCHEMA,
+        IcebergLiteTable,
+    )
+    from forklift_spark.functions import avrocodec as av
+
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    tdir = tempfile.mkdtemp(prefix="fk_iceberg_")
+    meta_dir = os.path.join(tdir, "metadata")
+    data_dir = os.path.join(tdir, "data")
+    os.makedirs(meta_dir)
+    li.repartition(4).write.mode("overwrite").parquet(data_dir)
+    data_files = sorted(glob.glob(os.path.join(data_dir, "part-*.parquet")))
+
+    # position-delete file: (file_path, pos) pairs for l_quantity >= 45,
+    # derived from the same _metadata columns the reader joins on
+    staged = spark.read.parquet(data_dir).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "l_quantity",
+    ).filter(F.col("l_quantity") >= 45).drop("l_quantity")
+    pos_stage = os.path.join(tdir, "pos_stage")
+    staged.coalesce(1).write.mode("overwrite").parquet(pos_stage)
+    pos_file = os.path.join(tdir, "pos_delete.parquet")
+    os.replace(glob.glob(os.path.join(pos_stage, "part-*.parquet"))[0],
+               pos_file)
+
+    # equality-delete file: the key VALUES to remove (field id 1)
+    eq_stage = os.path.join(tdir, "eq_stage")
+    li.filter(F.col("l_orderkey") % 97 == 3).select(
+        "l_orderkey").distinct().coalesce(1).write.mode(
+        "overwrite").parquet(eq_stage)
+    eq_file = os.path.join(tdir, "eq_delete.parquet")
+    os.replace(glob.glob(os.path.join(eq_stage, "part-*.parquet"))[0],
+               eq_file)
+
+    def entry(path, *, content=0, seq=None, eq_ids=None):
+        return {"status": 1, "snapshot_id": 7, "sequence_number": seq,
+                "data_file": {
+                    "content": content, "file_path": path,
+                    "file_format": "PARQUET", "partition": {},
+                    "record_count": 0,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "equality_ids": eq_ids}}
+
+    m_data = os.path.join(meta_dir, "m-data.avro")
+    av.write_container_file(
+        m_data, _json.dumps(MANIFEST_ENTRY_SCHEMA),
+        [entry(p, seq=1) for p in data_files])
+    m_eq = os.path.join(meta_dir, "m-eq.avro")
+    av.write_container_file(
+        m_eq, _json.dumps(MANIFEST_ENTRY_SCHEMA),
+        [entry(eq_file, content=2, seq=2, eq_ids=[1])])
+    m_pos = os.path.join(meta_dir, "m-pos.avro")
+    av.write_container_file(
+        m_pos, _json.dumps(MANIFEST_ENTRY_SCHEMA),
+        [entry(pos_file, content=1, seq=3)])
+    mlist = os.path.join(meta_dir, "snap-7.avro")
+    av.write_container_file(
+        mlist, _json.dumps(MANIFEST_FILE_SCHEMA),
+        [{"manifest_path": m, "manifest_length": os.path.getsize(m),
+          "partition_spec_id": 0, "content": c, "sequence_number": s,
+          "min_sequence_number": s, "added_snapshot_id": 7}
+         for m, c, s in [(m_data, 0, 1), (m_eq, 1, 2), (m_pos, 1, 3)]])
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        _json.dump({
+            "format-version": 2, "table-uuid": "fk-iceberg-read",
+            "location": tdir, "last-sequence-number": 3,
+            "last-updated-ms": 1700000000000, "last-column-id": 4,
+            "current-schema-id": 0,
+            "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "l_orderkey", "required": False,
+                 "type": "long"},
+                {"id": 2, "name": "l_quantity", "required": False,
+                 "type": "double"},
+                {"id": 3, "name": "l_extendedprice", "required": False,
+                 "type": "double"},
+                {"id": 4, "name": "l_returnflag", "required": False,
+                 "type": "string"},
+            ]}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "current-snapshot-id": 7,
+            "snapshots": [{"snapshot-id": 7, "sequence-number": 3,
+                           "timestamp-ms": 1700000000000,
+                           "manifest-list": mlist,
+                           "summary": {"operation": "overwrite"},
+                           "schema-id": 0}],
+        }, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    got = IcebergLiteTable(spark, tdir).read()
+    return (
+        got.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
+             .alias("sum_qty"),
+            F.sum(dec("l_extendedprice", MONEY)).cast("double")
+             .alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
