@@ -141,7 +141,7 @@ def main(argv: list[str] | None = None) -> int:
         "op",
         choices=["history", "compact", "vacuum", "restore", "fsck",
                  "checkpoint", "maintain", "set-constraint",
-                 "drop-constraint", "export-delta"],
+                 "drop-constraint", "export-delta", "export-iceberg"],
     )
     p_man.add_argument("root", help="warehouse dir holding the table")
     p_man.add_argument("table")
@@ -163,7 +163,7 @@ def main(argv: list[str] | None = None) -> int:
         "--expr", help="CHECK expression (set-constraint)"
     )
     p_man.add_argument(
-        "--dest", help="export-delta: destination directory for the "
+        "--dest", help="export-delta/export-iceberg: destination directory for the "
         "protocol-v1 Delta snapshot"
     )
     p_man.add_argument(
@@ -253,6 +253,15 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             print(_json.dumps(export_manifest_to_delta(t, ns.dest)))
+        elif ns.op == "export-iceberg":
+            if not ns.dest:
+                print("export-iceberg requires --dest")
+                return 2
+            from forklift_spark.connections.iceberglite import (
+                export_manifest_to_iceberg,
+            )
+
+            print(_json.dumps(export_manifest_to_iceberg(t, ns.dest)))
         else:
             if ns.version is None:
                 print("restore requires --version")

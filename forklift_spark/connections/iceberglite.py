@@ -401,3 +401,134 @@ class IcebergLiteConnection(Connection):
             d for d in os.listdir(self.root)
             if os.path.isdir(os.path.join(self.root, d, "metadata"))
         )
+
+
+# ---------------------------------------------------------------------------
+# Spark -> Iceberg schema (for export)
+# ---------------------------------------------------------------------------
+
+def spark_type_to_iceberg(dt: T.DataType, next_id) -> object:
+    """Spark DataType -> Iceberg JSON type. ``next_id`` is a callable
+    allocating monotonically-increasing field ids (the spec requires
+    every nested field/element/key/value to carry one)."""
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = next_id()
+            fields.append({"id": fid, "name": f.name,
+                           "required": not f.nullable,
+                           "type": spark_type_to_iceberg(f.dataType,
+                                                         next_id)})
+        return {"type": "struct", "fields": fields}
+    if isinstance(dt, T.ArrayType):
+        eid = next_id()
+        return {"type": "list", "element-id": eid,
+                "element": spark_type_to_iceberg(dt.elementType, next_id),
+                "element-required": not dt.containsNull}
+    if isinstance(dt, T.MapType):
+        kid, vid = next_id(), next_id()
+        return {"type": "map", "key-id": kid,
+                "key": spark_type_to_iceberg(dt.keyType, next_id),
+                "value-id": vid,
+                "value": spark_type_to_iceberg(dt.valueType, next_id),
+                "value-required": not dt.valueContainsNull}
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    simple = {T.BooleanType: "boolean", T.IntegerType: "int",
+              T.ShortType: "int", T.ByteType: "int", T.LongType: "long",
+              T.FloatType: "float", T.DoubleType: "double",
+              T.DateType: "date", T.TimestampType: "timestamptz",
+              T.StringType: "string", T.BinaryType: "binary"}
+    for cls, name in simple.items():
+        if isinstance(dt, cls):
+            return name
+    raise IcebergUnsupported(f"Spark type {dt} has no Iceberg mapping")
+
+
+def export_manifest_to_iceberg(table, dest: str) -> dict:
+    """One-shot SNAPSHOT export of a ManifestTable as an Iceberg
+    spec-v2 table at ``dest`` — the reverse interop direction, sibling
+    of ``deltalite.export_manifest_to_delta``: any spec-conformant
+    Iceberg reader consumes a table this engine maintains.
+
+    Layout written: hard-linked (copied cross-volume) data files, ONE
+    Avro manifest adding every live file at sequence 1, a manifest
+    list, ``metadata/v1.metadata.json`` (format-version 2, unpartitioned
+    spec — the manifest format keeps every real column inside its data
+    files) and ``version-hint.text``. Tables with live deletion vectors
+    refuse for the same reason the Delta export does: the parquet files
+    still contain the masked rows and an external reader would resurrect
+    them — run ``maintain()`` / ``compact(auto_dv=True)`` first.
+
+    Returns {"files": n, "rows": n or None, "version": source version}.
+    """
+    m = table.manifest()
+    if any(e.get("dv") for e in m["entries"]):
+        raise ValueError(
+            "table has live deletion vectors; external Iceberg readers "
+            "would see deleted rows — run maintain() (or "
+            "compact(auto_dv=True)) to materialize them, then export"
+        )
+    meta_dir = os.path.join(dest, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    entries = []
+    for e in m["entries"]:
+        src = os.path.join(table.path, e["path"])
+        dst = os.path.join(dest, e["path"])
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if not os.path.exists(dst):
+            try:
+                os.link(src, dst)
+            except OSError:
+                import shutil
+
+                shutil.copy2(src, dst)
+        entries.append({
+            "status": 1, "snapshot_id": 1, "sequence_number": 1,
+            "data_file": {
+                "content": 0, "file_path": dst,
+                "file_format": "PARQUET", "partition": {},
+                "record_count": int(e.get("rows") or 0),
+                "file_size_in_bytes": os.path.getsize(dst),
+                "equality_ids": None,
+            }})
+    mpath = os.path.join(meta_dir, "m-00001.avro")
+    av.write_container_file(mpath, json.dumps(MANIFEST_ENTRY_SCHEMA),
+                            entries)
+    lpath = os.path.join(meta_dir, "snap-1.avro")
+    av.write_container_file(
+        lpath, json.dumps(MANIFEST_FILE_SCHEMA),
+        [{"manifest_path": mpath, "manifest_length": os.path.getsize(mpath),
+          "partition_spec_id": 0, "content": 0, "sequence_number": 1,
+          "min_sequence_number": 1, "added_snapshot_id": 1}])
+
+    counter = iter(range(1, 1 << 20))
+    schema_json = spark_type_to_iceberg(
+        T.StructType.fromJson(m["schema"]), lambda: next(counter))
+    schema_json["schema-id"] = 0
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump({
+            "format-version": 2,
+            "table-uuid": f"forklift-export-{m.get('version', 0)}",
+            "location": dest, "last-sequence-number": 1,
+            "last-updated-ms": int(m.get("committed_at", 0) or 0),
+            "last-column-id": next(counter) - 1,
+            "current-schema-id": 0, "schemas": [schema_json],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "current-snapshot-id": 1,
+            "snapshots": [{"snapshot-id": 1, "sequence-number": 1,
+                           "timestamp-ms": int(m.get("committed_at", 0)
+                                               or 0),
+                           "manifest-list": lpath,
+                           "summary": {"operation": "append"},
+                           "schema-id": 0}],
+        }, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    rows = None
+    if all("rows" in e for e in m["entries"]):
+        rows = sum(e["rows"] for e in m["entries"])
+    return {"files": len(entries), "rows": rows,
+            "version": m.get("version", 0)}

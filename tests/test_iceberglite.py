@@ -371,3 +371,90 @@ def test_type_mapping_decimal_fixed_nested():
         containsNull=True)
     with pytest.raises(IcebergUnsupported):
         iceberg_type_to_spark("time")
+
+
+# ---------------------------------------------------------------------------
+# export: manifest table -> spec-v2 Iceberg snapshot
+# ---------------------------------------------------------------------------
+
+def test_export_manifest_to_iceberg_roundtrip(spark, tmp_path):
+    """Snapshot export: an external spec-conformant reader (our own
+    IcebergLiteTable, reading only metadata/) sees exactly the manifest
+    table's live rows; dv-masked tables refuse until materialized."""
+    from pyspark.sql import functions as F
+
+    from forklift_spark.connections.iceberglite import (
+        export_manifest_to_iceberg,
+    )
+    from forklift_spark.manifest import ManifestTable
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4 + 1).cast("int").alias("p"),
+        (F.col("id") * 10).alias("v"),
+    )
+    t = ManifestTable(spark, str(tmp_path / "m"), "m")
+    t.create(df, partition_by="p")
+    t.merge(
+        spark.createDataFrame([(5, 2, 555), (200, 1, 2000)],
+                              "k long, p int, v long"),
+        on="k",
+    )
+    dest = str(tmp_path / "exported_ice")
+    stats = export_manifest_to_iceberg(t, dest)
+    assert stats["files"] >= 4
+    assert stats["version"] == t.manifest()["version"]
+    got = {(r.k, r.p, r.v)
+           for r in IcebergLiteTable(spark, dest).read().collect()}
+    want = {(r.k, r.p, r.v) for r in t.read().collect()}
+    assert got == want and (5, 2, 555) in got and (200, 1, 2000) in got
+
+    # dv-masked table refuses (external readers would resurrect rows)
+    t2 = ManifestTable(spark, str(tmp_path / "m2"), "m2")
+    t2.create(df)
+    t2.merge(
+        spark.createDataFrame([(7, 1, 777)], "k long, p int, v long"),
+        on="k", use_dv=True,
+    )
+    with pytest.raises(ValueError, match="deletion vectors"):
+        export_manifest_to_iceberg(t2, str(tmp_path / "e2"))
+
+
+def test_spark_to_iceberg_schema_mapping_roundtrips():
+    from pyspark.sql import types as T
+
+    from forklift_spark.connections.iceberglite import (
+        spark_type_to_iceberg,
+    )
+
+    st = T.StructType([
+        T.StructField("a", T.LongType(), False),
+        T.StructField("b", T.DecimalType(10, 3), True),
+        T.StructField("c", T.ArrayType(T.StringType(), True), True),
+        T.StructField("d", T.MapType(T.StringType(), T.DoubleType()), True),
+        T.StructField("e", T.StructType([
+            T.StructField("x", T.DateType(), True)]), True),
+    ])
+    counter = iter(range(1, 1000))
+    ice = spark_type_to_iceberg(st, lambda: next(counter))
+    # every nested field/element/key/value carries a distinct id
+    ids = []
+
+    def walk(t):
+        if isinstance(t, dict):
+            for k in ("id", "element-id", "key-id", "value-id"):
+                if k in t:
+                    ids.append(t[k])
+            for k in ("type", "fields", "element", "key", "value"):
+                v = t.get(k)
+                if isinstance(v, list):
+                    for f in v:
+                        walk(f)
+                elif isinstance(v, dict):
+                    walk(v)
+    walk(ice)
+    # 5 top-level fields + element-id + key-id + value-id + nested x = 9
+    assert len(ids) == len(set(ids)) and len(ids) == 9
+    # and the reader maps it straight back
+    back = iceberg_type_to_spark(ice)
+    assert back == st
