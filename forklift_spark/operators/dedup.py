@@ -749,17 +749,21 @@ def passjoin_pairs(
     ``max_dist + 1`` contiguous segments by a rule derived only from
     the string LENGTH; tau edit operations can break at most tau of
     them, so any string within distance tau must contain at least one
-    segment as an EXACT substring, start-shifted at most tau positions
-    (pigeonhole over an optimal edit transcript). Probing is
+    segment as an EXACT substring (pigeonhole over an optimal edit
+    transcript), start-shifted within the MULTI-MATCH-AWARE window
+    |d| + |delta - d| <= tau (d = start shift, delta = length gap; see
+    the derivation at the window computation below) — at most tau+1
+    positions per (length, ordinal), not the naive 2*tau+1. Probing is
     DIRECTIONAL: each string probes only indexed lengths <= its own,
     so for any pair the longer string finds the shorter one's segments
     (equal lengths are found from both sides and collapsed by the
     normalize+distinct below) — this halves the fan-out vs probing
     both length directions. Candidates come from an equi-join on
     (indexed length, segment ordinal, substring): the probe side emits
-    at most (tau+1)^2 * (2*tau+1) short substrings per row (45 at
-    tau=2), so the shuffle is O(45 N) tiny rows, never O(N^2); a
-    thresholded levenshtein verifies the deduplicated candidates.
+    at most ~(tau+1)^2 * (tau+1) short substrings per row (24 at
+    tau=2, down from 45 with the naive window), so the shuffle is
+    O(24 N) tiny rows, never O(N^2); a thresholded levenshtein
+    verifies the deduplicated candidates.
 
     Strings shorter than ``max_dist + 1`` get empty segments, whose
     keys degrade to a pure length-window join among tiny strings —
@@ -871,8 +875,21 @@ def passjoin_pairs(
         .withColumn("_gl", seg_len(F.col("_ns"), iv))
         .withColumn("_gp", seg_pos(F.col("_ns"), iv))
     )
-    lo = F.greatest(F.col("_gp") - tau, F.lit(0))
-    hi = F.least(F.col("_gp") + tau, (F.col("_n") - F.col("_gl")).cast("int"))
+    # multi-match-aware start window (PassJoin Lemma 3, derived from
+    # transcript splitting): if an optimal transcript preserves this
+    # segment at shift d = q - p, then ops before it >= |d| and ops
+    # after >= |delta - d| (delta = probe len - indexed len >= 0 under
+    # directional probing), so |d| + |delta - d| <= tau bounds
+    # d in [ceil((delta-tau)/2), floor((delta+tau)/2)] — at most tau+1
+    # positions instead of the naive +/-tau window's 2*tau+1. LOSSLESS:
+    # the preserved segment of any within-tau pair falls in this window.
+    # d-range in terms of (delta = n - ns): lo_d = ceil((delta-tau)/2)
+    # = -floor((tau-delta)/2), hi_d = floor((delta+tau)/2)
+    dlt = (F.col("_n") - F.col("_ns")).cast("int")
+    lo_d = -F.floor((tau - dlt) / F.lit(2)).cast("int")
+    hi_d = F.floor((tau + dlt) / F.lit(2)).cast("int")
+    lo = F.greatest(F.col("_gp") + lo_d, F.lit(0))
+    hi = F.least(F.col("_gp") + hi_d, (F.col("_n") - F.col("_gl")).cast("int"))
     pos = (
         F.when(F.col("_gl") == 0, F.array(F.lit(0)))
         .when(lo <= hi, F.sequence(lo, hi))
