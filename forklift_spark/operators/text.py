@@ -182,6 +182,68 @@ def repetition_stats(df, id_col: str, text_col: str):
     )
 
 
+def chunk_tokens(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 256,
+    overlap: int = 0,
+):
+    """Token-window document chunking — the context-window splitter of
+    an LLM pipeline (RAG passage indexing, training-sample assembly):
+    whitespace tokens sliced into windows of ``chunk_size`` tokens with
+    ``overlap`` tokens shared between consecutive chunks (stride =
+    chunk_size - overlap). The final chunk keeps its tail even when
+    short, so every token appears in at least one chunk; documents with
+    zero tokens produce zero chunks.
+
+    One projection + posexplode — the token array, the window starts
+    (``sequence``), and the slices (``slice``/``array_join``) are all
+    built-in array functions, so chunking runs at scan speed with no
+    shuffle and no Python; output fan-out is ~n_tokens/stride rows per
+    document. Catalog twin: ``q_doc_chunking`` (queries/text.py) pins
+    the same windowing against a DuckDB oracle with a slightly
+    different tail rule (it suppresses final windows the previous chunk
+    already covers; this operator keeps every tail so no token is ever
+    chunk-less — the better default for training-sample assembly).
+
+    Returns (id_col, chunk_id, n_tokens, chunk_text), chunk_id dense
+    from 0 in document order.
+    """
+    if not 0 <= int(overlap) < int(chunk_size):
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = int(chunk_size) - int(overlap)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(toks))
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            toks.alias("_t"),
+            n.alias("_n"),
+            starts.alias("_st"),
+        )
+        .select(
+            "_id", "_t", "_n",
+            F.posexplode("_st").alias("chunk_id", "_start"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.least(F.lit(int(chunk_size)), F.col("_n") - F.col("_start"))
+             .cast("int").alias("n_tokens"),
+            F.array_join(
+                F.slice("_t", F.col("_start") + 1, F.lit(int(chunk_size))),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df,
     text_col: str = "text",

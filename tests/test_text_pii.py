@@ -49,3 +49,40 @@ def test_redaction_behavior_pins(spark):
     # 999.1.1.1 still matches the shape-based ipv4 pattern (an audit
     # regex, not a validator) — documented behavior
     assert reds[1] == "server at [IP] forwarded to [IP]; ping [IP] too"
+
+
+def test_chunk_tokens_windows_and_edges(spark):
+    """Token chunking: stride windows with overlap, short-tail final
+    chunk, zero-token docs dropped, whitespace-only docs dropped."""
+    import pytest
+
+    from forklift_spark.operators.text import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y"), (3, ""), (4, "   "),
+         (5, "solo")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text)
+        for r in chunk_tokens(df, "doc_id", "text",
+                              chunk_size=4, overlap=1).collect()
+    )
+    assert got == [
+        (1, 0, 4, "a b c d"),
+        (1, 1, 4, "d e f g"),  # 1-token overlap with the previous
+        (1, 2, 4, "g h i j"),
+        (1, 3, 1, "j"),        # tail window keeps the remainder
+        (2, 0, 2, "x y"),
+        (5, 0, 1, "solo"),
+    ]
+    # zero overlap partitions the tokens exactly
+    flat = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_text)
+        for r in chunk_tokens(df, "doc_id", "text",
+                              chunk_size=5, overlap=0).collect()
+        if r.doc_id == 1
+    )
+    assert flat == [(1, 0, "a b c d e"), (1, 1, "f g h i j")]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_tokens(df, "doc_id", "text", chunk_size=4, overlap=4)
