@@ -235,6 +235,7 @@ HEADLINE = [
     "q_delta_read",
     "q_avro_roundtrip",
     "q_iceberg_read",
+    "q_iceberg_changes",
 ]
 
 

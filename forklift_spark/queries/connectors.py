@@ -1012,3 +1012,126 @@ def q_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# q_iceberg_changes — incremental snapshot-diff consumption: snapshot 1
+# holds events BEFORE 2024-01-15, snapshot 2 appends the rest; the
+# changes(snap1) feed must return EXACTLY the appended rows (O(new
+# files) scan, never a base-table re-read) — the snapshot-id-cursor
+# form of the reference's read_since contract (S2,
+# `transports/mysql.rb:149-158`). The oracle is the source table
+# filtered to the appended half; leakage of any old-file row (or a
+# missed new file) breaks the hash.
+# --------------------------------------------------------------------------
+ICEBERG_CHANGES_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       CAST(MIN(ts) AS TIMESTAMP) AS first_ts
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q_iceberg_changes", ICEBERG_CHANGES_ORACLE)
+def q_iceberg_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import json as _json
+
+    from forklift_spark.connections.iceberglite import (
+        MANIFEST_ENTRY_SCHEMA,
+        MANIFEST_FILE_SCHEMA,
+        IcebergLiteConnection,
+    )
+    from forklift_spark.functions import avrocodec as av
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    cut = "2024-01-15 00:00:00"
+    root = tempfile.mkdtemp(prefix="fk_iceberg_chg_")
+    tdir = os.path.join(root, "events_ice")
+    meta_dir = os.path.join(tdir, "metadata")
+    os.makedirs(meta_dir)
+
+    def _write_files(df, sub):
+        d = os.path.join(tdir, sub)
+        df.repartition(2).write.mode("overwrite").parquet(d)
+        return sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+
+    old_files = _write_files(ev.filter(F.col("ts") < cut), "data_old")
+    new_files = _write_files(ev.filter(F.col("ts") >= cut), "data_new")
+
+    def entry(path, seq):
+        return {"status": 1, "snapshot_id": seq, "sequence_number": seq,
+                "data_file": {
+                    "content": 0, "file_path": path,
+                    "file_format": "PARQUET", "partition": {},
+                    "record_count": 0,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "equality_ids": None}}
+
+    m1 = os.path.join(meta_dir, "m1.avro")
+    av.write_container_file(m1, _json.dumps(MANIFEST_ENTRY_SCHEMA),
+                            [entry(p, 1) for p in old_files])
+    m2 = os.path.join(meta_dir, "m2.avro")
+    av.write_container_file(m2, _json.dumps(MANIFEST_ENTRY_SCHEMA),
+                            [entry(p, 2) for p in new_files])
+
+    def mlist(name, manifests):
+        p = os.path.join(meta_dir, name)
+        av.write_container_file(
+            p, _json.dumps(MANIFEST_FILE_SCHEMA),
+            [{"manifest_path": m, "manifest_length": os.path.getsize(m),
+              "partition_spec_id": 0, "content": 0, "sequence_number": s,
+              "min_sequence_number": s, "added_snapshot_id": s}
+             for m, s in manifests])
+        return p
+
+    l1 = mlist("snap-1.avro", [(m1, 1)])
+    l2 = mlist("snap-2.avro", [(m1, 1), (m2, 2)])
+    snaps = [
+        {"snapshot-id": 1, "sequence-number": 1, "timestamp-ms": 1,
+         "manifest-list": l1, "summary": {"operation": "append"},
+         "schema-id": 0},
+        {"snapshot-id": 2, "sequence-number": 2, "timestamp-ms": 2,
+         "manifest-list": l2, "summary": {"operation": "append"},
+         "schema-id": 0},
+    ]
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        _json.dump({
+            "format-version": 2, "table-uuid": "fk-iceberg-changes",
+            "location": tdir, "last-sequence-number": 2,
+            "last-updated-ms": 2, "last-column-id": 4,
+            "current-schema-id": 0,
+            "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "event_id", "required": False,
+                 "type": "long"},
+                {"id": 2, "name": "ts", "required": False,
+                 "type": "timestamp"},
+                {"id": 3, "name": "event_type", "required": False,
+                 "type": "string"},
+                {"id": 4, "name": "value", "required": False,
+                 "type": "double"},
+            ]}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "current-snapshot-id": 2, "snapshots": snaps,
+        }, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    conn = IcebergLiteConnection({"path": root}, spark, "ice")
+    delta = conn.changes("events_ice", from_snapshot_id=1)
+    return (
+        delta.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+            F.min("ts").alias("first_ts"),
+        )
+        .orderBy("event_type")
+    )

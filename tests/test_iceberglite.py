@@ -458,3 +458,39 @@ def test_spark_to_iceberg_schema_mapping_roundtrips():
     # and the reader maps it straight back
     back = iceberg_type_to_spark(ice)
     assert back == st
+
+
+# ---------------------------------------------------------------------------
+# incremental consumption: snapshot-diff changes feed
+# ---------------------------------------------------------------------------
+
+def test_changes_feed_returns_only_appended_rows(spark, tmp_path):
+    tdir = str(tmp_path / "tc1")
+    _two_snapshot_table(spark, tdir)
+    t = IcebergLiteTable(spark, tdir)
+    got = _rows(t.changes(100))  # 100 -> current (200): f2 only
+    assert got == [(3, "c", 3.0)]
+    assert _rows(t.changes(100, 200)) == [(3, "c", 3.0)]
+    assert _rows(t.changes(200)) == []  # cursor at head -> empty
+
+
+def test_changes_feed_refuses_non_append_only_range(spark, tmp_path):
+    # snapshot 2 adds a position-delete file: the appended-rows feed
+    # would misrepresent the delete as nothing-happened — refuse
+    tdir = str(tmp_path / "tc2")
+    _mkdirs(tdir)
+    d1 = os.path.join(tdir, "data", "f1.parquet")
+    _write_parquet(d1, {"k": [1, 2], "cat": ["a", "b"], "val": [1.0, 2.0]})
+    pd1 = os.path.join(tdir, "data", "del1.parquet")
+    _write_parquet(pd1, {"file_path": [d1], "pos": [0]})
+    m = _manifest(tdir, "m.avro", [_entry(d1, rows=2, seq=1)])
+    dm = _manifest(tdir, "dm.avro",
+                   [_entry(pd1, content=1, rows=1, seq=2)])
+    l1 = _manifest_list(tdir, "snap-1.avro", [(m, 0, 1)])
+    l2 = _manifest_list(tdir, "snap-2.avro", [(m, 0, 1), (dm, 1, 2)])
+    _metadata_v2(tdir, [_snap(100, 1, l1), _snap(200, 2, l2)], 200)
+    t = IcebergLiteTable(spark, tdir)
+    with pytest.raises(IcebergUnsupported, match="append-only"):
+        t.changes(100)
+    # the full snapshot read still applies the delete correctly
+    assert _rows(t.read()) == [(2, "b", 2.0)]
