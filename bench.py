@@ -236,6 +236,7 @@ HEADLINE = [
     "q_avro_roundtrip",
     "q_iceberg_read",
     "q_iceberg_changes",
+    "q_manifest_stream_source",
 ]
 
 

@@ -1951,3 +1951,97 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# q_manifest_stream_source — the manifest format as a REGISTERED Spark
+# streaming source (Python DataSource API, forklift_spark/datasource.py):
+# spark.readStream.format("forklift_manifest") tails the table's CDC
+# feed with manifest versions as offsets. The query builds three
+# versions — create (inserts), merge+dv (exact dv-diff delete+insert
+# per updated key), dv delete — drains the stream from genesis with an
+# availableNow trigger into a parquet sink (no driver materialization),
+# and aggregates the change events by (_change_type, event_type). The
+# oracle derives the exact expected event multiset from the source
+# table: a missed dv diff, a replayed offset, or leakage from the
+# layout-only gate breaks counts and value sums.
+# --------------------------------------------------------------------------
+MANIFEST_STREAM_SOURCE_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+  FROM events WHERE event_id % 2 = 0
+),
+ins AS (
+  SELECT event_type, value FROM base                              -- create
+  UNION ALL
+  SELECT event_type, value + 1000 FROM base WHERE event_id % 10 = 0 -- merge
+),
+del AS (
+  SELECT event_type, value FROM base WHERE event_id % 10 = 0      -- old rows
+  UNION ALL
+  SELECT event_type,
+         CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END
+  FROM base WHERE event_id % 14 = 0                               -- dv delete
+)
+SELECT _change_type, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM (
+  SELECT 'insert' AS _change_type, * FROM ins
+  UNION ALL
+  SELECT 'delete' AS _change_type, * FROM del
+)
+GROUP BY _change_type, event_type
+ORDER BY _change_type, event_type
+"""
+
+
+@query("q_manifest_stream_source", MANIFEST_STREAM_SOURCE_ORACLE)
+def q_manifest_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from forklift_spark.datasource import ManifestDataSource
+    from forklift_spark.manifest import ManifestTable
+
+    try:
+        spark.dataSource.register(ManifestDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    root = tempfile.mkdtemp(prefix="fk_stream_src_")
+    t = ManifestTable(spark, root, "ev")
+    t.create(base, partition_by="event_type")                      # v1
+    t.merge(
+        base.filter(F.col("event_id") % 10 == 0)
+            .withColumn("value", F.col("value") + 1000),
+        on="event_id", use_dv=True,                                # v2
+    )
+    t.delete(F.col("event_id") % 14 == 0, use_dv=True)             # v3
+
+    out = tempfile.mkdtemp(prefix="fk_stream_src_out_")
+    q = (
+        spark.readStream.format("forklift_manifest")
+        .option("table", "ev").option("cdc", "true")
+        .option("starting_version", "0")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+                tempfile.mkdtemp(prefix="fk_stream_src_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(out)
+    return (
+        feed.groupBy("_change_type", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(dec("value", MONEY)).cast("double").alias("total_value"),
+        )
+        .orderBy("_change_type", "event_type")
+    )

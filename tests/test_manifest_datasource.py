@@ -1,0 +1,172 @@
+"""Python DataSource integration for the manifest format: batch scan
+parity (dv masks applied by Arrow position mask, no join) and the
+structured-streaming CDC tail (offsets = manifest versions, exactly-once
+across restarts via the engine's offset log + a checkpoint dir)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from forklift_spark.datasource import ManifestDataSource
+from forklift_spark.manifest import ManifestTable
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(ManifestDataSource)
+    return spark
+
+
+def _table(spark, path, rows=40) -> ManifestTable:
+    df = spark.range(rows).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("p"),
+        (F.col("id") * 10).alias("v"),
+    )
+    t = ManifestTable(spark, str(path), "ev")
+    t.create(df, partition_by="p")
+    return t
+
+
+def test_batch_read_parity_with_dv(registered, tmp_path):
+    spark = registered
+    t = _table(spark, tmp_path)
+    # dv-mode merge: masked rows must vanish from the format read too
+    t.merge(
+        spark.createDataFrame([(5, 1, 555), (200, 0, 2000)],
+                              "k long, p int, v long"),
+        on="k", use_dv=True,
+    )
+    got = (
+        spark.read.format("forklift_manifest")
+        .option("table", "ev").load(str(tmp_path))
+    )
+    want = t.read()
+    assert got.schema == want.schema or \
+        [f.name for f in got.schema.fields] == \
+        [f.name for f in want.schema.fields]
+    assert sorted((r.k, r.p, r.v) for r in got.collect()) == \
+        sorted((r.k, r.p, r.v) for r in want.collect())
+    assert (5, 1, 555) in {(r.k, r.p, r.v) for r in got.collect()}
+
+
+def test_batch_version_time_travel(registered, tmp_path):
+    spark = registered
+    t = _table(spark, tmp_path, rows=10)
+    t.merge(spark.createDataFrame([(100, 0, 1)], "k long, p int, v long"),
+            on="k")
+    v1 = (
+        spark.read.format("forklift_manifest")
+        .option("table", "ev").option("version", "1")
+        .load(str(tmp_path))
+    )
+    assert v1.count() == 10
+    head = (
+        spark.read.format("forklift_manifest")
+        .option("table", "ev").load(str(tmp_path))
+    )
+    assert head.count() == 11
+
+
+def test_option_validation(registered, tmp_path):
+    spark = registered
+    _table(spark, tmp_path, rows=4)
+    with pytest.raises(Exception, match="cdc=true is a streaming option"):
+        (spark.read.format("forklift_manifest")
+         .option("table", "ev").option("cdc", "true")
+         .load(str(tmp_path)).collect())
+    with pytest.raises(Exception, match="requires"):
+        # load() is lazy; the streamReader is built at query start
+        q = (spark.readStream.format("forklift_manifest")
+             .option("table", "ev").load(str(tmp_path))
+             .writeStream.format("noop")
+             .option("checkpointLocation", str(tmp_path / "vck"))
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(60)
+        finally:
+            q.stop()
+
+
+def _drain(spark, root, ckpt, sink: list, starting=None):
+    reader = (
+        spark.readStream.format("forklift_manifest")
+        .option("table", "ev").option("cdc", "true")
+    )
+    if starting is not None:
+        reader = reader.option("starting_version", str(starting))
+    stream = reader.load(str(root))
+
+    def absorb(df, _bid):
+        sink.extend(
+            (r.k, r.p, r.v, r._change_type, r._commit_version)
+            for r in df.collect()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_cdc_tail_exactly_once(registered, tmp_path):
+    spark = registered
+    t = _table(spark, tmp_path, rows=8)  # version 1: 8 inserts
+    ckpt = tmp_path / "ckpt"
+    got: list = []
+    _drain(spark, tmp_path, ckpt, got, starting=0)  # replay from genesis
+    assert sorted(got) == sorted(
+        (k, k % 4, k * 10, "insert", 1) for k in range(8)
+    )
+
+    # version 2 (merge+dv): one update (delete+insert) and one new row
+    got.clear()
+    t.merge(
+        spark.createDataFrame([(5, 1, 555), (200, 0, 2000)],
+                              "k long, p int, v long"),
+        on="k", use_dv=True,
+    )
+    _drain(spark, tmp_path, ckpt, got)  # resumes from the offset log
+    assert sorted(got) == sorted([
+        (5, 1, 50, "delete", 2),      # dv diff names exactly the old row
+        (5, 1, 555, "insert", 2),
+        (200, 0, 2000, "insert", 2),
+    ])
+
+    # version 3 (compact): layout-only -> ZERO change events
+    got.clear()
+    t.compact(min_files=1, auto_dv=True)
+    _drain(spark, tmp_path, ckpt, got)
+    assert got == []
+
+    # version 4 (delete): rows removed after compaction materialized dvs
+    got.clear()
+    t.delete(F.col("k") < 2)
+    _drain(spark, tmp_path, ckpt, got)
+    deletes = [(k, p, v) for k, p, v, ct, cv in got if ct == "delete"]
+    inserts = [(k, p, v) for k, p, v, ct, cv in got if ct == "insert"]
+    # whatever the write mode chose (dv or rewrite), applying deletes
+    # before inserts reproduces the table delta: net loss of k=0,1
+    net = set()
+    net.update(inserts)
+    assert {(0, 0, 0), (1, 1, 10)}.issubset(set(deletes))
+    survivors_reinserted = set(deletes) - {(0, 0, 0), (1, 1, 10)}
+    assert survivors_reinserted == set(inserts)  # rewrite noise cancels
+
+
+def test_stream_default_tails_from_current(registered, tmp_path):
+    spark = registered
+    t = _table(spark, tmp_path, rows=6)  # v1 BEFORE the stream starts
+    ckpt = tmp_path / "ckpt2"
+    got: list = []
+    _drain(spark, tmp_path, ckpt, got)  # no starting_version
+    assert got == []  # default = tail, history not replayed
+    t.merge(spark.createDataFrame([(50, 2, 500)], "k long, p int, v long"),
+            on="k")
+    got.clear()
+    _drain(spark, tmp_path, ckpt, got)
+    assert (50, 2, 500, "insert", 2) in got
