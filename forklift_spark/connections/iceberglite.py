@@ -225,6 +225,21 @@ class IcebergLiteTable:
                 return s
         raise ValueError(f"snapshot {target} not in {self.path}")
 
+    def snapshot_as_of(self, as_of_ms: int) -> int:
+        """TIMESTAMP AS OF resolution: the latest snapshot whose
+        ``timestamp-ms`` <= the given epoch millis (the Iceberg
+        time-travel rule). Raises when the table has no snapshot that
+        old — time travel must not silently return the wrong state."""
+        snaps = self.metadata().get("snapshots") or []
+        older = [s for s in snaps if s.get("timestamp-ms", 0) <= as_of_ms]
+        if not older:
+            raise ValueError(
+                f"no snapshot at or before {as_of_ms} in {self.path} "
+                f"(earliest: "
+                f"{min((s.get('timestamp-ms', 0) for s in snaps), default=None)})"
+            )
+        return max(older, key=lambda s: s["timestamp-ms"])["snapshot-id"]
+
     def _abs(self, p: str) -> str:
         p = _norm_path(p)
         return p if os.path.isabs(p) else os.path.join(self.path, p)
@@ -289,7 +304,12 @@ class IcebergLiteTable:
 
     # -- read ------------------------------------------------------------------
 
-    def read(self, snapshot_id=None) -> DataFrame:
+    def read(self, snapshot_id=None, as_of_ms: int | None = None
+             ) -> DataFrame:
+        if as_of_ms is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR as_of_ms, not both")
+            snapshot_id = self.snapshot_as_of(int(as_of_ms))
         inv = self.file_inventory(snapshot_id)
         schema: T.StructType = inv["schema"]
         cols = [f.name for f in schema.fields]
@@ -424,9 +444,10 @@ class IcebergLiteConnection(Connection):
     def _table(self, name: str) -> IcebergLiteTable:
         return IcebergLiteTable(self.spark, os.path.join(self.root, name))
 
-    def read(self, query_or_table: str, snapshot_id=None, **kwargs
-             ) -> DataFrame:
-        return self._table(query_or_table).read(snapshot_id=snapshot_id)
+    def read(self, query_or_table: str, snapshot_id=None,
+             as_of_ms: int | None = None, **kwargs) -> DataFrame:
+        return self._table(query_or_table).read(
+            snapshot_id=snapshot_id, as_of_ms=as_of_ms)
 
     def changes(self, table: str, from_snapshot_id,
                 to_snapshot_id=None) -> DataFrame:

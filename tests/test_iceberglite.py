@@ -100,9 +100,9 @@ def _metadata_v2(tdir, snapshots, current, version=1,
     return p
 
 
-def _snap(sid, seq, manifest_list):
+def _snap(sid, seq, manifest_list, ts=1700000000000):
     return {"snapshot-id": sid, "sequence-number": seq,
-            "timestamp-ms": 1700000000000,
+            "timestamp-ms": ts,
             "manifest-list": manifest_list,
             "summary": {"operation": "append"}, "schema-id": 0}
 
@@ -494,3 +494,25 @@ def test_changes_feed_refuses_non_append_only_range(spark, tmp_path):
         t.changes(100)
     # the full snapshot read still applies the delete correctly
     assert _rows(t.read()) == [(2, "b", 2.0)]
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    tdir = str(tmp_path / "tts")
+    _mkdirs(tdir)
+    d1 = os.path.join(tdir, "data", "f1.parquet")
+    d2 = os.path.join(tdir, "data", "f2.parquet")
+    _write_parquet(d1, {"k": [1], "cat": ["a"], "val": [1.0]})
+    _write_parquet(d2, {"k": [2], "cat": ["b"], "val": [2.0]})
+    m1 = _manifest(tdir, "m1.avro", [_entry(d1, rows=1)])
+    m2 = _manifest(tdir, "m2.avro", [_entry(d2, rows=1)])
+    l1 = _manifest_list(tdir, "s1.avro", [(m1, 0, 1)])
+    l2 = _manifest_list(tdir, "s2.avro", [(m1, 0, 1), (m2, 0, 2)])
+    _metadata_v2(tdir, [_snap(100, 1, l1, ts=1000),
+                        _snap(200, 2, l2, ts=2000)], 200)
+    t = IcebergLiteTable(spark, tdir)
+    assert _rows(t.read(as_of_ms=1500)) == [(1, "a", 1.0)]   # old snapshot
+    assert _rows(t.read(as_of_ms=2000)) == [(1, "a", 1.0), (2, "b", 2.0)]
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        t.read(as_of_ms=999)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(snapshot_id=100, as_of_ms=1500)
