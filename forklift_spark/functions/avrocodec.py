@@ -463,8 +463,9 @@ def read_container(raw: bytes) -> tuple[dict | str | list, list]:
     meta_schema = {"type": "map", "values": "bytes"}
     meta = _decode(r, meta_schema)
     codec = meta.get("avro.codec", b"null").decode() or "null"
-    if codec not in ("null", "deflate"):
-        raise AvroError(f"unsupported Avro codec {codec!r} (null/deflate only)")
+    if codec not in ("null", "deflate", "snappy"):
+        raise AvroError(
+            f"unsupported Avro codec {codec!r} (null/deflate/snappy only)")
     schema = parse_schema(meta["avro.schema"].decode("utf-8"))
     dec = make_decoder(schema)
     sync = r.read(16)
@@ -476,6 +477,15 @@ def read_container(raw: bytes) -> tuple[dict | str | list, list]:
         block = r.read(size)
         if codec == "deflate":
             block = zlib.decompress(block, -15)
+        elif codec == "snappy":
+            # avro snappy framing: snappy(data) then a BIG-endian crc32
+            # of the UNCOMPRESSED bytes, both inside the block size
+            from forklift_spark.functions import snappycodec
+
+            crc = int.from_bytes(block[-4:], "big")
+            block = snappycodec.decompress(bytes(block[:-4]))
+            if zlib.crc32(block) & 0xFFFFFFFF != crc:
+                raise AvroError("snappy block crc32 mismatch")
         br = _Reader(block)
         for _ in range(count):
             append(dec(br))
@@ -508,8 +518,9 @@ def write_container(schema, rows, codec: str = "deflate",
     a parsed tree; it is embedded verbatim (re-serialized) in the header.
     Deterministic output: the sync marker derives from the schema, not
     randomness, so identical inputs produce identical bytes."""
-    if codec not in ("null", "deflate"):
-        raise AvroError(f"unsupported Avro codec {codec!r} (null/deflate only)")
+    if codec not in ("null", "deflate", "snappy"):
+        raise AvroError(
+            f"unsupported Avro codec {codec!r} (null/deflate/snappy only)")
     norm = parse_schema(schema)
     schema_json = (schema if isinstance(schema, str)
                    else json.dumps(schema if isinstance(schema, (dict, list))
@@ -543,6 +554,12 @@ def write_container(schema, rows, codec: str = "deflate",
         if codec == "deflate":
             c = zlib.compressobj(6, zlib.DEFLATED, -15)
             payload = c.compress(payload) + c.flush()
+        elif codec == "snappy":
+            from forklift_spark.functions import snappycodec
+
+            payload = snappycodec.compress(payload) + (
+                zlib.crc32(payload) & 0xFFFFFFFF
+            ).to_bytes(4, "big")
         _write_long(out, len(chunk))
         _write_long(out, len(payload))
         out += payload

@@ -107,14 +107,46 @@ def test_array_block_size_form_decodes():
 
 
 def test_unsupported_codec_and_multibranch_union_refuse_loudly():
-    with pytest.raises(av.AvroError, match="snappy"):
-        av.write_container("\"int\"", [1], codec="snappy")
+    with pytest.raises(av.AvroError, match="zstandard"):
+        av.write_container("\"int\"", [1], codec="zstandard")
     data = av.write_container(FULL_SCHEMA, FULL_ROWS)
-    corrupt = data.replace(b"deflate", b"snappyy", 1)
-    with pytest.raises(av.AvroError, match="snappyy"):
+    corrupt = data.replace(b"deflate", b"zstdzzz", 1)
+    with pytest.raises(av.AvroError, match="zstdzzz"):
         av.read_container(corrupt)
     with pytest.raises(av.AvroError, match="non-null branches"):
         av.avro_to_spark_type(["int", "string"])
+
+
+def test_snappy_container_roundtrip_and_crc_guard():
+    data = av.write_container(FULL_SCHEMA, FULL_ROWS, codec="snappy",
+                              block_rows=1)
+    _, back = av.read_container(data)
+    assert back == FULL_ROWS
+    # flip one byte inside the last block's crc32 trailer (the 16-byte
+    # sync marker sits at the very end; the crc is just before it)
+    corrupt = bytearray(data)
+    corrupt[-17] ^= 0xFF
+    with pytest.raises(av.AvroError, match="crc32|snappy"):
+        av.read_container(bytes(corrupt))
+
+
+def test_snappy_golden_wire_bytes():
+    """Decode hand-encoded snappy streams straight from the public
+    format description — copies, including the overlapping (RLE) form,
+    which the literal-only compressor never emits."""
+    from forklift_spark.functions import snappycodec as sn
+
+    # literal 'abc' + 2-byte-offset copy(offset=3, len=9): RLE overlap
+    assert sn.decompress(b"\x0c\x08abc\x22\x03\x00") == b"abcabcabcabc"
+    # literal 'abc' + 1-byte-offset copy(offset=3, len=4)
+    assert sn.decompress(b"\x07\x08abc\x01\x03") == b"abcabca"
+    # our own literal-mode compressor round-trips
+    for payload in (b"", b"x", b"hello world" * 1000):
+        assert sn.decompress(sn.compress(payload)) == payload
+    with pytest.raises(sn.SnappyError, match="offset"):
+        sn.decompress(b"\x04\x00a\x01\x09")  # copy reaches before start
+    with pytest.raises(sn.SnappyError, match="length mismatch"):
+        sn.decompress(b"\x05\x08abc")  # preamble says 5, stream holds 3
 
 
 def test_sync_marker_mismatch_detected():
