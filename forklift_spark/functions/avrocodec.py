@@ -16,8 +16,10 @@ implements PNG from its spec. It gives:
 
 Scope (loud refusals outside it):
 
-- codecs ``null`` and ``deflate`` (raw zlib); ``snappy``/``zstandard``
-  raise with the codec named.
+- codecs ``null``, ``deflate`` (raw zlib), ``snappy`` (pure-Python
+  block format, ``snappycodec.py``, + Avro's big-endian crc32 framing),
+  ``bzip2`` and ``xz`` (stdlib); ``zstandard`` raises with the codec
+  named (no stdlib implementation).
 - unions with at most ONE non-null branch (i.e. nullable fields). Avro
   permits arbitrary unions; Spark has no variant column, so a
   multi-branch union raises rather than guessing a representation.
@@ -43,6 +45,10 @@ from decimal import Decimal
 from hashlib import md5
 
 MAGIC = b"Obj\x01"
+
+# spec codec names this module implements (zstandard needs a non-stdlib
+# lib and stays a loud refusal)
+_CODECS = ("null", "deflate", "snappy", "bzip2", "xz")
 _EPOCH_DATE = _dt.date(1970, 1, 1)
 _EPOCH_DT = _dt.datetime(1970, 1, 1)
 
@@ -463,9 +469,9 @@ def read_container(raw: bytes) -> tuple[dict | str | list, list]:
     meta_schema = {"type": "map", "values": "bytes"}
     meta = _decode(r, meta_schema)
     codec = meta.get("avro.codec", b"null").decode() or "null"
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in _CODECS:
         raise AvroError(
-            f"unsupported Avro codec {codec!r} (null/deflate/snappy only)")
+            f"unsupported Avro codec {codec!r} (known: {sorted(_CODECS)})")
     schema = parse_schema(meta["avro.schema"].decode("utf-8"))
     dec = make_decoder(schema)
     sync = r.read(16)
@@ -477,6 +483,14 @@ def read_container(raw: bytes) -> tuple[dict | str | list, list]:
         block = r.read(size)
         if codec == "deflate":
             block = zlib.decompress(block, -15)
+        elif codec == "bzip2":
+            import bz2
+
+            block = bz2.decompress(block)
+        elif codec == "xz":
+            import lzma
+
+            block = lzma.decompress(block)
         elif codec == "snappy":
             # avro snappy framing: snappy(data) then a BIG-endian crc32
             # of the UNCOMPRESSED bytes, both inside the block size
@@ -518,9 +532,9 @@ def write_container(schema, rows, codec: str = "deflate",
     a parsed tree; it is embedded verbatim (re-serialized) in the header.
     Deterministic output: the sync marker derives from the schema, not
     randomness, so identical inputs produce identical bytes."""
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in _CODECS:
         raise AvroError(
-            f"unsupported Avro codec {codec!r} (null/deflate/snappy only)")
+            f"unsupported Avro codec {codec!r} (known: {sorted(_CODECS)})")
     norm = parse_schema(schema)
     schema_json = (schema if isinstance(schema, str)
                    else json.dumps(schema if isinstance(schema, (dict, list))
@@ -554,6 +568,14 @@ def write_container(schema, rows, codec: str = "deflate",
         if codec == "deflate":
             c = zlib.compressobj(6, zlib.DEFLATED, -15)
             payload = c.compress(payload) + c.flush()
+        elif codec == "bzip2":
+            import bz2
+
+            payload = bz2.compress(payload)
+        elif codec == "xz":
+            import lzma
+
+            payload = lzma.compress(payload, format=lzma.FORMAT_XZ)
         elif codec == "snappy":
             from forklift_spark.functions import snappycodec
 

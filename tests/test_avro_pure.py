@@ -300,3 +300,11 @@ def test_cross_engine_interop_with_spark_avro_jar(spark, tmp_path):
     assert sorted(
         back_jar.select(*df.columns).collect(), key=lambda r: r.k
     ) == sorted(df.collect(), key=lambda r: r.k)
+
+
+@pytest.mark.parametrize("codec", ["bzip2", "xz"])
+def test_stdlib_backed_codecs_roundtrip(codec):
+    data = av.write_container(FULL_SCHEMA, FULL_ROWS, codec=codec,
+                              block_rows=1)
+    _, back = av.read_container(data)
+    assert back == FULL_ROWS
