@@ -206,7 +206,29 @@ class DeltaLiteTable:
 
     # -- read ----------------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def version_as_of(self, as_of_ms: int) -> int:
+        """TIMESTAMP AS OF resolution, per the Delta spec's rule: the
+        latest commit whose file modification time is at or before the
+        given epoch millis (commit JSONs are the log's clock). Raises
+        when every retained commit is newer — returning a later state
+        would silently violate the requested as-of point."""
+        cands = []
+        for v in self.versions():
+            p = os.path.join(self.log_dir, f"{v:020d}.json")
+            if int(os.path.getmtime(p) * 1000) <= as_of_ms:
+                cands.append(v)
+        if not cands:
+            raise ValueError(
+                f"no commit at or before {as_of_ms} in {self.log_dir} "
+                "(earliest retained commit is newer)")
+        return max(cands)
+
+    def read(self, version: int | None = None,
+             as_of_ms: int | None = None) -> DataFrame:
+        if as_of_ms is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of_ms, not both")
+            version = self.version_as_of(int(as_of_ms))
         snap = self.snapshot(version)
         schema: T.StructType = snap["schema"]
         pcols = snap["partition_columns"]
@@ -258,8 +280,9 @@ class DeltaLiteConnection(Connection):
         return DeltaLiteTable(self.spark, os.path.join(self.root, name))
 
     def read(self, query_or_table: str, version: int | None = None,
-             **kwargs) -> DataFrame:
-        return self._table(query_or_table).read(version=version)
+             as_of_ms: int | None = None, **kwargs) -> DataFrame:
+        return self._table(query_or_table).read(
+            version=version, as_of_ms=as_of_ms)
 
     def write(self, df, table, mode="upsert", primary_key="id", **kwargs):
         raise NotImplementedError(

@@ -268,3 +268,22 @@ def test_export_manifest_to_delta_roundtrip(spark, tmp_path):
             for r in DeltaLiteTable(spark, dest2).read().collect()}
     assert got2 == {(r.k, r.p, r.v) for r in t2.read().collect()}
     assert (7, 1, 777) in got2
+
+
+def test_timestamp_as_of_time_travel(spark, delta_table):
+    """TIMESTAMP AS OF: commit-file mtimes are the log's clock (the
+    spec's rule); asking for a point before the first retained commit
+    refuses instead of returning a later state."""
+    root, tdir = delta_table
+    log = os.path.join(tdir, "_delta_log")
+    os.utime(os.path.join(log, f"{0:020d}.json"), (1000.0, 1000.0))
+    os.utime(os.path.join(log, f"{1:020d}.json"), (2000.0, 2000.0))
+    t = DeltaLiteTable(spark, tdir)
+    old = {r.k for r in t.read(as_of_ms=1500_000).collect()}
+    assert old == set(range(5)) | set(range(10, 15))  # v0 state
+    new = {r.k for r in t.read(as_of_ms=2000_000).collect()}
+    assert new == set(range(4)) | set(range(10, 15))  # v1: k=4 removed
+    with pytest.raises(ValueError, match="no commit at or before"):
+        t.read(as_of_ms=999_000)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=0, as_of_ms=1500_000)
