@@ -230,17 +230,72 @@ class DeltaLiteTable:
                 raise ValueError("pass version OR as_of_ms, not both")
             version = self.version_as_of(int(as_of_ms))
         snap = self.snapshot(version)
+        if not snap["files"]:
+            return self.spark.createDataFrame([], snap["schema"])
+        # one scan per distinct partition-value combination; the lit
+        # columns are constant-folded, the union is lazy (spec:
+        # partition values serialize as strings; empty string means
+        # NULL for non-string types — handled in _scan)
+        return self._scan(snap)
+
+
+    def changes(self, from_version: int, to_version: int | None = None
+                ) -> DataFrame:
+        """Append-only version-diff feed: rows of data files ADDED after
+        ``from_version`` up to ``to_version`` (default latest) — the
+        version-cursor incremental-consumption primitive, symmetric with
+        the Iceberg reader's ``changes()`` and the manifest format's
+        feed. O(log delta) to plan (JSON replay of the range only), one
+        scan of just the new files. Ranges containing ``remove`` actions
+        refuse loudly: emitting only the adds would misrepresent
+        updates/deletes as pure inserts (Delta's real CDF lives in
+        ``_change_data``, a writer feature outside protocol v1)."""
+        latest = self.latest_version()
+        to_v = latest if to_version is None else int(to_version)
+        if to_v > latest:
+            raise ValueError(f"version {to_v} > latest {latest}")
+        base = self.snapshot(int(from_version))
+        have = set(self.versions())
+        added: dict[str, dict] = {}
+        removed = 0
+        for v in range(int(from_version) + 1, to_v + 1):
+            if v not in have:
+                raise FileNotFoundError(
+                    f"missing commit {v} in {self.log_dir} (log cleaned?)")
+            with open(os.path.join(self.log_dir, f"{v:020d}.json")) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    act = json.loads(line)
+                    if "add" in act:
+                        a = act["add"]
+                        added[unquote(a["path"])] = \
+                            a.get("partitionValues") or {}
+                    elif "remove" in act:
+                        removed += 1
+        if removed:
+            raise NotImplementedError(
+                f"version range {from_version}..{to_v} is not append-only "
+                f"({removed} remove actions): the appended-rows feed "
+                "would misrepresent updates/deletes as inserts — read "
+                "full snapshots instead")
+        schema: T.StructType = base["schema"]
+        pcols = base["partition_columns"]
+        if not added:
+            return self.spark.createDataFrame([], schema)
+        # same partition-value attachment as read()
+        snap = {"schema": schema, "partition_columns": pcols,
+                "files": added, "version": to_v}
+        return self._scan(snap)
+
+    def _scan(self, snap: dict) -> DataFrame:
         schema: T.StructType = snap["schema"]
         pcols = snap["partition_columns"]
         ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
         data_schema = T.StructType(
             [f for f in schema.fields if f.name not in pcols]
         )
-        if not snap["files"]:
-            return self.spark.createDataFrame([], schema)
-
-        # one scan per distinct partition-value combination; the lit
-        # columns are constant-folded, the union is lazy
         groups: dict[tuple, list[str]] = {}
         for path, pv in snap["files"].items():
             key = tuple(pv.get(c) for c in pcols)
@@ -249,8 +304,6 @@ class DeltaLiteTable:
         for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
             df = self.spark.read.schema(data_schema).parquet(*paths)
             for c, v in zip(pcols, key):
-                # spec: partition values serialize as strings; empty
-                # string means NULL for non-string types
                 if v is None or (v == "" and not isinstance(
                     ptypes[c], T.StringType
                 )):

@@ -287,3 +287,26 @@ def test_timestamp_as_of_time_travel(spark, delta_table):
         t.read(as_of_ms=999_000)
     with pytest.raises(ValueError, match="not both"):
         t.read(version=0, as_of_ms=1500_000)
+
+
+def test_changes_feed_appends_only(spark, delta_table):
+    """Version-diff incremental feed: adds-only ranges return exactly
+    the appended rows with partition values attached; ranges containing
+    removes refuse (protocol v1 has no CDF)."""
+    root, tdir = delta_table
+    log = os.path.join(tdir, "_delta_log")
+    # v2: pure append of a new partition
+    df = spark.range(20, 23).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("c"), F.col("id")).alias("v"),
+    )
+    _one_parquet_file(spark, df, os.path.join(tdir, "p=3/f4.parquet"))
+    _commit(log, 2, [_add("p=3/f4.parquet", {"p": "3"})])
+    t = DeltaLiteTable(spark, tdir)
+    got = t.changes(1).collect()  # 1 -> latest (2): only the p=3 file
+    assert sorted((r.k, r.v, r.p) for r in got) == [
+        (20, "c20", 3), (21, "c21", 3), (22, "c22", 3)
+    ]
+    assert t.changes(2).count() == 0  # cursor at head
+    with pytest.raises(NotImplementedError, match="not append-only"):
+        t.changes(0, 1)  # v1 contains a remove
