@@ -337,6 +337,18 @@ class DeltaLiteConnection(Connection):
         return self._table(query_or_table).read(
             version=version, as_of_ms=as_of_ms)
 
+    # uniform cursor surface (shared with IcebergLiteConnection) for
+    # patterns.lakehouse_incremental_pipe
+    def head_cursor(self, table: str) -> int:
+        return self._table(table).latest_version()
+
+    def read_at_cursor(self, table: str, cursor: int) -> DataFrame:
+        return self._table(table).read(version=cursor)
+
+    def changes(self, table: str, from_cursor: int,
+                to_cursor: int | None = None) -> DataFrame:
+        return self._table(table).changes(from_cursor, to_cursor)
+
     def write(self, df, table, mode="upsert", primary_key="id", **kwargs):
         raise NotImplementedError(
             "DeltaLiteConnection is read-only (protocol v1 reader); "

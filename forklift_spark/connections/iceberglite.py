@@ -455,6 +455,18 @@ class IcebergLiteConnection(Connection):
         the snapshot-id cursor form of the read_since contract."""
         return self._table(table).changes(from_snapshot_id, to_snapshot_id)
 
+    # uniform cursor surface (shared with DeltaLiteConnection) for
+    # patterns.lakehouse_incremental_pipe — the cursor is a snapshot id
+    def head_cursor(self, table: str):
+        t = self._table(table)
+        cur = t.metadata().get("current-snapshot-id")
+        if cur in (None, -1):
+            raise ValueError(f"{table} has no snapshot yet")
+        return cur
+
+    def read_at_cursor(self, table: str, cursor) -> DataFrame:
+        return self._table(table).read(snapshot_id=cursor)
+
     def write(self, df, table, mode="upsert", primary_key="id", **kwargs):
         raise NotImplementedError(
             "IcebergLiteConnection is read-only (spec v1/v2 reader); "

@@ -183,11 +183,77 @@ class HwmStore:
     def set(self, table: str, value: datetime.datetime, matcher: str = "updated_at") -> None:
         data = self._load()
         data[f"{table}.{matcher}"] = value.isoformat()
+        self._store(data)
+
+    # raw JSON-valued cursors (version numbers / snapshot ids) for the
+    # lakehouse pipes — same control file, non-datetime watermark
+    def get_raw(self, key: str, default=None):
+        return self._load().get(f"raw::{key}", default)
+
+    def set_raw(self, key: str, value) -> None:
+        data = self._load()
+        data[f"raw::{key}"] = value
+        self._store(data)
+
+    def _store(self, data: dict) -> None:
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(data, f, indent=2)
         os.replace(tmp, self.path)
+
+
+# ---------------------------------------------------------------------------
+# lakehouse incremental pipe — version/snapshot-cursor sync from a Delta
+# or Iceberg table (or any connection exposing head_cursor /
+# read_at_cursor / changes) into a warehouse endpoint
+# ---------------------------------------------------------------------------
+def lakehouse_incremental_pipe(
+    source,
+    from_table: str,
+    dest,
+    to_table: str,
+    cursors: "HwmStore",
+    primary_key: str = "id",
+) -> dict:
+    """The P2 incremental-pipe shape with a VERSION CURSOR instead of a
+    high-water-mark column: the reference's `incremental_pipe`
+    (`mysql_patterns.rb:60-99`) needs a monotone `updated_at`; lakehouse
+    tables carry a better signal — their own commit history. First sync
+    copies the table pinned AT the head cursor (so concurrent commits
+    can't tear the copy); later syncs pull ONLY the appended rows via
+    the reader's ``changes()`` feed and upsert them (idempotent under
+    replay: if the write lands but the cursor save doesn't, the retry
+    re-upserts the same keys). A range the feed refuses (not
+    append-only: rewrites/deletes happened) falls back to a FULL
+    refresh at the head — the `optimistic_pipe` degradation, loudly
+    recorded in the returned dict instead of silently missing deletes.
+
+    Returns {"mode": "initial"|"incremental"|"full_refresh",
+    "from": old cursor, "to": new cursor}.
+    """
+    key = f"{from_table}->{to_table}"
+    head = source.head_cursor(from_table)
+    cur = cursors.get_raw(key)
+    if cur is None or (hasattr(dest, "exists") and not dest.exists(to_table)):
+        dest.write(source.read_at_cursor(from_table, head), to_table,
+                   mode="overwrite")
+        mode = "initial"
+    elif cur == head:
+        mode = "noop"
+    else:
+        try:
+            delta = source.changes(from_table, cur, head)
+            dest.write(delta, to_table, mode="upsert",
+                       primary_key=primary_key)
+            mode = "incremental"
+        except NotImplementedError:
+            # rewrites/deletes in the range: adds-only would be wrong
+            dest.write(source.read_at_cursor(from_table, head), to_table,
+                       mode="overwrite")
+            mode = "full_refresh"
+    cursors.set_raw(key, head)
+    return {"mode": mode, "from": cur, "to": head}
 
 
 # ---------------------------------------------------------------------------

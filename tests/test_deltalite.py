@@ -310,3 +310,47 @@ def test_changes_feed_appends_only(spark, delta_table):
     assert t.changes(2).count() == 0  # cursor at head
     with pytest.raises(NotImplementedError, match="not append-only"):
         t.changes(0, 1)  # v1 contains a remove
+
+
+def test_lakehouse_incremental_pipe_delta(spark, delta_table, tmp_path):
+    """P2 with a version cursor: initial copy pinned at head, appended
+    rows only on later syncs, full refresh when the range has removes."""
+    from forklift_spark.connections.parquet import ParquetConnection
+    from forklift_spark.engine import Engine
+    from forklift_spark.patterns import HwmStore, lakehouse_incremental_pipe
+
+    root, tdir = delta_table
+    eng = Engine({"project_root": str(tmp_path),
+                  "logger": {"stdout": False}}, spark=spark)
+    src = DeltaLiteConnection({"path": root}, eng, "lake")
+    dest = ParquetConnection({"path": str(tmp_path / "wh")}, eng)
+    cursors = HwmStore(str(tmp_path / "cursors.json"))
+
+    r1 = lakehouse_incremental_pipe(src, "events", dest, "events_copy",
+                                    cursors, primary_key="k")
+    assert r1["mode"] == "initial" and r1["to"] == 1
+    assert dest.read("events_copy").count() == 9  # v1 state (k=4 gone)
+
+    r_noop = lakehouse_incremental_pipe(src, "events", dest, "events_copy",
+                                        cursors, primary_key="k")
+    assert r_noop["mode"] == "noop"
+
+    # v2: pure append -> incremental path moves only the delta
+    log = os.path.join(tdir, "_delta_log")
+    df = spark.range(20, 23).select(
+        F.col("id").alias("k"), F.concat(F.lit("c"), F.col("id")).alias("v"))
+    _one_parquet_file(spark, df, os.path.join(tdir, "p=3/f4.parquet"))
+    _commit(log, 2, [_add("p=3/f4.parquet", {"p": "3"})])
+    r2 = lakehouse_incremental_pipe(src, "events", dest, "events_copy",
+                                    cursors, primary_key="k")
+    assert r2["mode"] == "incremental" and (r2["from"], r2["to"]) == (1, 2)
+    assert dest.read("events_copy").count() == 12
+
+    # v3: a remove -> adds-only feed refuses -> full refresh, still right
+    _commit(log, 3, [{"remove": {"path": "p=3/f4.parquet",
+                                 "deletionTimestamp": 1, "dataChange": True}}])
+    r3 = lakehouse_incremental_pipe(src, "events", dest, "events_copy",
+                                    cursors, primary_key="k")
+    assert r3["mode"] == "full_refresh"
+    assert dest.read("events_copy").count() == 9
+    assert cursors.get_raw("events->events_copy") == 3

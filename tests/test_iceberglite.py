@@ -516,3 +516,49 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
         t.read(as_of_ms=999)
     with pytest.raises(ValueError, match="not both"):
         t.read(snapshot_id=100, as_of_ms=1500)
+
+
+def test_lakehouse_incremental_pipe_iceberg(spark, tmp_path):
+    """The version-cursor P2 pattern over an Iceberg source: snapshot id
+    as cursor, appended files only on the second sync."""
+    from forklift_spark.connections.parquet import ParquetConnection
+    from forklift_spark.engine import Engine
+    from forklift_spark.patterns import HwmStore, lakehouse_incremental_pipe
+
+    root = str(tmp_path)
+    tdir = os.path.join(root, "sales")
+    _two_snapshot_table(spark, tdir)  # snapshots 100 (2 rows), 200 (3)
+    eng = Engine({"project_root": root, "logger": {"stdout": False}},
+                 spark=spark)
+    src = IcebergLiteConnection({"path": root}, eng, "ice")
+    dest = ParquetConnection({"path": os.path.join(root, "wh")}, eng)
+    cursors = HwmStore(os.path.join(root, "cursors.json"))
+
+    r1 = lakehouse_incremental_pipe(src, "sales", dest, "sales_copy",
+                                    cursors, primary_key="k")
+    assert r1["mode"] == "initial" and r1["to"] == 200
+    assert dest.read("sales_copy").count() == 3
+    assert lakehouse_incremental_pipe(
+        src, "sales", dest, "sales_copy", cursors, primary_key="k"
+    )["mode"] == "noop"
+
+    # snapshot 300 appends one file; resync moves only that file's rows
+    d3 = os.path.join(tdir, "data", "f3.parquet")
+    _write_parquet(d3, {"k": [9], "cat": ["z"], "val": [9.0]})
+    m3 = _manifest(tdir, "m3.avro", [_entry(d3, rows=1)])
+    l2 = os.path.join(tdir, "metadata", "snap-200.avro")
+    m1 = os.path.join(tdir, "metadata", "m1.avro")
+    m2 = os.path.join(tdir, "metadata", "m2.avro")
+    l3 = _manifest_list(tdir, "snap-300.avro",
+                        [(m1, 0, 1), (m2, 0, 2), (m3, 0, 3)])
+    _metadata_v2(
+        tdir,
+        [_snap(100, 1, os.path.join(tdir, "metadata", "snap-100.avro")),
+         _snap(200, 2, l2), _snap(300, 3, l3)],
+        300, version=2,
+    )
+    r2 = lakehouse_incremental_pipe(src, "sales", dest, "sales_copy",
+                                    cursors, primary_key="k")
+    assert r2["mode"] == "incremental" and (r2["from"], r2["to"]) == (200, 300)
+    assert sorted(r.k for r in dest.read("sales_copy").collect()) == \
+        [1, 2, 3, 9]
