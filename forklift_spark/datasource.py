@@ -157,23 +157,88 @@ def _read_file_batches(part: _FilePart):
 
 
 class _ManifestBatchReader(DataSourceReader):
+    """File-pruned batch scan. ``pushFilters`` records the predicates
+    the manifest's metadata can act on (partition tokens, per-file
+    zone maps, bucket cells, per-file blooms — all evaluated by the
+    format's own ``_entries`` planner) and returns EVERY filter back to
+    Spark: pruning here only decides which FILES to open, Spark still
+    evaluates rows, so a conservative prune is always correct."""
+
     def __init__(self, options, schema_json: str):
-        mt = _mt(options)
-        version = options.get("version")
-        entries, _ = _entries(mt, int(version) if version is not None
-                              else None)
+        self._options = dict(options)
+        self._schema_json = schema_json
+        self._partitions_in: list | None = None  # partition-value prune
+        self._where: dict = {}  # col -> [lo, hi] zone-map bounds
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        mt = _mt(self._options)
+        version = self._options.get("version")
+        pcol = mt._raw(int(version) if version is not None
+                       else None).get("partition_by")
+
+        def top(attr):  # only top-level single-name columns
+            return attr[0] if len(attr) == 1 else None
+
+        def bound(col, lo=None, hi=None):
+            cur = self._where.setdefault(col, [None, None])
+            for i, v in ((0, lo), (1, hi)):
+                if v is None:
+                    continue
+                old = cur[i]
+                try:
+                    tighter = (old is None or (v > old if i == 0 else
+                                               v < old))
+                except TypeError:
+                    tighter = False  # incomparable: keep the old bound
+                if tighter:
+                    cur[i] = v
+
+        for f in filters:
+            col = top(f.attribute) if hasattr(f, "attribute") else None
+            if col is None:
+                continue
+            if isinstance(f, EqualTo):
+                if col == pcol:
+                    self._partitions_in = [f.value]
+                bound(col, lo=f.value, hi=f.value)
+            elif isinstance(f, In) and col == pcol:
+                self._partitions_in = list(f.values)
+            elif isinstance(f, IsNull) and col == pcol:
+                self._partitions_in = [None]
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                bound(col, lo=f.value)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                bound(col, hi=f.value)
+        return filters  # Spark re-applies every predicate row-level
+
+    def partitions(self):
+        mt = _mt(self._options)
+        version = self._options.get("version")
+        v = int(version) if version is not None else None
+        where = {c: tuple(b) for c, b in self._where.items()
+                 if b != [None, None]} or None
+        entries = [dict(e) for e in mt._entries(
+            v, partitions=self._partitions_in, where=where)]
         dv = _dv_positions(mt, entries)
-        self._parts = [
+        parts = [
             _FilePart(
                 os.path.join(mt.path, e["path"]),
                 drop_pos=dv.get(e["path"]),
-                schema_json=schema_json,
+                schema_json=self._schema_json,
             )
             for e in entries
         ]
-
-    def partitions(self):
-        return self._parts or [_FilePart(None, schema_json=None)]
+        return parts or [_FilePart(None, schema_json=None)]
 
     def read(self, partition: _FilePart):
         if partition.path is None:

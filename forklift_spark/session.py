@@ -51,6 +51,9 @@ def session_builder(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python DataSource filter pushdown (the forklift_manifest
+        # source prunes files via partition tokens + zone maps)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # read TIMESTAMP(NANOS) parquet as long; tables.load converts to
         # micro timestamps (Spark has no native nanos type)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -170,3 +170,42 @@ def test_stream_default_tails_from_current(registered, tmp_path):
     got.clear()
     _drain(spark, tmp_path, ckpt, got)
     assert (50, 2, 500, "insert", 2) in got
+
+
+def test_pushdown_prunes_files_and_stays_correct(registered, tmp_path):
+    """pushFilters routes predicates into the manifest's own planner:
+    partition-value filters and zone-map ranges open FEWER files, and
+    Spark's row-level re-evaluation keeps results exactly right."""
+    from forklift_spark.datasource import _ManifestBatchReader
+
+    spark = registered
+    t = _table(spark, tmp_path, rows=80)  # partition p in 0..3
+    opts = {"path": str(tmp_path), "table": "ev"}
+    schema_json = __import__("json").dumps(t.manifest()["schema"])
+
+    total = len(_ManifestBatchReader(opts, schema_json).partitions())
+    assert total >= 4  # one file per partition at least
+
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    rd = _ManifestBatchReader(opts, schema_json)
+    back = rd.pushFilters([EqualTo(("p",), 2)])
+    assert list(back)  # every filter handed back for row-level re-check
+    pruned = len(rd.partitions())
+    assert pruned < total  # partition pruning really dropped files
+
+    rd2 = _ManifestBatchReader(opts, schema_json)
+    rd2.pushFilters([GreaterThanOrEqual(("k",), 999999)])
+    # zone maps: no file's [min,max] reaches the bound
+    parts = rd2.partitions()
+    assert len(parts) == 1 and parts[0].path is None  # noop split only
+
+    # end-to-end: the SQL surface agrees with the library read
+    df = (
+        spark.read.format("forklift_manifest")
+        .option("table", "ev").load(str(tmp_path))
+        .filter("p = 2 and k >= 10")
+    )
+    want = t.read().filter("p = 2 and k >= 10")
+    assert sorted((r.k, r.p, r.v) for r in df.collect()) == \
+        sorted((r.k, r.p, r.v) for r in want.collect())
