@@ -26,9 +26,10 @@ metadata all raise ``IcebergUnsupported``/``FileNotFoundError`` rather
 than returning partial rows.
 
 Scope notes (documented, not hidden): column resolution is BY NAME
-against the current schema — Iceberg's field-id-based resolution only
-differs after a column rename, which this reader does not attempt
-(files written before a rename would read NULL for the renamed column).
+against the current schema by default — ``resolve="id"`` opts into
+Iceberg's field-id resolution for renamed columns (parquet footers'
+``PARQUET:field_id`` metadata groups files by rename generation; costs
+one footer read per data file at plan time, nested renames excluded).
 Identity-partition source columns are stored inside Iceberg data files
 (spec: partition data is redundant with file columns), so no
 partition-value reconstruction is needed — transform partitions
@@ -304,8 +305,73 @@ class IcebergLiteTable:
 
     # -- read ------------------------------------------------------------------
 
-    def read(self, snapshot_id=None, as_of_ms: int | None = None
-             ) -> DataFrame:
+    def _data_scan(self, inv: dict, resolve: str = "name",
+                   with_meta: bool = False) -> DataFrame:
+        """Scan the snapshot's data files. ``resolve="name"`` (default)
+        is one parquet scan matching columns by name. ``resolve="id"``
+        implements Iceberg's field-id resolution for RENAMED columns:
+        each file's parquet footer carries ``PARQUET:field_id`` metadata
+        per column; files whose id->name mapping differs from the
+        current schema are read under their OWN column names and
+        aliased back — one scan per distinct rename generation (usually
+        1-2), unioned lazily. Costs one footer read per data file at
+        plan time (driver-side pyarrow), which is why it is opt-in.
+        ``with_meta`` attaches normalized ``___path``/``___pos``
+        provenance columns (per group, so they survive the union)."""
+        schema: T.StructType = inv["schema"]
+        paths = [f["path"] for f in inv["data"]]
+        groups: dict[tuple, list[str]] = {}
+        if resolve == "id":
+            import pyarrow.parquet as pq
+
+            id_to_cur = {f["id"]: f["name"]
+                         for f in inv["schema_json"]["fields"]}
+            for p in paths:
+                fs = pq.read_schema(p)
+                renames = []
+                for fld in fs:
+                    fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                    if fid is None:
+                        continue
+                    cur = id_to_cur.get(int(fid))
+                    if cur is not None and cur != fld.name:
+                        renames.append((fld.name, cur))
+                groups.setdefault(tuple(sorted(renames)), []).append(p)
+        else:
+            groups[()] = paths
+
+        parts = []
+        for renames, ps in sorted(groups.items()):
+            if renames:
+                back = {cur: old for old, cur in renames}
+                file_schema = T.StructType([
+                    T.StructField(back.get(f.name, f.name), f.dataType,
+                                  f.nullable)
+                    for f in schema.fields
+                ])
+                df = self.spark.read.schema(file_schema).parquet(*ps)
+                for old, cur in renames:
+                    df = df.withColumnRenamed(old, cur)
+            else:
+                df = self.spark.read.schema(schema).parquet(*ps)
+            cols = [f.name for f in schema.fields]
+            if with_meta:
+                df = df.select(
+                    *cols,
+                    F.regexp_replace(F.col("_metadata.file_path"),
+                                     "^file:(//)?", "").alias("___path"),
+                    F.col("_metadata.row_index").alias("___pos"),
+                )
+            else:
+                df = df.select(*cols)
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(self, snapshot_id=None, as_of_ms: int | None = None,
+             resolve: str = "name") -> DataFrame:
         if as_of_ms is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id OR as_of_ms, not both")
@@ -316,22 +382,17 @@ class IcebergLiteTable:
         if not inv["data"]:
             return self.spark.createDataFrame([], schema)
         has_deletes = bool(inv["pos_deletes"] or inv["eq_deletes"])
-        scan = self.spark.read.schema(schema).parquet(
-            *[f["path"] for f in inv["data"]])
+        scan = self._data_scan(inv, resolve=resolve,
+                               with_meta=has_deletes)
         if not has_deletes:
             return scan
 
-        # attach per-row provenance + the file's data sequence number
-        # (tiny path->seq dim, broadcast)
+        # attach the file's data sequence number (tiny path->seq dim,
+        # broadcast); per-row provenance came from _data_scan
         seq_rows = [(f["path"], f["seq"]) for f in inv["data"]]
         seq_df = self.spark.createDataFrame(
             seq_rows, "___path string, ___seq long")
-        base = scan.select(
-            "*",
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
-             .alias("___path"),
-            F.col("_metadata.row_index").alias("___pos"),
-        ).join(F.broadcast(seq_df), "___path", "left")
+        base = scan.join(F.broadcast(seq_df), "___path", "left")
 
         if inv["pos_deletes"]:
             dseq = self.spark.createDataFrame(
@@ -445,9 +506,10 @@ class IcebergLiteConnection(Connection):
         return IcebergLiteTable(self.spark, os.path.join(self.root, name))
 
     def read(self, query_or_table: str, snapshot_id=None,
-             as_of_ms: int | None = None, **kwargs) -> DataFrame:
+             as_of_ms: int | None = None, resolve: str = "name",
+             **kwargs) -> DataFrame:
         return self._table(query_or_table).read(
-            snapshot_id=snapshot_id, as_of_ms=as_of_ms)
+            snapshot_id=snapshot_id, as_of_ms=as_of_ms, resolve=resolve)
 
     def changes(self, table: str, from_snapshot_id,
                 to_snapshot_id=None) -> DataFrame:

@@ -562,3 +562,38 @@ def test_lakehouse_incremental_pipe_iceberg(spark, tmp_path):
     assert r2["mode"] == "incremental" and (r2["from"], r2["to"]) == (200, 300)
     assert sorted(r.k for r in dest.read("sales_copy").collect()) == \
         [1, 2, 3, 9]
+
+
+def test_field_id_resolution_reads_renamed_columns(spark, tmp_path):
+    """resolve="id": a file written BEFORE a column rename carries the
+    old name but the same field id; id resolution reads it correctly
+    while the default name resolution (documented) null-fills."""
+    tdir = str(tmp_path / "tid")
+    _mkdirs(tdir)
+
+    def _pq_with_ids(path, names, ids, cols):
+        fields = [
+            pa.field(n, pa.array(c).type,
+                     metadata={b"PARQUET:field_id": str(i).encode()})
+            for n, i, c in zip(names, ids, cols)
+        ]
+        pq.write_table(
+            pa.Table.from_arrays([pa.array(c) for c in cols],
+                                 schema=pa.schema(fields)), path)
+
+    # file 1: written when column 2 was called 'category'
+    d1 = os.path.join(tdir, "data", "f1.parquet")
+    _pq_with_ids(d1, ["k", "category", "val"], [1, 2, 3],
+                 [[1], ["old"], [1.0]])
+    # file 2: written after the rename to 'cat'
+    d2 = os.path.join(tdir, "data", "f2.parquet")
+    _pq_with_ids(d2, ["k", "cat", "val"], [1, 2, 3],
+                 [[2], ["new"], [2.0]])
+    m = _manifest(tdir, "m.avro", [_entry(d1, rows=1), _entry(d2, rows=1)])
+    lst = _manifest_list(tdir, "snap-1.avro", [(m, 0, 1)])
+    _metadata_v2(tdir, [_snap(900, 1, lst)], 900)  # schema names it 'cat'
+    t = IcebergLiteTable(spark, tdir)
+    assert _rows(t.read(resolve="id")) == [(1, "old", 1.0),
+                                           (2, "new", 2.0)]
+    by_name = _rows(t.read())  # default: old file null-fills 'cat'
+    assert by_name == [(1, None, 1.0), (2, "new", 2.0)]
