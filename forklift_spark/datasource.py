@@ -212,7 +212,7 @@ class _ManifestBatchReader(DataSourceReader):
                     self._partitions_in = [f.value]
                 bound(col, lo=f.value, hi=f.value)
             elif isinstance(f, In) and col == pcol:
-                self._partitions_in = list(f.values)
+                self._partitions_in = list(f.value)
             elif isinstance(f, IsNull) and col == pcol:
                 self._partitions_in = [None]
             elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):

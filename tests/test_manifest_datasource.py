@@ -194,6 +194,12 @@ def test_pushdown_prunes_files_and_stays_correct(registered, tmp_path):
     pruned = len(rd.partitions())
     assert pruned < total  # partition pruning really dropped files
 
+    from pyspark.sql.datasource import In
+
+    rd_in = _ManifestBatchReader(opts, schema_json)
+    rd_in.pushFilters([In(("p",), (1, 3))])
+    assert len(rd_in.partitions()) < total  # IN prunes to two partitions
+
     rd2 = _ManifestBatchReader(opts, schema_json)
     rd2.pushFilters([GreaterThanOrEqual(("k",), 999999)])
     # zone maps: no file's [min,max] reaches the bound
