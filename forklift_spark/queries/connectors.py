@@ -520,8 +520,8 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec("l_extendedprice", MONEY)).cast("double").alias("revenue"),
-        F.min("l_shipdate").alias("first_ship"),
-        F.max("l_shipdate").alias("last_ship"),
+        F.min("l_shipdate").cast("date").alias("first_ship"),
+        F.max("l_shipdate").cast("date").alias("last_ship"),
     )
 
 
