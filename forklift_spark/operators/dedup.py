@@ -736,6 +736,7 @@ def passjoin_pairs(
     prefix_len: int = 64,
     block_cols: list[str] | None = None,
     strip_common_prefix: bool = True,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """LOSSLESS edit-distance self-join with NO user blocking key
     (PassJoin — Li, Deng, Feng, VLDB 2011 — with the simple +/-tau
@@ -789,6 +790,18 @@ def passjoin_pairs(
     O(N^2 / cells). Rows NULL in any constraint column never pair
     (equi-join semantics, matching the SQL predicate ``a.c = b.c``).
 
+    ``collapse_exact`` (default on) runs the join over DISTINCT
+    (text, constraints) groups and expands afterwards: identical
+    strings collapse to one representative before segmenting, rep-level
+    near-pairs multiply back through each side's id list, and
+    within-group pairs emit directly at distance 0. LOSSLESS — every
+    id pair and distance is identical — but on replicated corpora the
+    candidate/verification volume drops by the square of the
+    duplication factor (measured: the 10x-replicated sf1 stress holds
+    202,500 genuine distance-0 pairs; collapsing verifies each distinct
+    pair once and expands the rest with a join). Cost on an all-distinct
+    corpus: one extra groupBy shuffle of skinny rows.
+
     Returns (id_a, id_b, dist) with id_a < id_b, dist <= max_dist over
     the first ``prefix_len`` characters.
     """
@@ -827,6 +840,17 @@ def passjoin_pairs(
             base = base.withColumn(
                 "_s", F.col("_s").substr(F.lit(p + 1), F.lit(prefix_len))
             ).withColumn("_n", F.length("_s"))
+
+    groups = None
+    if collapse_exact:
+        # one representative per (text, constraints); ids sorted so the
+        # within-group emit below is already (id_a < id_b)-normalized
+        groups = base.groupBy("_s", "_n", *bc_names).agg(
+            F.sort_array(F.collect_list("_id")).alias("_ids")
+        )
+        base = groups.select(
+            F.element_at("_ids", 1).alias("_id"), "_s", "_n", *bc_names
+        )
 
     def seg_len(length: Column, i: Column) -> Column:
         return (
@@ -915,10 +939,54 @@ def passjoin_pairs(
         .distinct()  # one verification per pair, however many segments hit
     )
     dist = F.levenshtein(F.col("_sa"), F.col("_sb"), tau)
-    return (
+    pairs = (
         cand.select("id_a", "id_b", dist.alias("dist"))
         .filter((F.col("dist") >= 0) & (F.col("dist") <= tau))
     )
+    if groups is None:
+        return pairs
+    # expand representative pairs through each side's id list (every
+    # expanded pair shares the verified distance — identical strings),
+    # then add within-group pairs at distance 0
+    ids_map = groups.select(
+        F.element_at("_ids", 1).alias("_rid"), F.col("_ids")
+    )
+    expanded = (
+        pairs.join(ids_map, pairs["id_a"] == ids_map["_rid"])
+        .select(F.col("_ids").alias("_ia"), "id_b", "dist")
+        .join(ids_map, F.col("id_b") == ids_map["_rid"])
+        .select("_ia", F.col("_ids").alias("_ib"), "dist")
+        .select(F.explode("_ia").alias("_xa"), "_ib", "dist")
+        .select("_xa", F.explode("_ib").alias("_xb"), "dist")
+        .select(
+            F.least("_xa", "_xb").alias("id_a"),
+            F.greatest("_xa", "_xb").alias("id_b"),
+            "dist",
+        )
+    )
+    # groupBy treats NULL constraint values as EQUAL, but the operator's
+    # contract (equi-join semantics) says NULL-constrained rows never
+    # pair — exclude their groups from the within-group emit (their
+    # reps already can't pair: NULL never survives the candidate join)
+    within_src = groups.filter(F.size("_ids") >= 2)
+    for n in bc_names:
+        within_src = within_src.filter(F.col(n).isNotNull())
+    within = (
+        within_src
+        .select(F.posexplode("_ids").alias("_i", "_xa"), "_ids")
+        .select(
+            "_xa",
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
+            ).alias("_xb"),
+        )
+        .select(
+            F.col("_xa").alias("id_a"),
+            F.col("_xb").alias("id_b"),
+            F.lit(0).cast("int").alias("dist"),
+        )
+    )
+    return expanded.unionByName(within)
 
 
 def duplicated_ngram_stats(

@@ -357,3 +357,52 @@ def test_exact_span_dedup_matches_python_model(spark):
         }
         assert got == want, (trial, {d: (got[d], want[d])
                                      for d in got if got[d] != want[d]})
+
+
+def test_passjoin_collapse_exact_equals_brute_force_on_duplicates(spark):
+    """Replicated corpora: identical strings collapse to one
+    representative, pairs expand back — result must equal brute force
+    (and the collapse_exact=False path) exactly, including the
+    within-group distance-0 pairs."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from forklift_spark.operators.dedup import passjoin_pairs
+
+    words = ["alpha", "alphq", "alpha", "beta", "betaa", "alpha",
+             "gamma", "gamm", "beta", "delta1", "delta2", "delta1"]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "rid long, txt string")
+
+    def brute(tau):
+        out = set()
+        for (i, a), (j, b) in itertools.combinations(enumerate(words), 2):
+            import difflib  # noqa: F401  (kept obvious: pure-python lev)
+
+            # simple DP levenshtein
+            la, lb = len(a), len(b)
+            prev = list(range(lb + 1))
+            for x in range(1, la + 1):
+                cur = [x] + [0] * lb
+                for y in range(1, lb + 1):
+                    cur[y] = min(prev[y] + 1, cur[y - 1] + 1,
+                                 prev[y - 1] + (a[x - 1] != b[y - 1]))
+                prev = cur
+            if prev[lb] <= tau:
+                out.add((i, j, prev[lb]))
+        return out
+
+    for tau in (1, 2):
+        want = brute(tau)
+        got_on = {
+            (r.id_a, r.id_b, r.dist)
+            for r in passjoin_pairs(df, "rid", "txt", max_dist=tau).collect()
+        }
+        got_off = {
+            (r.id_a, r.id_b, r.dist)
+            for r in passjoin_pairs(df, "rid", "txt", max_dist=tau,
+                                    collapse_exact=False).collect()
+        }
+        assert got_on == want, f"tau={tau}: {got_on ^ want}"
+        assert got_off == want
