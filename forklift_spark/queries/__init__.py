@@ -46,48 +46,58 @@ def query(name: str, oracle: str | None = None):
 # (not just exactly 50) checks a representative mix. After the window:
 # remaining oracle-backed queries, round-robin by family; rows-only
 # queries last (weakest checks at the tail).
-# r6 rotation (VERDICT r5 item 1 — exhaust the catalog): every query
-# that has EVER had a driver row (201 across r1-r5) stays out; the
-# window holds 50 of the 63 oracle-backed never-driver-checked queries,
-# including every one the judge named (q_window_tumbling, q_sessionize,
-# q_stratified_sample, q_stats_moments, q_manifest_bucket_merge,
-# q_manifest_segment_skip, q_stream_enrich). The 13 deferred to round 7
-# (q_gap_fill, q_top_p_selection, q_winsorize, q_bitemporal,
-# q_event_funnel, q_fd_discovery, q_k_anonymize, q_hll_portable,
-# q_doc_fingerprint, q_bom_explode, q_random_walks, q_zorder_keys,
-# q_stream_cms_build) were each judge-verified oracle-PASS in the r5
-# judging session — they are the never-checked queries with the MOST
-# external signal already, so the window maximizes new coverage.
-# Cumulative distinct driver coverage after this window: 251/268.
+# r7 rotation (VERDICT r6 item 1 — CLOSE the catalog): the window holds
+# ALL 32 remaining never-driver-checked queries (catalog minus the union
+# of CORRECTNESS_r01..r06 keys) — the r6 wave (passjoin, exact-substr,
+# merge-into, constraints, key/bloom pruning, apply_changes, time-travel,
+# image headers, pg COPY, delta/iceberg interop, avro, stream source)
+# plus the older deferrals (gap_fill, bitemporal, bom_explode, ...).
+# Four of them (q_kmeans_clusters, q_ann_pq_topk, q_ann_ivfpq_topk,
+# q_hll_user_rollup) are rows-only BY DESIGN (quantization / HLL sketches
+# have no exact DuckDB oracle; recall/error floors are asserted in-query)
+# — they enter the window via _WINDOW_ROWS_ONLY so the driver records
+# their weaker check too, completing 283/283 cumulative coverage.
+# The 18 filler slots re-verify the STALEST driver rows: the 7 queries
+# last checked in round 1 (incl. q_image_features, rows-only back then,
+# oracle-backed since r6) and 11 round-2 rows across analytics/etl.
+_WINDOW_ROWS_ONLY: frozenset[str] = frozenset({
+    "q_kmeans_clusters", "q_ann_pq_topk", "q_ann_ivfpq_topk",
+    "q_hll_user_rollup",
+})
 _WINDOW_FAMILIES: dict[str, list[str]] = {
-    "analytics": [
-        "q12_late_shipping", "q16_supplier_part_count", "q_basket_rules",
-        "q_rfm_segment_sizes",
+    "connectors": [
+        "q_avro_roundtrip", "q_pg_copy_roundtrip", "q_delta_read",
+        "q_iceberg_read", "q_iceberg_changes",
     ],
     "etl": [
-        "q_manifest_bucket_merge", "q_manifest_segment_skip",
-        "q_bucketed_join", "q_compaction_plan", "q_fk_discovery",
-        "q_json_schema_infer", "q_lag_features", "q_percent_of_total",
-        "q_pseudonymize", "q_skew_audit", "q_zone_map_pruning",
+        "q_merge_into", "q_manifest_constraints", "q_time_travel_ts",
+        "q_apply_changes", "q_manifest_key_prune", "q_manifest_bloom_prune",
+        "q_zorder_keys", "q_fd_discovery", "q_k_anonymize", "q_bitemporal",
+        "q_projection_filter", "q_semi_join", "q_anti_join",
+        "q_limit_sort", "q_count_min_max",
     ],
-    "graph": ["q_domain_authority"],
-    "stats": [
-        "q_stats_moments", "q_cooccurrence_lift", "q_equiwidth_histogram",
-        "q_event_debounce", "q_event_transitions", "q_grouped_quantiles",
-        "q_k_anonymity", "q_l_diversity", "q_null_imputation",
-        "q_stream_qsketch", "q_time_weighted_avg", "q_zscore_outliers",
+    "dedup": [
+        "q_passjoin_pairs", "q_exact_substr_dedup", "q_dedup_exact",
+        "q_dedup_simhash", "q_dedup_ngram_jaccard",
     ],
-    "text": [
-        "q_stratified_sample", "q_balanced_sample", "q_weighted_sample",
-        "q_global_shuffle", "q_inverted_index", "q_lexical_diversity",
-        "q_repetition_quality", "q_temperature_mix", "q_text_quality",
+    "graph": ["q_bom_explode", "q_random_walks"],
+    "multimodal": [
+        "q_image_headers", "q_media_metadata", "q_frame_sample",
+        "q_image_features",
     ],
+    "similarity": [
+        "q_kmeans_clusters", "q_ann_pq_topk", "q_ann_ivfpq_topk",
+        "q_embedding_dedup",
+    ],
+    "stats": ["q_winsorize", "q_stream_cms_build", "q_hll_portable"],
+    "text": ["q_doc_fingerprint", "q_top_p_selection"],
     "timeseries": [
-        "q_window_tumbling", "q_window_hopping", "q_sessionize",
-        "q_stream_enrich", "q_asof_nearest", "q_attribution",
-        "q_decayed_engagement", "q_ewma_smooth", "q_interval_merge",
-        "q_seasonal_decompose", "q_sequence_pattern", "q_sliding_distinct",
-        "q_trailing_range_window",
+        "q_event_funnel", "q_gap_fill", "q_hll_user_rollup",
+        "q_manifest_stream_source",
+    ],
+    "analytics": [
+        "q1_pricing_summary", "q3_shipping_priority", "q_topk_per_group",
+        "q_rollup", "q_distinct_exact", "q_set_ops",
     ],
 }
 
@@ -105,25 +115,18 @@ def _family(name: str) -> str:
     return _REGISTRY[name].__module__.rsplit(".", 1)[-1]
 
 
-# Never driver-checked but judge-verified in r5; emitted immediately
-# after the window so any driver prefix wider than 50 reaches them, and
-# they form the core of the round-7 window that exhausts the catalog.
-_DEFERRED_NEVER_CHECKED: list[str] = [
-    "q_gap_fill", "q_top_p_selection", "q_winsorize", "q_bitemporal",
-    "q_event_funnel", "q_fd_discovery", "q_k_anonymize", "q_hll_portable",
-    "q_doc_fingerprint", "q_bom_explode", "q_random_walks",
-    "q_zorder_keys", "q_stream_cms_build",
-]
-
-
 def catalog() -> dict[str, QueryFn]:
     _load_all()
     window = [n for q in _WINDOW_FAMILIES.values() for n in q]
-    missing = [n for n in window if n not in _REGISTRY or n not in _ORACLES]
-    if missing:  # window names must stay oracle-backed; fail loud on drift
+    missing = [
+        n for n in window
+        if n not in _REGISTRY
+        or (n not in _ORACLES and n not in _WINDOW_ROWS_ONLY)
+    ]
+    if missing:  # window names must stay oracle-backed (or explicitly
+        # allowlisted rows-only); fail loud on drift
         raise RuntimeError(f"catalog window references unknown/weak queries: {missing}")
     ordered = _round_robin([list(q) for q in _WINDOW_FAMILIES.values()])
-    ordered += [n for n in _DEFERRED_NEVER_CHECKED if n not in ordered]
     rest_strong: dict[str, list[str]] = {}
     rest_weak: dict[str, list[str]] = {}
     for name in _REGISTRY:

@@ -3,6 +3,9 @@
 
 from __future__ import annotations
 
+import json
+from pathlib import Path
+
 import forklift_spark.queries as q
 
 FAMILIES = {
@@ -10,6 +13,8 @@ FAMILIES = {
     "timeseries", "multimodal", "connectors", "web", "graph",
     "selection",
 }
+
+REPO = Path(__file__).resolve().parents[1]
 
 
 def _families(names):
@@ -23,32 +28,55 @@ def test_window_is_curated_and_oracle_backed():
     assert len(window) == 50
     assert set(cat[:50]) == set(window)
     ors = q.oracles()
-    assert all(n in ors for n in cat[:50])
+    # every window query is oracle-backed except the explicitly
+    # allowlisted rows-only entries (quantization/sketch queries with no
+    # exact DuckDB oracle by design — in the window so the driver records
+    # their weaker rows-only check at least once)
+    assert all(n in ors or n in q._WINDOW_ROWS_ONLY for n in cat[:50])
+    assert q._WINDOW_ROWS_ONLY <= set(window)
+    assert not (q._WINDOW_ROWS_ONLY & set(ors))
+
+
+def test_window_closes_driver_catalog():
+    """r7 policy: the window contains EVERY catalog query that has never
+    had a driver correctness row (catalog minus the union of committed
+    CORRECTNESS_r0*.json keys) — after this window runs, cumulative
+    driver coverage is the full catalog."""
+    checked: set[str] = set()
+    for f in sorted(REPO.glob("CORRECTNESS_r0*.json")):
+        checked |= set(json.loads(f.read_text()))
+    cat = list(q.catalog())
+    never = {n for n in cat if n not in checked}
+    assert never <= set(cat[:50]), sorted(never - set(cat[:50]))
 
 
 def test_every_prefix_has_family_spread():
     """Round-robin emission inside the window: the first cycle touches
-    every family the window CONTAINS (r6 policy: the window holds only
-    never-driver-checked queries, so families whose catalog is already
-    fully driver-verified are legitimately absent), and the catalog
-    reaches all 12 families shortly after the window + deferred block."""
+    every family the window CONTAINS, and the catalog reaches all 12
+    families shortly after the window."""
     cat = list(q.catalog())
     win_fams = _families(cat[:50])
     assert win_fams <= FAMILIES
     # the first round-robin cycle covers every window family
     assert _families(cat[:len(win_fams)]) == win_fams
-    # full family spread resumes right after the window + deferred tail
+    # full family spread resumes right after the window
     assert _families(cat[:80]) == FAMILIES
 
 
 def test_rows_only_queries_sort_last():
+    """Outside the window, rows-only queries trail all oracle-backed
+    ones (weakest checks at the tail); inside the window only the
+    allowlisted never-driver-checked sketch queries may be rows-only."""
     cat = list(q.catalog())
     ors = q.oracles()
-    strengths = [n in ors for n in cat]
-    first_weak = strengths.index(False) if False in strengths else len(cat)
+    tail = cat[50:]
+    strengths = [n in ors for n in tail]
+    first_weak = strengths.index(False) if False in strengths else len(tail)
     assert all(not s for s in strengths[first_weak:]), (
         "rows-only queries must all trail oracle-backed ones"
     )
+    weak_in_window = {n for n in cat[:50] if n not in ors}
+    assert weak_in_window == set(q._WINDOW_ROWS_ONLY)
 
 
 def test_catalog_is_complete_and_unique():
