@@ -25,10 +25,18 @@ implemented from the spec:
   dtype (empty string stays NULL for non-strings, per the spec's
   serialization rules).
 
-Newer reader features degrade LOUDLY, never wrongly: a table with
-``minReaderVersion > 1`` (deletion vectors, column mapping, v2
-checkpoints...) raises ``DeltaUnsupported`` instead of returning rows
-that silently ignore deletion vectors.
+**Deletion vectors (reader version 3 feature ``deletionVectors``) are
+supported** (r7): ``add.deletionVector`` descriptors are decoded from
+the PUBLIC formats — Z85 path/inline encoding, the DV file layout
+(version byte, per-DV ``[int32 BE size][portable RoaringBitmapArray]
+[int32 BE crc32]``), and the portable 64-bit roaring serialization
+(functions/roaring.py) — and applied as anti-joins on
+``_metadata.file_path``/``row_index``, the same plan the Iceberg reader
+uses for position deletes. Bitmap expansion happens in EXECUTORS
+(mapInPandas over the descriptor list), so a 100M-row DV never
+materializes on the driver. Other reader-v3 features (column mapping,
+v2 checkpoints, type widening...) still degrade LOUDLY via
+``DeltaUnsupported`` instead of returning wrong rows.
 
 Driver bound: the live-file list is held on the driver (paths +
 partition values), same O(files) bound as the manifest format's entry
@@ -48,13 +56,83 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from forklift_spark.connections.base import Connection
+from forklift_spark.functions.roaring import (
+    deserialize_roaring64,
+    z85_decode,
+)
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet$")
 
+# reader-version-3 features this reader actually implements; any other
+# listed feature refuses loudly (spec: a v3 reader MUST support every
+# feature in readerFeatures to read the table)
+_SUPPORTED_READER_FEATURES = {"deletionVectors"}
+
 
 class DeltaUnsupported(NotImplementedError):
-    """The table requires a reader feature outside protocol v1."""
+    """The table requires a reader feature this reader lacks."""
+
+
+def dv_file_path(table_path: str, dv: dict) -> str:
+    """Resolve a deletion-vector descriptor to its ``.bin`` file.
+
+    storageType 'u': pathOrInlineDv = ``<optional random prefix><20-char
+    Z85 uuid>``; the file is ``<prefix>/deletion_vector_<uuid>.bin``
+    under the table root. storageType 'p': an absolute path."""
+    st = dv["storageType"]
+    if st == "p":
+        return re.sub(r"^file:(//)?", "", dv["pathOrInlineDv"])
+    if st != "u":
+        raise DeltaUnsupported(f"deletion vector storageType {st!r}")
+    import uuid as _uuid
+
+    enc = dv["pathOrInlineDv"]
+    prefix, uuid_enc = enc[:-20], enc[-20:]
+    u = _uuid.UUID(bytes=z85_decode(uuid_enc, 16))
+    name = f"deletion_vector_{u}.bin"
+    return os.path.join(table_path, prefix, name) if prefix \
+        else os.path.join(table_path, name)
+
+
+def dv_positions(table_path: str, dv: dict) -> list[int]:
+    """Decode a DV descriptor into the deleted row indexes.
+
+    On-disk layout (delta.io PROTOCOL.md): the file starts with a
+    format-version byte (1); at ``offset`` sits ``[int32 BE size]
+    [<size> bytes: portable RoaringBitmapArray][int32 BE crc32(data)]``.
+    Inline ('i') descriptors Z85-encode the bitmap bytes directly, with
+    ``sizeInBytes`` the true (unpadded) length."""
+    import zlib
+
+    if dv["storageType"] == "i":
+        data = z85_decode(dv["pathOrInlineDv"], int(dv["sizeInBytes"]))
+    else:
+        path = dv_file_path(table_path, dv)
+        with open(path, "rb") as fh:
+            version = fh.read(1)
+            if version != b"\x01":
+                raise DeltaUnsupported(
+                    f"DV file format version {version!r} at {path}")
+            fh.seek(int(dv.get("offset") or 1))
+            import struct as _s
+
+            size, = _s.unpack(">i", fh.read(4))
+            if size != int(dv["sizeInBytes"]):
+                raise ValueError(
+                    f"DV size mismatch at {path}: file says {size}, "
+                    f"descriptor says {dv['sizeInBytes']}")
+            data = fh.read(size)
+            crc, = _s.unpack(">I", fh.read(4))
+            if zlib.crc32(data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"DV checksum mismatch at {path}")
+    positions = deserialize_roaring64(data)
+    card = dv.get("cardinality")
+    if card is not None and int(card) != len(positions):
+        raise ValueError(
+            f"DV cardinality mismatch: descriptor {card}, "
+            f"bitmap {len(positions)}")
+    return positions
 
 
 class DeltaLiteTable:
@@ -134,7 +212,13 @@ class DeltaLiteTable:
                         meta = act["metaData"]
                     elif "add" in act:
                         a = act["add"]
-                        files[unquote(a["path"])] = a.get("partitionValues") or {}
+                        # re-adding a path replaces its entry, INCLUDING
+                        # the DV descriptor (a DV update is exactly an
+                        # add of the same path with a new DV, per spec)
+                        files[unquote(a["path"])] = {
+                            "pv": a.get("partitionValues") or {},
+                            "dv": a.get("deletionVector"),
+                        }
                     elif "remove" in act:
                         files.pop(unquote(act["remove"]["path"]), None)
 
@@ -185,24 +269,45 @@ class DeltaLiteTable:
         # checkpoints hold the full live set: adds present, removes are
         # tombstones only (already excluded from add rows by the writer)
         if "add" in cols:
+            add_fields = {
+                f.name for f in df.schema["add"].dataType.fields  # type: ignore[union-attr]
+            }
+            sel = ["add.path", "add.partitionValues"]
+            if "deletionVector" in add_fields:
+                sel.append("add.deletionVector")
             for r in (
-                df.filter(F.col("add").isNotNull())
-                .select("add.path", "add.partitionValues")
-                .collect()
+                df.filter(F.col("add").isNotNull()).select(*sel).collect()
             ):
-                files[unquote(r["path"])] = dict(r["partitionValues"] or {})
+                dv = r["deletionVector"] if "deletionVector" in add_fields \
+                    else None
+                files[unquote(r["path"])] = {
+                    "pv": dict(r["partitionValues"] or {}),
+                    "dv": dv.asDict() if dv is not None else None,
+                }
         return meta, files
 
     @staticmethod
     def _check_protocol(proto: dict) -> None:
         mrv = int(proto.get("minReaderVersion", 1) or 1)
-        if mrv > 1:
-            raise DeltaUnsupported(
-                f"minReaderVersion={mrv}: this reader implements protocol "
-                "v1 only (no deletion vectors / column mapping / v2 "
-                "checkpoints) — refusing rather than returning rows that "
-                "ignore reader-mandatory features"
-            )
+        if mrv == 1:
+            return
+        if mrv == 3:
+            feats = set(proto.get("readerFeatures") or [])
+            extra = feats - _SUPPORTED_READER_FEATURES
+            if extra:
+                raise DeltaUnsupported(
+                    f"readerFeatures {sorted(extra)} not implemented "
+                    f"(supported: {sorted(_SUPPORTED_READER_FEATURES)}) — "
+                    "refusing rather than returning rows that ignore "
+                    "reader-mandatory features"
+                )
+            return
+        raise DeltaUnsupported(
+            f"minReaderVersion={mrv}: this reader implements protocol v1 "
+            "plus the v3 deletionVectors feature (no column mapping / v2 "
+            "checkpoints) — refusing rather than returning rows that "
+            "ignore reader-mandatory features"
+        )
 
     # -- read ----------------------------------------------------------------
 
@@ -270,14 +375,21 @@ class DeltaLiteTable:
                     act = json.loads(line)
                     if "add" in act:
                         a = act["add"]
-                        added[unquote(a["path"])] = \
-                            a.get("partitionValues") or {}
+                        if a.get("deletionVector"):
+                            # a DV-carrying add IS a delete (of the
+                            # masked rows) — not append-only
+                            removed += 1
+                            continue
+                        added[unquote(a["path"])] = {
+                            "pv": a.get("partitionValues") or {},
+                            "dv": None,
+                        }
                     elif "remove" in act:
                         removed += 1
         if removed:
             raise NotImplementedError(
                 f"version range {from_version}..{to_v} is not append-only "
-                f"({removed} remove actions): the appended-rows feed "
+                f"({removed} remove/DV actions): the appended-rows feed "
                 "would misrepresent updates/deletes as inserts — read "
                 "full snapshots instead")
         schema: T.StructType = base["schema"]
@@ -289,6 +401,34 @@ class DeltaLiteTable:
                 "files": added, "version": to_v}
         return self._scan(snap)
 
+    def _deleted_positions(self, dv_files: dict[str, dict]) -> DataFrame:
+        """Expand DV descriptors into a (``___path``, ``___pos``) frame
+        of deleted row positions. The bitmap expansion runs in EXECUTORS
+        (mapInPandas over the descriptor rows — metadata-sized), so a
+        DV marking millions of rows never materializes on the driver;
+        inline DVs travel in the descriptor itself, on-disk DVs are read
+        from shared storage by the task."""
+        import pandas as pd
+
+        table_path = self.path
+        rows = [
+            (os.path.join(table_path, p), json.dumps(e["dv"]))
+            for p, e in dv_files.items()
+        ]
+        ddf = self.spark.createDataFrame(
+            rows, "___path string, ___dv string"
+        ).repartition(min(len(rows), 32))
+
+        def expand(batches):
+            for pdf in batches:
+                for path, dvj in zip(pdf["___path"], pdf["___dv"]):
+                    pos = dv_positions(table_path, json.loads(dvj))
+                    yield pd.DataFrame(
+                        {"___path": path, "___pos": pd.array(pos, dtype="int64")}
+                    )
+
+        return ddf.mapInPandas(expand, "___path string, ___pos long")
+
     def _scan(self, snap: dict) -> DataFrame:
         schema: T.StructType = snap["schema"]
         pcols = snap["partition_columns"]
@@ -296,13 +436,40 @@ class DeltaLiteTable:
         data_schema = T.StructType(
             [f for f in schema.fields if f.name not in pcols]
         )
-        groups: dict[tuple, list[str]] = {}
-        for path, pv in snap["files"].items():
+        dv_files = {p: e for p, e in snap["files"].items() if e.get("dv")}
+        groups: dict[tuple, dict[bool, list[str]]] = {}
+        for path, entry in snap["files"].items():
+            pv = entry["pv"]
             key = tuple(pv.get(c) for c in pcols)
-            groups.setdefault(key, []).append(os.path.join(self.path, path))
+            g = groups.setdefault(key, {False: [], True: []})
+            g[path in dv_files].append(os.path.join(self.path, path))
+        deleted = self._deleted_positions(dv_files) if dv_files else None
         parts = []
-        for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
-            df = self.spark.read.schema(data_schema).parquet(*paths)
+        for key, by_dv in sorted(groups.items(), key=lambda kv: str(kv[0])):
+            sub = []
+            if by_dv[False]:
+                sub.append(
+                    self.spark.read.schema(data_schema).parquet(*by_dv[False])
+                )
+            if by_dv[True]:
+                # masked files: attach the scan's physical row position,
+                # anti-join the deleted set, drop the helper columns —
+                # the same plan shape iceberglite uses for position
+                # deletes (per-file positions, no shuffle of the big
+                # side beyond the join itself)
+                masked = (
+                    self.spark.read.schema(data_schema)
+                    .parquet(*by_dv[True])
+                    .withColumn("___path", F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:(//)?", ""))
+                    .withColumn("___pos", F.col("_metadata.row_index"))
+                    .join(deleted, ["___path", "___pos"], "left_anti")
+                    .drop("___path", "___pos")
+                )
+                sub.append(masked)
+            df = sub[0]
+            for s in sub[1:]:
+                df = df.unionByName(s)
             for c, v in zip(pcols, key):
                 if v is None or (v == "" and not isinstance(
                     ptypes[c], T.StringType

@@ -874,6 +874,125 @@ def q_delta_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q_delta_dv_read — Delta DELETION-VECTOR interop read (r7, VERDICT r6
+# item 3): a minReaderVersion-3 table (readerFeatures=[deletionVectors])
+# is built BY HAND — orders lands as plain parquet files, then each
+# file's DV is computed from its ACTUAL physical row order (pyarrow
+# footer read of o_orderkey) marking positions where
+# o_orderkey % 13 = 5, serialized as a portable RoaringBitmapArray and
+# stored alternately as an on-disk 'u' DV file (version byte +
+# [size BE][bitmap][crc BE], z85-uuid path derivation) and an inline
+# 'i' descriptor. The reader must decode both storage types, expand the
+# bitmaps IN EXECUTORS, and anti-join on _metadata row position — a
+# position/value confusion, a z85/roaring decode bug, or a dropped
+# mask all break the hash against the oracle's predicate form.
+# --------------------------------------------------------------------------
+DELTA_DV_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE NOT (o_orderkey % 13 = 5)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("q_delta_dv_read", DELTA_DV_ORACLE)
+def q_delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import json as _json
+    import shutil
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from forklift_spark.connections.deltalite import DeltaLiteTable
+    from forklift_spark.functions.roaring import serialize_roaring64, z85_encode
+
+    od = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    tdir = tempfile.mkdtemp(prefix="fk_delta_dv_")
+    log = os.path.join(tdir, "_delta_log")
+    os.makedirs(log)
+    stage = os.path.join(tdir, "stage")
+    od.repartition(4, "o_orderkey").write.mode("overwrite").parquet(stage)
+    rels = []
+    for i, f in enumerate(sorted(glob.glob(os.path.join(stage, "part-*.parquet")))):
+        rel = f"f{i}.parquet"
+        shutil.move(f, os.path.join(tdir, rel))
+        rels.append(rel)
+    shutil.rmtree(stage)
+
+    adds = []
+    for i, rel in enumerate(rels):
+        # DV positions from the file's PHYSICAL row order (spec: row
+        # indexes within the file) — computed off the written footer,
+        # so plan-order nondeterminism cannot skew the mask
+        keys = pq.read_table(
+            os.path.join(tdir, rel), columns=["o_orderkey"]
+        ).column(0).to_pylist()
+        positions = [p for p, k in enumerate(keys) if k % 13 == 5]
+        add = {"path": rel, "partitionValues": {}, "size": 1,
+               "modificationTime": 1700000000000, "dataChange": True}
+        if positions:
+            data = serialize_roaring64(positions)
+            if i % 2 == 0:  # on-disk 'u' storage
+                u = _uuid.uuid4()
+                with open(os.path.join(
+                        tdir, f"deletion_vector_{u}.bin"), "wb") as fh:
+                    fh.write(b"\x01")
+                    fh.write(struct.pack(">i", len(data)))
+                    fh.write(data)
+                    fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+                add["deletionVector"] = {
+                    "storageType": "u", "pathOrInlineDv": z85_encode(u.bytes),
+                    "offset": 1, "sizeInBytes": len(data),
+                    "cardinality": len(positions)}
+            else:  # inline 'i' storage
+                add["deletionVector"] = {
+                    "storageType": "i", "pathOrInlineDv": z85_encode(data),
+                    "sizeInBytes": len(data), "cardinality": len(positions)}
+        adds.append(add)
+
+    schema = T.StructType([
+        T.StructField("o_orderkey", od.schema["o_orderkey"].dataType),
+        T.StructField("o_totalprice", od.schema["o_totalprice"].dataType),
+        T.StructField("o_orderstatus", T.StringType()),
+    ])
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"]}}) + "\n")
+        fh.write(_json.dumps({"metaData": {
+            "id": "fk-delta-dv-read", "format": {"provider": "parquet",
+                                                 "options": {}},
+            "schemaString": _json.dumps(schema.jsonValue()),
+            "partitionColumns": [], "configuration": {},
+            "createdTime": 1700000000000,
+        }}) + "\n")
+        for a in adds:
+            fh.write(_json.dumps({"add": a}) + "\n")
+
+    got = DeltaLiteTable(spark, tdir).read()
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(dec("o_totalprice", MONEY)).cast("double")
+             .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
 # q_iceberg_read — Apache Iceberg spec-v2 interop read (r6 continuation):
 # table metadata is built BY HAND from the public spec shapes
 # (metadata.json + Avro manifest list + Avro manifests via the

@@ -181,8 +181,8 @@ def test_checkpoint_replay_after_log_cleanup(spark, delta_table):
                     ("parquet", {}), json.dumps(SCHEMA.jsonValue()),
                     ["p"], {}, 1700000000000), None),
             (None, None, (1, 2))]
-    rows += [((path, pv, 1, 1700000000000, True), None, None)
-             for path, pv in snap["files"].items()]
+    rows += [((path, e["pv"], 1, 1700000000000, True), None, None)
+             for path, e in snap["files"].items()]
     _one_parquet_file(
         spark, spark.createDataFrame(rows, ckpt_schema),
         os.path.join(log, f"{1:020d}.checkpoint.parquet"),
