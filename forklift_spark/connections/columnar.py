@@ -87,6 +87,19 @@ class AvroConnection(_FileFormatConnection):
 
     FORMAT = "avro"
 
+    @staticmethod
+    def _jar_missing(exc: Exception) -> bool:
+        """True only for the jar-absent failure shapes (the datasource
+        class can't be found). Any OTHER jar-path exception — corrupt
+        file, partial write, schema error — must propagate: silently
+        re-attempting it through the pure codec would mask the failure
+        and double-write (ADVICE r6 item 3)."""
+        s = str(exc)
+        return ("Failed to find data source" in s
+                or "FAILED_TO_FIND_DATA_SOURCE" in s
+                or "DATA_SOURCE_NOT_FOUND" in s
+                or "ClassNotFoundException" in s)
+
     def read(self, query_or_table: str | None = None, schema=None,
              engine: str = "auto", **kwargs) -> DataFrame:
         path = query_or_table or self.file
@@ -96,6 +109,8 @@ class AvroConnection(_FileFormatConnection):
             except Exception as exc:
                 if engine == "jar":
                     raise RuntimeError(_AVRO_HINT) from exc
+                if not self._jar_missing(exc):
+                    raise
         return self._read_pure(path, schema=schema)
 
     def write(self, df: DataFrame, table: str | None = None,
@@ -108,6 +123,8 @@ class AvroConnection(_FileFormatConnection):
             except Exception as exc:
                 if engine == "jar":
                     raise RuntimeError(_AVRO_HINT) from exc
+                if not self._jar_missing(exc):
+                    raise
         self._write_pure(df, path, mode=mode,
                          codec=kwargs.get("compression", self.compression))
 

@@ -69,36 +69,61 @@ class IcebergUnsupported(NotImplementedError):
 # stats/bounds fields, which the decoder simply carries through).
 # Exported so tests and fixtures can build spec-conformant metadata
 # without an Iceberg writer.
+# Avro schemas for EXPORTED manifests / manifest lists. Field ids are
+# attached as ``field-id`` props (spec: "Avro schemas for manifests must
+# carry the Iceberg field ids") so external readers resolve columns by
+# id, not name — ADVICE r6 item 1. Ids per the spec's manifest tables.
 MANIFEST_ENTRY_SCHEMA: dict = {
     "type": "record", "name": "manifest_entry", "fields": [
-        {"name": "status", "type": "int"},
-        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None,
+         "field-id": 1},
         {"name": "sequence_number", "type": ["null", "long"],
-         "default": None},
-        {"name": "data_file", "type": {
+         "default": None, "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 4},
+        {"name": "data_file", "field-id": 2, "type": {
             "type": "record", "name": "r2", "fields": [
-                {"name": "content", "type": "int"},
-                {"name": "file_path", "type": "string"},
-                {"name": "file_format", "type": "string"},
-                {"name": "partition", "type": {
+                {"name": "content", "type": "int", "field-id": 134},
+                {"name": "file_path", "type": "string", "field-id": 100},
+                {"name": "file_format", "type": "string", "field-id": 101},
+                {"name": "partition", "field-id": 102, "type": {
                     "type": "record", "name": "r102", "fields": []}},
-                {"name": "record_count", "type": "long"},
-                {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "record_count", "type": "long", "field-id": 103},
+                {"name": "file_size_in_bytes", "type": "long",
+                 "field-id": 104},
                 {"name": "equality_ids",
-                 "type": ["null", {"type": "array", "items": "int"}],
-                 "default": None},
+                 "type": ["null", {"type": "array", "items": "int",
+                                   "element-id": 136}],
+                 "default": None, "field-id": 135},
             ]}},
     ]}
 
 MANIFEST_FILE_SCHEMA: dict = {
     "type": "record", "name": "manifest_file", "fields": [
-        {"name": "manifest_path", "type": "string"},
-        {"name": "manifest_length", "type": "long"},
-        {"name": "partition_spec_id", "type": "int"},
-        {"name": "content", "type": "int"},
-        {"name": "sequence_number", "type": "long"},
-        {"name": "min_sequence_number", "type": "long"},
-        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        # v2-required file/row counts (ADVICE r6 item 1: real readers
+        # reject manifest lists without them). Write-time defaults let
+        # hand-built reader fixtures omit them; the EXPORT path always
+        # fills real values.
+        {"name": "added_files_count", "type": "int", "field-id": 504,
+         "default": 0},
+        {"name": "existing_files_count", "type": "int", "field-id": 505,
+         "default": 0},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506,
+         "default": 0},
+        {"name": "added_rows_count", "type": "long", "field-id": 512,
+         "default": 0},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513,
+         "default": 0},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514,
+         "default": 0},
     ]}
 
 
@@ -637,12 +662,18 @@ def export_manifest_to_iceberg(table, dest: str) -> dict:
     mpath = os.path.join(meta_dir, "m-00001.avro")
     av.write_container_file(mpath, json.dumps(MANIFEST_ENTRY_SCHEMA),
                             entries)
+    added_rows = sum(e["data_file"]["record_count"] for e in entries)
     lpath = os.path.join(meta_dir, "snap-1.avro")
     av.write_container_file(
         lpath, json.dumps(MANIFEST_FILE_SCHEMA),
         [{"manifest_path": mpath, "manifest_length": os.path.getsize(mpath),
           "partition_spec_id": 0, "content": 0, "sequence_number": 1,
-          "min_sequence_number": 1, "added_snapshot_id": 1}])
+          "min_sequence_number": 1, "added_snapshot_id": 1,
+          "added_files_count": len(entries), "existing_files_count": 0,
+          "deleted_files_count": 0, "added_rows_count": added_rows,
+          "existing_rows_count": 0, "deleted_rows_count": 0}])
+
+    import uuid as _uuid
 
     counter = iter(range(1, 1 << 20))
     schema_json = spark_type_to_iceberg(
@@ -651,13 +682,19 @@ def export_manifest_to_iceberg(table, dest: str) -> dict:
     with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
         json.dump({
             "format-version": 2,
-            "table-uuid": f"forklift-export-{m.get('version', 0)}",
+            "table-uuid": str(_uuid.uuid4()),
             "location": dest, "last-sequence-number": 1,
             "last-updated-ms": int(m.get("committed_at", 0) or 0),
             "last-column-id": next(counter) - 1,
             "current-schema-id": 0, "schemas": [schema_json],
             "default-spec-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": []}],
+            # spec-required even for unpartitioned/unsorted tables
+            # (ADVICE r6 item 1: pyiceberg/Java reject their absence):
+            # 999 = highest pre-assigned partition field id baseline
+            "last-partition-id": 999,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
             "current-snapshot-id": 1,
             "snapshots": [{"snapshot-id": 1, "sequence-number": 1,
                            "timestamp-ms": int(m.get("committed_at", 0)
@@ -673,3 +710,240 @@ def export_manifest_to_iceberg(table, dest: str) -> dict:
         rows = sum(e["rows"] for e in m["entries"])
     return {"files": len(entries), "rows": rows,
             "version": m.get("version", 0)}
+
+
+def _link_or_copy(src: str, dst: str) -> None:
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    if not os.path.exists(dst):
+        try:
+            os.link(src, dst)
+        except OSError:
+            import shutil
+
+            shutil.copy2(src, dst)
+
+
+def sync_manifest_to_iceberg(table, dest: str) -> dict:
+    """INCREMENTAL export: append ONE new Iceberg snapshot at ``dest``
+    covering the manifest table's commits since the last export
+    (VERDICT r6 item 4 — recurring publish without re-snapshotting;
+    sibling of ``deltalite.sync_manifest_to_delta``).
+
+    First call falls back to the full snapshot export. Subsequent
+    calls replay the destination's CURRENT snapshot (Avro manifest
+    list + manifests — O(metadata)), diff its live data files against
+    the manifest table's by path (paths are write-once), then write:
+
+    - untouched Avro manifests REUSED verbatim in the new manifest
+      list (zero rewrite — this is what makes the sync O(delta)),
+    - manifests containing newly-removed files REWRITTEN once each:
+      survivors become status=EXISTING with their original data
+      sequence numbers, removed files become status=DELETED (readers
+      skip them; changelog consumers see an honest delete),
+    - one NEW manifest with status=ADDED entries (hard-linked files)
+      at the next sequence number,
+    - a new manifest list, a new snapshot appended to the metadata
+      (operation=overwrite when anything was removed, append
+      otherwise), ``v{N+1}.metadata.json`` + version-hint bump.
+
+    Schema evolution: appended top-level columns get fresh field ids;
+    existing columns keep their ids by name (the manifest format only
+    evolves by appending nullable columns). A type CHANGE on an
+    existing column refuses loudly — silently re-assigning ids would
+    corrupt column resolution in external readers.
+
+    Same dv guard as the snapshot export. Returns {"mode", "added",
+    "removed", "rewritten_manifests", "version", "snapshot_id"}.
+    """
+    if not os.path.isdir(os.path.join(dest, "metadata")):
+        stats = export_manifest_to_iceberg(table, dest)
+        return {"mode": "full", "added": stats["files"], "removed": 0,
+                "rewritten_manifests": 0, "version": stats["version"],
+                "snapshot_id": 1}
+    m = table.manifest()
+    if any(e.get("dv") for e in m["entries"]):
+        raise ValueError(
+            "table has live deletion vectors; external Iceberg readers "
+            "would see deleted rows — run maintain() (or "
+            "compact(auto_dv=True)) to materialize them, then sync"
+        )
+    t = IcebergLiteTable(table.spark, dest)
+    meta_file = t._resolve_metadata_file()
+    meta = t.metadata()
+    _, schema_json = t.schema_struct(meta)
+    snap = t._snapshot_entry(meta)
+    _, mf_entries = av.read_container_file(t._abs(snap["manifest-list"]))
+
+    current = {e["path"] for e in m["entries"]}
+    rows_by_path = {e["path"]: int(e.get("rows") or 0) for e in m["entries"]}
+
+    # inventory each manifest: (list-entry, entries, rel path per entry)
+    def _rel(fp: str) -> str:
+        return os.path.relpath(_norm_path(fp), dest)
+
+    manifests = []
+    exported: set[str] = set()
+    for mf in mf_entries:
+        _, entries = av.read_container_file(t._abs(mf["manifest_path"]))
+        live = [e for e in entries if e.get("status") != 2]
+        rels = [_rel(e["data_file"]["file_path"]) for e in live]
+        exported.update(rels)
+        manifests.append((mf, live, rels))
+
+    added = sorted(current - exported)
+    removed = exported - current
+
+    # ---- schema evolution (append-only; id-stable by name) ----
+    new_schema_json = schema_json
+    schema_changed = False
+    old_struct = _schema_struct(schema_json)
+    new_struct = T.StructType.fromJson(m["schema"])
+    if old_struct != new_struct:
+        old_fields = {f["name"]: f for f in schema_json["fields"]}
+        old_by_name = {f.name: f for f in old_struct.fields}
+        for f in new_struct.fields:
+            if f.name in old_by_name and \
+                    old_by_name[f.name].dataType != f.dataType:
+                raise IcebergUnsupported(
+                    f"column {f.name!r} changed type "
+                    f"({old_by_name[f.name].dataType} -> {f.dataType}); "
+                    "incremental export cannot re-map its field id — "
+                    "export to a fresh location instead")
+        last_col = int(meta.get("last-column-id", 0))
+        counter = iter(range(last_col + 1, last_col + 1 + (1 << 20)))
+        fresh = spark_type_to_iceberg(new_struct, lambda: next(counter))
+        fields = []
+        for f in fresh["fields"]:
+            fields.append(old_fields.get(f["name"], f))
+        new_schema_json = {
+            "type": "struct",
+            "schema-id": int(meta.get("current-schema-id", 0)) + 1,
+            "fields": fields,
+        }
+        schema_changed = True
+
+    if not added and not removed and not schema_changed:
+        return {"mode": "noop", "added": 0, "removed": 0,
+                "rewritten_manifests": 0,
+                "version": m.get("version", 0),
+                "snapshot_id": snap["snapshot-id"]}
+
+    meta_dir = os.path.join(dest, "metadata")
+    new_seq = int(meta.get("last-sequence-number", 0)) + 1
+    new_snap_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    ts = int(m.get("committed_at", 0) or 0)
+
+    def _entry_seq(e, mf) -> int:
+        seq = e.get("data_sequence_number")
+        if seq is None:
+            seq = e.get("sequence_number")
+        if seq is None:
+            seq = mf.get("sequence_number") or 0
+        return int(seq)
+
+    new_list = []
+    rewritten = 0
+    for mf, live, rels in manifests:
+        gone = [e for e, r in zip(live, rels) if r in removed]
+        if not gone:
+            new_list.append(mf)  # reused verbatim — O(delta) core
+            continue
+        rewritten += 1
+        out_entries = []
+        kept_rows = gone_rows = 0
+        for e, r in zip(live, rels):
+            seq = _entry_seq(e, mf)
+            rec = {"status": 0 if r not in removed else 2,
+                   "snapshot_id": new_snap_id if r in removed
+                   else e.get("snapshot_id"),
+                   "sequence_number": seq,
+                   "data_file": e["data_file"]}
+            n = int(e["data_file"].get("record_count") or 0)
+            if r in removed:
+                gone_rows += n
+            else:
+                kept_rows += n
+            out_entries.append(rec)
+        mpath = os.path.join(
+            meta_dir, f"m-sync{new_snap_id}-{rewritten:05d}.avro")
+        av.write_container_file(
+            mpath, json.dumps(MANIFEST_ENTRY_SCHEMA), out_entries)
+        survivors = [e for e, r in zip(live, rels) if r not in removed]
+        min_seq = min((_entry_seq(e, mf) for e in survivors),
+                      default=new_seq)
+        new_list.append({
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0, "content": 0,
+            "sequence_number": new_seq, "min_sequence_number": min_seq,
+            "added_snapshot_id": new_snap_id,
+            "added_files_count": 0,
+            "existing_files_count": len(survivors),
+            "deleted_files_count": len(gone),
+            "added_rows_count": 0, "existing_rows_count": kept_rows,
+            "deleted_rows_count": gone_rows})
+
+    if added:
+        add_entries = []
+        for rel in added:
+            src = os.path.join(table.path, rel)
+            dst = os.path.join(dest, rel)
+            _link_or_copy(src, dst)
+            add_entries.append({
+                "status": 1, "snapshot_id": new_snap_id,
+                "sequence_number": new_seq,
+                "data_file": {
+                    "content": 0, "file_path": dst,
+                    "file_format": "PARQUET", "partition": {},
+                    "record_count": rows_by_path.get(rel, 0),
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "equality_ids": None,
+                }})
+        mpath = os.path.join(meta_dir, f"m-sync{new_snap_id}-added.avro")
+        av.write_container_file(
+            mpath, json.dumps(MANIFEST_ENTRY_SCHEMA), add_entries)
+        new_list.append({
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0, "content": 0,
+            "sequence_number": new_seq, "min_sequence_number": new_seq,
+            "added_snapshot_id": new_snap_id,
+            "added_files_count": len(add_entries),
+            "existing_files_count": 0, "deleted_files_count": 0,
+            "added_rows_count": sum(
+                e["data_file"]["record_count"] for e in add_entries),
+            "existing_rows_count": 0, "deleted_rows_count": 0})
+
+    lpath = os.path.join(meta_dir, f"snap-{new_snap_id}.avro")
+    av.write_container_file(lpath, json.dumps(MANIFEST_FILE_SCHEMA),
+                            new_list)
+
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = new_seq
+    new_meta["last-updated-ms"] = ts
+    new_meta["current-snapshot-id"] = new_snap_id
+    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [{
+        "snapshot-id": new_snap_id,
+        "parent-snapshot-id": snap.get("snapshot-id"),
+        "sequence-number": new_seq, "timestamp-ms": ts,
+        "manifest-list": lpath,
+        "summary": {"operation": "overwrite" if removed else "append"},
+        "schema-id": new_schema_json.get("schema-id", 0),
+    }]
+    if schema_changed:
+        new_meta["schemas"] = list(meta.get("schemas") or []) \
+            + [new_schema_json]
+        new_meta["current-schema-id"] = new_schema_json["schema-id"]
+        ids = [f["id"] for f in new_schema_json["fields"]]
+        new_meta["last-column-id"] = max(
+            int(meta.get("last-column-id", 0)), max(ids, default=0))
+
+    num = _META_NUM_RE.match(os.path.basename(meta_file))
+    next_v = int(num.group(1)) + 1 if num else 2
+    with open(os.path.join(meta_dir, f"v{next_v}.metadata.json"), "w") as fh:
+        json.dump(new_meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(next_v))
+    return {"mode": "incremental", "added": len(added),
+            "removed": len(removed), "rewritten_manifests": rewritten,
+            "version": m.get("version", 0), "snapshot_id": new_snap_id}

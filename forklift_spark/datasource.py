@@ -282,8 +282,22 @@ class _ManifestStreamReader(DataSourceStreamReader):
         try:
             a_raw = mt._raw(v - 1)
         except KeyError:
-            # genesis (starting_version=0 replays the create) or a
-            # vacuumed-away predecessor: everything live at v is an insert
+            if v - 1 >= 1:
+                # the predecessor EXISTED and was vacuumed away: the CDC
+                # delta for v is unreconstructable. Falling back to
+                # genesis here would silently re-emit every live row as
+                # an insert (and swallow the gap's deletes) into a
+                # consumer that already holds them — refuse loudly
+                # instead (ADVICE r6: exactly-once contract).
+                raise ValueError(
+                    f"{mt.table}: manifest version {v - 1} was vacuumed; "
+                    f"the change feed for version {v} cannot be "
+                    "reconstructed. Restart the stream with a fresh "
+                    "checkpoint (full re-sync) or set starting_version "
+                    "to a retained version."
+                ) from None
+            # true genesis (v == 1, the create commit; there is no v0):
+            # everything live at v is an insert
             a_raw = {"entries": [], "segments": []}
 
         def delta(m, other):

@@ -171,7 +171,10 @@ class _Reader:
     def long(self) -> int:
         # zigzag varint
         shift, acc = 0, 0
+        buf_len = len(self.buf)
         while True:
+            if self.pos >= buf_len:
+                raise AvroError("truncated Avro data")
             b = self.buf[self.pos]
             self.pos += 1
             acc |= (b & 0x7F) << shift
@@ -413,12 +416,16 @@ def make_encoder(schema):
     if t == "record":
         names = [f["name"] for f in schema["fields"]]
         fencs = [make_encoder(f["type"]) for f in schema["fields"]]
-        pairs = list(zip(names, fencs))
+        # dict datums may omit fields that declare a schema default
+        # (write-time default fill — lets callers add required fields to
+        # a shared schema without touching every producer)
+        defaults = [f.get("default") for f in schema["fields"]]
+        pairs = list(zip(names, defaults, fencs))
 
         def e_record(out, v, pairs=pairs, fencs=fencs):
             if isinstance(v, dict):
-                for n, fe in pairs:
-                    fe(out, v.get(n))
+                for n, dflt, fe in pairs:
+                    fe(out, v.get(n, dflt))
             else:  # pyspark Row / tuple, field order == schema order
                 for fv, fe in zip(v, fencs):
                     fe(out, fv)

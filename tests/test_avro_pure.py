@@ -308,3 +308,13 @@ def test_stdlib_backed_codecs_roundtrip(codec):
                               block_rows=1)
     _, back = av.read_container(data)
     assert back == FULL_ROWS
+
+
+def test_reader_truncated_varint_raises_avro_error():
+    """A varint cut mid-byte must raise AvroError, not IndexError
+    (ADVICE r6 item 4)."""
+    from forklift_spark.functions.avrocodec import AvroError, _Reader
+
+    r = _Reader(b"\x80\x80")  # continuation bits forever, then EOF
+    with pytest.raises(AvroError, match="truncated"):
+        r.long()

@@ -225,3 +225,18 @@ def test_avro_jar_engine_degrades_with_actionable_hint(spark, tmp_path):
         conn.write(spark.range(3), mode="overwrite", engine="jar")
     with pytest.raises(RuntimeError, match="spark.jars.packages"):
         conn.read(engine="jar")
+
+
+def test_avro_auto_fallback_only_on_jar_absence():
+    """engine='auto' must re-raise NON-jar-absence exceptions instead of
+    silently retrying through the pure codec (ADVICE r6 item 3)."""
+    from forklift_spark.connections.columnar import AvroConnection
+
+    missing = Exception(
+        "[DATA_SOURCE_NOT_FOUND] Failed to find data source: avro.")
+    assert AvroConnection._jar_missing(missing)
+    assert AvroConnection._jar_missing(
+        Exception("java.lang.ClassNotFoundException: avro.DefaultSource"))
+    corrupt = Exception("org.apache.avro.AvroRuntimeException: "
+                        "Malformed data. Length is negative: -40")
+    assert not AvroConnection._jar_missing(corrupt)

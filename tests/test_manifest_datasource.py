@@ -215,3 +215,32 @@ def test_pushdown_prunes_files_and_stays_correct(registered, tmp_path):
     want = t.read().filter("p = 2 and k >= 10")
     assert sorted((r.k, r.p, r.v) for r in df.collect()) == \
         sorted((r.k, r.p, r.v) for r in want.collect())
+
+
+def test_stream_vacuumed_gap_refuses_loudly(registered, tmp_path):
+    """A consumer whose checkpoint predates a vacuum must get a LOUD
+    error, not the whole snapshot replayed as duplicate inserts
+    (ADVICE r6: the genesis fallback applies only to true genesis)."""
+    spark = registered
+    t = _table(spark, tmp_path, rows=8)                      # v1
+    ckpt = tmp_path / "ckpt"
+    got: list = []
+    _drain(spark, tmp_path, ckpt, got, starting=0)           # consumed v1
+    assert len(got) == 8
+
+    for k in (1, 2, 3):                                      # v2..v4
+        t.merge(spark.createDataFrame([(100 + k, 0, k)],
+                                      "k long, p int, v long"), on="k")
+    t.vacuum(keep_versions=1, orphan_grace_seconds=0)              # v1..v3 gone
+
+    with pytest.raises(Exception, match="vacuumed"):
+        _drain(spark, tmp_path, ckpt, got)
+
+    # recovery: a fresh checkpoint tailing from the retained head sees
+    # post-vacuum commits (v5's delta needs only v4's manifest)
+    head = t.current_version()
+    t.merge(spark.createDataFrame([(200, 0, 9)], "k long, p int, v long"),
+            on="k")
+    got2: list = []
+    _drain(spark, tmp_path, ckpt.parent / "ckpt2", got2, starting=head)
+    assert {r[0] for r in got2} == {200}
