@@ -737,6 +737,7 @@ def passjoin_pairs(
     block_cols: list[str] | None = None,
     strip_common_prefix: bool = True,
     collapse_exact: bool = True,
+    count_filter: bool = False,
 ) -> DataFrame:
     """LOSSLESS edit-distance self-join with NO user blocking key
     (PassJoin — Li, Deng, Feng, VLDB 2011 — with the simple +/-tau
@@ -802,6 +803,31 @@ def passjoin_pairs(
     pair once and expands the rest with a join). Cost on an all-distinct
     corpus: one extra groupBy shuffle of skinny rows.
 
+    ``count_filter`` (default False) adds the q-gram-style COUNT
+    secondary prune (NOTES_r6 §4 / VERDICT r6 item 5): each side
+    precomputes a 16-bucket character histogram once per string;
+    candidates whose bucket-histogram L1 distance exceeds 2*tau are
+    dropped straight off the join, BEFORE the normalize/distinct/
+    verify. LOSSLESS: one edit operation moves the character multiset
+    by at most L1 = 2 (substitution: one symbol out + one in;
+    insert/delete: 1), so lev(a,b) <= tau implies char-L1 <= 2*tau,
+    and hash-bucketing only merges counts (bucket-L1 <= char-L1) — a
+    necessary condition, never sufficient, so no true pair is dropped.
+
+    It is OFF by default because the short-key dense regime it was
+    proposed for turned out OUTPUT-bound, not candidate-bound —
+    measured r7 on 15,000 5-6-digit keys (sf0.1 custkeys as strings):
+    tau=2 has 4,906,943 TRUE pairs (4.4% of all pairs — nearly every
+    candidate must be emitted anyway), and the filter made the join
+    58.8s -> 231.5s at tau=2 and 6.9s -> 14.2s at tau=1, pairs
+    identical, because the per-candidate interpreted histogram-L1
+    costs more than the threshold levenshtein it tries to save and
+    the 16-int arrays widen the exploded candidate shuffle. No
+    candidate filter can beat the true-pair floor; a lossless matcher
+    must verify-and-emit them. Opt in only for corpora where SPURIOUS
+    candidates dominate true pairs (low-entropy segments but high
+    character-multiset diversity) — and measure.
+
     Returns (id_a, id_b, dist) with id_a < id_b, dist <= max_dist over
     the first ``prefix_len`` characters.
     """
@@ -840,6 +866,7 @@ def passjoin_pairs(
             base = base.withColumn(
                 "_s", F.col("_s").substr(F.lit(p + 1), F.lit(prefix_len))
             ).withColumn("_n", F.length("_s"))
+    use_count_filter = bool(count_filter)
 
     groups = None
     if collapse_exact:
@@ -851,6 +878,22 @@ def passjoin_pairs(
         base = groups.select(
             F.element_at("_ids", 1).alias("_id"), "_s", "_n", *bc_names
         )
+
+    hist_cols: list[str] = []
+    if use_count_filter:
+        # 16-bucket character histogram, computed ONCE per (distinct)
+        # string; rides the exploded candidate rows like _s does
+        chars = F.filter(F.split(F.col("_s"), ""), lambda c: c != F.lit(""))
+        buckets = F.transform(chars, lambda c: F.pmod(F.hash(c), F.lit(16)))
+        hist = F.aggregate(
+            buckets,
+            F.array_repeat(F.lit(0), 16),
+            lambda acc, b: F.transform(
+                acc, lambda x, i: x + F.when(i == b, 1).otherwise(0)
+            ),
+        )
+        base = base.withColumn("_h", hist)
+        hist_cols = ["_h"]
 
     def seg_len(length: Column, i: Column) -> Column:
         return (
@@ -872,12 +915,14 @@ def passjoin_pairs(
             F.col("_s").alias("_s_b"),
             F.col("_n").alias("_ns"),
             *bc_names,
+            *[F.col("_h").alias("_h_b") for _ in hist_cols],
             F.explode(F.sequence(F.lit(0), F.lit(tau))).alias("_i"),
         )
         .withColumn("_gl", seg_len(F.col("_ns"), iv))
         .withColumn("_gp", seg_pos(F.col("_ns"), iv))
         .select(
             "_id_b", "_s_b", "_ns", "_i", *bc_names,
+            *(["_h_b"] if hist_cols else []),
             F.col("_s_b").substr(F.col("_gp") + 1, F.col("_gl")).alias("_kseg"),
         )
     )
@@ -920,7 +965,7 @@ def passjoin_pairs(
         .otherwise(F.array().cast("array<int>"))
     )
     pr = pr.withColumn("_q", F.explode(pos)).select(
-        "_id", "_s", "_ns", "_i", *bc_names,
+        "_id", "_s", "_ns", "_i", *bc_names, *hist_cols,
         F.col("_s").substr(F.col("_q") + 1, F.col("_gl")).alias("_kseg"),
     )
 
@@ -928,6 +973,20 @@ def passjoin_pairs(
     cand = (
         pr.join(idx, ["_ns", "_i", "_kseg", *bc_names])
         .filter(F.col("_id") != F.col("_id_b"))
+    )
+    if use_count_filter:
+        # count secondary prune, straight off the join and BEFORE the
+        # normalize/distinct: lev <= tau requires histogram-L1 <= 2*tau
+        # (necessary condition; see docstring proof) — in the short-key
+        # dense regime this drops most spurious candidates before they
+        # cost a shuffle row and a levenshtein
+        l1 = F.aggregate(
+            F.zip_with("_h", "_h_b", lambda x, y: F.abs(x - y)),
+            F.lit(0), lambda a, x: a + x,
+        )
+        cand = cand.filter(l1 <= 2 * tau)
+    cand = (
+        cand
         # normalize (id_a < id_b) so the directional probe's one-sided
         # hits and the equal-length two-sided hits collapse together
         .select(

@@ -406,3 +406,36 @@ def test_passjoin_collapse_exact_equals_brute_force_on_duplicates(spark):
         }
         assert got_on == want, f"tau={tau}: {got_on ^ want}"
         assert got_off == want
+
+
+def test_passjoin_count_filter_short_keys_lossless(spark):
+    """Short small-alphabet keys: count filter on / off produce the
+    identical exact pair set of a brute-force levenshtein join (the
+    filter is lossless; it is default-OFF because this regime is
+    output-bound — see the operator docstring's r7 measurement)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from forklift_spark.operators.dedup import passjoin_pairs
+
+    rng = random.Random(13)
+    rows = [(i, "".join(rng.choice("0123456789")
+                        for _ in range(rng.randint(5, 6))))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "rid int, txt string")
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r.id_a, r.id_b, r.dist)
+        for r in a.join(b, F.col("a.rid") < F.col("b.rid"))
+        .select(F.col("a.rid").alias("id_a"), F.col("b.rid").alias("id_b"),
+                F.levenshtein(F.col("a.txt"), F.col("b.txt")).alias("dist"))
+        .filter(F.col("dist") <= 2).collect()
+    }
+    for cf in (True, False):
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in passjoin_pairs(df, "rid", "txt", max_dist=2,
+                                    count_filter=cf).collect()
+        }
+        assert got == brute, (cf, len(got), len(brute))

@@ -633,3 +633,55 @@ def test_bloom_probe_delete_keys_and_apply_changes(hash_distributed, spark):
     st2 = t.apply_changes(ups, tombs, on="k")
     assert st2["files_scanned"] <= 2, st2
     assert t.read().filter(F.col("k") == ks[1]).collect()[0].v == 55
+
+
+def test_read_stats_hook_and_degraded_pruning_warning(spark, tmp_path, caplog):
+    """read() surfaces planning counters (VERDICT r6 item 8) and WARNS
+    when a where-column's pruning degraded to full scan because the
+    planned entries carry no stats (legacy upgrade shape)."""
+    import json as _json
+    import logging
+    import os
+
+    from pyspark.sql import functions as F
+
+    from forklift_spark.manifest import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "m"), "m")
+    t.create(
+        spark.range(100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("int").alias("p"),
+            (F.col("id") * 2).alias("v"),
+        ),
+        partition_by="p",
+    )
+    # healthy table: stats present, counters populated, no warning
+    with caplog.at_level(logging.WARNING, logger="forklift_spark.manifest"):
+        got = t.read(where={"k": (10, 12)})
+        assert got.count() == 3
+    st = t.last_read_stats
+    assert st["files_planned"] >= 1 and st["stat_less"]["k"] == 0
+    assert not [r for r in caplog.records if "degraded" in r.message]
+
+    # legacy shape: hand-write a manifest whose inline entries carry NO
+    # stats (what a pre-stats upgrade leaves behind), swap the pointer
+    m = t.manifest()
+    for e in m["entries"]:
+        e.pop("stats", None)
+        e.pop("bloom", None)
+    m.pop("segments", None)
+    m["version"] = m["version"] + 1
+    with open(os.path.join(t.path, f"manifest-v{m['version']}.json"), "w") as fh:
+        _json.dump(m, fh)
+    with open(t._pointer_path(), "w") as fh:
+        fh.write(str(m["version"]))
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="forklift_spark.manifest"):
+        got = t.read(where={"k": (10, 12)})
+        assert got.count() == 3          # stats are never a correctness dep
+    st = t.last_read_stats
+    assert st["stat_less"]["k"] == st["files_planned"] > 1
+    warns = [r for r in caplog.records if "degraded to full scan" in r.message]
+    assert warns and "'k'" in warns[0].message
