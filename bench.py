@@ -234,6 +234,9 @@ HEADLINE = [
     "q_exact_substr_dedup",
     "q_delta_read",
     "q_avro_roundtrip",
+    # r7 wave: deletion-vector read interop, incremental lakehouse sync
+    "q_delta_dv_read",
+    "q_delta_sync",
     "q_iceberg_read",
     "q_iceberg_changes",
     "q_manifest_stream_source",

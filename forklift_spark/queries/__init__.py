@@ -67,7 +67,8 @@ _WINDOW_ROWS_ONLY: frozenset[str] = frozenset({
 _WINDOW_FAMILIES: dict[str, list[str]] = {
     "connectors": [
         "q_avro_roundtrip", "q_pg_copy_roundtrip", "q_delta_read",
-        "q_delta_dv_read", "q_iceberg_read", "q_iceberg_changes",
+        "q_delta_dv_read", "q_delta_sync", "q_iceberg_read",
+        "q_iceberg_changes",
     ],
     "etl": [
         "q_merge_into", "q_manifest_constraints", "q_time_travel_ts",
@@ -97,7 +98,7 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
     ],
     "analytics": [
         "q1_pricing_summary", "q3_shipping_priority", "q_topk_per_group",
-        "q_rollup", "q_distinct_exact",
+        "q_rollup",
     ],
 }
 

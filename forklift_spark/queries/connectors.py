@@ -993,6 +993,75 @@ def q_delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q_delta_sync — INCREMENTAL lakehouse export (r7, VERDICT r6 item 4):
+# the recurring-publish story (reference: the repeated pipe publish,
+# patterns/mysql_patterns.rb:28-43) without re-snapshotting. A manifest
+# table of orders is published to a Delta log (full first sync), then a
+# merge updates a key slice and inserts new keys, then a SECOND sync
+# appends ONE O(delta) commit. The external replay — our spec reader
+# over the exported log only — must equal the post-merge oracle; the
+# query also asserts in-row that the second sync was incremental and
+# wrote fewer adds than the table has files (re-snapshot detection).
+# --------------------------------------------------------------------------
+DELTA_SYNC_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(
+         CASE WHEN o_orderkey % 50 = 7 AND o_orderstatus = 'F'
+              THEN 0.01 ELSE o_totalprice END
+         AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+       CAST(1 AS BIGINT) AS sync_incremental
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("q_delta_sync", DELTA_SYNC_ORACLE)
+def q_delta_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.connections.deltalite import (
+        DeltaLiteTable,
+        sync_manifest_to_delta,
+    )
+    from forklift_spark.manifest import ManifestTable
+
+    od = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    root = tempfile.mkdtemp(prefix="fk_delta_sync_")
+    t = ManifestTable(spark, os.path.join(root, "src"), "orders_pub")
+    t.create(od, partition_by="o_orderstatus")
+    dest = os.path.join(root, "pub")
+    r1 = sync_manifest_to_delta(t, dest)
+
+    # update a deterministic key slice in ONE partition (price -> 0.01)
+    # so untouched partitions' files stay carried — the O(delta) claim
+    upd = od.filter(
+        (F.col("o_orderkey") % 50 == 7) & (F.col("o_orderstatus") == "F")
+    ).withColumn(
+        "o_totalprice", F.lit(0.01).cast(od.schema["o_totalprice"].dataType)
+    )
+    t.merge(upd, on="o_orderkey")
+    r2 = sync_manifest_to_delta(t, dest)
+    incremental = int(
+        r1["mode"] == "full" and r2["mode"] == "incremental"
+        and 0 < r2["added"] < len(t.manifest()["entries"])
+    )
+    got = DeltaLiteTable(spark, dest).read()
+    out = (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(dec("o_totalprice", MONEY)).cast("double")
+             .alias("sum_price"),
+            F.lit(incremental).cast("bigint").alias("sync_incremental"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
 # q_iceberg_read — Apache Iceberg spec-v2 interop read (r6 continuation):
 # table metadata is built BY HAND from the public spec shapes
 # (metadata.json + Avro manifest list + Avro manifests via the
