@@ -218,6 +218,7 @@ class DeltaLiteTable:
                         files[unquote(a["path"])] = {
                             "pv": a.get("partitionValues") or {},
                             "dv": a.get("deletionVector"),
+                            "tags": a.get("tags") or {},
                         }
                     elif "remove" in act:
                         files.pop(unquote(act["remove"]["path"]), None)
@@ -284,6 +285,7 @@ class DeltaLiteTable:
                 files[unquote(r["path"])] = {
                     "pv": dict(r["partitionValues"] or {}),
                     "dv": dv.asDict() if dv is not None else None,
+                    "tags": {},
                 }
         return meta, files
 
@@ -532,62 +534,154 @@ class DeltaLiteConnection(Connection):
         )
 
 
-def export_manifest_to_delta(table, dest: str) -> dict:
+def _dv_guard_or_masks(table, entries: list[dict], dv_mode: str,
+                       verb: str) -> dict[str, list[int]]:
+    """Resolve the export's dv policy: 'refuse' raises on any live mask
+    (protocol-v1 readers would see deleted rows); 'native' extracts the
+    masks so the caller can write real Delta DVs (reader version 3)."""
+    masked = [e for e in entries if e.get("dv")]
+    if not masked:
+        return {}
+    if dv_mode == "native":
+        return _dv_masks_of(table, masked)
+    raise ValueError(
+        "table has live deletion vectors; external Delta-v1 readers "
+        "would see deleted rows — run maintain() (or "
+        f"compact(auto_dv=True)) and {verb} again, or pass "
+        "dv_mode='native' to write real Delta deletion vectors "
+        "(requires reader-version-3-capable consumers)"
+    )
+
+
+def _dv_masks_of(table, entries: list[dict]) -> dict[str, list[int]]:
+    """Per-file deleted positions from the manifest's dv sidecars:
+    {entry path: sorted row indexes}. Each entry's positions come from
+    ITS OWN dv dir (a dir is complete for the entries that reference
+    it). Driver-side pyarrow read, O(dv rows) — the same class the
+    manifest read path broadcasts (maintain() folds oversized masks)."""
+    import pyarrow.parquet as pq
+
+    by_dir: dict[str, set[str]] = {}
+    for e in entries:
+        by_dir.setdefault(e["dv"], set()).add(e["path"])
+    masks: dict[str, set[int]] = {}
+    for d, want in by_dir.items():
+        droot = os.path.join(table.path, d)
+        for dp, _dirs, fs in os.walk(droot):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                tb = pq.read_table(os.path.join(dp, f),
+                                   columns=["file_ref", "pos"])
+                for ref, p in zip(tb.column(0).to_pylist(),
+                                  tb.column(1).to_pylist()):
+                    rel = unquote(ref)
+                    if rel in want:
+                        masks.setdefault(rel, set()).add(int(p))
+    return {p: sorted(v) for p, v in masks.items()}
+
+
+def write_dv_bin(dest: str, masks: dict[str, list[int]]) -> dict[str, dict]:
+    """Write ONE spec-shaped DV file at ``dest`` holding every mask
+    (version byte, then per mask ``[int32 BE size][portable
+    RoaringBitmapArray][int32 BE crc32]``); returns {path: 'u'
+    descriptor} with per-mask offsets — the multi-DV-per-file layout
+    real Delta writers use."""
+    import struct as _s
+    import uuid as _uuid
+    import zlib
+
+    from forklift_spark.functions.roaring import (
+        serialize_roaring64,
+        z85_encode,
+    )
+
+    u = _uuid.uuid4()
+    enc = z85_encode(u.bytes)
+    descs: dict[str, dict] = {}
+    os.makedirs(dest, exist_ok=True)
+    with open(os.path.join(dest, f"deletion_vector_{u}.bin"), "wb") as fh:
+        fh.write(b"\x01")
+        pos = 1
+        for p in sorted(masks):
+            data = serialize_roaring64(masks[p])
+            fh.write(_s.pack(">i", len(data)))
+            fh.write(data)
+            fh.write(_s.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+            descs[p] = {"storageType": "u", "pathOrInlineDv": enc,
+                        "offset": pos, "sizeInBytes": len(data),
+                        "cardinality": len(masks[p])}
+            pos += 4 + len(data) + 4
+    return descs
+
+
+def _protocol_action(with_dv: bool) -> dict:
+    if with_dv:
+        return {"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"]}}
+    return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+
+def _add_action(table, dest: str, e: dict,
+                descs: dict[str, dict]) -> dict:
+    """Hard-link entry ``e`` into ``dest`` and build its add action
+    (DV descriptor + source-dv tag when the entry is masked)."""
+    _link_or_copy(os.path.join(table.path, e["path"]),
+                  os.path.join(dest, e["path"]))
+    dst = os.path.join(dest, e["path"])
+    a = {"path": e["path"], "partitionValues": {},
+         "size": os.path.getsize(dst),
+         "modificationTime": int(os.path.getmtime(dst) * 1000),
+         "dataChange": True}
+    if e["path"] in descs:
+        a["deletionVector"] = descs[e["path"]]
+        # spec-legal free-form tags: record WHICH manifest dv dir this
+        # mask came from, so sync can detect mask churn exactly
+        a["tags"] = {"forklift_dv_src": e.get("dv") or ""}
+    return a
+
+
+def export_manifest_to_delta(table, dest: str,
+                             dv_mode: str = "refuse") -> dict:
     """One-shot SNAPSHOT export of a ManifestTable as a Delta-readable
     table at ``dest`` (the reverse interop direction: external Delta
     readers consume a table this engine maintains).
 
     The manifest keeps every real column INSIDE its data files (the
     partition dir column is the synthetic ``__fsp__``), so the export
-    declares an UNPARTITIONED protocol-v1 Delta table and adds every
-    live file as-is — any spec-conformant reader gets full rows with no
+    declares an UNPARTITIONED Delta table and adds every live file
+    as-is — any spec-conformant reader gets full rows with no
     partition-value reconstruction. Files are hard-linked when the
     filesystem allows (copied otherwise), so the export is O(metadata)
     on one volume. The log is written at ``dest``, never inside the
     manifest table directory — vacuum() treats foreign files there as
     orphans and would reclaim the log.
 
-    Tables with live deletion vectors refuse: their parquet files still
-    CONTAIN the deleted rows, and protocol v1 has no way to say so —
-    run ``maintain()`` / ``compact(auto_dv=True)`` first. Exporting
-    masked files as-is would resurrect deleted rows in every external
-    reader, the silent-corruption failure mode this guard exists for.
+    Deletion-vector masks: ``dv_mode='refuse'`` (default) raises when
+    any live mask exists — the files still CONTAIN the deleted rows and
+    protocol v1 has no way to say so (run ``maintain()`` /
+    ``compact(auto_dv=True)`` first). ``dv_mode='native'`` (r7) writes
+    the masks as REAL Delta deletion vectors — portable roaring bitmaps
+    in a spec-shaped DV file, ``add.deletionVector`` descriptors, and a
+    reader-version-3 protocol with readerFeatures=[deletionVectors] —
+    so dv-heavy tables publish WITHOUT compacting, at the cost of
+    requiring v3-capable consumers. A table with no masks always writes
+    a protocol-v1 log, whatever the mode (maximum compatibility).
 
     Returns {"files": n, "rows": n or None, "version": source version}.
     """
     m = table.manifest()
-    if any(e.get("dv") for e in m["entries"]):
-        raise ValueError(
-            "table has live deletion vectors; external Delta-v1 readers "
-            "would see deleted rows — run maintain() (or "
-            "compact(auto_dv=True)) to materialize them, then export"
-        )
+    masks = _dv_guard_or_masks(table, m["entries"], dv_mode, "export")
     os.makedirs(os.path.join(dest, "_delta_log"), exist_ok=True)
-    adds = []
-    for e in m["entries"]:
-        src = os.path.join(table.path, e["path"])
-        dst = os.path.join(dest, e["path"])
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        if not os.path.exists(dst):
-            try:
-                os.link(src, dst)
-            except OSError:
-                import shutil
-
-                shutil.copy2(src, dst)
-        adds.append({
-            "path": e["path"], "partitionValues": {},
-            "size": os.path.getsize(dst),
-            "modificationTime": int(os.path.getmtime(dst) * 1000),
-            "dataChange": True,
-        })
+    descs = write_dv_bin(dest, masks) if masks else {}
+    adds = [_add_action(table, dest, e, descs) for e in m["entries"]]
     schema_json = json.dumps(
         T.StructType.fromJson(m["schema"]).jsonValue()
     )
     with open(os.path.join(dest, "_delta_log", f"{0:020d}.json"), "w") as fh:
-        fh.write(json.dumps(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        ) + "\n")
+        fh.write(json.dumps(_protocol_action(bool(descs))) + "\n")
         fh.write(json.dumps({"metaData": {
             "id": f"forklift-spark-export-{m.get('version', 0)}",
             "format": {"provider": "parquet", "options": {}},
@@ -600,7 +694,7 @@ def export_manifest_to_delta(table, dest: str) -> dict:
             fh.write(json.dumps({"add": a}) + "\n")
     rows = None
     if all("rows" in e for e in m["entries"]):
-        rows = sum(e["rows"] for e in m["entries"])
+        rows = sum(e["rows"] - e.get("dv_rows", 0) for e in m["entries"])
     return {"files": len(adds), "rows": rows,
             "version": m.get("version", 0)}
 
@@ -616,7 +710,8 @@ def _link_or_copy(src: str, dst: str) -> None:
             shutil.copy2(src, dst)
 
 
-def sync_manifest_to_delta(table, dest: str) -> dict:
+def sync_manifest_to_delta(table, dest: str,
+                           dv_mode: str = "refuse") -> dict:
     """INCREMENTAL export: bring the Delta log at ``dest`` up to the
     manifest table's current state with ONE new commit containing only
     the delta (VERDICT r6 item 4 — the recurring-publish story, the
@@ -633,45 +728,54 @@ def sync_manifest_to_delta(table, dest: str) -> dict:
     when the schema changed. No-op diffs write NO commit (re-running a
     publisher is idempotent).
 
-    Same dv guard as the snapshot export: live deletion-vector masks
-    refuse (the parquet still contains masked rows) — run ``maintain()``
-    / ``compact(auto_dv=True)`` first. (The Delta DV WRITE path is
-    deliberately not used here: v1-only external readers could then no
-    longer consume the export.)
+    Deletion-vector masks follow ``dv_mode`` exactly like the snapshot
+    export: 'refuse' (default) raises; 'native' (r7) publishes a dv
+    merge/delete as Delta does its own DML — the kept file is RE-ADDED
+    with a fresh DV descriptor (a spec DV update), detected exactly via
+    the ``forklift_dv_src`` add tag recording which manifest dv dir the
+    exported mask came from. A commit that introduces the table's first
+    DV also re-states the protocol at reader version 3 (spec-legal
+    in-commit upgrade).
 
     Returns {"mode": "full"|"incremental"|"noop", "added", "removed",
-    "version", "delta_version"}.
+    "dv_updated", "version", "delta_version"}.
     """
     log_dir = os.path.join(dest, "_delta_log")
     if not os.path.isdir(log_dir):
-        stats = export_manifest_to_delta(table, dest)
+        stats = export_manifest_to_delta(table, dest, dv_mode=dv_mode)
         return {"mode": "full", "added": stats["files"], "removed": 0,
-                "version": stats["version"], "delta_version": 0}
+                "dv_updated": 0, "version": stats["version"],
+                "delta_version": 0}
     m = table.manifest()
-    if any(e.get("dv") for e in m["entries"]):
-        raise ValueError(
-            "table has live deletion vectors; external Delta readers "
-            "would see deleted rows — run maintain() (or "
-            "compact(auto_dv=True)) to materialize them, then sync"
-        )
+    entries = {e["path"]: e for e in m["entries"]}
+    masks = _dv_guard_or_masks(table, m["entries"], dv_mode, "sync")
     t = DeltaLiteTable(table.spark, dest)
     snap = t.snapshot()
-    exported = set(snap["files"])
-    current = {e["path"] for e in m["entries"]}
-    added = sorted(current - exported)
-    removed = sorted(exported - current)
+    exported = snap["files"]
+    added = sorted(set(entries) - set(exported))
+    removed = sorted(set(exported) - set(entries))
+    # kept files whose mask changed since export: manifest dv dirs are
+    # write-once, so comparing the exported tag to the entry's dv dir
+    # detects every churn (incl. restore() rewinds) with no data read
+    dv_updated = sorted(
+        p for p in set(entries) & set(exported)
+        if (entries[p].get("dv") or "")
+        != (exported[p].get("tags") or {}).get("forklift_dv_src", "")
+    )
     schema = T.StructType.fromJson(m["schema"])
     schema_changed = schema != snap["schema"]
-    if not added and not removed and not schema_changed:
-        return {"mode": "noop", "added": 0, "removed": 0,
+    if not added and not removed and not dv_updated and not schema_changed:
+        return {"mode": "noop", "added": 0, "removed": 0, "dv_updated": 0,
                 "version": m.get("version", 0),
                 "delta_version": snap["version"]}
-    for rel in added:
-        _link_or_copy(os.path.join(table.path, rel),
-                      os.path.join(dest, rel))
+    need_dv = {p: masks[p] for p in (*added, *dv_updated) if p in masks}
+    descs = write_dv_bin(dest, need_dv) if need_dv else {}
     v = snap["version"] + 1
     ts = int(m.get("committed_at", 0) or 0)
     with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
+        if descs:  # first-DV commits upgrade the protocol; re-stating
+            # it on later DV commits is spec-legal (last writer wins)
+            fh.write(json.dumps(_protocol_action(True)) + "\n")
         if schema_changed:
             meta = dict(snap["meta"])
             meta["schemaString"] = json.dumps(schema.jsonValue())
@@ -680,13 +784,10 @@ def sync_manifest_to_delta(table, dest: str) -> dict:
             fh.write(json.dumps({"remove": {
                 "path": rel, "deletionTimestamp": ts,
                 "dataChange": True}}) + "\n")
-        for rel in added:
-            dst = os.path.join(dest, rel)
-            fh.write(json.dumps({"add": {
-                "path": rel, "partitionValues": {},
-                "size": os.path.getsize(dst),
-                "modificationTime": int(os.path.getmtime(dst) * 1000),
-                "dataChange": True}}) + "\n")
+        for rel in (*added, *dv_updated):
+            fh.write(json.dumps(
+                {"add": _add_action(table, dest, entries[rel], descs)}
+            ) + "\n")
     return {"mode": "incremental", "added": len(added),
-            "removed": len(removed), "version": m.get("version", 0),
-            "delta_version": v}
+            "removed": len(removed), "dv_updated": len(dv_updated),
+            "version": m.get("version", 0), "delta_version": v}

@@ -258,3 +258,97 @@ def test_changes_refuses_dv_range(spark, dv_table):
     t = DeltaLiteTable(spark, dv_table)
     with pytest.raises(NotImplementedError, match="not append-only"):
         t.changes(0)
+
+
+# ------------------------------------------------- native DV export/sync
+
+
+def test_export_native_dv_mode(spark, tmp_path):
+    """dv_mode='native': a dv-masked manifest table exports WITHOUT
+    compacting — masks become real Delta DVs (v3 protocol) and the
+    external replay hides exactly the masked rows."""
+    from pyspark.sql import functions as F
+
+    from forklift_spark.connections.deltalite import (
+        export_manifest_to_delta,
+        sync_manifest_to_delta,
+    )
+    from forklift_spark.manifest import ManifestTable
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4 + 1).cast("int").alias("p"),
+        (F.col("id") * 10).alias("v"),
+    )
+    t = ManifestTable(spark, str(tmp_path / "m"), "m")
+    t.create(df, partition_by="p")
+    t.merge(spark.createDataFrame([(7, 4, 777), (11, 4, 1111)],
+                                  "k long, p int, v long"),
+            on="k", use_dv=True)
+    assert any(e.get("dv") for e in t.manifest()["entries"])
+
+    dest = str(tmp_path / "d")
+    with pytest.raises(ValueError, match="dv_mode='native'"):
+        export_manifest_to_delta(t, dest)  # default still refuses
+    stats = export_manifest_to_delta(t, dest, dv_mode="native")
+    assert stats["rows"] == 100  # live rows (dv-masked excluded)
+
+    ext = DeltaLiteTable(spark, dest)
+    got = {(r.k, r.p, r.v) for r in ext.read().collect()}
+    want = {(r.k, r.p, r.v) for r in t.read().collect()}
+    assert got == want and (7, 4, 777) in got and (7, 4, 70) not in got
+
+    # incremental native sync: another dv merge becomes a DV-update
+    # re-add of the kept file, not a rewrite
+    t.merge(spark.createDataFrame([(15, 4, 1500)], "k long, p int, v long"),
+            on="k", use_dv=True)
+    r = sync_manifest_to_delta(t, dest, dv_mode="native")
+    assert r["mode"] == "incremental" and r["dv_updated"] >= 1
+    got2 = {(r2.k, r2.p, r2.v) for r2 in DeltaLiteTable(spark, dest)
+            .read().collect()}
+    assert got2 == {(r2.k, r2.p, r2.v) for r2 in t.read().collect()}
+    assert (15, 4, 1500) in got2 and (15, 4, 150) not in got2
+
+    # noop after convergence
+    assert sync_manifest_to_delta(t, dest, dv_mode="native")["mode"] == "noop"
+
+
+def test_sync_native_dv_protocol_upgrade(spark, tmp_path):
+    """A v1-exported table whose LATER sync carries the first DV must
+    upgrade the protocol in that commit — and a mask cleared by
+    restore() must clear the exported DV too."""
+    from pyspark.sql import functions as F
+
+    from forklift_spark.connections.deltalite import sync_manifest_to_delta
+    from forklift_spark.manifest import ManifestTable
+
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 2 + 1).cast("int").alias("p"),
+        (F.col("id") * 10).alias("v"))
+    t = ManifestTable(spark, str(tmp_path / "m"), "m")
+    t.create(df, partition_by="p")
+    dest = str(tmp_path / "d")
+    sync_manifest_to_delta(t, dest)           # v1 log, no masks
+    pre_dv_version = t.current_version()
+    t.merge(spark.createDataFrame([(3, 2, 33)], "k long, p int, v long"),
+            on="k", use_dv=True)              # 3 -> p = 3%2+1 = 2
+    r = sync_manifest_to_delta(t, dest, dv_mode="native")
+    assert r["dv_updated"] + r["added"] >= 1
+    import json as _json
+    import os as _os
+    with open(_os.path.join(dest, "_delta_log",
+                            f"{r['delta_version']:020d}.json")) as fh:
+        acts = [_json.loads(l) for l in fh if l.strip()]
+    assert acts[0].get("protocol", {}).get("minReaderVersion") == 3
+    ext = {(x.k, x.p, x.v) for x in DeltaLiteTable(spark, dest)
+           .read().collect()}
+    assert (3, 2, 33) in ext and (3, 2, 30) not in ext
+
+    # restore to the pre-dv version: the next sync clears the mask
+    t.restore(pre_dv_version)
+    r2 = sync_manifest_to_delta(t, dest, dv_mode="native")
+    assert r2["mode"] == "incremental"
+    ext2 = {(x.k, x.p, x.v) for x in DeltaLiteTable(spark, dest)
+            .read().collect()}
+    assert ext2 == {(x.k, x.p, x.v) for x in t.read().collect()}
+    assert (3, 2, 30) in ext2

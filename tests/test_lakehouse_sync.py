@@ -221,3 +221,29 @@ def _list_manifest_paths(spark, dest) -> list[str]:
     snap = ext._snapshot_entry(meta)
     _, mf_entries = av.read_container_file(ext._abs(snap["manifest-list"]))
     return [m["manifest_path"] for m in mf_entries]
+
+
+def test_iceberg_export_validates_with_pyiceberg(spark, tmp_path):
+    """Gated external validation (ADVICE r6 item 1): when pyiceberg is
+    deployable, the exported table must load and scan through it — the
+    real spec-conformance check this repo's own reader can't provide.
+    Skipped in images without the package (it is not baked in here)."""
+    pyiceberg_table = pytest.importorskip("pyiceberg.table")
+
+    t = _mk_table(spark, str(tmp_path / "m"))
+    dest = str(tmp_path / "i")
+    sync_manifest_to_iceberg(t, dest)
+    t.merge(spark.createDataFrame([(5, 2, 555)], "k long, p int, v long"),
+            on="k")
+    sync_manifest_to_iceberg(t, dest)
+
+    meta_file = IcebergLiteTable(spark, dest)._resolve_metadata_file()
+    from pyiceberg.io.pyarrow import PyArrowFileIO
+
+    tbl = pyiceberg_table.StaticTable.from_metadata(
+        meta_file, {"py-io-impl": "pyiceberg.io.pyarrow.PyArrowFileIO"})
+    got = tbl.scan().to_arrow().to_pylist()
+    want = [r.asDict() for r in t.read().collect()]
+    key = lambda d: (d["k"], d["p"], d["v"])  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+    del PyArrowFileIO
