@@ -611,7 +611,81 @@ def spark_type_to_iceberg(dt: T.DataType, next_id) -> object:
     raise IcebergUnsupported(f"Spark type {dt} has no Iceberg mapping")
 
 
-def export_manifest_to_iceberg(table, dest: str) -> dict:
+def _iceberg_dv_guard(table, entries: list[dict], dv_mode: str,
+                      verb: str) -> dict[str, list[int]]:
+    """'refuse' raises on any live dv mask (the parquet still contains
+    the rows); 'native' extracts the masks for v2 position deletes."""
+    masked = [e for e in entries if e.get("dv")]
+    if not masked:
+        return {}
+    if dv_mode == "native":
+        from forklift_spark.connections.deltalite import _dv_masks_of
+
+        return _dv_masks_of(table, masked)
+    raise ValueError(
+        "table has live deletion vectors; external Iceberg readers "
+        "would see deleted rows — run maintain() (or "
+        f"compact(auto_dv=True)) and {verb} again, or pass "
+        "dv_mode='native' to write spec-v2 POSITION DELETES"
+    )
+
+
+def _write_pos_delete_file(dest: str, masks: dict[str, list[int]]) -> dict:
+    """Write ONE v2 position-delete parquet at ``dest/deletes/`` holding
+    every mask as spec rows ``(file_path, pos)`` — file_path absolute
+    under the export, matching the data_file paths the manifests carry.
+    Returns {"path": abs path, "rows": n}."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ddir = os.path.join(dest, "deletes")
+    os.makedirs(ddir, exist_ok=True)
+    paths, poss = [], []
+    for rel in sorted(masks):
+        ap = os.path.join(dest, rel)
+        for p in masks[rel]:
+            paths.append(ap)
+            poss.append(int(p))
+    out = os.path.join(ddir, f"delete-{_uuid.uuid4().hex[:12]}.parquet")
+    pq.write_table(
+        pa.table({"file_path": pa.array(paths, pa.string()),
+                  "pos": pa.array(poss, pa.int64())}),
+        out,
+    )
+    return {"path": out, "rows": len(poss)}
+
+
+def _delete_manifest_entry(meta_dir: str, tag: str, delete_file: dict,
+                           snap_id: int, seq: int) -> dict:
+    """Write an Avro DELETE manifest (content=1) adding one position-
+    delete file; returns its manifest-list entry."""
+    entries = [{
+        "status": 1, "snapshot_id": snap_id, "sequence_number": seq,
+        "data_file": {
+            "content": 1, "file_path": delete_file["path"],
+            "file_format": "PARQUET", "partition": {},
+            "record_count": delete_file["rows"],
+            "file_size_in_bytes": os.path.getsize(delete_file["path"]),
+            "equality_ids": None,
+        }}]
+    mpath = os.path.join(meta_dir, f"m-{tag}-del.avro")
+    av.write_container_file(mpath, json.dumps(MANIFEST_ENTRY_SCHEMA),
+                            entries)
+    return {"manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0, "content": 1,
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": 1, "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": delete_file["rows"],
+            "existing_rows_count": 0, "deleted_rows_count": 0}
+
+
+def export_manifest_to_iceberg(table, dest: str,
+                               dv_mode: str = "refuse") -> dict:
     """One-shot SNAPSHOT export of a ManifestTable as an Iceberg
     spec-v2 table at ``dest`` — the reverse interop direction, sibling
     of ``deltalite.export_manifest_to_delta``: any spec-conformant
@@ -621,20 +695,21 @@ def export_manifest_to_iceberg(table, dest: str) -> dict:
     Avro manifest adding every live file at sequence 1, a manifest
     list, ``metadata/v1.metadata.json`` (format-version 2, unpartitioned
     spec — the manifest format keeps every real column inside its data
-    files) and ``version-hint.text``. Tables with live deletion vectors
-    refuse for the same reason the Delta export does: the parquet files
-    still contain the masked rows and an external reader would resurrect
-    them — run ``maintain()`` / ``compact(auto_dv=True)`` first.
+    files) and ``version-hint.text``.
+
+    Deletion-vector masks follow ``dv_mode``: 'refuse' (default) raises
+    — the parquet files still contain the masked rows — run
+    ``maintain()`` / ``compact(auto_dv=True)`` first. 'native' (r7)
+    writes the masks as REAL v2 POSITION DELETES: one
+    ``(file_path, pos)`` delete parquet at sequence 2 referenced by a
+    content=1 delete manifest (data lands at sequence 1, so the spec's
+    "applies to data seq <= delete seq" rule covers every file) — the
+    exact dual of the Delta export's dv_mode='native'.
 
     Returns {"files": n, "rows": n or None, "version": source version}.
     """
     m = table.manifest()
-    if any(e.get("dv") for e in m["entries"]):
-        raise ValueError(
-            "table has live deletion vectors; external Iceberg readers "
-            "would see deleted rows — run maintain() (or "
-            "compact(auto_dv=True)) to materialize them, then export"
-        )
+    masks = _iceberg_dv_guard(table, m["entries"], dv_mode, "export")
     meta_dir = os.path.join(dest, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
 
@@ -663,15 +738,25 @@ def export_manifest_to_iceberg(table, dest: str) -> dict:
     av.write_container_file(mpath, json.dumps(MANIFEST_ENTRY_SCHEMA),
                             entries)
     added_rows = sum(e["data_file"]["record_count"] for e in entries)
+    mf_list = [
+        {"manifest_path": mpath, "manifest_length": os.path.getsize(mpath),
+         "partition_spec_id": 0, "content": 0, "sequence_number": 1,
+         "min_sequence_number": 1, "added_snapshot_id": 1,
+         "added_files_count": len(entries), "existing_files_count": 0,
+         "deleted_files_count": 0, "added_rows_count": added_rows,
+         "existing_rows_count": 0, "deleted_rows_count": 0}]
+    last_seq = 1
+    if masks:
+        # masks become v2 position deletes at sequence 2: data sits at
+        # sequence 1, so the spec rule (applies to data seq <= delete
+        # seq) covers every exported file
+        last_seq = 2
+        dfile = _write_pos_delete_file(dest, masks)
+        mf_list.append(_delete_manifest_entry(meta_dir, "00001", dfile,
+                                              snap_id=1, seq=2))
     lpath = os.path.join(meta_dir, "snap-1.avro")
-    av.write_container_file(
-        lpath, json.dumps(MANIFEST_FILE_SCHEMA),
-        [{"manifest_path": mpath, "manifest_length": os.path.getsize(mpath),
-          "partition_spec_id": 0, "content": 0, "sequence_number": 1,
-          "min_sequence_number": 1, "added_snapshot_id": 1,
-          "added_files_count": len(entries), "existing_files_count": 0,
-          "deleted_files_count": 0, "added_rows_count": added_rows,
-          "existing_rows_count": 0, "deleted_rows_count": 0}])
+    av.write_container_file(lpath, json.dumps(MANIFEST_FILE_SCHEMA),
+                            mf_list)
 
     import uuid as _uuid
 
@@ -683,7 +768,7 @@ def export_manifest_to_iceberg(table, dest: str) -> dict:
         json.dump({
             "format-version": 2,
             "table-uuid": str(_uuid.uuid4()),
-            "location": dest, "last-sequence-number": 1,
+            "location": dest, "last-sequence-number": last_seq,
             "last-updated-ms": int(m.get("committed_at", 0) or 0),
             "last-column-id": next(counter) - 1,
             "current-schema-id": 0, "schemas": [schema_json],
@@ -696,7 +781,7 @@ def export_manifest_to_iceberg(table, dest: str) -> dict:
             "sort-orders": [{"order-id": 0, "fields": []}],
             "default-sort-order-id": 0,
             "current-snapshot-id": 1,
-            "snapshots": [{"snapshot-id": 1, "sequence-number": 1,
+            "snapshots": [{"snapshot-id": 1, "sequence-number": last_seq,
                            "timestamp-ms": int(m.get("committed_at", 0)
                                                or 0),
                            "manifest-list": lpath,
@@ -707,7 +792,7 @@ def export_manifest_to_iceberg(table, dest: str) -> dict:
         fh.write("1")
     rows = None
     if all("rows" in e for e in m["entries"]):
-        rows = sum(e["rows"] for e in m["entries"])
+        rows = sum(e["rows"] - e.get("dv_rows", 0) for e in m["entries"])
     return {"files": len(entries), "rows": rows,
             "version": m.get("version", 0)}
 
@@ -723,7 +808,8 @@ def _link_or_copy(src: str, dst: str) -> None:
             shutil.copy2(src, dst)
 
 
-def sync_manifest_to_iceberg(table, dest: str) -> dict:
+def sync_manifest_to_iceberg(table, dest: str,
+                             dv_mode: str = "refuse") -> dict:
     """INCREMENTAL export: append ONE new Iceberg snapshot at ``dest``
     covering the manifest table's commits since the last export
     (VERDICT r6 item 4 — recurring publish without re-snapshotting;
@@ -756,17 +842,12 @@ def sync_manifest_to_iceberg(table, dest: str) -> dict:
     "removed", "rewritten_manifests", "version", "snapshot_id"}.
     """
     if not os.path.isdir(os.path.join(dest, "metadata")):
-        stats = export_manifest_to_iceberg(table, dest)
+        stats = export_manifest_to_iceberg(table, dest, dv_mode=dv_mode)
         return {"mode": "full", "added": stats["files"], "removed": 0,
-                "rewritten_manifests": 0, "version": stats["version"],
-                "snapshot_id": 1}
+                "rewritten_manifests": 0, "dv_updated": 0,
+                "version": stats["version"], "snapshot_id": 1}
     m = table.manifest()
-    if any(e.get("dv") for e in m["entries"]):
-        raise ValueError(
-            "table has live deletion vectors; external Iceberg readers "
-            "would see deleted rows — run maintain() (or "
-            "compact(auto_dv=True)) to materialize them, then sync"
-        )
+    masks = _iceberg_dv_guard(table, m["entries"], dv_mode, "sync")
     t = IcebergLiteTable(table.spark, dest)
     meta_file = t._resolve_metadata_file()
     meta = t.metadata()
@@ -782,8 +863,12 @@ def sync_manifest_to_iceberg(table, dest: str) -> dict:
         return os.path.relpath(_norm_path(fp), dest)
 
     manifests = []
+    delete_manifests = []  # content=1: position deletes, reused verbatim
     exported: set[str] = set()
     for mf in mf_entries:
+        if mf.get("content") == 1:
+            delete_manifests.append(mf)
+            continue
         _, entries = av.read_container_file(t._abs(mf["manifest_path"]))
         live = [e for e in entries if e.get("status") != 2]
         rels = [_rel(e["data_file"]["file_path"]) for e in live]
@@ -792,6 +877,38 @@ def sync_manifest_to_iceberg(table, dest: str) -> dict:
 
     added = sorted(current - exported)
     removed = exported - current
+
+    # ---- dv diff (dv_mode='native'): positions already exported live
+    # in the destination's pos-delete files; positions only GROW per
+    # live file in the manifest format, so the sync appends the DELTA
+    # as one new delete file. A rewind (restore() shrinking a mask) is
+    # not expressible by adding v2 delete content — refuse loudly.
+    exported_masks: dict[str, set[int]] = {}
+    if delete_manifests:
+        import pyarrow.parquet as pq
+
+        for mf in delete_manifests:
+            _, dentries = av.read_container_file(t._abs(mf["manifest_path"]))
+            for de in dentries:
+                if de.get("status") == 2:
+                    continue
+                tb = pq.read_table(_norm_path(de["data_file"]["file_path"]),
+                                   columns=["file_path", "pos"])
+                for fp, p in zip(tb.column(0).to_pylist(),
+                                 tb.column(1).to_pylist()):
+                    exported_masks.setdefault(_rel(fp), set()).add(int(p))
+    new_positions: dict[str, list[int]] = {}
+    for p_rel in current:
+        cur = set(masks.get(p_rel, ()))
+        exp = exported_masks.get(p_rel, set())
+        if exp - cur:
+            raise IcebergUnsupported(
+                f"exported position deletes for {p_rel!r} exceed the "
+                "table's current mask (restore()/rewind?): v2 delete "
+                "content cannot un-delete rows — export to a fresh "
+                "location instead")
+        if cur - exp:
+            new_positions[p_rel] = sorted(cur - exp)
 
     # ---- schema evolution (append-only; id-stable by name) ----
     new_schema_json = schema_json
@@ -822,9 +939,10 @@ def sync_manifest_to_iceberg(table, dest: str) -> dict:
         }
         schema_changed = True
 
-    if not added and not removed and not schema_changed:
+    if not added and not removed and not schema_changed \
+            and not new_positions:
         return {"mode": "noop", "added": 0, "removed": 0,
-                "rewritten_manifests": 0,
+                "rewritten_manifests": 0, "dv_updated": 0,
                 "version": m.get("version", 0),
                 "snapshot_id": snap["snapshot-id"]}
 
@@ -841,7 +959,7 @@ def sync_manifest_to_iceberg(table, dest: str) -> dict:
             seq = mf.get("sequence_number") or 0
         return int(seq)
 
-    new_list = []
+    new_list = list(delete_manifests)  # pos-delete manifests reused
     rewritten = 0
     for mf, live, rels in manifests:
         gone = [e for e, r in zip(live, rels) if r in removed]
@@ -914,6 +1032,14 @@ def sync_manifest_to_iceberg(table, dest: str) -> dict:
                 e["data_file"]["record_count"] for e in add_entries),
             "existing_rows_count": 0, "deleted_rows_count": 0})
 
+    if new_positions:
+        # one new position-delete file with just the DELTA positions at
+        # the new sequence (applies to every data file: seq <= new_seq)
+        dfile = _write_pos_delete_file(dest, new_positions)
+        new_list.append(_delete_manifest_entry(
+            meta_dir, f"sync{new_snap_id}", dfile,
+            snap_id=new_snap_id, seq=new_seq))
+
     lpath = os.path.join(meta_dir, f"snap-{new_snap_id}.avro")
     av.write_container_file(lpath, json.dumps(MANIFEST_FILE_SCHEMA),
                             new_list)
@@ -927,7 +1053,8 @@ def sync_manifest_to_iceberg(table, dest: str) -> dict:
         "parent-snapshot-id": snap.get("snapshot-id"),
         "sequence-number": new_seq, "timestamp-ms": ts,
         "manifest-list": lpath,
-        "summary": {"operation": "overwrite" if removed else "append"},
+        "summary": {"operation": "overwrite" if (removed or new_positions)
+                    else "append"},
         "schema-id": new_schema_json.get("schema-id", 0),
     }]
     if schema_changed:
@@ -946,4 +1073,5 @@ def sync_manifest_to_iceberg(table, dest: str) -> dict:
         fh.write(str(next_v))
     return {"mode": "incremental", "added": len(added),
             "removed": len(removed), "rewritten_manifests": rewritten,
+            "dv_updated": len(new_positions),
             "version": m.get("version", 0), "snapshot_id": new_snap_id}

@@ -247,3 +247,43 @@ def test_iceberg_export_validates_with_pyiceberg(spark, tmp_path):
     key = lambda d: (d["k"], d["p"], d["v"])  # noqa: E731
     assert sorted(got, key=key) == sorted(want, key=key)
     del PyArrowFileIO
+
+
+# ------------------------------------------------- native dv (Iceberg)
+
+
+def test_iceberg_native_dv_export_and_sync(spark, tmp_path):
+    """dv_mode='native': manifest dv masks export as v2 POSITION
+    DELETES; a later dv merge syncs as one DELTA delete file; a rewind
+    refuses (v2 delete content cannot un-delete)."""
+    from forklift_spark.connections.iceberglite import (
+        export_manifest_to_iceberg,
+    )
+
+    t = _mk_table(spark, str(tmp_path / "m"))
+    t.merge(spark.createDataFrame([(7, 4, 777)], "k long, p int, v long"),
+            on="k", use_dv=True)  # 7 % 4 + 1 = 4
+    dest = str(tmp_path / "i")
+    with pytest.raises(ValueError, match="dv_mode='native'"):
+        export_manifest_to_iceberg(t, dest)  # default still refuses
+    stats = export_manifest_to_iceberg(t, dest, dv_mode="native")
+    assert stats["rows"] == 100  # live rows only
+    assert _rows(IcebergLiteTable(spark, dest).read()) == _rows(t.read())
+
+    # dv growth -> one delta delete file in the next snapshot
+    pre = t.current_version()
+    t.merge(spark.createDataFrame([(11, 4, 1111)], "k long, p int, v long"),
+            on="k", use_dv=True)
+    r = sync_manifest_to_iceberg(t, dest, dv_mode="native")
+    assert r["mode"] == "incremental" and r["dv_updated"] >= 1
+    ext = IcebergLiteTable(spark, dest)
+    assert _rows(ext.read()) == _rows(t.read())
+    got = _rows(ext.read())
+    assert (11, 4, 1111) in got and (11, 4, 110) not in got
+    assert sync_manifest_to_iceberg(t, dest, dv_mode="native")["mode"] \
+        == "noop"
+
+    # rewind: restore() shrinks the mask -> loud refusal
+    t.restore(pre)
+    with pytest.raises(IcebergUnsupported, match="un-delete"):
+        sync_manifest_to_iceberg(t, dest, dv_mode="native")
