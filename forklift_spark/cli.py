@@ -141,7 +141,8 @@ def main(argv: list[str] | None = None) -> int:
         "op",
         choices=["history", "compact", "vacuum", "restore", "fsck",
                  "checkpoint", "maintain", "set-constraint",
-                 "drop-constraint", "export-delta", "export-iceberg"],
+                 "drop-constraint", "export-delta", "export-iceberg",
+                 "sync-delta", "sync-iceberg"],
     )
     p_man.add_argument("root", help="warehouse dir holding the table")
     p_man.add_argument("table")
@@ -163,8 +164,14 @@ def main(argv: list[str] | None = None) -> int:
         "--expr", help="CHECK expression (set-constraint)"
     )
     p_man.add_argument(
-        "--dest", help="export-delta/export-iceberg: destination directory for the "
-        "protocol-v1 Delta snapshot"
+        "--dest", help="export-*/sync-*: destination directory for the "
+        "exported Delta log / Iceberg table"
+    )
+    p_man.add_argument(
+        "--dv-mode", choices=["refuse", "native"], default="refuse",
+        help="export-*/sync-*: 'native' publishes live dv masks as real "
+        "Delta deletion vectors / Iceberg v2 position deletes instead "
+        "of refusing until compact()",
     )
     p_man.add_argument(
         "--orphan-grace",
@@ -244,24 +251,25 @@ def main(argv: list[str] | None = None) -> int:
             report = t.fsck()
             print(_json.dumps(report))
             return 0 if report["ok"] else 1
-        elif ns.op == "export-delta":
+        elif ns.op in ("export-delta", "export-iceberg",
+                       "sync-delta", "sync-iceberg"):
             if not ns.dest:
-                print("export-delta requires --dest")
+                print(f"{ns.op} requires --dest")
                 return 2
             from forklift_spark.connections.deltalite import (
                 export_manifest_to_delta,
+                sync_manifest_to_delta,
             )
-
-            print(_json.dumps(export_manifest_to_delta(t, ns.dest)))
-        elif ns.op == "export-iceberg":
-            if not ns.dest:
-                print("export-iceberg requires --dest")
-                return 2
             from forklift_spark.connections.iceberglite import (
                 export_manifest_to_iceberg,
+                sync_manifest_to_iceberg,
             )
 
-            print(_json.dumps(export_manifest_to_iceberg(t, ns.dest)))
+            fn = {"export-delta": export_manifest_to_delta,
+                  "export-iceberg": export_manifest_to_iceberg,
+                  "sync-delta": sync_manifest_to_delta,
+                  "sync-iceberg": sync_manifest_to_iceberg}[ns.op]
+            print(_json.dumps(fn(t, ns.dest, dv_mode=ns.dv_mode)))
         else:
             if ns.version is None:
                 print("restore requires --version")

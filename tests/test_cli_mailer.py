@@ -319,3 +319,50 @@ def test_cli_manifest_export_iceberg(spark, tmp_path, capsys):
     got = {(r.k, r.v)
            for r in IcebergLiteTable(spark, dest).read().collect()}
     assert got == {(i, i * 2) for i in range(30)}
+
+
+def test_cli_manifest_sync_commands(spark, tmp_path, capsys):
+    """r7 CLI surface: `manifest sync-delta/sync-iceberg --dest` runs the
+    incremental publish (full on first call, O(delta) after), and
+    --dv-mode native flows through to the exporters."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from forklift_spark.cli import main
+    from forklift_spark.connections.deltalite import DeltaLiteTable
+    from forklift_spark.connections.iceberglite import IcebergLiteTable
+    from forklift_spark.manifest import ManifestTable
+
+    wh = tmp_path / "wh"
+    t = ManifestTable(spark, str(wh), "ev")
+    t.create(
+        spark.range(30).select(
+            F.col("id").alias("k"), (F.col("id") % 3).cast("int").alias("p"),
+            (F.col("id") * 2).alias("v")
+        ), partition_by="p",
+    )
+    ddest, idest = str(tmp_path / "d"), str(tmp_path / "i")
+    assert main(["manifest", "sync-delta", str(wh), "ev",
+                 "--dest", ddest]) == 0
+    assert json.loads(capsys.readouterr().out)["mode"] == "full"
+    assert main(["manifest", "sync-iceberg", str(wh), "ev",
+                 "--dest", idest]) == 0
+    assert json.loads(capsys.readouterr().out)["mode"] == "full"
+
+    # a dv merge + --dv-mode native publishes incrementally, no compact
+    t.merge(spark.createDataFrame([(4, 1, 444)], "k long, p int, v long"),
+            on="k", use_dv=True)  # 4 % 3 = 1
+    assert main(["manifest", "sync-delta", str(wh), "ev", "--dest", ddest,
+                 "--dv-mode", "native"]) == 0
+    r = json.loads(capsys.readouterr().out)
+    assert r["mode"] == "incremental" and r["dv_updated"] >= 1
+    assert main(["manifest", "sync-iceberg", str(wh), "ev", "--dest", idest,
+                 "--dv-mode", "native"]) == 0
+    assert json.loads(capsys.readouterr().out)["dv_updated"] >= 1
+
+    want = {(r2.k, r2.p, r2.v) for r2 in t.read().collect()}
+    assert {(r2.k, r2.p, r2.v)
+            for r2 in DeltaLiteTable(spark, ddest).read().collect()} == want
+    assert {(r2.k, r2.p, r2.v)
+            for r2 in IcebergLiteTable(spark, idest).read().collect()} == want
