@@ -74,6 +74,19 @@ class DeltaUnsupported(NotImplementedError):
     """The table requires a reader feature this reader lacks."""
 
 
+def dv_unique_id(dv: dict | None) -> str | None:
+    """The spec's DV unique id (storageType + pathOrInlineDv [+ @offset]):
+    together with the file path it keys a LOGICAL file — log
+    reconciliation must match remove actions to add actions by
+    (path, dv uniqueId), not by path alone (delta.io PROTOCOL.md,
+    'Deletion Vector Descriptor Schema' / 'Action Reconciliation')."""
+    if not dv:
+        return None
+    uid = f"{dv['storageType']}{dv['pathOrInlineDv']}"
+    off = dv.get("offset")
+    return f"{uid}@{off}" if off is not None else uid
+
+
 def dv_file_path(table_path: str, dv: dict) -> str:
     """Resolve a deletion-vector descriptor to its ``.bin`` file.
 
@@ -138,8 +151,12 @@ def dv_positions(table_path: str, dv: dict) -> list[int]:
 class DeltaLiteTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
-        self.path = path
-        self.log_dir = os.path.join(path, "_delta_log")
+        # absolute path: the DV anti-join matches file paths built from
+        # self.path against Spark's _metadata.file_path URI (always
+        # absolute) — a relative table path would silently never match
+        # and KEEP deleted rows
+        self.path = os.path.abspath(path)
+        self.log_dir = os.path.join(self.path, "_delta_log")
 
     # -- log listing -------------------------------------------------------
 
@@ -200,6 +217,8 @@ class DeltaLiteTable:
                     f"missing commit {v} (log cleaned past the usable "
                     f"checkpoint?) at {self.log_dir}"
                 )
+            adds: list[dict] = []
+            removes: list[dict] = []
             with open(os.path.join(self.log_dir, f"{v:020d}.json")) as fh:
                 for line in fh:
                     line = line.strip()
@@ -211,17 +230,37 @@ class DeltaLiteTable:
                     elif "metaData" in act:
                         meta = act["metaData"]
                     elif "add" in act:
-                        a = act["add"]
-                        # re-adding a path replaces its entry, INCLUDING
-                        # the DV descriptor (a DV update is exactly an
-                        # add of the same path with a new DV, per spec)
-                        files[unquote(a["path"])] = {
-                            "pv": a.get("partitionValues") or {},
-                            "dv": a.get("deletionVector"),
-                            "tags": a.get("tags") or {},
-                        }
+                        adds.append(act["add"])
                     elif "remove" in act:
-                        files.pop(unquote(act["remove"]["path"]), None)
+                        removes.append(act["remove"])
+            # Per-commit reconciliation, ORDER-INDEPENDENT within the
+            # commit (spec: logical files are keyed by (path, dv
+            # uniqueId)): a real DV-update commit holds remove(path,
+            # oldDV) and add(path, newDV) in writer-dependent line
+            # order — applying removes against the PRE-commit state
+            # first, matched by dv uniqueId, keeps the new logical file
+            # alive whichever line comes first. A remove with no DV
+            # descriptor pops the path unconditionally (protocol-v1
+            # writers never carry one).
+            for r in removes:
+                p = unquote(r["path"])
+                cur = files.get(p)
+                if cur is None:
+                    continue
+                rdv = r.get("deletionVector")
+                if rdv is None or dv_unique_id(rdv) == dv_unique_id(
+                    cur.get("dv")
+                ):
+                    files.pop(p, None)
+            for a in adds:
+                # re-adding a path replaces its entry, INCLUDING the DV
+                # descriptor (a DV update is exactly an add of the same
+                # path with a new DV, per spec)
+                files[unquote(a["path"])] = {
+                    "pv": a.get("partitionValues") or {},
+                    "dv": a.get("deletionVector"),
+                    "tags": a.get("tags") or {},
+                }
 
         if meta is None:
             raise ValueError(f"no metaData action found in {self.log_dir}")
@@ -463,8 +502,17 @@ class DeltaLiteTable:
                 masked = (
                     self.spark.read.schema(data_schema)
                     .parquet(*by_dv[True])
-                    .withColumn("___path", F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:(//)?", ""))
+                    # _metadata.file_path is a URI: strip the scheme and
+                    # PERCENT-DECODE it (Spark encodes spaces etc.), so
+                    # it matches the literal filesystem paths the
+                    # deleted-positions frame carries; literal '+' is
+                    # protected first because url_decode is
+                    # form-decoding (+ -> space)
+                    .withColumn("___path", F.url_decode(F.regexp_replace(
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"),
+                            "^file:(//)?", ""),
+                        r"\+", "%2B")))
                     .withColumn("___pos", F.col("_metadata.row_index"))
                     .join(deleted, ["___path", "___pos"], "left_anti")
                     .drop("___path", "___pos")
@@ -780,10 +828,25 @@ def sync_manifest_to_delta(table, dest: str,
             meta = dict(snap["meta"])
             meta["schemaString"] = json.dumps(schema.jsonValue())
             fh.write(json.dumps({"metaData": meta}) + "\n")
-        for rel in removed:
-            fh.write(json.dumps({"remove": {
-                "path": rel, "deletionTimestamp": ts,
-                "dataChange": True}}) + "\n")
+        # Spec conformance (Action Reconciliation): logical files are
+        # keyed by (path, dv uniqueId), so (a) removing a DV-carrying
+        # file must restate ITS deletionVector on the remove action —
+        # a bare remove{path} would fail to tombstone the logical file
+        # (path, oldDV) and conformant readers would resurrect its
+        # deleted rows; (b) a DV UPDATE is remove(path, oldDV) +
+        # add(path, newDV) in the same commit — re-adding alone would
+        # leave (path, oldDV) live alongside (path, newDV) -> duplicate
+        # rows in delta-spark/kernel/delta-rs.
+        def _remove_action(rel: str) -> dict:
+            r = {"path": rel, "deletionTimestamp": ts,
+                 "dataChange": True}
+            old_dv = exported[rel].get("dv")
+            if old_dv:
+                r["deletionVector"] = dict(old_dv)
+            return r
+
+        for rel in (*removed, *dv_updated):
+            fh.write(json.dumps({"remove": _remove_action(rel)}) + "\n")
         for rel in (*added, *dv_updated):
             fh.write(json.dumps(
                 {"add": _add_action(table, dest, entries[rel], descs)}

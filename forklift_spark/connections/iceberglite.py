@@ -649,9 +649,21 @@ def _write_pos_delete_file(dest: str, masks: dict[str, list[int]]) -> dict:
             paths.append(ap)
             poss.append(int(p))
     out = os.path.join(ddir, f"delete-{_uuid.uuid4().hex[:12]}.parquet")
+    # Spec: position-delete columns carry RESERVED field ids
+    # (file_path=2147483546, pos=2147483545) — Java/pyiceberg readers
+    # resolve delete-file columns BY FIELD ID, not name, so the parquet
+    # must embed them (pyarrow maps the PARQUET:field_id field-metadata
+    # key onto the parquet field_id). Rows stay sorted by
+    # (file_path, pos) as the spec requires.
+    schema = pa.schema([
+        pa.field("file_path", pa.string(), nullable=False,
+                 metadata={b"PARQUET:field_id": b"2147483546"}),
+        pa.field("pos", pa.int64(), nullable=False,
+                 metadata={b"PARQUET:field_id": b"2147483545"}),
+    ])
     pq.write_table(
         pa.table({"file_path": pa.array(paths, pa.string()),
-                  "pos": pa.array(poss, pa.int64())}),
+                  "pos": pa.array(poss, pa.int64())}, schema=schema),
         out,
     )
     return {"path": out, "rows": len(poss)}
@@ -682,6 +694,40 @@ def _delete_manifest_entry(meta_dir: str, tag: str, delete_file: dict,
             "deleted_files_count": 0,
             "added_rows_count": delete_file["rows"],
             "existing_rows_count": 0, "deleted_rows_count": 0}
+
+
+_COUNT_FIELDS = (
+    ("added_files_count", 1, "record_count", False),
+    ("existing_files_count", 0, "record_count", False),
+    ("deleted_files_count", 2, "record_count", False),
+    ("added_rows_count", 1, "record_count", True),
+    ("existing_rows_count", 0, "record_count", True),
+    ("deleted_rows_count", 2, "record_count", True),
+)
+
+
+def _ensure_list_counts(mf: dict, entries: list[dict]) -> dict:
+    """Manifest-list entries read from a pre-r7 export lack the
+    v2-required file/row count fields; rewriting them with
+    MANIFEST_FILE_SCHEMA would default them to 0, and readers that skip
+    manifests with zero live-file counts would silently plan no data
+    files. Recompute missing counts from the manifest's own entries
+    (one O(metadata) Avro read the sync already performs)."""
+    if all(mf.get(n) is not None for n, _s, _f, _r in _COUNT_FIELDS):
+        return mf
+    by_status: dict[int, list[dict]] = {0: [], 1: [], 2: []}
+    for e in entries:
+        by_status.setdefault(int(e.get("status") or 0), []).append(e)
+    out = dict(mf)
+    for name, status, _field, is_rows in _COUNT_FIELDS:
+        if out.get(name) is not None:
+            continue
+        es = by_status.get(status, [])
+        out[name] = (
+            sum(int(e["data_file"].get("record_count") or 0) for e in es)
+            if is_rows else len(es)
+        )
+    return out
 
 
 def export_manifest_to_iceberg(table, dest: str,
@@ -873,7 +919,7 @@ def sync_manifest_to_iceberg(table, dest: str,
         live = [e for e in entries if e.get("status") != 2]
         rels = [_rel(e["data_file"]["file_path"]) for e in live]
         exported.update(rels)
-        manifests.append((mf, live, rels))
+        manifests.append((_ensure_list_counts(mf, entries), live, rels))
 
     added = sorted(current - exported)
     removed = exported - current

@@ -352,3 +352,63 @@ def test_sync_native_dv_protocol_upgrade(spark, tmp_path):
             .read().collect()}
     assert ext2 == {(x.k, x.p, x.v) for x in t.read().collect()}
     assert (3, 2, 30) in ext2
+
+
+def test_dv_update_commit_order_independent(spark, dv_table):
+    """ADVICE r7: a real DV-update commit holds remove(path, oldDV) and
+    add(path, newDV) in writer-dependent line order — with the remove
+    line AFTER the add, path-keyed line-order replay would drop the
+    file entirely. Spec reconciliation is (path, dv uniqueId)-keyed and
+    order-independent within a commit."""
+    log = os.path.join(dv_table, "_delta_log")
+    with open(os.path.join(log, f"{0:020d}.json")) as fh:
+        acts = [json.loads(l) for l in fh if l.strip()]
+    old_dv = next(a["add"]["deletionVector"] for a in acts if "add" in a)
+    add = _add("f1.parquet", {})
+    add["add"]["deletionVector"] = _i_descriptor([0, 1, 2, 3, 4])
+    # add FIRST, remove (carrying the OLD dv) SECOND
+    _commit(log, 1, [add, {"remove": {
+        "path": "f1.parquet", "deletionTimestamp": 1700000000001,
+        "dataChange": True, "deletionVector": old_dv}}])
+    t = DeltaLiteTable(spark, dv_table)
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2, 3, 4]
+
+
+def test_dv_remove_mismatching_dv_keeps_newer_logical_file(spark, dv_table):
+    """A remove carrying a STALE dv uniqueId (e.g. a lost-race writer)
+    must not tombstone the newer logical file at the same path."""
+    log = os.path.join(dv_table, "_delta_log")
+    with open(os.path.join(log, f"{0:020d}.json")) as fh:
+        acts = [json.loads(l) for l in fh if l.strip()]
+    old_dv = next(a["add"]["deletionVector"] for a in acts if "add" in a)
+    add = _add("f1.parquet", {})
+    add["add"]["deletionVector"] = _i_descriptor([0, 1, 2, 3, 4])
+    _commit(log, 1, [add])                       # DV update (new uid)
+    _commit(log, 2, [{"remove": {                 # stale remove: old uid
+        "path": "f1.parquet", "deletionTimestamp": 1700000000002,
+        "dataChange": True, "deletionVector": old_dv}}])
+    t = DeltaLiteTable(spark, dv_table)
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2, 3, 4]
+
+
+def test_dv_relative_path_and_space_in_dir(spark, tmp_path, monkeypatch):
+    """ADVICE r7: with a RELATIVE table path (and a space in the dir
+    name, which Spark percent-encodes in _metadata.file_path), the DV
+    anti-join must still match — a silent mismatch would KEEP deleted
+    rows."""
+    monkeypatch.chdir(tmp_path)
+    tdir = "dv table"                             # relative, with space
+    abs_tdir = str(tmp_path / tdir)               # Spark writes need abs
+    log = os.path.join(abs_tdir, "_delta_log")
+    os.makedirs(log)
+    df = spark.range(0, 6).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("r"), F.col("id")).alias("v"),
+        F.lit(1).alias("p"))
+    _one_parquet_file(spark, df.coalesce(1).sortWithinPartitions("k"),
+                      os.path.join(abs_tdir, "f1.parquet"))
+    add = _add("f1.parquet", {})
+    add["add"]["deletionVector"] = _i_descriptor([1, 4])
+    _commit(log, 0, [_v3_protocol(), _meta_action(partition_cols=()), add])
+    rows = DeltaLiteTable(spark, tdir).read().collect()
+    assert sorted(r.k for r in rows) == [0, 2, 3, 5]

@@ -287,3 +287,183 @@ def test_iceberg_native_dv_export_and_sync(spark, tmp_path):
     t.restore(pre)
     with pytest.raises(IcebergUnsupported, match="un-delete"):
         sync_manifest_to_iceberg(t, dest, dv_mode="native")
+
+
+# ------------------------------- spec-strict reconciliation (ADVICE r7)
+
+
+def _spec_reconcile(dest: str) -> dict:
+    """Replay the exported Delta log EXACTLY as the spec's Action
+    Reconciliation describes: logical files keyed by (path, dv
+    uniqueId), per-commit order-independent (removes cancel matching
+    adds). This is what delta-spark/kernel/delta-rs do — the repo's own
+    path-keyed reader must not be the only consumer that works."""
+    from forklift_spark.connections.deltalite import dv_unique_id
+
+    live: dict[tuple, dict] = {}
+    log = os.path.join(dest, "_delta_log")
+    for f in sorted(os.listdir(log)):
+        if not f.endswith(".json"):
+            continue
+        adds, removes = [], []
+        with open(os.path.join(log, f)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line)
+                if "add" in act:
+                    adds.append(act["add"])
+                elif "remove" in act:
+                    removes.append(act["remove"])
+        for r in removes:
+            live.pop((r["path"], dv_unique_id(r.get("deletionVector"))),
+                     None)
+        for a in adds:
+            live[(a["path"], dv_unique_id(a.get("deletionVector")))] = a
+    return live
+
+
+def test_delta_sync_native_dv_spec_reconciliation(spark, tmp_path):
+    """ADVICE r7 (high): a dv-update sync must tombstone the OLD
+    logical file (path, oldDV) — under strict (path, dvId)-keyed
+    replay, each path appears exactly once after every sync (no
+    duplicate-row or resurrected-row logical files)."""
+    t = _mk_table(spark, str(tmp_path / "m"))
+    t.merge(spark.createDataFrame([(7, 4, 777)], "k long, p int, v long"),
+            on="k", use_dv=True)
+    dest = str(tmp_path / "d")
+    sync_manifest_to_delta(t, dest, dv_mode="native")
+
+    # dv growth on the same file -> dv_updated re-add
+    t.merge(spark.createDataFrame([(11, 4, 1111)], "k long, p int, v long"),
+            on="k", use_dv=True)
+    r = sync_manifest_to_delta(t, dest, dv_mode="native")
+    assert r["dv_updated"] >= 1
+    live = _spec_reconcile(dest)
+    paths = [p for p, _uid in live]
+    assert len(paths) == len(set(paths)), \
+        f"duplicate logical files after dv update: {sorted(paths)}"
+    # the updated file's live DV is the NEW one (cardinality 2 masks)
+    dv_adds = [a for a in live.values() if a.get("deletionVector")]
+    assert dv_adds and all(
+        int(a["deletionVector"]["cardinality"]) == 2 for a in dv_adds)
+
+    # a file gaining its FIRST dv via a v1-exported path: (path, None)
+    # must be tombstoned too
+    t2 = _mk_table(spark, str(tmp_path / "m2"), "t2")
+    dest2 = str(tmp_path / "d2")
+    sync_manifest_to_delta(t2, dest2)            # no masks: v1 export
+    t2.merge(spark.createDataFrame([(3, 4, 33)], "k long, p int, v long"),
+             on="k", use_dv=True)
+    sync_manifest_to_delta(t2, dest2, dv_mode="native")
+    live2 = _spec_reconcile(dest2)
+    paths2 = [p for p, _uid in live2]
+    assert len(paths2) == len(set(paths2))
+
+    # removing a DV-carrying file (compact rewrites it) must restate
+    # the dv descriptor on the remove so (path, oldDV) is tombstoned
+    t.compact()
+    sync_manifest_to_delta(t, dest, dv_mode="native")
+    live3 = _spec_reconcile(dest)
+    paths3 = [p for p, _uid in live3]
+    assert len(paths3) == len(set(paths3))
+    assert all(uid is None for _p, uid in live3)  # masks compacted away
+    # and the strict-replay live set matches the engine's own reader
+    assert _rows(DeltaLiteTable(spark, dest).read()) == _rows(t.read())
+
+
+def test_iceberg_pos_delete_field_ids(spark, tmp_path):
+    """ADVICE r7: v2 position-delete parquet columns must carry the
+    spec's RESERVED field ids (file_path=2147483546, pos=2147483545) —
+    Java/pyiceberg resolve delete-file columns by field id."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from forklift_spark.connections.iceberglite import (
+        export_manifest_to_iceberg,
+    )
+
+    t = _mk_table(spark, str(tmp_path / "m"))
+    t.merge(spark.createDataFrame([(7, 4, 777)], "k long, p int, v long"),
+            on="k", use_dv=True)
+    dest = str(tmp_path / "i")
+    export_manifest_to_iceberg(t, dest, dv_mode="native")
+    dfiles = _glob.glob(os.path.join(dest, "deletes", "*.parquet"))
+    assert dfiles
+    sch = pq.read_schema(dfiles[0])
+    fids = {
+        sch.field(i).name:
+        (sch.field(i).metadata or {}).get(b"PARQUET:field_id")
+        for i in range(len(sch.names))
+    }
+    assert fids["file_path"] == b"2147483546"
+    assert fids["pos"] == b"2147483545"
+
+
+def test_iceberg_sync_recomputes_missing_list_counts(spark, tmp_path):
+    """ADVICE r7 (low): manifest-list entries from a pre-r7 export lack
+    the v2 count fields; reusing them must RECOMPUTE counts from the
+    manifest entries, not default to 0 (readers may skip zero-count
+    manifests)."""
+    from forklift_spark.connections.iceberglite import (
+        MANIFEST_FILE_SCHEMA,
+        _ensure_list_counts,
+    )
+
+    t = _mk_table(spark, str(tmp_path / "m"))
+    dest = str(tmp_path / "i")
+    sync_manifest_to_iceberg(t, dest)
+
+    # simulate a pre-r7 export: rewrite the manifest list with the
+    # count fields stripped
+    ext = IcebergLiteTable(spark, dest)
+    meta = ext.metadata()
+    snap = ext._snapshot_entry(meta)
+    lpath = ext._abs(snap["manifest-list"])
+    _, entries = av.read_container_file(lpath)
+    count_names = {"added_files_count", "existing_files_count",
+                   "deleted_files_count", "added_rows_count",
+                   "existing_rows_count", "deleted_rows_count"}
+    old_schema = {
+        "type": "record", "name": "manifest_file",
+        "fields": [f for f in MANIFEST_FILE_SCHEMA["fields"]
+                   if f["name"] not in count_names],
+    }
+    stripped = [{k: v for k, v in e.items() if k not in count_names}
+                for e in entries]
+    av.write_container_file(lpath, json.dumps(old_schema), stripped)
+    _, reread = av.read_container_file(lpath)
+    assert all(e.get("added_files_count") is None for e in reread)
+
+    # unit: recompute fills real counts
+    fixed = _ensure_list_counts(dict(reread[0]), [
+        {"status": 1, "data_file": {"record_count": 10}},
+        {"status": 0, "data_file": {"record_count": 5}},
+        {"status": 2, "data_file": {"record_count": 3}},
+    ])
+    assert fixed["added_files_count"] == 1
+    assert fixed["existing_files_count"] == 1
+    assert fixed["deleted_files_count"] == 1
+    assert fixed["added_rows_count"] == 10
+    assert fixed["existing_rows_count"] == 5
+    assert fixed["deleted_rows_count"] == 3
+
+    # integration: append-only sync reuses the stripped entries and the
+    # NEW manifest list carries recomputed (nonzero) counts for them
+    t.merge(spark.createDataFrame([(500, 1, 5000)],
+                                  "k long, p int, v long"), on="k")
+    r = sync_manifest_to_iceberg(t, dest)
+    assert r["mode"] == "incremental"
+    ext2 = IcebergLiteTable(spark, dest)
+    meta2 = ext2.metadata()
+    snap2 = ext2._snapshot_entry(meta2)
+    _, entries2 = av.read_container_file(ext2._abs(snap2["manifest-list"]))
+    reused = [e for e in entries2
+              if e.get("added_snapshot_id") != r["snapshot_id"]]
+    assert reused
+    for e in reused:
+        assert (int(e["added_files_count"]) + int(e["existing_files_count"])
+                ) > 0, f"zero live-file counts on reused entry: {e}"
+    assert _rows(ext2.read()) == _rows(t.read())
