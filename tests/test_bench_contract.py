@@ -29,10 +29,14 @@ def test_bench_prints_one_json_line():
     lines = [l for l in out.stdout.splitlines() if l.strip()]
     assert len(lines) == 1, lines
     d = json.loads(lines[0])
-    assert set(d) == {"metric", "value", "unit", "queries", "sf"}
+    assert set(d) == {"metric", "value", "unit", "queries",
+                      "queries_truncated", "n_queries", "sf", "artifact"}
     assert d["unit"] == "sec" and d["sf"] == 0.001
     assert set(d["queries"]) == {"q_count_min_max"}
+    assert d["n_queries"] == 1 and d["queries_truncated"] is False
     assert d["value"] > 0
+    # driver tail capture is 2000 chars: the stdout line must stay small
+    assert len(lines[0]) < 1900
 
 
 def test_bench_unknown_queries_filtered():
@@ -76,7 +80,8 @@ def test_bench_repeat_mode_stdout_unchanged():
     lines = [l for l in out.stdout.splitlines() if l.strip()]
     assert len(lines) == 1, lines
     d = json.loads(lines[0])
-    assert set(d) == {"metric", "value", "unit", "queries", "sf"}
+    assert set(d) == {"metric", "value", "unit", "queries",
+                      "queries_truncated", "n_queries", "sf", "artifact"}
 
 
 def test_artifact_drift_guard(tmp_path):
@@ -106,3 +111,74 @@ def test_artifact_drift_guard(tmp_path):
 
     assert bench.write_artifact(art_path, drifted, force=True)
     assert json.load(open(art_path))["value"] == 18.0
+
+
+def test_flag_outliers_and_self_verify():
+    """VERDICT r7 item 1: a synthetic outlier (vs the previous artifact
+    OR vs the sweep's own repeat spread) must fire the flag +
+    fresh-subprocess re-measure path and substitute the isolated
+    number, marked contaminated_in_sweep."""
+    import bench
+
+    timings = {"q_fast": 1.0, "q_cross_run": 40.0, "q_intra_run": 20.0,
+               "q_tiny": 0.3}
+    dispersion = {
+        "q_fast": {"runs": [1.1, 1.0, 1.0]},
+        "q_cross_run": {"runs": [41.0, 40.0, 39.0]},   # stable but 10x prev
+        "q_intra_run": {"runs": [45.0, 1.6, 20.0]},    # r7's 28x spread
+        "q_tiny": {"runs": [0.9, 0.1, 0.3]},           # big ratio, sub-2s
+    }
+    prev = {"q_fast": 1.0, "q_cross_run": 4.0, "q_intra_run": 18.0,
+            "q_tiny": 0.1}
+    flagged = bench.flag_outliers(timings, dispersion, prev)
+    assert set(flagged) == {"q_cross_run", "q_intra_run"}
+
+    calls = []
+
+    def fake_measure(name, repeat=3):
+        calls.append(name)
+        return {"query": name, "runs": [5.0, 3.0, 3.2], "scalar": 3.1}
+
+    subbed = bench.self_verify(timings, dispersion, prev,
+                               measure=fake_measure)
+    assert set(subbed) == set(calls) == {"q_cross_run", "q_intra_run"}
+    for n in subbed:
+        assert timings[n] == 3.1
+        assert dispersion[n]["contaminated_in_sweep"] is True
+        assert dispersion[n]["in_sweep"] in (40.0, 20.0)
+        assert dispersion[n]["isolated_runs"] == [5.0, 3.0, 3.2]
+    assert timings["q_fast"] == 1.0  # untouched
+
+
+def test_self_verify_keeps_in_sweep_on_measure_failure():
+    import bench
+
+    timings = {"q_x": 40.0}
+    dispersion = {"q_x": {"runs": [40.0, 40.0]}}
+    subbed = bench.self_verify(timings, dispersion, {"q_x": 4.0},
+                               measure=lambda n, repeat=3: None)
+    assert subbed == []
+    assert timings["q_x"] == 40.0
+    assert "contaminated_in_sweep" not in dispersion["q_x"]
+
+
+def test_bench_isolated_child_mode():
+    """--isolated runs ONE query in a fresh session and prints a JSON
+    line isolated_measure can parse."""
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+        "SPARK_GRAFT_CPUS": "4",
+        "SPARK_GRAFT_BENCH_OUT": "",
+    }
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--isolated", "q_count_min_max",
+         "--repeat", "2"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-1000:]
+    d = json.loads([l for l in out.stdout.splitlines() if l.strip()][-1])
+    assert d["query"] == "q_count_min_max"
+    assert len(d["runs"]) == 2 and d["scalar"] > 0
