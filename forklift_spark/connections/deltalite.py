@@ -854,3 +854,66 @@ def sync_manifest_to_delta(table, dest: str,
     return {"mode": "incremental", "added": len(added),
             "removed": len(removed), "dv_updated": len(dv_updated),
             "version": m.get("version", 0), "delta_version": v}
+
+
+def vacuum_delta_export(spark: SparkSession, dest: str,
+                        grace_ms: int = 7 * 24 * 3600 * 1000,
+                        now_ms: int | None = None) -> dict:
+    """Dest-side VACUUM for a (sync-)exported Delta table (VERDICT r7
+    item 2): each ``dv_mode='native'`` sync writes a NEW deletion-vector
+    bin and each rewrite tombstones data files, so a long-lived
+    publisher accumulates files no live add references. This walks the
+    CURRENT snapshot's live set (data files + DV bins), then deletes
+    any other file under ``dest`` whose mtime is older than
+    ``grace_ms`` — the same semantics as Delta's own VACUUM (reference
+    analog: the recurring-publish hygiene the reference's repeated
+    pipe implies, patterns/mysql_patterns.rb:28-43; spec analog:
+    delta.io VACUUM docs).
+
+    Like Delta's VACUUM: time travel to versions whose files were
+    reclaimed stops working; the ``_delta_log`` directory itself is
+    NEVER touched (history stays replayable as metadata); the grace
+    window protects in-flight readers of the previous snapshot.
+
+    Returns {"removed": n, "kept_live": n, "kept_grace": n}.
+    """
+    import time as _time
+
+    t = DeltaLiteTable(spark, dest)
+    snap = t.snapshot()
+    root = t.path
+    live: set[str] = set()
+    for rel, e in snap["files"].items():
+        live.add(os.path.normpath(os.path.join(root, rel)))
+        dv = e.get("dv")
+        if dv and dv.get("storageType") in ("u", "p"):
+            live.add(os.path.normpath(dv_file_path(root, dv)))
+    now = int(_time.time() * 1000) if now_ms is None else int(now_ms)
+    removed = kept_live = kept_grace = 0
+    log_dir = os.path.normpath(t.log_dir)
+    for dp, dirs, fs in os.walk(root):
+        # never descend into the log: history must stay replayable
+        dirs[:] = [d for d in dirs
+                   if os.path.normpath(os.path.join(dp, d)) != log_dir
+                   and not d.startswith(".")]
+        for f in fs:
+            if f.startswith(".") or f.startswith("_"):
+                continue
+            p = os.path.normpath(os.path.join(dp, f))
+            if p in live:
+                kept_live += 1
+            elif now - int(os.path.getmtime(p) * 1000) < grace_ms:
+                kept_grace += 1
+            else:
+                os.remove(p)
+                removed += 1
+    # prune now-empty data dirs (never the log)
+    for dp, dirs, fs in os.walk(root, topdown=False):
+        if dp != root and not dirs and not fs \
+                and not os.path.normpath(dp).startswith(log_dir):
+            try:
+                os.rmdir(dp)
+            except OSError:
+                pass
+    return {"removed": removed, "kept_live": kept_live,
+            "kept_grace": kept_grace}

@@ -929,12 +929,21 @@ def sync_manifest_to_iceberg(table, dest: str,
     # live file in the manifest format, so the sync appends the DELTA
     # as one new delete file. A rewind (restore() shrinking a mask) is
     # not expressible by adding v2 delete content — refuse loudly.
+    # Delete manifests whose position deletes reference NO post-sync
+    # live data file are DROPPED from the new manifest list (dead
+    # weight once compact() rewrote the masked files — this is the
+    # delete-file-compaction story: compact the SOURCE, then sync;
+    # rewritten files arrive mask-free and their old delete files fall
+    # out of the snapshot here). Old snapshots keep referencing them
+    # until vacuum_iceberg_export reclaims the parquet.
     exported_masks: dict[str, set[int]] = {}
+    live_delete_manifests: list[dict] = []
     if delete_manifests:
         import pyarrow.parquet as pq
 
         for mf in delete_manifests:
             _, dentries = av.read_container_file(t._abs(mf["manifest_path"]))
+            refs: set[str] = set()
             for de in dentries:
                 if de.get("status") == 2:
                     continue
@@ -942,7 +951,12 @@ def sync_manifest_to_iceberg(table, dest: str,
                                    columns=["file_path", "pos"])
                 for fp, p in zip(tb.column(0).to_pylist(),
                                  tb.column(1).to_pylist()):
-                    exported_masks.setdefault(_rel(fp), set()).add(int(p))
+                    rel = _rel(fp)
+                    refs.add(rel)
+                    exported_masks.setdefault(rel, set()).add(int(p))
+            if refs & current:
+                live_delete_manifests.append(mf)
+    delete_manifests = live_delete_manifests
     new_positions: dict[str, list[int]] = {}
     for p_rel in current:
         cur = set(masks.get(p_rel, ()))
@@ -1121,3 +1135,64 @@ def sync_manifest_to_iceberg(table, dest: str,
             "removed": len(removed), "rewritten_manifests": rewritten,
             "dv_updated": len(new_positions),
             "version": m.get("version", 0), "snapshot_id": new_snap_id}
+
+
+def vacuum_iceberg_export(spark: SparkSession, dest: str,
+                          grace_ms: int = 7 * 24 * 3600 * 1000,
+                          now_ms: int | None = None) -> dict:
+    """Dest-side orphan-file cleanup for a (sync-)exported Iceberg
+    table (VERDICT r7 item 2, sibling of
+    ``deltalite.vacuum_delta_export``): a long-lived publisher
+    accumulates data files removed by later syncs and position-delete
+    files superseded by compact()-then-sync. This keeps every file the
+    CURRENT snapshot references (data + delete files), deletes any
+    other data/delete file under ``dest`` older than ``grace_ms``, and
+    NEVER touches ``metadata/`` (snapshot history stays replayable as
+    metadata; reading a reclaimed old snapshot fails loudly on the
+    missing file, the same trade Iceberg's own expire_snapshots +
+    remove_orphan_files make).
+
+    Maintenance story for accumulated delete files: ``compact()`` the
+    SOURCE manifest table, then sync — rewritten data files arrive
+    mask-free, the sync drops dead delete manifests from the new
+    snapshot, and this vacuum reclaims the orphaned delete parquet.
+
+    Returns {"removed": n, "kept_live": n, "kept_grace": n}.
+    """
+    import time as _time
+
+    t = IcebergLiteTable(spark, dest)
+    inv = t.file_inventory()
+    live = {
+        os.path.normpath(r["path"])
+        for key in ("data", "pos_deletes", "eq_deletes")
+        for r in inv[key]
+    }
+    root = os.path.abspath(dest)
+    meta_dir = os.path.normpath(os.path.join(root, "metadata"))
+    now = int(_time.time() * 1000) if now_ms is None else int(now_ms)
+    removed = kept_live = kept_grace = 0
+    for dp, dirs, fs in os.walk(root):
+        dirs[:] = [d for d in dirs
+                   if os.path.normpath(os.path.join(dp, d)) != meta_dir
+                   and not d.startswith(".")]
+        for f in fs:
+            if f.startswith(".") or f.startswith("_"):
+                continue
+            p = os.path.normpath(os.path.join(dp, f))
+            if p in live:
+                kept_live += 1
+            elif now - int(os.path.getmtime(p) * 1000) < grace_ms:
+                kept_grace += 1
+            else:
+                os.remove(p)
+                removed += 1
+    for dp, dirs, fs in os.walk(root, topdown=False):
+        if dp != root and not dirs and not fs \
+                and not os.path.normpath(dp).startswith(meta_dir):
+            try:
+                os.rmdir(dp)
+            except OSError:
+                pass
+    return {"removed": removed, "kept_live": kept_live,
+            "kept_grace": kept_grace}

@@ -467,3 +467,106 @@ def test_iceberg_sync_recomputes_missing_list_counts(spark, tmp_path):
         assert (int(e["added_files_count"]) + int(e["existing_files_count"])
                 ) > 0, f"zero live-file counts on reused entry: {e}"
     assert _rows(ext2.read()) == _rows(t.read())
+
+
+# --------------------------------------- dest-side vacuum (VERDICT r7 #2)
+
+
+def test_delta_vacuum_long_lived_publisher(spark, tmp_path):
+    """>=3 dv-growth syncs + compact + vacuum: external replay still
+    matches the source after every step, and the dest ends with NO
+    unreferenced DV bins or tombstoned data files."""
+    from forklift_spark.connections.deltalite import (
+        dv_file_path,
+        vacuum_delta_export,
+    )
+
+    t = _mk_table(spark, str(tmp_path / "m"))
+    dest = str(tmp_path / "d")
+    sync_manifest_to_delta(t, dest, dv_mode="native")
+    for k, v in [(7, 777), (11, 1111), (15, 1500)]:  # 3 dv growths
+        t.merge(spark.createDataFrame([(k, 4, v)], "k long, p int, v long"),
+                on="k", use_dv=True)
+        r = sync_manifest_to_delta(t, dest, dv_mode="native")
+        assert r["mode"] == "incremental"
+        assert _rows(DeltaLiteTable(spark, dest).read()) == _rows(t.read())
+    # each dv sync wrote a NEW bin; only the latest is referenced
+    bins = [f for dp, _d, fs in os.walk(dest) for f in fs
+            if f.startswith("deletion_vector_")]
+    assert len(bins) == 3
+
+    # grace window: a fresh vacuum keeps everything (files too young)
+    r0 = vacuum_delta_export(spark, dest)
+    assert r0["removed"] == 0 and r0["kept_grace"] >= 2
+
+    res = vacuum_delta_export(spark, dest, grace_ms=0)
+    assert res["removed"] >= 2  # the two superseded bins at minimum
+    ext = DeltaLiteTable(spark, dest)
+    assert _rows(ext.read()) == _rows(t.read())
+    snap = ext.snapshot()
+    live_bins = {os.path.normpath(dv_file_path(ext.path, e["dv"]))
+                 for e in snap["files"].values() if e.get("dv")}
+    on_disk = {os.path.normpath(os.path.join(dp, f))
+               for dp, _d, fs in os.walk(dest) for f in fs
+               if f.startswith("deletion_vector_")}
+    assert on_disk == live_bins  # no unreferenced DV files remain
+
+    # compact clears masks; after sync + vacuum no bins remain at all
+    t.compact()
+    sync_manifest_to_delta(t, dest, dv_mode="native")
+    vacuum_delta_export(spark, dest, grace_ms=0)
+    assert not [f for dp, _d, fs in os.walk(dest) for f in fs
+                if f.startswith("deletion_vector_")]
+    assert _rows(DeltaLiteTable(spark, dest).read()) == _rows(t.read())
+    # the log itself is untouched: full history of commits remains
+    assert len(DeltaLiteTable(spark, dest).versions()) >= 5
+
+
+def test_iceberg_vacuum_and_delete_file_compaction(spark, tmp_path):
+    """The Iceberg maintenance story: compact() the SOURCE then sync —
+    rewritten files arrive mask-free, dead delete manifests drop out of
+    the new snapshot, and vacuum reclaims the orphaned parquet."""
+    from forklift_spark.connections.iceberglite import (
+        vacuum_iceberg_export,
+    )
+
+    t = _mk_table(spark, str(tmp_path / "m"))
+    dest = str(tmp_path / "i")
+    sync_manifest_to_iceberg(t, dest)
+    for k, v in [(7, 777), (11, 1111)]:
+        t.merge(spark.createDataFrame([(k, 4, v)], "k long, p int, v long"),
+                on="k", use_dv=True)
+        sync_manifest_to_iceberg(t, dest, dv_mode="native")
+        assert _rows(IcebergLiteTable(spark, dest).read()) == _rows(t.read())
+    ext = IcebergLiteTable(spark, dest)
+    assert ext.file_inventory()["pos_deletes"]  # masks live as deletes
+
+    # compact-then-sync: rewritten files arrive mask-free and the new
+    # snapshot carries NO delete manifests (dead ones dropped)
+    t.compact()
+    r = sync_manifest_to_iceberg(t, dest, dv_mode="native")
+    assert r["mode"] == "incremental"
+    ext2 = IcebergLiteTable(spark, dest)
+    inv = ext2.file_inventory()
+    assert inv["pos_deletes"] == [] and inv["eq_deletes"] == []
+    assert _rows(ext2.read()) == _rows(t.read())
+
+    # vacuum reclaims orphaned delete parquet + removed data files;
+    # metadata/ (snapshot history) is never touched
+    meta_files_before = sorted(os.listdir(os.path.join(dest, "metadata")))
+    res = vacuum_iceberg_export(spark, dest, grace_ms=0)
+    assert res["removed"] >= 2
+    assert sorted(os.listdir(os.path.join(dest, "metadata"))) \
+        == meta_files_before
+    assert not os.path.isdir(os.path.join(dest, "deletes")) or not [
+        f for f in os.listdir(os.path.join(dest, "deletes"))
+        if f.endswith(".parquet")]
+    assert _rows(IcebergLiteTable(spark, dest).read()) == _rows(t.read())
+    live = {os.path.normpath(r2["path"])
+            for r2 in IcebergLiteTable(spark, dest)
+            .file_inventory()["data"]}
+    on_disk = {os.path.normpath(os.path.join(dp, f))
+               for dp, dirs, fs in os.walk(dest)
+               if "metadata" not in dp
+               for f in fs if f.endswith(".parquet")}
+    assert on_disk == live
