@@ -142,7 +142,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=["history", "compact", "vacuum", "restore", "fsck",
                  "checkpoint", "maintain", "set-constraint",
                  "drop-constraint", "export-delta", "export-iceberg",
-                 "sync-delta", "sync-iceberg"],
+                 "sync-delta", "sync-iceberg", "scan-plan"],
     )
     p_man.add_argument("root", help="warehouse dir holding the table")
     p_man.add_argument("table")
@@ -180,6 +180,26 @@ def main(argv: list[str] | None = None) -> int:
         help="vacuum/maintain: seconds a NEVER-referenced file must age "
         "before deletion (default 24h; 0 = reclaim crash debris now — "
         "only safe with no live writers)",
+    )
+    p_man.add_argument(
+        "--where",
+        help='scan-plan: JSON bounds {"col": [lo, hi]} (null = open end)',
+    )
+    p_man.add_argument(
+        "--partitions",
+        help="scan-plan: comma list of partition values to cover",
+    )
+    p_lake = sub.add_parser(
+        "lakehouse",
+        help="exported-table maintenance: dest-side vacuum of "
+        "unreferenced DV bins / data / delete files",
+    )
+    p_lake.add_argument("op", choices=["vacuum-delta", "vacuum-iceberg"])
+    p_lake.add_argument("dest", help="exported table directory")
+    p_lake.add_argument(
+        "--grace-hours", type=float, default=168.0,
+        help="minimum file age before reclaim (default 7 days, Delta's "
+        "own VACUUM default; 0 only when no reader is mid-snapshot)",
     )
     ns = p.parse_args(argv)
     if ns.cmd == "init":
@@ -270,11 +290,36 @@ def main(argv: list[str] | None = None) -> int:
                   "sync-delta": sync_manifest_to_delta,
                   "sync-iceberg": sync_manifest_to_iceberg}[ns.op]
             print(_json.dumps(fn(t, ns.dest, dv_mode=ns.dv_mode)))
+        elif ns.op == "scan-plan":
+            where = None
+            if ns.where:
+                where = {k: tuple(v) if isinstance(v, list) else (v, v)
+                         for k, v in _json.loads(ns.where).items()}
+            parts = ns.partitions.split(",") if ns.partitions else None
+            print(_json.dumps(t.explain_read(version=ns.version,
+                                             partitions=parts,
+                                             where=where)))
         else:
             if ns.version is None:
                 print("restore requires --version")
                 return 2
             print(_json.dumps(t.restore(ns.version)))
+    elif ns.cmd == "lakehouse":
+        import json as _json
+
+        from forklift_spark.session import get_spark
+
+        if ns.op == "vacuum-delta":
+            from forklift_spark.connections.deltalite import (
+                vacuum_delta_export as _vac,
+            )
+        else:
+            from forklift_spark.connections.iceberglite import (
+                vacuum_iceberg_export as _vac,
+            )
+        print(_json.dumps(_vac(
+            get_spark(), ns.dest,
+            grace_ms=int(ns.grace_hours * 3600 * 1000))))
     else:
         run(ns.plan, ns.steps)
     return 0

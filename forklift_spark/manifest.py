@@ -1073,6 +1073,22 @@ class ManifestTable:
             "skip_ratio": round(1 - len(entries) / max(1, layers["total"]), 4),
         }
 
+    def explain_read(
+        self,
+        version: int | None = None,
+        partitions: list | None = None,
+        where: dict | None = None,
+    ) -> dict:
+        """Operator-facing plan observability (VERDICT r7 item 6): the
+        pruning-layer breakdown ``scan_plan`` reports PLUS the stat-less
+        per-column counters ``_read_stats`` records (with its
+        degraded-pruning warning) — all from manifest metadata, no job
+        run. Surfaced by the CLI as ``manifest scan-plan``."""
+        plan = self.scan_plan(version, partitions, where)
+        entries = self._entries(version, partitions, where)
+        plan["stat_less"] = self._read_stats(entries, where)["stat_less"]
+        return plan
+
     def _bucket_of_value(self, bucket_by: list, value, dtype) -> int:
         """Bucket id of one literal, computed BY SPARK (the only engine
         whose murmur3 must agree with the write path), typed as the

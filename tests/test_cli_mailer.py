@@ -366,3 +366,76 @@ def test_cli_manifest_sync_commands(spark, tmp_path, capsys):
             for r2 in DeltaLiteTable(spark, ddest).read().collect()} == want
     assert {(r2.k, r2.p, r2.v)
             for r2 in IcebergLiteTable(spark, idest).read().collect()} == want
+
+
+def test_cli_manifest_scan_plan(spark, tmp_path, capsys):
+    """r8 CLI surface (VERDICT r7 item 6): `manifest scan-plan --where`
+    prints the pruning-layer breakdown + files/bytes planned + the
+    stat-less per-column counters, from metadata alone."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from forklift_spark.cli import main
+    from forklift_spark.manifest import ManifestTable
+
+    wh = tmp_path / "wh"
+    t = ManifestTable(spark, str(wh), "ev")
+    t.create(
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("p"),
+            (F.col("id") * 2).alias("v")
+        ), partition_by="p",
+    )
+    assert main(["manifest", "scan-plan", str(wh), "ev",
+                 "--where", '{"k": [10, 12]}', "--partitions", "2"]) == 0
+    plan = json.loads(capsys.readouterr().out)
+    assert plan["layers"]["total"] >= plan["files_planned"]
+    assert plan["layers"]["after_partitions"] <= plan["layers"]["total"]
+    assert plan["bytes_planned"] > 0 and 0 <= plan["skip_ratio"] <= 1
+    assert plan["stat_less"] == {"k": 0}  # healthy table: stats present
+    del t
+
+
+def test_cli_lakehouse_vacuum(spark, tmp_path, capsys):
+    """r8 CLI surface: `lakehouse vacuum-delta/vacuum-iceberg <dest>`
+    reclaims unreferenced files on an exported table."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from forklift_spark.cli import main
+    from forklift_spark.connections.deltalite import DeltaLiteTable
+    from forklift_spark.manifest import ManifestTable
+
+    wh = tmp_path / "wh"
+    t = ManifestTable(spark, str(wh), "ev")
+    t.create(
+        spark.range(40).select(
+            F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("p"),
+            (F.col("id") * 2).alias("v")
+        ), partition_by="p",
+    )
+    ddest, idest = str(tmp_path / "d"), str(tmp_path / "i")
+    main(["manifest", "sync-delta", str(wh), "ev", "--dest", ddest])
+    main(["manifest", "sync-iceberg", str(wh), "ev", "--dest", idest])
+    capsys.readouterr()
+    t.merge(spark.createDataFrame([(4, 0, 444)], "k long, p int, v long"),
+            on="k")  # rewrites p=0: old file becomes unreferenced on dest
+    main(["manifest", "sync-delta", str(wh), "ev", "--dest", ddest])
+    main(["manifest", "sync-iceberg", str(wh), "ev", "--dest", idest])
+    capsys.readouterr()
+
+    # default grace keeps everything; --grace-hours 0 reclaims
+    assert main(["lakehouse", "vacuum-delta", ddest]) == 0
+    assert json.loads(capsys.readouterr().out)["removed"] == 0
+    assert main(["lakehouse", "vacuum-delta", ddest,
+                 "--grace-hours", "0"]) == 0
+    assert json.loads(capsys.readouterr().out)["removed"] >= 1
+    assert main(["lakehouse", "vacuum-iceberg", idest,
+                 "--grace-hours", "0"]) == 0
+    assert json.loads(capsys.readouterr().out)["removed"] >= 1
+    want = {(r.k, r.p, r.v) for r in t.read().collect()}
+    got = {(r.k, r.p, r.v)
+           for r in DeltaLiteTable(spark, ddest).read().collect()}
+    assert got == want
