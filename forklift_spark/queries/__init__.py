@@ -46,60 +46,47 @@ def query(name: str, oracle: str | None = None):
 # (not just exactly 50) checks a representative mix. After the window:
 # remaining oracle-backed queries, round-robin by family; rows-only
 # queries last (weakest checks at the tail).
-# r7 rotation (VERDICT r6 item 1 — CLOSE the catalog): the window holds
-# ALL 32 remaining never-driver-checked queries (catalog minus the union
-# of CORRECTNESS_r01..r06 keys) — the r6 wave (passjoin, exact-substr,
-# merge-into, constraints, key/bloom pruning, apply_changes, time-travel,
-# image headers, pg COPY, delta/iceberg interop, avro, stream source)
-# plus the older deferrals (gap_fill, bitemporal, bom_explode, ...).
-# Four of them (q_kmeans_clusters, q_ann_pq_topk, q_ann_ivfpq_topk,
-# q_hll_user_rollup) are rows-only BY DESIGN (quantization / HLL sketches
-# have no exact DuckDB oracle; recall/error floors are asserted in-query)
-# — they enter the window via _WINDOW_ROWS_ONLY so the driver records
-# their weaker check too, completing 283/283 cumulative coverage.
-# The 18 filler slots re-verify the STALEST driver rows: the 7 queries
-# last checked in round 1 (incl. q_image_features, rows-only back then,
-# oracle-backed since r6) and 11 round-2 rows across analytics/etl.
+# r8 rotation (VERDICT r7 item 4 — freshness): the r7 window CLOSED the
+# catalog (285/285 cumulative, pinned by tests/test_catalog_window.py),
+# so the metric is now staleness. This window holds the 50 rows whose
+# LAST driver check is oldest: the single r1 row (q_distinct_approx,
+# rows-only by design — an approx-distinct sketch with no exact DuckDB
+# oracle; error floor asserted in-query), ALL 34 r2 rows (the TPC-H/
+# relational-surface core plus the etl function batteries), and 15 r3
+# rows chosen for family spread (similarity/dedup/timeseries/text/
+# selection/multimodal/connectors/stats). After this window runs, the
+# cumulative staleness median drops below two rounds.
 _WINDOW_ROWS_ONLY: frozenset[str] = frozenset({
-    "q_kmeans_clusters", "q_ann_pq_topk", "q_ann_ivfpq_topk",
-    "q_hll_user_rollup",
+    "q_distinct_approx",
 })
 _WINDOW_FAMILIES: dict[str, list[str]] = {
-    "connectors": [
-        "q_avro_roundtrip", "q_pg_copy_roundtrip", "q_delta_read",
-        "q_delta_dv_read", "q_delta_sync", "q_iceberg_read",
-        "q_iceberg_changes",
+    "analytics": [
+        "q_distinct_approx", "q10_returned_items",
+        "q13_order_distribution", "q14_promo_revenue", "q17_small_qty",
+        "q19_disjunctive", "q22_global_sales_opp", "q4_exists_priority",
+        "q9_product_profit", "q_cube", "q_distinct_exact",
+        "q_grouping_sets", "q_percentiles", "q_pivot", "q_rank_functions",
+        "q_rfm_segments", "q_running_window", "q_set_ops",
+        "q_value_window_functions",
     ],
     "etl": [
-        "q_merge_into", "q_manifest_constraints", "q_time_travel_ts",
-        "q_apply_changes", "q_manifest_key_prune", "q_manifest_bloom_prune",
-        "q_zorder_keys", "q_fd_discovery", "q_k_anonymize", "q_bitemporal",
-        "q_projection_filter", "q_semi_join", "q_anti_join",
-        "q_limit_sort", "q_count_min_max",
+        "q_array_funcs", "q_conditional_agg", "q_date_funcs",
+        "q_groupby_histogram", "q_hwm", "q_incremental_delta",
+        "q_incremental_rollup", "q_integrity_audit",
+        "q_outer_join_reconcile", "q_profile_table", "q_regex_funcs",
+        "q_salted_join", "q_string_agg", "q_string_funcs",
+        "q_union_consolidate", "q_unpivot",
     ],
+    "similarity": ["q_ann_bruteforce_topk", "q_ann_lsh_topk"],
     "dedup": [
-        "q_passjoin_pairs", "q_exact_substr_dedup", "q_dedup_exact",
-        "q_dedup_simhash", "q_dedup_ngram_jaccard",
+        "q_decontaminate", "q_dedup_minhash_lsh", "q_dedup_recall_eval",
     ],
-    "graph": ["q_bom_explode", "q_random_walks"],
-    "multimodal": [
-        "q_image_headers", "q_media_metadata", "q_frame_sample",
-        "q_image_features",
-    ],
-    "similarity": [
-        "q_kmeans_clusters", "q_ann_pq_topk", "q_ann_ivfpq_topk",
-        "q_embedding_dedup",
-    ],
-    "stats": ["q_winsorize", "q_stream_cms_build", "q_hll_portable"],
-    "text": ["q_doc_fingerprint", "q_top_p_selection"],
-    "timeseries": [
-        "q_event_funnel", "q_gap_fill", "q_hll_user_rollup",
-        "q_manifest_stream_source",
-    ],
-    "analytics": [
-        "q1_pricing_summary", "q3_shipping_priority", "q_topk_per_group",
-        "q_rollup",
-    ],
+    "timeseries": ["q_asof_join", "q_cusum_changepoint"],
+    "multimodal": ["q_audio_features"],
+    "selection": ["q_bigram_xent", "q_dsir_weights"],
+    "text": ["q_bpe_train", "q_gopher_quality"],
+    "connectors": ["q_csv_roundtrip", "q_es_roundtrip"],
+    "stats": ["q_heavy_hitters_cms"],
 }
 
 
