@@ -515,9 +515,19 @@ def main() -> None:
     # repeat spread, re-measure each in a fresh subprocess, substitute.
     artifact = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r8.json")
     prev_queries: dict[str, float] | None = None
-    if artifact and os.path.exists(artifact):
+    prev_path = artifact if artifact and os.path.exists(artifact) else None
+    if prev_path is None and artifact:
+        # first run of a round: flag against the NEWEST prior-round
+        # artifact instead of nothing (its per-query records are the
+        # only cross-run signal available; contaminated rows in it only
+        # make flagging more conservative, never less)
+        import glob as _glob
+
+        cands = sorted(_glob.glob("BENCH_LOCAL_r*.json"))
+        prev_path = cands[-1] if cands else None
+    if prev_path:
         try:
-            with open(artifact) as fh:
+            with open(prev_path) as fh:
                 prev_queries = json.load(fh).get("queries")
         except (json.JSONDecodeError, OSError):
             prev_queries = None
