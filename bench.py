@@ -282,7 +282,12 @@ def flag_outliers(
         ):
             flagged.append(n)
             continue
-        runs = (dispersion.get(n) or {}).get("runs") or []
+        # intra-run signal over the STEADY-STATE runs only: run 1 pays
+        # per-plan codegen/JIT by design (the scalar already excludes
+        # it), so including it here just manufactures flags — measured
+        # in the first r8 sweep: 10 of 11 flags were run-1-shaped and
+        # the isolated re-measure reproduced the same run-1 spike
+        runs = ((dispersion.get(n) or {}).get("runs") or [])[1:]
         if (
             len(runs) > 1
             and min(runs) > 0

@@ -121,15 +121,19 @@ def test_flag_outliers_and_self_verify():
     import bench
 
     timings = {"q_fast": 1.0, "q_cross_run": 40.0, "q_intra_run": 20.0,
-               "q_tiny": 0.3}
+               "q_tiny": 0.3, "q_slow_first_run": 2.0}
     dispersion = {
         "q_fast": {"runs": [1.1, 1.0, 1.0]},
         "q_cross_run": {"runs": [41.0, 40.0, 39.0]},   # stable but 10x prev
         "q_intra_run": {"runs": [45.0, 1.6, 20.0]},    # r7's 28x spread
         "q_tiny": {"runs": [0.9, 0.1, 0.3]},           # big ratio, sub-2s
+        # run 1 pays plan codegen by design: steady-state runs agree ->
+        # NOT contamination (measured: 10/11 first-sweep flags were
+        # this shape and re-measured to the same numbers)
+        "q_slow_first_run": {"runs": [14.0, 2.1, 1.9]},
     }
     prev = {"q_fast": 1.0, "q_cross_run": 4.0, "q_intra_run": 18.0,
-            "q_tiny": 0.1}
+            "q_tiny": 0.1, "q_slow_first_run": 2.0}
     flagged = bench.flag_outliers(timings, dispersion, prev)
     assert set(flagged) == {"q_cross_run", "q_intra_run"}
 
