@@ -194,12 +194,18 @@ def main(argv: list[str] | None = None) -> int:
         help="exported-table maintenance: dest-side vacuum of "
         "unreferenced DV bins / data / delete files",
     )
-    p_lake.add_argument("op", choices=["vacuum-delta", "vacuum-iceberg"])
+    p_lake.add_argument("op", choices=["vacuum-delta", "vacuum-iceberg",
+                                       "checkpoint-delta",
+                                       "expire-iceberg"])
     p_lake.add_argument("dest", help="exported table directory")
     p_lake.add_argument(
         "--grace-hours", type=float, default=168.0,
         help="minimum file age before reclaim (default 7 days, Delta's "
         "own VACUUM default; 0 only when no reader is mid-snapshot)",
+    )
+    p_lake.add_argument(
+        "--keep-last", type=int, default=5,
+        help="expire-iceberg: snapshots to retain (current always kept)",
     )
     ns = p.parse_args(argv)
     if ns.cmd == "init":
@@ -309,17 +315,32 @@ def main(argv: list[str] | None = None) -> int:
 
         from forklift_spark.session import get_spark
 
-        if ns.op == "vacuum-delta":
+        if ns.op == "checkpoint-delta":
             from forklift_spark.connections.deltalite import (
-                vacuum_delta_export as _vac,
+                checkpoint_delta_export,
             )
-        else:
+
+            print(_json.dumps(checkpoint_delta_export(
+                get_spark(), ns.dest)))
+        elif ns.op == "expire-iceberg":
             from forklift_spark.connections.iceberglite import (
-                vacuum_iceberg_export as _vac,
+                expire_iceberg_export_snapshots,
             )
-        print(_json.dumps(_vac(
-            get_spark(), ns.dest,
-            grace_ms=int(ns.grace_hours * 3600 * 1000))))
+
+            print(_json.dumps(expire_iceberg_export_snapshots(
+                get_spark(), ns.dest, keep_last=ns.keep_last)))
+        else:
+            if ns.op == "vacuum-delta":
+                from forklift_spark.connections.deltalite import (
+                    vacuum_delta_export as _vac,
+                )
+            else:
+                from forklift_spark.connections.iceberglite import (
+                    vacuum_iceberg_export as _vac,
+                )
+            print(_json.dumps(_vac(
+                get_spark(), ns.dest,
+                grace_ms=int(ns.grace_hours * 3600 * 1000))))
     else:
         run(ns.plan, ns.steps)
     return 0

@@ -316,6 +316,8 @@ class DeltaLiteTable:
             sel = ["add.path", "add.partitionValues"]
             if "deletionVector" in add_fields:
                 sel.append("add.deletionVector")
+            if "tags" in add_fields:  # sync's dv-churn detection reads
+                sel.append("add.tags")  # the forklift_dv_src tag
             for r in (
                 df.filter(F.col("add").isNotNull()).select(*sel).collect()
             ):
@@ -324,7 +326,8 @@ class DeltaLiteTable:
                 files[unquote(r["path"])] = {
                     "pv": dict(r["partitionValues"] or {}),
                     "dv": dv.asDict() if dv is not None else None,
-                    "tags": {},
+                    "tags": dict(r["tags"] or {})
+                    if "tags" in add_fields else {},
                 }
         return meta, files
 
@@ -759,7 +762,8 @@ def _link_or_copy(src: str, dst: str) -> None:
 
 
 def sync_manifest_to_delta(table, dest: str,
-                           dv_mode: str = "refuse") -> dict:
+                           dv_mode: str = "refuse",
+                           checkpoint_interval: int = 10) -> dict:
     """INCREMENTAL export: bring the Delta log at ``dest`` up to the
     manifest table's current state with ONE new commit containing only
     the delta (VERDICT r6 item 4 — the recurring-publish story, the
@@ -785,8 +789,14 @@ def sync_manifest_to_delta(table, dest: str,
     DV also re-states the protocol at reader version 3 (spec-legal
     in-commit upgrade).
 
+    Every ``checkpoint_interval`` commits (default 10, Delta's own
+    cadence; 0 disables) the sync also writes a spec parquet checkpoint
+    + ``_last_checkpoint`` so external replay stays bounded at
+    checkpoint + tail however long the publisher lives
+    (``checkpoint_delta_export``).
+
     Returns {"mode": "full"|"incremental"|"noop", "added", "removed",
-    "dv_updated", "version", "delta_version"}.
+    "dv_updated", "version", "delta_version"[, "checkpoint"]}.
     """
     log_dir = os.path.join(dest, "_delta_log")
     if not os.path.isdir(log_dir):
@@ -851,9 +861,153 @@ def sync_manifest_to_delta(table, dest: str,
             fh.write(json.dumps(
                 {"add": _add_action(table, dest, entries[rel], descs)}
             ) + "\n")
-    return {"mode": "incremental", "added": len(added),
-            "removed": len(removed), "dv_updated": len(dv_updated),
-            "version": m.get("version", 0), "delta_version": v}
+    out = {"mode": "incremental", "added": len(added),
+           "removed": len(removed), "dv_updated": len(dv_updated),
+           "version": m.get("version", 0), "delta_version": v}
+    # bounded external replay (r8): real Delta writers checkpoint every
+    # N commits so readers replay checkpoint + tail, not every JSON
+    # commit ever published; 0/None disables
+    if checkpoint_interval and v % checkpoint_interval == 0:
+        ck = checkpoint_delta_export(table.spark, dest, version=v)
+        out["checkpoint"] = ck["version"]
+    return out
+
+
+_DV_PA_FIELDS = [
+    ("storageType", "string"), ("pathOrInlineDv", "string"),
+    ("offset", "int32"), ("sizeInBytes", "int32"),
+    ("cardinality", "int64"),
+]
+
+
+def checkpoint_delta_export(spark: SparkSession, dest: str,
+                            version: int | None = None) -> dict:
+    """Write a spec-shaped single-file parquet CHECKPOINT for an
+    exported Delta log (r8: the long-lived-publisher companion of the
+    incremental sync — without checkpoints an external reader replays
+    EVERY JSON commit ever published; real Delta writers checkpoint
+    every N commits so replay cost is bounded at checkpoint + tail).
+
+    Per PROTOCOL.md 'Checkpoints': one row per action — the protocol,
+    the latest metaData, every live add (including deletionVector
+    descriptors), and the remove TOMBSTONES still present in the
+    retained JSON commits (readers use them for vacuum coordination) —
+    at ``_delta_log/{v:020d}.checkpoint.parquet``, plus the
+    ``_last_checkpoint`` pointer. Written with pyarrow directly
+    (driver-side, O(files) metadata — same bound as the log itself).
+
+    Returns {"version": v, "actions": n}.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = DeltaLiteTable(spark, dest)
+    v = t.latest_version() if version is None else int(version)
+    snap = t.snapshot(v)
+
+    # tombstones: removes from the retained JSON commits up to v
+    tombstones: list[dict] = []
+    for cv in t.versions():
+        if cv > v:
+            continue
+        with open(os.path.join(t.log_dir, f"{cv:020d}.json")) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    act = json.loads(line)
+                    if "remove" in act:
+                        tombstones.append(act["remove"])
+
+    dv_type = pa.struct([(n, getattr(pa, tp)()) for n, tp in _DV_PA_FIELDS])
+    str_map = pa.map_(pa.string(), pa.string())
+    protocol_type = pa.struct([
+        ("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32()),
+        ("readerFeatures", pa.list_(pa.string())),
+        ("writerFeatures", pa.list_(pa.string())),
+    ])
+    meta_type = pa.struct([
+        ("id", pa.string()),
+        ("format", pa.struct([("provider", pa.string()),
+                              ("options", str_map)])),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", str_map),
+        ("createdTime", pa.int64()),
+    ])
+    add_type = pa.struct([
+        ("path", pa.string()), ("partitionValues", str_map),
+        ("size", pa.int64()), ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()), ("deletionVector", dv_type),
+        ("tags", str_map),
+    ])
+    remove_type = pa.struct([
+        ("path", pa.string()), ("deletionTimestamp", pa.int64()),
+        ("dataChange", pa.bool_()), ("deletionVector", dv_type),
+    ])
+
+    has_dv = any(e.get("dv") for e in snap["files"].values())
+    proto = _protocol_action(has_dv)["protocol"]
+    proto.setdefault("readerFeatures", None)
+    proto.setdefault("writerFeatures", None)
+
+    def _dv_of(dv):
+        if not dv:
+            return None
+        return {n: dv.get(n) for n, _tp in _DV_PA_FIELDS}
+
+    def _m(d):
+        return list((d or {}).items())
+
+    rows_p, rows_m, rows_a, rows_r = [proto], [None], [None], [None]
+    meta = dict(snap["meta"])
+    fmt = meta.get("format") or {"provider": "parquet", "options": {}}
+    rows_m.append({
+        "id": meta.get("id"),
+        "format": {"provider": fmt.get("provider", "parquet"),
+                   "options": _m(fmt.get("options"))},
+        "schemaString": meta.get("schemaString"),
+        "partitionColumns": list(meta.get("partitionColumns") or []),
+        "configuration": _m(meta.get("configuration")),
+        "createdTime": meta.get("createdTime"),
+    })
+    rows_p.append(None)
+    rows_a.append(None)
+    rows_r.append(None)
+    for rel, e in sorted(snap["files"].items()):
+        ap = os.path.join(t.path, rel)
+        rows_a.append({
+            "path": rel, "partitionValues": _m(e.get("pv")),
+            "size": os.path.getsize(ap) if os.path.exists(ap) else 0,
+            "modificationTime": int(os.path.getmtime(ap) * 1000)
+            if os.path.exists(ap) else 0,
+            "dataChange": False, "deletionVector": _dv_of(e.get("dv")),
+            "tags": _m(e.get("tags")),
+        })
+        rows_p.append(None)
+        rows_m.append(None)
+        rows_r.append(None)
+    for r in tombstones:
+        rows_r.append({
+            "path": unquote(r["path"]),
+            "deletionTimestamp": r.get("deletionTimestamp"),
+            "dataChange": bool(r.get("dataChange", True)),
+            "deletionVector": _dv_of(r.get("deletionVector")),
+        })
+        rows_p.append(None)
+        rows_m.append(None)
+        rows_a.append(None)
+
+    table = pa.table({
+        "protocol": pa.array(rows_p, protocol_type),
+        "metaData": pa.array(rows_m, meta_type),
+        "add": pa.array(rows_a, add_type),
+        "remove": pa.array(rows_r, remove_type),
+    })
+    out = os.path.join(t.log_dir, f"{v:020d}.checkpoint.parquet")
+    pq.write_table(table, out)
+    with open(os.path.join(t.log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": v, "size": table.num_rows}, fh)
+    return {"version": v, "actions": table.num_rows}
 
 
 def vacuum_delta_export(spark: SparkSession, dest: str,

@@ -1196,3 +1196,79 @@ def vacuum_iceberg_export(spark: SparkSession, dest: str,
                 pass
     return {"removed": removed, "kept_live": kept_live,
             "kept_grace": kept_grace}
+
+
+def expire_iceberg_export_snapshots(spark: SparkSession, dest: str,
+                                    keep_last: int = 5) -> dict:
+    """Iceberg's ``expire_snapshots`` for an exported table (r8: the
+    metadata-side companion of ``vacuum_iceberg_export`` — a long-lived
+    publisher otherwise grows ``snapshots`` and keeps every historical
+    manifest list / manifest Avro forever). Keeps the LAST ``keep_last``
+    snapshots (always including the current one), writes the next
+    ``v{N}.metadata.json`` + version-hint, and deletes manifest-list and
+    manifest Avro files referenced ONLY by expired snapshots (manifests
+    REUSED by retained snapshots — the sync's O(delta) norm — are kept).
+
+    Old metadata.json versions stay on disk (they are tiny and the
+    version-hint always points at the newest); time travel to an
+    expired snapshot fails LOUDLY on its missing manifest list — the
+    same trade Iceberg's own expire_snapshots documents. Data files are
+    NOT touched here: ``vacuum_iceberg_export`` reclaims those.
+
+    Returns {"expired": n, "kept": n, "metadata_files_removed": n}.
+    """
+    t = IcebergLiteTable(spark, dest)
+    meta_file = t._resolve_metadata_file()
+    meta = t.metadata()
+    snaps = list(meta.get("snapshots") or [])
+    if len(snaps) <= keep_last:
+        return {"expired": 0, "kept": len(snaps),
+                "metadata_files_removed": 0}
+    snaps.sort(key=lambda s: s["snapshot-id"])
+    kept = snaps[-keep_last:]
+    cur = meta.get("current-snapshot-id")
+    if cur is not None and cur not in {s["snapshot-id"] for s in kept}:
+        raise IcebergUnsupported(
+            f"current snapshot {cur} would be expired (keep_last="
+            f"{keep_last} too small for this history)")
+    expired = snaps[:-keep_last]
+
+    def _avros_of(snap_entries: list[dict]) -> set[str]:
+        out: set[str] = set()
+        for s in snap_entries:
+            lp = t._abs(s["manifest-list"])
+            out.add(os.path.normpath(lp))
+            try:
+                _, mfs = av.read_container_file(lp)
+            except FileNotFoundError:
+                continue
+            for mf in mfs:
+                out.add(os.path.normpath(t._abs(mf["manifest_path"])))
+        return out
+
+    retained = _avros_of(kept)
+    removable = _avros_of(expired) - retained
+    removed = 0
+    for p in sorted(removable):
+        if os.path.exists(p):
+            os.remove(p)
+            removed += 1
+
+    new_meta = dict(meta)
+    new_meta["snapshots"] = kept
+    # drop parent links that now point outside the retained history
+    kept_ids = {s["snapshot-id"] for s in kept}
+    new_meta["snapshots"] = [
+        dict(s, **({"parent-snapshot-id": None}
+                   if s.get("parent-snapshot-id") not in kept_ids else {}))
+        for s in kept
+    ]
+    meta_dir = os.path.join(dest, "metadata")
+    num = _META_NUM_RE.match(os.path.basename(meta_file))
+    next_v = int(num.group(1)) + 1 if num else 2
+    with open(os.path.join(meta_dir, f"v{next_v}.metadata.json"), "w") as fh:
+        json.dump(new_meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(next_v))
+    return {"expired": len(expired), "kept": len(kept),
+            "metadata_files_removed": removed}

@@ -570,3 +570,121 @@ def test_iceberg_vacuum_and_delete_file_compaction(spark, tmp_path):
                if "metadata" not in dp
                for f in fs if f.endswith(".parquet")}
     assert on_disk == live
+
+
+# ---------------------- checkpointing + snapshot expiry (r8 additions)
+
+
+def test_delta_sync_writes_checkpoint_and_replays_cleaned_log(
+        spark, tmp_path):
+    """Every 10th sync commit writes a spec parquet checkpoint +
+    _last_checkpoint, so external replay is bounded at checkpoint +
+    tail — even after the pre-checkpoint JSON commits are cleaned (the
+    Delta retention job)."""
+    from forklift_spark.connections.deltalite import (
+        checkpoint_delta_export,
+    )
+
+    t = _mk_table(spark, str(tmp_path / "m"))
+    dest = str(tmp_path / "d")
+    sync_manifest_to_delta(t, dest)             # delta version 0
+    r = None
+    for i in range(10):                          # versions 1..10
+        t.merge(spark.createDataFrame([(1000 + i, 1, i)],
+                                      "k long, p int, v long"), on="k")
+        r = sync_manifest_to_delta(t, dest)
+    assert r["delta_version"] == 10 and r.get("checkpoint") == 10
+    log = os.path.join(dest, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{10:020d}.checkpoint.parquet"))
+    assert json.load(open(os.path.join(log, "_last_checkpoint")))[
+        "version"] == 10
+    assert _rows(DeltaLiteTable(spark, dest).read()) == _rows(t.read())
+
+    # clean the pre-checkpoint JSON commits: replay must still work
+    for v in range(0, 10):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    t.merge(spark.createDataFrame([(2000, 2, 42)],
+                                  "k long, p int, v long"), on="k")
+    r2 = sync_manifest_to_delta(t, dest)         # tail commit 11
+    assert r2["delta_version"] == 11
+    assert _rows(DeltaLiteTable(spark, dest).read()) == _rows(t.read())
+    # time travel to a cleaned version refuses loudly
+    with pytest.raises(FileNotFoundError, match="missing commit"):
+        DeltaLiteTable(spark, dest).snapshot(5)
+
+    # standalone re-checkpoint at the new head also works
+    ck = checkpoint_delta_export(spark, dest)
+    assert ck["version"] == 11 and ck["actions"] >= 2
+
+
+def test_delta_checkpoint_preserves_dv_and_tags(spark, tmp_path):
+    """DV descriptors AND the forklift_dv_src tag survive the parquet
+    checkpoint round-trip: masked rows stay hidden when replaying from
+    the checkpoint, and the next dv sync still detects churn exactly
+    (a lost tag would re-add every masked file)."""
+    from forklift_spark.connections.deltalite import (
+        checkpoint_delta_export,
+    )
+
+    t = _mk_table(spark, str(tmp_path / "m"))
+    dest = str(tmp_path / "d")
+    t.merge(spark.createDataFrame([(7, 4, 777)], "k long, p int, v long"),
+            on="k", use_dv=True)
+    sync_manifest_to_delta(t, dest, dv_mode="native")
+    checkpoint_delta_export(spark, dest)
+    log = os.path.join(dest, "_delta_log")
+    os.remove(os.path.join(log, f"{0:020d}.json"))  # checkpoint-only
+    ext = DeltaLiteTable(spark, dest)
+    got = _rows(ext.read())
+    assert got == _rows(t.read())
+    assert (7, 4, 777) in got and (7, 4, 70) not in got
+
+    # noop detection still exact from checkpoint state (tags intact)
+    r = sync_manifest_to_delta(t, dest, dv_mode="native")
+    assert r["mode"] == "noop", r
+    # and a real dv growth is still detected as exactly one update
+    t.merge(spark.createDataFrame([(11, 4, 1111)], "k long, p int, v long"),
+            on="k", use_dv=True)
+    r2 = sync_manifest_to_delta(t, dest, dv_mode="native")
+    assert r2["mode"] == "incremental" and r2["dv_updated"] == 1
+    assert _rows(DeltaLiteTable(spark, dest).read()) == _rows(t.read())
+
+
+def test_iceberg_expire_snapshots(spark, tmp_path):
+    """expire_iceberg_export_snapshots keeps the last N snapshots,
+    deletes manifest avros referenced ONLY by expired ones (reused
+    manifests survive), and expired time travel fails loudly."""
+    from forklift_spark.connections.iceberglite import (
+        expire_iceberg_export_snapshots,
+    )
+
+    t = _mk_table(spark, str(tmp_path / "m"))
+    dest = str(tmp_path / "i")
+    sync_manifest_to_iceberg(t, dest)            # snapshot 1
+    for i in range(6):                           # snapshots 2..7
+        t.merge(spark.createDataFrame([(3000 + i, 1, i)],
+                                      "k long, p int, v long"), on="k")
+        sync_manifest_to_iceberg(t, dest)
+    ext = IcebergLiteTable(spark, dest)
+    assert len(ext.metadata()["snapshots"]) == 7
+
+    res = expire_iceberg_export_snapshots(spark, dest, keep_last=3)
+    assert res["expired"] == 4 and res["kept"] == 3
+    ext2 = IcebergLiteTable(spark, dest)
+    meta2 = ext2.metadata()
+    assert len(meta2["snapshots"]) == 3
+    assert meta2["current-snapshot-id"] == 7
+    assert _rows(ext2.read()) == _rows(t.read())
+    # retained history still time-travels; expired does not
+    assert _rows(ext2.read(snapshot_id=5)) != _rows(t.read())
+    with pytest.raises(ValueError, match="snapshot 1 not in"):
+        ext2.read(snapshot_id=1)
+    # idempotent / no-op below threshold
+    assert expire_iceberg_export_snapshots(
+        spark, dest, keep_last=5)["expired"] == 0
+    # vacuum still agrees with the retained state
+    from forklift_spark.connections.iceberglite import (
+        vacuum_iceberg_export,
+    )
+    vacuum_iceberg_export(spark, dest, grace_ms=0)
+    assert _rows(IcebergLiteTable(spark, dest).read()) == _rows(t.read())
