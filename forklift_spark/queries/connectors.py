@@ -1323,3 +1323,160 @@ def q_iceberg_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q_delta_checkpoint_read — bounded external replay for a long-lived
+# Delta publisher (r8, VERDICT r7 item 2 continuation): a dv-masked
+# manifest table is synced with dv_mode='native', a spec parquet
+# CHECKPOINT is written, every pre-checkpoint JSON commit is then
+# CLEANED (the Delta retention job), and one more tail commit lands.
+# The external replay — our spec reader over checkpoint + tail only —
+# must equal the post-merge oracle: a checkpoint that lost the DV
+# descriptors, mangled the partition values, or skipped the tail commit
+# breaks the hash. The in-row flag certifies the replay really had no
+# pre-checkpoint JSON to lean on.
+# --------------------------------------------------------------------------
+DELTA_CHECKPOINT_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(
+         CASE WHEN o_orderkey % 63 = 11 AND o_orderstatus = 'F'
+              THEN 0.03
+              WHEN o_orderkey % 71 = 5 AND o_orderstatus = 'O'
+              THEN 0.02
+              ELSE o_totalprice END
+         AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+       CAST(1 AS BIGINT) AS checkpoint_only_replay
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("q_delta_checkpoint_read", DELTA_CHECKPOINT_ORACLE)
+def q_delta_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    from forklift_spark.connections.deltalite import (
+        DeltaLiteTable,
+        checkpoint_delta_export,
+        sync_manifest_to_delta,
+    )
+    from forklift_spark.manifest import ManifestTable
+
+    od = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    root = tempfile.mkdtemp(prefix="fk_delta_ckpt_")
+    t = ManifestTable(spark, os.path.join(root, "src"), "orders_ckpt")
+    t.create(od, partition_by="o_orderstatus")
+    dest = os.path.join(root, "pub")
+    sync_manifest_to_delta(t, dest)                       # version 0
+
+    # dv merge: masked rows + a fresh file, exported as REAL Delta DVs
+    price_t = od.schema["o_totalprice"].dataType
+    upd1 = od.filter(
+        (F.col("o_orderkey") % 71 == 5) & (F.col("o_orderstatus") == "O")
+    ).withColumn("o_totalprice", F.lit(0.02).cast(price_t))
+    t.merge(upd1, on="o_orderkey", use_dv=True)
+    sync_manifest_to_delta(t, dest, dv_mode="native")     # version 1
+
+    checkpoint_delta_export(spark, dest)                  # ckpt @ 1
+    log = os.path.join(dest, "_delta_log")
+    for v in (0, 1):  # the Delta retention job: pre-ckpt JSON cleaned
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+
+    upd2 = od.filter(
+        (F.col("o_orderkey") % 63 == 11) & (F.col("o_orderstatus") == "F")
+    ).withColumn("o_totalprice", F.lit(0.03).cast(price_t))
+    t.merge(upd2, on="o_orderkey")
+    sync_manifest_to_delta(t, dest, dv_mode="native")     # tail: v2
+
+    ext = DeltaLiteTable(spark, dest)
+    ckpt_only = int(
+        bool(_glob.glob(os.path.join(log, "*.checkpoint.parquet")))
+        and ext.versions() == [2]  # only the tail commit remains as JSON
+    )
+    return (
+        ext.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(dec("o_totalprice", MONEY)).cast("double")
+             .alias("sum_price"),
+            F.lit(ckpt_only).cast("bigint")
+             .alias("checkpoint_only_replay"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_iceberg_expire_read — snapshot expiry for a long-lived Iceberg
+# publisher (r8): four published snapshots, then
+# expire_iceberg_export_snapshots(keep_last=2). The current-state read
+# must still equal the post-merge oracle (reused manifests retained by
+# the kept snapshots must survive the expiry deletes), the in-row flag
+# certifies 2 snapshots were expired AND time travel to the expired
+# first snapshot now refuses loudly. Merge precedence is
+# latest-wins, so the oracle CASE checks the latest slice first.
+# --------------------------------------------------------------------------
+ICEBERG_EXPIRE_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(
+         CASE WHEN c_custkey % 31 = 7 THEN 3.33
+              WHEN c_custkey % 37 = 5 THEN 2.22
+              WHEN c_custkey % 41 = 3 THEN 1.11
+              ELSE c_acctbal END
+         AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal,
+       CAST(1 AS BIGINT) AS expiry_enforced
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("q_iceberg_expire_read", ICEBERG_EXPIRE_ORACLE)
+def q_iceberg_expire_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.connections.iceberglite import (
+        IcebergLiteTable,
+        expire_iceberg_export_snapshots,
+        sync_manifest_to_iceberg,
+    )
+    from forklift_spark.manifest import ManifestTable
+
+    cu = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="fk_ice_expire_")
+    t = ManifestTable(spark, os.path.join(root, "src"), "cust_pub")
+    t.create(cu, partition_by="c_mktsegment")
+    dest = os.path.join(root, "pub")
+    sync_manifest_to_iceberg(t, dest)                     # snapshot 1
+
+    bal_t = cu.schema["c_acctbal"].dataType
+    for mod, rem, val in ((41, 3, 1.11), (37, 5, 2.22), (31, 7, 3.33)):
+        upd = cu.filter(F.col("c_custkey") % mod == rem).withColumn(
+            "c_acctbal", F.lit(val).cast(bal_t))
+        t.merge(upd, on="c_custkey")                      # snaps 2..4
+        sync_manifest_to_iceberg(t, dest)
+
+    res = expire_iceberg_export_snapshots(spark, dest, keep_last=2)
+    refused = 0
+    try:
+        IcebergLiteTable(spark, dest).read(snapshot_id=1)
+    except ValueError:
+        refused = 1
+    enforced = int(res["expired"] == 2 and refused == 1)
+    return (
+        IcebergLiteTable(spark, dest).read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(dec("c_acctbal", MONEY)).cast("double").alias("sum_bal"),
+            F.lit(enforced).cast("bigint").alias("expiry_enforced"),
+        )
+        .orderBy("c_mktsegment")
+    )
