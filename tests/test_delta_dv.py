@@ -412,3 +412,45 @@ def test_dv_relative_path_and_space_in_dir(spark, tmp_path, monkeypatch):
     _commit(log, 0, [_v3_protocol(), _meta_action(partition_cols=()), add])
     rows = DeltaLiteTable(spark, tdir).read().collect()
     assert sorted(r.k for r in rows) == [0, 2, 3, 5]
+
+
+def test_checkpoint_export_partitioned_foreign_table(spark, tmp_path):
+    """checkpoint_delta_export also works on a PARTITIONED table this
+    engine didn't write: partition values and DV descriptors survive
+    the parquet round-trip, and the table replays from the checkpoint
+    alone after the JSON commits are cleaned."""
+    from forklift_spark.connections.deltalite import (
+        checkpoint_delta_export,
+    )
+
+    tdir = str(tmp_path / "pt")
+    log = os.path.join(tdir, "_delta_log")
+    os.makedirs(log)
+
+    def pdf(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("x"), F.col("id")).alias("v"))
+
+    _one_parquet_file(spark, pdf(0, 5).coalesce(1).sortWithinPartitions("k"),
+                      os.path.join(tdir, "p=1/a.parquet"))
+    _one_parquet_file(spark, pdf(10, 15).coalesce(1)
+                      .sortWithinPartitions("k"),
+                      os.path.join(tdir, "p=2/b.parquet"))
+    a1 = _add("p=1/a.parquet", {"p": "1"})
+    a1["add"]["deletionVector"] = _u_descriptor(tdir, [0, 3])  # k 0, 3
+    a2 = _add("p=2/b.parquet", {"p": "2"})
+    _commit(log, 0, [_v3_protocol(), _meta_action(), a1, a2])
+
+    before = sorted((r.k, r.p) for r in
+                    DeltaLiteTable(spark, tdir).read().collect())
+    ck = checkpoint_delta_export(spark, tdir)
+    assert ck["version"] == 0 and ck["actions"] >= 4
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+
+    t = DeltaLiteTable(spark, tdir)
+    after = sorted((r.k, r.p) for r in t.read().collect())
+    assert after == before
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 4, 10, 11,
+                                                       12, 13, 14]
+    assert {r.p for r in t.read().collect()} == {1, 2}
