@@ -477,7 +477,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     dispersion: dict[str, dict[str, float]] = {}
-    for name in names:
+    for qi, name in enumerate(names):
         runs: list[float] = []
         for _ in range(repeat):
             t0 = time.perf_counter()
@@ -517,6 +517,19 @@ def main() -> None:
                 rdd.unpersist()
         except Exception:
             pass
+        # r8 insurance (not a reproduced-bug fix — three probes could
+        # not reproduce the driver-r7 contamination in-process): Spark's
+        # ContextCleaner frees broadcasts / shuffle state / shuffle
+        # FILES only when the JVM GC collects their weak references,
+        # and Python-side gc.collect() never triggers a JVM GC — over
+        # 600+ query executions the uncollected registry and on-disk
+        # shuffle files only grow. One System.gc() every 25 queries is
+        # ~100ms amortized and bounds both.
+        if qi % 25 == 24:
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
 
     # Self-verify BEFORE publishing any number (VERDICT r7 item 1):
     # flag tail outliers vs the previous artifact and this sweep's own
