@@ -203,8 +203,22 @@ class DeltaLiteTable:
         meta: dict | None = None
         start = 0
 
+        have_json = set(self.versions())
         ck = self._last_checkpoint()
-        if ck and ck["version"] <= target:
+        # Replay-path choice (r8, measured in SCALE_DELTA_r8.json): the
+        # pure-Python JSON replay costs ~40us/commit while reading the
+        # checkpoint parquet is a flat ~0.25s Spark job — so when the
+        # FULL JSON history up to target is still on disk and short,
+        # JSON-only replay wins by ~100x. The checkpoint remains
+        # required when retention cleaned the early commits, and wins
+        # past a few thousand commits.
+        _JSON_REPLAY_MAX = 512
+        json_covers = all(v in have_json for v in range(0, target + 1))
+        if (
+            ck
+            and ck["version"] <= target
+            and not (json_covers and target + 1 <= _JSON_REPLAY_MAX)
+        ):
             meta2, files2 = self._read_checkpoint(int(ck["version"]))
             meta = meta2 or meta
             files.update(files2)

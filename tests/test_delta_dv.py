@@ -454,3 +454,79 @@ def test_checkpoint_export_partitioned_foreign_table(spark, tmp_path):
     assert sorted(r.k for r in t.read().collect()) == [1, 2, 4, 10, 11,
                                                        12, 13, 14]
     assert {r.p for r in t.read().collect()} == {1, 2}
+
+
+# -------------------------- property: spec reconciliation equivalence
+
+
+def test_snapshot_matches_spec_reconciler_property(tmp_path):
+    """Property (ADVICE r7): over random legal commit histories
+    (adds, removals, DV updates in either line order, plus stale
+    removes carrying outdated dv ids), snapshot()'s live set equals
+    the strict spec model keyed by (path, dv uniqueId). Pure log
+    replay — no Spark session touched (no checkpoints written)."""
+    import random as _random
+
+    from forklift_spark.connections.deltalite import dv_unique_id
+
+    for seed in range(40):
+        rng = _random.Random(seed)
+        tdir = str(tmp_path / f"h{seed}")
+        log = os.path.join(tdir, "_delta_log")
+        os.makedirs(log)
+        paths = [f"f{i}.parquet" for i in range(5)]
+        live: dict[str, dict | None] = {}     # model: path -> dv or None
+        dvn = 0
+        commits: list[list[dict]] = [[_meta_action(partition_cols=())]]
+        for _ in range(rng.randrange(3, 12)):
+            actions: list[dict] = []
+            op = rng.random()
+            dead = [p for p in paths if p not in live]
+            if op < 0.35 and dead:                      # add new file
+                p = rng.choice(dead)
+                actions.append(_add(p, {}))
+                live[p] = None
+            elif op < 0.65 and live:                    # dv update
+                p = rng.choice(sorted(live))
+                old = live[p]
+                dvn += 1
+                new = {"storageType": "i", "pathOrInlineDv": f"x{dvn}",
+                       "offset": None, "sizeInBytes": 1, "cardinality": 1}
+                a = _add(p, {})
+                a["add"]["deletionVector"] = new
+                r = {"remove": {"path": p, "deletionTimestamp": 1,
+                                "dataChange": True}}
+                if old:
+                    r["remove"]["deletionVector"] = old
+                pair = [a, r]
+                rng.shuffle(pair)                        # either order
+                actions.extend(pair)
+                live[p] = new
+            elif op < 0.85 and live:                    # remove file
+                p = rng.choice(sorted(live))
+                r = {"remove": {"path": p, "deletionTimestamp": 1,
+                                "dataChange": True}}
+                if live[p]:
+                    r["remove"]["deletionVector"] = live[p]
+                actions.append(r)
+                del live[p]
+            else:                                        # stale remove
+                p = rng.choice(paths)
+                dvn += 1
+                r = {"remove": {"path": p, "deletionTimestamp": 1,
+                                "dataChange": True,
+                                "deletionVector": {
+                                    "storageType": "i",
+                                    "pathOrInlineDv": f"stale{dvn}",
+                                    "offset": None, "sizeInBytes": 1,
+                                    "cardinality": 1}}}
+                actions.append(r)                        # must be a no-op
+            if actions:
+                commits.append(actions)
+        for v, acts in enumerate(commits):
+            _commit(log, v, acts)
+        snap = DeltaLiteTable(None, tdir).snapshot()
+        got = {(p, dv_unique_id(e.get("dv")))
+               for p, e in snap["files"].items()}
+        want = {(p, dv_unique_id(dv)) for p, dv in live.items()}
+        assert got == want, f"seed {seed}: {got} != {want}"
