@@ -201,6 +201,7 @@ class DeltaLiteTable:
 
         files: dict[str, dict] = {}
         meta: dict | None = None
+        proto: dict | None = None
         start = 0
 
         have_json = set(self.versions())
@@ -219,8 +220,10 @@ class DeltaLiteTable:
             and ck["version"] <= target
             and not (json_covers and target + 1 <= _JSON_REPLAY_MAX)
         ):
-            meta2, files2 = self._read_checkpoint(int(ck["version"]))
+            meta2, files2, proto2 = self._read_checkpoint(
+                int(ck["version"]))
             meta = meta2 or meta
+            proto = proto2 or proto
             files.update(files2)
             start = int(ck["version"]) + 1
 
@@ -241,6 +244,7 @@ class DeltaLiteTable:
                     act = json.loads(line)
                     if "protocol" in act:
                         self._check_protocol(act["protocol"])
+                        proto = act["protocol"]
                     elif "metaData" in act:
                         meta = act["metaData"]
                     elif "add" in act:
@@ -288,6 +292,10 @@ class DeltaLiteTable:
             "partition_columns": list(meta.get("partitionColumns") or []),
             "files": files,
             "meta": meta,
+            # last-written protocol: checkpoints must restate the table
+            # protocol AS DECLARED (protocols never downgrade), not one
+            # inferred from whether masks happen to be live right now
+            "protocol": proto,
         }
 
     def _read_checkpoint(self, version: int) -> tuple[dict | None, dict]:
@@ -305,12 +313,16 @@ class DeltaLiteTable:
         )
         meta: dict | None = None
         files: dict[str, dict] = {}
+        proto: dict | None = None
         cols = set(df.columns)
         if "protocol" in cols:
             for r in df.filter(F.col("protocol").isNotNull()).select(
                 "protocol.*"
             ).collect():
-                self._check_protocol(r.asDict())
+                proto = {k: (list(v) if isinstance(v, (list, tuple))
+                             else v)
+                         for k, v in r.asDict().items() if v is not None}
+                self._check_protocol(proto)
         if "metaData" in cols:
             rows = df.filter(F.col("metaData").isNotNull()).select(
                 "metaData.*"
@@ -343,7 +355,7 @@ class DeltaLiteTable:
                     "tags": dict(r["tags"] or {})
                     if "tags" in add_fields else {},
                 }
-        return meta, files
+        return meta, files, proto
 
     @staticmethod
     def _check_protocol(proto: dict) -> None:
@@ -959,8 +971,11 @@ def checkpoint_delta_export(spark: SparkSession, dest: str,
         ("dataChange", pa.bool_()), ("deletionVector", dv_type),
     ])
 
-    has_dv = any(e.get("dv") for e in snap["files"].values())
-    proto = _protocol_action(has_dv)["protocol"]
+    proto = snap.get("protocol")
+    if not proto:  # log never declared one (not spec-legal, but be safe)
+        has_dv = any(e.get("dv") for e in snap["files"].values())
+        proto = _protocol_action(has_dv)["protocol"]
+    proto = dict(proto)
     proto.setdefault("readerFeatures", None)
     proto.setdefault("writerFeatures", None)
 

@@ -688,3 +688,38 @@ def test_iceberg_expire_snapshots(spark, tmp_path):
     )
     vacuum_iceberg_export(spark, dest, grace_ms=0)
     assert _rows(IcebergLiteTable(spark, dest).read()) == _rows(t.read())
+
+
+def test_checkpoint_restates_declared_protocol_no_downgrade(
+        spark, tmp_path):
+    """A checkpoint must restate the table protocol AS DECLARED:
+    once a dv sync upgraded the log to reader version 3, a later
+    checkpoint written AFTER compact() cleared every mask still says
+    v3 — protocols never downgrade."""
+    import pyarrow.parquet as pq
+
+    from forklift_spark.connections.deltalite import (
+        checkpoint_delta_export,
+    )
+
+    t = _mk_table(spark, str(tmp_path / "m"))
+    dest = str(tmp_path / "d")
+    sync_manifest_to_delta(t, dest)
+    t.merge(spark.createDataFrame([(7, 4, 777)], "k long, p int, v long"),
+            on="k", use_dv=True)
+    sync_manifest_to_delta(t, dest, dv_mode="native")  # v3 upgrade
+    t.compact()                                        # masks gone
+    sync_manifest_to_delta(t, dest, dv_mode="native")
+    ck = checkpoint_delta_export(spark, dest)
+    cfile = os.path.join(dest, "_delta_log",
+                         f"{ck['version']:020d}.checkpoint.parquet")
+    tb = pq.read_table(cfile, columns=["protocol"]).to_pylist()
+    protos = [r["protocol"] for r in tb if r["protocol"] is not None
+              and r["protocol"].get("minReaderVersion") is not None]
+    assert protos and protos[-1]["minReaderVersion"] == 3
+    assert "deletionVectors" in (protos[-1]["readerFeatures"] or [])
+    # and the checkpoint-only replay still works and matches
+    for f in os.listdir(os.path.join(dest, "_delta_log")):
+        if f.endswith(".json"):
+            os.remove(os.path.join(dest, "_delta_log", f))
+    assert _rows(DeltaLiteTable(spark, dest).read()) == _rows(t.read())
