@@ -328,6 +328,12 @@ def isolated_measure(name: str, repeat: int = 3) -> dict | None:
     return None
 
 
+_MAX_REMEASURE = 16  # each fresh-subprocess re-measure costs a JVM
+# start (~40-90s); a badly contaminated box could flag dozens — bound
+# the added wall time, re-measuring the WORST offenders first and
+# marking the rest flagged_not_remeasured (numbers kept, honesty kept)
+
+
 def self_verify(
     timings: dict[str, float],
     dispersion: dict[str, dict],
@@ -338,7 +344,24 @@ def self_verify(
     each (mutates timings/dispersion in place). Returns the names that
     were re-measured and substituted."""
     substituted = []
-    for name in flag_outliers(timings, dispersion, prev_queries):
+    flagged = flag_outliers(timings, dispersion, prev_queries)
+    if len(flagged) > _MAX_REMEASURE:
+        def _severity(n: str) -> float:
+            prev = (prev_queries or {}).get(n) or 0.0
+            cross = timings[n] / prev if prev > 0 else 0.0
+            runs = ((dispersion.get(n) or {}).get("runs") or [])[1:]
+            intra = max(runs) / min(runs) if len(runs) > 1 and min(runs) \
+                else 0.0
+            return max(cross, intra)
+
+        flagged.sort(key=_severity, reverse=True)
+        for name in flagged[_MAX_REMEASURE:]:
+            dispersion.setdefault(name, {})["flagged_not_remeasured"] = True
+        print(f"bench: {len(flagged)} outliers flagged; re-measuring the "
+              f"{_MAX_REMEASURE} worst (others marked "
+              f"flagged_not_remeasured)", file=sys.stderr)
+        flagged = flagged[:_MAX_REMEASURE]
+    for name in flagged:
         iso = measure(name)
         if not iso:
             print(f"bench: outlier {name} flagged but isolated "

@@ -186,3 +186,30 @@ def test_bench_isolated_child_mode():
     d = json.loads([l for l in out.stdout.splitlines() if l.strip()][-1])
     assert d["query"] == "q_count_min_max"
     assert len(d["runs"]) == 2 and d["scalar"] > 0
+
+
+def test_self_verify_caps_remeasure_count():
+    """A badly contaminated box could flag dozens of queries; the
+    re-measure pass is bounded at _MAX_REMEASURE, worst-first, with
+    the remainder marked flagged_not_remeasured."""
+    import bench
+
+    n = bench._MAX_REMEASURE + 5
+    timings = {f"q{i}": 10.0 + i for i in range(n)}
+    dispersion = {f"q{i}": {"runs": [10.0 + i] * 3} for i in range(n)}
+    prev = {f"q{i}": 1.0 for i in range(n)}     # every query 10x+ prev
+
+    calls = []
+
+    def fake_measure(name, repeat=3):
+        calls.append(name)
+        return {"query": name, "runs": [2.0, 2.0, 2.0], "scalar": 2.0}
+
+    subbed = bench.self_verify(timings, dispersion, prev,
+                               measure=fake_measure)
+    assert len(subbed) == len(calls) == bench._MAX_REMEASURE
+    # worst offenders (highest ratio = highest index) re-measured first
+    assert f"q{n-1}" in subbed and "q0" not in subbed
+    leftovers = [q for q in timings if q not in subbed]
+    assert all(dispersion[q].get("flagged_not_remeasured") for q in leftovers)
+    assert all(timings[q] >= 10.0 for q in leftovers)  # numbers kept
