@@ -247,9 +247,11 @@ HEADLINE = [
     "q_iceberg_read",
     "q_iceberg_changes",
     "q_manifest_stream_source",
-    # r8 wave: bounded-replay checkpoint read, snapshot-expiry read
+    # r8 wave: bounded-replay checkpoint read, snapshot-expiry read,
+    # column-mapping interop read
     "q_delta_checkpoint_read",
     "q_iceberg_expire_read",
+    "q_delta_colmap_read",
 ]
 
 

@@ -34,9 +34,30 @@ the PUBLIC formats — Z85 path/inline encoding, the DV file layout
 ``_metadata.file_path``/``row_index``, the same plan the Iceberg reader
 uses for position deletes. Bitmap expansion happens in EXECUTORS
 (mapInPandas over the descriptor list), so a 100M-row DV never
-materializes on the driver. Other reader-v3 features (column mapping,
-v2 checkpoints, type widening...) still degrade LOUDLY via
-``DeltaUnsupported`` instead of returning wrong rows.
+materializes on the driver.
+
+**Column mapping (reader version 2 / v3 feature ``columnMapping``) is
+supported** (r8): when ``delta.columnMapping.mode`` is ``name`` or
+``id``, the parquet files carry PHYSICAL column names
+(``delta.columnMapping.physicalName`` in each schema field's metadata,
+recursively for nested structs) and ``add.partitionValues`` are keyed
+by physical name — the scan reads the physical schema and renames back
+to the logical one (nested renames via positional struct cast, a
+Catalyst no-op on matching types). In ``id`` mode the reader
+additionally verifies, on a bounded sample of parquet footers, that
+each physical column carries the declared ``delta.columnMapping.id``
+as its parquet field id — refusing on mismatch rather than risking a
+silent name-vs-id resolution divergence (spec: id mode resolves by
+field id; spec-conformant writers write parquet names == physicalName,
+which is what makes the name-based scan correct — the footer check is
+what catches a writer that didn't).
+
+``timestampNtz`` (v3) is supported natively: Spark's
+``TimestampNTZType`` round-trips the ``timestamp_ntz`` schema type.
+
+Other reader-v3 features (v2 checkpoints, type widening...) still
+degrade LOUDLY via ``DeltaUnsupported`` instead of returning wrong
+rows.
 
 Driver bound: the live-file list is held on the driver (paths +
 partition values), same O(files) bound as the manifest format's entry
@@ -67,7 +88,13 @@ _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet$")
 # reader-version-3 features this reader actually implements; any other
 # listed feature refuses loudly (spec: a v3 reader MUST support every
 # feature in readerFeatures to read the table)
-_SUPPORTED_READER_FEATURES = {"deletionVectors"}
+_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping",
+                              "timestampNtz"}
+
+# column-mapping metadata keys (PROTOCOL.md 'Column Mapping')
+_CM_PHYS = "delta.columnMapping.physicalName"
+_CM_ID = "delta.columnMapping.id"
+_CM_MODE_KEY = "delta.columnMapping.mode"
 
 
 class DeltaUnsupported(NotImplementedError):
@@ -146,6 +173,94 @@ def dv_positions(table_path: str, dv: dict) -> list[int]:
             f"DV cardinality mismatch: descriptor {card}, "
             f"bitmap {len(positions)}")
     return positions
+
+
+def _cm_phys_name(field: T.StructField, where: str) -> str:
+    """A column-mapped field's physical (on-disk parquet) name; the
+    spec REQUIRES writers to record one for every field — a missing
+    one means the table is malformed, and guessing the logical name
+    would silently read the wrong (or no) column."""
+    pn = (field.metadata or {}).get(_CM_PHYS)
+    if not pn:
+        raise DeltaUnsupported(
+            f"columnMapping: field {where!r} has no {_CM_PHYS} in its "
+            "schema metadata — refusing rather than guessing which "
+            "parquet column it maps to")
+    return str(pn)
+
+
+def _cm_physical_type(dt: T.DataType, where: str) -> T.DataType:
+    """Recursively rename nested struct fields to their physical names
+    (PROTOCOL.md: column mapping applies to nested fields too)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(
+                _cm_phys_name(f, f"{where}.{f.name}"),
+                _cm_physical_type(f.dataType, f"{where}.{f.name}"),
+                f.nullable,
+            )
+            for f in dt.fields
+        ])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(
+            _cm_physical_type(dt.elementType, where + ".element"),
+            dt.containsNull,
+        )
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            dt.keyType,
+            _cm_physical_type(dt.valueType, where + ".value"),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _raise_cm_pcol(c: str):
+    raise DeltaUnsupported(
+        f"columnMapping: partition column {c!r} matches neither a "
+        "logical field name nor any field's physicalName")
+
+
+def _cm_verify_field_ids(paths: list[str], fields: list[T.StructField],
+                         sample: int = 4) -> None:
+    """id-mode footer check: on up to ``sample`` data files, assert
+    each top-level physical column exists in the parquet footer with
+    the declared ``delta.columnMapping.id`` as its parquet field id.
+
+    Rationale: in id mode the spec makes field ids authoritative; this
+    reader resolves by physical NAME (correct for spec-conformant
+    writers, which write parquet names == physicalName), so the footer
+    check is what catches a writer whose names diverged from its ids —
+    the silent-null failure mode of name resolution. Driver-side
+    metadata reads, O(sample) footers."""
+    import pyarrow.parquet as pq
+
+    want = {}
+    for f in fields:
+        pn = _cm_phys_name(f, f.name)
+        fid = (f.metadata or {}).get(_CM_ID)
+        if fid is None:
+            raise DeltaUnsupported(
+                f"columnMapping mode=id: field {f.name!r} has no "
+                f"{_CM_ID} in its schema metadata")
+        want[pn] = int(fid)
+    for p in paths[:sample]:
+        sch = pq.read_schema(p)
+        got = {}
+        for i in range(len(sch)):
+            fld = sch.field(i)
+            md = fld.metadata or {}
+            raw = md.get(b"PARQUET:field_id")
+            if raw is not None:
+                got[fld.name] = int(raw)
+        for pn, fid in want.items():
+            if got.get(pn) != fid:
+                raise DeltaUnsupported(
+                    f"columnMapping mode=id: parquet file {p!r} carries "
+                    f"field id {got.get(pn)!r} for physical column "
+                    f"{pn!r} but the schema declares id {fid} — name "
+                    "and id resolution would disagree; refusing rather "
+                    "than reading by the wrong key")
 
 
 class DeltaLiteTable:
@@ -286,10 +401,17 @@ class DeltaLiteTable:
         if fmt != "parquet":
             raise DeltaUnsupported(f"format provider {fmt!r} (parquet only)")
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        cm_mode = str(
+            (meta.get("configuration") or {}).get(_CM_MODE_KEY) or "none"
+        ).lower()
+        if cm_mode not in ("none", "name", "id"):
+            raise DeltaUnsupported(
+                f"{_CM_MODE_KEY}={cm_mode!r} (supported: none/name/id)")
         return {
             "version": target,
             "schema": schema,
             "partition_columns": list(meta.get("partitionColumns") or []),
+            "cm_mode": cm_mode,
             "files": files,
             "meta": meta,
             # last-written protocol: checkpoints must restate the table
@@ -362,6 +484,10 @@ class DeltaLiteTable:
         mrv = int(proto.get("minReaderVersion", 1) or 1)
         if mrv == 1:
             return
+        if mrv == 2:
+            # reader version 2 == column mapping (PROTOCOL.md: the only
+            # capability v2 adds over v1), which this reader implements
+            return
         if mrv == 3:
             feats = set(proto.get("readerFeatures") or [])
             extra = feats - _SUPPORTED_READER_FEATURES
@@ -374,10 +500,11 @@ class DeltaLiteTable:
                 )
             return
         raise DeltaUnsupported(
-            f"minReaderVersion={mrv}: this reader implements protocol v1 "
-            "plus the v3 deletionVectors feature (no column mapping / v2 "
-            "checkpoints) — refusing rather than returning rows that "
-            "ignore reader-mandatory features"
+            f"minReaderVersion={mrv}: this reader implements protocol "
+            "v1/v2 plus the v3 deletionVectors / columnMapping / "
+            "timestampNtz features (no v2 checkpoints) — refusing "
+            "rather than returning rows that ignore reader-mandatory "
+            "features"
         )
 
     # -- read ----------------------------------------------------------------
@@ -469,6 +596,7 @@ class DeltaLiteTable:
             return self.spark.createDataFrame([], schema)
         # same partition-value attachment as read()
         snap = {"schema": schema, "partition_columns": pcols,
+                "cm_mode": base.get("cm_mode", "none"),
                 "files": added, "version": to_v}
         return self._scan(snap)
 
@@ -502,19 +630,73 @@ class DeltaLiteTable:
 
     def _scan(self, snap: dict) -> DataFrame:
         schema: T.StructType = snap["schema"]
-        pcols = snap["partition_columns"]
+        pcols = list(snap["partition_columns"])
+        cm = snap.get("cm_mode", "none")
+        if cm != "none":
+            # partitionColumns: delta-spark records logical names, but
+            # the spec leaves it writer-shaped — accept either and
+            # resolve to the logical field (refuse on neither: the
+            # column genuinely isn't in the schema)
+            by_phys = {
+                (f.metadata or {}).get(_CM_PHYS): f.name
+                for f in schema.fields
+            }
+            logical = set(schema.fieldNames())
+            pcols = [
+                c if c in logical else by_phys[c] if c in by_phys
+                else _raise_cm_pcol(c) for c in pcols
+            ]
+            # add.partitionValues are keyed by PHYSICAL name (spec:
+            # 'track partition values ... with the physical name');
+            # fall back to the logical key for writers that didn't
+            pv_keys = {
+                f.name: (f.metadata or {}).get(_CM_PHYS, f.name)
+                for f in schema.fields
+            }
+        else:
+            pv_keys = {f.name: f.name for f in schema.fields}
         ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
-        data_schema = T.StructType(
-            [f for f in schema.fields if f.name not in pcols]
-        )
+        data_fields = [f for f in schema.fields if f.name not in pcols]
+        if cm != "none":
+            # read the files under their PHYSICAL schema, then rename
+            # back to logical: top level by alias, nested names by a
+            # positional struct cast (same types, so Catalyst folds it
+            # into the scan projection)
+            renames: list[tuple[str, T.DataType, T.StructField]] | None = []
+            read_fields = []
+            for f in data_fields:
+                pn = _cm_phys_name(f, f.name)
+                pdt = _cm_physical_type(f.dataType, f.name)
+                read_fields.append(T.StructField(pn, pdt, f.nullable))
+                renames.append((pn, pdt, f))
+            data_schema = T.StructType(read_fields)
+        else:
+            renames = None
+            data_schema = T.StructType(data_fields)
         dv_files = {p: e for p, e in snap["files"].items() if e.get("dv")}
         groups: dict[tuple, dict[bool, list[str]]] = {}
         for path, entry in snap["files"].items():
             pv = entry["pv"]
-            key = tuple(pv.get(c) for c in pcols)
+            key = tuple(
+                pv.get(pv_keys.get(c, c), pv.get(c)) for c in pcols
+            )
             g = groups.setdefault(key, {False: [], True: []})
             g[path in dv_files].append(os.path.join(self.path, path))
+        if cm == "id":
+            _cm_verify_field_ids(
+                sorted(os.path.join(self.path, p) for p in snap["files"]),
+                data_fields,
+            )
         deleted = self._deleted_positions(dv_files) if dv_files else None
+
+        def to_logical(df: DataFrame) -> DataFrame:
+            if renames is None:
+                return df
+            return df.select(*[
+                (F.col(pn).cast(f.dataType) if pdt != f.dataType
+                 else F.col(pn)).alias(f.name)
+                for pn, pdt, f in renames
+            ])
         parts = []
         for key, by_dv in sorted(groups.items(), key=lambda kv: str(kv[0])):
             sub = []
@@ -547,9 +729,9 @@ class DeltaLiteTable:
                     .drop("___path", "___pos")
                 )
                 sub.append(masked)
-            df = sub[0]
+            df = to_logical(sub[0])
             for s in sub[1:]:
-                df = df.unionByName(s)
+                df = df.unionByName(to_logical(s))
             for c, v in zip(pcols, key):
                 if v is None or (v == "" and not isinstance(
                     ptypes[c], T.StringType

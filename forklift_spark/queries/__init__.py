@@ -82,7 +82,7 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
     ],
     "similarity": ["q_ann_bruteforce_topk", "q_ann_lsh_topk"],
     "dedup": [
-        "q_decontaminate", "q_dedup_minhash_lsh", "q_dedup_recall_eval",
+        "q_decontaminate", "q_dedup_minhash_lsh",
     ],
     "timeseries": ["q_asof_join"],
     "multimodal": ["q_audio_features"],
@@ -91,6 +91,7 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
     "connectors": [
         "q_csv_roundtrip", "q_es_roundtrip",
         "q_delta_checkpoint_read", "q_iceberg_expire_read",
+        "q_delta_colmap_read",
     ],
     "stats": ["q_heavy_hitters_cms"],
 }

@@ -993,6 +993,121 @@ def q_delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q_delta_colmap_read — Delta COLUMN MAPPING interop read (r8): a
+# minReaderVersion-2 table (delta.columnMapping.mode=name — what any
+# Delta table that ever ran ALTER TABLE RENAME COLUMN uses) is built BY
+# HAND from PROTOCOL.md's Column Mapping section: the parquet files
+# carry PHYSICAL column names (col-ck / col-ab), partition values are
+# keyed by the partition column's physical name (col-seg), and the
+# LOGICAL schema (cust_id / balance / segment — renamed vs the source,
+# as a rename is the feature's whole point) maps to them through
+# delta.columnMapping.physicalName field metadata. Commit 1 removes one
+# segment's files (replay still keys by the stable physical path). The
+# reader must reconstruct the logical table: a physical/logical name
+# confusion yields empty columns or a refused read; a pv keyed-by-
+# logical lookup yields NULL partition values — all break the hash.
+# --------------------------------------------------------------------------
+DELTA_COLMAP_ORACLE = """
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_cust
+FROM customer
+WHERE c_mktsegment <> 'MACHINERY'
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
+
+
+@query("q_delta_colmap_read", DELTA_COLMAP_ORACLE)
+def q_delta_colmap_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import json as _json
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from forklift_spark.connections.deltalite import DeltaLiteTable
+
+    cu = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    tdir = tempfile.mkdtemp(prefix="fk_delta_cm_")
+    log = os.path.join(tdir, "_delta_log")
+    os.makedirs(log)
+    segs = sorted(
+        r[0] for r in cu.select("c_mktsegment").distinct().collect()
+    )
+    adds: dict[str, str] = {}
+    for seg in segs:
+        # data files under PHYSICAL names, partition column not stored
+        part = (
+            cu.filter(F.col("c_mktsegment") == seg)
+            .select(F.col("c_custkey").alias("col-ck"),
+                    F.col("c_acctbal").alias("col-ab"))
+        )
+        stage = os.path.join(tdir, f"stage_{seg}")
+        part.write.mode("overwrite").parquet(stage)
+        os.makedirs(os.path.join(tdir, f"seg={seg}"), exist_ok=True)
+        for i, f in enumerate(sorted(
+                glob.glob(os.path.join(stage, "part-*.parquet")))):
+            rel = f"seg={seg}/f{i}.parquet"
+            shutil.move(f, os.path.join(tdir, rel))
+            adds[rel] = seg
+        shutil.rmtree(stage)
+
+    def _cm(name, dtype, phys, fid):
+        return T.StructField(name, dtype, True, metadata={
+            "delta.columnMapping.id": fid,
+            "delta.columnMapping.physicalName": phys,
+        })
+
+    schema = T.StructType([
+        _cm("cust_id", cu.schema["c_custkey"].dataType, "col-ck", 1),
+        _cm("balance", cu.schema["c_acctbal"].dataType, "col-ab", 2),
+        _cm("segment", T.StringType(), "col-seg", 3),
+    ])
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(_json.dumps({"metaData": {
+            "id": "fk-delta-colmap-read",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema.jsonValue()),
+            "partitionColumns": ["segment"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+            "createdTime": 1700000000000,
+        }}) + "\n")
+        for rel, seg in adds.items():
+            fh.write(_json.dumps({"add": {
+                "path": rel, "partitionValues": {"col-seg": seg},
+                "size": 1, "modificationTime": 1700000000000,
+                "dataChange": True,
+            }}) + "\n")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(_json.dumps(
+            {"commitInfo": {"operation": "DELETE"}}) + "\n")
+        for rel, seg in adds.items():
+            if seg == "MACHINERY":
+                fh.write(_json.dumps({"remove": {
+                    "path": rel, "deletionTimestamp": 1700000001000,
+                    "dataChange": True,
+                }}) + "\n")
+
+    got = DeltaLiteTable(spark, tdir).read()
+    return (
+        got.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(dec("balance", MONEY)).cast("double").alias("sum_bal"),
+            F.min("cust_id").cast("bigint").alias("min_cust"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------------
 # q_delta_sync — INCREMENTAL lakehouse export (r7, VERDICT r6 item 4):
 # the recurring-publish story (reference: the repeated pipe publish,
 # patterns/mysql_patterns.rb:28-43) without re-snapshotting. A manifest

@@ -241,10 +241,10 @@ def test_unsupported_reader_feature_still_refuses(spark, tmp_path):
     os.makedirs(log)
     _commit(log, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["deletionVectors", "columnMapping"]}},
+                      "readerFeatures": ["deletionVectors", "typeWidening"]}},
         _meta_action(),
     ])
-    with pytest.raises(DeltaUnsupported, match="columnMapping"):
+    with pytest.raises(DeltaUnsupported, match="typeWidening"):
         DeltaLiteTable(spark, tdir).read()
 
 

@@ -127,7 +127,9 @@ def test_partition_empty_string_is_null_for_int(spark, tmp_path):
     assert len(rows) == 3 and all(r.p is None for r in rows)
 
 
-def test_reader_version_2_refused(spark, tmp_path):
+def test_reader_version_2_accepted_version_4_refused(spark, tmp_path):
+    # reader v2 == column mapping (supported since r8); with mode unset
+    # the table reads as plain v1. Future reader versions still refuse.
     tdir = str(tmp_path / "t2")
     log = os.path.join(tdir, "_delta_log")
     os.makedirs(log)
@@ -135,8 +137,17 @@ def test_reader_version_2_refused(spark, tmp_path):
         {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
         _meta_action(),
     ])
+    assert DeltaLiteTable(spark, tdir).read().count() == 0
+
+    tdir4 = str(tmp_path / "t4")
+    log4 = os.path.join(tdir4, "_delta_log")
+    os.makedirs(log4)
+    _commit(log4, 0, [
+        {"protocol": {"minReaderVersion": 4, "minWriterVersion": 9}},
+        _meta_action(),
+    ])
     with pytest.raises(DeltaUnsupported):
-        DeltaLiteTable(spark, tdir).read()
+        DeltaLiteTable(spark, tdir4).read()
 
 
 def test_checkpoint_replay_after_log_cleanup(spark, delta_table):
