@@ -248,10 +248,11 @@ HEADLINE = [
     "q_iceberg_changes",
     "q_manifest_stream_source",
     # r8 wave: bounded-replay checkpoint read, snapshot-expiry read,
-    # column-mapping interop read
+    # column-mapping + v2-spec-checkpoint interop reads
     "q_delta_checkpoint_read",
     "q_iceberg_expire_read",
     "q_delta_colmap_read",
+    "q_delta_v2_checkpoint_read",
 ]
 
 

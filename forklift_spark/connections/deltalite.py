@@ -55,9 +55,16 @@ what catches a writer that didn't).
 ``timestampNtz`` (v3) is supported natively: Spark's
 ``TimestampNTZType`` round-trips the ``timestamp_ntz`` schema type.
 
-Other reader-v3 features (v2 checkpoints, type widening...) still
-degrade LOUDLY via ``DeltaUnsupported`` instead of returning wrong
-rows.
+**V2 spec checkpoints (v3 feature ``v2Checkpoint``) are supported**
+(r8): uuid-named ``{v:020d}.checkpoint.<uuid>.{json|parquet}``
+manifests holding a ``checkpointMetadata`` action (version
+cross-checked against the file name) plus either inline file actions
+or ``sidecar`` pointers into ``_delta_log/_sidecars/`` — sidecar
+parquet is parsed with the same action extractor as classic
+checkpoints.
+
+Other reader-v3 features (type widening...) still degrade LOUDLY via
+``DeltaUnsupported`` instead of returning wrong rows.
 
 Driver bound: the live-file list is held on the driver (paths +
 partition values), same O(files) bound as the manifest format's entry
@@ -84,12 +91,15 @@ from forklift_spark.functions.roaring import (
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet$")
+# V2 spec checkpoints: uuid-named, json or parquet flavoured
+_CKPT_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-fA-F-]{8,})\.(json|parquet)$")
 
 # reader-version-3 features this reader actually implements; any other
 # listed feature refuses loudly (spec: a v3 reader MUST support every
 # feature in readerFeatures to read the table)
 _SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping",
-                              "timestampNtz"}
+                              "timestampNtz", "v2Checkpoint"}
 
 # column-mapping metadata keys (PROTOCOL.md 'Column Mapping')
 _CM_PHYS = "delta.columnMapping.physicalName"
@@ -425,17 +435,100 @@ class DeltaLiteTable:
             f for f in os.listdir(self.log_dir)
             if (m := _CKPT_RE.match(f)) and int(m.group(1)) == version
         )
-        if not parts:
+        if parts:
+            return self._parse_ckpt_parquet(
+                [os.path.join(self.log_dir, p) for p in parts])[:3]
+        # V2 spec checkpoints: {v:020d}.checkpoint.<uuid>.{json|parquet}
+        # holding a checkpointMetadata action plus either inline file
+        # actions or `sidecar` pointers into _delta_log/_sidecars/
+        v2 = sorted(
+            f for f in os.listdir(self.log_dir)
+            if (m := _CKPT_V2_RE.match(f)) and int(m.group(1)) == version
+        )
+        if not v2:
             raise FileNotFoundError(
                 f"_last_checkpoint points at {version} but no checkpoint "
-                f"parquet exists in {self.log_dir}"
+                f"file exists in {self.log_dir}"
             )
-        df = self.spark.read.parquet(
-            *[os.path.join(self.log_dir, p) for p in parts]
-        )
+        # any complete checkpoint at the version is valid; prefer parquet
+        pick = next((f for f in v2 if f.endswith(".parquet")), v2[0])
+        path = os.path.join(self.log_dir, pick)
+        if pick.endswith(".parquet"):
+            meta, files, proto, ckpt_meta, sidecars = \
+                self._parse_ckpt_parquet([path], v2_actions=True)
+        else:
+            meta, files, proto, ckpt_meta, sidecars = \
+                self._parse_ckpt_json(path)
+        if ckpt_meta is None:
+            raise DeltaUnsupported(
+                f"uuid-named checkpoint {pick!r} carries no "
+                "checkpointMetadata action (spec: a v2 checkpoint must "
+                "hold exactly one)")
+        if int(ckpt_meta.get("version", -1)) != int(version):
+            raise ValueError(
+                f"checkpointMetadata.version {ckpt_meta.get('version')} "
+                f"!= file name version {version} in {pick!r}")
+        if sidecars:
+            side_dir = os.path.join(self.log_dir, "_sidecars")
+            paths = []
+            for s in sidecars:
+                sp = s["path"]
+                full = sp if os.path.isabs(sp) else os.path.join(
+                    side_dir, sp)
+                if not os.path.exists(full):
+                    raise FileNotFoundError(
+                        f"v2 checkpoint sidecar missing: {full}")
+                paths.append(full)
+            _m, side_files, _p, _cm, _sc = self._parse_ckpt_parquet(
+                paths, v2_actions=True)
+            files.update(side_files)
+        return meta, files, proto
+
+    def _parse_ckpt_json(self, path: str) -> tuple:
+        """JSON-flavoured v2 checkpoint: one action per line, same
+        shapes as commit files plus checkpointMetadata/sidecar."""
         meta: dict | None = None
         files: dict[str, dict] = {}
         proto: dict | None = None
+        ckpt_meta: dict | None = None
+        sidecars: list[dict] = []
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line)
+                if "protocol" in act:
+                    self._check_protocol(act["protocol"])
+                    proto = act["protocol"]
+                elif "metaData" in act:
+                    meta = act["metaData"]
+                elif "checkpointMetadata" in act:
+                    ckpt_meta = act["checkpointMetadata"]
+                elif "sidecar" in act:
+                    sidecars.append(act["sidecar"])
+                elif "add" in act:
+                    a = act["add"]
+                    files[unquote(a["path"])] = {
+                        "pv": a.get("partitionValues") or {},
+                        "dv": a.get("deletionVector"),
+                        "tags": a.get("tags") or {},
+                    }
+        return meta, files, proto, ckpt_meta, sidecars
+
+    def _parse_ckpt_parquet(self, paths: list[str],
+                            v2_actions: bool = False) -> tuple:
+        """Extract (meta, live files, protocol[, checkpointMetadata,
+        sidecars]) from checkpoint-shaped parquet: one action per row,
+        one top-level struct column per action type. Used for classic
+        checkpoints, v2 checkpoint manifests, and v2 sidecar files
+        (sidecars carry only file actions)."""
+        df = self.spark.read.parquet(*paths)
+        meta: dict | None = None
+        files: dict[str, dict] = {}
+        proto: dict | None = None
+        ckpt_meta: dict | None = None
+        sidecars: list[dict] = []
         cols = set(df.columns)
         if "protocol" in cols:
             for r in df.filter(F.col("protocol").isNotNull()).select(
@@ -477,7 +570,20 @@ class DeltaLiteTable:
                     "tags": dict(r["tags"] or {})
                     if "tags" in add_fields else {},
                 }
-        return meta, files, proto
+        if v2_actions:
+            if "checkpointMetadata" in cols:
+                rows = df.filter(
+                    F.col("checkpointMetadata").isNotNull()
+                ).select("checkpointMetadata.*").collect()
+                if rows:
+                    ckpt_meta = rows[-1].asDict()
+            if "sidecar" in cols:
+                sidecars = [
+                    r.asDict() for r in df.filter(
+                        F.col("sidecar").isNotNull()
+                    ).select("sidecar.*").collect()
+                ]
+        return meta, files, proto, ckpt_meta, sidecars
 
     @staticmethod
     def _check_protocol(proto: dict) -> None:
@@ -502,9 +608,8 @@ class DeltaLiteTable:
         raise DeltaUnsupported(
             f"minReaderVersion={mrv}: this reader implements protocol "
             "v1/v2 plus the v3 deletionVectors / columnMapping / "
-            "timestampNtz features (no v2 checkpoints) — refusing "
-            "rather than returning rows that ignore reader-mandatory "
-            "features"
+            "timestampNtz / v2Checkpoint features — refusing rather "
+            "than returning rows that ignore reader-mandatory features"
         )
 
     # -- read ----------------------------------------------------------------

@@ -54,11 +54,14 @@ def query(name: str, oracle: str | None = None):
 # oracle; error floor asserted in-query), ALL 34 r2 rows (the TPC-H/
 # relational-surface core plus the etl function batteries), and 15 r3
 # rows chosen for family spread (similarity/dedup/timeseries/text/
-# selection/multimodal/connectors/stats), minus two swapped for the
-# round's NEW rows (q_delta_checkpoint_read, q_iceberg_expire_read —
-# never driver-checked, and the window test requires never-checked ⊆
-# window). After this window runs, the cumulative staleness median
-# drops to two rounds — the floor for a 50-slot window.
+# selection/multimodal/connectors/stats), minus FOUR swapped for the
+# round's NEW rows (q_delta_checkpoint_read, q_iceberg_expire_read,
+# q_delta_colmap_read, q_delta_v2_checkpoint_read — never
+# driver-checked, and the window test requires never-checked ⊆ window;
+# the evicted r3 rows q_dedup_recall_eval / q_bpe_train were the
+# least-stale candidates and their families keep other window
+# representatives). After this window runs, the cumulative staleness
+# median drops to two rounds — the floor for a 50-slot window.
 _WINDOW_ROWS_ONLY: frozenset[str] = frozenset({
     "q_distinct_approx",
 })
@@ -87,11 +90,11 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
     "timeseries": ["q_asof_join"],
     "multimodal": ["q_audio_features"],
     "selection": ["q_dsir_weights"],
-    "text": ["q_bpe_train", "q_gopher_quality"],
+    "text": ["q_gopher_quality"],
     "connectors": [
         "q_csv_roundtrip", "q_es_roundtrip",
         "q_delta_checkpoint_read", "q_iceberg_expire_read",
-        "q_delta_colmap_read",
+        "q_delta_colmap_read", "q_delta_v2_checkpoint_read",
     ],
     "stats": ["q_heavy_hitters_cms"],
 }

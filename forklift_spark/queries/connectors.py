@@ -1108,6 +1108,155 @@ def q_delta_colmap_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q_delta_v2_checkpoint_read — Delta V2 SPEC CHECKPOINT interop read
+# (r8): a reader-v3 table (readerFeatures=[v2Checkpoint]) whose only
+# surviving state is a uuid-named parquet checkpoint MANIFEST
+# (checkpointMetadata + protocol + metaData + sidecar pointers), two
+# SIDECAR parquet files in _delta_log/_sidecars/ holding the add
+# actions, and ONE json tail commit — every pre-checkpoint commit is
+# gone (the retention situation v2 checkpoints exist for). The reader
+# must chase manifest -> sidecars -> tail: a dropped sidecar, a missed
+# tail commit, or trusting a stale checkpointMetadata.version all break
+# the hash. The in-row flag certifies no pre-checkpoint JSON survived.
+# --------------------------------------------------------------------------
+DELTA_V2CKPT_ORACLE = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(14,2))) AS DOUBLE)
+         AS sum_price,
+       CAST(1 AS BIGINT) AS v2_manifest_only
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@query("q_delta_v2_checkpoint_read", DELTA_V2CKPT_ORACLE)
+def q_delta_v2_checkpoint_read(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    import glob
+    import json as _json
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from forklift_spark.connections.deltalite import DeltaLiteTable
+
+    pt = tables.load(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_brand"
+    )
+    tdir = tempfile.mkdtemp(prefix="fk_delta_v2ck_")
+    log = os.path.join(tdir, "_delta_log")
+    side = os.path.join(log, "_sidecars")
+    os.makedirs(side)
+    stage = os.path.join(tdir, "stage")
+    pt.repartition(4, "p_partkey").write.mode("overwrite").parquet(stage)
+    rels = []
+    for i, f in enumerate(sorted(
+            glob.glob(os.path.join(stage, "part-*.parquet")))):
+        rel = f"f{i}.parquet"
+        shutil.move(f, os.path.join(tdir, rel))
+        rels.append(rel)
+    shutil.rmtree(stage)
+
+    schema = T.StructType([
+        T.StructField("p_partkey", pt.schema["p_partkey"].dataType),
+        T.StructField("p_retailprice",
+                      pt.schema["p_retailprice"].dataType),
+        T.StructField("p_brand", T.StringType()),
+    ])
+    str_map = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct([
+        ("path", pa.string()), ("partitionValues", str_map),
+        ("size", pa.int64()), ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+    ])
+
+    def _adds(paths):
+        return pa.array([
+            {"path": p, "partitionValues": [], "size": 1,
+             "modificationTime": 1700000000000, "dataChange": False}
+            for p in paths
+        ], add_t)
+
+    # checkpoint at v1 covers all but the last file (two sidecars);
+    # the last file arrives in the json TAIL commit v2
+    ck_files, tail_file = rels[:-1], rels[-1]
+    half = (len(ck_files) + 1) // 2
+    for name, chunk in (("s1.parquet", ck_files[:half]),
+                        ("s2.parquet", ck_files[half:])):
+        pq.write_table(pa.table({"add": _adds(chunk)}),
+                       os.path.join(side, name))
+
+    proto_t = pa.struct([
+        ("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32()),
+        ("readerFeatures", pa.list_(pa.string())),
+        ("writerFeatures", pa.list_(pa.string())),
+    ])
+    meta_t = pa.struct([
+        ("id", pa.string()),
+        ("format", pa.struct([("provider", pa.string()),
+                              ("options", str_map)])),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", str_map),
+        ("createdTime", pa.int64()),
+    ])
+    ck_t = pa.struct([("version", pa.int64()), ("tags", str_map)])
+    sc_t = pa.struct([
+        ("path", pa.string()), ("sizeInBytes", pa.int64()),
+        ("modificationTime", pa.int64()),
+    ])
+    rows_ck = [{"version": 1, "tags": []}, None, None, None, None]
+    rows_p = [None, {"minReaderVersion": 3, "minWriterVersion": 7,
+                     "readerFeatures": ["v2Checkpoint"],
+                     "writerFeatures": ["v2Checkpoint"]},
+              None, None, None]
+    rows_m = [None, None, {
+        "id": "fk-delta-v2ck", "format": {"provider": "parquet",
+                                          "options": []},
+        "schemaString": _json.dumps(schema.jsonValue()),
+        "partitionColumns": [], "configuration": [],
+        "createdTime": 1700000000000}, None, None]
+    rows_s = [None, None, None,
+              {"path": "s1.parquet", "sizeInBytes": 1,
+               "modificationTime": 1700000000000},
+              {"path": "s2.parquet", "sizeInBytes": 1,
+               "modificationTime": 1700000000000}]
+    pq.write_table(pa.table({
+        "checkpointMetadata": pa.array(rows_ck, ck_t),
+        "protocol": pa.array(rows_p, proto_t),
+        "metaData": pa.array(rows_m, meta_t),
+        "sidecar": pa.array(rows_s, sc_t),
+    }), os.path.join(
+        log, f"{1:020d}.checkpoint."
+             "b100df00-0d0e-4a2b-8c3d-4e5f60718293.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        _json.dump({"version": 1, "size": 5}, fh)
+    with open(os.path.join(log, f"{2:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"add": {
+            "path": tail_file, "partitionValues": {}, "size": 1,
+            "modificationTime": 1700000002000, "dataChange": True,
+        }}) + "\n")
+
+    ext = DeltaLiteTable(spark, tdir)
+    v2_only = int(ext.versions() == [2])  # no pre-ckpt JSON exists
+    return (
+        ext.read()
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(dec("p_retailprice", MONEY)).cast("double")
+             .alias("sum_price"),
+            F.lit(v2_only).cast("bigint").alias("v2_manifest_only"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
 # q_delta_sync — INCREMENTAL lakehouse export (r7, VERDICT r6 item 4):
 # the recurring-publish story (reference: the repeated pipe publish,
 # patterns/mysql_patterns.rb:28-43) without re-snapshotting. A manifest
