@@ -253,6 +253,8 @@ HEADLINE = [
     "q_iceberg_expire_read",
     "q_delta_colmap_read",
     "q_delta_v2_checkpoint_read",
+    # r8 wave 2: mixed-generation type-widening read
+    "q_delta_typewiden_read",
 ]
 
 

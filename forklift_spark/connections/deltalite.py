@@ -63,8 +63,22 @@ or ``sidecar`` pointers into ``_delta_log/_sidecars/`` — sidecar
 parquet is parsed with the same action extractor as classic
 checkpoints.
 
-Other reader-v3 features (type widening...) still degrade LOUDLY via
-``DeltaUnsupported`` instead of returning wrong rows.
+**Type widening (v3 feature ``typeWidening`` / ``typeWidening-preview``)
+is supported** (r8): a widened table holds parquet files written under
+the OLD (narrower) type next to files written under the new one; the
+spec requires readers to surface every file under the table's current
+(widest) schema. The scan already reads every file with the snapshot's
+logical schema, and Spark 4's parquet reader promotes each of the
+spec's allowed widenings in the scan itself (byte/short/int -> long,
+float -> double, date -> timestamp_ntz, int -> double, and
+byte/short/int/long -> decimal / decimal precision-scale growth) —
+verified by test against hand-built mixed-type tables, vectorized, no
+per-row cast layer. The ``delta.typeChanges`` field metadata the writer
+records is informational for readers and is preserved verbatim in the
+returned schema's field metadata.
+
+Other reader-v3 features still degrade LOUDLY via ``DeltaUnsupported``
+instead of returning wrong rows.
 
 Driver bound: the live-file list is held on the driver (paths +
 partition values), same O(files) bound as the manifest format's entry
@@ -99,7 +113,8 @@ _CKPT_V2_RE = re.compile(
 # listed feature refuses loudly (spec: a v3 reader MUST support every
 # feature in readerFeatures to read the table)
 _SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping",
-                              "timestampNtz", "v2Checkpoint"}
+                              "timestampNtz", "v2Checkpoint",
+                              "typeWidening", "typeWidening-preview"}
 
 # column-mapping metadata keys (PROTOCOL.md 'Column Mapping')
 _CM_PHYS = "delta.columnMapping.physicalName"
@@ -608,8 +623,9 @@ class DeltaLiteTable:
         raise DeltaUnsupported(
             f"minReaderVersion={mrv}: this reader implements protocol "
             "v1/v2 plus the v3 deletionVectors / columnMapping / "
-            "timestampNtz / v2Checkpoint features — refusing rather "
-            "than returning rows that ignore reader-mandatory features"
+            "timestampNtz / v2Checkpoint / typeWidening features — "
+            "refusing rather than returning rows that ignore "
+            "reader-mandatory features"
         )
 
     # -- read ----------------------------------------------------------------

@@ -54,13 +54,13 @@ def query(name: str, oracle: str | None = None):
 # oracle; error floor asserted in-query), ALL 34 r2 rows (the TPC-H/
 # relational-surface core plus the etl function batteries), and 15 r3
 # rows chosen for family spread (similarity/dedup/timeseries/text/
-# selection/multimodal/connectors/stats), minus FOUR swapped for the
+# selection/multimodal/connectors/stats), minus slots swapped for the
 # round's NEW rows (q_delta_checkpoint_read, q_iceberg_expire_read,
-# q_delta_colmap_read, q_delta_v2_checkpoint_read — never
-# driver-checked, and the window test requires never-checked ⊆ window;
-# the evicted r3 rows q_dedup_recall_eval / q_bpe_train were the
-# least-stale candidates and their families keep other window
-# representatives). After this window runs, the cumulative staleness
+# q_delta_colmap_read, q_delta_v2_checkpoint_read,
+# q_delta_typewiden_read — never driver-checked, and the window test
+# requires never-checked ⊆ window; the evicted r3 rows
+# q_dedup_recall_eval / q_bpe_train / q_ann_lsh_topk were equally-stale
+# candidates whose families keep other window representatives). After this window runs, the cumulative staleness
 # median drops to two rounds — the floor for a 50-slot window.
 _WINDOW_ROWS_ONLY: frozenset[str] = frozenset({
     "q_distinct_approx",
@@ -83,7 +83,7 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
         "q_salted_join", "q_string_agg", "q_string_funcs",
         "q_union_consolidate", "q_unpivot",
     ],
-    "similarity": ["q_ann_bruteforce_topk", "q_ann_lsh_topk"],
+    "similarity": ["q_ann_bruteforce_topk"],
     "dedup": [
         "q_decontaminate", "q_dedup_minhash_lsh",
     ],
@@ -95,6 +95,7 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
         "q_csv_roundtrip", "q_es_roundtrip",
         "q_delta_checkpoint_read", "q_iceberg_expire_read",
         "q_delta_colmap_read", "q_delta_v2_checkpoint_read",
+        "q_delta_typewiden_read",
     ],
     "stats": ["q_heavy_hitters_cms"],
 }

@@ -1744,3 +1744,139 @@ def q_iceberg_expire_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# q_delta_typewiden_read — Delta TYPE WIDENING interop read (r8): a
+# minReaderVersion-3 table (readerFeatures=[typeWidening]) built BY
+# HAND from PROTOCOL.md's Type Widening section. Commit 0 lands part
+# rows with p_partkey % 3 = 0 under the NARROW schema (pk int,
+# sz int, price decimal(10,2)); commit 1 widens the metaData (pk
+# bigint, sz double, price decimal(16,4), delta.typeChanges recorded)
+# and lands the remaining rows as genuinely-wide parquet. The reader
+# must surface BOTH file generations under the widened schema —
+# promoting the narrow physical values inside the vectorized scan. A
+# reader that pins the old schema, refuses the feature, or re-reads
+# narrow files under their own footer schema breaks the union/hash.
+# --------------------------------------------------------------------------
+DELTA_TYPEWIDEN_ORACLE = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(10,2))
+                     AS DECIMAL(16,4))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(p_size AS DOUBLE)) AS DOUBLE) AS sum_size,
+       CAST(MIN(p_partkey) AS BIGINT) AS min_pk
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@query("q_delta_typewiden_read", DELTA_TYPEWIDEN_ORACLE)
+def q_delta_typewiden_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import json as _json
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from forklift_spark.connections.deltalite import DeltaLiteTable
+
+    pt = tables.load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    tdir = tempfile.mkdtemp(prefix="fk_delta_tw_")
+    log = os.path.join(tdir, "_delta_log")
+    os.makedirs(log)
+
+    def _land(df, prefix: str) -> list[str]:
+        stage = os.path.join(tdir, f"stage_{prefix}")
+        df.write.mode("overwrite").parquet(stage)
+        rels = []
+        for i, f in enumerate(sorted(
+                glob.glob(os.path.join(stage, "part-*.parquet")))):
+            rel = f"{prefix}-{i}.parquet"
+            shutil.move(f, os.path.join(tdir, rel))
+            rels.append(rel)
+        shutil.rmtree(stage)
+        return rels
+
+    # both generations cast price through DECIMAL(10,2) first so the
+    # value (not just the type) is identical to the oracle's CASE-free
+    # double->decimal rounding
+    narrow = pt.filter(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").cast("int").alias("pk"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").cast("int").alias("sz"),
+        F.col("p_retailprice").cast("decimal(10,2)").alias("price"),
+    )
+    wide = pt.filter(F.col("p_partkey") % 3 != 0).select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").cast("double").alias("sz"),
+        F.col("p_retailprice").cast("decimal(10,2)")
+         .cast("decimal(16,4)").alias("price"),
+    )
+    narrow_rels = _land(narrow, "narrow")
+    wide_rels = _land(wide, "wide")
+
+    narrow_schema = T.StructType([
+        T.StructField("pk", T.IntegerType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("sz", T.IntegerType()),
+        T.StructField("price", T.DecimalType(10, 2)),
+    ])
+
+    def _widened(name, dtype, from_t, to_t):
+        return T.StructField(name, dtype, True, metadata={
+            "delta.typeChanges": [
+                {"fromType": from_t, "toType": to_t, "tableVersion": 1}
+            ]})
+
+    wide_schema = T.StructType([
+        _widened("pk", T.LongType(), "integer", "long"),
+        T.StructField("brand", T.StringType()),
+        _widened("sz", T.DoubleType(), "integer", "double"),
+        _widened("price", T.DecimalType(16, 4), "decimal(10,2)",
+                 "decimal(16,4)"),
+    ])
+
+    def _meta(schema):
+        return {"metaData": {
+            "id": "fk-delta-typewiden-read",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema.jsonValue()),
+            "partitionColumns": [], "configuration": {},
+            "createdTime": 1700000000000,
+        }}
+
+    def _add(rel):
+        return {"add": {"path": rel, "partitionValues": {}, "size": 1,
+                        "modificationTime": 1700000000000,
+                        "dataChange": True}}
+
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["typeWidening"],
+            "writerFeatures": ["typeWidening"]}}) + "\n")
+        fh.write(_json.dumps(_meta(narrow_schema)) + "\n")
+        for rel in narrow_rels:
+            fh.write(_json.dumps(_add(rel)) + "\n")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(_json.dumps(_meta(wide_schema)) + "\n")
+        for rel in wide_rels:
+            fh.write(_json.dumps(_add(rel)) + "\n")
+
+    got = DeltaLiteTable(spark, tdir).read()
+    return (
+        got.groupBy(F.col("brand").alias("p_brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(16,4)")).cast("double")
+             .alias("sum_price"),
+            F.sum("sz").cast("double").alias("sum_size"),
+            F.min("pk").cast("bigint").alias("min_pk"),
+        )
+        .orderBy("p_brand")
+    )
