@@ -253,8 +253,9 @@ HEADLINE = [
     "q_iceberg_expire_read",
     "q_delta_colmap_read",
     "q_delta_v2_checkpoint_read",
-    # r8 wave 2: mixed-generation type-widening read
+    # r8 wave 2: mixed-generation type-widening read, change data feed
     "q_delta_typewiden_read",
+    "q_delta_cdf_read",
 ]
 
 

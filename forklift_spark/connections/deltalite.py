@@ -77,6 +77,15 @@ per-row cast layer. The ``delta.typeChanges`` field metadata the writer
 records is informational for readers and is preserved verbatim in the
 returned schema's field metadata.
 
+**Change Data Feed reads are supported** (r8): ``change_feed()``
+surfaces row-level changes with delta-spark's ``table_changes`` output
+shape (``_change_type`` / ``_commit_version`` / ``_commit_timestamp``)
+— commits carrying ``cdc`` actions read their ``_change_data`` files
+verbatim (add/remove ignored for those commits, per the CDF
+convention); commits without them are synthesized as a row-level diff
+(adds -> inserts, removed live rows -> deletes, DV updates -> the
+newly-masked positions via executor-side bitmap diff).
+
 Other reader-v3 features still degrade LOUDLY via ``DeltaUnsupported``
 instead of returning wrong rows.
 
@@ -240,6 +249,17 @@ def _cm_physical_type(dt: T.DataType, where: str) -> T.DataType:
     return dt
 
 
+def _decoded_path():
+    """``_metadata.file_path`` is a URI: strip the scheme and
+    PERCENT-DECODE it (Spark encodes spaces etc.), so it matches the
+    literal filesystem paths the position frames carry; literal ``+``
+    is protected first because ``url_decode`` is form-decoding
+    (``+`` -> space)."""
+    return F.url_decode(F.regexp_replace(
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+        r"\+", "%2B"))
+
+
 def _raise_cm_pcol(c: str):
     raise DeltaUnsupported(
         f"columnMapping: partition column {c!r} matches neither a "
@@ -391,34 +411,7 @@ class DeltaLiteTable:
                         adds.append(act["add"])
                     elif "remove" in act:
                         removes.append(act["remove"])
-            # Per-commit reconciliation, ORDER-INDEPENDENT within the
-            # commit (spec: logical files are keyed by (path, dv
-            # uniqueId)): a real DV-update commit holds remove(path,
-            # oldDV) and add(path, newDV) in writer-dependent line
-            # order — applying removes against the PRE-commit state
-            # first, matched by dv uniqueId, keeps the new logical file
-            # alive whichever line comes first. A remove with no DV
-            # descriptor pops the path unconditionally (protocol-v1
-            # writers never carry one).
-            for r in removes:
-                p = unquote(r["path"])
-                cur = files.get(p)
-                if cur is None:
-                    continue
-                rdv = r.get("deletionVector")
-                if rdv is None or dv_unique_id(rdv) == dv_unique_id(
-                    cur.get("dv")
-                ):
-                    files.pop(p, None)
-            for a in adds:
-                # re-adding a path replaces its entry, INCLUDING the DV
-                # descriptor (a DV update is exactly an add of the same
-                # path with a new DV, per spec)
-                files[unquote(a["path"])] = {
-                    "pv": a.get("partitionValues") or {},
-                    "dv": a.get("deletionVector"),
-                    "tags": a.get("tags") or {},
-                }
+            self._reconcile_commit(files, adds, removes)
 
         if meta is None:
             raise ValueError(f"no metaData action found in {self.log_dir}")
@@ -601,6 +594,36 @@ class DeltaLiteTable:
         return meta, files, proto, ckpt_meta, sidecars
 
     @staticmethod
+    def _reconcile_commit(files: dict[str, dict], adds: list[dict],
+                          removes: list[dict]) -> None:
+        """Per-commit reconciliation, ORDER-INDEPENDENT within the
+        commit (spec: logical files are keyed by (path, dv uniqueId)):
+        a real DV-update commit holds remove(path, oldDV) and add(path,
+        newDV) in writer-dependent line order — applying removes
+        against the PRE-commit state first, matched by dv uniqueId,
+        keeps the new logical file alive whichever line comes first. A
+        remove with no DV descriptor pops the path unconditionally
+        (protocol-v1 writers never carry one). Re-adding a path
+        replaces its entry, INCLUDING the DV descriptor (a DV update is
+        exactly an add of the same path with a new DV, per spec)."""
+        for r in removes:
+            p = unquote(r["path"])
+            cur = files.get(p)
+            if cur is None:
+                continue
+            rdv = r.get("deletionVector")
+            if rdv is None or dv_unique_id(rdv) == dv_unique_id(
+                cur.get("dv")
+            ):
+                files.pop(p, None)
+        for a in adds:
+            files[unquote(a["path"])] = {
+                "pv": a.get("partitionValues") or {},
+                "dv": a.get("deletionVector"),
+                "tags": a.get("tags") or {},
+            }
+
+    @staticmethod
     def _check_protocol(proto: dict) -> None:
         mrv = int(proto.get("minReaderVersion", 1) or 1)
         if mrv == 1:
@@ -709,7 +732,8 @@ class DeltaLiteTable:
             raise NotImplementedError(
                 f"version range {from_version}..{to_v} is not append-only "
                 f"({removed} remove/DV actions): the appended-rows feed "
-                "would misrepresent updates/deletes as inserts — read "
+                "would misrepresent updates/deletes as inserts — use "
+                "change_feed() for the full row-level CDF, or read "
                 "full snapshots instead")
         schema: T.StructType = base["schema"]
         pcols = base["partition_columns"]
@@ -748,6 +772,324 @@ class DeltaLiteTable:
                     )
 
         return ddf.mapInPandas(expand, "___path string, ___pos long")
+
+    def _dv_diff_positions(self, diffs: list[tuple[str, dict | None,
+                                                   dict | None]]
+                           ) -> DataFrame:
+        """Expand (path, old DV, new DV) descriptor pairs into a
+        (``___path``, ``___pos``, ``___ct``) frame: positions newly
+        masked (in new, not old) surface as ``delete``; positions
+        UNmasked (in old, not new — a row restore) surface as
+        ``insert``. Same executor-side expansion discipline as
+        :meth:`_deleted_positions` — the bitmaps never land on the
+        driver."""
+        import pandas as pd
+
+        table_path = self.path
+        rows = [
+            (os.path.join(table_path, p),
+             json.dumps(odv) if odv else None,
+             json.dumps(ndv) if ndv else None)
+            for p, odv, ndv in diffs
+        ]
+        ddf = self.spark.createDataFrame(
+            rows, "___path string, ___old string, ___new string"
+        ).repartition(min(len(rows), 32))
+
+        def expand(batches):
+            for pdf in batches:
+                for path, oj, nj in zip(pdf["___path"], pdf["___old"],
+                                        pdf["___new"]):
+                    old = set(dv_positions(table_path, json.loads(oj))) \
+                        if oj else set()
+                    new = set(dv_positions(table_path, json.loads(nj))) \
+                        if nj else set()
+                    dels = sorted(new - old)
+                    ins = sorted(old - new)
+                    yield pd.DataFrame({
+                        "___path": path,
+                        "___pos": pd.array(dels + ins, dtype="int64"),
+                        "___ct": ["delete"] * len(dels)
+                        + ["insert"] * len(ins),
+                    })
+
+        return ddf.mapInPandas(
+            expand, "___path string, ___pos long, ___ct string")
+
+    def change_feed(self, from_version: int,
+                    to_version: int | None = None) -> DataFrame:
+        """Delta **Change Data Feed** read: row-level changes committed
+        AFTER ``from_version`` up to ``to_version`` (default latest),
+        under the end-version schema plus the three CDF columns
+        delta-spark's ``table_changes`` emits: ``_change_type``
+        (insert / delete / update_preimage / update_postimage),
+        ``_commit_version``, ``_commit_timestamp``.
+
+        Per commit, per the Delta spec's CDF convention:
+
+        - commits carrying ``cdc`` actions: the ``_change_data`` files
+          ARE the feed for that commit — their ``_change_type`` column
+          is surfaced verbatim and the commit's add/remove actions are
+          ignored for CDF purposes (they double-count otherwise);
+        - commits without ``cdc`` actions are synthesized as a
+          row-level diff, the same rule delta-spark applies to
+          insert-only commits, extended to every action shape: new
+          data files are ``insert`` rows, removed files' LIVE rows
+          (deletion vector applied) are ``delete`` rows, and a DV
+          update emits exactly the newly-masked positions as
+          ``delete`` (newly-UNmasked positions — a restore — as
+          ``insert``), computed by executor-side bitmap diff;
+        - ``dataChange=false`` actions (OPTIMIZE/compaction) are
+          invisible, as the spec requires.
+
+        ``_commit_timestamp`` comes from the commit's ``commitInfo``
+        (``inCommitTimestamp`` preferred, then ``timestamp``), falling
+        back to the commit file's modification time — the same clock
+        ``version_as_of`` uses. Reference analog: the incremental
+        consumption patterns in lib/forklift/patterns/mysql_patterns.rb
+        (HWM pipes), upgraded to full row-level CDC."""
+        latest = self.latest_version()
+        to_v = latest if to_version is None else int(to_version)
+        if to_v > latest:
+            raise ValueError(f"version {to_v} > latest {latest}")
+        from_v = int(from_version)
+        end = self.snapshot(to_v)
+        schema: T.StructType = end["schema"]
+        pcols = list(end["partition_columns"])
+        cm = end.get("cm_mode", "none")
+        cur = {p: dict(e) for p, e
+               in self.snapshot(from_v)["files"].items()}
+        have = set(self.versions())
+
+        data_fields = [f for f in schema.fields if f.name not in pcols]
+        if cm != "none":
+            by_phys = {
+                (f.metadata or {}).get(_CM_PHYS): f.name
+                for f in schema.fields
+            }
+            logical = set(schema.fieldNames())
+            pcols = [
+                c if c in logical else by_phys[c] if c in by_phys
+                else _raise_cm_pcol(c) for c in pcols
+            ]
+            pv_keys = {
+                f.name: (f.metadata or {}).get(_CM_PHYS, f.name)
+                for f in schema.fields
+            }
+            renames: list[tuple] | None = []
+            read_fields = []
+            for f in data_fields:
+                pn = _cm_phys_name(f, f.name)
+                pdt = _cm_physical_type(f.dataType, f.name)
+                read_fields.append(T.StructField(pn, pdt, f.nullable))
+                renames.append((pn, pdt, f))
+            data_schema = T.StructType(read_fields)
+        else:
+            renames = None
+            data_schema = T.StructType(data_fields)
+            pv_keys = {f.name: f.name for f in schema.fields}
+        ptypes = {f.name: f.dataType for f in schema.fields
+                  if f.name in pcols}
+        # cdc files carry _change_type as a literal extra data column
+        # (never column-mapped: it is not a schema field)
+        cdc_schema = T.StructType(
+            list(data_schema.fields)
+            + [T.StructField("_change_type", T.StringType())]
+        )
+
+        def to_logical(df: DataFrame, with_ct: bool) -> DataFrame:
+            if renames is None:
+                return df
+            cols = [
+                (F.col(pn).cast(f.dataType) if pdt != f.dataType
+                 else F.col(pn)).alias(f.name)
+                for pn, pdt, f in renames
+            ]
+            if with_ct:
+                cols.append(F.col("_change_type"))
+            return df.select(*cols)
+
+        def finish(df: DataFrame, pv: dict, v: int, ts_ms: int,
+                   ct: str | None) -> DataFrame:
+            if ct is not None:
+                df = df.withColumn("_change_type", F.lit(ct))
+            for c in pcols:
+                val = pv.get(pv_keys.get(c, c), pv.get(c))
+                if val is None or (val == "" and not isinstance(
+                        ptypes[c], T.StringType)):
+                    lit = F.lit(None).cast(ptypes[c])
+                else:
+                    lit = F.lit(val).cast(ptypes[c])
+                df = df.withColumn(c, lit)
+            df = df.withColumn("_commit_version",
+                               F.lit(v).cast("bigint"))
+            df = df.withColumn(
+                "_commit_timestamp",
+                F.timestamp_millis(F.lit(int(ts_ms)).cast("bigint")))
+            return df.select(*[f.name for f in schema.fields],
+                             "_change_type", "_commit_version",
+                             "_commit_timestamp")
+
+        parts: list[DataFrame] = []
+        for v in range(from_v + 1, to_v + 1):
+            if v not in have:
+                raise FileNotFoundError(
+                    f"missing commit {v} in {self.log_dir} "
+                    "(log cleaned? CDF needs the JSON history)")
+            cpath = os.path.join(self.log_dir, f"{v:020d}.json")
+            cdc: list[dict] = []
+            adds: list[dict] = []
+            removes: list[dict] = []
+            ts_ms: int | None = None
+            with open(cpath) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    act = json.loads(line)
+                    if "cdc" in act:
+                        cdc.append(act["cdc"])
+                    elif "add" in act:
+                        adds.append(act["add"])
+                    elif "remove" in act:
+                        removes.append(act["remove"])
+                    elif "protocol" in act:
+                        self._check_protocol(act["protocol"])
+                    elif "commitInfo" in act:
+                        ci = act["commitInfo"]
+                        ts_ms = ci.get("inCommitTimestamp") \
+                            or ci.get("timestamp") or ts_ms
+            if ts_ms is None:
+                ts_ms = int(os.path.getmtime(cpath) * 1000)
+
+            if cdc:
+                by_pv: dict[tuple, list[str]] = {}
+                pvs: dict[tuple, dict] = {}
+                for c in cdc:
+                    pv = c.get("partitionValues") or {}
+                    key = tuple(sorted(pv.items()))
+                    by_pv.setdefault(key, []).append(
+                        os.path.join(self.path, unquote(c["path"])))
+                    pvs[key] = pv
+                for key, paths in sorted(by_pv.items()):
+                    df = self.spark.read.schema(cdc_schema).parquet(
+                        *paths)
+                    parts.append(finish(to_logical(df, True), pvs[key],
+                                        v, ts_ms, None))
+            else:
+                inserts: list[tuple[str, dict, dict | None]] = []
+                deletes: list[tuple[str, dict, dict | None]] = []
+                diffs: list[tuple[str, dict | None, dict | None]] = []
+                diff_pvs: dict[str, dict] = {}
+                readded: set[str] = set()
+                for a in adds:
+                    if not a.get("dataChange", True):
+                        continue
+                    p = unquote(a["path"])
+                    readded.add(p)
+                    old = cur.get(p)
+                    ndv = a.get("deletionVector")
+                    pv = a.get("partitionValues") or {}
+                    if old is None:
+                        inserts.append((p, pv, ndv))
+                    elif dv_unique_id(ndv) != dv_unique_id(
+                            old.get("dv")):
+                        diffs.append((p, old.get("dv"), ndv))
+                        diff_pvs[p] = pv or old["pv"]
+                for r in removes:
+                    if not r.get("dataChange", True):
+                        continue
+                    p = unquote(r["path"])
+                    if p in readded:
+                        # remove(path, oldDV) + add(path, newDV) in ONE
+                        # commit is a logical-file REPLACE (the spec's
+                        # DV-update shape) — the add side already
+                        # emitted the row-level diff; a delete here
+                        # would double-count the file's live rows
+                        continue
+                    old = cur.get(p)
+                    if old is None:
+                        continue  # nothing was live under this path
+                    rdv = r.get("deletionVector")
+                    if rdv is not None and dv_unique_id(rdv) != \
+                            dv_unique_id(old.get("dv")):
+                        continue  # removes a superseded logical file
+                    deletes.append((
+                        p, r.get("partitionValues") or old["pv"],
+                        old.get("dv")))
+
+                def emit(entries: list[tuple[str, dict, dict | None]],
+                         ct: str) -> None:
+                    plain: dict[tuple, list[str]] = {}
+                    pvs2: dict[tuple, dict] = {}
+                    masked: dict[str, dict] = {}
+                    masked_pv: dict[str, dict] = {}
+                    for p, pv, dv in entries:
+                        if dv:
+                            masked[p] = {"dv": dv}
+                            masked_pv[p] = pv
+                        else:
+                            key = tuple(sorted(pv.items()))
+                            plain.setdefault(key, []).append(
+                                os.path.join(self.path, p))
+                            pvs2[key] = pv
+                    for key, paths in sorted(plain.items()):
+                        df = self.spark.read.schema(data_schema) \
+                            .parquet(*paths)
+                        parts.append(finish(to_logical(df, False),
+                                            pvs2[key], v, ts_ms, ct))
+                    if masked:
+                        deleted = self._deleted_positions(masked)
+                        for p, e in sorted(masked.items()):
+                            df = (
+                                self.spark.read.schema(data_schema)
+                                .parquet(os.path.join(self.path, p))
+                                .withColumn("___path", _decoded_path())
+                                .withColumn(
+                                    "___pos",
+                                    F.col("_metadata.row_index"))
+                                .join(deleted, ["___path", "___pos"],
+                                      "left_anti")
+                                .drop("___path", "___pos")
+                            )
+                            parts.append(finish(
+                                to_logical(df, False), masked_pv[p],
+                                v, ts_ms, ct))
+
+                emit(inserts, "insert")
+                emit(deletes, "delete")
+                if diffs:
+                    dpos = self._dv_diff_positions(diffs)
+                    for p, _odv, _ndv in sorted(diffs):
+                        df = (
+                            self.spark.read.schema(data_schema)
+                            .parquet(os.path.join(self.path, p))
+                            .withColumn("___path", _decoded_path())
+                            .withColumn("___pos",
+                                        F.col("_metadata.row_index"))
+                            .join(dpos, ["___path", "___pos"], "inner")
+                            .withColumnRenamed("___ct", "_change_type")
+                            .drop("___path", "___pos")
+                        )
+                        parts.append(finish(
+                            to_logical(df, True), diff_pvs[p],
+                            v, ts_ms, None))
+
+            self._reconcile_commit(cur, adds, removes)
+
+        cdf_schema = T.StructType(
+            list(schema.fields) + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType(), False),
+                T.StructField("_commit_timestamp", T.TimestampType(),
+                              False),
+            ])
+        if not parts:
+            return self.spark.createDataFrame([], cdf_schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _scan(self, snap: dict) -> DataFrame:
         schema: T.StructType = snap["schema"]
@@ -834,17 +1176,7 @@ class DeltaLiteTable:
                 masked = (
                     self.spark.read.schema(data_schema)
                     .parquet(*by_dv[True])
-                    # _metadata.file_path is a URI: strip the scheme and
-                    # PERCENT-DECODE it (Spark encodes spaces etc.), so
-                    # it matches the literal filesystem paths the
-                    # deleted-positions frame carries; literal '+' is
-                    # protected first because url_decode is
-                    # form-decoding (+ -> space)
-                    .withColumn("___path", F.url_decode(F.regexp_replace(
-                        F.regexp_replace(
-                            F.col("_metadata.file_path"),
-                            "^file:(//)?", ""),
-                        r"\+", "%2B")))
+                    .withColumn("___path", _decoded_path())
                     .withColumn("___pos", F.col("_metadata.row_index"))
                     .join(deleted, ["___path", "___pos"], "left_anti")
                     .drop("___path", "___pos")
@@ -898,6 +1230,10 @@ class DeltaLiteConnection(Connection):
     def changes(self, table: str, from_cursor: int,
                 to_cursor: int | None = None) -> DataFrame:
         return self._table(table).changes(from_cursor, to_cursor)
+
+    def change_feed(self, table: str, from_cursor: int,
+                    to_cursor: int | None = None) -> DataFrame:
+        return self._table(table).change_feed(from_cursor, to_cursor)
 
     def write(self, df, table, mode="upsert", primary_key="id", **kwargs):
         raise NotImplementedError(

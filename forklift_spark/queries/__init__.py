@@ -57,10 +57,11 @@ def query(name: str, oracle: str | None = None):
 # selection/multimodal/connectors/stats), minus slots swapped for the
 # round's NEW rows (q_delta_checkpoint_read, q_iceberg_expire_read,
 # q_delta_colmap_read, q_delta_v2_checkpoint_read,
-# q_delta_typewiden_read — never driver-checked, and the window test
-# requires never-checked ⊆ window; the evicted r3 rows
-# q_dedup_recall_eval / q_bpe_train / q_ann_lsh_topk were equally-stale
-# candidates whose families keep other window representatives). After this window runs, the cumulative staleness
+# q_delta_typewiden_read, q_delta_cdf_read — never driver-checked, and
+# the window test requires never-checked ⊆ window; the evicted r3 rows
+# q_dedup_recall_eval / q_bpe_train / q_ann_lsh_topk /
+# q_dedup_minhash_lsh were equally-stale candidates whose families keep
+# other window representatives). After this window runs, the cumulative staleness
 # median drops to two rounds — the floor for a 50-slot window.
 _WINDOW_ROWS_ONLY: frozenset[str] = frozenset({
     "q_distinct_approx",
@@ -85,7 +86,7 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
     ],
     "similarity": ["q_ann_bruteforce_topk"],
     "dedup": [
-        "q_decontaminate", "q_dedup_minhash_lsh",
+        "q_decontaminate",
     ],
     "timeseries": ["q_asof_join"],
     "multimodal": ["q_audio_features"],
@@ -95,7 +96,7 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
         "q_csv_roundtrip", "q_es_roundtrip",
         "q_delta_checkpoint_read", "q_iceberg_expire_read",
         "q_delta_colmap_read", "q_delta_v2_checkpoint_read",
-        "q_delta_typewiden_read",
+        "q_delta_typewiden_read", "q_delta_cdf_read",
     ],
     "stats": ["q_heavy_hitters_cms"],
 }

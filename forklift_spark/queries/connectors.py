@@ -1880,3 +1880,173 @@ def q_delta_typewiden_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# --------------------------------------------------------------------------
+# q_delta_cdf_read — Delta CHANGE DATA FEED interop read (r8): a table
+# with delta.enableChangeDataFeed is built BY HAND from PROTOCOL.md's
+# Change Data Files section. v0 inserts the o_orderkey%4<2 slice of
+# orders; v1 is an UPDATE commit whose cdc actions carry hand-written
+# _change_data parquet (pre+post images doubling o_totalprice where
+# o_orderkey%10=3) NEXT TO a trap remove/add pair the reader must
+# ignore (consuming both double-counts every base row); v2 appends the
+# %4=2 and %4=3 slices as separate files with no cdc (synthesized
+# inserts); v3 removes the %4=3 file set (synthesized deletes). The
+# oracle reconstructs all four (version, change_type) groups straight
+# from orders — a double-count, a missed synthesis, or a pre/post
+# confusion all break the hash.
+# --------------------------------------------------------------------------
+DELTA_CDF_ORACLE = """
+WITH upd AS (
+  SELECT * FROM orders WHERE o_orderkey % 4 < 2 AND o_orderkey % 10 = 3
+), app2 AS (SELECT * FROM orders WHERE o_orderkey % 4 = 2),
+   app3 AS (SELECT * FROM orders WHERE o_orderkey % 4 = 3)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS commit_version,
+         'update_preimage' AS change_type,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+           AS sum_price,
+         CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+  FROM upd
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), 'update_postimage',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(14,2))) AS DOUBLE),
+         CAST(MIN(o_orderkey) AS BIGINT)
+  FROM upd
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'insert', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE),
+         CAST(MIN(o_orderkey) AS BIGINT)
+  FROM (SELECT * FROM app2 UNION ALL SELECT * FROM app3)
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'delete', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE),
+         CAST(MIN(o_orderkey) AS BIGINT)
+  FROM app3
+)
+ORDER BY commit_version, change_type
+"""
+
+
+@query("q_delta_cdf_read", DELTA_CDF_ORACLE)
+def q_delta_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import json as _json
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from forklift_spark.connections.deltalite import DeltaLiteTable
+
+    od = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tdir = tempfile.mkdtemp(prefix="fk_delta_cdf_")
+    log = os.path.join(tdir, "_delta_log")
+    os.makedirs(log)
+
+    def _land(df, prefix: str) -> list[str]:
+        stage = os.path.join(tdir, f"stage_{prefix}")
+        df.write.mode("overwrite").parquet(stage)
+        rels = []
+        for i, f in enumerate(sorted(
+                glob.glob(os.path.join(stage, "part-*.parquet")))):
+            rel = f"{prefix}-{i}.parquet"
+            d = os.path.join(tdir, rel)
+            os.makedirs(os.path.dirname(d), exist_ok=True)
+            shutil.move(f, d)
+            rels.append(rel)
+        shutil.rmtree(stage)
+        return rels
+
+    schema = T.StructType([
+        T.StructField("o_orderkey", od.schema["o_orderkey"].dataType),
+        T.StructField("o_totalprice",
+                      od.schema["o_totalprice"].dataType),
+    ])
+
+    def _add(rel, data_change=True):
+        return {"add": {"path": rel, "partitionValues": {}, "size": 1,
+                        "modificationTime": 1700000000000,
+                        "dataChange": data_change}}
+
+    base = od.filter(F.col("o_orderkey") % 4 < 2)
+    upd_pred = F.col("o_orderkey") % 10 == 3
+    base_rels = _land(base, "base")
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 4}}) + "\n")
+        fh.write(_json.dumps({"metaData": {
+            "id": "fk-delta-cdf-read",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema.jsonValue()),
+            "partitionColumns": [],
+            "configuration": {"delta.enableChangeDataFeed": "true"},
+            "createdTime": 1700000000000,
+        }}) + "\n")
+        for rel in base_rels:
+            fh.write(_json.dumps(_add(rel)) + "\n")
+        fh.write(_json.dumps({"commitInfo": {
+            "timestamp": 1700000000000, "operation": "WRITE"}}) + "\n")
+
+    # v1: UPDATE — cdc pre/post images; the rewritten base (post-update
+    # content) lands as the trap remove/add pair cdc readers must skip
+    pre = base.filter(upd_pred).withColumn(
+        "_change_type", F.lit("update_preimage"))
+    post = base.filter(upd_pred).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2).withColumn(
+        "_change_type", F.lit("update_postimage"))
+    cdc_rels = _land(pre.unionByName(post), "_change_data/cdc")
+    upd_rels = _land(
+        base.withColumn(
+            "o_totalprice",
+            F.when(upd_pred, F.col("o_totalprice") * 2)
+             .otherwise(F.col("o_totalprice"))), "upd")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        for rel in cdc_rels:
+            fh.write(_json.dumps({"cdc": {
+                "path": rel, "partitionValues": {}, "size": 1,
+                "dataChange": False}}) + "\n")
+        for rel in base_rels:
+            fh.write(_json.dumps({"remove": {
+                "path": rel, "deletionTimestamp": 1700000001000,
+                "dataChange": True}}) + "\n")
+        for rel in upd_rels:
+            fh.write(_json.dumps(_add(rel)) + "\n")
+        fh.write(_json.dumps({"commitInfo": {
+            "timestamp": 1700000001000, "operation": "UPDATE"}}) + "\n")
+
+    # v2: plain append, two deterministic file sets (no cdc)
+    app2_rels = _land(od.filter(F.col("o_orderkey") % 4 == 2), "app2")
+    app3_rels = _land(od.filter(F.col("o_orderkey") % 4 == 3), "app3")
+    with open(os.path.join(log, f"{2:020d}.json"), "w") as fh:
+        for rel in app2_rels + app3_rels:
+            fh.write(_json.dumps(_add(rel)) + "\n")
+        fh.write(_json.dumps({"commitInfo": {
+            "timestamp": 1700000002000, "operation": "WRITE"}}) + "\n")
+
+    # v3: DELETE the %4=3 file set (no cdc -> synthesized deletes)
+    with open(os.path.join(log, f"{3:020d}.json"), "w") as fh:
+        for rel in app3_rels:
+            fh.write(_json.dumps({"remove": {
+                "path": rel, "deletionTimestamp": 1700000003000,
+                "dataChange": True}}) + "\n")
+        fh.write(_json.dumps({"commitInfo": {
+            "timestamp": 1700000003000, "operation": "DELETE"}}) + "\n")
+
+    feed = DeltaLiteTable(spark, tdir).change_feed(0)
+    return (
+        feed.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(dec("o_totalprice", MONEY)).cast("double")
+             .alias("sum_price"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+        )
+        .orderBy("commit_version", "change_type")
+    )

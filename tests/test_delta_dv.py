@@ -241,10 +241,10 @@ def test_unsupported_reader_feature_still_refuses(spark, tmp_path):
     os.makedirs(log)
     _commit(log, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["deletionVectors", "typeWidening"]}},
+                      "readerFeatures": ["deletionVectors", "variantType"]}},
         _meta_action(),
     ])
-    with pytest.raises(DeltaUnsupported, match="typeWidening"):
+    with pytest.raises(DeltaUnsupported, match="variantType"):
         DeltaLiteTable(spark, tdir).read()
 
 
