@@ -253,9 +253,11 @@ HEADLINE = [
     "q_iceberg_expire_read",
     "q_delta_colmap_read",
     "q_delta_v2_checkpoint_read",
-    # r8 wave 2: mixed-generation type-widening read, change data feed
+    # r8 wave 2: mixed-generation type-widening read, change data feed,
+    # stats-based file skipping
     "q_delta_typewiden_read",
     "q_delta_cdf_read",
+    "q_delta_stats_prune_read",
 ]
 
 

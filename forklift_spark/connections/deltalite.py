@@ -249,6 +249,20 @@ def _cm_physical_type(dt: T.DataType, where: str) -> T.DataType:
     return dt
 
 
+def _entry_of(a: dict) -> dict:
+    """Live-file entry from an ``add`` action: partition values, DV
+    descriptor, tags, plus the fields the read planner prunes with —
+    ``stats`` (the spec's per-file JSON statistics string) and
+    ``size``."""
+    return {
+        "pv": a.get("partitionValues") or {},
+        "dv": a.get("deletionVector"),
+        "tags": a.get("tags") or {},
+        "stats": a.get("stats"),
+        "size": a.get("size"),
+    }
+
+
 def _decoded_path():
     """``_metadata.file_path`` is a URI: strip the scheme and
     PERCENT-DECODE it (Spark encodes spaces etc.), so it matches the
@@ -317,6 +331,9 @@ class DeltaLiteTable:
         # and KEEP deleted rows
         self.path = os.path.abspath(path)
         self.log_dir = os.path.join(self.path, "_delta_log")
+        # planning counters of the most recent read(where=...) — the
+        # manifest reader's observability contract, mirrored
+        self.last_read_stats: dict | None = None
 
     # -- log listing -------------------------------------------------------
 
@@ -517,11 +534,7 @@ class DeltaLiteTable:
                     sidecars.append(act["sidecar"])
                 elif "add" in act:
                     a = act["add"]
-                    files[unquote(a["path"])] = {
-                        "pv": a.get("partitionValues") or {},
-                        "dv": a.get("deletionVector"),
-                        "tags": a.get("tags") or {},
-                    }
+                    files[unquote(a["path"])] = _entry_of(a)
         return meta, files, proto, ckpt_meta, sidecars
 
     def _parse_ckpt_parquet(self, paths: list[str],
@@ -567,6 +580,10 @@ class DeltaLiteTable:
                 sel.append("add.deletionVector")
             if "tags" in add_fields:  # sync's dv-churn detection reads
                 sel.append("add.tags")  # the forklift_dv_src tag
+            if "stats" in add_fields:  # read-planner file skipping
+                sel.append("add.stats")
+            if "size" in add_fields:
+                sel.append("add.size")
             for r in (
                 df.filter(F.col("add").isNotNull()).select(*sel).collect()
             ):
@@ -577,6 +594,9 @@ class DeltaLiteTable:
                     "dv": dv.asDict() if dv is not None else None,
                     "tags": dict(r["tags"] or {})
                     if "tags" in add_fields else {},
+                    "stats": r["stats"] if "stats" in add_fields
+                    else None,
+                    "size": r["size"] if "size" in add_fields else None,
                 }
         if v2_actions:
             if "checkpointMetadata" in cols:
@@ -617,11 +637,7 @@ class DeltaLiteTable:
             ):
                 files.pop(p, None)
         for a in adds:
-            files[unquote(a["path"])] = {
-                "pv": a.get("partitionValues") or {},
-                "dv": a.get("deletionVector"),
-                "tags": a.get("tags") or {},
-            }
+            files[unquote(a["path"])] = _entry_of(a)
 
     @staticmethod
     def _check_protocol(proto: dict) -> None:
@@ -670,13 +686,174 @@ class DeltaLiteTable:
                 "(earliest retained commit is newer)")
         return max(cands)
 
+    # logical types whose [min, max] interval pruning is well-defined:
+    # numeric (compared via float, the manifest reader's convention),
+    # plus strings and dates (lexicographic — Delta's truncated string
+    # bounds stay conservative: stored min <= true min, stored max >=
+    # true max). Timestamp stats are ISO-T strings: pass ISO-T string
+    # bounds to prune on them.
+    _PRUNE_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType,
+                      T.LongType, T.FloatType, T.DoubleType,
+                      T.DecimalType)
+    _PRUNE_LEX = (T.StringType, T.DateType, T.TimestampType,
+                  T.TimestampNTZType)
+
+    @staticmethod
+    def _range_match(fmin, fmax, lo, hi, numeric: bool) -> bool:
+        """Can a file whose column spans [fmin, fmax] hold a row in
+        [lo, hi]? (None bound = unbounded.)"""
+        if numeric:
+            fmin = float(fmin)
+            fmax = float(fmax)
+            lo = float(lo) if lo is not None else None
+            hi = float(hi) if hi is not None else None
+        else:
+            fmin = str(fmin)
+            fmax = str(fmax)
+            lo = str(lo) if lo is not None else None
+            hi = str(hi) if hi is not None else None
+        if lo is not None and fmax < lo:
+            return False
+        if hi is not None and fmin > hi:
+            return False
+        return True
+
+    def _prune_files(self, snap: dict, where: dict) -> dict:
+        """File skipping from the log's own metadata — partition values
+        for partition columns, ``add.stats`` minValues/maxValues (and
+        the all-NULL nullCount==numRecords case) for data columns — the
+        same plan-time discipline as the manifest reader's zone maps.
+        Files without usable stats always survive (stats are an
+        optimization, never a correctness dependency; the caller's
+        residual row filter keeps results exact). Returns the surviving
+        entries; planning counters land on ``self.last_read_stats``."""
+        schema: T.StructType = snap["schema"]
+        pcols = set(snap["partition_columns"])
+        cm = snap.get("cm_mode", "none")
+        types = {f.name: f.dataType for f in schema.fields}
+        phys = {
+            f.name: ((f.metadata or {}).get(_CM_PHYS, f.name)
+                     if cm != "none" else f.name)
+            for f in schema.fields
+        }
+        unknown = [c for c in where if c not in types]
+        if unknown:
+            raise ValueError(
+                f"where columns {unknown} not in the table schema "
+                f"({sorted(types)})")
+
+        checks = []  # (col, phys_key, lo, hi, numeric, is_pcol)
+        for col, (lo, hi) in where.items():
+            if lo is None and hi is None:
+                continue
+            dt = types[col]
+            if isinstance(dt, self._PRUNE_NUMERIC):
+                numeric = True
+            elif isinstance(dt, self._PRUNE_LEX):
+                numeric = False
+            else:
+                continue  # unprunable type: residual filter only
+            checks.append((col, phys[col], lo, hi, numeric,
+                           col in pcols))
+
+        kept: dict[str, dict] = {}
+        for path, e in snap["files"].items():
+            stats = None
+            raw = e.get("stats")
+            if raw:
+                try:
+                    stats = json.loads(raw) if isinstance(raw, str) \
+                        else raw
+                except (ValueError, TypeError):
+                    stats = None
+            keep = True
+            for col, pk, lo, hi, numeric, is_pcol in checks:
+                if is_pcol:
+                    pv = e.get("pv") or {}
+                    v = pv.get(pk, pv.get(col))
+                    if v == "" and not isinstance(types[col],
+                                                  T.StringType):
+                        v = None
+                    if v is None or not self._range_match(
+                            v, v, lo, hi, numeric):
+                        keep = False  # NULL never satisfies a bound
+                        break
+                    continue
+                if not stats:
+                    continue
+                minv = (stats.get("minValues") or {}).get(pk)
+                maxv = (stats.get("maxValues") or {}).get(pk)
+                if minv is None or maxv is None:
+                    nulls = (stats.get("nullCount") or {}).get(pk)
+                    nrec = stats.get("numRecords")
+                    if nulls is not None and nrec is not None \
+                            and nulls == nrec:
+                        keep = False  # all-NULL column
+                        break
+                    continue  # no usable bound: keep
+                if not self._range_match(minv, maxv, lo, hi, numeric):
+                    keep = False
+                    break
+            if keep:
+                kept[path] = e
+
+        stat_less = {}
+        for col, pk, _lo, _hi, _num, is_pcol in checks:
+            if is_pcol:
+                continue
+            miss = sum(
+                1 for e in kept.values()
+                if not e.get("stats")
+                or pk not in (json.loads(e["stats"])
+                              .get("minValues") or {})
+            )
+            stat_less[col] = miss
+            if miss == len(kept) and miss > 1:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "%s: stats pruning on %r degraded to full scan — "
+                    "none of the %d planned files carry minValues for "
+                    "it (writer collected no stats?)",
+                    self.path, col, miss,
+                )
+        self.last_read_stats = {
+            "files_total": len(snap["files"]),
+            "files_planned": len(kept),
+            "bytes_planned": sum(
+                e.get("size") or 0 for e in kept.values()),
+            "stat_less": stat_less,
+        }
+        return kept
+
     def read(self, version: int | None = None,
-             as_of_ms: int | None = None) -> DataFrame:
+             as_of_ms: int | None = None,
+             where: dict | None = None) -> DataFrame:
+        """Snapshot read. With ``where = {col: (lo, hi)}`` (None =
+        unbounded), files are SKIPPED at plan time from the Delta log's
+        own metadata — partition values and ``add.stats`` bounds — and
+        the row-level interval filter is applied on top, so results are
+        exact whether or not a file carries stats (the manifest
+        reader's contract, mirrored; counters on
+        ``self.last_read_stats``)."""
         if as_of_ms is not None:
             if version is not None:
                 raise ValueError("pass version OR as_of_ms, not both")
             version = self.version_as_of(int(as_of_ms))
         snap = self.snapshot(version)
+        if where:
+            snap = dict(snap)
+            snap["files"] = self._prune_files(snap, where)
+            if not snap["files"]:
+                df = self.spark.createDataFrame([], snap["schema"])
+            else:
+                df = self._scan(snap)
+            for col, (lo, hi) in where.items():
+                if lo is not None:
+                    df = df.filter(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(col) <= F.lit(hi))
+            return df
         if not snap["files"]:
             return self.spark.createDataFrame([], snap["schema"])
         # one scan per distinct partition-value combination; the lit
@@ -1340,10 +1517,55 @@ def _protocol_action(with_dv: bool) -> dict:
     return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
 
+def _delta_stats_of(types: dict, e: dict) -> str | None:
+    """Render a manifest entry's zone maps as the Delta spec's per-file
+    ``stats`` JSON (numRecords / minValues / maxValues), so EXTERNAL
+    Delta readers (delta-spark data skipping, and this reader's own
+    ``read(where=...)``) file-skip on the exported table. Value typing
+    follows the spec: JSON numbers for integer/floating columns
+    (manifest bounds are Spark cast-to-string, round-trip exact),
+    ISO strings for dates, ISO-T for timestamps. Decimal bounds are
+    OMITTED: a float re-encode could round a bound inward and prune a
+    file that actually matches — no stat beats a wrong stat."""
+    zmaps = e.get("stats")
+    rows = e.get("rows")
+    if not zmaps and rows is None:
+        return None
+    minv: dict = {}
+    maxv: dict = {}
+    for col, bound in (zmaps or {}).items():
+        lo, hi = bound
+        if lo is None or hi is None:
+            continue  # all-NULL column: no bounds (nullCount unknown)
+        dt = types.get(col)
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+            minv[col], maxv[col] = int(lo), int(hi)
+        elif isinstance(dt, (T.FloatType, T.DoubleType)):
+            minv[col], maxv[col] = float(lo), float(hi)
+        elif isinstance(dt, (T.DateType, T.StringType)):
+            minv[col], maxv[col] = str(lo), str(hi)
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            minv[col] = str(lo).replace(" ", "T", 1)
+            maxv[col] = str(hi).replace(" ", "T", 1)
+        # decimals and anything else: omitted (see docstring)
+    out: dict = {}
+    if rows is not None:
+        out["numRecords"] = int(rows)
+    if minv:
+        out["minValues"] = minv
+        out["maxValues"] = maxv
+    return json.dumps(out) if out else None
+
+
 def _add_action(table, dest: str, e: dict,
-                descs: dict[str, dict]) -> dict:
+                descs: dict[str, dict],
+                types: dict | None = None) -> dict:
     """Hard-link entry ``e`` into ``dest`` and build its add action
-    (DV descriptor + source-dv tag when the entry is masked)."""
+    (DV descriptor + source-dv tag when the entry is masked, zone maps
+    re-rendered as spec stats for external data skipping). ``types``:
+    {col: DataType} of the manifest schema, computed ONCE by the
+    caller (per-entry schema loads would be O(files^2))."""
     _link_or_copy(os.path.join(table.path, e["path"]),
                   os.path.join(dest, e["path"]))
     dst = os.path.join(dest, e["path"])
@@ -1351,6 +1573,9 @@ def _add_action(table, dest: str, e: dict,
          "size": os.path.getsize(dst),
          "modificationTime": int(os.path.getmtime(dst) * 1000),
          "dataChange": True}
+    stats = _delta_stats_of(types or {}, e)
+    if stats:
+        a["stats"] = stats
     if e["path"] in descs:
         a["deletionVector"] = descs[e["path"]]
         # spec-legal free-form tags: record WHICH manifest dv dir this
@@ -1392,7 +1617,12 @@ def export_manifest_to_delta(table, dest: str,
     masks = _dv_guard_or_masks(table, m["entries"], dv_mode, "export")
     os.makedirs(os.path.join(dest, "_delta_log"), exist_ok=True)
     descs = write_dv_bin(dest, masks) if masks else {}
-    adds = [_add_action(table, dest, e, descs) for e in m["entries"]]
+    types = {
+        f.name: f.dataType
+        for f in T.StructType.fromJson(m["schema"]).fields
+    }
+    adds = [_add_action(table, dest, e, descs, types)
+            for e in m["entries"]]
     schema_json = json.dumps(
         T.StructType.fromJson(m["schema"]).jsonValue()
     )
@@ -1524,7 +1754,9 @@ def sync_manifest_to_delta(table, dest: str,
             fh.write(json.dumps({"remove": _remove_action(rel)}) + "\n")
         for rel in (*added, *dv_updated):
             fh.write(json.dumps(
-                {"add": _add_action(table, dest, entries[rel], descs)}
+                {"add": _add_action(table, dest, entries[rel], descs,
+                                    {f.name: f.dataType
+                                     for f in schema.fields})}
             ) + "\n")
     out = {"mode": "incremental", "added": len(added),
            "removed": len(removed), "dv_updated": len(dv_updated),
@@ -1603,7 +1835,7 @@ def checkpoint_delta_export(spark: SparkSession, dest: str,
         ("path", pa.string()), ("partitionValues", str_map),
         ("size", pa.int64()), ("modificationTime", pa.int64()),
         ("dataChange", pa.bool_()), ("deletionVector", dv_type),
-        ("tags", str_map),
+        ("tags", str_map), ("stats", pa.string()),
     ])
     remove_type = pa.struct([
         ("path", pa.string()), ("deletionTimestamp", pa.int64()),
@@ -1650,6 +1882,7 @@ def checkpoint_delta_export(spark: SparkSession, dest: str,
             if os.path.exists(ap) else 0,
             "dataChange": False, "deletionVector": _dv_of(e.get("dv")),
             "tags": _m(e.get("tags")),
+            "stats": e.get("stats"),
         })
         rows_p.append(None)
         rows_m.append(None)

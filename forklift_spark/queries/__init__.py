@@ -57,11 +57,12 @@ def query(name: str, oracle: str | None = None):
 # selection/multimodal/connectors/stats), minus slots swapped for the
 # round's NEW rows (q_delta_checkpoint_read, q_iceberg_expire_read,
 # q_delta_colmap_read, q_delta_v2_checkpoint_read,
-# q_delta_typewiden_read, q_delta_cdf_read — never driver-checked, and
-# the window test requires never-checked ⊆ window; the evicted r3 rows
-# q_dedup_recall_eval / q_bpe_train / q_ann_lsh_topk /
-# q_dedup_minhash_lsh were equally-stale candidates whose families keep
-# other window representatives). After this window runs, the cumulative staleness
+# q_delta_typewiden_read, q_delta_cdf_read, q_delta_stats_prune_read —
+# never driver-checked, and the window test requires never-checked ⊆
+# window; the evicted rows q_dedup_recall_eval / q_bpe_train /
+# q_ann_lsh_topk / q_dedup_minhash_lsh / q_distinct_exact were
+# equally-stale candidates whose families keep other window
+# representatives). After this window runs, the cumulative staleness
 # median drops to two rounds — the floor for a 50-slot window.
 _WINDOW_ROWS_ONLY: frozenset[str] = frozenset({
     "q_distinct_approx",
@@ -71,7 +72,7 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
         "q_distinct_approx", "q10_returned_items",
         "q13_order_distribution", "q14_promo_revenue", "q17_small_qty",
         "q19_disjunctive", "q22_global_sales_opp", "q4_exists_priority",
-        "q9_product_profit", "q_cube", "q_distinct_exact",
+        "q9_product_profit", "q_cube",
         "q_grouping_sets", "q_percentiles", "q_pivot", "q_rank_functions",
         "q_rfm_segments", "q_running_window", "q_set_ops",
         "q_value_window_functions",
@@ -97,6 +98,7 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
         "q_delta_checkpoint_read", "q_iceberg_expire_read",
         "q_delta_colmap_read", "q_delta_v2_checkpoint_read",
         "q_delta_typewiden_read", "q_delta_cdf_read",
+        "q_delta_stats_prune_read",
     ],
     "stats": ["q_heavy_hitters_cms"],
 }

@@ -2050,3 +2050,119 @@ def q_delta_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("commit_version", "change_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q_delta_stats_prune_read — Delta STATS-BASED FILE SKIPPING (r8): a
+# log whose add actions carry the spec's per-file stats JSON
+# (numRecords/minValues/maxValues off the real parquet footers) is
+# read with read(where={p_partkey: (lo, hi)}). The reader must skip
+# the non-intersecting files at PLAN time (the in-row flag asserts
+# files_planned < files_total off last_read_stats) while the residual
+# row filter keeps the result exact — a pruner that drops a matching
+# file, or bounds compared under the wrong type, breaks the hash
+# against the oracle's plain-predicate form.
+# --------------------------------------------------------------------------
+DELTA_STATS_PRUNE_ORACLE = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(14,2))) AS DOUBLE)
+         AS sum_price,
+       CAST(MIN(p_partkey) AS BIGINT) AS min_pk,
+       CAST(MAX(p_partkey) AS BIGINT) AS max_pk,
+       CAST(1 AS BIGINT) AS pruned_at_plan_time
+FROM part
+WHERE p_partkey >= 301 AND p_partkey <= 1100
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@query("q_delta_stats_prune_read", DELTA_STATS_PRUNE_ORACLE)
+def q_delta_stats_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import json as _json
+    import shutil
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from forklift_spark.connections.deltalite import DeltaLiteTable
+
+    pt = tables.load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    hi_key = pt.agg(F.max("p_partkey")).collect()[0][0]
+    tdir = tempfile.mkdtemp(prefix="fk_delta_prune_")
+    log = os.path.join(tdir, "_delta_log")
+    os.makedirs(log)
+
+    # land DISJOINT p_partkey ranges as separate file sets, so bounds
+    # genuinely prune; chunk width scales with the sf (4 chunks)
+    width = max(1, (int(hi_key) + 3) // 4)
+    rels: list[str] = []
+    for i in range(4):
+        lo, hi = i * width + 1, (i + 1) * width
+        chunk = pt.filter(
+            (F.col("p_partkey") >= lo) & (F.col("p_partkey") <= hi))
+        stage = os.path.join(tdir, f"stage_{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(stage)
+        for f in sorted(glob.glob(os.path.join(stage, "part-*.parquet"))):
+            rel = f"chunk{i}.parquet"
+            shutil.move(f, os.path.join(tdir, rel))
+            rels.append(rel)
+        shutil.rmtree(stage)
+
+    schema = T.StructType([
+        T.StructField("p_partkey", pt.schema["p_partkey"].dataType),
+        T.StructField("p_brand", T.StringType()),
+        T.StructField("p_retailprice",
+                      pt.schema["p_retailprice"].dataType),
+    ])
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+        fh.write(_json.dumps({"metaData": {
+            "id": "fk-delta-stats-prune",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema.jsonValue()),
+            "partitionColumns": [], "configuration": {},
+            "createdTime": 1700000000000,
+        }}) + "\n")
+        for rel in rels:
+            # real footer stats, like any spec-conformant writer
+            tbl = pq.read_table(os.path.join(tdir, rel),
+                                columns=["p_partkey", "p_brand"])
+            keys = tbl.column(0).to_pylist()
+            brands = tbl.column(1).to_pylist()
+            fh.write(_json.dumps({"add": {
+                "path": rel, "partitionValues": {},
+                "size": os.path.getsize(os.path.join(tdir, rel)),
+                "modificationTime": 1700000000000, "dataChange": True,
+                "stats": _json.dumps({
+                    "numRecords": len(keys),
+                    "minValues": {"p_partkey": min(keys),
+                                  "p_brand": min(brands)},
+                    "maxValues": {"p_partkey": max(keys),
+                                  "p_brand": max(brands)},
+                    "nullCount": {"p_partkey": 0, "p_brand": 0},
+                }),
+            }}) + "\n")
+
+    t = DeltaLiteTable(spark, tdir)
+    lo_b, hi_b = 301, 1100  # spans chunks 0-2 at sf0.01, prunes chunk 3
+    got = t.read(where={"p_partkey": (lo_b, hi_b)})
+    rs = t.last_read_stats
+    pruned = int(0 < rs["files_planned"] < rs["files_total"])
+    return (
+        got.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(dec("p_retailprice", MONEY)).cast("double")
+             .alias("sum_price"),
+            F.min("p_partkey").cast("bigint").alias("min_pk"),
+            F.max("p_partkey").cast("bigint").alias("max_pk"),
+            F.lit(pruned).cast("bigint").alias("pruned_at_plan_time"),
+        )
+        .orderBy("p_brand")
+    )
