@@ -258,6 +258,7 @@ HEADLINE = [
     "q_delta_typewiden_read",
     "q_delta_cdf_read",
     "q_delta_stats_prune_read",
+    "q_iceberg_bounds_prune_read",
 ]
 
 

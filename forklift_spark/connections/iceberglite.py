@@ -92,12 +92,209 @@ MANIFEST_ENTRY_SCHEMA: dict = {
                 {"name": "record_count", "type": "long", "field-id": 103},
                 {"name": "file_size_in_bytes", "type": "long",
                  "field-id": 104},
+                # per-column value bounds (spec field-ids 125/128; the
+                # k/v-array-with-logicalType-map shape java Iceberg
+                # writes, keyed by field id, single-value-serialized
+                # binary) — the read planner's file-skipping input
+                {"name": "lower_bounds", "field-id": 125,
+                 "default": None,
+                 "type": ["null", {
+                     "type": "array", "logicalType": "map",
+                     "items": {
+                         "type": "record", "name": "k126_v127",
+                         "fields": [
+                             {"name": "key", "type": "int",
+                              "field-id": 126},
+                             {"name": "value", "type": "bytes",
+                              "field-id": 127},
+                         ]}}]},
+                {"name": "upper_bounds", "field-id": 128,
+                 "default": None,
+                 "type": ["null", {
+                     "type": "array", "logicalType": "map",
+                     "items": {
+                         "type": "record", "name": "k129_v130",
+                         "fields": [
+                             {"name": "key", "type": "int",
+                              "field-id": 129},
+                             {"name": "value", "type": "bytes",
+                              "field-id": 130},
+                         ]}}]},
                 {"name": "equality_ids",
                  "type": ["null", {"type": "array", "items": "int",
                                    "element-id": 136}],
                  "default": None, "field-id": 135},
             ]}},
     ]}
+
+
+# -- Iceberg single-value serialization (spec Appendix D) -------------------
+# bounds in manifest entries are binary: little-endian for fixed-width
+# numerics, UTF-8 for strings, big-endian two's-complement unscaled for
+# decimals. Types a range can't prune (uuid/fixed/binary/nested) decode
+# to None and are skipped.
+
+def decode_bound(ice_type, b):
+    import struct as _s
+
+    if b is None or not isinstance(b, (bytes, bytearray)):
+        return None
+    if not isinstance(ice_type, str):
+        return None  # struct/list/map: no single-value form
+    t = ice_type
+    try:
+        if t == "boolean":
+            return bool(b[0])
+        if t == "int":
+            return _s.unpack("<i", bytes(b[:4]))[0]
+        if t == "long":
+            return _s.unpack("<q", bytes(b[:8]))[0]
+        if t == "float":
+            return _s.unpack("<f", bytes(b[:4]))[0]
+        if t == "double":
+            return _s.unpack("<d", bytes(b[:8]))[0]
+        if t == "date":  # days from epoch
+            return _s.unpack("<i", bytes(b[:4]))[0]
+        if t in ("timestamp", "timestamptz", "time"):  # micros
+            return _s.unpack("<q", bytes(b[:8]))[0]
+        if t == "string":
+            return bytes(b).decode("utf-8", "replace")
+        if t.startswith("decimal("):
+            from decimal import Decimal
+
+            scale = int(t[8:-1].split(",")[1])
+            unscaled = int.from_bytes(bytes(b), "big", signed=True)
+            return Decimal(unscaled).scaleb(-scale)
+    except (ValueError, _s.error):
+        return None
+    return None
+
+
+def encode_bound(ice_type, v) -> bytes | None:
+    """Inverse of :func:`decode_bound` for the EXPORT path: the value
+    arrives as the manifest zone map's cast-to-string form."""
+    import struct as _s
+
+    if v is None or not isinstance(ice_type, str):
+        return None
+    t = ice_type
+    if t == "boolean":
+        return b"\x01" if str(v).lower() == "true" else b"\x00"
+    if t == "int":
+        return _s.pack("<i", int(v))
+    if t == "long":
+        return _s.pack("<q", int(v))
+    if t == "float":
+        return _s.pack("<f", float(v))
+    if t == "double":
+        return _s.pack("<d", float(v))
+    if t == "date":
+        import datetime as _dt
+
+        d = _dt.date.fromisoformat(str(v))
+        return _s.pack("<i", (d - _dt.date(1970, 1, 1)).days)
+    if t in ("timestamp", "timestamptz"):
+        import datetime as _dt
+
+        s = str(v).replace("T", " ", 1)
+        dt = _dt.datetime.fromisoformat(s)
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        epoch = _dt.datetime(1970, 1, 1)
+        return _s.pack("<q", int((dt - epoch).total_seconds() * 1_000_000
+                                 + 0.5) if dt >= epoch
+                       else -int((epoch - dt).total_seconds() * 1_000_000
+                                 + 0.5))
+    if t == "string":
+        return str(v).encode("utf-8")
+    if t.startswith("decimal("):
+        from decimal import Decimal
+
+        scale = int(t[8:-1].split(",")[1])
+        unscaled = int(Decimal(str(v)).scaleb(scale).to_integral_value())
+        n = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(n, "big", signed=True)
+    return None
+
+
+def _bound_probe(ice_type, v):
+    """Normalize a user-level ``where`` bound into the decoded-bound
+    domain (days for dates, micros for timestamps, Decimal for
+    decimals, float for other numerics, str for strings)."""
+    import datetime as _dt
+
+    if v is None or not isinstance(ice_type, str):
+        return None
+    t = ice_type
+    if t in ("int", "long", "float", "double"):
+        return float(v)
+    if t == "date":
+        d = v if isinstance(v, _dt.date) else \
+            _dt.date.fromisoformat(str(v))
+        return (d - _dt.date(1970, 1, 1)).days
+    if t in ("timestamp", "timestamptz"):
+        if isinstance(v, _dt.datetime):
+            dt = v
+        else:
+            dt = _dt.datetime.fromisoformat(str(v).replace("T", " ", 1))
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return int((dt - _dt.datetime(1970, 1, 1)).total_seconds()
+                   * 1_000_000)
+    if t == "string":
+        return str(v)
+    if t.startswith("decimal("):
+        from decimal import Decimal
+
+        return Decimal(str(v))
+    return None
+
+
+def _entry_bounds(fields_map: dict, e: dict) -> tuple:
+    """A manifest entry's zone maps re-encoded as the spec's 125/128
+    bounds arrays (k/v records keyed by field id, single-value
+    serialization), so external Iceberg readers — and this reader's own
+    ``read(where=...)`` — file-skip on the exported table.
+    ``fields_map``: {col: (field_id, iceberg_type)} from the schema
+    actually written to metadata.json."""
+    lo_arr: list = []
+    hi_arr: list = []
+    for col, bound in (e.get("stats") or {}).items():
+        lo, hi = bound
+        if lo is None or hi is None:
+            continue  # all-NULL column: no bounds
+        fid_t = fields_map.get(col)
+        if not fid_t:
+            continue
+        fid, t = fid_t
+        lb = encode_bound(t, lo)
+        ub = encode_bound(t, hi)
+        if lb is None or ub is None:
+            continue
+        lo_arr.append({"key": fid, "value": lb})
+        hi_arr.append({"key": fid, "value": ub})
+    return (lo_arr or None, hi_arr or None)
+
+
+def _fields_map(schema_json: dict) -> dict:
+    return {f["name"]: (int(f["id"]), f["type"])
+            for f in schema_json.get("fields", [])
+            if isinstance(f.get("type"), str)}
+
+
+def _bounds_map(raw) -> dict:
+    """Normalize an avro-decoded bounds field to {field_id: bytes} —
+    java Iceberg writes the k/v-array form, a permissive decoder may
+    yield a plain dict."""
+    if not raw:
+        return {}
+    if isinstance(raw, dict):
+        return {int(k): v for k, v in raw.items()}
+    out = {}
+    for kv in raw:
+        if isinstance(kv, dict) and "key" in kv:
+            out[int(kv["key"])] = kv.get("value")
+    return out
 
 MANIFEST_FILE_SCHEMA: dict = {
     "type": "record", "name": "manifest_file", "fields": [
@@ -188,6 +385,9 @@ class IcebergLiteTable:
         self.path = path
         self.meta_dir = os.path.join(path, "metadata")
         self.metadata_file = metadata_file
+        # planning counters of the most recent read(where=...) — the
+        # manifest reader's observability contract, mirrored
+        self.last_read_stats: dict | None = None
 
     def exists(self) -> bool:
         return os.path.isdir(self.meta_dir)
@@ -310,7 +510,14 @@ class IcebergLiteTable:
                         f"{fmt} data files unsupported (parquet only): "
                         f"{df_rec.get('file_path')}")
                 rec = {"path": self._abs(df_rec["file_path"]), "seq": seq,
-                       "record_count": df_rec.get("record_count")}
+                       "record_count": df_rec.get("record_count"),
+                       "bytes": df_rec.get("file_size_in_bytes"),
+                       "lower_bounds": _bounds_map(
+                           df_rec.get("lower_bounds")),
+                       "upper_bounds": _bounds_map(
+                           df_rec.get("upper_bounds")),
+                       "null_value_counts": _bounds_map(
+                           df_rec.get("null_value_counts"))}
                 content = df_rec.get("content") or 0
                 if content == 0:
                     out["data"].append(rec)
@@ -395,13 +602,112 @@ class IcebergLiteTable:
             out = out.unionByName(p)
         return out
 
+    def _prune_data_files(self, inv: dict, where: dict) -> None:
+        """File skipping from the manifests' per-column value bounds
+        (spec fields 125/128, single-value-serialized by field id) and
+        the all-NULL ``null_value_counts == record_count`` case — the
+        same plan-time discipline as the manifest reader's zone maps
+        and the Delta reader's ``add.stats`` pruning. Files without
+        usable bounds always survive (bounds are an optimization, never
+        a correctness dependency); planning counters land on
+        ``self.last_read_stats``. Prunes ``inv["data"]`` in place
+        (delete files are untouched: a pruned data file's position
+        deletes simply never match)."""
+        fields = {f["name"]: f for f in inv["schema_json"]["fields"]}
+        unknown = [c for c in where if c not in fields]
+        if unknown:
+            raise ValueError(
+                f"where columns {unknown} not in the table schema "
+                f"({sorted(fields)})")
+        checks = []  # (col, field_id, ice_type, lo_probe, hi_probe)
+        for col, (lo, hi) in where.items():
+            if lo is None and hi is None:
+                continue
+            f = fields[col]
+            t = f["type"]
+            lo_p = _bound_probe(t, lo)
+            hi_p = _bound_probe(t, hi)
+            if (lo is not None and lo_p is None) or \
+                    (hi is not None and hi_p is None):
+                continue  # unprunable type: residual filter only
+            checks.append((col, int(f["id"]), t, lo_p, hi_p))
+
+        total = len(inv["data"])
+        kept = []
+        for rec in inv["data"]:
+            keep = True
+            for _col, fid, t, lo_p, hi_p in checks:
+                fmin = decode_bound(t, rec["lower_bounds"].get(fid))
+                fmax = decode_bound(t, rec["upper_bounds"].get(fid))
+                if fmin is None or fmax is None:
+                    nulls = rec["null_value_counts"].get(fid)
+                    nrec = rec.get("record_count")
+                    if nulls is not None and nrec is not None \
+                            and nulls == nrec:
+                        keep = False  # all-NULL column
+                        break
+                    continue  # no usable bound: keep
+                if isinstance(fmin, (int, float)) and not isinstance(
+                        fmin, bool) and isinstance(lo_p, float):
+                    fmin, fmax = float(fmin), float(fmax)
+                if lo_p is not None and fmax < lo_p:
+                    keep = False
+                    break
+                if hi_p is not None and fmin > hi_p:
+                    keep = False
+                    break
+            if keep:
+                kept.append(rec)
+        inv["data"] = kept
+
+        stat_less = {}
+        for col, fid, _t, _lo, _hi in checks:
+            miss = sum(1 for r in kept if fid not in r["lower_bounds"])
+            stat_less[col] = miss
+            if miss == len(kept) and miss > 1:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "%s: bounds pruning on %r degraded to full scan — "
+                    "none of the %d planned files carry lower_bounds "
+                    "for it (writer collected no column stats?)",
+                    self.path, col, miss,
+                )
+        self.last_read_stats = {
+            "files_total": total,
+            "files_planned": len(kept),
+            "bytes_planned": sum(r.get("bytes") or 0 for r in kept),
+            "stat_less": stat_less,
+        }
+
     def read(self, snapshot_id=None, as_of_ms: int | None = None,
-             resolve: str = "name") -> DataFrame:
+             resolve: str = "name", where: dict | None = None
+             ) -> DataFrame:
+        """Snapshot read. With ``where = {col: (lo, hi)}`` (None =
+        unbounded), data files are SKIPPED at plan time from the
+        manifests' value bounds and the row-level interval filter is
+        applied on top, so results are exact whether or not a file
+        carries bounds (counters on ``self.last_read_stats``)."""
         if as_of_ms is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id OR as_of_ms, not both")
             snapshot_id = self.snapshot_as_of(int(as_of_ms))
         inv = self.file_inventory(snapshot_id)
+        schema: T.StructType = inv["schema"]
+        cols = [f.name for f in schema.fields]
+        if where:
+            self._prune_data_files(inv, where)
+            df = self._read_inventory(inv, resolve)
+            for col, (lo, hi) in where.items():
+                if lo is not None:
+                    df = df.filter(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(col) <= F.lit(hi))
+            return df
+        return self._read_inventory(inv, resolve)
+
+    def _read_inventory(self, inv: dict, resolve: str = "name"
+                        ) -> DataFrame:
         schema: T.StructType = inv["schema"]
         cols = [f.name for f in schema.fields]
         if not inv["data"]:
@@ -759,6 +1065,12 @@ def export_manifest_to_iceberg(table, dest: str,
     meta_dir = os.path.join(dest, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
 
+    counter = iter(range(1, 1 << 20))
+    schema_json = spark_type_to_iceberg(
+        T.StructType.fromJson(m["schema"]), lambda: next(counter))
+    schema_json["schema-id"] = 0
+    fields_map = _fields_map(schema_json)
+
     entries = []
     for e in m["entries"]:
         src = os.path.join(table.path, e["path"])
@@ -771,6 +1083,7 @@ def export_manifest_to_iceberg(table, dest: str,
                 import shutil
 
                 shutil.copy2(src, dst)
+        lo_b, hi_b = _entry_bounds(fields_map, e)
         entries.append({
             "status": 1, "snapshot_id": 1, "sequence_number": 1,
             "data_file": {
@@ -778,6 +1091,7 @@ def export_manifest_to_iceberg(table, dest: str,
                 "file_format": "PARQUET", "partition": {},
                 "record_count": int(e.get("rows") or 0),
                 "file_size_in_bytes": os.path.getsize(dst),
+                "lower_bounds": lo_b, "upper_bounds": hi_b,
                 "equality_ids": None,
             }})
     mpath = os.path.join(meta_dir, "m-00001.avro")
@@ -806,10 +1120,6 @@ def export_manifest_to_iceberg(table, dest: str,
 
     import uuid as _uuid
 
-    counter = iter(range(1, 1 << 20))
-    schema_json = spark_type_to_iceberg(
-        T.StructType.fromJson(m["schema"]), lambda: next(counter))
-    schema_json["schema-id"] = 0
     with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
         json.dump({
             "format-version": 2,
@@ -903,6 +1213,8 @@ def sync_manifest_to_iceberg(table, dest: str,
 
     current = {e["path"] for e in m["entries"]}
     rows_by_path = {e["path"]: int(e.get("rows") or 0) for e in m["entries"]}
+    src_by_path = {e["path"]: e for e in m["entries"]}
+    fields_map = _fields_map(schema_json)
 
     # inventory each manifest: (list-entry, entries, rel path per entry)
     def _rel(fp: str) -> str:
@@ -1067,6 +1379,8 @@ def sync_manifest_to_iceberg(table, dest: str,
             src = os.path.join(table.path, rel)
             dst = os.path.join(dest, rel)
             _link_or_copy(src, dst)
+            lo_b, hi_b = _entry_bounds(
+                fields_map, src_by_path.get(rel) or {})
             add_entries.append({
                 "status": 1, "snapshot_id": new_snap_id,
                 "sequence_number": new_seq,
@@ -1075,6 +1389,7 @@ def sync_manifest_to_iceberg(table, dest: str,
                     "file_format": "PARQUET", "partition": {},
                     "record_count": rows_by_path.get(rel, 0),
                     "file_size_in_bytes": os.path.getsize(dst),
+                    "lower_bounds": lo_b, "upper_bounds": hi_b,
                     "equality_ids": None,
                 }})
         mpath = os.path.join(meta_dir, f"m-sync{new_snap_id}-added.avro")

@@ -2166,3 +2166,71 @@ def q_delta_stats_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# --------------------------------------------------------------------------
+# q_iceberg_bounds_prune_read — Iceberg VALUE-BOUNDS file skipping
+# (r8): the manifest publisher exports customer with per-file
+# lower_bounds/upper_bounds (spec fields 125/128, field-id keyed,
+# single-value serialization) computed from its zone maps; the reader
+# plans read(where={c_custkey: (lo, hi)}) by DECODING those bounds and
+# skipping non-intersecting files (in-row flag asserts files_planned <
+# files_total) while the residual filter keeps the rows exact. A
+# little/big-endian confusion, a field-id mixup, or a dropped matching
+# file all break the hash against the oracle's plain-predicate form.
+# --------------------------------------------------------------------------
+ICEBERG_BOUNDS_PRUNE_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_ck,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_ck,
+       CAST(1 AS BIGINT) AS pruned_at_plan_time
+FROM customer
+WHERE c_custkey >= 101 AND c_custkey <= 400
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("q_iceberg_bounds_prune_read", ICEBERG_BOUNDS_PRUNE_ORACLE)
+def q_iceberg_bounds_prune_read(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from forklift_spark.connections.iceberglite import (
+        IcebergLiteTable,
+        export_manifest_to_iceberg,
+    )
+    from forklift_spark.manifest import ManifestTable
+
+    cu = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    hi_key = cu.agg(F.max("c_custkey")).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="fk_ice_bounds_")
+    # range-correlated partitions: each exported file spans a disjoint
+    # c_custkey range, so the bounds genuinely prune
+    width = max(1, (int(hi_key) + 3) // 4)
+    src = cu.withColumn(
+        "ck_range",
+        ((F.col("c_custkey") - 1) / width).cast("int"))
+    t = ManifestTable(spark, os.path.join(root, "src"), "cust_bounds")
+    t.create(src, partition_by="ck_range")
+    dest = os.path.join(root, "pub")
+    export_manifest_to_iceberg(t, dest)
+
+    it = IcebergLiteTable(spark, dest)
+    got = it.read(where={"c_custkey": (101, 400)})
+    rs = it.last_read_stats
+    pruned = int(0 < rs["files_planned"] < rs["files_total"])
+    return (
+        got.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(dec("c_acctbal", MONEY)).cast("double")
+             .alias("sum_bal"),
+            F.min("c_custkey").cast("bigint").alias("min_ck"),
+            F.max("c_custkey").cast("bigint").alias("max_ck"),
+            F.lit(pruned).cast("bigint").alias("pruned_at_plan_time"),
+        )
+        .orderBy("c_mktsegment")
+    )
