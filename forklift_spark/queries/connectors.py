@@ -2234,3 +2234,94 @@ def q_iceberg_bounds_prune_read(spark: SparkSession,
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# q_iceberg_changelog_read — row-level snapshot-diff CHANGELOG with
+# deletes (r8): a manifest publisher syncs to Iceberg (snapshot 1),
+# then one dv-masked merge updates the k%20=8 keys of partition 0
+# (price doubled -> position deletes on the retained files) AND
+# appends the whole p=3 slice (new data files), synced as snapshot 2
+# with dv_mode='native'. `changelog(1, 2)` must emit EXACTLY the
+# preimages as deletes and the postimages + appended rows as inserts —
+# the full-fidelity range the append-only changes() feed refuses. The
+# in-row flag certifies the O(changed-files) plan: only the
+# pos-delete-targeted retained files are scanned (untargeted p=1/p=2
+# files stay out of the scan set), no equality widening. Reference
+# analog: the incremental-consumption contract (S2,
+# `transports/mysql.rb:149-158`) extended to deletions.
+# --------------------------------------------------------------------------
+ICEBERG_CHANGELOG_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(o_orderkey % 4 AS INTEGER) AS p,
+         CAST(o_totalprice AS DECIMAL(14,2)) AS price
+  FROM orders
+), upd AS (
+  SELECT * FROM base WHERE p = 0 AND k % 20 = 8
+)
+SELECT * FROM (
+  SELECT 'delete' AS change_type,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(price) AS DOUBLE) AS sum_price,
+         CAST(MIN(k) AS BIGINT) AS min_key,
+         CAST(1 AS BIGINT) AS odelta_scan
+  FROM upd
+  UNION ALL
+  SELECT 'insert',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(price) AS DOUBLE),
+         CAST(MIN(k) AS BIGINT),
+         CAST(1 AS BIGINT)
+  FROM (
+    SELECT k, CAST(price * 2 AS DECIMAL(14,2)) AS price FROM upd
+    UNION ALL
+    SELECT k, price FROM base WHERE p = 3
+  )
+)
+ORDER BY change_type
+"""
+
+
+@query("q_iceberg_changelog_read", ICEBERG_CHANGELOG_ORACLE)
+def q_iceberg_changelog_read(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from forklift_spark.connections.iceberglite import (
+        IcebergLiteTable,
+        sync_manifest_to_iceberg,
+    )
+    from forklift_spark.manifest import ManifestTable
+
+    base = tables.load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 4).cast("int").alias("p"),
+        dec("o_totalprice", MONEY).alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="fk_ice_chlog_")
+    t = ManifestTable(spark, os.path.join(root, "src"), "orders_pub")
+    t.create(base.filter(F.col("p") != 3), partition_by="p")
+    dest = os.path.join(root, "pub")
+    sync_manifest_to_iceberg(t, dest, dv_mode="native")   # snapshot 1
+
+    upd = (base.filter((F.col("p") == 0) & (F.col("k") % 20 == 8))
+           .withColumn("price",
+                       (F.col("price") * 2).cast(MONEY)))
+    t.merge(upd.unionByName(base.filter(F.col("p") == 3)),
+            on="k", use_dv=True)
+    sync_manifest_to_iceberg(t, dest, dv_mode="native")   # snapshot 2
+
+    it = IcebergLiteTable(spark, dest)
+    feed = it.changelog(1, 2)
+    st = it.last_changelog_stats
+    odelta = int(0 < st["retained_scanned"] < st["files_retained"]
+                 and st["widened_reason"] is None)
+    return (
+        feed.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("price").cast("double").alias("sum_price"),
+            F.min("k").cast("bigint").alias("min_key"),
+            F.lit(odelta).cast("bigint").alias("odelta_scan"),
+        )
+        .orderBy("change_type")
+    )
