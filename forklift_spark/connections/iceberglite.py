@@ -329,6 +329,19 @@ def _norm_path(p: str) -> str:
     return re.sub(r"^file:(//)?", "", p)
 
 
+def _decoded_meta_path() -> F.Column:
+    """``_metadata.file_path`` is a URI: strip the scheme and
+    PERCENT-DECODE it (Spark encodes spaces etc.), so it matches the
+    literal filesystem paths the manifests carry. Literal ``+`` is
+    protected first because ``url_decode`` is form-decoding
+    (``+`` -> space). Same discipline as the Delta reader — a raw
+    compare silently KEEPS deleted rows whenever the table path
+    contains any URI-encodable character."""
+    return F.url_decode(F.regexp_replace(
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+        r"\+", "%2B"))
+
+
 # ---------------------------------------------------------------------------
 # Iceberg JSON schema -> Spark
 # ---------------------------------------------------------------------------
@@ -382,8 +395,11 @@ class IcebergLiteTable:
     def __init__(self, spark: SparkSession, path: str,
                  metadata_file: str | None = None):
         self.spark = spark
-        self.path = path
-        self.meta_dir = os.path.join(path, "metadata")
+        # absolute from the start: _metadata.file_path is always an
+        # absolute URI, so a relative table path would silently break
+        # every path-keyed join (delete application, seq attach)
+        self.path = os.path.abspath(path)
+        self.meta_dir = os.path.join(self.path, "metadata")
         self.metadata_file = metadata_file
         # planning counters of the most recent read(where=...) — the
         # manifest reader's observability contract, mirrored
@@ -590,8 +606,7 @@ class IcebergLiteTable:
             if with_meta:
                 df = df.select(
                     *cols,
-                    F.regexp_replace(F.col("_metadata.file_path"),
-                                     "^file:(//)?", "").alias("___path"),
+                    _decoded_meta_path().alias("___path"),
                     F.col("_metadata.row_index").alias("___pos"),
                 )
             else:
@@ -743,8 +758,7 @@ class IcebergLiteTable:
                     F.regexp_replace("file_path", "^file:(//)?", "")
                      .alias("___tpath"),
                     F.col("pos").alias("___tpos"),
-                    F.regexp_replace(F.col("_metadata.file_path"),
-                                     "^file:(//)?", "").alias("___dfile"))
+                    _decoded_meta_path().alias("___dfile"))
                 .join(F.broadcast(dseq), "___dfile", "left")
             )
             base = base.join(
@@ -776,9 +790,7 @@ class IcebergLiteTable:
                     self.spark.read.parquet(*[f["path"] for f in files])
                     .select(
                         *[F.col(n).alias(f"___eq_{n}") for n in names],
-                        F.regexp_replace(F.col("_metadata.file_path"),
-                                         "^file:(//)?", "")
-                         .alias("___dfile"))
+                        _decoded_meta_path().alias("___dfile"))
                     .join(F.broadcast(dseq), "___dfile", "left")
                 )
                 cond = dels["___dseq"] > base["___seq"]  # STRICTLY newer

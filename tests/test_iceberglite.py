@@ -216,6 +216,53 @@ def test_position_deletes_apply_by_file_and_pos(spark, tmp_path):
     assert _rows(got) == [(1, "a", 1.0), (3, "c", 3.0), (5, "e", 5.0)]
 
 
+def test_position_deletes_apply_with_space_in_table_path(spark, tmp_path):
+    # _metadata.file_path is a percent-ENCODED URI; a raw compare
+    # against the manifests' literal paths never matches when the
+    # table dir holds a space etc., and the delete silently does not
+    # apply — the exact corruption mode the Delta reader's
+    # _decoded_path() fix closed (ADVICE r7). Pin the decode here too.
+    tdir = str(tmp_path / "ice table")
+    _mkdirs(tdir)
+    d1 = os.path.join(tdir, "data", "f1.parquet")
+    _write_parquet(d1, {"k": [1, 2, 3], "cat": ["a", "b", "c"],
+                        "val": [1.0, 2.0, 3.0]})
+    pd1 = os.path.join(tdir, "data", "del1.parquet")
+    _write_parquet(pd1, {"file_path": [d1], "pos": [1]})
+    m = _manifest(tdir, "m.avro", [_entry(d1, rows=3, seq=1)])
+    dm = _manifest(tdir, "dm.avro",
+                   [_entry(pd1, content=1, rows=1, seq=5)])
+    lst = _manifest_list(tdir, "snap-1.avro", [(m, 0, 1), (dm, 1, 5)])
+    _metadata_v2(tdir, [_snap(400, 5, lst)], 400)
+    got = IcebergLiteTable(spark, tdir).read()
+    assert _rows(got) == [(1, "a", 1.0), (3, "c", 3.0)]
+
+
+def test_position_deletes_apply_with_relative_table_path(
+        spark, tmp_path, monkeypatch):
+    # a relative table path must not break the path-keyed delete join
+    # (the reader abspaths it up front)
+    tdir = str(tmp_path / "trel")
+    _mkdirs(tdir)
+    d1 = os.path.join(tdir, "data", "f1.parquet")
+    _write_parquet(d1, {"k": [1, 2], "cat": ["a", "b"], "val": [1.0, 2.0]})
+    pd1 = os.path.join(tdir, "data", "del1.parquet")
+    _write_parquet(pd1, {"file_path": [d1], "pos": [0]})
+    # manifests carry table-RELATIVE file paths: resolution must go
+    # through the abspath'd table root, not the process cwd
+    e1 = _entry(d1, rows=2, seq=1)
+    e1["data_file"]["file_path"] = "data/f1.parquet"
+    ed = _entry(pd1, content=1, rows=1, seq=5)
+    ed["data_file"]["file_path"] = "data/del1.parquet"
+    m = _manifest(tdir, "m.avro", [e1])
+    dm = _manifest(tdir, "dm.avro", [ed])
+    lst = _manifest_list(tdir, "snap-1.avro", [(m, 0, 1), (dm, 1, 5)])
+    _metadata_v2(tdir, [_snap(400, 5, lst)], 400)
+    monkeypatch.chdir(tmp_path)
+    got = IcebergLiteTable(spark, "trel").read()
+    assert _rows(got) == [(2, "b", 2.0)]
+
+
 def test_position_delete_older_than_data_file_does_not_apply(spark,
                                                              tmp_path):
     # spec: a position delete applies to data files with data sequence
