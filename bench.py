@@ -259,8 +259,9 @@ HEADLINE = [
     "q_delta_cdf_read",
     "q_delta_stats_prune_read",
     "q_iceberg_bounds_prune_read",
-    # r8 wave 3: row-level snapshot-diff changelog with deletes
+    # r8 wave 3: row-level snapshot/version-diff changelogs with deletes
     "q_iceberg_changelog_read",
+    "q_delta_changelog_read",
 ]
 
 

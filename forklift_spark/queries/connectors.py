@@ -2325,3 +2325,91 @@ def q_iceberg_changelog_read(spark: SparkSession,
         )
         .orderBy("change_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q_delta_changelog_read — Delta row-level version-diff CHANGELOG
+# without CDF (r8): a manifest publisher syncs to Delta (version 0),
+# then one dv-masked merge updates the k%20=8 keys of partition 0
+# (balance tripled -> the retained file is re-added with a grown DV)
+# AND appends the whole p=3 slice (new data files), synced as version 1
+# with dv_mode='native'. `changelog(0, 1)` must emit EXACTLY the
+# preimages as deletes and the postimages + appended rows as inserts —
+# synthesized from the log alone (the table has NO _change_data; the
+# range would make changes() refuse and change_feed() has no CDF to
+# read). The in-row flag certifies the O(changed-files) plan: only the
+# logical files whose (path, dv uniqueId) changed are scanned.
+# --------------------------------------------------------------------------
+DELTA_CHANGELOG_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS k,
+         CAST(c_custkey % 4 AS INTEGER) AS p,
+         CAST(c_acctbal AS DECIMAL(14,2)) AS bal
+  FROM customer
+), upd AS (
+  SELECT * FROM base WHERE p = 0 AND k % 20 = 8
+)
+SELECT * FROM (
+  SELECT 'delete' AS change_type,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(bal) AS DOUBLE) AS sum_bal,
+         CAST(MIN(k) AS BIGINT) AS min_key,
+         CAST(1 AS BIGINT) AS odelta_scan
+  FROM upd
+  UNION ALL
+  SELECT 'insert',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(bal) AS DOUBLE),
+         CAST(MIN(k) AS BIGINT),
+         CAST(1 AS BIGINT)
+  FROM (
+    SELECT k, CAST(bal * 3 AS DECIMAL(14,2)) AS bal FROM upd
+    UNION ALL
+    SELECT k, bal FROM base WHERE p = 3
+  )
+)
+ORDER BY change_type
+"""
+
+
+@query("q_delta_changelog_read", DELTA_CHANGELOG_ORACLE)
+def q_delta_changelog_read(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from forklift_spark.connections.deltalite import (
+        DeltaLiteTable,
+        sync_manifest_to_delta,
+    )
+    from forklift_spark.manifest import ManifestTable
+
+    base = tables.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_custkey") % 4).cast("int").alias("p"),
+        dec("c_acctbal", MONEY).alias("bal"),
+    )
+    root = tempfile.mkdtemp(prefix="fk_delta_chlog_")
+    t = ManifestTable(spark, os.path.join(root, "src"), "cust_pub")
+    t.create(base.filter(F.col("p") != 3), partition_by="p")
+    dest = os.path.join(root, "pub")
+    sync_manifest_to_delta(t, dest, dv_mode="native")     # version 0
+
+    upd = (base.filter((F.col("p") == 0) & (F.col("k") % 20 == 8))
+           .withColumn("bal", (F.col("bal") * 3).cast(MONEY)))
+    t.merge(upd.unionByName(base.filter(F.col("p") == 3)),
+            on="k", use_dv=True)
+    sync_manifest_to_delta(t, dest, dv_mode="native")     # version 1
+
+    dt = DeltaLiteTable(spark, dest)
+    feed = dt.changelog(0, 1)
+    st = dt.last_changelog_stats
+    odelta = int(0 < st["scanned_old"] < st["files_old"]
+                 and 0 < st["scanned_new"] < st["files_new"])
+    return (
+        feed.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("bal").cast("double").alias("sum_bal"),
+            F.min("k").cast("bigint").alias("min_key"),
+            F.lit(odelta).cast("bigint").alias("odelta_scan"),
+        )
+        .orderBy("change_type")
+    )
