@@ -250,6 +250,128 @@ def _bound_probe(ice_type, v):
     return None
 
 
+_TRANSFORM_RE = re.compile(r"^(bucket|truncate)\[(\d+)\]$")
+
+# plural aliases appear in older metadata JSON; the spec names are
+# singular
+_TEMPORAL_UNITS = {"year": "year", "years": "year",
+                   "month": "month", "months": "month",
+                   "day": "day", "days": "day",
+                   "hour": "hour", "hours": "hour"}
+
+
+def _bucket_hash_bytes(ice_type: str, raw, probe):
+    """Iceberg spec Appendix B single-value hash layout for the bucket
+    transform; ``None`` = type unsupported for bucket pruning. ``raw``
+    is the user's bound, ``probe`` the normalized one (days/micros for
+    temporal, Decimal for decimals)."""
+    import struct as _s
+    from decimal import Decimal
+
+    t = ice_type
+    if t in ("int", "long"):
+        try:
+            v = int(raw)
+        except (TypeError, ValueError):
+            return None
+        if isinstance(raw, float) and raw != v:
+            return None
+        return _s.pack("<q", v)
+    if t in ("date", "timestamp", "timestamptz"):
+        return _s.pack("<q", int(probe))
+    if t == "string":
+        return str(raw).encode("utf-8")
+    if t.startswith("decimal("):
+        scale = int(t[:-1].split(",")[1])
+        unscaled = int(Decimal(str(probe)).scaleb(scale))
+        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(nbytes, "big", signed=True)
+    return None
+
+
+def _temporal_index(unit: str, ice_type: str, probe: int) -> int | None:
+    """Transform a normalized temporal probe (days for dates, micros
+    for timestamps) into the partition-value domain: hours/days/months/
+    years SINCE EPOCH (spec: hour/day/month/year transform results)."""
+    import datetime as _dt
+
+    if ice_type == "date":
+        days = int(probe)
+        if unit == "day":
+            return days
+        d = _dt.date(1970, 1, 1) + _dt.timedelta(days=days)
+    elif ice_type in ("timestamp", "timestamptz"):
+        micros = int(probe)
+        if unit == "hour":
+            return micros // 3_600_000_000
+        if unit == "day":
+            return micros // 86_400_000_000
+        d = (_dt.datetime(1970, 1, 1)
+             + _dt.timedelta(microseconds=micros)).date()
+    else:
+        return None
+    if unit == "hour":
+        return None  # hour of a date is undefined
+    if unit == "month":
+        return (d.year - 1970) * 12 + (d.month - 1)
+    if unit == "year":
+        return d.year - 1970
+    return None
+
+
+def _transform_interval(transform: str, ice_type: str, lo_raw, hi_raw,
+                        lo_p, hi_p):
+    """[lo, hi] mapped through an ORDER-PRESERVING partition transform
+    (identity / truncate / hour / day / month / year): returns the
+    transformed interval ``(tlo, thi)`` (either end None = unbounded),
+    or ``None`` when this transform cannot bound a range. Soundness
+    rests on monotonicity: v >= lo implies f(v) >= f(lo) for these
+    transforms (spec: 'preserve order')."""
+    import math
+
+    if transform == "identity":
+        return lo_p, hi_p
+    m = _TRANSFORM_RE.match(transform)
+    if m and m.group(1) == "truncate":
+        w = int(m.group(2))
+        if w <= 0:
+            return None
+        if ice_type in ("int", "long"):
+            def tnc(v, up):
+                if v is None:
+                    return None
+                i = math.ceil(v) if up else math.floor(v)
+                return i - (i % w)  # Python %: floored, spec-exact
+            return tnc(lo_p, True), tnc(hi_p, False)
+        if ice_type == "string":
+            return (None if lo_p is None else str(lo_p)[:w],
+                    None if hi_p is None else str(hi_p)[:w])
+        if ice_type.startswith("decimal("):
+            # spec: unscaled - (unscaled % W), result scaled back so it
+            # compares against the file's decimal partition value
+            from decimal import Decimal
+            scale = int(ice_type[:-1].split(",")[1])
+
+            def tnc(v):
+                if v is None:
+                    return None
+                u = int(Decimal(str(v)).scaleb(scale))
+                return Decimal(u - (u % w)).scaleb(-scale)
+            return tnc(lo_p), tnc(hi_p)
+        return None
+    unit = _TEMPORAL_UNITS.get(transform)
+    if unit:
+        tlo = None if lo_p is None else _temporal_index(
+            unit, ice_type, lo_p)
+        thi = None if hi_p is None else _temporal_index(
+            unit, ice_type, hi_p)
+        if (lo_p is not None and tlo is None) or \
+                (hi_p is not None and thi is None):
+            return None
+        return tlo, thi
+    return None
+
+
 def _entry_bounds(fields_map: dict, e: dict) -> tuple:
     """A manifest entry's zone maps re-encoded as the spec's 125/128
     bounds arrays (k/v records keyed by field id, single-value
@@ -494,7 +616,11 @@ class IcebergLiteTable:
         schema, schema_json = self.schema_struct(meta)
         snap = self._snapshot_entry(meta, snapshot_id)
         out = {"schema": schema, "schema_json": schema_json,
-               "data": [], "pos_deletes": [], "eq_deletes": []}
+               "data": [], "pos_deletes": [], "eq_deletes": [],
+               # spec-id -> partition field defs (name/transform/
+               # source-id), for hidden-partition pruning
+               "specs": {s["spec-id"]: list(s.get("fields") or [])
+                         for s in meta.get("partition-specs") or []}}
         if not snap:
             return out
 
@@ -528,6 +654,8 @@ class IcebergLiteTable:
                 rec = {"path": self._abs(df_rec["file_path"]), "seq": seq,
                        "record_count": df_rec.get("record_count"),
                        "bytes": df_rec.get("file_size_in_bytes"),
+                       "partition": df_rec.get("partition") or {},
+                       "spec_id": mf.get("partition_spec_id", 0),
                        "lower_bounds": _bounds_map(
                            df_rec.get("lower_bounds")),
                        "upper_bounds": _bounds_map(
@@ -634,7 +762,7 @@ class IcebergLiteTable:
             raise ValueError(
                 f"where columns {unknown} not in the table schema "
                 f"({sorted(fields)})")
-        checks = []  # (col, field_id, ice_type, lo_probe, hi_probe)
+        checks = []  # (col, field_id, ice_type, lo/hi raw, lo/hi probe)
         for col, (lo, hi) in where.items():
             if lo is None and hi is None:
                 continue
@@ -645,13 +773,19 @@ class IcebergLiteTable:
             if (lo is not None and lo_p is None) or \
                     (hi is not None and hi_p is None):
                 continue  # unprunable type: residual filter only
-            checks.append((col, int(f["id"]), t, lo_p, hi_p))
+            checks.append((col, int(f["id"]), t, lo, hi, lo_p, hi_p))
 
         total = len(inv["data"])
+        part_pruned = 0
         kept = []
         for rec in inv["data"]:
             keep = True
-            for _col, fid, t, lo_p, hi_p in checks:
+            for _col, fid, t, lo, hi, lo_p, hi_p in checks:
+                if not self._part_keeps(inv, rec, fid, t, lo, hi,
+                                        lo_p, hi_p):
+                    keep = False
+                    part_pruned += 1
+                    break
                 fmin = decode_bound(t, rec["lower_bounds"].get(fid))
                 fmax = decode_bound(t, rec["upper_bounds"].get(fid))
                 if fmin is None or fmax is None:
@@ -676,7 +810,7 @@ class IcebergLiteTable:
         inv["data"] = kept
 
         stat_less = {}
-        for col, fid, _t, _lo, _hi in checks:
+        for col, fid, _t, _lor, _hir, _lo, _hi in checks:
             miss = sum(1 for r in kept if fid not in r["lower_bounds"])
             stat_less[col] = miss
             if miss == len(kept) and miss > 1:
@@ -692,8 +826,69 @@ class IcebergLiteTable:
             "files_total": total,
             "files_planned": len(kept),
             "bytes_planned": sum(r.get("bytes") or 0 for r in kept),
+            "partition_pruned": part_pruned,
             "stat_less": stat_less,
         }
+
+    def _part_keeps(self, inv: dict, rec: dict, fid: int, ice_type: str,
+                    lo, hi, lo_p, hi_p) -> bool:
+        """HIDDEN-PARTITION pruning (spec: partition transforms): can
+        this data file's partition tuple possibly hold a row of the
+        source column inside [lo, hi]? Order-preserving transforms
+        (identity / truncate / hour / day / month / year) map the
+        interval through the transform; bucket[N] prunes POINT
+        predicates via the spec's murmur3(seed 0) hash. Unknown
+        transforms, absent partition keys, and incomparable values all
+        KEEP the file — partition pruning is an optimization, never a
+        correctness dependency. A null partition value under a non-void
+        transform means every source value in the file is null, which a
+        bounded interval excludes."""
+        from forklift_spark.functions.hashing import murmur3_x86_32
+
+        for pf in inv.get("specs", {}).get(rec.get("spec_id"), []):
+            if pf.get("source-id") != fid:
+                continue
+            tr = pf.get("transform") or ""
+            if tr == "void":
+                continue
+            pname = pf.get("name")
+            part = rec.get("partition") or {}
+            if pname not in part:
+                continue  # spec evolution: no value recorded
+            pval = part[pname]
+            if pval is None:
+                return False
+            m = _TRANSFORM_RE.match(tr)
+            if m and m.group(1) == "bucket":
+                n = int(m.group(2))
+                if n > 0 and lo is not None and hi is not None \
+                        and lo == hi:
+                    b = _bucket_hash_bytes(ice_type, lo, lo_p)
+                    if b is not None:
+                        want = (murmur3_x86_32(b) & 0x7FFFFFFF) % n
+                        try:
+                            if int(pval) != want:
+                                return False
+                        except (TypeError, ValueError):
+                            pass
+                continue
+            iv = _transform_interval(tr, ice_type, lo, hi, lo_p, hi_p)
+            if iv is None:
+                continue
+            tlo, thi = iv
+            try:
+                pv = pval
+                if isinstance(pv, int) and not isinstance(pv, bool) \
+                        and isinstance(tlo if tlo is not None else thi,
+                                       float):
+                    pv = float(pv)
+                if tlo is not None and pv < tlo:
+                    return False
+                if thi is not None and pv > thi:
+                    return False
+            except TypeError:
+                continue
+        return True
 
     def read(self, snapshot_id=None, as_of_ms: int | None = None,
              resolve: str = "name", where: dict | None = None

@@ -38,3 +38,45 @@ def md5_long_sql(expr: str) -> str:
 
 def md5_long_seeded_sql(expr: str, seed: int) -> str:
     return md5_long_sql(f"concat('s{seed}:', {expr})")
+
+
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """32-bit MurmurHash3 (x86 variant), the public algorithm from
+    Austin Appleby's reference implementation — implemented here
+    because Iceberg's bucket partition transform (spec Appendix B)
+    mandates it WITH SEED 0, while Spark's ``F.hash`` is the same
+    algorithm fixed at seed 42. Pure Python is fine: the caller is
+    PLAN-TIME file pruning (one hash of one probe value), never a
+    row path. Returns the SIGNED int32 (Iceberg buckets via
+    ``(hash & Integer.MAX_VALUE) % N``)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    m = n - (n % 4)
+    for i in range(0, m, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[m:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - 0x100000000 if h >= 0x80000000 else h

@@ -2413,3 +2413,135 @@ def q_delta_changelog_read(spark: SparkSession,
         )
         .orderBy("change_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q_iceberg_hidden_partition_read — HIDDEN-PARTITION pruning (r8): an
+# events table day-partitioned the Iceberg way — partition tuples in
+# the manifests' r102 record + a `day(ts)` transform in the partition
+# spec, the partition value NOT stored in the data files — and, by
+# construction, NO column bounds in the manifests, so plan-time file
+# skipping can come ONLY from the transform: a one-week `where` on ts
+# must prune every other day's file (in-row flag asserts it) while the
+# row-level residual filter keeps the result exact. Spec: partition
+# transforms; same plan discipline as the manifest reader's key
+# pruning. Reference analog: eligibility predicates narrowing a
+# recurring publish (P8, patterns/mysql_patterns.rb:28-43).
+# --------------------------------------------------------------------------
+ICEBERG_HIDDEN_PART_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       CAST(MIN(ts) AS TIMESTAMP) AS first_ts,
+       CAST(1 AS BIGINT) AS day_pruned
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-14 23:59:59'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q_iceberg_hidden_partition_read", ICEBERG_HIDDEN_PART_ORACLE)
+def q_iceberg_hidden_partition_read(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    import copy
+    import glob
+    import json as _json
+
+    from forklift_spark.connections.iceberglite import (
+        MANIFEST_ENTRY_SCHEMA,
+        MANIFEST_FILE_SCHEMA,
+        IcebergLiteTable,
+    )
+    from forklift_spark.functions import avrocodec as av
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="fk_ice_hidden_")
+    tdir = os.path.join(root, "events_ice")
+    meta_dir = os.path.join(tdir, "metadata")
+    os.makedirs(meta_dir)
+
+    # one data file per day; partitionBy drops the day column from the
+    # files — the partition value lives ONLY in the manifest (hidden)
+    staged = os.path.join(tdir, "data")
+    (ev.withColumn("pv", F.datediff(F.to_date("ts"),
+                                    F.lit("1970-01-01")))
+     .repartition("pv").write.partitionBy("pv").parquet(staged))
+    day_files = []
+    for d in sorted(glob.glob(os.path.join(staged, "pv=*"))):
+        day = int(os.path.basename(d).split("=")[1])
+        for p in sorted(glob.glob(os.path.join(d, "part-*.parquet"))):
+            day_files.append((p, day))
+
+    # entries with partition tuples and NO bounds
+    entry_schema = copy.deepcopy(MANIFEST_ENTRY_SCHEMA)
+    data_file_t = next(f for f in entry_schema["fields"]
+                       if f["name"] == "data_file")["type"]
+    rec_t = (next(x for x in data_file_t if x != "null")
+             if isinstance(data_file_t, list) else data_file_t)
+    next(f for f in rec_t["fields"]
+         if f["name"] == "partition")["type"]["fields"] = [
+        {"name": "pv", "type": ["null", "long"], "default": None}]
+    m1 = os.path.join(meta_dir, "m1.avro")
+    av.write_container_file(m1, _json.dumps(entry_schema), [
+        {"status": 1, "snapshot_id": 1, "sequence_number": 1,
+         "data_file": {
+             "content": 0, "file_path": p, "file_format": "PARQUET",
+             "partition": {"pv": day}, "record_count": 0,
+             "file_size_in_bytes": os.path.getsize(p),
+             "equality_ids": None}}
+        for p, day in day_files])
+    lst = os.path.join(meta_dir, "snap-1.avro")
+    av.write_container_file(
+        lst, _json.dumps(MANIFEST_FILE_SCHEMA),
+        [{"manifest_path": m1, "manifest_length": os.path.getsize(m1),
+          "partition_spec_id": 0, "content": 0, "sequence_number": 1,
+          "min_sequence_number": 1, "added_snapshot_id": 1}])
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        _json.dump({
+            "format-version": 2, "table-uuid": "fk-iceberg-hidden",
+            "location": tdir, "last-sequence-number": 1,
+            "last-updated-ms": 1, "last-column-id": 4,
+            "current-schema-id": 0,
+            "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "event_id", "required": False,
+                 "type": "long"},
+                {"id": 2, "name": "ts", "required": False,
+                 "type": "timestamp"},
+                {"id": 3, "name": "event_type", "required": False,
+                 "type": "string"},
+                {"id": 4, "name": "value", "required": False,
+                 "type": "double"},
+            ]}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": [
+                {"name": "pv", "transform": "day", "source-id": 2,
+                 "field-id": 1000}]}],
+            "current-snapshot-id": 1,
+            "snapshots": [{
+                "snapshot-id": 1, "sequence-number": 1,
+                "timestamp-ms": 1, "manifest-list": lst,
+                "summary": {"operation": "append"}, "schema-id": 0}],
+        }, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    t = IcebergLiteTable(spark, tdir)
+    got = t.read(where={"ts": ("2024-01-08 00:00:00",
+                               "2024-01-14 23:59:59")})
+    rs = t.last_read_stats
+    pruned = int(rs["partition_pruned"] > 0
+                 and 0 < rs["files_planned"] < rs["files_total"])
+    return (
+        got.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+            F.min("ts").alias("first_ts"),
+            F.lit(pruned).cast("bigint").alias("day_pruned"),
+        )
+        .orderBy("event_type")
+    )
