@@ -262,8 +262,9 @@ HEADLINE = [
     # r8 wave 3: row-level snapshot/version-diff changelogs with deletes
     "q_iceberg_changelog_read",
     "q_delta_changelog_read",
-    # r8 wave 4: hidden-partition-transform pruning
+    # r8 wave 4: hidden-partition-transform pruning + delta stream source
     "q_iceberg_hidden_partition_read",
+    "q_delta_stream_source",
 ]
 
 

@@ -1,0 +1,339 @@
+"""Spark Python DataSource over Delta Lake tables (no delta jar):
+
+    spark.dataSource.register(DeltaLiteDataSource)
+    spark.read.format("deltalite").load(table_path)            # batch
+    spark.readStream.format("deltalite")
+         .option("cdc", "true").load(table_path)               # CDC tail
+
+The BATCH reader plans one input partition per live logical file —
+deletion-vector positions resolved at plan time from the log's DV
+descriptors (pure-Python roaring decode) and subtracted per-file with
+an Arrow mask; partition-column values (which Delta stores ONLY in the
+log, never in the data files) are injected as constant Arrow columns.
+The STREAM reader turns the version history into a structured-streaming
+CDC feed: offsets are Delta versions, each microbatch carries the
+row-level changes (``_change_type`` 'insert'|'delete' +
+``_commit_version``) between the last committed version and the head —
+the streaming twin of ``DeltaLiteTable.changelog()`` and the Delta
+counterpart of the manifest format's CDC source (``datasource.py``).
+
+Planning runs in the Python DataSource driver worker with NO
+SparkSession, so everything here replays the ``_delta_log`` JSON
+directly (``DeltaLiteTable`` with ``spark=None``); a log whose early
+commits were cleaned past a parquet checkpoint refuses loudly for
+streaming (the JSON replay is the only Spark-free path) — batch reads
+of such tables go through ``DeltaLiteTable.read()`` instead.
+
+Change semantics match the manifest stream source: append commits and
+DV commits are row-exact (DV position diffs name exactly the changed
+rows); rewrite commits emit file-level delete+insert events whose
+multiset is correct (a consumer applying each microbatch's deletes
+before its inserts converges to the table state); commits whose file
+actions all carry ``dataChange: false`` (compaction) emit ZERO rows.
+
+Reference analog: the incremental-consumption contract (S2,
+`transports/mysql.rb:149-158`) as a live stream. Spec shapes from
+delta.io PROTOCOL.md (Action Reconciliation, Deletion Vectors,
+dataChange).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class _DeltaFilePart(InputPartition):
+    """One logical file: read everything except ``drop_pos``; or, when
+    ``emit_pos`` is set, ONLY those row indices (dv diff events).
+    ``pv`` maps partition column -> log-recorded string value.
+    ``change`` is None for batch, else ('insert'|'delete', version)."""
+
+    def __init__(self, path, pv=None, drop_pos=None, emit_pos=None,
+                 change=None, schema_json=None):
+        self.path = path
+        self.pv = pv or {}
+        self.drop_pos = drop_pos
+        self.emit_pos = emit_pos
+        self.change = change
+        self.schema_json = schema_json
+
+
+def _table(options):
+    from forklift_spark.connections.deltalite import DeltaLiteTable
+
+    path = options.get("path")
+    if not path:
+        raise ValueError("deltalite needs .load(<table path>)")
+    return DeltaLiteTable(None, path)
+
+
+def _snap_or_refuse(t, version):
+    """Spark-free snapshot replay: JSON commits only. A table whose
+    replay would need a parquet checkpoint (cleaned log) cannot be
+    planned in the DataSource worker — refuse loudly."""
+    versions = set(t.versions())
+    target = max(versions) if version is None else int(version)
+    json_covers = all(v in versions for v in range(0, target + 1))
+    # snapshot() prefers the parquet checkpoint when the JSON history
+    # is incomplete OR longer than its JSON-replay cutoff — both need
+    # Spark here, so both refuse
+    if not json_covers or (t._last_checkpoint() and target + 1 > 512):
+        raise NotImplementedError(
+            f"{t.path}: replaying to version {target} needs the parquet "
+            "checkpoint (cleaned or long log) — the deltalite DataSource "
+            "plans Spark-free and cannot read parquet checkpoints; use "
+            "DeltaLiteTable.read() for batch, or stream from a table "
+            "with retained JSON history")
+    return t.snapshot(target)
+
+
+def _dv_sets(t, files: dict) -> dict[str, frozenset]:
+    """path -> masked positions, from the DV descriptors (pure-Python
+    roaring/Z85 decode; metadata-scale)."""
+    from forklift_spark.connections.deltalite import dv_positions
+
+    out = {}
+    for p, e in files.items():
+        if e.get("dv"):
+            out[p] = frozenset(dv_positions(t.path, e["dv"]))
+    return out
+
+
+def _read_delta_batches(part: _DeltaFilePart):
+    """Arrow leaf: read the file, apply the position mask, align to the
+    declared schema (missing columns null-filled, narrower physical
+    types cast up — the typeWidening read rule), inject partition
+    values and CDC columns as constants."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from forklift_spark.datasource import _arrow_schema
+
+    target = _arrow_schema(json.loads(part.schema_json))
+    tbl = pq.read_table(part.path)
+    n = tbl.num_rows
+    if part.emit_pos is not None:
+        idx = sorted(p for p in part.emit_pos if p < n)
+        tbl = tbl.take(pa.array(idx, type=pa.int64()))
+    elif part.drop_pos:
+        keep = [i for i in range(n) if i not in part.drop_pos]
+        if len(keep) != n:
+            tbl = tbl.take(pa.array(keep, type=pa.int64()))
+    rows = tbl.num_rows
+    cols = []
+    for field in target:
+        if field.name == "_change_type":
+            cols.append(pa.array([part.change[0]] * rows,
+                                 type=pa.string()))
+        elif field.name == "_commit_version":
+            cols.append(pa.array([part.change[1]] * rows,
+                                 type=pa.int64()))
+        elif field.name in part.pv:
+            v = part.pv[field.name]
+            if v is None or (v == "" and not pa.types.is_string(
+                    field.type)):
+                cols.append(pa.nulls(rows, type=field.type))
+            else:  # spec: partition values serialize as strings
+                cols.append(pa.array([v] * rows,
+                                     type=pa.string()).cast(field.type))
+        elif field.name in tbl.column_names:
+            col = tbl.column(field.name)
+            if col.type != field.type:
+                col = col.cast(field.type)
+            cols.append(col.combine_chunks()
+                        if hasattr(col, "combine_chunks") else col)
+        else:
+            cols.append(pa.nulls(rows, type=field.type))
+    out = pa.table(cols, schema=target)
+    for batch in out.to_batches(max_chunksize=1 << 16):
+        yield batch
+
+
+class _DeltaBatchReader(DataSourceReader):
+    def __init__(self, options, schema_json: str):
+        self._options = dict(options)
+        self._schema_json = schema_json
+
+    def partitions(self):
+        t = _table(self._options)
+        version = self._options.get("version")
+        snap = _snap_or_refuse(
+            t, int(version) if version is not None else None)
+        dv = _dv_sets(t, snap["files"])
+        parts = [
+            _DeltaFilePart(
+                os.path.join(t.path, p), pv=e.get("pv") or {},
+                drop_pos=dv.get(p), schema_json=self._schema_json)
+            for p, e in sorted(snap["files"].items())
+        ]
+        return parts or [_DeltaFilePart(None, schema_json=None)]
+
+    def read(self, partition: _DeltaFilePart):
+        if partition.path is None:
+            return iter(())
+        return _read_delta_batches(partition)
+
+
+class _DeltaStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema_json: str):
+        self._options = dict(options)
+        self._schema_json = schema_json
+        t = _table(options)
+        start = options.get("starting_version")
+        # kafka `latest` convention: tail only NEW commits by default;
+        # starting_version replays history from the NEXT version on
+        self._initial = (int(start) if start is not None
+                         else t.latest_version())
+
+    def initialOffset(self):
+        return {"version": self._initial}
+
+    def latestOffset(self):
+        return {"version": _table(self._options).latest_version()}
+
+    def commit(self, end):
+        pass  # versions are durable on disk; nothing to release
+
+    def partitions(self, start, end):
+        t = _table(self._options)
+        lo, hi = int(start["version"]), int(end["version"])
+        # one replay to the range start, then roll forward commit by
+        # commit — O(range), not O(range x history)
+        files = (_snap_or_refuse(t, lo)["files"] if lo >= 0 else {})
+        parts: list[_DeltaFilePart] = []
+        for v in range(lo + 1, hi + 1):
+            files, new_parts = self._diff_one(t, v, files)
+            parts.extend(new_parts)
+        return parts or [_DeltaFilePart(None, schema_json=None)]
+
+    def _diff_one(self, t, v: int, files: dict):
+        adds, removes, data_change = [], [], False
+        fp = os.path.join(t.log_dir, f"{v:020d}.json")
+        if not os.path.exists(fp):
+            raise ValueError(
+                f"{t.path}: commit {v} is missing (log cleaned?); the "
+                "change feed cannot be reconstructed — restart the "
+                "stream with a fresh checkpoint or a retained "
+                "starting_version")
+        with open(fp) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line)
+                if "add" in act:
+                    adds.append(act["add"])
+                    if act["add"].get("dataChange", True):
+                        data_change = True
+                elif "remove" in act:
+                    removes.append(act["remove"])
+                    if act["remove"].get("dataChange", True):
+                        data_change = True
+                elif "protocol" in act:
+                    t._check_protocol(act["protocol"])
+        before = dict(files)
+        t._reconcile_commit(files, adds, removes)
+        if not data_change:
+            return files, []  # compaction: row multiset unchanged
+        dv_a = _dv_sets(t, {p: e for p, e in before.items()
+                            if p not in files
+                            or files[p].get("dv") != e.get("dv")})
+        dv_b = _dv_sets(t, {p: e for p, e in files.items()
+                            if p not in before
+                            or before[p].get("dv") != e.get("dv")})
+        sj = self._schema_json
+        parts: list[_DeltaFilePart] = []
+        for p, e in sorted(files.items()):  # added -> inserts
+            if p not in before:
+                parts.append(_DeltaFilePart(
+                    os.path.join(t.path, p), pv=e.get("pv") or {},
+                    drop_pos=dv_b.get(p), change=("insert", v),
+                    schema_json=sj))
+        for p, e in sorted(before.items()):  # removed -> deletes
+            if p not in files:
+                parts.append(_DeltaFilePart(
+                    os.path.join(t.path, p), pv=e.get("pv") or {},
+                    drop_pos=dv_a.get(p), change=("delete", v),
+                    schema_json=sj))
+        for p in sorted(set(before) & set(files)):  # dv churn: exact rows
+            if before[p].get("dv") == files[p].get("dv"):
+                continue
+            pa_ = dv_a.get(p, frozenset())
+            pb_ = dv_b.get(p, frozenset())
+            pv = files[p].get("pv") or {}
+            if pb_ - pa_:
+                parts.append(_DeltaFilePart(
+                    os.path.join(t.path, p), pv=pv, emit_pos=pb_ - pa_,
+                    change=("delete", v), schema_json=sj))
+            if pa_ - pb_:  # restore of previously-masked rows
+                parts.append(_DeltaFilePart(
+                    os.path.join(t.path, p), pv=pv, emit_pos=pa_ - pb_,
+                    change=("insert", v), schema_json=sj))
+        return files, parts
+
+    def read(self, partition: _DeltaFilePart):
+        if partition.path is None:
+            return iter(())
+        return _read_delta_batches(partition)
+
+
+class DeltaLiteDataSource(DataSource):
+    """format name: ``deltalite`` (see module docstring)."""
+
+    @classmethod
+    def name(cls):
+        return "deltalite"
+
+    def _snap(self):
+        t = _table(self.options)
+        version = self.options.get("version")
+        return _snap_or_refuse(
+            t, int(version) if version is not None else None)
+
+    def schema(self):
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        snap = self._snap()
+        if snap.get("cm_mode", "none") != "none":
+            raise NotImplementedError(
+                "deltalite DataSource does not read columnMapping "
+                "tables (physical-name resolution needs the full "
+                "reader) — use DeltaLiteTable.read()")
+        base: StructType = snap["schema"]
+        if str(self.options.get("cdc", "")).lower() == "true":
+            base = StructType(
+                base.fields
+                + [StructField("_change_type", StringType(), False),
+                   StructField("_commit_version", LongType(), False)]
+            )
+        return base
+
+    def reader(self, schema):
+        if str(self.options.get("cdc", "")).lower() == "true":
+            raise ValueError(
+                "cdc=true is a streaming option; use spark.readStream "
+                "(batch change feeds: DeltaLiteTable.changelog())")
+        return _DeltaBatchReader(
+            self.options, json.dumps(self._snap()["schema"].jsonValue()))
+
+    def streamReader(self, schema):
+        if str(self.options.get("cdc", "")).lower() != "true":
+            raise ValueError(
+                "streaming a Delta table through deltalite requires "
+                ".option('cdc', 'true'): the feed carries _change_type/"
+                "_commit_version change events, not a table snapshot")
+        return _DeltaStreamReader(self.options, json.dumps(
+            self.schema().jsonValue()))

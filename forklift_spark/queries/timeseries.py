@@ -2045,3 +2045,108 @@ def q_manifest_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_change_type", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q_delta_stream_source — a DELTA LAKE table as a registered Spark
+# streaming source (Python DataSource API,
+# forklift_spark/delta_datasource.py): spark.readStream.format(
+# "deltalite").option("cdc","true") tails the _delta_log with versions
+# as offsets — the Delta counterpart of q_manifest_stream_source and
+# the streaming twin of DeltaLiteTable.changelog(). The publisher is
+# the native-DV lakehouse sync: three manifest commits (create,
+# merge+dv, delete+dv) each synced as one Delta version, so the feed
+# must reproduce exact dv-diff events THROUGH the exported log
+# (deletion vectors decoded Spark-free in the planner, partition
+# values injected from the log). The oracle derives the expected event
+# multiset from the source table: a missed dv diff, a replayed offset,
+# or a double-applied re-add breaks counts and value sums.
+# --------------------------------------------------------------------------
+DELTA_STREAM_SOURCE_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+  FROM events WHERE event_id % 2 = 1
+),
+ins AS (
+  SELECT event_type, value FROM base                              -- create
+  UNION ALL
+  SELECT event_type, value + 500 FROM base WHERE event_id % 9 = 0 -- merge
+),
+del AS (
+  SELECT event_type, value FROM base WHERE event_id % 9 = 0       -- old rows
+  UNION ALL
+  SELECT event_type,
+         CASE WHEN event_id % 9 = 0 THEN value + 500 ELSE value END
+  FROM base WHERE event_id % 13 = 0                               -- dv delete
+)
+SELECT _change_type, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM (
+  SELECT 'insert' AS _change_type, * FROM ins
+  UNION ALL
+  SELECT 'delete' AS _change_type, * FROM del
+)
+GROUP BY _change_type, event_type
+ORDER BY _change_type, event_type
+"""
+
+
+@query("q_delta_stream_source", DELTA_STREAM_SOURCE_ORACLE)
+def q_delta_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from forklift_spark.connections.deltalite import (
+        sync_manifest_to_delta,
+    )
+    from forklift_spark.delta_datasource import DeltaLiteDataSource
+    from forklift_spark.manifest import ManifestTable
+
+    try:
+        spark.dataSource.register(DeltaLiteDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.col("value").cast("double").alias("value")
+    )
+    base = ev.filter(F.col("event_id") % 2 == 1)
+    root = tempfile.mkdtemp(prefix="fk_delta_stream_")
+    t = ManifestTable(spark, os.path.join(root, "src"), "ev")
+    dest = os.path.join(root, "pub")
+    t.create(base, partition_by="event_type")
+    sync_manifest_to_delta(t, dest, dv_mode="native")          # delta v0
+    t.merge(
+        base.filter(F.col("event_id") % 9 == 0)
+            .withColumn("value", F.col("value") + 500),
+        on="event_id", use_dv=True,
+    )
+    sync_manifest_to_delta(t, dest, dv_mode="native")          # delta v1
+    t.delete(F.col("event_id") % 13 == 0, use_dv=True)
+    sync_manifest_to_delta(t, dest, dv_mode="native")          # delta v2
+
+    out = tempfile.mkdtemp(prefix="fk_delta_stream_out_")
+    q = (
+        spark.readStream.format("deltalite")
+        .option("cdc", "true")
+        .option("starting_version", "-1")  # replay from genesis (v0)
+        .load(dest)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+                tempfile.mkdtemp(prefix="fk_delta_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(out)
+    return (
+        feed.groupBy("_change_type", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(dec("value", MONEY)).cast("double").alias("total_value"),
+        )
+        .orderBy("_change_type", "event_type")
+    )
