@@ -265,6 +265,7 @@ HEADLINE = [
     # r8 wave 4: hidden-partition-transform pruning + delta stream source
     "q_iceberg_hidden_partition_read",
     "q_delta_stream_source",
+    "q_iceberg_stream_source",
 ]
 
 

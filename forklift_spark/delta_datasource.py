@@ -85,8 +85,11 @@ def _snap_or_refuse(t, version):
     # snapshot() prefers the parquet checkpoint when the JSON history
     # is incomplete OR longer than its JSON-replay cutoff — both need
     # Spark here, so both refuse
+    # NOT NotImplementedError: DataSourceReader.partitions() treats
+    # that class as the "single partition" protocol signal and would
+    # swallow the refusal into a silent empty scan
     if not json_covers or (t._last_checkpoint() and target + 1 > 512):
-        raise NotImplementedError(
+        raise ValueError(
             f"{t.path}: replaying to version {target} needs the parquet "
             "checkpoint (cleaned or long log) — the deltalite DataSource "
             "plans Spark-free and cannot read parquet checkpoints; use "

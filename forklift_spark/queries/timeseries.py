@@ -2150,3 +2150,106 @@ def q_delta_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_change_type", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q_iceberg_stream_source — an ICEBERG v2 table as a registered Spark
+# streaming source (Python DataSource API,
+# forklift_spark/iceberg_datasource.py): spark.readStream.format(
+# "iceberglite").option("cdc","true") tails the snapshot history with
+# snapshot ids as offsets — completing the lakehouse stream-source
+# triple (manifest / deltalite / iceberglite). Publisher: the
+# native-DV sync (create, merge+dv, delete+dv -> three snapshots whose
+# masks export as REAL v2 position deletes); the feed must reproduce
+# exact position-delete diffs through the exported metadata, decoded
+# Spark-free (pure-Python Avro codec) in the planner. Oracle: the
+# expected event multiset derived from the source table.
+# --------------------------------------------------------------------------
+ICEBERG_STREAM_SOURCE_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+  FROM events WHERE event_id % 3 = 0
+),
+ins AS (
+  SELECT event_type, value FROM base                              -- create
+  UNION ALL
+  SELECT event_type, value + 700 FROM base WHERE event_id % 12 = 0 -- merge
+),
+del AS (
+  SELECT event_type, value FROM base WHERE event_id % 12 = 0      -- old rows
+  UNION ALL
+  SELECT event_type,
+         CASE WHEN event_id % 12 = 0 THEN value + 700 ELSE value END
+  FROM base WHERE event_id % 21 = 0                               -- dv delete
+)
+SELECT _change_type, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM (
+  SELECT 'insert' AS _change_type, * FROM ins
+  UNION ALL
+  SELECT 'delete' AS _change_type, * FROM del
+)
+GROUP BY _change_type, event_type
+ORDER BY _change_type, event_type
+"""
+
+
+@query("q_iceberg_stream_source", ICEBERG_STREAM_SOURCE_ORACLE)
+def q_iceberg_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from forklift_spark.connections.iceberglite import (
+        sync_manifest_to_iceberg,
+    )
+    from forklift_spark.iceberg_datasource import IcebergLiteDataSource
+    from forklift_spark.manifest import ManifestTable
+
+    try:
+        spark.dataSource.register(IcebergLiteDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.col("value").cast("double").alias("value")
+    )
+    base = ev.filter(F.col("event_id") % 3 == 0)
+    root = tempfile.mkdtemp(prefix="fk_ice_stream_")
+    t = ManifestTable(spark, os.path.join(root, "src"), "ev")
+    dest = os.path.join(root, "pub")
+    t.create(base, partition_by="event_type")
+    sync_manifest_to_iceberg(t, dest, dv_mode="native")       # snap 1
+    t.merge(
+        base.filter(F.col("event_id") % 12 == 0)
+            .withColumn("value", F.col("value") + 700),
+        on="event_id", use_dv=True,
+    )
+    sync_manifest_to_iceberg(t, dest, dv_mode="native")       # snap 2
+    t.delete(F.col("event_id") % 21 == 0, use_dv=True)
+    sync_manifest_to_iceberg(t, dest, dv_mode="native")       # snap 3
+
+    out = tempfile.mkdtemp(prefix="fk_ice_stream_out_")
+    q = (
+        spark.readStream.format("iceberglite")
+        .option("cdc", "true")
+        .option("starting_snapshot_id", "0")  # genesis sentinel
+        .load(dest)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+                tempfile.mkdtemp(prefix="fk_ice_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(out)
+    return (
+        feed.groupBy("_change_type", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(dec("value", MONEY)).cast("double").alias("total_value"),
+        )
+        .orderBy("_change_type", "event_type")
+    )
