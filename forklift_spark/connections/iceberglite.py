@@ -1271,6 +1271,60 @@ def _iceberg_dv_guard(table, entries: list[dict], dv_mode: str,
     )
 
 
+_PART_AVRO = {"int": "int", "long": "long", "string": "string",
+              "double": "double", "float": "float",
+              "boolean": "boolean"}
+
+
+def _identity_partition(m: dict, schema_json: dict,
+                        field_id: int = 1000):
+    """Publisher-side hidden partitioning: the manifest table's
+    ``partition_by`` column rendered as an Iceberg IDENTITY partition —
+    ``(spec_fields, entry_schema_json, value_fn)``. External planners
+    (and this reader's transform pruning) data-skip exported tables
+    from the r102 partition tuples; identity source values also live in
+    the data files, so falling back to ``(None, <empty r102>, None)``
+    for unpartitioned tables or partition types without a 1:1 Avro
+    primitive keeps the export exactly as correct, just less prunable.
+    """
+    import copy
+
+    pcol = m.get("partition_by")
+    if not pcol:
+        return None, json.dumps(MANIFEST_ENTRY_SCHEMA), None
+    fld = next((f for f in schema_json["fields"] if f["name"] == pcol),
+               None)
+    if fld is None or not isinstance(fld["type"], str) \
+            or fld["type"] not in _PART_AVRO:
+        return None, json.dumps(MANIFEST_ENTRY_SCHEMA), None
+    ice_t = fld["type"]
+    spec_fields = [{"name": pcol, "transform": "identity",
+                    "source-id": int(fld["id"]), "field-id": field_id}]
+    es = copy.deepcopy(MANIFEST_ENTRY_SCHEMA)
+    df_t = next(f for f in es["fields"] if f["name"] == "data_file")["type"]
+    rec = (next(x for x in df_t if x != "null")
+           if isinstance(df_t, list) else df_t)
+    next(f for f in rec["fields"] if f["name"] == "partition")[
+        "type"]["fields"] = [
+        {"name": pcol, "type": ["null", _PART_AVRO[ice_t]],
+         "field-id": field_id, "default": None}]
+
+    def value(token):
+        # manifest partition tokens are strings; None (or the hive
+        # null-dir token) = null partition value
+        if token is None or token == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        if ice_t in ("int", "long"):
+            return int(token)
+        if ice_t in ("double", "float"):
+            return float(token)
+        if ice_t == "boolean":
+            return str(token).lower() in ("true", "1")
+        return str(token)
+
+    return spec_fields, json.dumps(es), value
+
+
 def _write_pos_delete_file(dest: str, masks: dict[str, list[int]]) -> dict:
     """Write ONE v2 position-delete parquet at ``dest/deletes/`` holding
     every mask as spec rows ``(file_path, pos)`` — file_path absolute
@@ -1405,6 +1459,8 @@ def export_manifest_to_iceberg(table, dest: str,
         T.StructType.fromJson(m["schema"]), lambda: next(counter))
     schema_json["schema-id"] = 0
     fields_map = _fields_map(schema_json)
+    spec_fields, entry_schema, part_val = _identity_partition(
+        m, schema_json)
 
     entries = []
     for e in m["entries"]:
@@ -1419,19 +1475,20 @@ def export_manifest_to_iceberg(table, dest: str,
 
                 shutil.copy2(src, dst)
         lo_b, hi_b = _entry_bounds(fields_map, e)
+        part = ({m["partition_by"]: part_val(e.get("partition"))}
+                if spec_fields else {})
         entries.append({
             "status": 1, "snapshot_id": 1, "sequence_number": 1,
             "data_file": {
                 "content": 0, "file_path": dst,
-                "file_format": "PARQUET", "partition": {},
+                "file_format": "PARQUET", "partition": part,
                 "record_count": int(e.get("rows") or 0),
                 "file_size_in_bytes": os.path.getsize(dst),
                 "lower_bounds": lo_b, "upper_bounds": hi_b,
                 "equality_ids": None,
             }})
     mpath = os.path.join(meta_dir, "m-00001.avro")
-    av.write_container_file(mpath, json.dumps(MANIFEST_ENTRY_SCHEMA),
-                            entries)
+    av.write_container_file(mpath, entry_schema, entries)
     added_rows = sum(e["data_file"]["record_count"] for e in entries)
     mf_list = [
         {"manifest_path": mpath, "manifest_length": os.path.getsize(mpath),
@@ -1464,11 +1521,14 @@ def export_manifest_to_iceberg(table, dest: str,
             "last-column-id": next(counter) - 1,
             "current-schema-id": 0, "schemas": [schema_json],
             "default-spec-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
+            # identity partition spec when the source is partitioned
+            # (r8): external planners data-skip from the r102 tuples
+            "partition-specs": [{"spec-id": 0,
+                                 "fields": spec_fields or []}],
             # spec-required even for unpartitioned/unsorted tables
             # (ADVICE r6 item 1: pyiceberg/Java reject their absence):
             # 999 = highest pre-assigned partition field id baseline
-            "last-partition-id": 999,
+            "last-partition-id": 1000 if spec_fields else 999,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "default-sort-order-id": 0,
             "current-snapshot-id": 1,
@@ -1653,6 +1713,41 @@ def sync_manifest_to_iceberg(table, dest: str,
                 "version": m.get("version", 0),
                 "snapshot_id": snap["snapshot-id"]}
 
+    # ---- identity partition spec (r8): new manifests carry r102
+    # tuples; a pre-feature destination (empty spec) gets a proper
+    # PARTITION SPEC EVOLUTION — a new spec-id appended, old manifests
+    # keep referencing theirs
+    specs = [dict(s) for s in meta.get("partition-specs")
+             or [{"spec-id": 0, "fields": []}]]
+    data_spec_id = int(meta.get("default-spec-id", 0))
+    spec_evolved = False
+    new_last_pid = None
+    spec_fields, entry_schema, part_val = _identity_partition(
+        m, new_schema_json)
+    if spec_fields:
+
+        def _sig(fs):
+            return [(f["name"], f["transform"], f["source-id"])
+                    for f in fs]
+
+        match = next((s for s in specs
+                      if _sig(list(s.get("fields") or []))
+                      == _sig(spec_fields)), None)
+        if match is not None:
+            data_spec_id = int(match["spec-id"])
+            fid = int(match["fields"][0]["field-id"])
+        else:
+            fid = max(int(meta.get("last-partition-id", 999)), 999) + 1
+            data_spec_id = max((int(s["spec-id"]) for s in specs),
+                               default=-1) + 1
+            spec_evolved = True
+            new_last_pid = fid
+        spec_fields, entry_schema, part_val = _identity_partition(
+            m, new_schema_json, field_id=fid)
+        if spec_evolved:
+            specs.append({"spec-id": data_spec_id,
+                          "fields": spec_fields})
+
     meta_dir = os.path.join(dest, "metadata")
     new_seq = int(meta.get("last-sequence-number", 0)) + 1
     new_snap_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
@@ -1691,15 +1786,23 @@ def sync_manifest_to_iceberg(table, dest: str,
             out_entries.append(rec)
         mpath = os.path.join(
             meta_dir, f"m-sync{new_snap_id}-{rewritten:05d}.avro")
+        # preserve partition tuples through the rewrite: entries that
+        # carry r102 values need the partition-aware writer schema
+        has_part = any(e["data_file"].get("partition")
+                       for e in out_entries)
         av.write_container_file(
-            mpath, json.dumps(MANIFEST_ENTRY_SCHEMA), out_entries)
+            mpath,
+            entry_schema if has_part
+            else json.dumps(MANIFEST_ENTRY_SCHEMA),
+            out_entries)
         survivors = [e for e, r in zip(live, rels) if r not in removed]
         min_seq = min((_entry_seq(e, mf) for e in survivors),
                       default=new_seq)
         new_list.append({
             "manifest_path": mpath,
             "manifest_length": os.path.getsize(mpath),
-            "partition_spec_id": 0, "content": 0,
+            "partition_spec_id": mf.get("partition_spec_id", 0),
+            "content": 0,
             "sequence_number": new_seq, "min_sequence_number": min_seq,
             "added_snapshot_id": new_snap_id,
             "added_files_count": 0,
@@ -1716,24 +1819,27 @@ def sync_manifest_to_iceberg(table, dest: str,
             _link_or_copy(src, dst)
             lo_b, hi_b = _entry_bounds(
                 fields_map, src_by_path.get(rel) or {})
+            src_e = src_by_path.get(rel) or {}
+            part = ({m["partition_by"]:
+                     part_val(src_e.get("partition"))}
+                    if spec_fields else {})
             add_entries.append({
                 "status": 1, "snapshot_id": new_snap_id,
                 "sequence_number": new_seq,
                 "data_file": {
                     "content": 0, "file_path": dst,
-                    "file_format": "PARQUET", "partition": {},
+                    "file_format": "PARQUET", "partition": part,
                     "record_count": rows_by_path.get(rel, 0),
                     "file_size_in_bytes": os.path.getsize(dst),
                     "lower_bounds": lo_b, "upper_bounds": hi_b,
                     "equality_ids": None,
                 }})
         mpath = os.path.join(meta_dir, f"m-sync{new_snap_id}-added.avro")
-        av.write_container_file(
-            mpath, json.dumps(MANIFEST_ENTRY_SCHEMA), add_entries)
+        av.write_container_file(mpath, entry_schema, add_entries)
         new_list.append({
             "manifest_path": mpath,
             "manifest_length": os.path.getsize(mpath),
-            "partition_spec_id": 0, "content": 0,
+            "partition_spec_id": data_spec_id, "content": 0,
             "sequence_number": new_seq, "min_sequence_number": new_seq,
             "added_snapshot_id": new_snap_id,
             "added_files_count": len(add_entries),
@@ -1774,6 +1880,10 @@ def sync_manifest_to_iceberg(table, dest: str,
         ids = [f["id"] for f in new_schema_json["fields"]]
         new_meta["last-column-id"] = max(
             int(meta.get("last-column-id", 0)), max(ids, default=0))
+    if spec_evolved:
+        new_meta["partition-specs"] = specs
+        new_meta["default-spec-id"] = data_spec_id
+        new_meta["last-partition-id"] = new_last_pid
 
     num = _META_NUM_RE.match(os.path.basename(meta_file))
     next_v = int(num.group(1)) + 1 if num else 2

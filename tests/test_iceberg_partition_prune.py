@@ -197,3 +197,95 @@ def test_null_partition_and_void_and_unknown(spark, tmp_path):
         ], tr)
         assert tv.read(where={"k": (0, 10)}).collect()[0].cat == "y"
         assert tv.last_read_stats["partition_pruned"] == 0
+
+
+# ----------------------------------------------- publisher-side tuples (r8)
+
+
+def _mk_src(spark, path):
+    from pyspark.sql import functions as F
+
+    from forklift_spark.manifest import ManifestTable
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4 + 1).cast("int").alias("p"),
+        (F.col("id") * 10).alias("v"),
+    )
+    t = ManifestTable(spark, path, "t")
+    t.create(df, partition_by="p")
+    return t
+
+
+def test_export_writes_identity_partition_tuples(spark, tmp_path):
+    from forklift_spark.connections.iceberglite import (
+        export_manifest_to_iceberg,
+    )
+
+    t = _mk_src(spark, str(tmp_path / "src"))
+    dest = str(tmp_path / "pub")
+    export_manifest_to_iceberg(t, dest)
+    it = IcebergLiteTable(spark, dest)
+    meta = it.metadata()
+    spec = meta["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("p", "identity")]
+    inv = it.file_inventory()
+    assert all(f["partition"].get("p") in (1, 2, 3, 4)
+               for f in inv["data"])
+    # the reader's hidden-partition pruning acts on the exported table
+    got = it.read(where={"p": (2, 2)})
+    assert sorted(r.k for r in got.collect()) == sorted(
+        k for k in range(100) if k % 4 + 1 == 2)
+    assert it.last_read_stats["partition_pruned"] > 0
+
+
+def test_sync_partition_spec_evolution_and_rewrite(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from forklift_spark.connections.iceberglite import (
+        export_manifest_to_iceberg,
+        sync_manifest_to_iceberg,
+    )
+
+    t = _mk_src(spark, str(tmp_path / "src"))
+    dest = str(tmp_path / "pub")
+    export_manifest_to_iceberg(t, dest)
+    # simulate a pre-feature destination: strip the spec from metadata
+    meta_p = os.path.join(dest, "metadata", "v1.metadata.json")
+    meta = _json.load(open(meta_p))
+    meta["partition-specs"] = [{"spec-id": 0, "fields": []}]
+    meta["default-spec-id"] = 0
+    meta["last-partition-id"] = 999
+    _json.dump(meta, open(meta_p, "w"))
+
+    # sync with new rows -> proper SPEC EVOLUTION: a new spec-id
+    # appended, default bumped, old manifests keep referencing spec 0
+    t.merge(spark.createDataFrame([(200, 2, 2000)],
+                                  "k long, p int, v long"), on="k")
+    r = sync_manifest_to_iceberg(t, dest)
+    assert r["mode"] == "incremental"
+    it = IcebergLiteTable(spark, dest)
+    meta = it.metadata()
+    assert meta["default-spec-id"] == 1
+    assert [(f["name"], f["transform"], f["field-id"])
+            for f in meta["partition-specs"][1]["fields"]] == [
+        ("p", "identity", 1000)]
+    got = it.read(where={"p": (2, 2)})
+    assert (200, 2, 2000) in {tuple(r) for r in got.collect()}
+
+    # a delete that rewrites partition files: the rewritten manifest
+    # must PRESERVE the surviving entries' partition tuples
+    t.delete(F.col("k") % 10 == 3)
+    r = sync_manifest_to_iceberg(t, dest)
+    assert r["removed"] > 0
+    it = IcebergLiteTable(spark, dest)
+    inv = it.file_inventory()
+    with_part = [f for f in inv["data"] if f["partition"].get("p")]
+    assert with_part  # tuples survived the rewrite + re-add
+    got = it.read(where={"p": (3, 3)})
+    assert sorted(r.k for r in got.collect()) == sorted(
+        k for k in range(100) if k % 4 + 1 == 3 and k % 10 != 3)
+    assert it.last_read_stats["partition_pruned"] > 0
