@@ -196,8 +196,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_lake.add_argument("op", choices=["vacuum-delta", "vacuum-iceberg",
                                        "checkpoint-delta",
-                                       "expire-iceberg"])
+                                       "expire-iceberg",
+                                       "scan-plan-delta",
+                                       "scan-plan-iceberg"])
     p_lake.add_argument("dest", help="exported table directory")
+    p_lake.add_argument(
+        "--where",
+        help='scan-plan-*: JSON bounds {"col": [lo, hi]} (null = open '
+        "end); prints the plan-time pruning counters (files/bytes "
+        "planned, partition_pruned, stat-less columns) without reading "
+        "a row",
+    )
     p_lake.add_argument(
         "--grace-hours", type=float, default=168.0,
         help="minimum file age before reclaim (default 7 days, Delta's "
@@ -315,7 +324,27 @@ def main(argv: list[str] | None = None) -> int:
 
         from forklift_spark.session import get_spark
 
-        if ns.op == "checkpoint-delta":
+        if ns.op in ("scan-plan-delta", "scan-plan-iceberg"):
+            if not ns.where:
+                print("scan-plan needs --where")
+                return 2
+            where = {k: tuple(v) if isinstance(v, list) else (v, v)
+                     for k, v in _json.loads(ns.where).items()}
+            if ns.op == "scan-plan-delta":
+                from forklift_spark.connections.deltalite import (
+                    DeltaLiteTable,
+                )
+
+                t = DeltaLiteTable(get_spark(), ns.dest)
+            else:
+                from forklift_spark.connections.iceberglite import (
+                    IcebergLiteTable,
+                )
+
+                t = IcebergLiteTable(get_spark(), ns.dest)
+            t.read(where=where)  # plan only: nothing is collected
+            print(_json.dumps(t.last_read_stats))
+        elif ns.op == "checkpoint-delta":
             from forklift_spark.connections.deltalite import (
                 checkpoint_delta_export,
             )

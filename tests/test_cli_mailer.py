@@ -439,3 +439,48 @@ def test_cli_lakehouse_vacuum(spark, tmp_path, capsys):
     got = {(r.k, r.p, r.v)
            for r in DeltaLiteTable(spark, ddest).read().collect()}
     assert got == want
+
+
+def test_cli_lakehouse_scan_plan(spark, tmp_path, capsys):
+    """r8: `lakehouse scan-plan-delta / scan-plan-iceberg --where`
+    prints the exported table's plan-time pruning counters (stats +
+    partition tuples) without reading a row."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from forklift_spark.cli import main
+    from forklift_spark.connections.deltalite import (
+        export_manifest_to_delta,
+    )
+    from forklift_spark.connections.iceberglite import (
+        export_manifest_to_iceberg,
+    )
+    from forklift_spark.manifest import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "wh"), "ev")
+    t.create(
+        spark.range(100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("int").alias("p"),
+            (F.col("id") * 2).alias("v")
+        ), partition_by="p",
+    )
+    ddest = str(tmp_path / "pub_delta")
+    idest = str(tmp_path / "pub_ice")
+    export_manifest_to_delta(t, ddest)
+    export_manifest_to_iceberg(t, idest)
+
+    assert main(["lakehouse", "scan-plan-delta", ddest,
+                 "--where", '{"p": [2, 2]}']) in (0, None)
+    plan = json.loads(capsys.readouterr().out)
+    assert 0 < plan["files_planned"] < plan["files_total"]
+
+    assert main(["lakehouse", "scan-plan-iceberg", idest,
+                 "--where", '{"p": [2, 2]}']) in (0, None)
+    plan = json.loads(capsys.readouterr().out)
+    assert 0 < plan["files_planned"] < plan["files_total"]
+    assert plan["partition_pruned"] > 0  # identity tuples acted
+
+    # --where is required: loud exit, not a silent full plan
+    assert main(["lakehouse", "scan-plan-delta", ddest]) == 2
