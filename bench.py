@@ -266,6 +266,7 @@ HEADLINE = [
     "q_iceberg_hidden_partition_read",
     "q_delta_stream_source",
     "q_iceberg_stream_source",
+    "q_lakehouse_files_audit",
 ]
 
 

@@ -922,6 +922,60 @@ class DeltaLiteTable:
                 "files": added, "version": to_v}
         return self._scan(snap)
 
+    def files(self, version: int | None = None) -> DataFrame:
+        """Live logical files as a metadata DataFrame (path, partition
+        values, size, stats row count, DV cardinality) — the Delta twin
+        of ``ManifestTable.files()`` / delta-spark's file inventory.
+        Driver-side metadata only; bounded by the log's own size."""
+        snap = self.snapshot(version)
+        rows = []
+        for p, e in sorted(snap["files"].items()):
+            n = None
+            if e.get("stats"):
+                try:
+                    n = int(json.loads(e["stats"]).get("numRecords"))
+                except (ValueError, TypeError):
+                    n = None
+            dv = e.get("dv") or {}
+            rows.append((p, {k: v for k, v in (e.get("pv") or {}).items()},
+                         e.get("size"), n,
+                         int(dv.get("cardinality") or 0),
+                         e.get("stats")))
+        schema = ("path string, partition map<string,string>, "
+                  "size_bytes long, num_records long, "
+                  "dv_cardinality long, stats string")
+        return self.spark.createDataFrame(rows, schema)
+
+    def history(self) -> DataFrame:
+        """Commit history as a metadata DataFrame: version, timestamp
+        (commitInfo when present, else the commit file's mtime),
+        operation, add/remove action counts — the reader-side answer to
+        delta-spark's ``DESCRIBE HISTORY``."""
+        rows = []
+        for v in self.versions():
+            fp = os.path.join(self.log_dir, f"{v:020d}.json")
+            adds = removes = 0
+            ts = int(os.path.getmtime(fp) * 1000)
+            op = None
+            with open(fp) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    act = json.loads(line)
+                    if "add" in act:
+                        adds += 1
+                    elif "remove" in act:
+                        removes += 1
+                    elif "commitInfo" in act:
+                        ci = act["commitInfo"]
+                        op = ci.get("operation")
+                        ts = int(ci.get("timestamp") or ts)
+            rows.append((v, ts, op, adds, removes))
+        return self.spark.createDataFrame(
+            rows, "version long, timestamp_ms long, operation string, "
+                  "n_adds long, n_removes long")
+
     def changelog(self, from_version: int, to_version: int | None = None,
                   net: bool = False) -> DataFrame:
         """Row-level version-diff changelog: the table's columns plus

@@ -1035,6 +1035,44 @@ class IcebergLiteTable:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*added)
 
+    def files(self, snapshot_id=None) -> DataFrame:
+        """Live files as a metadata DataFrame (content kind, path,
+        partition tuple, record count, size, data sequence number) —
+        the reader-side answer to Iceberg's ``files`` metadata table.
+        Driver-side metadata only; bounded by the manifests' size."""
+        inv = self.file_inventory(snapshot_id)
+        rows = []
+        for kind, files in (("data", inv["data"]),
+                            ("pos_delete", inv["pos_deletes"]),
+                            ("eq_delete", inv["eq_deletes"])):
+            for f in files:
+                rows.append((
+                    kind, f["path"],
+                    {k: (None if v is None else str(v))
+                     for k, v in (f.get("partition") or {}).items()},
+                    f.get("record_count"), f.get("bytes"),
+                    int(f["seq"])))
+        schema = ("content string, path string, "
+                  "partition map<string,string>, record_count long, "
+                  "size_bytes long, seq long")
+        return self.spark.createDataFrame(rows, schema)
+
+    def history(self) -> DataFrame:
+        """Snapshot history as a metadata DataFrame — the reader-side
+        answer to Iceberg's ``history``/``snapshots`` metadata tables."""
+        rows = [
+            (int(s["snapshot-id"]),
+             s.get("parent-snapshot-id"),
+             int(s.get("sequence-number") or 0),
+             int(s.get("timestamp-ms") or 0),
+             (s.get("summary") or {}).get("operation"))
+            for s in self.snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows, "snapshot_id long, parent_id long, "
+                  "sequence_number long, timestamp_ms long, "
+                  "operation string")
+
     def changelog(self, from_snapshot_id, to_snapshot_id=None,
                   net: bool = False) -> DataFrame:
         """Row-level snapshot-diff changelog: the table's columns plus

@@ -60,13 +60,14 @@ def query(name: str, oracle: str | None = None):
 # q_delta_typewiden_read, q_delta_cdf_read, q_delta_stats_prune_read,
 # q_iceberg_bounds_prune_read, q_iceberg_changelog_read,
 # q_delta_changelog_read, q_iceberg_hidden_partition_read,
-# q_delta_stream_source, q_iceberg_stream_source — never
-# driver-checked, and the window test requires never-checked ⊆ window;
-# the evicted rows q_dedup_recall_eval / q_bpe_train / q_ann_lsh_topk /
+# q_delta_stream_source, q_iceberg_stream_source,
+# q_lakehouse_files_audit — never driver-checked, and the window test
+# requires never-checked ⊆ window; the evicted rows
+# q_dedup_recall_eval / q_bpe_train / q_ann_lsh_topk /
 # q_dedup_minhash_lsh / q_distinct_exact / q_string_agg /
 # q_string_funcs / q_regex_funcs / q_date_funcs / q_unpivot /
-# q_conditional_agg were equally-stale candidates whose families keep
-# other window representatives). After this window runs, the cumulative staleness
+# q_conditional_agg / q_union_consolidate were equally-stale
+# candidates whose families keep other window representatives). After this window runs, the cumulative staleness
 # median drops to two rounds — the floor for a 50-slot window.
 _WINDOW_ROWS_ONLY: frozenset[str] = frozenset({
     "q_distinct_approx",
@@ -87,7 +88,6 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
         "q_incremental_rollup", "q_integrity_audit",
         "q_outer_join_reconcile", "q_profile_table",
         "q_salted_join",
-        "q_union_consolidate",
     ],
     "similarity": ["q_ann_bruteforce_topk"],
     "dedup": [
@@ -105,7 +105,7 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
         "q_delta_typewiden_read", "q_delta_cdf_read",
         "q_delta_stats_prune_read", "q_iceberg_bounds_prune_read",
         "q_iceberg_changelog_read", "q_delta_changelog_read",
-        "q_iceberg_hidden_partition_read",
+        "q_iceberg_hidden_partition_read", "q_lakehouse_files_audit",
     ],
     "stats": ["q_heavy_hitters_cms"],
 }

@@ -2545,3 +2545,86 @@ def q_iceberg_hidden_partition_read(spark: SparkSession,
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q_lakehouse_files_audit — metadata-table fidelity (r8): customer is
+# published to BOTH lakehouse formats (partitioned manifest -> delta +
+# iceberg exports), then each reader's `files()` METADATA table — not
+# the data path — must reproduce the per-partition row counts: Delta
+# from the add.stats the publisher wrote (numRecords + the p column's
+# min==max bounds identifying each file's partition — the Delta export
+# is unpartitioned by contract, every column lives in the files),
+# Iceberg from the manifest record_count + the r102 identity partition
+# tuples. The oracle is the source table itself, so a wrong stats
+# rendition, a dropped partition tuple, or a miscounted manifest entry
+# breaks the hash. Reader-side answer to DESCRIBE DETAIL / the `files`
+# metadata table.
+# --------------------------------------------------------------------------
+LAKEHOUSE_FILES_AUDIT_ORACLE = """
+WITH base AS (
+  SELECT CAST(c_custkey % 4 AS INTEGER) AS p FROM customer
+), per AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_rows FROM base GROUP BY p
+)
+SELECT * FROM (
+  SELECT 'delta' AS source, p, n_rows, CAST(1 AS BIGINT) AS has_files
+  FROM per
+  UNION ALL
+  SELECT 'iceberg', p, n_rows, CAST(1 AS BIGINT) FROM per
+)
+ORDER BY source, p
+"""
+
+
+@query("q_lakehouse_files_audit", LAKEHOUSE_FILES_AUDIT_ORACLE)
+def q_lakehouse_files_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.connections.deltalite import (
+        DeltaLiteTable,
+        export_manifest_to_delta,
+    )
+    from forklift_spark.connections.iceberglite import (
+        IcebergLiteTable,
+        export_manifest_to_iceberg,
+    )
+    from forklift_spark.manifest import ManifestTable
+
+    cu = tables.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_custkey") % 4).cast("int").alias("p"),
+        dec("c_acctbal", MONEY).alias("bal"),
+    )
+    root = tempfile.mkdtemp(prefix="fk_files_audit_")
+    t = ManifestTable(spark, os.path.join(root, "src"), "cust")
+    t.create(cu, partition_by="p")
+    ddest = os.path.join(root, "pub_delta")
+    idest = os.path.join(root, "pub_ice")
+    export_manifest_to_delta(t, ddest)
+    export_manifest_to_iceberg(t, idest)
+
+    d = DeltaLiteTable(spark, ddest).files().select(
+        F.lit("delta").alias("source"),
+        # one partition per file by construction: stats min == max
+        F.when(
+            F.get_json_object("stats", "$.minValues.p")
+            == F.get_json_object("stats", "$.maxValues.p"),
+            F.get_json_object("stats", "$.minValues.p").cast("int"),
+        ).alias("p"),
+        F.col("num_records"),
+    )
+    i = (IcebergLiteTable(spark, idest).files()
+         .filter(F.col("content") == "data")
+         .select(
+             F.lit("iceberg").alias("source"),
+             F.col("partition")["p"].cast("int").alias("p"),
+             F.col("record_count").alias("num_records"),
+         ))
+    return (
+        d.unionByName(i)
+        .groupBy("source", "p")
+        .agg(
+            F.sum("num_records").cast("bigint").alias("n_rows"),
+            (F.count(F.lit(1)) >= 1).cast("bigint").alias("has_files"),
+        )
+        .orderBy("source", "p")
+    )

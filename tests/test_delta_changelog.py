@@ -155,3 +155,22 @@ def test_changelog_column_drop_refuses(spark, tmp_path):
     _commit(log, 1, [meta])
     with pytest.raises(DeltaUnsupported, match="drop/rename"):
         DeltaLiteTable(spark, tdir).changelog(0, 1)
+
+
+def test_files_and_history_metadata_tables(spark, two_file_table):
+    t = DeltaLiteTable(spark, two_file_table)
+    f = {r.path: r for r in t.files().collect()}
+    assert set(f) == {"f1.parquet", "f2.parquet"}
+    assert f["f1.parquet"].partition == {"p": "1"}
+    assert f["f1.parquet"].dv_cardinality == 0
+    a = _add("f1.parquet", {"p": "1"})
+    a["add"]["deletionVector"] = _i_descriptor([1, 3])
+    _commit(os.path.join(two_file_table, "_delta_log"), 1,
+            [a, {"commitInfo": {"operation": "DELETE",
+                                "timestamp": 1700000099000}}])
+    f = {r.path: r for r in t.files().collect()}
+    assert f["f1.parquet"].dv_cardinality == 2
+    h = {r.version: r for r in t.history().collect()}
+    assert h[0].n_adds == 2 and h[0].n_removes == 0
+    assert h[1].operation == "DELETE"
+    assert h[1].timestamp_ms == 1700000099000

@@ -191,3 +191,34 @@ def test_changelog_connection_surface_and_empty_range(spark, tmp_path):
     feed = conn.changelog("t", 1, 2)
     assert feed.count() == 0
     assert [f for f in feed.columns] == ["k", "cat", "val", "_change_type"]
+
+
+def test_files_and_history_metadata_tables(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    _mkdirs(tdir)
+    b = os.path.join(tdir, "data", "b.parquet")
+    _write_parquet(b, {"k": [5, 6, 7], "cat": ["z", "z", "w"],
+                       "val": [5.0, 6.0, 7.0]})
+    d = os.path.join(tdir, "data", "del.parquet")
+    _write_parquet(d, {"file_path": [b], "pos": [0]})
+    a = _two_snap_table(spark, tdir, snap2_data_entries=[])
+    m2 = _manifest(tdir, "m2.avro",
+                   [_entry(a, seq=1, rows=4), _entry(b, seq=2, rows=3)])
+    md = _manifest(tdir, "md.avro", [_entry(d, seq=2, content=1, rows=1)])
+    l2 = _manifest_list(tdir, "l2.avro", [(m2, 0, 2), (md, 1, 2)])
+    _metadata_v2(tdir, [
+        __import__("tests.test_iceberglite", fromlist=["_snap"])._snap(
+            1, 1, os.path.join(tdir, "metadata", "l1.avro")),
+        __import__("tests.test_iceberglite", fromlist=["_snap"])._snap(
+            2, 2, l2),
+    ], current=2, version=2)
+    t = IcebergLiteTable(spark, tdir)
+    f = {(r.content, os.path.basename(r.path)): r
+         for r in t.files().collect()}
+    assert ("data", "a.parquet") in f and ("data", "b.parquet") in f
+    assert ("pos_delete", "del.parquet") in f
+    assert f[("data", "b.parquet")].record_count == 3
+    assert f[("data", "b.parquet")].seq == 2
+    h = sorted((r.snapshot_id, r.operation)
+               for r in t.history().collect())
+    assert h == [(1, "append"), (2, "append")]
