@@ -267,6 +267,7 @@ HEADLINE = [
     "q_delta_stream_source",
     "q_iceberg_stream_source",
     "q_lakehouse_files_audit",
+    "q_delta_cdf_publish",
 ]
 
 

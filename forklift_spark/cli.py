@@ -174,6 +174,12 @@ def main(argv: list[str] | None = None) -> int:
         "of refusing until compact()",
     )
     p_man.add_argument(
+        "--cdf", action="store_true",
+        help="export-delta/sync-delta: create the destination with "
+        "delta.enableChangeDataFeed — later syncs write real "
+        "_change_data files for commits carrying deletes/dv churn",
+    )
+    p_man.add_argument(
         "--orphan-grace",
         type=float,
         default=None,
@@ -304,7 +310,10 @@ def main(argv: list[str] | None = None) -> int:
                   "export-iceberg": export_manifest_to_iceberg,
                   "sync-delta": sync_manifest_to_delta,
                   "sync-iceberg": sync_manifest_to_iceberg}[ns.op]
-            print(_json.dumps(fn(t, ns.dest, dv_mode=ns.dv_mode)))
+            kw = {"dv_mode": ns.dv_mode}
+            if ns.cdf and ns.op in ("export-delta", "sync-delta"):
+                kw["cdf"] = True
+            print(_json.dumps(fn(t, ns.dest, **kw)))
         elif ns.op == "scan-plan":
             where = None
             if ns.where:

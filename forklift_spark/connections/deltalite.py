@@ -1676,12 +1676,19 @@ def write_dv_bin(dest: str, masks: dict[str, list[int]]) -> dict[str, dict]:
     return descs
 
 
-def _protocol_action(with_dv: bool) -> dict:
+def _protocol_action(with_dv: bool, cdf: bool = False) -> dict:
     if with_dv:
+        wf = ["deletionVectors"] + (["changeDataFeed"] if cdf else [])
         return {"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
             "readerFeatures": ["deletionVectors"],
-            "writerFeatures": ["deletionVectors"]}}
+            "writerFeatures": wf}}
+    if cdf:
+        # CDF is writer-side only: readers need no feature, writers
+        # declare it (minWriterVersion 7 + table feature)
+        return {"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["changeDataFeed"]}}
     return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
 
@@ -1753,7 +1760,8 @@ def _add_action(table, dest: str, e: dict,
 
 
 def export_manifest_to_delta(table, dest: str,
-                             dv_mode: str = "refuse") -> dict:
+                             dv_mode: str = "refuse",
+                             cdf: bool = False) -> dict:
     """One-shot SNAPSHOT export of a ManifestTable as a Delta-readable
     table at ``dest`` (the reverse interop direction: external Delta
     readers consume a table this engine maintains).
@@ -1795,13 +1803,14 @@ def export_manifest_to_delta(table, dest: str,
         T.StructType.fromJson(m["schema"]).jsonValue()
     )
     with open(os.path.join(dest, "_delta_log", f"{0:020d}.json"), "w") as fh:
-        fh.write(json.dumps(_protocol_action(bool(descs))) + "\n")
+        fh.write(json.dumps(_protocol_action(bool(descs), cdf)) + "\n")
         fh.write(json.dumps({"metaData": {
             "id": f"forklift-spark-export-{m.get('version', 0)}",
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_json,
             "partitionColumns": [],
-            "configuration": {},
+            "configuration": ({"delta.enableChangeDataFeed": "true"}
+                              if cdf else {}),
             "createdTime": int(m.get("committed_at", 0) or 0),
         }}) + "\n")
         for a in adds:
@@ -1826,12 +1835,23 @@ def _link_or_copy(src: str, dst: str) -> None:
 
 def sync_manifest_to_delta(table, dest: str,
                            dv_mode: str = "refuse",
-                           checkpoint_interval: int = 10) -> dict:
+                           checkpoint_interval: int = 10,
+                           cdf: bool = False) -> dict:
     """INCREMENTAL export: bring the Delta log at ``dest`` up to the
     manifest table's current state with ONE new commit containing only
     the delta (VERDICT r6 item 4 — the recurring-publish story, the
     reference's repeated ``pipe`` publish, patterns/mysql_patterns.rb:
     28-43, without re-snapshotting).
+
+    ``cdf=True`` on the FIRST sync creates the destination with
+    ``delta.enableChangeDataFeed=true`` (+ the changeDataFeed writer
+    feature); every later sync honors the destination's own config and
+    writes real ``_change_data`` files for commits carrying deletes or
+    DV churn — external ``table_changes`` consumers (and this reader's
+    ``change_feed()``) get the exact row-level feed, with updates as
+    delete+insert pairs (the manifest's dv diff names exact rows, not
+    update identity). Insert-only commits stay cdc-less (readers
+    synthesize inserts from the adds, delta-spark's own rule).
 
     First call (no log at ``dest``) falls back to the full snapshot
     export. Subsequent calls replay the destination log (O(metadata)),
@@ -1863,7 +1883,8 @@ def sync_manifest_to_delta(table, dest: str,
     """
     log_dir = os.path.join(dest, "_delta_log")
     if not os.path.isdir(log_dir):
-        stats = export_manifest_to_delta(table, dest, dv_mode=dv_mode)
+        stats = export_manifest_to_delta(table, dest, dv_mode=dv_mode,
+                                         cdf=cdf)
         return {"mode": "full", "added": stats["files"], "removed": 0,
                 "dv_updated": 0, "version": stats["version"],
                 "delta_version": 0}
@@ -1893,10 +1914,94 @@ def sync_manifest_to_delta(table, dest: str,
     descs = write_dv_bin(dest, need_dv) if need_dv else {}
     v = snap["version"] + 1
     ts = int(m.get("committed_at", 0) or 0)
+
+    # ---- Change Data Feed (r8): when the destination declares
+    # delta.enableChangeDataFeed, any commit carrying deletes or DV
+    # churn writes REAL _change_data files describing ALL of the
+    # commit's row-level changes (spec: when cdc actions are present
+    # they are the SOLE source of that commit's changes, so the adds
+    # must be included too). Insert-only commits stay cdc-less —
+    # readers synthesize inserts from the adds, same as delta-spark.
+    # Updates surface as delete+insert pairs (the manifest's dv diff
+    # names exact rows; it does not carry update identity).
+    cdf_on = (snap["meta"].get("configuration") or {}).get(
+        "delta.enableChangeDataFeed") == "true"
+    cdc_actions: list[dict] = []
+    if cdf_on and (removed or dv_updated):
+        import glob as _glob
+
+        spark = table.spark
+        absd = os.path.abspath(dest)
+        pos_schema = "___path string, ___pos long"
+        names = [f.name for f in schema.fields]
+
+        def _with_pos(paths):
+            return (spark.read.schema(schema).parquet(*paths)
+                    .withColumn("___path", _decoded_path())
+                    .withColumn("___pos", F.col("_metadata.row_index")))
+
+        def _old_mask(p):
+            dv = exported[p].get("dv")
+            return dv_positions(absd, dv) if dv else []
+
+        parts = []
+        if added:
+            # added files are not hard-linked into dest until the
+            # commit's add actions are built — read the SOURCE copies
+            # (same physical rows, positions identical)
+            srcd = os.path.abspath(table.path)
+            ins = _with_pos([os.path.join(srcd, p) for p in added])
+            mrows = [(os.path.join(srcd, p), int(x))
+                     for p in added for x in masks.get(p, ())]
+            if mrows:
+                ins = ins.join(
+                    spark.createDataFrame(mrows, pos_schema),
+                    ["___path", "___pos"], "left_anti")
+            parts.append(ins.select(*names).withColumn(
+                "_change_type", F.lit("insert")))
+        if removed:
+            rem = _with_pos([os.path.join(absd, p) for p in removed])
+            mrows = [(os.path.join(absd, p), int(x))
+                     for p in removed for x in _old_mask(p)]
+            if mrows:
+                rem = rem.join(
+                    spark.createDataFrame(mrows, pos_schema),
+                    ["___path", "___pos"], "left_anti")
+            parts.append(rem.select(*names).withColumn(
+                "_change_type", F.lit("delete")))
+        del_rows: list = []
+        ins_rows: list = []
+        for p in dv_updated:
+            old_m = set(_old_mask(p))
+            new_m = set(masks.get(p, ()))
+            ap = os.path.join(absd, p)
+            del_rows += [(ap, int(x)) for x in new_m - old_m]
+            ins_rows += [(ap, int(x)) for x in old_m - new_m]  # restore
+        for rows_list, ct in ((del_rows, "delete"),
+                              (ins_rows, "insert")):
+            if rows_list:
+                dfp = _with_pos(sorted({r[0] for r in rows_list})).join(
+                    spark.createDataFrame(rows_list, pos_schema),
+                    ["___path", "___pos"])
+                parts.append(dfp.select(*names).withColumn(
+                    "_change_type", F.lit(ct)))
+        cdc_df = parts[0]
+        for pdf in parts[1:]:
+            cdc_df = cdc_df.unionByName(pdf)
+        cdir_rel = os.path.join("_change_data", f"cdc-{v:020d}")
+        cdc_df.write.mode("overwrite").parquet(
+            os.path.join(absd, cdir_rel))
+        for f in sorted(_glob.glob(os.path.join(
+                absd, cdir_rel, "part-*.parquet"))):
+            cdc_actions.append({"cdc": {
+                "path": os.path.relpath(f, absd).replace(os.sep, "/"),
+                "partitionValues": {},
+                "size": os.path.getsize(f), "dataChange": False}})
+
     with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
         if descs:  # first-DV commits upgrade the protocol; re-stating
             # it on later DV commits is spec-legal (last writer wins)
-            fh.write(json.dumps(_protocol_action(True)) + "\n")
+            fh.write(json.dumps(_protocol_action(True, cdf_on)) + "\n")
         if schema_changed:
             meta = dict(snap["meta"])
             meta["schemaString"] = json.dumps(schema.jsonValue())
@@ -1926,6 +2031,8 @@ def sync_manifest_to_delta(table, dest: str,
                                     {f.name: f.dataType
                                      for f in schema.fields})}
             ) + "\n")
+        for act in cdc_actions:
+            fh.write(json.dumps(act) + "\n")
     out = {"mode": "incremental", "added": len(added),
            "removed": len(removed), "dv_updated": len(dv_updated),
            "version": m.get("version", 0), "delta_version": v}

@@ -2628,3 +2628,89 @@ def q_lakehouse_files_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "p")
     )
+
+
+# --------------------------------------------------------------------------
+# q_delta_cdf_publish — publisher-side CHANGE DATA FEED (r8): the
+# incremental sync creates the destination with
+# delta.enableChangeDataFeed and, on the commit carrying dv churn +
+# appends, writes REAL _change_data parquet describing ALL of the
+# commit's row-level changes. change_feed(0) then consumes the cdc
+# actions VERBATIM (spec: when cdc actions are present they are the
+# sole source for that commit — adds/removes are ignored), so a wrong
+# or incomplete cdc file breaks the hash rather than being papered
+# over by synthesis. The in-row flag proves cdc actions exist in the
+# commit. Counterpart of q_delta_cdf_read (which consumes hand-built
+# CDF): this row certifies the WRITER.
+# --------------------------------------------------------------------------
+DELTA_CDF_PUBLISH_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS k,
+         CAST(c_custkey % 4 AS INTEGER) AS p,
+         CAST(c_acctbal AS DECIMAL(14,2)) AS bal
+  FROM customer
+), upd AS (
+  SELECT * FROM base WHERE p = 0 AND k % 20 = 8
+)
+SELECT * FROM (
+  SELECT 'delete' AS change_type,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(bal) AS DOUBLE) AS sum_bal,
+         CAST(MIN(k) AS BIGINT) AS min_key,
+         CAST(1 AS BIGINT) AS cdc_published
+  FROM upd
+  UNION ALL
+  SELECT 'insert',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(bal) AS DOUBLE),
+         CAST(MIN(k) AS BIGINT),
+         CAST(1 AS BIGINT)
+  FROM (
+    SELECT k, CAST(bal * 3 AS DECIMAL(14,2)) AS bal FROM upd
+    UNION ALL
+    SELECT k, bal FROM base WHERE p = 3
+  )
+)
+ORDER BY change_type
+"""
+
+
+@query("q_delta_cdf_publish", DELTA_CDF_PUBLISH_ORACLE)
+def q_delta_cdf_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forklift_spark.connections.deltalite import (
+        DeltaLiteTable,
+        sync_manifest_to_delta,
+    )
+    from forklift_spark.manifest import ManifestTable
+
+    base = tables.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_custkey") % 4).cast("int").alias("p"),
+        dec("c_acctbal", MONEY).alias("bal"),
+    )
+    root = tempfile.mkdtemp(prefix="fk_cdf_pub_")
+    t = ManifestTable(spark, os.path.join(root, "src"), "cust_pub")
+    t.create(base.filter(F.col("p") != 3), partition_by="p")
+    dest = os.path.join(root, "pub")
+    sync_manifest_to_delta(t, dest, dv_mode="native", cdf=True)  # v0
+
+    upd = (base.filter((F.col("p") == 0) & (F.col("k") % 20 == 8))
+           .withColumn("bal", (F.col("bal") * 3).cast(MONEY)))
+    t.merge(upd.unionByName(base.filter(F.col("p") == 3)),
+            on="k", use_dv=True)
+    sync_manifest_to_delta(t, dest, dv_mode="native")            # v1
+
+    with open(os.path.join(dest, "_delta_log",
+                           f"{1:020d}.json")) as fh:
+        published = int('"cdc"' in fh.read())
+    feed = DeltaLiteTable(spark, dest).change_feed(0)
+    return (
+        feed.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("bal").cast("double").alias("sum_bal"),
+            F.min("k").cast("bigint").alias("min_key"),
+            F.lit(published).cast("bigint").alias("cdc_published"),
+        )
+        .orderBy("change_type")
+    )

@@ -723,3 +723,50 @@ def test_checkpoint_restates_declared_protocol_no_downgrade(
         if f.endswith(".json"):
             os.remove(os.path.join(dest, "_delta_log", f))
     assert _rows(DeltaLiteTable(spark, dest).read()) == _rows(t.read())
+
+
+def test_delta_sync_writes_change_data_feed(spark, tmp_path):
+    """cdf=True: the publisher writes REAL _change_data files for
+    commits with deletes/dv churn; change_feed() consumes the cdc
+    actions verbatim (adds/removes of those commits are ignored per
+    spec, so a wrong cdc file breaks the feed, not just decorates it).
+    """
+    import os
+
+    from forklift_spark.connections.deltalite import (
+        DeltaLiteTable,
+        sync_manifest_to_delta,
+    )
+
+    t = _mk_table(spark, str(tmp_path / "m"))
+    dest = str(tmp_path / "d")
+    sync_manifest_to_delta(t, dest, dv_mode="native", cdf=True)   # v0
+    meta = DeltaLiteTable(spark, dest).snapshot()["meta"]
+    assert (meta.get("configuration") or {}).get(
+        "delta.enableChangeDataFeed") == "true"
+
+    # v1: dv update (k=7 -> 777) + insert (k=200)
+    t.merge(spark.createDataFrame([(7, 4, 777), (200, 1, 2000)],
+                                  "k long, p int, v long"),
+            on="k", use_dv=True)
+    r = sync_manifest_to_delta(t, dest, dv_mode="native")
+    assert r["dv_updated"] >= 1
+    log1 = open(os.path.join(dest, "_delta_log",
+                             f"{1:020d}.json")).read()
+    assert '"cdc"' in log1
+    dt = DeltaLiteTable(spark, dest)
+    rows = {(r.k, r.v, r._change_type)
+            for r in dt.change_feed(0).collect()}
+    assert (7, 70, "delete") in rows
+    assert (7, 777, "insert") in rows and (200, 2000, "insert") in rows
+    assert (7, 70, "insert") not in rows  # adds not double-counted
+
+    # v2: rewrite-mode delete -> removed files' LIVE rows as deletes
+    t.delete(F.col("k") % 25 == 3)
+    sync_manifest_to_delta(t, dest, dv_mode="native")
+    feed = dt.change_feed(1)
+    dels = {r.k for r in
+            feed.filter("_change_type = 'delete'").collect()}
+    assert {3, 28, 53, 78} <= dels
+    # external state converges: full read matches the source
+    assert _rows(dt.read()) == _rows(t.read())
