@@ -1580,6 +1580,12 @@ class DeltaLiteConnection(Connection):
                     to_cursor: int | None = None) -> DataFrame:
         return self._table(table).change_feed(from_cursor, to_cursor)
 
+    def files(self, table: str, version: int | None = None) -> DataFrame:
+        return self._table(table).files(version)
+
+    def history(self, table: str) -> DataFrame:
+        return self._table(table).history()
+
     def write(self, df, table, mode="upsert", primary_key="id", **kwargs):
         raise NotImplementedError(
             "DeltaLiteConnection is read-only (protocol v1 reader); "

@@ -1221,6 +1221,12 @@ class IcebergLiteConnection(Connection):
         return self._table(table).changelog(
             from_snapshot_id, to_snapshot_id, net=net)
 
+    def files(self, table: str, snapshot_id=None) -> DataFrame:
+        return self._table(table).files(snapshot_id)
+
+    def history(self, table: str) -> DataFrame:
+        return self._table(table).history()
+
     # uniform cursor surface (shared with DeltaLiteConnection) for
     # patterns.lakehouse_incremental_pipe — the cursor is a snapshot id
     def head_cursor(self, table: str):

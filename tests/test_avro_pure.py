@@ -454,6 +454,9 @@ def test_block_decoder_nested_manifest_entry_parity():
             "file_format": "PARQUET", "partition": {},
             "record_count": rng.randrange(10**6),
             "file_size_in_bytes": rng.randrange(10**9),
+            # optional value-bounds fields (r8 file skipping): null
+            # here, exercised non-null in test_iceberg_bounds_prune
+            "lower_bounds": None, "upper_bounds": None,
             "equality_ids": None if i % 2 else [1, 2, i],
         }} for i in range(300)]
     sj = _json.dumps(MANIFEST_ENTRY_SCHEMA)
