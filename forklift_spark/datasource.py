@@ -118,6 +118,47 @@ def _arrow_schema(schema_json: dict):
     return to_arrow_schema(StructType.fromJson(schema_json))
 
 
+def _collect_bounds(filters, where: dict) -> None:
+    """Fold Spark's pushed comparison filters into ``where[col] =
+    [lo, hi]`` interval bounds (tightest wins; incomparable values keep
+    the old bound). Shared by the manifest/delta/iceberg DataSource
+    readers — each format's own metadata planner consumes the
+    intervals."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    def bound(col, lo=None, hi=None):
+        cur = where.setdefault(col, [None, None])
+        for i, v in ((0, lo), (1, hi)):
+            if v is None:
+                continue
+            old = cur[i]
+            try:
+                tighter = (old is None or (v > old if i == 0 else
+                                           v < old))
+            except TypeError:
+                tighter = False
+            if tighter:
+                cur[i] = v
+
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if not attr or len(attr) != 1:
+            continue
+        col = attr[0]
+        if isinstance(f, EqualTo):
+            bound(col, lo=f.value, hi=f.value)
+        elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+            bound(col, lo=f.value)
+        elif isinstance(f, (LessThan, LessThanOrEqual)):
+            bound(col, hi=f.value)
+
+
 def _read_file_batches(part: _FilePart):
     """Arrow-side leaf: read the parquet file, apply the position mask,
     align to the declared schema (schema evolution: missing columns are

@@ -164,12 +164,30 @@ class _DeltaBatchReader(DataSourceReader):
     def __init__(self, options, schema_json: str):
         self._options = dict(options)
         self._schema_json = schema_json
+        self._where: dict = {}  # col -> [lo, hi] interval bounds
+
+    def pushFilters(self, filters):
+        """Record interval predicates the log's own metadata can act on
+        (partition values + add.stats bounds via
+        ``DeltaLiteTable._prune_files``) and hand EVERY filter back to
+        Spark — pruning only decides which FILES to open, rows are
+        still filtered engine-side, so a conservative prune is always
+        correct. Same contract as the manifest source's pushFilters."""
+        from forklift_spark.datasource import _collect_bounds
+
+        _collect_bounds(filters, self._where)
+        return filters
 
     def partitions(self):
         t = _table(self._options)
         version = self._options.get("version")
         snap = _snap_or_refuse(
             t, int(version) if version is not None else None)
+        where = {c: tuple(b) for c, b in self._where.items()
+                 if b != [None, None]}
+        if where:
+            snap = dict(snap)
+            snap["files"] = t._prune_files(snap, where)
         dv = _dv_sets(t, snap["files"])
         parts = [
             _DeltaFilePart(

@@ -142,12 +142,29 @@ class _IceBatchReader(DataSourceReader):
     def __init__(self, options, schema_json: str):
         self._options = dict(options)
         self._schema_json = schema_json
+        self._where: dict = {}  # col -> [lo, hi] interval bounds
+
+    def pushFilters(self, filters):
+        """Record interval predicates the manifests' metadata can act
+        on (value bounds + hidden-partition transforms via
+        ``IcebergLiteTable._prune_data_files``) and hand EVERY filter
+        back to Spark — pruning only decides which FILES to open, rows
+        are still filtered engine-side, so a conservative prune is
+        always correct."""
+        from forklift_spark.datasource import _collect_bounds
+
+        _collect_bounds(filters, self._where)
+        return filters
 
     def partitions(self):
         t = _table(self._options)
         sid = self._options.get("snapshot_id")
         inv = t.file_inventory(int(sid) if sid is not None else None)
         _refuse_eq(inv, "iceberglite batch scan")
+        where = {c: tuple(b) for c, b in self._where.items()
+                 if b != [None, None]}
+        if where:
+            t._prune_data_files(inv, where)  # prunes inv in place
         masks = _pos_masks(t, inv)
         parts = [
             _IcePart(f["path"], drop_pos=masks.get(f["path"]),

@@ -189,3 +189,48 @@ def test_option_validation_and_cleaned_log_refusal(registered,
     os.remove(os.path.join(tdir, "_delta_log", f"{0:020d}.json"))
     with pytest.raises(Exception, match="Spark-free|checkpoint"):
         spark.read.format("deltalite").load(tdir).collect()
+
+
+def test_batch_reader_pushdown_prunes_files(spark, tmp_path):
+    """White-box: pushFilters + partitions() on the reader itself —
+    stats/partition-value pruning drops files at plan time while every
+    filter is returned to Spark for row-level re-application."""
+    import json
+
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from forklift_spark.connections.deltalite import (
+        export_manifest_to_delta,
+    )
+    from forklift_spark.delta_datasource import _DeltaBatchReader
+    from forklift_spark.manifest import ManifestTable
+
+    # range-correlated partitions so the k stats bounds genuinely
+    # separate files (p = k // 25 -> disjoint k ranges per file)
+    t = ManifestTable(spark, str(tmp_path / "m"), "t")
+    t.create(spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") / 25).cast("int").alias("p"),
+        (F.col("id") * 10).alias("v")), partition_by="p")
+    dest = str(tmp_path / "d")
+    export_manifest_to_delta(t, dest)
+
+    schema_json = json.dumps(
+        DeltaLiteTable(spark, dest).snapshot()["schema"].jsonValue())
+    r = _DeltaBatchReader({"path": dest}, schema_json)
+    full = len(r.partitions())
+    assert full >= 4
+    r2 = _DeltaBatchReader({"path": dest}, schema_json)
+    back = r2.pushFilters([EqualTo(("p",), 2)])
+    assert list(back) == [EqualTo(("p",), 2)]  # Spark re-applies all
+    assert len(r2.partitions()) < full
+    # range predicate on a stats column
+    r3 = _DeltaBatchReader({"path": dest}, schema_json)
+    r3.pushFilters([GreaterThanOrEqual(("k",), 90)])
+    assert len(r3.partitions()) < full
+    # end-to-end: results stay exact through the registered source
+    spark.dataSource.register(DeltaLiteDataSource)
+    got = (spark.read.format("deltalite").load(dest)
+           .filter("p = 2 AND k >= 60"))
+    assert sorted(row.k for row in got.collect()) == sorted(
+        k for k in range(100) if k // 25 == 2 and k >= 60)

@@ -155,3 +155,42 @@ def test_equality_deletes_refuse(registered, tmp_path):
     _metadata_v2(tdir, [_snap(1, 2, lst)], current=1)
     with pytest.raises(Exception, match="[Ee]quality"):
         spark.read.format("iceberglite").load(tdir).collect()
+
+
+def test_batch_reader_pushdown_prunes_files(spark, tmp_path):
+    """White-box pushdown: value-bounds + identity-partition pruning
+    act inside the DataSource planner; all filters returned to Spark."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo
+
+    from forklift_spark.connections.iceberglite import (
+        export_manifest_to_iceberg,
+    )
+    from forklift_spark.iceberg_datasource import _IceBatchReader
+    from forklift_spark.manifest import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "m"), "t")
+    t.create(spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4 + 1).cast("int").alias("p"),
+        (F.col("id") * 10).alias("v")), partition_by="p")
+    dest = str(tmp_path / "i")
+    export_manifest_to_iceberg(t, dest)
+
+    schema_json = json.dumps(
+        IcebergLiteTable(spark, dest).read().schema.jsonValue())
+    r = _IceBatchReader({"path": dest}, schema_json)
+    full = len(r.partitions())
+    assert full >= 4
+    r2 = _IceBatchReader({"path": dest}, schema_json)
+    back = r2.pushFilters([EqualTo(("p",), 2)])
+    assert list(back) == [EqualTo(("p",), 2)]
+    assert len(r2.partitions()) < full
+    # end-to-end through the registered source
+    spark.dataSource.register(IcebergLiteDataSource)
+    got = (spark.read.format("iceberglite").load(dest)
+           .filter("p = 2 AND k >= 10"))
+    assert sorted(row.k for row in got.collect()) == sorted(
+        k for k in range(100) if k % 4 + 1 == 2 and k >= 10)
