@@ -589,6 +589,19 @@ class IcebergLiteTable:
                 return s
         raise ValueError(f"snapshot {target} not in {self.path}")
 
+    def resolve_ref(self, name: str) -> int:
+        """Branch/tag resolution (spec: ``refs`` in table metadata —
+        named snapshot references, ``type`` branch|tag). Returns the
+        ref's snapshot id; unknown names raise LISTING the refs that
+        exist, so a typo can't silently read the main branch."""
+        refs = self.metadata().get("refs") or {}
+        r = refs.get(name)
+        if r is None:
+            raise ValueError(
+                f"ref {name!r} not in {self.path} "
+                f"(refs: {sorted(refs)})")
+        return int(r["snapshot-id"])
+
     def snapshot_as_of(self, as_of_ms: int) -> int:
         """TIMESTAMP AS OF resolution: the latest snapshot whose
         ``timestamp-ms`` <= the given epoch millis (the Iceberg
@@ -891,16 +904,21 @@ class IcebergLiteTable:
         return True
 
     def read(self, snapshot_id=None, as_of_ms: int | None = None,
-             resolve: str = "name", where: dict | None = None
-             ) -> DataFrame:
+             resolve: str = "name", where: dict | None = None,
+             ref: str | None = None) -> DataFrame:
         """Snapshot read. With ``where = {col: (lo, hi)}`` (None =
         unbounded), data files are SKIPPED at plan time from the
         manifests' value bounds and the row-level interval filter is
         applied on top, so results are exact whether or not a file
-        carries bounds (counters on ``self.last_read_stats``)."""
+        carries bounds (counters on ``self.last_read_stats``).
+        ``ref`` reads a named branch/tag (spec ``refs``)."""
+        if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
+            raise ValueError(
+                "pass AT MOST ONE of snapshot_id / as_of_ms / ref "
+                "(not both)")
+        if ref is not None:
+            snapshot_id = self.resolve_ref(ref)
         if as_of_ms is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass snapshot_id OR as_of_ms, not both")
             snapshot_id = self.snapshot_as_of(int(as_of_ms))
         inv = self.file_inventory(snapshot_id)
         schema: T.StructType = inv["schema"]
@@ -1204,9 +1222,10 @@ class IcebergLiteConnection(Connection):
 
     def read(self, query_or_table: str, snapshot_id=None,
              as_of_ms: int | None = None, resolve: str = "name",
-             **kwargs) -> DataFrame:
+             ref: str | None = None, **kwargs) -> DataFrame:
         return self._table(query_or_table).read(
-            snapshot_id=snapshot_id, as_of_ms=as_of_ms, resolve=resolve)
+            snapshot_id=snapshot_id, as_of_ms=as_of_ms, resolve=resolve,
+            ref=ref)
 
     def changes(self, table: str, from_snapshot_id,
                 to_snapshot_id=None) -> DataFrame:
@@ -1576,6 +1595,7 @@ def export_manifest_to_iceberg(table, dest: str,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "default-sort-order-id": 0,
             "current-snapshot-id": 1,
+            "refs": {"main": {"snapshot-id": 1, "type": "branch"}},
             "snapshots": [{"snapshot-id": 1, "sequence-number": last_seq,
                            "timestamp-ms": int(m.get("committed_at", 0)
                                                or 0),
@@ -1908,6 +1928,11 @@ def sync_manifest_to_iceberg(table, dest: str,
     new_meta["last-sequence-number"] = new_seq
     new_meta["last-updated-ms"] = ts
     new_meta["current-snapshot-id"] = new_snap_id
+    # keep the main branch ref on head (spec refs; other refs — tags,
+    # side branches — are left exactly where their owners put them)
+    new_meta["refs"] = {**(meta.get("refs") or {}),
+                        "main": {"snapshot-id": new_snap_id,
+                                 "type": "branch"}}
     new_meta["snapshots"] = list(meta.get("snapshots") or []) + [{
         "snapshot-id": new_snap_id,
         "parent-snapshot-id": snap.get("snapshot-id"),
@@ -2067,6 +2092,13 @@ def expire_iceberg_export_snapshots(spark: SparkSession, dest: str,
                    if s.get("parent-snapshot-id") not in kept_ids else {}))
         for s in kept
     ]
+    # refs pointing at expired snapshots would dangle: drop them (the
+    # current snapshot is always kept, so main survives)
+    if meta.get("refs"):
+        new_meta["refs"] = {
+            n: r for n, r in meta["refs"].items()
+            if r.get("snapshot-id") in kept_ids
+        }
     meta_dir = os.path.join(dest, "metadata")
     num = _META_NUM_RE.match(os.path.basename(meta_file))
     next_v = int(num.group(1)) + 1 if num else 2

@@ -222,3 +222,57 @@ def test_files_and_history_metadata_tables(spark, tmp_path):
     h = sorted((r.snapshot_id, r.operation)
                for r in t.history().collect())
     assert h == [(1, "append"), (2, "append")]
+
+
+def test_branch_tag_refs_resolution(spark, tmp_path):
+    """spec `refs`: read(ref=) resolves branches/tags; unknown names
+    list what exists; the publisher keeps `main` on head and expiry
+    drops refs that would dangle."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from forklift_spark.connections.iceberglite import (
+        expire_iceberg_export_snapshots,
+        sync_manifest_to_iceberg,
+    )
+    from forklift_spark.manifest import ManifestTable
+
+    src = ManifestTable(spark, str(tmp_path / "m"), "t")
+    src.create(spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("p"),
+        (F.col("id") * 10).alias("v")), partition_by="p")
+    dest = str(tmp_path / "pub")
+    sync_manifest_to_iceberg(src, dest)                      # snap 1
+    t = IcebergLiteTable(spark, dest)
+    assert t.metadata()["refs"]["main"]["snapshot-id"] == 1
+
+    # pin a tag at snapshot 1 (as an external tool would)
+    mf = t._resolve_metadata_file()
+    meta = _json.load(open(mf))
+    meta["refs"]["v1.0"] = {"snapshot-id": 1, "type": "tag"}
+    _json.dump(meta, open(mf, "w"))
+
+    src.merge(spark.createDataFrame([(100, 0, 1000)],
+                                    "k long, p int, v long"), on="k")
+    sync_manifest_to_iceberg(src, dest)                      # snap 2
+    t = IcebergLiteTable(spark, dest)
+    assert t.metadata()["refs"]["main"]["snapshot-id"] == 2
+    assert t.metadata()["refs"]["v1.0"]["snapshot-id"] == 1  # untouched
+    assert t.read(ref="main").count() == 11
+    assert t.read(ref="v1.0").count() == 10
+    with pytest.raises(ValueError, match="v1.0"):
+        t.read(ref="v2.0")  # unknown: lists existing refs
+    with pytest.raises(ValueError, match="AT MOST ONE"):
+        t.read(snapshot_id=1, ref="main")
+
+    # two more snapshots, then expire past the tag: it must not dangle
+    for i in (101, 102):
+        src.merge(spark.createDataFrame([(i, 0, i)],
+                                        "k long, p int, v long"), on="k")
+        sync_manifest_to_iceberg(src, dest)                  # snaps 3-4
+    expire_iceberg_export_snapshots(spark, dest, keep_last=2)
+    t = IcebergLiteTable(spark, dest)
+    refs = t.metadata()["refs"]
+    assert refs["main"]["snapshot-id"] == 4
+    assert "v1.0" not in refs
