@@ -53,17 +53,20 @@ from pyspark.sql.datasource import (
 class _DeltaFilePart(InputPartition):
     """One logical file: read everything except ``drop_pos``; or, when
     ``emit_pos`` is set, ONLY those row indices (dv diff events).
-    ``pv`` maps partition column -> log-recorded string value.
+    ``pv`` maps LOGICAL partition column -> log-recorded string value;
+    ``phys`` maps logical data column -> physical parquet name for
+    columnMapping tables (None = names match).
     ``change`` is None for batch, else ('insert'|'delete', version)."""
 
     def __init__(self, path, pv=None, drop_pos=None, emit_pos=None,
-                 change=None, schema_json=None):
+                 change=None, schema_json=None, phys=None):
         self.path = path
         self.pv = pv or {}
         self.drop_pos = drop_pos
         self.emit_pos = emit_pos
         self.change = change
         self.schema_json = schema_json
+        self.phys = phys
 
 
 def _table(options):
@@ -96,6 +99,59 @@ def _snap_or_refuse(t, version):
             "DeltaLiteTable.read() for batch, or stream from a table "
             "with retained JSON history")
     return t.snapshot(target)
+
+
+def _cm_maps(snap) -> tuple[dict | None, list[str], dict]:
+    """columnMapping support for the Arrow leaf: ``(phys, pcols_logical,
+    pv_key)`` — logical->physical data-column names (None when names
+    match), the partition columns under their LOGICAL names, and
+    logical->pv-dict key (the spec tracks partitionValues by PHYSICAL
+    name). Nested struct fields under column mapping refuse to the full
+    reader — the flat rename here cannot reach them."""
+    from pyspark.sql import types as T
+
+    from forklift_spark.connections.deltalite import (
+        _CM_PHYS,
+        _cm_phys_name,
+    )
+
+    schema = snap["schema"]
+    pcols = list(snap.get("partition_columns") or [])
+    cm = snap.get("cm_mode", "none")
+    if cm == "none":
+        return None, pcols, {c: c for c in pcols}
+
+    def _has_struct(dt) -> bool:
+        if isinstance(dt, T.StructType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return _has_struct(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return _has_struct(dt.valueType)
+        return False
+
+    if any(_has_struct(f.dataType) for f in schema.fields):
+        raise ValueError(
+            "deltalite DataSource: columnMapping over nested struct "
+            "fields is not supported here — use DeltaLiteTable.read()")
+    phys = {f.name: _cm_phys_name(f, f.name) for f in schema.fields}
+    by_phys = {(f.metadata or {}).get(_CM_PHYS): f.name
+               for f in schema.fields}
+    logical = set(schema.fieldNames())
+    out_pcols, pv_key = [], {}
+    for c in pcols:
+        lc = c if c in logical else by_phys.get(c)
+        if lc is None:
+            raise ValueError(
+                f"columnMapping: partition column {c!r} matches "
+                "neither a logical field name nor any physicalName")
+        out_pcols.append(lc)
+        pv_key[lc] = phys[lc]
+    return phys, out_pcols, pv_key
+
+
+def _pv_logical(pv: dict, pcols: list[str], pv_key: dict) -> dict:
+    return {c: pv.get(pv_key.get(c, c), pv.get(c)) for c in pcols}
 
 
 def _dv_sets(t, files: dict) -> dict[str, frozenset]:
@@ -147,8 +203,9 @@ def _read_delta_batches(part: _DeltaFilePart):
             else:  # spec: partition values serialize as strings
                 cols.append(pa.array([v] * rows,
                                      type=pa.string()).cast(field.type))
-        elif field.name in tbl.column_names:
-            col = tbl.column(field.name)
+        elif (fname := (part.phys or {}).get(field.name, field.name)) \
+                in tbl.column_names:
+            col = tbl.column(fname)
             if col.type != field.type:
                 col = col.cast(field.type)
             cols.append(col.combine_chunks()
@@ -188,11 +245,14 @@ class _DeltaBatchReader(DataSourceReader):
         if where:
             snap = dict(snap)
             snap["files"] = t._prune_files(snap, where)
+        phys, pcols, pv_key = _cm_maps(snap)
         dv = _dv_sets(t, snap["files"])
         parts = [
             _DeltaFilePart(
-                os.path.join(t.path, p), pv=e.get("pv") or {},
-                drop_pos=dv.get(p), schema_json=self._schema_json)
+                os.path.join(t.path, p),
+                pv=_pv_logical(e.get("pv") or {}, pcols, pv_key),
+                drop_pos=dv.get(p), schema_json=self._schema_json,
+                phys=phys)
             for p, e in sorted(snap["files"].items())
         ]
         return parts or [_DeltaFilePart(None, schema_json=None)]
@@ -226,6 +286,10 @@ class _DeltaStreamReader(DataSourceStreamReader):
     def partitions(self, start, end):
         t = _table(self._options)
         lo, hi = int(start["version"]), int(end["version"])
+        # columnMapping resolution under the END state (the stream's
+        # declared schema is fixed at start; mid-range cm upgrades are
+        # not replayed per-commit)
+        self._cm = _cm_maps(_snap_or_refuse(t, hi))
         # one replay to the range start, then roll forward commit by
         # commit — O(range), not O(range x history)
         files = (_snap_or_refuse(t, lo)["files"] if lo >= 0 else {})
@@ -271,17 +335,22 @@ class _DeltaStreamReader(DataSourceStreamReader):
                             if p not in before
                             or before[p].get("dv") != e.get("dv")})
         sj = self._schema_json
+        phys, pcols, pv_key = self._cm
+
+        def _pv(e):
+            return _pv_logical(e.get("pv") or {}, pcols, pv_key)
+
         parts: list[_DeltaFilePart] = []
         for p, e in sorted(files.items()):  # added -> inserts
             if p not in before:
                 parts.append(_DeltaFilePart(
-                    os.path.join(t.path, p), pv=e.get("pv") or {},
+                    os.path.join(t.path, p), pv=_pv(e), phys=phys,
                     drop_pos=dv_b.get(p), change=("insert", v),
                     schema_json=sj))
         for p, e in sorted(before.items()):  # removed -> deletes
             if p not in files:
                 parts.append(_DeltaFilePart(
-                    os.path.join(t.path, p), pv=e.get("pv") or {},
+                    os.path.join(t.path, p), pv=_pv(e), phys=phys,
                     drop_pos=dv_a.get(p), change=("delete", v),
                     schema_json=sj))
         for p in sorted(set(before) & set(files)):  # dv churn: exact rows
@@ -289,14 +358,16 @@ class _DeltaStreamReader(DataSourceStreamReader):
                 continue
             pa_ = dv_a.get(p, frozenset())
             pb_ = dv_b.get(p, frozenset())
-            pv = files[p].get("pv") or {}
+            pv = _pv(files[p])
             if pb_ - pa_:
                 parts.append(_DeltaFilePart(
-                    os.path.join(t.path, p), pv=pv, emit_pos=pb_ - pa_,
+                    os.path.join(t.path, p), pv=pv, phys=phys,
+                    emit_pos=pb_ - pa_,
                     change=("delete", v), schema_json=sj))
             if pa_ - pb_:  # restore of previously-masked rows
                 parts.append(_DeltaFilePart(
-                    os.path.join(t.path, p), pv=pv, emit_pos=pa_ - pb_,
+                    os.path.join(t.path, p), pv=pv, phys=phys,
+                    emit_pos=pa_ - pb_,
                     change=("insert", v), schema_json=sj))
         return files, parts
 
@@ -328,11 +399,7 @@ class DeltaLiteDataSource(DataSource):
         )
 
         snap = self._snap()
-        if snap.get("cm_mode", "none") != "none":
-            raise NotImplementedError(
-                "deltalite DataSource does not read columnMapping "
-                "tables (physical-name resolution needs the full "
-                "reader) — use DeltaLiteTable.read()")
+        _cm_maps(snap)  # nested-cm refusal surfaces at load time
         base: StructType = snap["schema"]
         if str(self.options.get("cdc", "")).lower() == "true":
             base = StructType(

@@ -234,3 +234,55 @@ def test_batch_reader_pushdown_prunes_files(spark, tmp_path):
            .filter("p = 2 AND k >= 60"))
     assert sorted(row.k for row in got.collect()) == sorted(
         k for k in range(100) if k // 25 == 2 and k >= 60)
+
+
+def test_batch_reads_flat_columnmapping_table(spark, tmp_path):
+    """name-mode columnMapping through the DataSource: file columns
+    live under physical names, partitionValues are physical-keyed, the
+    reader surfaces the LOGICAL schema; nested-struct cm refuses to the
+    full reader."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from tests.test_delta_colmap import _build_cm_table, _cm_field
+
+    tdir = str(tmp_path / "cm_flat")
+    log = os.path.join(tdir, "_delta_log")
+    os.makedirs(log)
+    df = spark.range(0, 5).select(
+        F.col("id").alias("col-k"),
+        F.concat(F.lit("a"), F.col("id")).alias("col-v"),
+    ).coalesce(1)
+    _one_parquet_file(spark, df, os.path.join(tdir, "f1.parquet"))
+    schema = T.StructType([
+        _cm_field("k", T.LongType(), "col-k", 1),
+        _cm_field("renamed_v", T.StringType(), "col-v", 2),
+        _cm_field("p", T.IntegerType(), "col-p", 3),
+    ])
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "cm-flat-ds", "format": {"provider": "parquet",
+                                           "options": {}},
+            "schemaString": json.dumps(schema.jsonValue()),
+            "partitionColumns": ["col-p"],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 1700000000000,
+        }},
+        {"add": {"path": "f1.parquet",
+                 "partitionValues": {"col-p": "7"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    spark.dataSource.register(DeltaLiteDataSource)
+    got = spark.read.format("deltalite").load(tdir)
+    assert got.columns == ["k", "renamed_v", "p"]
+    ref = DeltaLiteTable(spark, tdir).read()
+    key = lambda d: sorted((r.k, r.renamed_v, r.p) for r in d.collect())
+    assert key(got) == key(ref)
+    assert key(got)[0] == (0, "a0", 7)
+
+    # nested struct under cm: loud refusal pointing at the full reader
+    nt = _build_cm_table(spark, str(tmp_path))
+    with pytest.raises(Exception, match="nested"):
+        spark.read.format("deltalite").load(nt).collect()
