@@ -48,13 +48,21 @@ _GENESIS = 0  # offset sentinel: "before the first snapshot"
 
 
 class _IcePart(InputPartition):
+    """``id_map``: field-id -> CURRENT column name; the Arrow leaf
+    renames file columns whose footer ``PARQUET:field_id`` resolves to
+    a different current name — Iceberg's field-id resolution for
+    renamed columns, free here because the leaf opens the file
+    anyway (the full reader's ``resolve='id'`` is opt-in because it
+    costs an extra footer read per file at plan time)."""
+
     def __init__(self, path, drop_pos=None, emit_pos=None, change=None,
-                 schema_json=None):
+                 schema_json=None, id_map=None):
         self.path = path
         self.drop_pos = drop_pos
         self.emit_pos = emit_pos
         self.change = change
         self.schema_json = schema_json
+        self.id_map = id_map
 
 
 def _table(options):
@@ -108,6 +116,17 @@ def _read_ice_batches(part: _IcePart):
 
     target = _arrow_schema(json.loads(part.schema_json))
     tbl = pq.read_table(part.path)
+    if part.id_map:
+        # field-id resolution: a file written before a column RENAME
+        # carries the old name but the same field id — resolve by id so
+        # the column is read, not null-filled
+        names = []
+        for f in tbl.schema:
+            fid = (f.metadata or {}).get(b"PARQUET:field_id")
+            cur = part.id_map.get(int(fid)) if fid is not None else None
+            names.append(cur if cur is not None else f.name)
+        if names != tbl.schema.names:
+            tbl = tbl.rename_columns(names)
     n = tbl.num_rows
     if part.emit_pos is not None:
         idx = sorted(p for p in part.emit_pos if p < n)
@@ -166,9 +185,11 @@ class _IceBatchReader(DataSourceReader):
         if where:
             t._prune_data_files(inv, where)  # prunes inv in place
         masks = _pos_masks(t, inv)
+        id_map = {int(f["id"]): f["name"]
+                  for f in inv["schema_json"]["fields"]}
         parts = [
             _IcePart(f["path"], drop_pos=masks.get(f["path"]),
-                     schema_json=self._schema_json)
+                     schema_json=self._schema_json, id_map=id_map)
             for f in sorted(inv["data"], key=lambda f: f["path"])
         ]
         return parts or [_IcePart(None, schema_json=None)]
@@ -249,28 +270,32 @@ class _IceStreamReader(DataSourceStreamReader):
         masks_a = _pos_masks(t, inv_a)
         masks_b = _pos_masks(t, inv_b)
         sj = self._schema_json
+        idm = {int(f["id"]): f["name"]
+               for f in inv_b["schema_json"]["fields"]}
         parts: list[_IcePart] = []
         for p in sorted(b):  # added files -> inserts (minus mask at b)
             if p not in a:
                 parts.append(_IcePart(
                     p, drop_pos=masks_b.get(p),
-                    change=("insert", b_id), schema_json=sj))
+                    change=("insert", b_id), schema_json=sj,
+                    id_map=idm))
         for p in sorted(a):  # removed files -> deletes of live rows
             if p not in b:
                 parts.append(_IcePart(
                     p, drop_pos=masks_a.get(p),
-                    change=("delete", b_id), schema_json=sj))
+                    change=("delete", b_id), schema_json=sj,
+                    id_map=idm))
         for p in sorted(set(a) & set(b)):  # mask churn: exact rows
             ma = masks_a.get(p, frozenset())
             mb = masks_b.get(p, frozenset())
             if mb - ma:
                 parts.append(_IcePart(
                     p, emit_pos=mb - ma, change=("delete", b_id),
-                    schema_json=sj))
+                    schema_json=sj, id_map=idm))
             if ma - mb:  # restore of previously-masked rows
                 parts.append(_IcePart(
                     p, emit_pos=ma - mb, change=("insert", b_id),
-                    schema_json=sj))
+                    schema_json=sj, id_map=idm))
         return parts
 
     def read(self, partition: _IcePart):

@@ -194,3 +194,36 @@ def test_batch_reader_pushdown_prunes_files(spark, tmp_path):
            .filter("p = 2 AND k >= 10"))
     assert sorted(row.k for row in got.collect()) == sorted(
         k for k in range(100) if k % 4 + 1 == 2 and k >= 10)
+
+
+def test_field_id_rename_resolution_in_leaf(registered, tmp_path):
+    """A file written BEFORE a column rename carries the old parquet
+    name but the same field id: the Arrow leaf resolves by footer
+    PARQUET:field_id (free — the file is already open), so the renamed
+    column reads values instead of silently null-filling."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark = registered
+    tdir = str(tmp_path / "t")
+    _mkdirs(tdir)
+    # file written pre-rename: column 'cat' was then called 'category'
+    p = os.path.join(tdir, "data", "old.parquet")
+    fields = [
+        pa.field("k", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("category", pa.string(),
+                 metadata={b"PARQUET:field_id": b"2"}),
+        pa.field("val", pa.float64(),
+                 metadata={b"PARQUET:field_id": b"3"}),
+    ]
+    pq.write_table(pa.table(
+        [pa.array([1, 2]), pa.array(["x", "y"]),
+         pa.array([1.0, 2.0])], schema=pa.schema(fields)), p)
+    m = _manifest(tdir, "m.avro", [_entry(p, seq=1, rows=2)])
+    lst = _manifest_list(tdir, "l.avro", [(m, 0, 1)])
+    # current schema names field 2 'cat' (the post-rename name)
+    _metadata_v2(tdir, [_snap(1, 1, lst)], current=1)
+    got = spark.read.format("iceberglite").load(tdir)
+    assert sorted((r.k, r.cat) for r in got.collect()) == [
+        (1, "x"), (2, "y")]
