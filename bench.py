@@ -268,6 +268,7 @@ HEADLINE = [
     "q_iceberg_stream_source",
     "q_lakehouse_files_audit",
     "q_delta_cdf_publish",
+    "q_iceberg_refs_read",
 ]
 
 

@@ -61,14 +61,14 @@ def query(name: str, oracle: str | None = None):
 # q_iceberg_bounds_prune_read, q_iceberg_changelog_read,
 # q_delta_changelog_read, q_iceberg_hidden_partition_read,
 # q_delta_stream_source, q_iceberg_stream_source,
-# q_lakehouse_files_audit, q_delta_cdf_publish — never driver-checked,
-# and the window test requires never-checked ⊆ window; the evicted
-# rows q_dedup_recall_eval / q_bpe_train / q_ann_lsh_topk /
-# q_dedup_minhash_lsh / q_distinct_exact / q_string_agg /
-# q_string_funcs / q_regex_funcs / q_date_funcs / q_unpivot /
-# q_conditional_agg / q_union_consolidate / q_set_ops were
-# equally-stale candidates whose families keep other window
-# representatives). After this window runs, the cumulative staleness
+# q_lakehouse_files_audit, q_delta_cdf_publish, q_iceberg_refs_read —
+# never driver-checked, and the window test requires never-checked ⊆
+# window; the evicted rows q_dedup_recall_eval / q_bpe_train /
+# q_ann_lsh_topk / q_dedup_minhash_lsh / q_distinct_exact /
+# q_string_agg / q_string_funcs / q_regex_funcs / q_date_funcs /
+# q_unpivot / q_conditional_agg / q_union_consolidate / q_set_ops /
+# q_pivot were equally-stale candidates whose families keep other
+# window representatives). After this window runs, the cumulative staleness
 # median drops to two rounds — the floor for a 50-slot window.
 _WINDOW_ROWS_ONLY: frozenset[str] = frozenset({
     "q_distinct_approx",
@@ -79,7 +79,7 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
         "q13_order_distribution", "q14_promo_revenue", "q17_small_qty",
         "q19_disjunctive", "q22_global_sales_opp", "q4_exists_priority",
         "q9_product_profit", "q_cube",
-        "q_grouping_sets", "q_percentiles", "q_pivot", "q_rank_functions",
+        "q_grouping_sets", "q_percentiles", "q_rank_functions",
         "q_rfm_segments", "q_running_window",
         "q_value_window_functions",
     ],
@@ -107,7 +107,7 @@ _WINDOW_FAMILIES: dict[str, list[str]] = {
         "q_delta_stats_prune_read", "q_iceberg_bounds_prune_read",
         "q_iceberg_changelog_read", "q_delta_changelog_read",
         "q_iceberg_hidden_partition_read", "q_lakehouse_files_audit",
-        "q_delta_cdf_publish",
+        "q_delta_cdf_publish", "q_iceberg_refs_read",
     ],
     "stats": ["q_heavy_hitters_cms"],
 }

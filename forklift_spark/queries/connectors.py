@@ -2714,3 +2714,83 @@ def q_delta_cdf_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q_iceberg_refs_read — branch/tag REFS (r8): the publisher keeps
+# refs.main on head; an external tool pins a TAG at snapshot 1; after
+# a second sync, read(ref="main") must see the merged state while
+# read(ref="v1") still sees the original — the named-snapshot
+# time-travel surface (spec `refs`) certified through the oracle: the
+# union of both refs' aggregates reconstructs from the source table
+# exactly (a ref resolving to the wrong snapshot breaks its half).
+# --------------------------------------------------------------------------
+ICEBERG_REFS_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(o_orderkey % 4 AS INTEGER) AS p,
+         CAST(o_totalprice AS DECIMAL(14,2)) AS price
+  FROM orders WHERE o_orderkey % 3 = 0
+), upd AS (
+  SELECT * FROM base WHERE k % 15 = 4
+)
+SELECT * FROM (
+  SELECT 'v1' AS ref, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(price) AS DOUBLE) AS sum_price
+  FROM base
+  UNION ALL
+  SELECT 'main', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN k % 15 = 4
+                       THEN CAST(price * 2 AS DECIMAL(14,2))
+                       ELSE price END) AS DOUBLE)
+  FROM base
+)
+ORDER BY ref
+"""
+
+
+@query("q_iceberg_refs_read", ICEBERG_REFS_ORACLE)
+def q_iceberg_refs_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from forklift_spark.connections.iceberglite import (
+        IcebergLiteTable,
+        sync_manifest_to_iceberg,
+    )
+    from forklift_spark.manifest import ManifestTable
+
+    base = (tables.load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 3 == 0)
+            .select(
+                F.col("o_orderkey").alias("k"),
+                (F.col("o_orderkey") % 4).cast("int").alias("p"),
+                dec("o_totalprice", MONEY).alias("price"),
+            ))
+    root = tempfile.mkdtemp(prefix="fk_ice_refs_")
+    t = ManifestTable(spark, os.path.join(root, "src"), "orders_pub")
+    t.create(base, partition_by="p")
+    dest = os.path.join(root, "pub")
+    sync_manifest_to_iceberg(t, dest)                      # snapshot 1
+
+    # an external tool pins a tag at snapshot 1
+    it = IcebergLiteTable(spark, dest)
+    mf = it._resolve_metadata_file()
+    meta = _json.load(open(mf))
+    meta["refs"]["v1"] = {"snapshot-id": 1, "type": "tag"}
+    _json.dump(meta, open(mf, "w"))
+
+    upd = (base.filter(F.col("k") % 15 == 4)
+           .withColumn("price", (F.col("price") * 2).cast(MONEY)))
+    t.merge(upd, on="k", use_dv=True)
+    sync_manifest_to_iceberg(t, dest, dv_mode="native")    # snapshot 2
+
+    it = IcebergLiteTable(spark, dest)
+
+    def agg(ref):
+        return (it.read(ref=ref)
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                     F.sum("price").cast("double").alias("sum_price"))
+                .withColumn("ref", F.lit(ref))
+                .select("ref", "n_rows", "sum_price"))
+
+    return agg("main").unionByName(agg("v1")).orderBy("ref")
