@@ -202,8 +202,19 @@ class ManifestTable:
         self.dv_broadcast_rows = DV_BROADCAST_ROWS
         self.dv_ratio_warn = DV_RATIO_WARN
         # max distinct merge keys collected for point-set file pruning
-        # (driver memory bound; larger batches prune by interval)
-        self._PRUNE_KEYS_BOUND = 4096
+        # (driver memory bound; larger batches prune by interval).
+        # 64k tuples is a few MB of driver state (bisect keeps the
+        # per-file zone test O(log n)); the bounded path answers scope,
+        # broadcast-eligibility AND pruning from ONE distinct job where
+        # the overflow path pays three (probe + touched-tokens +
+        # interval agg) — optimization r8, guide §1.2. Env-tunable for
+        # constrained drivers.
+        self._PRUNE_KEYS_BOUND = int(
+            os.environ.get("SPARK_GRAFT_PRUNE_KEYS_BOUND", "65536")
+        )
+        # bloom probe tuples are tested per (file × probe) driver-side,
+        # so they keep the tighter classic bound
+        self._BLOOM_PROBES_BOUND = 4096
 
     # -- pointer / manifest IO ----------------------------------------------
     def _pointer_path(self) -> str:
@@ -1557,7 +1568,7 @@ class ManifestTable:
 
     def _merge_scope(
         self, cur: dict, source: DataFrame, pk: list[str]
-    ) -> tuple[list[str], list[dict]]:
+    ) -> tuple[list[str], list[dict], bool]:
         """(touched tokens, old): `old` is the minimal file set a merge
         must consult — the source partitions, cut to the key-hash CELLS
         the source keys land in when the table is bucketed on a
@@ -1648,16 +1659,21 @@ class ManifestTable:
             # non-NULL batch key): NULL keys never equi-join, and a
             # cast-nulled probe tuple can only keep extra files, never
             # drop a file holding a real match (whose own probe is exact)
-            for i, k in bl_cols:
-                probes = sorted(
-                    {
-                        tuple(r[f"__h{h}_{i}"] for h in range(k_hash))
-                        for r in rows
-                        if r[f"__k{i}"] is not None
-                    }
-                )
-                if probes and not any(None in t for t in probes):
-                    bloom_checks.append((k, probes))
+            # bloom membership is tested per (file × probe tuple) on the
+            # driver — bounded separately so a wide (but still point-set
+            # prunable) batch never turns scope planning CPU-quadratic;
+            # zone maps cover it instead
+            if len(rows) <= self._BLOOM_PROBES_BOUND:
+                for i, k in bl_cols:
+                    probes = sorted(
+                        {
+                            tuple(r[f"__h{h}_{i}"] for h in range(k_hash))
+                            for r in rows
+                            if r[f"__k{i}"] is not None
+                        }
+                    )
+                    if probes and not any(None in t for t in probes):
+                        bloom_checks.append((k, probes))
 
         if partition_by and bucketed:
             if rows is None:  # unbounded batch: coarse cells only
@@ -1728,7 +1744,15 @@ class ManifestTable:
             old = [
                 e for e in old if self._bloom_scope_survives(e, bloom_checks)
             ]
-        return touched, old
+        # keys_bounded: the probe proved the batch has <= bound distinct
+        # key tuples, so the broadcast-eligibility probe job is free to
+        # skip — valid only when EVERY pk column rode the probe verbatim
+        # (partition rides cast-to-string and bucket rides hashed, so
+        # neither bounds raw key distinctness on its own)
+        keys_bounded = rows is not None and set(pk) <= {
+            k for k, _n in prune_cols
+        }
+        return touched, old, keys_bounded
 
     def _prune_eligible(
         self, cur: dict, source: DataFrame, pk: list[str]
@@ -1818,14 +1842,18 @@ class ManifestTable:
         )
         pk = [on] if isinstance(on, str) else list(on)
         self._enforce_constraints(cur.get("constraints"), source, "merge")
-        touched, old = self._merge_scope(cur, source, pk)
+        touched, old, keys_bounded = self._merge_scope(cur, source, pk)
         cur_schema = T.StructType.fromJson(cur["schema"])
         existing = self._read_entries(old, cur_schema)
         src = _align(source, schema)
         keys = src.select(*pk).distinct()
-        # broadcast the key set only while provably small (bounded probe,
-        # same rationale as ParquetTableWriter._upsert)
-        if keys.limit(broadcast_threshold + 1).count() <= broadcast_threshold:
+        # broadcast the key set only while provably small: the scope
+        # probe usually already proved it (zero extra jobs); otherwise
+        # one bounded count probe (same rationale as
+        # ParquetTableWriter._upsert)
+        if keys_bounded or (
+            keys.limit(broadcast_threshold + 1).count() <= broadcast_threshold
+        ):
             keys = F.broadcast(keys)
         survivors = _align(existing, schema).join(keys, pk, "left_anti")
         entries = self._write_snapshot(
@@ -1843,28 +1871,6 @@ class ManifestTable:
             },
         }
 
-    def _write_dv(self, hits: DataFrame) -> tuple[str, dict, int]:
-        """Persist deletion-vector positions ``(file_ref, pos)`` as one
-        dv sidecar dir; return (relative dv path, per-file-ref counts,
-        total). ``hits`` must hold positions of LIVE rows only (computed
-        through a dv-applied read), so counts add to any prior dv_rows
-        without double-counting. Bounded driver state: one count per
-        touched file — the same class as the manifest entry list."""
-        hits = hits.localCheckpoint(eager=True)  # cut the scan lineage
-        counts = {
-            r["file_ref"]: r["n"]
-            for r in hits.groupBy("file_ref")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        total = sum(counts.values())
-        rel = os.path.join("dv", f"dv-{uuid.uuid4().hex[:12]}")
-        nparts = max(1, total // 4_000_000 + 1)
-        hits.repartition(nparts, "file_ref").write.parquet(
-            os.path.join(self.path, rel)
-        )
-        return rel, counts, total
-
     def _dv_masked_entries(
         self, scope: list[dict], hits: DataFrame
     ) -> tuple[list[dict], list[str], list[str], int]:
@@ -1873,11 +1879,27 @@ class ManifestTable:
         positions for the hit files too, so each entry always references
         ONE complete dv. Returns (updated HIT entries only, their paths,
         touched partition tokens, rows masked) — untouched scope entries
-        are not re-listed; the commit carries them by segment reference."""
+        are not re-listed; the commit carries them by segment reference.
+
+        Job discipline (optimization r8, guide §1.2/§5): exactly THREE
+        Spark jobs — materialize ``hits`` once (checkpoint cuts the scan
+        lineage), ONE driver collect whose per-file new-hit counts double
+        as the ref set, and the dv parquet write. The merged per-entry dv
+        size is new hits + the entry's OWN recorded ``dv_rows`` (an entry
+        always references one complete dv, and ``hits`` holds live rows
+        only — provably disjoint from any prior mask), so no recount of
+        the union with prior masks is needed. Bounded driver state: one
+        count per touched file — the same class as the entry list."""
         hits = hits.localCheckpoint(eager=True)
-        # driver-side mapping from encoded executor refs to fs entry paths
-        probe = {unquote(ref): ref for (ref,) in
-                 hits.select("file_ref").distinct().collect()}
+        # ONE collect: per-file-ref counts of the new hits; the keys are
+        # the driver-side mapping from encoded executor refs to fs paths
+        new_counts = {
+            r["file_ref"]: r["n"]
+            for r in hits.groupBy("file_ref")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        probe = {unquote(ref): ref for ref in new_counts}
         hit_entries = [e for e in scope if e["path"] in probe]
         if len(hit_entries) != len(probe):
             missing = set(probe) - {e["path"] for e in hit_entries}
@@ -1896,7 +1918,18 @@ class ManifestTable:
                 .filter(F.col("file_ref").isin(refs))
             )
             full = full.unionByName(prior)
-        rel, counts, _total_new = self._write_dv(full)
+        counts = {
+            probe[e["path"]]: new_counts[probe[e["path"]]] + e.get("dv_rows", 0)
+            for e in hit_entries
+        }
+        total = sum(counts.values())
+        rel = os.path.join("dv", f"dv-{uuid.uuid4().hex[:12]}")
+        nparts = max(1, total // 4_000_000 + 1)
+        # lineage: checkpointed hits ∪ a small parquet read — computed
+        # once, by this write (no second checkpoint materialization)
+        full.repartition(nparts, "file_ref").write.parquet(
+            os.path.join(self.path, rel)
+        )
         updated = [
             {**e, "dv": rel, "dv_rows": counts[probe[e["path"]]]}
             for e in hit_entries
@@ -1907,8 +1940,7 @@ class ManifestTable:
                 for e in hit_entries
             }
         )
-        masked = sum(counts[probe[e["path"]]] - e.get("dv_rows", 0)
-                     for e in hit_entries)
+        masked = sum(new_counts[probe[e["path"]]] for e in hit_entries)
         return updated, [e["path"] for e in hit_entries], touched, masked
 
     def _compute_merge_dv(
@@ -1921,12 +1953,14 @@ class ManifestTable:
         schema = _merge_schemas(T.StructType.fromJson(cur["schema"]), source.schema)
         pk = [on] if isinstance(on, str) else list(on)
         self._enforce_constraints(cur.get("constraints"), source, "merge")
-        touched, old = self._merge_scope(cur, source, pk)
+        touched, old, keys_bounded = self._merge_scope(cur, source, pk)
         cur_schema = T.StructType.fromJson(cur["schema"])
         existing = self._read_entries(old, cur_schema, keep_ref=True)
         src = _align(source, schema)
         keys = src.select(*pk).distinct()
-        if keys.limit(broadcast_threshold + 1).count() <= broadcast_threshold:
+        if keys_bounded or (
+            keys.limit(broadcast_threshold + 1).count() <= broadcast_threshold
+        ):
             keys = F.broadcast(keys)
         matched = existing.join(keys, pk, "left_semi").select(
             F.col("__ref").alias("file_ref"), F.col("__pos").alias("pos")
@@ -2041,12 +2075,15 @@ class ManifestTable:
             schema = T.StructType.fromJson(cur["schema"])
             have = set(keys.columns)
             prunable = (not cur["partition_by"]) or cur["partition_by"] in have
+            keys_bounded = False
             if prunable:
-                touched, old = self._merge_scope(cur, keys, pk)
+                touched, old, keys_bounded = self._merge_scope(cur, keys, pk)
             else:
                 touched, old = None, self._m_entries(cur)
             k = keys.select(*pk).distinct()
-            if k.limit(broadcast_threshold + 1).count() <= broadcast_threshold:
+            if keys_bounded or (
+                k.limit(broadcast_threshold + 1).count() <= broadcast_threshold
+            ):
                 k = F.broadcast(k)
             if use_dv:
                 # scan only the pruned scope; untouched entries carry
@@ -2152,8 +2189,9 @@ class ManifestTable:
             old: list[dict] = []
             seen: set[str] = set()
             full_scope = False
+            ups_bounded = tombs_bounded = True  # vacuously, when absent
             if have_ups:
-                t_u, old_u = self._merge_scope(cur, upserts, pk)
+                t_u, old_u, ups_bounded = self._merge_scope(cur, upserts, pk)
                 touched.update(t_u)
                 for e in old_u:
                     if e["path"] not in seen:
@@ -2163,8 +2201,11 @@ class ManifestTable:
                 prunable = (not partition_by) or partition_by in set(
                     tombstones.columns
                 )
+                tombs_bounded = False
                 if prunable:
-                    t_t, old_t = self._merge_scope(cur, tombstones, pk)
+                    t_t, old_t, tombs_bounded = self._merge_scope(
+                        cur, tombstones, pk
+                    )
                     touched.update(t_t)
                 else:
                     full_scope = True
@@ -2174,12 +2215,17 @@ class ManifestTable:
                         seen.add(e["path"])
                         old.append(e)
             # one key frame masks both classes: upserted keys (replaced
-            # by the new rows) and tombstoned keys (just removed)
+            # by the new rows) and tombstoned keys (just removed); both
+            # sides' scope probes bounded -> provably broadcastable with
+            # zero extra jobs
             keys = upserts.select(*pk)
             if have_tombs:
                 keys = keys.unionByName(tombstones.select(*pk))
             keys = keys.distinct()
-            if keys.limit(broadcast_threshold + 1).count() <= broadcast_threshold:
+            if (ups_bounded and tombs_bounded) or (
+                keys.limit(broadcast_threshold + 1).count()
+                <= broadcast_threshold
+            ):
                 keys = F.broadcast(keys)
             if use_dv:
                 live = self._read_entries(old, cur_schema, keep_ref=True)
@@ -2301,7 +2347,7 @@ class ManifestTable:
             self._enforce_constraints(
                 cur.get("constraints"), source, "merge_into"
             )
-            touched, old = self._merge_scope(cur, source, pk)
+            touched, old, _kb = self._merge_scope(cur, source, pk)
             cur_schema = T.StructType.fromJson(cur["schema"])
             t = _align(self._read_entries(old, cur_schema), schema).withColumn(
                 "__t", F.lit(True)
@@ -2502,13 +2548,64 @@ class ManifestTable:
         ins_cand = self._read_entries(added, schema_b)
         if changed:
             # same immutable files under each side's dv mask: rows live
-            # at `a` but masked at `b` are deletes (vice versa: restores)
-            live_a = _align(
-                self._read_entries([ea[p] for p in changed], schema_a), schema_b
+            # at `a` but masked at `b` are deletes (vice versa: restores).
+            # The diff is decided on POSITIONS, not row values
+            # (optimization r8, guide §8 "decide with small rows"): a
+            # path is immutable, so position sets determine value
+            # multisets 1:1, and the dv-pair set difference is O(dv
+            # delta) where the old live_a.exceptAll(live_b) shuffled
+            # every row of every changed file twice. dropDuplicates
+            # makes each side a true position SET (shared dv dirs can
+            # carry stale-subset duplicates); the semi join against the
+            # changed-file scan restricts ride-along pairs of unchanged
+            # files that share a dv dir.
+            ca = [ea[p] for p in changed]
+            cb = [eb[p] for p in changed]
+            pair_schema = T.StructType([
+                T.StructField("file_ref", T.StringType()),
+                T.StructField("pos", T.LongType()),
+            ])
+
+            def _dv_pairs(entries: list[dict]) -> DataFrame:
+                dirs = sorted({e["dv"] for e in entries if e.get("dv")})
+                if not dirs:
+                    return self.spark.createDataFrame([], pair_schema)
+                return (
+                    self.spark.read.parquet(
+                        *[os.path.join(self.path, d) for d in dirs]
+                    )
+                    .select("file_ref", "pos")
+                    .dropDuplicates(["file_ref", "pos"])
+                )
+
+            pa, pb = _dv_pairs(ca), _dv_pairs(cb)
+            del_pos = pb.join(pa, ["file_ref", "pos"], "left_anti")
+            ins_pos = pa.join(pb, ["file_ref", "pos"], "left_anti")
+            # both sides' manifest-recorded dv totals bound the position
+            # sets — broadcast while provably small, zero probe jobs
+            bound = sum(e.get("dv_rows", 0) for e in ca) + sum(
+                e.get("dv_rows", 0) for e in cb
             )
-            live_b = self._read_entries([eb[p] for p in changed], schema_b)
-            del_cand = del_cand.unionByName(live_a.exceptAll(live_b))
-            ins_cand = ins_cand.unionByName(live_b.exceptAll(live_a))
+            if bound <= self.dv_broadcast_rows:
+                del_pos = F.broadcast(del_pos)
+                ins_pos = F.broadcast(ins_pos)
+            scan = (
+                self.spark.read.schema(schema_b)
+                .parquet(*[os.path.join(self.path, p) for p in changed])
+                .withColumn("__ref", _file_ref())
+                .withColumn("__pos", F.col("_metadata.row_index"))
+            )
+
+            def _rows_at(posdf: DataFrame) -> DataFrame:
+                return scan.join(
+                    posdf,
+                    (scan["__ref"] == posdf["file_ref"])
+                    & (scan["__pos"] == posdf["pos"]),
+                    "left_semi",
+                ).drop("__ref", "__pos")
+
+            del_cand = del_cand.unionByName(_rows_at(del_pos))
+            ins_cand = ins_cand.unionByName(_rows_at(ins_pos))
         # each exceptAll consumes BOTH candidate sets, and callers usually
         # branch on _change_type — checkpoint once (O(delta)) so the
         # changed-file scans don't recompute per branch

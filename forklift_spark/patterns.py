@@ -577,8 +577,14 @@ def manifest_cdc_sync(src, dst, on: str, since_version: int | None = None,
     inserts = feed.filter(FF.col("_change_type") == "insert").drop("_change_type")
     deletes = feed.filter(FF.col("_change_type") == "delete").drop("_change_type")
     # pure-delete tombstones: keys with a delete event and no insert
-    # event (an update's delete+insert pair collapses into the upsert)
-    tombstones = deletes.join(inserts.select(on).distinct(), on, "left_anti")
+    # event (an update's delete+insert pair collapses into the upsert).
+    # Lazy checkpoint: apply_changes touches this frame from four
+    # actions (emptiness probe, scope probe, key union, mask join) and
+    # each would otherwise replay the anti-join (optimization r8,
+    # guide §1.2 — still O(delta): the inputs are the checkpointed feed)
+    tombstones = deletes.join(
+        inserts.select(on).distinct(), on, "left_anti"
+    ).localCheckpoint(eager=False)
     # keep the destination's partition/bucket columns on the tombstone
     # frame so apply_changes reuses _merge_scope pruning — the tombstone
     # scope stays O(touched cells), not a whole-live-set scan

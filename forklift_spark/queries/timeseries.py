@@ -1036,17 +1036,30 @@ def q_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # stage one file per micro-batch with INCREASING mtimes: the file
     # source processes oldest-first, so batch order (the thing watermark
-    # evolution depends on) is deterministic
+    # evolution depends on) is deterministic. ONE partitioned write
+    # stages all 6 batches (optimization r8, guide §1.2: the old
+    # 6-iteration filter+coalesce(1) loop scanned events six times);
+    # hash-repartition on batch puts each batch value in exactly one
+    # task, so every batch dir holds exactly one file, and partitionBy
+    # moves `batch` to the dir name leaving (event_id, ts) in the file —
+    # the same per-file bytes the loop produced. Batch contents (and so
+    # watermark evolution and results) are unchanged: aggregation and
+    # max-ts-per-batch are row-order-insensitive.
     src = tempfile.mkdtemp(prefix="fk_stream_late_")
     t0 = 1_700_000_000
+    staged = tempfile.mkdtemp(prefix="fk_stream_late_tmp_")
+    (
+        ev.select("event_id", "ts", "batch")
+        .repartition("batch")
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(staged)
+    )
     for i in range(_LATE_BATCHES):
-        tmp = tempfile.mkdtemp(prefix="fk_stream_late_tmp_")
-        ev.filter(F.col("batch") == i).select("event_id", "ts").coalesce(
-            1
-        ).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        bdir = os.path.join(staged, f"batch={i}")
+        part = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
         dst = os.path.join(src, f"batch{i}.parquet")
-        os.rename(os.path.join(tmp, part), dst)
+        os.rename(os.path.join(bdir, part), dst)
         os.utime(dst, (t0 + i * 10, t0 + i * 10))
     stream = (
         spark.readStream.schema("event_id long, ts timestamp")
@@ -1795,19 +1808,40 @@ def q_stream_merge_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from forklift_spark.streaming.jobs import stream_merge_manifest
 
     ev = tables.load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    import os as _os
+
     feed_dir = tempfile.mkdtemp(prefix="fk_stream_merge_feed_")
     evens = ev.filter(F.col("event_id") % 2 == 0)
     # three files: two disjoint halves + a byte-identical replay of part
-    # of the second (the at-least-once duplicate-delivery shape)
-    evens.filter(F.col("event_id") % 4 == 2).coalesce(1).write.mode(
-        "append"
-    ).parquet(feed_dir)
-    evens.filter(F.col("event_id") % 4 == 0).coalesce(1).write.mode(
-        "append"
-    ).parquet(feed_dir)
-    evens.filter(F.col("event_id") % 8 == 0).coalesce(1).write.mode(
-        "append"
-    ).parquet(feed_dir)
+    # of the second (the at-least-once duplicate-delivery shape). ONE
+    # partitioned write stages all three (optimization r8, guide §1.2:
+    # the old 3×filter+coalesce(1) loop scanned the feed three times);
+    # hash-repartition on the file tag keeps one file per tag, renames
+    # set increasing mtimes so trigger order stays deterministic. File
+    # CONTENTS are identical to the loop's (the merge is additionally
+    # order-independent by construction — see oracle note above).
+    staged = tempfile.mkdtemp(prefix="fk_stream_merge_staged_")
+    feed3 = evens.withColumn(
+        "__f",
+        F.when(F.col("event_id") % 4 == 2, F.lit(0)).otherwise(F.lit(1)),
+    ).unionByName(
+        evens.filter(F.col("event_id") % 8 == 0).withColumn("__f", F.lit(2))
+    )
+    (
+        feed3.repartition("__f")
+        .write.mode("overwrite")
+        .partitionBy("__f")
+        .parquet(staged)
+    )
+    t0 = 1_700_000_000
+    for i in range(3):
+        bdir = _os.path.join(staged, f"__f={i}")
+        part = next(
+            f for f in _os.listdir(bdir) if f.endswith(".parquet")
+        )
+        dst = _os.path.join(feed_dir, f"feed{i}.parquet")
+        _os.rename(_os.path.join(bdir, part), dst)
+        _os.utime(dst, (t0 + i * 10, t0 + i * 10))
     t = ManifestTable(
         spark, tempfile.mkdtemp(prefix="fk_stream_merge_tbl_"), "events_merged"
     )
