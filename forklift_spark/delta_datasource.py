@@ -247,17 +247,25 @@ class _DeltaBatchReader(DataSourceReader):
             snap["files"] = t._prune_files(snap, where)
         phys, pcols, pv_key = _cm_maps(snap)
         dv = _dv_sets(t, snap["files"])
-        parts = [
-            _DeltaFilePart(
+        from forklift_spark.datasource import _pack_parts
+
+        parts = []
+        for p, e in sorted(snap["files"].items()):
+            fp = _DeltaFilePart(
                 os.path.join(t.path, p),
                 pv=_pv_logical(e.get("pv") or {}, pcols, pv_key),
                 drop_pos=dv.get(p), schema_json=self._schema_json,
                 phys=phys)
-            for p, e in sorted(snap["files"].items())
-        ]
+            fp._nbytes = e.get("size") or 0
+            parts.append(fp)
+        parts = _pack_parts(parts, lambda p: getattr(p, "_nbytes", 0))
         return parts or [_DeltaFilePart(None, schema_json=None)]
 
-    def read(self, partition: _DeltaFilePart):
+    def read(self, partition):
+        from forklift_spark.datasource import _GroupPart, _iter_group
+
+        if isinstance(partition, _GroupPart):
+            return _iter_group(partition, _read_delta_batches)
         if partition.path is None:
             return iter(())
         return _read_delta_batches(partition)
@@ -297,6 +305,9 @@ class _DeltaStreamReader(DataSourceStreamReader):
         for v in range(lo + 1, hi + 1):
             files, new_parts = self._diff_one(t, v, files)
             parts.extend(new_parts)
+        from forklift_spark.datasource import _pack_parts
+
+        parts = _pack_parts(parts, lambda p: getattr(p, "_nbytes", 0))
         return parts or [_DeltaFilePart(None, schema_json=None)]
 
     def _diff_one(self, t, v: int, files: dict):
@@ -340,19 +351,21 @@ class _DeltaStreamReader(DataSourceStreamReader):
         def _pv(e):
             return _pv_logical(e.get("pv") or {}, pcols, pv_key)
 
+        def mk(p, e, **kw) -> _DeltaFilePart:
+            fp = _DeltaFilePart(
+                os.path.join(t.path, p), phys=phys, schema_json=sj, **kw)
+            fp._nbytes = (e or {}).get("size") or 0
+            return fp
+
         parts: list[_DeltaFilePart] = []
         for p, e in sorted(files.items()):  # added -> inserts
             if p not in before:
-                parts.append(_DeltaFilePart(
-                    os.path.join(t.path, p), pv=_pv(e), phys=phys,
-                    drop_pos=dv_b.get(p), change=("insert", v),
-                    schema_json=sj))
+                parts.append(mk(p, e, pv=_pv(e), drop_pos=dv_b.get(p),
+                               change=("insert", v)))
         for p, e in sorted(before.items()):  # removed -> deletes
             if p not in files:
-                parts.append(_DeltaFilePart(
-                    os.path.join(t.path, p), pv=_pv(e), phys=phys,
-                    drop_pos=dv_a.get(p), change=("delete", v),
-                    schema_json=sj))
+                parts.append(mk(p, e, pv=_pv(e), drop_pos=dv_a.get(p),
+                               change=("delete", v)))
         for p in sorted(set(before) & set(files)):  # dv churn: exact rows
             if before[p].get("dv") == files[p].get("dv"):
                 continue
@@ -360,18 +373,18 @@ class _DeltaStreamReader(DataSourceStreamReader):
             pb_ = dv_b.get(p, frozenset())
             pv = _pv(files[p])
             if pb_ - pa_:
-                parts.append(_DeltaFilePart(
-                    os.path.join(t.path, p), pv=pv, phys=phys,
-                    emit_pos=pb_ - pa_,
-                    change=("delete", v), schema_json=sj))
+                parts.append(mk(p, files[p], pv=pv, emit_pos=pb_ - pa_,
+                               change=("delete", v)))
             if pa_ - pb_:  # restore of previously-masked rows
-                parts.append(_DeltaFilePart(
-                    os.path.join(t.path, p), pv=pv, phys=phys,
-                    emit_pos=pa_ - pb_,
-                    change=("insert", v), schema_json=sj))
+                parts.append(mk(p, files[p], pv=pv, emit_pos=pa_ - pb_,
+                               change=("insert", v)))
         return files, parts
 
-    def read(self, partition: _DeltaFilePart):
+    def read(self, partition):
+        from forklift_spark.datasource import _GroupPart, _iter_group
+
+        if isinstance(partition, _GroupPart):
+            return _iter_group(partition, _read_delta_batches)
         if partition.path is None:
             return iter(())
         return _read_delta_batches(partition)

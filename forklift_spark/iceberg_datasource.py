@@ -187,14 +187,22 @@ class _IceBatchReader(DataSourceReader):
         masks = _pos_masks(t, inv)
         id_map = {int(f["id"]): f["name"]
                   for f in inv["schema_json"]["fields"]}
-        parts = [
-            _IcePart(f["path"], drop_pos=masks.get(f["path"]),
-                     schema_json=self._schema_json, id_map=id_map)
-            for f in sorted(inv["data"], key=lambda f: f["path"])
-        ]
+        from forklift_spark.datasource import _pack_parts
+
+        parts = []
+        for f in sorted(inv["data"], key=lambda f: f["path"]):
+            fp = _IcePart(f["path"], drop_pos=masks.get(f["path"]),
+                          schema_json=self._schema_json, id_map=id_map)
+            fp._nbytes = f.get("bytes") or 0
+            parts.append(fp)
+        parts = _pack_parts(parts, lambda p: getattr(p, "_nbytes", 0))
         return parts or [_IcePart(None, schema_json=None)]
 
-    def read(self, partition: _IcePart):
+    def read(self, partition):
+        from forklift_spark.datasource import _GroupPart, _iter_group
+
+        if isinstance(partition, _GroupPart):
+            return _iter_group(partition, _read_ice_batches)
         if partition.path is None:
             return iter(())
         return _read_ice_batches(partition)
@@ -255,6 +263,9 @@ class _IceStreamReader(DataSourceStreamReader):
         for sid in sids:
             parts.extend(self._diff_one(t, prev, sid))
             prev = sid
+        from forklift_spark.datasource import _pack_parts
+
+        parts = _pack_parts(parts, lambda p: getattr(p, "_nbytes", 0))
         return parts or [_IcePart(None, schema_json=None)]
 
     def _diff_one(self, t, a_id: int, b_id: int) -> list[_IcePart]:
@@ -272,33 +283,36 @@ class _IceStreamReader(DataSourceStreamReader):
         sj = self._schema_json
         idm = {int(f["id"]): f["name"]
                for f in inv_b["schema_json"]["fields"]}
+        def mk(p, rec, **kw) -> _IcePart:
+            fp = _IcePart(p, schema_json=sj, id_map=idm, **kw)
+            fp._nbytes = (rec or {}).get("bytes") or 0
+            return fp
+
         parts: list[_IcePart] = []
         for p in sorted(b):  # added files -> inserts (minus mask at b)
             if p not in a:
-                parts.append(_IcePart(
-                    p, drop_pos=masks_b.get(p),
-                    change=("insert", b_id), schema_json=sj,
-                    id_map=idm))
+                parts.append(mk(p, b[p], drop_pos=masks_b.get(p),
+                               change=("insert", b_id)))
         for p in sorted(a):  # removed files -> deletes of live rows
             if p not in b:
-                parts.append(_IcePart(
-                    p, drop_pos=masks_a.get(p),
-                    change=("delete", b_id), schema_json=sj,
-                    id_map=idm))
+                parts.append(mk(p, a[p], drop_pos=masks_a.get(p),
+                               change=("delete", b_id)))
         for p in sorted(set(a) & set(b)):  # mask churn: exact rows
             ma = masks_a.get(p, frozenset())
             mb = masks_b.get(p, frozenset())
             if mb - ma:
-                parts.append(_IcePart(
-                    p, emit_pos=mb - ma, change=("delete", b_id),
-                    schema_json=sj, id_map=idm))
+                parts.append(mk(p, b[p], emit_pos=mb - ma,
+                               change=("delete", b_id)))
             if ma - mb:  # restore of previously-masked rows
-                parts.append(_IcePart(
-                    p, emit_pos=ma - mb, change=("insert", b_id),
-                    schema_json=sj, id_map=idm))
+                parts.append(mk(p, a[p], emit_pos=ma - mb,
+                               change=("insert", b_id)))
         return parts
 
-    def read(self, partition: _IcePart):
+    def read(self, partition):
+        from forklift_spark.datasource import _GroupPart, _iter_group
+
+        if isinstance(partition, _GroupPart):
+            return _iter_group(partition, _read_ice_batches)
         if partition.path is None:
             return iter(())
         return _read_ice_batches(partition)

@@ -176,14 +176,17 @@ def test_pushdown_prunes_files_and_stays_correct(registered, tmp_path):
     """pushFilters routes predicates into the manifest's own planner:
     partition-value filters and zone-map ranges open FEWER files, and
     Spark's row-level re-evaluation keeps results exactly right."""
-    from forklift_spark.datasource import _ManifestBatchReader
+    from forklift_spark.datasource import _ManifestBatchReader, _part_files
 
     spark = registered
     t = _table(spark, tmp_path, rows=80)  # partition p in 0..3
     opts = {"path": str(tmp_path), "table": "ev"}
     schema_json = __import__("json").dumps(t.manifest()["schema"])
 
-    total = len(_ManifestBatchReader(opts, schema_json).partitions())
+    # pruning evidence is the planned FILE set (split-size packing
+    # groups small files into shared partitions, so partition counts
+    # no longer track pruning 1:1)
+    total = _part_files(_ManifestBatchReader(opts, schema_json).partitions())
     assert total >= 4  # one file per partition at least
 
     from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
@@ -191,14 +194,14 @@ def test_pushdown_prunes_files_and_stays_correct(registered, tmp_path):
     rd = _ManifestBatchReader(opts, schema_json)
     back = rd.pushFilters([EqualTo(("p",), 2)])
     assert list(back)  # every filter handed back for row-level re-check
-    pruned = len(rd.partitions())
+    pruned = _part_files(rd.partitions())
     assert pruned < total  # partition pruning really dropped files
 
     from pyspark.sql.datasource import In
 
     rd_in = _ManifestBatchReader(opts, schema_json)
     rd_in.pushFilters([In(("p",), (1, 3))])
-    assert len(rd_in.partitions()) < total  # IN prunes to two partitions
+    assert _part_files(rd_in.partitions()) < total  # IN prunes to two
 
     rd2 = _ManifestBatchReader(opts, schema_json)
     rd2.pushFilters([GreaterThanOrEqual(("k",), 999999)])
@@ -288,3 +291,47 @@ def test_tail_planning_touches_only_changed_segments(registered, tmp_path):
     n_deep = segments_parsed_for_tail(deep, tmp_path / "b")
     assert n_deep == n_shallow, (n_shallow, n_deep)
     assert 0 < n_deep <= 4  # the single touched partition's segment churn
+
+
+def test_split_size_packing_groups_small_files(registered, tmp_path):
+    """Split-size packing (optimization r8): many small files group
+    into few partitions (bounded Python-bridge task count), the planned
+    FILE set is unchanged, per-file masks survive grouping, and results
+    through the registered source stay exact. Big files never co-group
+    (scale adaptivity: parallelism returns when files are split-sized)."""
+    import json
+
+    from forklift_spark.datasource import (
+        _GroupPart,
+        _ManifestBatchReader,
+        _pack_parts,
+        _part_files,
+    )
+
+    spark = registered
+    t = _table(spark, tmp_path, rows=80)  # 4+ small files
+    opts = {"path": str(tmp_path), "table": "ev"}
+    schema_json = json.dumps(t.manifest()["schema"])
+    parts = _ManifestBatchReader(opts, schema_json).partitions()
+    n_files = _part_files(parts)
+    assert n_files >= 4
+    # tiny files pack: fewer partitions than files, none lost
+    assert len(parts) < n_files
+    assert any(isinstance(p, _GroupPart) for p in parts)
+
+    # results identical through the registered source vs the library read
+    got = (
+        spark.read.format("forklift_manifest")
+        .option("table", "ev").load(str(tmp_path))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, t.read().collect())
+    )
+
+    # big files never co-group: packing is size-adaptive, not a constant
+    class P:
+        def __init__(self, nb):
+            self._nbytes = nb
+
+    big = [P(200 << 20) for _ in range(4)]
+    assert _pack_parts(big, lambda p: p._nbytes) == big
