@@ -880,13 +880,22 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 2)
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(store_root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    from forklift_spark.streaming.jobs import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    assert q.awaitTermination(600), "stream did not finish; store would be partial"
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, src)
+    ):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", os.path.join(store_root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600), \
+            "stream did not finish; store would be partial"
     seen = (
         spark.read.parquet(seen_path)
         .groupBy("fingerprint")

@@ -1116,14 +1116,23 @@ def q_stream_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     sink = f"stream_qs_{uuid.uuid4().hex[:8]}"
-    q = (
-        cells.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
+    from forklift_spark.streaming.jobs import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    assert q.awaitTermination(600), "stream did not finish; sketch would be partial"
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, src)
+    ):
+        q = (
+            cells.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600), \
+            "stream did not finish; sketch would be partial"
     return spark.table(sink).select(
         "lo", "hi", F.col("cnt").cast("long").alias("cnt")
     )

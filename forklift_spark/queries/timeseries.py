@@ -343,15 +343,24 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
     sink = f"stream_win_{uuid.uuid4().hex[:8]}"
-    q = (
-        windowed_counts(stream)
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
+    from forklift_spark.streaming.jobs import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    assert q.awaitTermination(600), "stream did not finish; sink would be partial"
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, src)
+    ):
+        q = (
+            windowed_counts(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600), \
+            "stream did not finish; sink would be partial"
     return spark.table(sink)
 
 
@@ -389,15 +398,26 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     sink = f"stream_state_{uuid.uuid4().hex[:8]}"
-    q = (
-        streaming_running_counts(stream.groupBy("event_type"), "event_type")
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
+    from forklift_spark.streaming.jobs import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    assert q.awaitTermination(600), "stream did not finish; sink would be partial"
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, src)
+    ):
+        q = (
+            streaming_running_counts(
+                stream.groupBy("event_type"), "event_type"
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600), \
+            "stream did not finish; sink would be partial"
     return (
         spark.table(sink)
         .groupBy("event_type")
@@ -460,9 +480,18 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("memory")
         .queryName(sink)
         .trigger(availableNow=True)
-        .start()
     )
-    assert q.awaitTermination(600), "stream did not finish; sink would be partial"
+    from forklift_spark.streaming.jobs import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
+    )
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, src)
+    ):
+        qq = q.start()
+        assert qq.awaitTermination(600), \
+            "stream did not finish; sink would be partial"
     return spark.table(sink)
 
 
@@ -811,15 +840,24 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
     sink = f"stream_sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessionized(stream, gap="30 minutes")
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
+    from forklift_spark.streaming.jobs import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    assert q.awaitTermination(600), "stream did not finish; sink would be partial"
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, src)
+    ):
+        q = (
+            sessionized(stream, gap="30 minutes")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600), \
+            "stream did not finish; sink would be partial"
     return spark.table(sink)
 
 
@@ -1072,14 +1110,26 @@ def q_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     sink = f"stream_late_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
+    from forklift_spark.streaming.jobs import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    assert q.awaitTermination(600), "stream did not finish; sink would be partial"
+
+    # state partitions derived from the staged input size (guide §2):
+    # every micro-batch pays one task per state partition, and this
+    # query runs 6 of them
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, src)
+    ):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600), \
+            "stream did not finish; sink would be partial"
     emitted = spark.table(sink).select(
         F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
         F.col("count").cast("bigint").alias("n_rows"),
@@ -1393,14 +1443,23 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("value", "decimal(12,2)")).alias("tv"),
     )
     sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
-    q = (
-        enriched.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
+    from forklift_spark.streaming.jobs import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    assert q.awaitTermination(600), "stream did not finish; sink would be partial"
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, src)
+    ):
+        q = (
+            enriched.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600), \
+            "stream did not finish; sink would be partial"
     return spark.table(sink).select(
         "cohort", "event_type", "n_events",
         F.col("tv").cast("double").alias("total_value"),

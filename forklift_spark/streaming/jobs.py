@@ -9,9 +9,55 @@ exactly-once on the table).
 
 from __future__ import annotations
 
+import contextlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_state_partitions(
+    spark: SparkSession, *paths: str, bytes_per_partition: int = 32 << 20
+) -> int:
+    """Scale-adaptive STATE-partition count for a stateful stream over
+    bounded staged input (optimization r8, guide §2 — partitioning must
+    derive from data, not from a constant tuned to one box): ceil(input
+    bytes / 32 MB), clamped to [1, session shuffle partitions]. The
+    state-store partition count is pinned by the checkpoint at the
+    first micro-batch, and every micro-batch then pays one task PER
+    state partition — a 6-batch watermark query over a few MB was
+    spending cores×batches empty state-store commits (measured: 6.4 s
+    -> 3.7 s at sf0.1 with a data-derived count). At cluster scale the
+    clamp returns the session's configured parallelism unchanged.
+    Env override: SPARK_GRAFT_STREAM_STATE_PARTITIONS."""
+    forced = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if forced:
+        return max(1, int(forced))
+    total = 0
+    for path in paths:
+        for dirpath, _dirs, files in os.walk(path):
+            for name in files:
+                if not name.startswith(("_", ".")):
+                    with contextlib.suppress(OSError):
+                        total += os.path.getsize(
+                            os.path.join(dirpath, name))
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(cur, -(-total // bytes_per_partition)))
+
+
+@contextlib.contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily pin spark.sql.shuffle.partitions (runtime conf) for
+    a streaming query's first-batch planning; restores on exit. The
+    stream's checkpoint then carries the count for its lifetime."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(int(n)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def stream_incremental_sync(

@@ -226,3 +226,41 @@ def test_stream_dedup_minhash_online(spark, tmp_path):
     assert kept == {1, 3}, kept
     sigs = {r["doc_id"] for r in out.read("__dedup_signatures").collect()}
     assert sigs == {1, 3}, sigs
+
+
+def test_stream_state_partitions_scale_adaptive(spark, tmp_path):
+    """State partitions derive from staged input bytes (optimization
+    r8): tiny inputs get few state-store tasks per micro-batch, inputs
+    past partitions x 32MB saturate at the session's configured
+    parallelism (cluster behavior unchanged), and the env override
+    wins. The scoped conf restores on exit."""
+    import os
+
+    from forklift_spark.streaming.jobs import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
+    )
+
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "f.parquet").write_bytes(b"x" * 1024)
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert stream_state_partitions(spark, str(small)) == 1
+
+    big = tmp_path / "big"
+    big.mkdir()
+    # fake a file large enough to exceed cur * 32MB without writing it
+    n = stream_state_partitions(
+        spark, str(small), bytes_per_partition=256
+    )
+    assert 1 <= n <= cur and n == min(cur, 4)  # 1024B / 256B = 4
+
+    os.environ["SPARK_GRAFT_STREAM_STATE_PARTITIONS"] = "7"
+    try:
+        assert stream_state_partitions(spark, str(small)) == 7
+    finally:
+        del os.environ["SPARK_GRAFT_STREAM_STATE_PARTITIONS"]
+
+    with scoped_shuffle_partitions(spark, 3):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == cur
