@@ -26,6 +26,57 @@ from pyspark.sql import DataFrame
 from forklift_spark.connections.base import Connection
 
 
+def _arrow_py_converter(t):
+    """Value fixups from Arrow ``to_pylist`` natives to the Avro
+    codec's Row-era contract, driven by the arrow TYPE so flat columns
+    pay nothing: map values arrive as pair-lists -> dicts, tz-aware
+    timestamps (nested; top-level columns are cast before to_pylist)
+    -> naive UTC wall clock. Returns None when the type needs no
+    conversion (the common case)."""
+    import datetime as _dt
+
+    import pyarrow as pa
+
+    if pa.types.is_map(t):
+        vc = _arrow_py_converter(t.item_type)
+
+        def f_map(v, vc=vc):
+            if v is None:
+                return None
+            if vc is None:
+                return dict(v)
+            return {k: (None if x is None else vc(x)) for k, x in v}
+        return f_map
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        ec = _arrow_py_converter(t.value_type)
+        if ec is None:
+            return None
+        return lambda v: None if v is None else [
+            None if x is None else ec(x) for x in v
+        ]
+    if pa.types.is_struct(t):
+        convs = {
+            f.name: c
+            for f in t
+            if (c := _arrow_py_converter(f.type)) is not None
+        }
+        if not convs:
+            return None
+
+        def f_struct(v, convs=convs):
+            if v is None:
+                return None
+            return {
+                k: (convs[k](x) if k in convs and x is not None else x)
+                for k, x in v.items()
+            }
+        return f_struct
+    if pa.types.is_timestamp(t) and t.tz is not None:
+        return lambda v: None if v is None else v.astimezone(
+            _dt.timezone.utc).replace(tzinfo=None)
+    return None
+
+
 class _FileFormatConnection(Connection):
     FORMAT = ""
 
@@ -152,19 +203,33 @@ class AvroConnection(_FileFormatConnection):
         if spark_schema is None:
             spark_schema, _ = av.avro_to_spark_type(a_schema)
         spark = self.engine.spark
+        schema_json = spark_schema.json()
 
-        def _decode_file(fp: str):
-            # leaf decode; runs on the executor, one task per file
-            _, rows = av.read_container_file(fp)
-            return rows
+        def _decode_files(batches):
+            # Arrow leaf (optimization r8, guide §4.1): decode each
+            # container file and hand the rows back as Arrow batches —
+            # the old createDataFrame(rdd) path pickled every row
+            # JVM-side one at a time. Naive datetimes from the codec
+            # are wall-clock UTC (the session tz), matching the
+            # tz-aware-UTC arrow type below.
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType
 
-        # one task per container file: per-file imperative decode is the
-        # legitimate RDD case — the codec yields nested dicts that
-        # createDataFrame maps onto the schema by name
-        rdd = spark.sparkContext.parallelize(files, len(files)).flatMap(
-            _decode_file
-        )
-        return spark.createDataFrame(rdd, spark_schema)
+            target = to_arrow_schema(StructType.fromJson(
+                __import__("json").loads(schema_json)))
+            for b in batches:
+                for fp in b.column("path").to_pylist():
+                    _, rows = av.read_container_file(fp)
+                    if not rows:
+                        continue
+                    tbl = pa.Table.from_pylist(rows, schema=target)
+                    yield from tbl.to_batches(max_chunksize=1 << 16)
+
+        paths = spark.createDataFrame(
+            [(f,) for f in files], "path string"
+        ).repartition(len(files))
+        return paths.mapInArrow(_decode_files, spark_schema)
 
     def _write_pure(self, df: DataFrame, path: str, mode: str = "append",
                     codec: str | None = None) -> None:
@@ -182,19 +247,48 @@ class AvroConnection(_FileFormatConnection):
         if use_codec == "none":
             use_codec = "null"
 
-        def _write_partition(idx: int, rows):
-            # Rows encode positionally (field order == df.schema order);
-            # no per-row asDict materialization
-            data = list(rows)
+        def _write_partition(batches):
+            # Arrow leaf (optimization r8, guide §4.1): rows arrive as
+            # Arrow batches and transpose to positional tuples column-
+            # wise — the old df.rdd path pickled every row out of the
+            # JVM one at a time. to_pylist yields the same Python
+            # natives Row fields carried (int/Decimal/date/str), with
+            # two codec-contract fixups handled by _arrow_py_converter:
+            # map values arrive as pair-lists (codec wants dicts) and
+            # tz-aware UTC timestamps are stripped to the naive UTC
+            # wall clock the old Row path carried.
+            import pyarrow as pa
+            from pyspark import TaskContext
+
+            idx = TaskContext.get().partitionId()
+            data: list[tuple] = []
+            for b in batches:
+                cols = []
+                for col in b.columns:
+                    t = col.type
+                    if pa.types.is_timestamp(t) and t.tz is not None:
+                        col = col.cast(pa.timestamp(t.unit))
+                        t = col.type
+                    vals = col.to_pylist()
+                    conv = _arrow_py_converter(t)
+                    if conv is not None:
+                        vals = [conv(v) for v in vals]
+                    cols.append(vals)
+                data.extend(zip(*cols) if cols else [])
             if not data and idx != 0:
-                return iter(())  # empty non-first partitions write nothing
+                return  # empty non-first partitions write nothing
             out = os.path.join(path, f"part-{idx:05d}-{run_id}.avro")
             av.write_container_file(out, schema_json, data, codec=use_codec)
-            return iter([(idx, len(data))])
+            yield pa.RecordBatch.from_pylist([{"idx": idx, "n": len(data)}])
 
         # one container file per partition (same layout as Spark file
         # sinks); the tiny (idx, count) summary is the only driver data
-        counts = df.rdd.mapPartitionsWithIndex(_write_partition).collect()
+        counts = [
+            (r["idx"], r["n"])
+            for r in df.mapInArrow(
+                _write_partition, "idx long, n long"
+            ).collect()
+        ]
         self.engine.logger.log(
             f"wrote avro {path} ({mode}, pure-python, "
             f"{len(counts)} files, {sum(c for _, c in counts)} rows)"
