@@ -2578,7 +2578,11 @@ class ManifestTable:
                     .dropDuplicates(["file_ref", "pos"])
                 )
 
-            pa, pb = _dv_pairs(ca), _dv_pairs(cb)
+            # lazy checkpoints: each position set feeds BOTH anti-join
+            # directions (and both broadcast builds) — one dedup shuffle
+            # per side instead of two
+            pa = _dv_pairs(ca).localCheckpoint(eager=False)
+            pb = _dv_pairs(cb).localCheckpoint(eager=False)
             del_pos = pb.join(pa, ["file_ref", "pos"], "left_anti")
             ins_pos = pa.join(pb, ["file_ref", "pos"], "left_anti")
             # both sides' manifest-recorded dv totals bound the position
