@@ -77,6 +77,48 @@ def _arrow_py_converter(t):
     return None
 
 
+def _avro_native_column(col):
+    """Top-level fast boundary for the pure-codec write (guide §4):
+    convert an Arrow column straight to the codec's *alternate accepted
+    representation* — skipping the Decimal/date/datetime Python objects
+    ``to_pylist`` would build only for the encoder to tear back down.
+    Byte-identical output by construction: ``e_decimal`` accepts the
+    minimal two's-complement big-endian bytes it would itself produce,
+    ``e_date``/``e_ts_*`` accept the epoch ints they would compute
+    (``test_avro_pure`` pins the parity). Returns None when the type has
+    no such representation (caller falls back to ``to_pylist``)."""
+    import pyarrow as pa
+
+    t = col.type
+    if pa.types.is_decimal128(t):
+        # unscaled int128 lives little-endian in the 16-byte storage;
+        # Avro wants minimal big-endian two's complement of the same
+        # unscaled value (the arrow scale equals the Avro schema scale
+        # — both derive from the Spark DecimalType)
+        out: list = []
+        ifb = int.from_bytes
+        for chunk in (col.chunks if isinstance(col, pa.ChunkedArray)
+                      else [col]):
+            mv = memoryview(chunk.buffers()[1])
+            off = chunk.offset
+            valid = (chunk.is_valid().to_pylist() if chunk.null_count
+                     else None)
+            for i in range(len(chunk)):
+                if valid is not None and not valid[i]:
+                    out.append(None)
+                    continue
+                j = (off + i) * 16
+                u = ifb(mv[j:j + 16], "little", signed=True)
+                out.append(u.to_bytes(max(1, (u.bit_length() + 8) // 8),
+                                      "big", signed=True))
+        return out
+    if pa.types.is_date32(t):
+        return col.cast(pa.int32()).to_pylist()  # days since epoch
+    if pa.types.is_timestamp(t) and t.tz is None and t.unit == "us":
+        return col.cast(pa.int64()).to_pylist()  # micros since epoch
+    return None
+
+
 class _FileFormatConnection(Connection):
     FORMAT = ""
 
@@ -269,6 +311,10 @@ class AvroConnection(_FileFormatConnection):
                     if pa.types.is_timestamp(t) and t.tz is not None:
                         col = col.cast(pa.timestamp(t.unit))
                         t = col.type
+                    native = _avro_native_column(col)
+                    if native is not None:
+                        cols.append(native)
+                        continue
                     vals = col.to_pylist()
                     conv = _arrow_py_converter(t)
                     if conv is not None:

@@ -529,9 +529,31 @@ def _emit_encode_leaf(L, ind, var, schema, env) -> bool:
         _emit_write_varint(L, ind, f"len({var})")
         L.append(f"{ind}out += {var}")
         return True
-    # complex leaf: delegate to the closure encoder (byte-identical)
+    # complex leaves: inline the dominant representation, delegate the
+    # rest to the closure encoder (byte-identical either way — the
+    # closure accepts the same alternate representations: pre-encoded
+    # two's-complement bytes for decimal, epoch ints for date /
+    # timestamp, which is exactly what the Arrow write boundary now
+    # hands over; see connections/columnar.py).
     fn_name = f"_enc{len(env)}"
     env[fn_name] = make_encoder(schema)
+    if lt == "decimal" and t == "bytes":
+        L.append(f"{ind}if {var}.__class__ is bytes:")
+        _emit_write_varint(L, ind + "    ", f"len({var})")
+        L.append(f"{ind}    out += {var}")
+        L.append(f"{ind}else:")
+        L.append(f"{ind}    {fn_name}(out, {var})")
+        return True
+    if lt in ("date", "timestamp-micros", "timestamp-millis") \
+            and t in ("int", "long"):
+        # closure path range-checks via _write_long; keep that contract
+        # by only inlining in-range ints
+        L.append(f"{ind}if {var}.__class__ is int and "
+                 f"-9223372036854775808 <= {var} <= 9223372036854775807:")
+        _emit_write_varint(L, ind + "    ", var)
+        L.append(f"{ind}else:")
+        L.append(f"{ind}    {fn_name}(out, {var})")
+        return True
     L.append(f"{ind}{fn_name}(out, {var})")
     return True
 

@@ -479,3 +479,67 @@ def test_block_decoder_nested_manifest_entry_parity():
     raw2 = write_container(ms, mrows, codec="null")
     _, got2 = read_container(raw2)
     assert got2 == mrows
+
+
+def test_avro_native_column_boundary_byte_parity():
+    """Optimization r8 (guide §4): the write boundary hands decimal /
+    date / timestamp columns to the codec as its alternate accepted
+    representations (minimal two's-complement bytes, epoch ints)
+    straight from Arrow storage — the container bytes must be IDENTICAL
+    to the Decimal/date/datetime-object path, including nulls, sliced
+    (offset) arrays, and both the codegen and closure encoders."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from forklift_spark.connections.columnar import _avro_native_column
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "m", "type": ["null", {"type": "bytes",
+         "logicalType": "decimal", "precision": 12, "scale": 2}],
+         "default": None},
+        {"name": "d", "type": ["null", {"type": "int",
+         "logicalType": "date"}], "default": None},
+        {"name": "t", "type": ["null", {"type": "long",
+         "logicalType": "timestamp-micros"}], "default": None},
+    ]}
+    sj = _json.dumps(schema)
+    decs = [None, Decimal("0.01"), Decimal("-0.01"), Decimal("123.45"),
+            Decimal("-123.45"), Decimal("0.00"), Decimal("-128.00"),
+            Decimal("127.99"), Decimal("9999999999.99"),
+            Decimal("-9999999999.99")]
+    dates = [dt.date(1970, 1, 1), dt.date(1969, 12, 31), None,
+             dt.date(2024, 2, 29), dt.date(1992, 1, 2)] * 2
+    tss = [None, dt.datetime(2024, 1, 1, 12, 30, 15, 123456),
+           dt.datetime(1969, 12, 31, 23, 59, 59, 999999)] + [
+        dt.datetime(2000 + i, 1, 1) for i in range(7)]
+    batch = pa.record_batch(
+        [pa.array(decs, pa.decimal128(12, 2)),
+         pa.array(dates, pa.date32()),
+         pa.array(tss, pa.timestamp("us"))],
+        names=["m", "d", "t"])
+
+    obj_rows = list(zip(*[c.to_pylist() for c in batch.columns]))
+    nat_cols = [_avro_native_column(c) for c in batch.columns]
+    assert all(c is not None for c in nat_cols)
+    nat_rows = list(zip(*nat_cols))
+    assert av.write_container(sj, nat_rows, codec="null") == \
+        av.write_container(sj, obj_rows, codec="null")
+
+    # sliced arrays (non-zero offset) and the closure encoder path
+    sliced = batch.slice(3, 5)
+    obj_s = list(zip(*[c.to_pylist() for c in sliced.columns]))
+    nat_s = list(zip(*[_avro_native_column(c) for c in sliced.columns]))
+    orig = av.make_block_encoder
+    av.make_block_encoder = lambda s: None
+    try:
+        assert av.write_container(sj, nat_s, codec="null") == \
+            av.write_container(sj, obj_s, codec="null")
+    finally:
+        av.make_block_encoder = orig
+
+    # types outside the fast set decline (caller falls back)
+    assert _avro_native_column(pa.array(["x"], pa.string())) is None
+    assert _avro_native_column(
+        pa.array([dt.datetime(2024, 1, 1)]).cast(
+            pa.timestamp("us", tz="UTC"))) is None
