@@ -682,6 +682,34 @@ def test_changes_across_schema_evolution(table, spark):
     assert feed == [(200, "new", "insert")]
 
 
+def test_changes_dv_diff_reserved_column_names(spark, tmp_path):
+    """The dv-position diff joins the changed-file scan against a
+    (file_ref, pos) frame; data columns that SHARE those names (or that
+    a careless implementation would drop) must ride through unharmed,
+    in both diff directions (mask -> deletes, restore -> inserts)."""
+    df = spark.range(6).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("f"), F.col("id")).alias("file_ref"),
+        (F.col("id") * 7).cast("long").alias("pos"),
+    )
+    t = ManifestTable(spark, str(tmp_path), "resv")
+    t.create(df)
+    t.delete(F.col("k").isin(2, 5), use_dv=True)
+    v_masked = t.current_version()
+    feed = {
+        (r.k, r.file_ref, r.pos, r._change_type)
+        for r in t.changes(1, v_masked).collect()
+    }
+    assert feed == {(2, "f2", 14, "delete"), (5, "f5", 35, "delete")}
+    # restore drops the dv mask: same positions, opposite direction
+    t.restore(1)
+    feed = {
+        (r.k, r.file_ref, r.pos, r._change_type)
+        for r in t.changes(v_masked, t.current_version()).collect()
+    }
+    assert feed == {(2, "f2", 14, "insert"), (5, "f5", 35, "insert")}
+
+
 def test_stream_merge_manifest_dv_mode(table, spark, tmp_path):
     """Streaming MERGE with use_dv: each micro-batch masks + appends —
     no data file that predates the stream is ever rewritten."""
