@@ -71,6 +71,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from urllib.parse import unquote
 
@@ -89,6 +90,11 @@ NULL_TOKEN = "__HIVE_DEFAULT_PARTITION__"
 # => exact match); driver-side bookkeeping decodes with urllib unquote,
 # which is the precise inverse (never treats '+' as space).
 FILE_REF_RE = r"(data/snap-[0-9a-f]{12}/.*)$"
+# deletion-vector dirs as the dv writer names them (_apply_dv); the
+# changes() dv-diff keys each pair row back to its dir with the
+# Spark-side extract, guarded by the Python-side fullmatch
+DV_DIR_RE = r"(dv/dv-[0-9a-f]{12})/"
+_DV_DIR_PAT = re.compile(r"dv/dv-[0-9a-f]{12}")
 # deletion-vector rows (file_ref, pos) under this total broadcast on the
 # read-path anti-join; above it, fall back to a shuffled join
 DV_BROADCAST_ROWS = 2_000_000
@@ -2561,72 +2567,104 @@ class ManifestTable:
             # files that share a dv dir.
             ca = [ea[p] for p in changed]
             cb = [eb[p] for p in changed]
-            pair_schema = T.StructType([
-                T.StructField("file_ref", T.StringType()),
-                T.StructField("pos", T.LongType()),
-            ])
-
-            def _dv_pairs(entries: list[dict]) -> DataFrame:
-                dirs = sorted({e["dv"] for e in entries if e.get("dv")})
-                if not dirs:
-                    return self.spark.createDataFrame([], pair_schema)
-                return (
-                    self.spark.read.parquet(
-                        *[os.path.join(self.path, d) for d in dirs]
+            dirs_a = sorted({e["dv"] for e in ca if e.get("dv")})
+            dirs_b = sorted({e["dv"] for e in cb if e.get("dv")})
+            all_dirs = sorted(set(dirs_a) | set(dirs_b))
+            if all_dirs:
+                # ONE read of the dv-dir union and ONE aggregation decide
+                # both directions (optimization r8, guide §2.1/§2.2): a
+                # (file_ref,pos) masked only at `b` is a delete, only at
+                # `a` a restore (insert); masked at both cancels. This
+                # replaces two multi-dir reads (shared dirs read twice),
+                # two dropDuplicates shuffles and two anti-joins with one
+                # read + one shuffle; bool aggregation also absorbs the
+                # stale-subset duplicates shared dv dirs can carry. Side
+                # membership comes from each pair row's own dv dir —
+                # extracted from the file path the same way _file_ref
+                # works, the writer's naming being dv/dv-<hex12>
+                # (_apply_dv) — with per-dir tagged reads as the
+                # no-naming-assumption fallback.
+                if all(_DV_DIR_PAT.fullmatch(d) for d in all_dirs):
+                    raw = self.spark.read.parquet(
+                        *[os.path.join(self.path, d) for d in all_dirs]
+                    ).select(
+                        "file_ref",
+                        "pos",
+                        F.regexp_extract(
+                            F.col("_metadata.file_path"), DV_DIR_RE, 1
+                        ).alias("__dvdir"),
                     )
-                    .select("file_ref", "pos")
-                    .dropDuplicates(["file_ref", "pos"])
+                else:
+                    parts = [
+                        self.spark.read.parquet(os.path.join(self.path, d))
+                        .select("file_ref", "pos", F.lit(d).alias("__dvdir"))
+                        for d in all_dirs
+                    ]
+                    raw = parts[0]
+                    for p_ in parts[1:]:
+                        raw = raw.unionByName(p_)
+                in_a = (
+                    F.col("__dvdir").isin(dirs_a) if dirs_a else F.lit(False)
                 )
-
-            # lazy checkpoints: each position set feeds BOTH anti-join
-            # directions (and both broadcast builds) — one dedup shuffle
-            # per side instead of two
-            pa = _dv_pairs(ca).localCheckpoint(eager=False)
-            pb = _dv_pairs(cb).localCheckpoint(eager=False)
-            del_pos = pb.join(pa, ["file_ref", "pos"], "left_anti")
-            ins_pos = pa.join(pb, ["file_ref", "pos"], "left_anti")
-            # both sides' manifest-recorded dv totals bound the position
-            # sets — broadcast while provably small, zero probe jobs
-            bound = sum(e.get("dv_rows", 0) for e in ca) + sum(
-                e.get("dv_rows", 0) for e in cb
-            )
-            # ONE changed-file scan serves both directions (optimization
-            # r8, guide §2.2 "scan fewer bytes"): del_pos and ins_pos are
-            # DISJOINT position sets over immutable files (each is an
-            # anti-join of deduped sets against the other side), so an
-            # inner join against their tagged union emits every hit row
-            # exactly once with its direction — multiset-identical to the
-            # two left-semi joins it replaces, at half the scan cost.
-            tagged = del_pos.withColumn(
-                "__dvct", F.lit("delete")
-            ).unionByName(ins_pos.withColumn("__dvct", F.lit("insert")))
-            if bound <= self.dv_broadcast_rows:
-                tagged = F.broadcast(tagged)
-            scan = (
-                self.spark.read.schema(schema_b)
-                .parquet(*[os.path.join(self.path, p) for p in changed])
-                .withColumn("__ref", _file_ref())
-                .withColumn("__pos", F.col("_metadata.row_index"))
-            )
-            # lazy checkpoint: the del_cand/ins_cand branches below each
-            # materialize their side — share the single scan between them
-            hits = scan.join(
-                tagged,
-                (scan["__ref"] == tagged["file_ref"])
-                & (scan["__pos"] == tagged["pos"]),
-                "inner",
-            ).select(
-                # attribute-qualified: a data column named file_ref/pos
-                # must survive (the old left_semi kept scan columns only)
-                *[scan[f] for f in schema_b.fieldNames()],
-                tagged["__dvct"],
-            ).localCheckpoint(eager=False)
-            del_cand = del_cand.unionByName(
-                hits.filter(F.col("__dvct") == "delete").drop("__dvct")
-            )
-            ins_cand = ins_cand.unionByName(
-                hits.filter(F.col("__dvct") == "insert").drop("__dvct")
-            )
+                in_b = (
+                    F.col("__dvdir").isin(dirs_b) if dirs_b else F.lit(False)
+                )
+                tagged = (
+                    raw.groupBy("file_ref", "pos")
+                    .agg(
+                        F.max(in_a).alias("__in_a"),
+                        F.max(in_b).alias("__in_b"),
+                    )
+                    .filter(F.col("__in_a") != F.col("__in_b"))
+                    .select(
+                        "file_ref",
+                        "pos",
+                        F.when(F.col("__in_b"), F.lit("delete"))
+                        .otherwise(F.lit("insert"))
+                        .alias("__dvct"),
+                    )
+                )
+                # both sides' manifest-recorded dv totals bound the
+                # position sets — broadcast while provably small, zero
+                # probe jobs
+                bound = sum(e.get("dv_rows", 0) for e in ca) + sum(
+                    e.get("dv_rows", 0) for e in cb
+                )
+                if bound <= self.dv_broadcast_rows:
+                    tagged = F.broadcast(tagged)
+                # ONE changed-file scan serves both directions
+                # (optimization r8, guide §2.2 "scan fewer bytes"): the
+                # delete/insert position sets are DISJOINT by the
+                # __in_a != __in_b filter, so an inner join against the
+                # tagged frame emits every hit row exactly once with its
+                # direction — multiset-identical to the two left-semi
+                # joins it replaces, at half the scan cost.
+                scan = (
+                    self.spark.read.schema(schema_b)
+                    .parquet(*[os.path.join(self.path, p) for p in changed])
+                    .withColumn("__ref", _file_ref())
+                    .withColumn("__pos", F.col("_metadata.row_index"))
+                )
+                # lazy checkpoint: the del_cand/ins_cand branches below
+                # each materialize their side — share the single scan
+                hits = scan.join(
+                    tagged,
+                    (scan["__ref"] == tagged["file_ref"])
+                    & (scan["__pos"] == tagged["pos"]),
+                    "inner",
+                ).select(
+                    # attribute-qualified: a data column named
+                    # file_ref/pos must survive (the old left_semi kept
+                    # scan columns only)
+                    *[scan[f] for f in schema_b.fieldNames()],
+                    tagged["__dvct"],
+                ).localCheckpoint(eager=False)
+                del_cand = del_cand.unionByName(
+                    hits.filter(F.col("__dvct") == "delete").drop("__dvct")
+                )
+                ins_cand = ins_cand.unionByName(
+                    hits.filter(F.col("__dvct") == "insert").drop("__dvct")
+                )
         # each exceptAll consumes BOTH candidate sets, and callers usually
         # branch on _change_type — checkpoint once (O(delta)) so the
         # changed-file scans don't recompute per branch
