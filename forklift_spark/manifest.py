@@ -2665,15 +2665,42 @@ class ManifestTable:
                 ins_cand = ins_cand.unionByName(
                     hits.filter(F.col("__dvct") == "insert").drop("__dvct")
                 )
-        # each exceptAll consumes BOTH candidate sets, and callers usually
-        # branch on _change_type — checkpoint once (O(delta)) so the
-        # changed-file scans don't recompute per branch
+        # both candidate sets feed the fused diff below, and callers
+        # usually branch on _change_type — checkpoint once (O(delta)) so
+        # the changed-file scans don't recompute per branch
         del_cand = del_cand.localCheckpoint(eager=False)
         ins_cand = ins_cand.localCheckpoint(eager=False)
-        inserts = ins_cand.exceptAll(del_cand)
-        deletes = del_cand.exceptAll(ins_cand)
-        return inserts.withColumn("_change_type", F.lit("insert")).unionByName(
-            deletes.withColumn("_change_type", F.lit("delete"))
+        # ONE aggregation replaces the exceptAll PAIR (optimization r8,
+        # guide §2.1 "shuffle less"): Spark rewrites each exceptAll to
+        # union -> count-aggregate -> replicate-rows, so the old
+        # inserts/deletes pair shuffled the same candidate union twice to
+        # compute the two directions of one multiset difference. Signed
+        # weights fuse them: net count > 0 means that many insert rows,
+        # < 0 deletes, 0 fully cancelled (pure layout moves). Multiset
+        # semantics are identical — duplicates replicate |net| times and
+        # grouping is null-safe, exactly like exceptAll.
+        names = ins_cand.columns
+        diff = (
+            ins_cand.withColumn("__w", F.lit(1).cast("long"))
+            .unionByName(del_cand.withColumn("__w", F.lit(-1).cast("long")))
+            .groupBy(*names)
+            .agg(F.sum("__w").alias("__w"))
+            .filter(F.col("__w") != 0)
+        )
+        return (
+            diff.withColumn(
+                "_change_type",
+                F.when(F.col("__w") > 0, F.lit("insert")).otherwise(
+                    F.lit("delete")
+                ),
+            )
+            .withColumn(
+                "__r",
+                F.explode(
+                    F.sequence(F.lit(1).cast("long"), F.abs(F.col("__w")))
+                ),
+            )
+            .drop("__w", "__r")
         )
 
     def compact(
