@@ -1182,13 +1182,29 @@ class IcebergLiteTable:
                                         keep_meta=True)
 
         meta = ["___path", "___pos"]
-        deletes = (old_side.join(new_side.select(*meta), meta, "left_anti")
-                   .select(*names)
-                   .withColumn("_change_type", F.lit("delete")))
-        inserts = (new_side.join(old_side.select(*meta), meta, "left_anti")
-                   .select(*names)
-                   .withColumn("_change_type", F.lit("insert")))
-        feed = inserts.unionByName(deletes)
+        # ONE aggregation decides both directions (optimization r8,
+        # guide §2.1/§2.2): (___path, ___pos) is unique within a side
+        # (one row per live position of an immutable file), so a group
+        # seeing both sides is a retained row (cancels) and a single-
+        # side group is that side's change — the exact semantics of the
+        # two left-anti joins this replaces, computing each side's
+        # live-set plan ONCE instead of twice (probe + build). Values
+        # ride in a struct and are never grouped on, so map-typed
+        # columns stay legal; a surviving group has exactly one row, so
+        # first() is deterministic.
+        sides = (
+            old_side.select(*meta, F.struct(*names).alias("___v"),
+                            F.lit(-1).alias("___s"))
+            .unionByName(new_side.select(*meta, F.struct(*names).alias("___v"),
+                                         F.lit(1).alias("___s")))
+            .groupBy(*meta)
+            .agg(F.sum("___s").alias("___s"), F.first("___v").alias("___v"))
+            .filter(F.col("___s") != 0)
+        )
+        feed = sides.select(
+            "___v.*",
+            F.when(F.col("___s") > 0, F.lit("insert"))
+             .otherwise(F.lit("delete")).alias("_change_type"))
         if not net:
             return feed
         signed = feed.withColumn(
