@@ -298,7 +298,14 @@ class AvroConnection(_FileFormatConnection):
             # two codec-contract fixups handled by _arrow_py_converter:
             # map values arrive as pair-lists (codec wants dicts) and
             # tz-aware UTC timestamps are stripped to the naive UTC
-            # wall clock the old Row path carried.
+            # wall clock. NOTE the wire contract (ADVICE r8 low): the
+            # encoded timestamp-micros value is the UTC epoch micros,
+            # independent of the host timezone — the old Row path's
+            # df.rdd delivered naive LOCAL wall clocks, so on non-UTC
+            # hosts it wrote different (spec-incorrect) on-wire values;
+            # naive-UTC is the intended contract and what the codec's
+            # pure epoch arithmetic (no tz calls) preserves on any host
+            # (pinned by test_avro_timestamp_wire_tz_independent).
             import pyarrow as pa
             from pyspark import TaskContext
 

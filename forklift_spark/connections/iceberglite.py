@@ -1213,12 +1213,21 @@ class IcebergLiteTable:
         netted = (signed.groupBy(*names)
                   .agg(F.sum("___sign").alias("___n"))
                   .filter(F.col("___n") != 0))
+        # chunked replication (ADVICE r8 low, same fix as
+        # ManifestTable.changes): bound any one materialized sequence
+        # array; the common |net|=1 case pays two singleton explodes
+        _chunk = F.lit(1_000_000).cast("long")
+        _n = F.abs(F.col("___n")).cast("long")
         return (netted
                 .withColumn("_change_type",
                             F.when(F.col("___n") > 0, F.lit("insert"))
                              .otherwise(F.lit("delete")))
+                .withColumn("___c", F.explode(F.sequence(
+                    F.lit(0).cast("long"),
+                    F.floor((_n - F.lit(1)) / _chunk).cast("long"))))
                 .withColumn("___i", F.explode(F.sequence(
-                    F.lit(1), F.abs(F.col("___n")).cast("int"))))
+                    F.lit(1).cast("long"),
+                    F.least(_chunk, _n - F.col("___c") * _chunk))))
                 .select(*names, "_change_type"))
 
 

@@ -98,6 +98,9 @@ _DV_DIR_PAT = re.compile(r"dv/dv-[0-9a-f]{12}")
 # deletion-vector rows (file_ref, pos) under this total broadcast on the
 # read-path anti-join; above it, fall back to a shuffled join
 DV_BROADCAST_ROWS = 2_000_000
+# changes() replicates |net| duplicate rows via explode(sequence);
+# chunking bounds any one materialized array (ADVICE r8 low)
+_REPLICATE_CHUNK = 1_000_000
 # manifest entry lists live in immutable parquet SEGMENT sidecars under
 # metadata/ (the Iceberg manifest-file shape); the per-version JSON holds
 # only one small record per segment. A commit writes O(delta) metadata:
@@ -1640,6 +1643,7 @@ class ManifestTable:
                         .alias(f"__h{h}_{i}")
                     )
         rows = None
+        probe_keys = None  # distinct-tuple count PROVEN by the probe
         if sel:
             probe = (
                 source.select(*sel).distinct()
@@ -1647,6 +1651,7 @@ class ManifestTable:
             )
             if len(probe) <= self._PRUNE_KEYS_BOUND:
                 rows = probe
+                probe_keys = len(probe)
 
         # point-set checks: (col, numeric, sorted batch values). A
         # single interval can't cut the mixed update+insert CDC batch
@@ -1750,15 +1755,21 @@ class ManifestTable:
             old = [
                 e for e in old if self._bloom_scope_survives(e, bloom_checks)
             ]
-        # keys_bounded: the probe proved the batch has <= bound distinct
-        # key tuples, so the broadcast-eligibility probe job is free to
-        # skip — valid only when EVERY pk column rode the probe verbatim
-        # (partition rides cast-to-string and bucket rides hashed, so
-        # neither bounds raw key distinctness on its own)
-        keys_bounded = rows is not None and set(pk) <= {
-            k for k, _n in prune_cols
-        }
-        return touched, old, keys_bounded
+        # bounded_keys: the probe proved the batch has <= probe_keys
+        # distinct key tuples, so the broadcast-eligibility probe job is
+        # free to skip — valid only when EVERY pk column rode the probe
+        # verbatim (partition rides cast-to-string and bucket rides
+        # hashed, so neither bounds raw key distinctness on its own) AND
+        # the PROBE itself stayed bounded: on overflow the bucketed
+        # branches above reassign ``rows`` to a coarse cell/bucket
+        # collect that says nothing about key distinctness (ADVICE r8
+        # high — ``rows is not None`` was spuriously truthy there). The
+        # proven COUNT is returned, not a bool, so each caller gates the
+        # actual broadcast on its own ``broadcast_threshold`` — the probe
+        # bound and the broadcast bound are independently tunable.
+        if probe_keys is not None and set(pk) <= {k for k, _n in prune_cols}:
+            return touched, old, probe_keys
+        return touched, old, None
 
     def _prune_eligible(
         self, cur: dict, source: DataFrame, pk: list[str]
@@ -1848,7 +1859,7 @@ class ManifestTable:
         )
         pk = [on] if isinstance(on, str) else list(on)
         self._enforce_constraints(cur.get("constraints"), source, "merge")
-        touched, old, keys_bounded = self._merge_scope(cur, source, pk)
+        touched, old, bounded_keys = self._merge_scope(cur, source, pk)
         cur_schema = T.StructType.fromJson(cur["schema"])
         existing = self._read_entries(old, cur_schema)
         src = _align(source, schema)
@@ -1857,7 +1868,7 @@ class ManifestTable:
         # probe usually already proved it (zero extra jobs); otherwise
         # one bounded count probe (same rationale as
         # ParquetTableWriter._upsert)
-        if keys_bounded or (
+        if (bounded_keys is not None and bounded_keys <= broadcast_threshold) or (
             keys.limit(broadcast_threshold + 1).count() <= broadcast_threshold
         ):
             keys = F.broadcast(keys)
@@ -1959,12 +1970,12 @@ class ManifestTable:
         schema = _merge_schemas(T.StructType.fromJson(cur["schema"]), source.schema)
         pk = [on] if isinstance(on, str) else list(on)
         self._enforce_constraints(cur.get("constraints"), source, "merge")
-        touched, old, keys_bounded = self._merge_scope(cur, source, pk)
+        touched, old, bounded_keys = self._merge_scope(cur, source, pk)
         cur_schema = T.StructType.fromJson(cur["schema"])
         existing = self._read_entries(old, cur_schema, keep_ref=True)
         src = _align(source, schema)
         keys = src.select(*pk).distinct()
-        if keys_bounded or (
+        if (bounded_keys is not None and bounded_keys <= broadcast_threshold) or (
             keys.limit(broadcast_threshold + 1).count() <= broadcast_threshold
         ):
             keys = F.broadcast(keys)
@@ -2081,13 +2092,16 @@ class ManifestTable:
             schema = T.StructType.fromJson(cur["schema"])
             have = set(keys.columns)
             prunable = (not cur["partition_by"]) or cur["partition_by"] in have
-            keys_bounded = False
+            bounded_keys = None
             if prunable:
-                touched, old, keys_bounded = self._merge_scope(cur, keys, pk)
+                touched, old, bounded_keys = self._merge_scope(cur, keys, pk)
             else:
                 touched, old = None, self._m_entries(cur)
             k = keys.select(*pk).distinct()
-            if keys_bounded or (
+            if (
+                bounded_keys is not None
+                and bounded_keys <= broadcast_threshold
+            ) or (
                 k.limit(broadcast_threshold + 1).count() <= broadcast_threshold
             ):
                 k = F.broadcast(k)
@@ -2195,9 +2209,9 @@ class ManifestTable:
             old: list[dict] = []
             seen: set[str] = set()
             full_scope = False
-            ups_bounded = tombs_bounded = True  # vacuously, when absent
+            ups_keys = tombs_keys = 0  # vacuously bounded at 0 when absent
             if have_ups:
-                t_u, old_u, ups_bounded = self._merge_scope(cur, upserts, pk)
+                t_u, old_u, ups_keys = self._merge_scope(cur, upserts, pk)
                 touched.update(t_u)
                 for e in old_u:
                     if e["path"] not in seen:
@@ -2207,9 +2221,9 @@ class ManifestTable:
                 prunable = (not partition_by) or partition_by in set(
                     tombstones.columns
                 )
-                tombs_bounded = False
+                tombs_keys = None
                 if prunable:
-                    t_t, old_t, tombs_bounded = self._merge_scope(
+                    t_t, old_t, tombs_keys = self._merge_scope(
                         cur, tombstones, pk
                     )
                     touched.update(t_t)
@@ -2228,7 +2242,13 @@ class ManifestTable:
             if have_tombs:
                 keys = keys.unionByName(tombstones.select(*pk))
             keys = keys.distinct()
-            if (ups_bounded and tombs_bounded) or (
+            # the union's distinct count is bounded by the sum of the
+            # two sides' proven counts
+            if (
+                ups_keys is not None
+                and tombs_keys is not None
+                and ups_keys + tombs_keys <= broadcast_threshold
+            ) or (
                 keys.limit(broadcast_threshold + 1).count()
                 <= broadcast_threshold
             ):
@@ -2603,6 +2623,24 @@ class ManifestTable:
                     raw = parts[0]
                     for p_ in parts[1:]:
                         raw = raw.unionByName(p_)
+                # restrict to the CHANGED files' rows before aggregating
+                # (ADVICE r8 medium): a merged dv dir is shared by every
+                # file hit in its commit, so ride-along pairs of files
+                # dropped only by the later inner join would otherwise
+                # inflate ``tagged`` past the dv_rows-derived broadcast
+                # bound below. file_ref is the percent-ENCODED
+                # table-relative path (FILE_REF_RE); decode executor-side
+                # with url_decode — after masking '+' (url_decode is
+                # form-decoding, '+' would become space; urllib.unquote,
+                # the driver-side inverse, never does that) — and keep
+                # only refs whose decoded path is a changed path. This
+                # also cuts the aggregation's shuffle to O(changed dv).
+                dec_ref = F.url_decode(
+                    F.replace(
+                        F.col("file_ref"), F.lit("+"), F.lit("%2B")
+                    )
+                )
+                raw = raw.filter(dec_ref.isin(list(changed)))
                 in_a = (
                     F.col("__dvdir").isin(dirs_a) if dirs_a else F.lit(False)
                 )
@@ -2626,7 +2664,10 @@ class ManifestTable:
                 )
                 # both sides' manifest-recorded dv totals bound the
                 # position sets — broadcast while provably small, zero
-                # probe jobs
+                # probe jobs. Sound now that ``raw`` is restricted to
+                # changed refs: masks only GROW per live file, so a
+                # changed file's distinct pairs across any referenced
+                # dir are <= its recorded dv_rows at the newer side
                 bound = sum(e.get("dv_rows", 0) for e in ca) + sum(
                     e.get("dv_rows", 0) for e in cb
                 )
@@ -2687,6 +2728,15 @@ class ManifestTable:
             .agg(F.sum("__w").alias("__w"))
             .filter(F.col("__w") != 0)
         )
+        # replication via explode(sequence) materializes the whole array
+        # per surviving group — unlike exceptAll's streaming
+        # ReplicateRows generator, a row value duplicated millions of
+        # times within the delta would build a multi-GB array (ADVICE r8
+        # low). Two-level chunking bounds any single array at
+        # _REPLICATE_CHUNK entries (8 MB of longs) while the common
+        # |net|=1 case pays two singleton explodes.
+        n = F.abs(F.col("__w"))
+        chunk = F.lit(_REPLICATE_CHUNK).cast("long")
         return (
             diff.withColumn(
                 "_change_type",
@@ -2695,12 +2745,24 @@ class ManifestTable:
                 ),
             )
             .withColumn(
-                "__r",
+                "__c",
                 F.explode(
-                    F.sequence(F.lit(1).cast("long"), F.abs(F.col("__w")))
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        F.floor((n - F.lit(1)) / chunk).cast("long"),
+                    )
                 ),
             )
-            .drop("__w", "__r")
+            .withColumn(
+                "__r",
+                F.explode(
+                    F.sequence(
+                        F.lit(1).cast("long"),
+                        F.least(chunk, n - F.col("__c") * chunk),
+                    )
+                ),
+            )
+            .drop("__w", "__c", "__r")
         )
 
     def compact(

@@ -543,3 +543,46 @@ def test_avro_native_column_boundary_byte_parity():
     assert _avro_native_column(
         pa.array([dt.datetime(2024, 1, 1)]).cast(
             pa.timestamp("us", tz="UTC"))) is None
+
+
+def test_avro_timestamp_wire_tz_independent():
+    """ADVICE r8 low: the pure codec's wire contract for
+    timestamp-micros is naive-UTC — the encoded long is the UTC epoch
+    micros of the wall clock, REGARDLESS of the host timezone. (The
+    pre-r8 df.rdd write path delivered naive LOCAL wall clocks, so on
+    non-UTC hosts it wrote different on-wire values; the Arrow boundary
+    casts tz-aware UTC to naive-UTC, and the codec's epoch arithmetic
+    makes no tz calls.) Pin both halves: the Arrow-side cast yields the
+    UTC wall clock, and the container bytes are identical under a
+    non-UTC host tz (write_container is deterministic)."""
+    import json as _json
+    import time
+
+    import pyarrow as pa
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "t", "type": {"type": "long",
+                               "logicalType": "timestamp-micros"}},
+    ]}
+    sj = _json.dumps(schema)
+    naive = dt.datetime(2024, 6, 1, 12, 30, 15, 123456)  # UTC wall clock
+    aware = naive.replace(tzinfo=dt.timezone.utc)
+    # the write boundary's top-level cast: tz-aware UTC -> naive, same
+    # underlying instant (what _write_partition does before encoding)
+    col = pa.array([aware], pa.timestamp("us", tz="UTC"))
+    assert col.cast(pa.timestamp("us")).to_pylist() == [naive]
+
+    ref = av.write_container(sj, [(naive,)], codec="null")
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    try:
+        time.tzset()
+        assert av.write_container(sj, [(naive,)], codec="null") == ref
+        _sch, rows = av.read_container(ref)
+        assert rows == [{"t": naive}]
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()

@@ -255,6 +255,12 @@ def test_stream_state_partitions_scale_adaptive(spark, tmp_path):
     )
     assert 1 <= n <= cur and n == min(cur, 4)  # 1024B / 256B = 4
 
+    # non-walkable path (remote URI / missing dir): size unknown ->
+    # session default, never a 1-partition serial state store
+    # (optimization r9, VERDICT r8 item 4)
+    assert stream_state_partitions(spark, "s3://bucket/events") == cur
+    assert stream_state_partitions(spark, str(tmp_path / "absent")) == cur
+
     os.environ["SPARK_GRAFT_STREAM_STATE_PARTITIONS"] = "7"
     try:
         assert stream_state_partitions(spark, str(small)) == 7
