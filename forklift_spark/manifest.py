@@ -1755,20 +1755,30 @@ class ManifestTable:
             old = [
                 e for e in old if self._bloom_scope_survives(e, bloom_checks)
             ]
-        # bounded_keys: the probe proved the batch has <= probe_keys
-        # distinct key tuples, so the broadcast-eligibility probe job is
-        # free to skip — valid only when EVERY pk column rode the probe
-        # verbatim (partition rides cast-to-string and bucket rides
-        # hashed, so neither bounds raw key distinctness on its own) AND
-        # the PROBE itself stayed bounded: on overflow the bucketed
-        # branches above reassign ``rows`` to a coarse cell/bucket
-        # collect that says nothing about key distinctness (ADVICE r8
-        # high — ``rows is not None`` was spuriously truthy there). The
-        # proven COUNT is returned, not a bool, so each caller gates the
-        # actual broadcast on its own ``broadcast_threshold`` — the probe
-        # bound and the broadcast bound are independently tunable.
+        # pk_rows: the probe proved the batch has a bounded distinct key
+        # set AND collected it — every pk column rode the probe verbatim
+        # (partition rides cast-to-string and bucket rides hashed, so
+        # neither bounds raw key distinctness on its own), so the
+        # distinct pk tuples are already on the driver. Returning them
+        # (instead of a bool) lets callers build the join's key frame as
+        # a LOCAL relation: no second distinct scan over the batch, no
+        # broadcast-build job — and lets each caller gate the broadcast
+        # on its own ``broadcast_threshold`` (the probe bound and the
+        # broadcast bound are independently tunable, ADVICE r8 high).
+        # Valid only when the PROBE itself stayed bounded: on overflow
+        # the bucketed branches above reassign ``rows`` to a coarse
+        # cell/bucket collect that says nothing about key distinctness
+        # (``rows is not None`` was spuriously truthy there).
         if probe_keys is not None and set(pk) <= {k for k, _n in prune_cols}:
-            return touched, old, probe_keys
+            idx = {k: i for i, (k, _n) in enumerate(prune_cols)}
+            seen: set = set()
+            pk_rows: list[tuple] = []
+            for r in rows:
+                tup = tuple(r[f"__k{idx[k]}"] for k in pk)
+                if tup not in seen:
+                    seen.add(tup)
+                    pk_rows.append(tup)
+            return touched, old, pk_rows
         return touched, old, None
 
     def _prune_eligible(
@@ -1793,6 +1803,45 @@ class ManifestTable:
             elif isinstance(t, T.StringType) and isinstance(s, T.StringType):
                 out.append((k, False))
         return out
+
+    def _key_frame(
+        self,
+        pk_rows: list[tuple] | None,
+        probe_frame: DataFrame,
+        target_frame: DataFrame,
+        pk: list[str],
+        broadcast_threshold: int,
+    ) -> DataFrame:
+        """Distinct-key frame for the merge/delete joins. When the scope
+        probe already collected the bounded distinct key set (verbatim
+        pk values), build it as a broadcast LOCAL relation: no second
+        distinct scan over the batch, no broadcast-build job — the probe
+        paid that pass once (optimization r9, guide §1.2 "don't compute
+        things twice"). Otherwise fall back to distinct + one bounded
+        count probe before broadcasting (the pre-r9 shape).
+        ``probe_frame`` supplies the dtypes the values were collected
+        under; when ``target_frame`` (the aligned batch the old code
+        selected keys from) widened a pk dtype, the same cast is applied
+        in-plan — identical key values to ``target.select(pk)``. A lossy
+        cast (double batch vs long table) can leave duplicate rows in
+        the local frame; every consumer joins semi/anti, where
+        duplicates are harmless."""
+        if pk_rows is not None and len(pk_rows) <= broadcast_threshold:
+            pf = {f.name: f.dataType for f in probe_frame.schema.fields}
+            tf = {f.name: f.dataType for f in target_frame.schema.fields}
+            schema = T.StructType(
+                [T.StructField(k, pf[k], True) for k in pk]
+            )
+            local = self.spark.createDataFrame(pk_rows, schema)
+            if any(pf[k] != tf[k] for k in pk):
+                local = local.select(
+                    *[F.col(k).cast(tf[k]).alias(k) for k in pk]
+                )
+            return F.broadcast(local)
+        keys = target_frame.select(*pk).distinct()
+        if keys.limit(broadcast_threshold + 1).count() <= broadcast_threshold:
+            keys = F.broadcast(keys)
+        return keys
 
     @staticmethod
     def _zone_survives(entry: dict, checks: list) -> bool:
@@ -1859,19 +1908,11 @@ class ManifestTable:
         )
         pk = [on] if isinstance(on, str) else list(on)
         self._enforce_constraints(cur.get("constraints"), source, "merge")
-        touched, old, bounded_keys = self._merge_scope(cur, source, pk)
+        touched, old, pk_rows = self._merge_scope(cur, source, pk)
         cur_schema = T.StructType.fromJson(cur["schema"])
         existing = self._read_entries(old, cur_schema)
         src = _align(source, schema)
-        keys = src.select(*pk).distinct()
-        # broadcast the key set only while provably small: the scope
-        # probe usually already proved it (zero extra jobs); otherwise
-        # one bounded count probe (same rationale as
-        # ParquetTableWriter._upsert)
-        if (bounded_keys is not None and bounded_keys <= broadcast_threshold) or (
-            keys.limit(broadcast_threshold + 1).count() <= broadcast_threshold
-        ):
-            keys = F.broadcast(keys)
+        keys = self._key_frame(pk_rows, source, src, pk, broadcast_threshold)
         survivors = _align(existing, schema).join(keys, pk, "left_anti")
         entries = self._write_snapshot(
             survivors.unionByName(src), partition_by, bucket_by=bucket_by
@@ -1970,15 +2011,11 @@ class ManifestTable:
         schema = _merge_schemas(T.StructType.fromJson(cur["schema"]), source.schema)
         pk = [on] if isinstance(on, str) else list(on)
         self._enforce_constraints(cur.get("constraints"), source, "merge")
-        touched, old, bounded_keys = self._merge_scope(cur, source, pk)
+        touched, old, pk_rows = self._merge_scope(cur, source, pk)
         cur_schema = T.StructType.fromJson(cur["schema"])
         existing = self._read_entries(old, cur_schema, keep_ref=True)
         src = _align(source, schema)
-        keys = src.select(*pk).distinct()
-        if (bounded_keys is not None and bounded_keys <= broadcast_threshold) or (
-            keys.limit(broadcast_threshold + 1).count() <= broadcast_threshold
-        ):
-            keys = F.broadcast(keys)
+        keys = self._key_frame(pk_rows, source, src, pk, broadcast_threshold)
         matched = existing.join(keys, pk, "left_semi").select(
             F.col("__ref").alias("file_ref"), F.col("__pos").alias("pos")
         )
@@ -2092,19 +2129,12 @@ class ManifestTable:
             schema = T.StructType.fromJson(cur["schema"])
             have = set(keys.columns)
             prunable = (not cur["partition_by"]) or cur["partition_by"] in have
-            bounded_keys = None
+            pk_rows = None
             if prunable:
-                touched, old, bounded_keys = self._merge_scope(cur, keys, pk)
+                touched, old, pk_rows = self._merge_scope(cur, keys, pk)
             else:
                 touched, old = None, self._m_entries(cur)
-            k = keys.select(*pk).distinct()
-            if (
-                bounded_keys is not None
-                and bounded_keys <= broadcast_threshold
-            ) or (
-                k.limit(broadcast_threshold + 1).count() <= broadcast_threshold
-            ):
-                k = F.broadcast(k)
+            k = self._key_frame(pk_rows, keys, keys, pk, broadcast_threshold)
             if use_dv:
                 # scan only the pruned scope; untouched entries carry
                 live = self._read_entries(old, schema, keep_ref=True)
@@ -2209,9 +2239,11 @@ class ManifestTable:
             old: list[dict] = []
             seen: set[str] = set()
             full_scope = False
-            ups_keys = tombs_keys = 0  # vacuously bounded at 0 when absent
+            # vacuously bounded (empty key set) when a side is absent
+            ups_rows: list | None = []
+            tombs_rows: list | None = []
             if have_ups:
-                t_u, old_u, ups_keys = self._merge_scope(cur, upserts, pk)
+                t_u, old_u, ups_rows = self._merge_scope(cur, upserts, pk)
                 touched.update(t_u)
                 for e in old_u:
                     if e["path"] not in seen:
@@ -2221,9 +2253,9 @@ class ManifestTable:
                 prunable = (not partition_by) or partition_by in set(
                     tombstones.columns
                 )
-                tombs_keys = None
+                tombs_rows = None
                 if prunable:
-                    t_t, old_t, tombs_keys = self._merge_scope(
+                    t_t, old_t, tombs_rows = self._merge_scope(
                         cur, tombstones, pk
                     )
                     touched.update(t_t)
@@ -2238,21 +2270,22 @@ class ManifestTable:
             # by the new rows) and tombstoned keys (just removed); both
             # sides' scope probes bounded -> provably broadcastable with
             # zero extra jobs
-            keys = upserts.select(*pk)
+            keys_src = upserts.select(*pk)
             if have_tombs:
-                keys = keys.unionByName(tombstones.select(*pk))
-            keys = keys.distinct()
-            # the union's distinct count is bounded by the sum of the
-            # two sides' proven counts
-            if (
-                ups_keys is not None
-                and tombs_keys is not None
-                and ups_keys + tombs_keys <= broadcast_threshold
-            ) or (
-                keys.limit(broadcast_threshold + 1).count()
-                <= broadcast_threshold
-            ):
-                keys = F.broadcast(keys)
+                keys_src = keys_src.unionByName(tombstones.select(*pk))
+            # both sides' probes bounded -> the union's distinct key set
+            # is their driver-side union, deduped here (order-stable)
+            combined = None
+            if ups_rows is not None and tombs_rows is not None:
+                seen_k: set = set()
+                combined = []
+                for tup in ups_rows + tombs_rows:
+                    if tup not in seen_k:
+                        seen_k.add(tup)
+                        combined.append(tup)
+            keys = self._key_frame(
+                combined, keys_src, keys_src, pk, broadcast_threshold
+            )
             if use_dv:
                 live = self._read_entries(old, cur_schema, keep_ref=True)
                 hits = live.join(keys, pk, "left_semi").select(
