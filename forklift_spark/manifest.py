@@ -69,6 +69,7 @@ key dimension and zone maps / blooms for everything else.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
@@ -98,6 +99,55 @@ _DV_DIR_PAT = re.compile(r"dv/dv-[0-9a-f]{12}")
 # deletion-vector rows (file_ref, pos) under this total broadcast on the
 # read-path anti-join; above it, fall back to a shuffled join
 DV_BROADCAST_ROWS = 2_000_000
+# the dv parquet layout is fixed by its writer (_dv_masked_entries /
+# _apply_dv: file_ref from _file_ref(), pos from _metadata.row_index) —
+# stating it at every dv read skips a schema-inference job per read
+# (optimization r9, guide §1.2/§6)
+_DV_SCHEMA = T.StructType(
+    [
+        T.StructField("file_ref", T.StringType()),
+        T.StructField("pos", T.LongType()),
+    ]
+)
+
+
+@contextlib.contextmanager
+def _probe_conf(spark: SparkSession):
+    """Scope two confs around a bounded PROBE collect (distinct + limit
+    over ≤ _PRUNE_KEYS_BOUND tuples) so the probe is ONE Spark job
+    (guide §1.2 — the commit path is job-count-bound at small SFs,
+    ~100 ms fixed cost per job):
+
+    - AQE off: it buys nothing on a collect this small but splits it
+      into one job per shuffle query-stage (2-4 jobs per probe).
+    - ``limit.initialNumPartitions`` maxed: without AQE, CollectLimit
+      scans the final stage incrementally (1, 4, 16... partitions,
+      ``spark.sql.limit.scaleUpFactor``) — a probe that does NOT fill
+      its limit (the common case: batch keys ≤ bound) pays one job per
+      round trip. Reading all partitions in one pass is strictly better
+      here: the probe's final stage is a deduped aggregate bounded by
+      the batch's distinct keys.
+
+    Results are unaffected — same plan minus runtime coalescing.
+    Runtime conf is session-global, so this briefly affects queries
+    PLANNED concurrently on other threads (same precedent as
+    streaming's scoped_shuffle_partitions); manifest commits are
+    driver-synchronous, so in practice the scope is the probe itself."""
+    keys = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.limit.initialNumPartitions": "2147483647",
+    }
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 # changes() replicates |net| duplicate rows via explode(sequence);
 # chunking bounds any one materialized array (ADVICE r8 low)
 _REPLICATE_CHUNK = 1_000_000
@@ -1172,7 +1222,7 @@ class ManifestTable:
                 "__pos", F.col("_metadata.row_index")
             )
         if dv_dirs:
-            dv = self.spark.read.parquet(
+            dv = self.spark.read.schema(_DV_SCHEMA).parquet(
                 *[os.path.join(self.path, d) for d in dv_dirs]
             ).select("file_ref", "pos")
             # positions only ever GROW per live file (deletes accumulate;
@@ -1596,6 +1646,28 @@ class ManifestTable:
         metadata segments are parsed; untouched files are carried by
         segment reference at commit time, never listed here. Driver
         state stays bounded by the probe limit."""
+        sel, prune_cols, bl_cols, k_hash = self._scope_prep(cur, source, pk)
+        rows = None
+        if sel:
+            with _probe_conf(self.spark):
+                probe = (
+                    source.select(*sel).distinct()
+                    .limit(self._PRUNE_KEYS_BOUND + 1).collect()
+                )
+            if len(probe) <= self._PRUNE_KEYS_BOUND:
+                rows = probe
+        return self._scope_from_rows(
+            cur, source, pk, prune_cols, bl_cols, k_hash, rows
+        )
+
+    def _scope_prep(
+        self, cur: dict, source: DataFrame, pk: list[str]
+    ) -> tuple[list, list[tuple[str, bool]], list[tuple[int, str]], int]:
+        """The probe SELECT list for ``_merge_scope`` (partition token,
+        bucket cell, prune-eligible key columns, bloom probe positions)
+        plus the metadata needed to interpret its rows. Split out so
+        ``apply_changes`` can run ONE union probe over both of its
+        sides (``_paired_scope_probe``) instead of two."""
         partition_by = cur["partition_by"]
         bucket_by = cur.get("bucket_by")
         bucketed = bool(bucket_by) and bucket_by[0] in pk
@@ -1642,16 +1714,29 @@ class ManifestTable:
                         F.pmod(F.hash(cast_col, F.lit(h)), F.lit(m_bits))
                         .alias(f"__h{h}_{i}")
                     )
-        rows = None
-        probe_keys = None  # distinct-tuple count PROVEN by the probe
-        if sel:
-            probe = (
-                source.select(*sel).distinct()
-                .limit(self._PRUNE_KEYS_BOUND + 1).collect()
-            )
-            if len(probe) <= self._PRUNE_KEYS_BOUND:
-                rows = probe
-                probe_keys = len(probe)
+        return sel, prune_cols, bl_cols, k_hash
+
+    def _scope_from_rows(
+        self,
+        cur: dict,
+        source: DataFrame,
+        pk: list[str],
+        prune_cols: list[tuple[str, bool]],
+        bl_cols: list[tuple[int, str]],
+        k_hash: int,
+        rows: list | None,
+    ) -> tuple[list[str], list[dict], list | None]:
+        """Scope derivation from an already-collected (or overflowed:
+        ``rows is None``) probe — the second half of ``_merge_scope``.
+        On overflow the bucketed/unbucketed branches re-collect a
+        coarse cell/bucket probe, exactly as before the split."""
+        partition_by = cur["partition_by"]
+        bucket_by = cur.get("bucket_by")
+        bucketed = bool(bucket_by) and bucket_by[0] in pk
+        # distinct-tuple count PROVEN by the probe (snapshot before the
+        # overflow branches below reassign ``rows`` to a coarse collect
+        # that says nothing about key distinctness — ADVICE r8 high)
+        probe_keys = len(rows) if rows is not None else None
 
         # point-set checks: (col, numeric, sorted batch values). A
         # single interval can't cut the mixed update+insert CDC batch
@@ -1781,6 +1866,58 @@ class ManifestTable:
             return touched, old, pk_rows
         return touched, old, None
 
+    def _paired_scope_probe(
+        self, cur: dict, ups: DataFrame, tombs: DataFrame, pk: list[str]
+    ):
+        """ONE Spark action answers apply_changes' four batch questions
+        (upserts empty? tombstones empty? each side's merge scope?) that
+        previously cost two ``isEmpty`` jobs plus two ``_merge_scope``
+        probe collects (optimization r9, guide §1.2 / VERDICT r8 item
+        2). The two sides keep their OWN ``distinct().limit(bound+1)``
+        subtree — per-side boundedness and emptiness stay exactly as
+        precise as the separate probes (a side is empty iff it
+        contributes zero probe rows; bounded iff ≤ bound) — and the
+        union is collected once, so the independent shuffle stages run
+        concurrently inside one action instead of as four sequential
+        jobs. Scope-widening rejected in r8 does NOT apply: rows carry a
+        ``__side`` tag, so each side's scope is derived from its own
+        tuples only.
+
+        Returns ``None`` when the sides' probe column structure differs
+        (different prune-eligible columns / bloom eligibility — the
+        union would coerce types) or either side has no probe columns;
+        the caller falls back to the separate-probe path."""
+        sel_u, pc_u, bl_u, kh = self._scope_prep(cur, ups, pk)
+        sel_t, pc_t, bl_t, _kh_t = self._scope_prep(cur, tombs, pk)
+        if not sel_u or not sel_t:
+            return None
+        if pc_u != pc_t or bl_u != bl_t or len(sel_u) != len(sel_t):
+            return None
+        bound = self._PRUNE_KEYS_BOUND
+        with _probe_conf(self.spark):
+            probe = (
+                ups.select(F.lit(0).alias("__side"), *sel_u)
+                .distinct()
+                .limit(bound + 1)
+                .unionByName(
+                    tombs.select(F.lit(1).alias("__side"), *sel_t)
+                    .distinct()
+                    .limit(bound + 1)
+                )
+                .collect()
+            )
+        rows_u = [r for r in probe if r["__side"] == 0]
+        rows_t = [r for r in probe if r["__side"] == 1]
+        scope_u = self._scope_from_rows(
+            cur, ups, pk, pc_u, bl_u, kh,
+            rows_u if len(rows_u) <= bound else None,
+        )
+        scope_t = self._scope_from_rows(
+            cur, tombs, pk, pc_t, bl_t, kh,
+            rows_t if len(rows_t) <= bound else None,
+        )
+        return bool(rows_u), bool(rows_t), scope_u, scope_t
+
     def _prune_eligible(
         self, cur: dict, source: DataFrame, pk: list[str]
     ) -> list[tuple[str, bool]]:
@@ -1832,7 +1969,10 @@ class ManifestTable:
             schema = T.StructType(
                 [T.StructField(k, pf[k], True) for k in pk]
             )
-            local = self.spark.createDataFrame(pk_rows, schema)
+            # one slice: createDataFrame defaults to defaultParallelism
+            # slices, making the broadcast build run one task per core
+            # over a few-KB relation (measured: a 32-task job per commit)
+            local = self.spark.createDataFrame(pk_rows, schema).coalesce(1)
             if any(pf[k] != tf[k] for k in pk):
                 local = local.select(
                     *[F.col(k).cast(tf[k]).alias(k) for k in pk]
@@ -1969,7 +2109,7 @@ class ManifestTable:
         if prior_dirs:
             refs = list(probe.values())
             prior = (
-                self.spark.read.parquet(
+                self.spark.read.schema(_DV_SCHEMA).parquet(
                     *[os.path.join(self.path, d) for d in prior_dirs]
                 )
                 .select("file_ref", "pos")
@@ -2214,23 +2354,21 @@ class ManifestTable:
         ``use_dv=False`` rewrites the scoped files instead.
         ``max_retries``: the shared OCC rebase loop."""
         pk = [on] if isinstance(on, str) else list(on)
-        have_tombs = tombstones is not None and not tombstones.isEmpty()
-        have_ups = not upserts.isEmpty()
-        if not have_ups and not have_tombs:
-            v = self.current_version()
-            return {"version": v, "touched_partitions": [],
-                    "files_rewritten": 0, "files_written": 0,
-                    "rows_masked": 0}
+        # Emptiness of each side is decided by the SAME probe action
+        # that decides the merge scopes when the layouts allow it
+        # (_paired_scope_probe, optimization r9) — the two isEmpty jobs
+        # and the second probe collect disappear from the commit path.
+        # Fall back to the separate probes otherwise; cache the answer
+        # so OCC retries don't re-pay it.
+        emptiness: dict[str, bool] = {}
+
+        def side_empty(name: str, df: DataFrame) -> bool:
+            if name not in emptiness:
+                emptiness[name] = df.isEmpty()
+            return emptiness[name]
 
         def compute(cur: dict) -> dict:
             partition_by = cur["partition_by"]
-            schema = _merge_schemas(
-                T.StructType.fromJson(cur["schema"]), upserts.schema
-            )
-            if have_ups:
-                self._enforce_constraints(
-                    cur.get("constraints"), upserts, "apply_changes"
-                )
             cur_schema = T.StructType.fromJson(cur["schema"])
             # combined scope: the upserts' touched cells plus the
             # tombstones' (pruned when they carry the layout columns,
@@ -2242,30 +2380,69 @@ class ManifestTable:
             # vacuously bounded (empty key set) when a side is absent
             ups_rows: list | None = []
             tombs_rows: list | None = []
-            if have_ups:
-                t_u, old_u, ups_rows = self._merge_scope(cur, upserts, pk)
+            prunable = tombstones is not None and (
+                (not partition_by)
+                or partition_by in set(tombstones.columns)
+            )
+            pair = (
+                self._paired_scope_probe(cur, upserts, tombstones, pk)
+                if prunable
+                else None
+            )
+            if pair is not None:
+                have_ups, have_tombs, scope_u, scope_t = pair
+                t_u, old_u, ups_rows = scope_u
+                t_t, old_t, tombs_rows = scope_t
+                if not have_ups:
+                    t_u, old_u, ups_rows = [], [], []
+                if not have_tombs:
+                    t_t, old_t, tombs_rows = [], [], []
                 touched.update(t_u)
-                for e in old_u:
+                touched.update(t_t)
+                for e in old_u + old_t:
                     if e["path"] not in seen:
                         seen.add(e["path"])
                         old.append(e)
-            if have_tombs:
-                prunable = (not partition_by) or partition_by in set(
-                    tombstones.columns
+            else:
+                have_tombs = tombstones is not None and not side_empty(
+                    "tombs", tombstones
                 )
-                tombs_rows = None
-                if prunable:
-                    t_t, old_t, tombs_rows = self._merge_scope(
-                        cur, tombstones, pk
+                have_ups = not side_empty("ups", upserts)
+                if have_ups:
+                    t_u, old_u, ups_rows = self._merge_scope(
+                        cur, upserts, pk
                     )
-                    touched.update(t_t)
-                else:
-                    full_scope = True
-                    old_t = self._m_entries(cur)
-                for e in old_t:
-                    if e["path"] not in seen:
-                        seen.add(e["path"])
-                        old.append(e)
+                    touched.update(t_u)
+                    for e in old_u:
+                        if e["path"] not in seen:
+                            seen.add(e["path"])
+                            old.append(e)
+                if have_tombs:
+                    tombs_rows = None
+                    if prunable:
+                        t_t, old_t, tombs_rows = self._merge_scope(
+                            cur, tombstones, pk
+                        )
+                        touched.update(t_t)
+                    else:
+                        full_scope = True
+                        old_t = self._m_entries(cur)
+                    for e in old_t:
+                        if e["path"] not in seen:
+                            seen.add(e["path"])
+                            old.append(e)
+            if not have_ups and not have_tombs:
+                return {
+                    "noop": {"version": cur["version"],
+                             "touched_partitions": [],
+                             "files_rewritten": 0, "files_written": 0,
+                             "rows_masked": 0}
+                }
+            schema = _merge_schemas(cur_schema, upserts.schema)
+            if have_ups:
+                self._enforce_constraints(
+                    cur.get("constraints"), upserts, "apply_changes"
+                )
             # one key frame masks both classes: upserted keys (replaced
             # by the new rows) and tombstoned keys (just removed); both
             # sides' scope probes bounded -> provably broadcastable with
@@ -2638,7 +2815,7 @@ class ManifestTable:
                 # (_apply_dv) — with per-dir tagged reads as the
                 # no-naming-assumption fallback.
                 if all(_DV_DIR_PAT.fullmatch(d) for d in all_dirs):
-                    raw = self.spark.read.parquet(
+                    raw = self.spark.read.schema(_DV_SCHEMA).parquet(
                         *[os.path.join(self.path, d) for d in all_dirs]
                     ).select(
                         "file_ref",
@@ -2649,7 +2826,8 @@ class ManifestTable:
                     )
                 else:
                     parts = [
-                        self.spark.read.parquet(os.path.join(self.path, d))
+                        self.spark.read.schema(_DV_SCHEMA)
+                        .parquet(os.path.join(self.path, d))
                         .select("file_ref", "pos", F.lit(d).alias("__dvdir"))
                         for d in all_dirs
                     ]
