@@ -46,70 +46,62 @@ def query(name: str, oracle: str | None = None):
 # (not just exactly 50) checks a representative mix. After the window:
 # remaining oracle-backed queries, round-robin by family; rows-only
 # queries last (weakest checks at the tail).
-# r8 rotation (VERDICT r7 item 4 — freshness): the r7 window CLOSED the
-# catalog (285/285 cumulative, pinned by tests/test_catalog_window.py),
-# so the metric is now staleness. This window holds the 50 rows whose
-# LAST driver check is oldest: the single r1 row (q_distinct_approx,
-# rows-only by design — an approx-distinct sketch with no exact DuckDB
-# oracle; error floor asserted in-query), ALL 34 r2 rows (the TPC-H/
-# relational-surface core plus the etl function batteries), and 15 r3
-# rows chosen for family spread (similarity/dedup/timeseries/text/
-# selection/multimodal/connectors/stats), minus slots swapped for the
-# round's NEW rows (q_delta_checkpoint_read, q_iceberg_expire_read,
-# q_delta_colmap_read, q_delta_v2_checkpoint_read,
-# q_delta_typewiden_read, q_delta_cdf_read, q_delta_stats_prune_read,
-# q_iceberg_bounds_prune_read, q_iceberg_changelog_read,
-# q_delta_changelog_read, q_iceberg_hidden_partition_read,
-# q_delta_stream_source, q_iceberg_stream_source,
-# q_lakehouse_files_audit, q_delta_cdf_publish, q_iceberg_refs_read —
-# never driver-checked, and the window test requires never-checked ⊆
-# window; the evicted rows q_dedup_recall_eval / q_bpe_train /
-# q_ann_lsh_topk / q_dedup_minhash_lsh / q_distinct_exact /
-# q_string_agg / q_string_funcs / q_regex_funcs / q_date_funcs /
-# q_unpivot / q_conditional_agg / q_union_consolidate / q_set_ops /
-# q_pivot were equally-stale candidates whose families keep other
-# window representatives). After this window runs, the cumulative staleness
-# median drops to two rounds — the floor for a 50-slot window.
-_WINDOW_ROWS_ONLY: frozenset[str] = frozenset({
-    "q_distinct_approx",
-})
+# r9 rotation (same staleness policy as r8, which closed the r2 gap):
+# after the r8 window ran, the stalest rows are the 10 remaining r2
+# rows (the etl function batteries + relational set ops the r8 window
+# evicted) and the 41 r3 rows. This window holds all 10 r2 rows, 32 of
+# the r3 rows (the 9 bumped — q_json_extract / q_array_agg /
+# q_data_expectations / q_ivm_agg / q_dedup_recall_eval / q_ndcg_eval /
+# q_ann_ivf_topk / q_skyline / q_bpe_train — are equally-stale
+# candidates whose families keep other window representatives), and 8
+# rows THIS optimization round's commit-path changes ride
+# (q_manifest_cdc_sync, q_mv_refresh_cdc, q_manifest_changes,
+# q_merge_dv, q_scd2_merge, q_cdc_apply, q_stream_cms_build,
+# q_manifest_stream_source — last driver-checked r4-r7): an
+# optimization round's window should let the driver independently
+# re-verify the operators whose internals changed. Every window row is
+# oracle-backed (the r1/r8-checked rows-only sketch q_distinct_approx
+# rotates out), and all 12 families are represented.
+_WINDOW_ROWS_ONLY: frozenset[str] = frozenset()
 _WINDOW_FAMILIES: dict[str, list[str]] = {
     "analytics": [
-        "q_distinct_approx", "q10_returned_items",
-        "q13_order_distribution", "q14_promo_revenue", "q17_small_qty",
-        "q19_disjunctive", "q22_global_sales_opp", "q4_exists_priority",
-        "q9_product_profit", "q_cube",
-        "q_grouping_sets", "q_percentiles", "q_rank_functions",
-        "q_rfm_segments", "q_running_window",
-        "q_value_window_functions",
+        "q_distinct_exact", "q_set_ops", "q_pivot",
+        "q5_region_revenue", "q7_volume_shipping",
     ],
     "etl": [
-        "q_array_funcs",
-        "q_groupby_histogram", "q_hwm", "q_incremental_delta",
-        "q_incremental_rollup", "q_integrity_audit",
-        "q_outer_join_reconcile", "q_profile_table",
-        "q_salted_join",
+        "q_string_funcs", "q_date_funcs", "q_union_consolidate",
+        "q_conditional_agg", "q_string_agg", "q_regex_funcs",
+        "q_unpivot", "q_read_since", "q_upsert_merge",
+        "q_schema_evolution", "q_manifest_cdc_sync", "q_mv_refresh_cdc",
+        "q_manifest_changes", "q_merge_dv", "q_scd2_merge",
+        "q_cdc_apply",
     ],
-    "similarity": ["q_ann_bruteforce_topk"],
+    "similarity": [
+        "q_ann_lsh_topk", "q_embedding_dedup_lsh", "q_semantic_dedup",
+    ],
     "dedup": [
-        "q_decontaminate",
+        "q_dedup_minhash_lsh", "q_substring_dedup",
+        "q_set_similarity_join", "q_stream_dedup_exact",
     ],
-    "timeseries": ["q_asof_join", "q_delta_stream_source",
-                   "q_iceberg_stream_source"],
-    "multimodal": ["q_audio_features"],
-    "selection": ["q_dsir_weights"],
-    "text": ["q_gopher_quality"],
+    "timeseries": [
+        "q_stream_stateful_counts", "q_stream_late_audit",
+        "q_cusum_changepoint", "q_manifest_stream_source",
+    ],
+    "multimodal": ["q_phash_dedup", "q_scene_detect"],
+    "selection": ["q_bigram_xent"],
+    "text": [
+        "q_text_token_stats", "q_lang_id", "q_sequence_pack",
+        "q_winnow_fingerprint",
+    ],
     "connectors": [
-        "q_csv_roundtrip", "q_es_roundtrip",
-        "q_delta_checkpoint_read", "q_iceberg_expire_read",
-        "q_delta_colmap_read", "q_delta_v2_checkpoint_read",
-        "q_delta_typewiden_read", "q_delta_cdf_read",
-        "q_delta_stats_prune_read", "q_iceberg_bounds_prune_read",
-        "q_iceberg_changelog_read", "q_delta_changelog_read",
-        "q_iceberg_hidden_partition_read", "q_lakehouse_files_audit",
-        "q_delta_cdf_publish", "q_iceberg_refs_read",
+        "q_jdbc_roundtrip", "q_dump_pipe_roundtrip", "q_optimistic_sync",
     ],
-    "stats": ["q_heavy_hitters_cms"],
+    "stats": [
+        "q_kmv_distinct", "q_welch_ab", "q_psi_drift",
+        "q_stream_cms_build",
+    ],
+    "graph": ["q_pagerank", "q_triangle_count"],
+    "web": ["q_url_dedup", "q_web_pipeline"],
 }
 
 
