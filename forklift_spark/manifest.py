@@ -111,6 +111,36 @@ _DV_SCHEMA = T.StructType(
 )
 
 
+# Arrow types for the merge key frame's local relation (_key_frame):
+# probe-collected pk values are numeric-or-string by construction, so a
+# static class map covers them; anything else falls back to the pickled
+# createDataFrame form. Built lazily to keep pyarrow an optional import.
+def _arrow_types():
+    import pyarrow as pa
+
+    return {
+        T.ByteType: pa.int8(),
+        T.ShortType: pa.int16(),
+        T.IntegerType: pa.int32(),
+        T.LongType: pa.int64(),
+        T.FloatType: pa.float32(),
+        T.DoubleType: pa.float64(),
+        T.StringType: pa.string(),
+    }
+
+
+class _ArrowTypeMap:
+    _map = None
+
+    def __getitem__(self, key):
+        if type(self)._map is None:
+            type(self)._map = _arrow_types()
+        return type(self)._map[key]
+
+
+_ARROW_TYPES = _ArrowTypeMap()
+
+
 @contextlib.contextmanager
 def _probe_conf(spark: SparkSession):
     """Scope two confs around a bounded PROBE collect (distinct + limit
@@ -1962,17 +1992,38 @@ class ManifestTable:
         in-plan — identical key values to ``target.select(pk)``. A lossy
         cast (double batch vs long table) can leave duplicate rows in
         the local frame; every consumer joins semi/anti, where
-        duplicates are harmless."""
+        duplicates are harmless.
+
+        The local relation is shipped as ONE Arrow table, never as
+        ``createDataFrame(list)``: the list form parallelizes PICKLED
+        rows, so the broadcast build runs Python workers on the
+        executors just to deserialize the keys (measured 0.5 s per
+        commit for 6.5 k keys at 32 cores — and 5-7 s when coalesced to
+        one slice, a single worker deserializing everything). The Arrow
+        table converts driver-side and the build is JVM-only
+        (~0.2 s for the same keys, and no executor Python at any
+        scale). pk columns are numeric-or-string by construction (the
+        probe only returns rows when every pk is prune-eligible); any
+        type outside the map falls back to the pickled form."""
         if pk_rows is not None and len(pk_rows) <= broadcast_threshold:
             pf = {f.name: f.dataType for f in probe_frame.schema.fields}
             tf = {f.name: f.dataType for f in target_frame.schema.fields}
             schema = T.StructType(
                 [T.StructField(k, pf[k], True) for k in pk]
             )
-            # one slice: createDataFrame defaults to defaultParallelism
-            # slices, making the broadcast build run one task per core
-            # over a few-KB relation (measured: a 32-task job per commit)
-            local = self.spark.createDataFrame(pk_rows, schema).coalesce(1)
+            local = None
+            try:
+                import pyarrow as pa
+
+                cols = {
+                    k: pa.array(
+                        [r[i] for r in pk_rows], type=_ARROW_TYPES[type(pf[k])]
+                    )
+                    for i, k in enumerate(pk)
+                }
+                local = self.spark.createDataFrame(pa.table(cols))
+            except Exception:  # noqa: BLE001 — unmapped dtype etc.
+                local = self.spark.createDataFrame(pk_rows, schema)
             if any(pf[k] != tf[k] for k in pk):
                 local = local.select(
                     *[F.col(k).cast(tf[k]).alias(k) for k in pk]
