@@ -576,7 +576,7 @@ def main() -> None:
     # Self-verify BEFORE publishing any number (VERDICT r7 item 1):
     # flag tail outliers vs the previous artifact and this sweep's own
     # repeat spread, re-measure each in a fresh subprocess, substitute.
-    artifact = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r8.json")
+    artifact = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r9.json")
     prev_queries: dict[str, float] | None = None
     prev_path = artifact if artifact and os.path.exists(artifact) else None
     if prev_path is None and artifact:
